@@ -1,0 +1,728 @@
+"""Core relational query plans (SURVEY.md section 2A).
+
+Each plan re-expresses a query/processing shape from the reference
+indexer (near/near-indexer-for-explorer, /root/reference) over the test
+tables, Spark-first: declarative DataFrame API, broadcast hints for
+dims, decimal-exact aggregation for oracle parity (see
+functions/numeric.py).
+
+Every entry in QUERIES has a matching ANSI-SQL oracle in ORACLES that
+DuckDB runs over the same parquet; column names/aliases match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.numeric import (
+    dec_money,
+    dec_rate,
+    dsum,
+    dsum_money,
+    epoch_seconds,
+)
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _stabilize_decimal_casts(sql: str) -> str:
+    """Rewrite ``CAST(SUM(...) AS DOUBLE)`` to hop through VARCHAR.
+
+    DuckDB casts DECIMAL->DOUBLE as ``unscaled_int * 10^-scale`` in
+    double arithmetic; once the unscaled value exceeds 2^53 that is no
+    longer correctly rounded and disagrees with Spark's (correctly
+    rounded) decimal->double cast by 1 ulp.  Parsing the decimal's
+    string form is correctly rounded in both engines, so the oracle
+    uses ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``.
+    """
+    token = "CAST(SUM("
+    out, i = [], 0
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        # walk the balanced parens of the CAST(...) starting at j+4
+        depth, k = 0, j + 4
+        while True:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + 5 : k]  # "SUM(...) AS DOUBLE"
+        assert inner.endswith(" AS DOUBLE"), inner
+        out.append(f"CAST(CAST({inner[:-10]} AS VARCHAR) AS DOUBLE)")
+        i = k + 1
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = _stabilize_decimal_casts(oracle)
+        return fn
+
+    return deco
+
+
+def _one_minus(rate_col: str):
+    return F.lit(1).cast("decimal(7,4)") - dec_rate(rate_col)
+
+
+def _one_plus(rate_col: str):
+    return F.lit(1).cast("decimal(7,4)") + dec_rate(rate_col)
+
+
+_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))"
+
+
+# ---------------------------------------------------------------------------
+# A1 flagship: full-scan aggregation (reference analog: per-chunk gas stats,
+# database/src/models/chunks.rs:8 gas_limit/gas_used aggregation surface).
+# ---------------------------------------------------------------------------
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_DISC_PRICE} * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single fact scan -> hash aggregate.
+
+    Scale notes: filter + column pruning push to the parquet scan; the
+    aggregate is map-side partial (4 groups), so the shuffle moves ~4
+    rows per partition regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec_money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec_money("l_quantity"), "sum_qty"),
+            dsum(dec_money("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(dec_money("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(dec_money("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (F.sum(dec_rate("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: filtered dim join + fact join + top-k (reference analog: transactions
+# by signer with receiver filter, database/src/adapters/transactions.rs:21).
+# ---------------------------------------------------------------------------
+@_register(
+    "q3_top_orders",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into the
+    orders/lineitem fact join, aggregate, bounded top-k.
+
+    Scale notes: customer(filtered) broadcasts; orders-lineitem is the
+    only shuffle (both sides keyed on orderkey -> bucketable); top-10 is
+    a per-partition reduce then a 10-row driver merge, never a global
+    sort of the aggregate.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: star join rollup (reference analog: per-shard/per-region aggregation
+# across blocks->chunks->transactions chain).
+# ---------------------------------------------------------------------------
+@_register(
+    "q5_region_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast, facts shuffled
+    once on orderkey.
+
+    Scale notes: region/nation/supplier/customer are broadcast (all far
+    under the 32 MB threshold even at 100 TB fact scale, since dims grow
+    sub-linearly); the single fact-fact shuffle keys on orderkey.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: dim join + conditional aggregation (reference analog: per-action-kind
+# args aggregation, database/src/models/transactions.rs:66 TransactionAction).
+# ---------------------------------------------------------------------------
+@_register(
+    "q14_brand_revenue",
+    f"""
+    SELECT p.p_brand,
+           CAST(SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_PRICE.replace('l_', 'l.l_')} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q14_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast part dim, conditional decimal agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(revenue, "revenue"),
+            dsum(promo, "promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: time-bucket rollup (reference analog: blocks-per-day /
+# aggregated__circulating_supply daily computation,
+# database/src/adapters/aggregated/circulating_supply.rs:9).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_daily_rollup",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def orders_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum_money("o_totalprice", "total_price"),
+        (F.sum(dec_money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: per-group top-k via window (reference analog: top accounts by stake /
+# largest balances per shard).
+# ---------------------------------------------------------------------------
+@_register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, c_name, c_acctbal, rk
+    FROM (
+      SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) t
+    WHERE rk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the window partitions on nationkey (bounded
+    cardinality but each partition reduces to 3 rows via rank filter —
+    at extreme scale swap for a groupBy+min_by-k reduce)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: deterministic intra-group ordering (reference analog: index_in_chunk
+# assignment, database/src/adapters/transactions.rs:30 enumerate over chunk).
+# ---------------------------------------------------------------------------
+@_register(
+    "order_index_in_day",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+                              ORDER BY o_orderkey ASC) AS index_in_day
+    FROM orders
+    """,
+)
+def order_index_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.to_date("o_orderdate")).orderBy(F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.row_number().over(w).alias("index_in_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: JSON payload extraction (reference analog: action args jsonb /
+# NEP event parse, database/src/adapters/assets/event_types.rs:1).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: last-write-wins keyed state (reference analog: accounts upsert guarded
+# by last_update_block_height, database/src/adapters/accounts.rs:93).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_last_state_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, ts AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def events_last_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `UPDATE .. WHERE last_update_block_height < new`
+    races collapse, in batch, to a latest-timestamp-wins reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: daily stats with distinct users (reference analog: circulating supply:
+# total + distinct lockup accounts per day).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_daily_stats",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum_money("value", "total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: per-kind conditional counts (reference analog: action_kind histogram
+# over action_receipt_actions, database/src/models/enums.rs:25 ActionKind).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(kind: str, alias: str):
+        return F.sum(
+            F.when(F.col("event_type") == kind, F.lit(1)).otherwise(F.lit(0))
+        ).alias(alias)
+
+    return ev.groupBy("user_id").agg(
+        cnt("click", "n_click"),
+        cnt("view", "n_view"),
+        cnt("purchase", "n_purchase"),
+        cnt("signup", "n_signup"),
+        cnt("error", "n_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12: gap-based sessionization (reference analog: receipt-chain grouping /
+# delayed-receipt windows).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) / 1000000.0 AS es,
+             LAG(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800.0 THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value,
+           MAX(es) - MIN(es) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via window cumsum (no UDF).
+
+    Scale notes: two window passes + one agg, all partitioned by
+    user_id (high cardinality) — a single shuffle reused across all
+    three because the partitioning is identical.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_es", F.lag("es").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 1800.0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum_money("value", "session_value"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: idempotent dedup (reference analog: ON CONFLICT DO NOTHING inserts,
+# database/src/adapters/blocks.rs:20 and every adapter's insert path).
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_exact_orders",
+    """
+    SELECT DISTINCT * FROM (
+      SELECT * FROM orders UNION ALL SELECT * FROM orders
+    ) t
+    """,
+)
+def dedup_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulated by a self-union; exact dedup
+    restores exactly-once — the batch equivalent of the reference's
+    ON CONFLICT DO NOTHING."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.unionByName(orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# A14: fact-fact-dim enrichment (reference analog: receipts enriched with
+# originating transaction hash, database/src/receipts_cache.rs +
+# adapters/receipts.rs:40).
+# ---------------------------------------------------------------------------
+@_register(
+    "order_lines_enriched",
+    f"""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def order_lines_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(revenue, "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15: balance tracking join+agg (reference analog: account_changes
+# nonstaked_balance aggregation, database/src/models/account_changes.rs:10).
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_order_balance",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    HAVING COUNT(*) >= 12
+    """,
+)
+def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_money("o_totalprice", "total_spent"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: running cumulative state (reference analog: account_changes ordering
+# column / running supply, migrations/2021-08-06-123500_account_changes_
+# ordering_column).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_cumulative_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_value
+    FROM events
+    """,
+)
+def events_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact running sum: order-dependent float error would
+    diverge between engines; exact decimal cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec_money("value")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17: status histogram with shares (reference analog: execution outcome
+# status distribution, database/src/models/enums.rs:40).
+# ---------------------------------------------------------------------------
+@_register(
+    "order_priority_distribution",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def order_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18: previous-row chaining (reference analog: block -> prev_block_hash
+# chain, database/src/models/blocks.rs:12).
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_order_gaps",
+    """
+    SELECT o_orderkey, o_custkey, prev_orderkey,
+           (epoch_us(o_orderdate) / 1000000.0
+            - epoch_us(prev_date) / 1000000.0) / 86400.0 AS gap_days
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders
+    ) t
+    WHERE prev_orderkey IS NOT NULL
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .where(F.col("prev_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "prev_orderkey",
+            (
+                (epoch_seconds("o_orderdate") - epoch_seconds("prev_date")) / 86400.0
+            ).alias("gap_days"),
+        )
+    )
