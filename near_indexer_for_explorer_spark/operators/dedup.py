@@ -1,0 +1,330 @@
+"""Deduplication operators (SURVEY.md section 2B): exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+The reference's dedup surface is key-level (`ON CONFLICT DO NOTHING`,
+e.g. /root/reference/database/src/adapters/receipts.rs insert paths);
+these operators extend it to content-level near-dup detection for
+training-data pipelines.
+
+Scale design: everything here is linear in documents (explode shingles
+-> hash -> band -> bucket join).  The only quadratic-looking step is
+the candidate-pair verification, which is bounded by bucket/posting
+sizes, never by n^2 over the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.text import tokens, word_shingles
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+JACCARD_THRESHOLD = 0.5
+
+_SHINGLE_CTE = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+    )
+"""
+
+
+def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("sh"),
+    )
+
+
+def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Shared-shingle inverted-index join -> exact Jaccard per pair.
+
+    The join on `sh` is the posting-list self-join: only documents that
+    share at least one shingle ever form a pair, so the candidate set is
+    sum(posting_len^2), not n^2.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("c").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("c")
+    )
+    return (
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 exact dedup
+# ---------------------------------------------------------------------------
+ORACLES["dedup_exact_docs"] = """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy with deterministic (min-id)
+    representative — the content-level analog of the reference's
+    ON CONFLICT DO NOTHING keyed inserts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+QUERIES["dedup_exact_docs"] = dedup_exact_docs
+
+
+# ---------------------------------------------------------------------------
+# B2 exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs above threshold."""
+    return _exact_jaccard_pairs(_distinct_shingles(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+QUERIES["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+
+# ---------------------------------------------------------------------------
+# B3 MinHash + LSH (approximate; rows-only driver check — candidate
+# generation is probabilistic, so no SQL oracle claims exactness)
+# ---------------------------------------------------------------------------
+_MINHASH_PERMS = 64
+_LSH_BANDS = 16
+_LSH_ROWS = 4
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations
+    h_s(x) = (a*x + b) mod (2^31-1), generated by a fixed LCG so every
+    run (and every engine restart) sees identical signatures."""
+    coeffs = []
+    state = 0x5DEECE66D
+    for _ in range(_MINHASH_PERMS):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id -> 64-wide MinHash signature.
+
+    One md5 per shingle provides the 60-bit base value; the 64
+    permutations are cheap modular transforms of it (a*x+b mod p), so
+    the per-row cost is one hash + 64 multiply-adds, all in codegen.
+    """
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    # materialize the base hash once per shingle row so the 64
+    # permutation expressions share it instead of re-hashing
+    hashed = sh.withColumn("x", base % F.lit(_MERSENNE))
+    x = F.col("x")
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{s}")
+        for s, (a, b) in enumerate(_perm_coeffs())
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (16 bands x 4 rows) and emit candidate pairs
+    sharing any band bucket."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{band * _LSH_ROWS + r}").cast("string")
+                            for r in range(_LSH_ROWS)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for band in range(_LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16x4) candidates, verified with exact Jaccard.
+
+    Scale path for near-dup at 100 TB: linear shingle pass, linear
+    banding, bucket-local joins; the exact-Jaccard verification touches
+    only LSH candidates (expected ~(true pairs) + epsilon)."""
+    sh = _distinct_shingles(spark, sf_dir)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, cand.doc_id_1 == F.col("a.doc_id"))
+        .join(
+            b,
+            (cand.doc_id_2 == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    return (
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+
+# ---------------------------------------------------------------------------
+# B4 SimHash (rows-only driver check)
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+# 8 bands x 4 bits: pigeonhole guarantees every pair with hamming <= 7
+# shares at least one exact band, so blocking cannot miss a pair that
+# the _HAMMING_MAX filter would keep.
+_SIMHASH_BANDS = 8
+_SIMHASH_BAND_BITS = 4
+_HAMMING_MAX = 7
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: md5-derived token hash, token-count
+    weights, per-bit weighted majority — all as 32 conditional sums in
+    one aggregation (codegen, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s_{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked (8 x 4-bit) candidates,
+    verified by full hamming distance <= 7.
+
+    Band width is the precision/recall dial at scale: narrower bands
+    guarantee higher-hamming recall but coarser (larger) buckets."""
+    sig = simhash_signatures(spark, sf_dir)
+    band_mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftright(F.col("simhash"), _SIMHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("bucket"),
+            )
+            for k in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_id"), F.col("b.bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+QUERIES["dedup_simhash"] = dedup_simhash

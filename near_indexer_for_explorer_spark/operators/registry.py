@@ -1,0 +1,23 @@
+"""Aggregate registry for operator-family queries (SURVEY.md section 2B).
+
+plans/relational.py holds the section-2A registry; this module merges
+the operator families so __spark_entry__ exposes one flat namespace.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from near_indexer_for_explorer_spark.multimodal import decode as _decode
+from near_indexer_for_explorer_spark.operators import dedup as _dedup
+from near_indexer_for_explorer_spark.operators import similarity as _similarity
+from near_indexer_for_explorer_spark.operators import textops as _textops
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+for _mod in (_dedup, _similarity, _textops, _decode):
+    QUERIES.update(_mod.QUERIES)
+    ORACLES.update(_mod.ORACLES)

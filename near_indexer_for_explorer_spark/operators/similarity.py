@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (SURVEY.md section 2B):
+brute-force cosine top-k (correctness baseline), LSH-bucketed ANN
+(scale path), and embedding-cosine near-dup pairs.
+
+All vector math stays in JVM higher-order functions (zip_with /
+aggregate); similarities are rounded to 6 decimals before ranking so
+both engines (which may associate float sums differently) rank and
+hash identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    l2_norm,
+)
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TOP_K = 10
+QUERY_MOD = 100  # vec_id % 100 == 0 -> query set scales with the table
+DUP_COSINE_THRESHOLD = 0.4
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("emb"))
+    return e.withColumn("nrm", l2_norm(F.col("emb")))
+
+
+# ---------------------------------------------------------------------------
+# B5 brute-force cosine top-k (oracle-checked)
+# ---------------------------------------------------------------------------
+ORACLES["ann_cosine_topk"] = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
+          WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.q_id, n.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(n.emb) + 1),
+                                           i -> q.q_emb[i] * n.emb[i]))
+                   / (q.q_nrm * n.nrm), 6) AS cos_sim
+      FROM q, n
+      WHERE q.q_id <> n.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM pairs) t
+    WHERE rn <= {TOP_K}
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.
+
+    Scale notes: queries broadcast (the query set is always the small
+    side); the corpus streams partition-parallel with no shuffle until
+    the per-query top-k reduction, which moves only k rows per query per
+    partition."""
+    e = _vectors(spark, sf_dir)
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+QUERIES["ann_cosine_topk"] = ann_cosine_topk
+
+
+# ---------------------------------------------------------------------------
+# B6 LSH-bucketed ANN (approximate; rows-only driver check)
+# ---------------------------------------------------------------------------
+_N_PLANES = 6
+_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic +-1 hyperplane components via md5 bit parity —
+    stable across runs/engines with no RNG state."""
+    planes = []
+    for p in range(_N_PLANES):
+        comp = []
+        for i in range(_DIM):
+            h = hashlib.md5(f"plane{p}:{i}".encode()).digest()
+            comp.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(comp)
+    return planes
+
+
+def lsh_bucket(emb_col: F.Column) -> F.Column:
+    """Random-hyperplane sign bucket: 6 planes -> 64 buckets."""
+    bucket = F.lit(0)
+    for p, comp in enumerate(_hyperplanes()):
+        w = F.array(*[F.lit(c) for c in comp])
+        proj = F.aggregate(
+            F.zip_with(emb_col, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _probe_masks(radius: int = 2) -> list[int]:
+    """XOR masks for multi-probe LSH: all bucket ids within hamming
+    `radius` of the query's bucket (1 + 6 + 15 = 22 of 64 buckets at
+    radius 2)."""
+    masks = [0]
+    masks += [1 << i for i in range(_N_PLANES)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(_N_PLANES)
+            for j in range(i + 1, _N_PLANES)
+        ]
+    return masks
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: multi-probe hyperplane LSH — probe the query's
+    bucket plus all buckets within hamming distance 2 (22/64 of the
+    bucket space), then exact cosine within the probed buckets.
+
+    Approximate by construction (recall < 1), so the driver records a
+    rows-only check; tests/test_operators.py asserts recall against the
+    brute-force baseline instead.  The probe radius is the
+    recall/throughput dial at 100 TB (radius 0 -> n/64 candidates)."""
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    masks = F.array(*[F.lit(m) for m in _probe_masks()])
+    q = q.select(
+        "q_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+        ).alias("probe_bucket"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("probe_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+QUERIES["ann_lsh_topk"] = ann_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# B11 embedding-cosine near-dup pairs (oracle-checked)
+# ---------------------------------------------------------------------------
+ORACLES["embedding_dedup_cosine"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+                                         i -> a.emb[i] * b.emb[i]))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+                                        i -> a.emb[i] * b.emb[i]))
+                / (a.nrm * b.nrm), 6) >= {DUP_COSINE_THRESHOLD}
+"""
+
+
+def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup detection (exact, oracle-checked).
+
+    This is the correctness baseline; at 100 TB the same threshold runs
+    behind lsh_bucket() blocking (see ann_lsh_topk) so the pair space is
+    bucket-local rather than n^2."""
+    e = _vectors(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("emb").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("emb").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+    )
+    cos = F.round(
+        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= DUP_COSINE_THRESHOLD)
+    )
+
+
+QUERIES["embedding_dedup_cosine"] = embedding_dedup_cosine

@@ -1,0 +1,213 @@
+"""Text-analysis operators (SURVEY.md section 2B): quality scoring,
+language ID, token counting, document fingerprinting.
+
+Everything is built-in column expressions (codegen, vectorized); the
+same regexes/word lists are inlined into the DuckDB oracles.  DuckDB's
+regexp_replace needs the explicit 'g' flag to match Spark's
+replace-all default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.text import (
+    BPE_ISH_RE,
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    STOPWORDS_FR,
+    stopword_hits,
+    tokens,
+    word_shingles,
+)
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# B7 quality scoring
+# ---------------------------------------------------------------------------
+ORACLES["text_quality"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x IN ({_sql_list(STOPWORDS_EN)}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_alpha AS DOUBLE) / n_chars_raw AS alpha_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars_raw AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           LEAST(1.0, n_tokens / 200.0) * 0.5
+             + (CAST(n_alpha AS DOUBLE) / n_chars_raw) * 0.3
+             + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality_score
+    FROM t
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length/alpha/punct/stopword ratios
+    (the C4/Gopher-style rule family, as pure column arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_chars = F.length("text")
+    n_tokens = F.size(tok)
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    n_stop = stopword_hits(tok, STOPWORDS_EN)
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+        + alpha_ratio * 0.3
+        + stop_ratio * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+QUERIES["text_quality"] = text_quality
+
+
+# ---------------------------------------------------------------------------
+# B8 language ID
+# ---------------------------------------------------------------------------
+ORACLES["text_lang_id"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tok
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_EN)}))) AS s_en,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_DE)}))) AS s_de,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_FR)}))) AS s_fr,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_ES)}))) AS s_es
+      FROM t
+    )
+    SELECT doc_id, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+    FROM s
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit argmax language ID with a fixed tie-break precedence
+    (en > de > fr > es > unknown) so the prediction is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        stopword_hits(tok, STOPWORDS_EN).alias("s_en"),
+        stopword_hits(tok, STOPWORDS_DE).alias("s_de"),
+        stopword_hits(tok, STOPWORDS_FR).alias("s_fr"),
+        stopword_hits(tok, STOPWORDS_ES).alias("s_es"),
+    )
+    en, de, fr, es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
+    lang = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.withColumn("lang_pred", lang)
+
+
+QUERIES["text_lang_id"] = text_lang_id
+
+
+# ---------------------------------------------------------------------------
+# B9 token counting
+# ---------------------------------------------------------------------------
+ORACLES["text_token_count"] = rf"""
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpe_ish_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split_regex(lower(trim(text)), '\s+')) AS chars_per_token
+    FROM documents
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish lexer tokens (alpha runs / digit
+    runs / single symbols) via regexp_count — no tokenizer library, no
+    UDF, linear scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).alias("bpe_ish_tokens"),
+        (F.length("text").cast("double") / F.size(tok)).alias("chars_per_token"),
+    )
+
+
+QUERIES["text_token_count"] = text_token_count
+
+
+# ---------------------------------------------------------------------------
+# B10 document fingerprinting
+# ---------------------------------------------------------------------------
+ORACLES["doc_fingerprint"] = r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, MIN(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS fp_min_shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           md5(text) AS fp_full,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_norm,
+           sh.fp_min_shingle
+    FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5, normalized md5, and the minimum
+    shingle hash (a 1-element MinHash — the winnowing primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    shingle_hashes = F.transform(word_shingles(tok), F.md5)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_full"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("fp_norm"),
+        F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )
+
+
+QUERIES["doc_fingerprint"] = doc_fingerprint

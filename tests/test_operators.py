@@ -1,0 +1,91 @@
+"""Unit semantics for operators whose driver check is rows-only
+(approximate / non-SQL-expressible): they must agree with their exact
+baselines on the planted test data."""
+
+from __future__ import annotations
+
+
+def _pairs(df, c1, c2):
+    return {(r[c1], r[c2]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """Planted near-dups sit at jaccard >= 0.8 where LSH(16x4) recall is
+    ~0.9998, and candidates are verified exactly — so LSH output must
+    equal the exact-join output on this data."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir), "doc_id_1", "doc_id_2")
+    lsh = _pairs(dedup_minhash_lsh(spark, sf_dir), "doc_id_1", "doc_id_2")
+    assert exact, "test data should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_finds_near_dups(spark, sf_dir):
+    """SimHash (token-level) must recover the planted near-dup pairs;
+    allow extra (lower-precision) pairs but no missed ones."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir), "doc_id_1", "doc_id_2")
+    sim = _pairs(dedup_simhash(spark, sf_dir), "doc_id_1", "doc_id_2")
+    missed = exact - sim
+    assert not missed, f"simhash missed planted near-dups: {sorted(missed)[:5]}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Bucketed ANN trades recall for a 2^planes candidate reduction;
+    on random embeddings it must still find a reasonable fraction of the
+    true top-k and only ever return true vectors with correct sims."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_topk,
+    )
+
+    exact = _pairs(ann_cosine_topk(spark, sf_dir), "q_id", "neighbor_id")
+    approx_rows = ann_lsh_topk(spark, sf_dir).collect()
+    approx = {(r["q_id"], r["neighbor_id"]) for r in approx_rows}
+    assert approx, "lsh ann returned nothing"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"lsh ann recall {recall:.2f} below floor"
+    # sims of returned pairs must match the brute-force values
+    exact_sims = {
+        (r["q_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in approx_rows:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cos_sim"] == exact_sims[key]
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    """The stubbed decode must be bit-stable across runs (the driver's
+    rows-only check depends on it) and byte_len must equal the real
+    utf-8 payload length."""
+    from near_indexer_for_explorer_spark.multimodal.decode import multimodal_decode
+
+    r1 = sorted([tuple(r) for r in multimodal_decode(spark, sf_dir).collect()])
+    r2 = sorted([tuple(r) for r in multimodal_decode(spark, sf_dir).collect()])
+    assert r1 == r2
+    assert all(row[4] == "stub" for row in r1)
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    texts = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    for doc_id, byte_len, _hdr, _mean, _backend in r1[:20]:
+        assert byte_len == len(texts[doc_id].encode("utf-8"))
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    from near_indexer_for_explorer_spark.operators.dedup import dedup_exact_docs
+
+    rows = dedup_exact_docs(spark, sf_dir).collect()
+    assert rows
+    # no exact dups planted in documents: every group is a singleton
+    assert all(r["n_copies"] >= 1 for r in rows)
+    assert len({r["text_hash"] for r in rows}) == len(rows)
