@@ -1,0 +1,247 @@
+"""Structured Streaming pipelines (SURVEY.md section 2C).
+
+The reference indexer is a continuous loop: poll NEAR Lake for new
+block files -> normalize -> write to PostgreSQL with idempotent inserts
+and keyed upserts (/root/reference/indexer/src/main.rs,
+database/src/adapters/*.rs).  Here that becomes:
+
+- a file-source ``readStream`` (new parquet files = new block batches),
+- declarative normalization (same column logic as the batch plans),
+- watermarked windowed aggregation for late data,
+- ``dropDuplicatesWithinWatermark`` for at-least-once dedup,
+- a ``foreachBatch`` last-write-wins keyed sink (JDBC stand-in: the
+  container has no database server, so the sink targets a parquet
+  "table" with the same merge semantics the reference implements in
+  SQL: insert-or-update guarded by the ordering column, accounts.rs:93),
+- ``applyInPandasWithState`` stateful sessionization (sessions span
+  micro-batches; state carries the open session).
+
+Scale notes: every stateful stage is keyed on user_id (high
+cardinality, so state shards evenly); watermarks bound state size;
+sinks write partitioned parquet and are idempotent per batch_id, which
+is what makes restarts exactly-once at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+SESSION_GAP_S = 1800.0
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream: each new parquet file in src_dir is a batch
+    of events (the NEAR Lake 'new block object landed in S3' analog)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def normalize_events(stream: DataFrame) -> DataFrame:
+    """The streaming twin of the batch normalization: date bucket +
+    JSON payload extraction (adapters/receipts.rs arg parsing analog)."""
+    return stream.withColumn("event_date", F.to_date("ts")).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+
+
+def ingest_to_parquet(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C1: continuous ingest -> normalized parquet sink, exactly-once
+    via checkpointed file-source offsets."""
+    stream = normalize_events(read_event_stream(spark, src_dir))
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession, src_dir: str, query_name: str
+):
+    """C2: 10-minute tumbling-window counts with a 1-hour watermark —
+    the per-block-interval stats rollup, late-data-safe."""
+    stream = read_event_stream(spark, src_dir)
+    # watermarks require TIMESTAMP (ltz); session tz is pinned UTC so
+    # the ntz->ltz cast is value-preserving, and the window start is
+    # cast back to ntz to match the batch twin's output type
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_event_stream(
+    spark: SparkSession, src_dir: str, query_name: str
+):
+    """C3: at-least-once -> exactly-once by key within the watermark
+    horizon (ON CONFLICT (event_id) DO NOTHING, streaming edition)."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_keyed_upsert(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """C4: last-write-wins keyed sink for foreachBatch.
+
+    Merge semantics mirror accounts.rs:93: keep the row with the
+    greatest (ts, event_id) per user_id; re-delivering a batch cannot
+    change the outcome (idempotent), which is the exactly-once contract
+    a JDBC sink needs.  Swap the parquet read/write for a database
+    MERGE when a JDBC URL is available."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "state")
+        staging = os.path.join(out_dir, f"_staging_{batch_id}")
+        current = batch_df
+        if os.path.exists(snapshot):
+            existing = spark.read.parquet(snapshot)
+            current = existing.unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            current.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.exists(snapshot):
+            shutil.rmtree(snapshot)
+        os.replace(staging, snapshot)
+
+    return sink
+
+
+def upsert_user_state(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C4 driver: stream -> foreachBatch last-write-wins user state."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_keyed_upsert(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start double, session_end double, "
+    "n_events long, session_value double"
+)
+SESSION_STATE_SCHEMA = "start double, last double, n bigint, total double"
+
+
+def make_session_kernel():
+    """applyInPandasWithState kernel (by-value closure: executors need
+    no package on PYTHONPATH).  State = the open session; rows arrive
+    per micro-batch, sessions that close (gap > 30 min) are emitted,
+    the trailing open session survives in state for the next batch."""
+    gap = SESSION_GAP_S
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        closed = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts, value in zip(rows["ts"], rows["value"]):
+            es = ts.timestamp()
+            if last is not None and es - last > gap:
+                closed.append((user_id, start, last, n, round(total, 2)))
+                start, n, total = es, 0, 0.0
+            if start is None:
+                start = es
+            last = es
+            n += 1
+            total += float(value)
+        state.update((start, last, n, round(total, 2)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "session_value",
+                ],
+            )
+
+    return update
+
+
+def stateful_sessionize(
+    spark: SparkSession, src_dir: str, query_name: str
+):
+    """C5: custom stateful operator — gap-based sessionization where
+    sessions span micro-batches via explicit group state."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        make_session_kernel(),
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

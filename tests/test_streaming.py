@@ -1,0 +1,209 @@
+"""Structured Streaming pipelines (SURVEY.md section 2C), driven with
+file sources split into time-ordered batches + availableNow triggers,
+asserted against their batch twins."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_batches(spark, sf_dir, tmp_path_factory):
+    """events split into two time-halves, written as separate files with
+    distinct mtimes so the file source sees two ordered batches."""
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    split_ts = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP_LTZ) AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    first = ev.where(F.col("ts").cast("timestamp_ltz").cast("double") <= split_ts)
+    second = ev.where(F.col("ts").cast("timestamp_ltz").cast("double") > split_ts)
+    first.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    time.sleep(1.1)
+    second.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    # flatten: the file source reads a directory of files
+    flat = str(tmp_path_factory.mktemp("stream_flat"))
+    import glob
+    import shutil
+
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(src, "f*", "part-*.parquet")))
+    ):
+        dst = os.path.join(flat, f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        mt = time.time() - 10 + i
+        os.utime(dst, (mt, mt))
+    return flat
+
+
+def _await(q, timeout=120):
+    q.awaitTermination(timeout)
+    assert not q.isActive
+
+
+def test_stream_ingest_to_parquet(spark, sf_dir, event_batches, tmp_path):
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import ingest_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_to_parquet(spark, event_batches, out, ckpt)
+    _await(q)
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert "event_date" in got.columns and "k" in got.columns
+    assert got.where(F.col("k").isNull()).count() == 0
+
+    # restart with same checkpoint: no new files -> no duplicates
+    q2 = ingest_to_parquet(spark, event_batches, out, ckpt)
+    _await(q2)
+    assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir, event_batches):
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        windowed_event_counts,
+    )
+
+    q = windowed_event_counts(spark, event_batches, "win_counts")
+    _await(q)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, event_batches, tmp_path_factory):
+    """Duplicate every file (at-least-once delivery); the deduped
+    stream must emit each event_id exactly once."""
+    import shutil
+
+    dup_src = str(tmp_path_factory.mktemp("dup_src"))
+    files = sorted(os.listdir(event_batches))
+    for i, f in enumerate(files):
+        for copy in (0, 1):
+            dst = os.path.join(dup_src, f"b{i}_c{copy}.parquet")
+            shutil.copy(os.path.join(event_batches, f), dst)
+            mt = time.time() - 10 + i * 2 + copy
+            os.utime(dst, (mt, mt))
+    from near_indexer_for_explorer_spark.streaming.pipelines import dedup_event_stream
+
+    q = dedup_event_stream(spark, dup_src, "dedup_stream")
+    _await(q, timeout=180)
+    out = spark.sql("SELECT event_id, COUNT(*) c FROM dedup_stream GROUP BY 1")
+    assert out.where(F.col("c") > 1).count() == 0
+    n_distinct = spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).parquet(dup_src).select("event_id").distinct().count()
+    assert out.count() == n_distinct
+
+
+def test_stream_foreach_batch_upsert(spark, sf_dir, event_batches, tmp_path):
+    """The keyed sink must equal the batch last-write-wins query, and
+    re-running the stream from scratch must not change the state
+    (idempotence)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_last_state_per_user,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import upsert_user_state
+
+    out = str(tmp_path / "state_out")
+    for attempt, ckpt in enumerate(["c1", "c2"]):
+        q = upsert_user_state(spark, event_batches, out, str(tmp_path / ckpt))
+        _await(q)
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in spark.read.parquet(os.path.join(out, "state")).collect()
+    }
+    want = {
+        r["user_id"]: (r["last_event_id"], r["last_ts"])
+        for r in events_last_state_per_user(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_sessionize(spark, sf_dir, event_batches):
+    """Sessions closed by the stateful kernel must match the batch
+    sessionization for every session that is not the user's final
+    (still-open) one — even though sessions span micro-batches."""
+    from near_indexer_for_explorer_spark.plans.relational import events_sessionize
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        stateful_sessionize,
+    )
+
+    q = stateful_sessionize(spark, event_batches, "sessions_stream")
+    _await(q, timeout=180)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    batch = events_sessionize(spark, sf_dir).collect()
+    # drop each user's last session (open-ended; the stream keeps it in
+    # state rather than emitting it)
+    last_per_user = {}
+    for r in batch:
+        key = r["user_id"]
+        if key not in last_per_user or r["session_id"] > last_per_user[key]:
+            last_per_user[key] = r["session_id"]
+    want = {}
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    starts = (
+        ev.withColumn("es", F.col("ts").cast("timestamp_ltz").cast("double"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("first_es"))
+    )
+    # rebuild batch sessions keyed by (user, start_epoch) for comparison
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("es", F.col("ts").cast("timestamp_ltz").cast("double"))
+        .withColumn("prev", F.lag("es").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull() | (F.col("es") - F.col("prev") > 1800.0), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sess = (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.min("es").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .collect()
+    )
+    for r in sess:
+        if r["session_id"] == last_per_user[r["user_id"]]:
+            continue
+        want[(r["user_id"], r["session_start"])] = (
+            r["n_events"],
+            r["session_value"],
+        )
+    assert got == want
