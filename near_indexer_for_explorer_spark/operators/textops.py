@@ -62,8 +62,8 @@ ORACLES["text_quality"] = f"""
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score from length/alpha/punct/stopword ratios
     (the C4/Gopher-style rule family, as pure column arithmetic)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
     n_chars = F.length("text")
     n_tokens = F.size(tok)
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -119,8 +119,8 @@ ORACLES["text_lang_id"] = f"""
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit argmax language ID with a fixed tie-break precedence
     (en > de > fr > es > unknown) so the prediction is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
     scored = docs.select(
         "doc_id",
         stopword_hits(tok, STOPWORDS_EN).alias("s_en"),
@@ -159,8 +159,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish lexer tokens (alpha runs / digit
     runs / single symbols) via regexp_count — no tokenizer library, no
     UDF, linear scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
     return docs.select(
         "doc_id",
         F.size(tok).alias("ws_tokens"),
@@ -197,8 +197,8 @@ ORACLES["doc_fingerprint"] = r"""
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: raw md5, normalized md5, and the minimum
     shingle hash (a 1-element MinHash — the winnowing primitive)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
     shingle_hashes = F.transform(word_shingles(tok), F.md5)
     return docs.select(
         "doc_id",

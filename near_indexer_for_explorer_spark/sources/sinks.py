@@ -1,0 +1,100 @@
+"""Batch sink surface (the reference's PostgreSQL write path,
+re-expressed for a data-lake engine).
+
+The reference sinks every normalized table into PostgreSQL with
+idempotent inserts (ON CONFLICT DO NOTHING) and guarded upserts
+(database/src/adapters/*.rs).  At 100 TB the equivalent catalog is
+partitioned/bucketed parquet:
+
+- ``write_partitioned``: date-partitioned append (blocks/chunks
+  analog) — partition pruning serves the time-range queries the
+  reference indexes by block_timestamp.
+- ``write_bucketed``: bucketed-by-key table (transactions/receipts
+  analog) — co-locates future joins on the bucket key so the
+  orderkey-style fact-fact join needs no shuffle.
+- ``upsert_parquet``: last-write-wins merge by key, the batch twin of
+  streaming.pipelines.foreach_batch_keyed_upsert.
+- ``write_jdbc``: the literal PostgreSQL path, gated on a JDBC URL —
+  this container has no database server or driver jar, so it stays
+  unexercised here but keeps the reference's deployment shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, out_dir: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Date/key-partitioned parquet append — partition pruning is the
+    lake's index."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(out_dir)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations keyed on bucket_col
+    skip the shuffle entirely (Spark reads co-located buckets)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def upsert_parquet(
+    batch: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Last-write-wins keyed merge into a parquet snapshot (the batch
+    twin of the streaming foreachBatch sink; semantics mirror
+    adapters/accounts.rs:93 guarded updates)."""
+    spark = batch.sparkSession
+    snapshot = os.path.join(snapshot_dir, "state")
+    staging = snapshot + "._staging"
+    current = batch
+    if os.path.exists(snapshot):
+        current = spark.read.parquet(snapshot).unionByName(batch)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    merged = (
+        current.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    if os.path.exists(snapshot):
+        shutil.rmtree(snapshot)
+    os.replace(staging, snapshot)
+
+
+def write_jdbc(
+    df: DataFrame,
+    table: str,
+    url: str | None = None,
+    mode: str = "append",
+    **options: str,
+) -> bool:
+    """PostgreSQL sink, gated: returns False (no-op) when no JDBC URL
+    is configured — this container has neither a server nor a driver
+    jar.  With SPARK_GRAFT_JDBC_URL set (e.g.
+    jdbc:postgresql://host/db) it performs the reference's actual sink.
+    """
+    url = url or os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if not url:
+        return False
+    df.write.mode(mode).options(**options).jdbc(url, table)
+    return True

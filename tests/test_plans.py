@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: lock in the scan pruning, join
+strategies, and JVM-only execution that make these plans scale —
+a perf property stated in SURVEY.md section 6, enforced here."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from near_indexer_for_explorer_spark.plans.relational import q1_pricing_summary
+
+    plan = _formatted_plan(spark, q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection must reach the scan: only the 7 referenced columns
+    read_schema = next(
+        line for line in plan.splitlines() if line.startswith("ReadSchema")
+    )
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    from near_indexer_for_explorer_spark.plans.relational import q3_top_orders
+
+    plan = _formatted_plan(spark, q3_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not trigger a sort-merge
+    # bounded top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_all_dims_broadcast(spark, sf_dir):
+    from near_indexer_for_explorer_spark.plans.relational import q5_region_volume
+
+    plan = _formatted_plan(spark, q5_region_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_relational_plans_stay_jvm_side(spark, sf_dir):
+    """No Python UDF may appear in any relational or text/dedup plan —
+    everything must stay in codegen (multimodal_decode is the single
+    sanctioned Arrow-UDF operator)."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        if name == "multimodal_decode":
+            continue
+        plan = _formatted_plan(spark, fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_events_sessionize_single_shuffle(spark, sf_dir):
+    """Both window passes and the aggregate share the user_id
+    partitioning: exactly one exchange in the plan."""
+    from near_indexer_for_explorer_spark.plans.relational import events_sessionize
+
+    plan = _formatted_plan(spark, events_sessionize(spark, sf_dir))
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "REQUIRED_BY" not in line
+    ]
+    assert len(exchanges) <= 1, exchanges
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, sf_dir, tmp_path):
+    """write_bucketed co-locates the fact join: joining two tables
+    bucketed on the same key must not shuffle either side."""
+    from near_indexer_for_explorer_spark.sources.sinks import write_bucketed
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "lineitem_b", "l_orderkey", n_buckets=8)
+    joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"),
+        spark.table("lineitem_b").l_orderkey == spark.table("orders_b").o_orderkey,
+    )
+    plan = _formatted_plan(spark, joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    n = joined.count()
+    assert n == li.count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_upsert_parquet_idempotent(spark, sf_dir, tmp_path):
+    from near_indexer_for_explorer_spark.sources.sinks import upsert_parquet
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "snap")
+    for _ in range(2):  # re-delivery must not change state
+        upsert_parquet(ev, out, ["user_id"], ["ts", "event_id"])
+    got = spark.read.parquet(out + "/state")
+    assert got.count() == ev.select("user_id").distinct().count()
+
+
+def test_write_jdbc_gated_noop(spark, sf_dir):
+    from near_indexer_for_explorer_spark.sources.sinks import write_jdbc
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    assert write_jdbc(load_table(spark, sf_dir, "nation"), "nation") is False
