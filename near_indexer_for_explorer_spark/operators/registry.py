@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from near_indexer_for_explorer_spark.multimodal import decode as _decode
+from near_indexer_for_explorer_spark.operators import asof as _asof
 from near_indexer_for_explorer_spark.operators import dedup as _dedup
 from near_indexer_for_explorer_spark.operators import similarity as _similarity
 from near_indexer_for_explorer_spark.operators import textops as _textops
@@ -18,6 +19,6 @@ from near_indexer_for_explorer_spark.operators import textops as _textops
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (_dedup, _similarity, _textops, _decode):
+for _mod in (_dedup, _similarity, _textops, _decode, _asof):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
