@@ -726,3 +726,32 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A21: nested rollup — rebuild the per-parent ordered child array
+# (reference analog: actions within an action receipt,
+# database/src/models/receipts.rs:119 ActionReceiptAction with
+# index_in_action_receipt ordering).
+# ---------------------------------------------------------------------------
+@_register(
+    "order_line_bundle",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def order_line_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect each order's line numbers into a deterministic sorted
+    array — the nested-document reconstruction every indexer needs when
+    serving 'give me the receipt with its actions' lookups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+        dsum(dec_money("l_quantity"), "total_qty"),
+    )

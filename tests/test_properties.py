@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the custom operators: the
+composed Spark implementations must agree with straightforward Python
+reference implementations on arbitrary generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_ids = st.integers(min_value=0, max_value=5)
+_ts = st.integers(min_value=0, max_value=1000)
+_val = st.integers(min_value=-100, max_value=100)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_ids, _ts), min_size=1, max_size=12, unique=True),
+    right=st.lists(st.tuples(_ids, _ts, _val), min_size=0, max_size=12),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    """asof_join == 'latest right with ts <= left.ts, same key'."""
+    from near_indexer_for_explorer_spark.operators.asof import asof_join
+
+    # dedupe right on (key, ts) keeping max tie_break, mirroring the
+    # operator's deterministic tie_break ordering
+    ldf = spark.createDataFrame(
+        [(k, float(t)) for k, t in left], "k long, ts double"
+    )
+    dedup_right = {}
+    for k, t, v in sorted(right):  # keep max v per (k, t): the tie_break order
+        dedup_right[(k, t)] = v
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for (k, t), v in dedup_right.items()] or [(99, -1.0, 0)],
+        "k long, ts double, v long",
+    )
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            ldf, rdf, on="k", ts="ts", right_value_cols=["v"], tie_break="v"
+        ).collect()
+    }
+    rights = [tuple(r) for r in rdf.collect()]
+    for k, t in left:
+        cands = [(rt, rv) for rk, rt, rv in rights if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, float(t))] == want, (k, t, cands)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_ids, _val), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_ids, _val), min_size=0, max_size=10),
+)
+def test_salted_join_equals_plain_join(spark, left, right):
+    from near_indexer_for_explorer_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(left or [(99, 0)], "lk long, lv long")
+    rdf = spark.createDataFrame(right or [(98, 0)], "rk long, rv long")
+    plain = sorted(
+        tuple(r) for r in ldf.join(rdf, ldf.lk == rdf.rk, "inner").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(ldf, rdf, "lk", "rk", salt_n=4).collect()
+    )
+    assert salted == plain
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_word_shingles_match_python(spark, texts):
+    """word_shingles == the obvious Python sliding window over
+    whitespace tokens, including the <3-token empty case."""
+    from near_indexer_for_explorer_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.withColumn("t", tokens("text"))
+        .select("i", word_shingles(F.col("t")).alias("sh"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        if not t.strip():
+            toks = [""]  # split('\\s+') on empty/space-only yields ['']
+        want = (
+            [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else []
+        )
+        assert got[i] == want, (t, toks, got[i], want)
