@@ -755,3 +755,151 @@ def order_line_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
         dsum(dec_money("l_quantity"), "total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A22: left-join histogram with nulls (reference analog: accounts with zero
+# receipts — the access-key-less account distribution the explorer serves).
+# ---------------------------------------------------------------------------
+@_register(
+    "q13_order_count_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving empty groups (COUNT of a
+    nullable key), then a histogram over the counts — two aggregations,
+    two shuffles, no sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# A23: having-filtered semi-join (reference analog: transactions whose
+# receipts exceed a gas threshold — find the parents by child aggregate).
+# ---------------------------------------------------------------------------
+@_register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE)
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: parents selected by a child-side aggregate
+    threshold."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+        )
+        .agg(dsum(dec_money("l_quantity"), "total_qty"))
+        .where(F.sum(dec_money("l_quantity")) > F.lit(150).cast("decimal(12,2)"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A24: anti-join (reference analog: accounts that never issued a
+# transaction — the dormant-account query).
+# ---------------------------------------------------------------------------
+@_register(
+    "q22_idle_customers",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_idle,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join (customers with no orders at all),
+    then rollup.  left_anti keeps the probe side streaming."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            dsum_money("c_acctbal", "total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A25: funnel / conversion (reference analog: account funnel
+# create -> first transfer -> first contract call over receipt history).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+      SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS n_clicked_after,
+      SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first-occurrence timestamps per stage, then
+    strict stage-order counts — one aggregation plus a global reduce."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    def cnt(cond, alias):
+        # when/otherwise (not bool.cast) so an all-NULL stage sums to 0,
+        # matching the oracle's CASE ... ELSE 0, never NULL
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(alias)
+
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(signed, "n_signed_up"),
+        cnt(clicked, "n_clicked_after"),
+        cnt(converted, "n_converted"),
+    )
