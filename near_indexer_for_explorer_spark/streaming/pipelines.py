@@ -245,3 +245,24 @@ def stateful_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dim(
+    spark: SparkSession,
+    src_dir: str,
+    dim_df: DataFrame,
+    query_name: str,
+):
+    """C6: stream-static join — enrich the event stream with a slowly-
+    changing dimension snapshot (the reference joins every receipt to
+    its originating transaction metadata the same way; here the static
+    side is broadcast per micro-batch, so the stream never shuffles)."""
+    stream = read_event_stream(spark, src_dir)
+    enriched = stream.join(F.broadcast(dim_df), on="user_id", how="left")
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

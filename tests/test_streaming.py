@@ -207,3 +207,26 @@ def test_stream_stateful_sessionize(spark, sf_dir, event_batches):
             r["session_value"],
         )
     assert got == want
+
+
+def test_stream_static_enrichment(spark, sf_dir, event_batches):
+    """Stream-static join: every streamed event gets its user's profile
+    (derived dim), matching the batch join exactly."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        enrich_stream_with_dim,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_total_events")
+    )
+    q = enrich_stream_with_dim(spark, event_batches, dim, "enriched_stream")
+    _await(q)
+    got = spark.sql(
+        "SELECT user_id, COUNT(*) n, MAX(user_total_events) t FROM enriched_stream GROUP BY user_id"
+    ).collect()
+    want = {r["user_id"]: r["user_total_events"] for r in dim.collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert r["n"] == want[r["user_id"]] == r["t"]
