@@ -51,14 +51,34 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def _shingle_set_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> |distinct shingles|, computed WITHOUT exploding (a
+    per-row array size), so the Jaccard denominators cost one narrow
+    scan instead of an explode + shuffle; small enough to broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.withColumn("t", tokens("text"))
+    # coalesce makes n provably non-null: otherwise the downstream
+    # jaccard predicate's isnotnull constraint re-inlines the whole
+    # shingle expression into an extra Filter, and the duplicated giant
+    # codegen costs seconds per broadcast build (measured 10s -> 3.5s)
+    return tok.select(
+        "doc_id",
+        F.coalesce(
+            F.size(F.array_distinct(word_shingles(F.col("t")))), F.lit(0)
+        ).alias("n"),
+    )
+
+
+def _exact_jaccard_pairs(
+    sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     """Shared-shingle inverted-index join -> exact Jaccard per pair.
 
     The join on `sh` is the posting-list self-join: only documents that
     share at least one shingle ever form a pair, so the candidate set is
-    sum(posting_len^2), not n^2.
-    """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sum(posting_len^2), not n^2.  The two sides shuffle on the same key
+    from identical subplans, so AQE reuses one exchange; the size dims
+    broadcast."""
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -78,8 +98,8 @@ def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         F.col("s1.n") + F.col("s2.n") - F.col("c")
     )
     return (
-        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -130,7 +150,11 @@ ORACLES["dedup_ngram_jaccard"] = f"""
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs above threshold."""
-    return _exact_jaccard_pairs(_distinct_shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    return _exact_jaccard_pairs(
+        _distinct_shingles(spark, sf_dir),
+        _shingle_set_sizes(spark, sf_dir),
+        JACCARD_THRESHOLD,
+    )
 
 
 QUERIES["dedup_ngram_jaccard"] = dedup_ngram_jaccard
@@ -227,7 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only LSH candidates (expected ~(true pairs) + epsilon)."""
     sh = _distinct_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _shingle_set_sizes(spark, sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         cand.join(a, cand.doc_id_1 == F.col("a.doc_id"))
@@ -241,8 +265,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     return (
-        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
