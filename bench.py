@@ -30,6 +30,10 @@ EXTRA = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "asof_purchase_attribution",
+    "q13_order_count_distribution",
     "text_quality",
     "doc_fingerprint",
 ]

@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from near_indexer_for_explorer_spark.functions.vectors import (
@@ -252,3 +252,149 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_dedup_cosine"] = embedding_dedup_cosine
+
+
+# ---------------------------------------------------------------------------
+# B13 IVF ANN (inverted-file index; rows-only driver check)
+# ---------------------------------------------------------------------------
+_IVF_K = 16  # centroids
+_IVF_ITERS = 2
+_IVF_NPROBE = 4
+
+
+def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> DataFrame:
+    """Deterministic mini k-means entirely in DataFrame ops: seeds are
+    the first k vectors by vec_id (stable), then `iters` Lloyd rounds of
+    assign (crossJoin + min-distance) and recenter (positional mean via
+    posexplode + groupBy).
+
+    Scale notes: each round is one broadcast of k centroids + one
+    shuffle keyed on (centroid, dim) — linear in corpus size; k and
+    iters are constants.  At 100 TB you train on a sample and only the
+    assignment pass sees the full corpus."""
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("centroid_id"), F.col("emb").alias("c_emb"))
+    )
+    centroids = seeds
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("__d", dist)
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("__d").asc(), F.col("centroid_id").asc()
+                    )
+                ),
+            )
+            .where(F.col("__rk") == 1)
+            .select("vec_id", "centroid_id", "emb")
+        )
+        centroids = (
+            assigned.select("centroid_id", F.posexplode("emb").alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("c_emb")
+            )
+        )
+    return centroids
+
+
+def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec_id -> nearest centroid (the inverted-file list id)."""
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer, inverted lists per centroid,
+    queries probe their nprobe nearest lists, exact cosine within.
+
+    The second scale path next to multi-probe LSH: lists adapt to the
+    data distribution (LSH buckets don't), so recall per probed vector
+    is higher on clustered corpora.  Rows-only driver check; recall is
+    asserted against brute force in tests."""
+    from pyspark.sql import Window as W
+
+    e = _vectors(spark, sf_dir)
+    centroids = _kmeans_centroids(e.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
+    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    corpus = e.join(lists, "vec_id")
+
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", qdist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+            ),
+        )
+        .where(F.col("__rk") <= _IVF_NPROBE)
+        .select(
+            "q_id", "q_emb", "q_nrm", F.col("centroid_id").alias("probe_centroid")
+        )
+    )
+    pairs = corpus.join(
+        F.broadcast(q_probes),
+        (F.col("centroid_id") == F.col("probe_centroid"))
+        & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk

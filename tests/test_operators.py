@@ -89,3 +89,26 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     # no exact dups planted in documents: every group is a singleton
     assert all(r["n_copies"] >= 1 for r in rows)
     assert len({r["text_hash"] for r in rows}) == len(rows)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4 of 16 lists must beat a recall floor and only
+    report true cosine values."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact_rows = ann_cosine_topk(spark, sf_dir).collect()
+    exact = {(r["q_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_rows}
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
+    assert ivf_rows
+    hits = [r for r in ivf_rows if (r["q_id"], r["neighbor_id"]) in exact]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.2, f"ivf recall {recall:.2f} below floor"
+    for r in hits:
+        assert r["cos_sim"] == exact[(r["q_id"], r["neighbor_id"])]
+
+    # determinism: a second run returns the identical result
+    again = sorted(tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect())
+    assert again == sorted(tuple(r) for r in ivf_rows)

@@ -114,3 +114,22 @@ def test_write_jdbc_gated_noop(spark, sf_dir):
     from near_indexer_for_explorer_spark.sources.tables import load_table
 
     assert write_jdbc(load_table(spark, sf_dir, "nation"), "nation") is False
+
+
+def test_sql_catalog_surface(spark, sf_dir):
+    """spark.sql over registered views: the literal query a reference
+    (PostgreSQL) user would port runs unchanged."""
+    from near_indexer_for_explorer_spark.sources.catalog import sql
+
+    df = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC LIMIT 5
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["n_customers"] >= rows[-1]["n_customers"]
