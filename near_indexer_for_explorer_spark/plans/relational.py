@@ -903,3 +903,73 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(clicked, "n_clicked_after"),
         cnt(converted, "n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A26: vesting-schedule rollup (reference analog: circulating supply —
+# per-lockup linear release summed at daily boundaries,
+# circulating-supply/src/lockup.rs + adapters/aggregated/
+# circulating_supply.rs).  Each order's value "unlocks" linearly over 90
+# days; snapshots report the total unlocked supply at month starts.
+# ---------------------------------------------------------------------------
+@_register(
+    "monthly_unlocked_supply",
+    """
+    WITH snapshots AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS snap_date
+      FROM orders
+    ),
+    unlock AS (
+      SELECT s.snap_date,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS total,
+             LEAST(
+               1.0,
+               GREATEST(
+                 0.0,
+                 CAST(datediff('day', CAST(o.o_orderdate AS DATE), s.snap_date) AS DOUBLE) / 90.0
+               )
+             ) AS frac
+      FROM snapshots s CROSS JOIN orders o
+    )
+    SELECT snap_date,
+           ROUND(CAST(SUM(CAST(CAST(total AS DOUBLE) * frac AS DECIMAL(24,6))) AS DOUBLE), 2) AS unlocked_value,
+           COUNT(CASE WHEN frac >= 1.0 THEN 1 END) AS n_fully_unlocked
+    FROM unlock
+    GROUP BY snap_date
+    """,
+)
+def monthly_unlocked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-vesting supply at monthly snapshots.
+
+    Scale notes: the snapshot dim (one row per month) broadcasts into
+    the fact scan, so the 'state of every lockup at time T' query is a
+    single pass per snapshot batch, not a point query per account —
+    exactly how the reference's nightly supply job should have been
+    shaped.  The double multiply-accumulate is ordered identically in
+    both engines only after ROUND(,2), which the oracle mirrors.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    snapshots = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("snap_date")
+    ).distinct()
+    frac = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.datediff(F.col("snap_date"), F.to_date("o_orderdate")).cast("double")
+            / 90.0,
+        ),
+    )
+    unlock = orders.crossJoin(F.broadcast(snapshots)).select(
+        "snap_date",
+        dec_money("o_totalprice").alias("total"),
+        frac.alias("frac"),
+    )
+    # the per-row double product is identical in both engines; summing
+    # doubles is order-dependent, so quantize each product to
+    # decimal(24,6) first — the sum is then exact and engine-independent
+    unlocked = (F.col("total").cast("double") * F.col("frac")).cast("decimal(24,6)")
+    return unlock.groupBy("snap_date").agg(
+        F.round(F.sum(unlocked).cast("double"), 2).alias("unlocked_value"),
+        F.count(F.when(F.col("frac") >= 1.0, F.lit(1))).alias("n_fully_unlocked"),
+    )

@@ -40,14 +40,26 @@ SESSION_GAP_S = 1800.0
 
 
 def read_event_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+    start_ts: str | None = None,
 ) -> DataFrame:
     """File-source stream: each new parquet file in src_dir is a batch
-    of events (the NEAR Lake 'new block object landed in S3' analog)."""
+    of events (the NEAR Lake 'new block object landed in S3' analog).
+
+    ``start_ts`` mirrors the reference's sync-mode config
+    (indexer/src/configs.rs: FromLatest / FromBlockHeight /
+    FromInterruption): FromInterruption is the checkpoint; a 'from
+    height' start is an event-time lower bound pushed into every
+    batch's scan."""
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(src_dir)
+    stream = reader.parquet(src_dir)
+    if start_ts is not None:
+        stream = stream.where(F.col("ts") >= F.lit(start_ts).cast("timestamp_ntz"))
+    return stream
 
 
 def normalize_events(stream: DataFrame) -> DataFrame:

@@ -230,3 +230,52 @@ def test_stream_static_enrichment(spark, sf_dir, event_batches):
     assert len(got) == len(want)
     for r in got:
         assert r["n"] == want[r["user_id"]] == r["t"]
+
+
+def test_metrics_listener_counts_rows(spark, sf_dir, event_batches, tmp_path):
+    """The listener must observe every ingested row (metrics.rs
+    BLOCKS_PROCESSED_TOTAL analog)."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.monitor import MetricsListener
+    from near_indexer_for_explorer_spark.streaming.pipelines import ingest_to_parquet
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = ingest_to_parquet(
+            spark, event_batches, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        _await(q)
+        import time as _t
+
+        deadline = _t.time() + 30
+        want = load_table(spark, sf_dir, "events").count()
+        while _t.time() < deadline and listener.rows_total < want:
+            _t.sleep(0.5)  # listener callbacks are async
+        assert listener.rows_total == want
+        assert listener.batches
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_stream_start_offset(spark, sf_dir, event_batches, tmp_path):
+    """FromBlockHeight analog: a start_ts lower bound drops all earlier
+    events from the stream."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import read_event_stream
+
+    start = "2024-01-15 00:00:00"
+    q = (
+        read_event_stream(spark, event_batches, start_ts=start)
+        .writeStream.format("memory")
+        .queryName("offset_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.sql("SELECT COUNT(*) n, MIN(ts) m FROM offset_stream").collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.where(F.col("ts") >= F.lit(start).cast("timestamp_ntz")).count()
+    assert got["n"] == want
+    assert str(got["m"]) >= start
