@@ -211,3 +211,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_fingerprint"] = doc_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# B14 TF-IDF top terms (inverted-index analytics: the args-field search
+# index the reference builds in migrations/2021-05-10-084700_indexer_on
+# _args_field, re-expressed as a ranking query)
+# ---------------------------------------------------------------------------
+ORACLES["tfidf_top_terms"] = r"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode -> tf agg -> df agg
+    (broadcast back) -> window top-k.
+
+    Scale notes: two aggregations on naturally-partitioned keys; the
+    document-frequency table is vocabulary-sized and broadcasts.  The
+    tf*idf product is a per-row double op (identical across engines);
+    ROUND(,6) before ranking keeps the top-k stable."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = docs.select("doc_id", F.explode(F.col("t")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms

@@ -133,3 +133,24 @@ def test_sql_catalog_surface(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0]["n_customers"] >= rows[-1]["n_customers"]
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned writes must yield partition-pruned scans
+    (PartitionFilters at the file index, not a full-table read)."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.sources.sinks import write_partitioned
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_date")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned(ev, out, ["event_date"])
+    one_day = spark.read.parquet(out).where(F.col("event_date") == "2024-01-05")
+    plan = _formatted_plan(spark, one_day)
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    n_all = spark.read.parquet(out).count()
+    n_day = one_day.count()
+    assert 0 < n_day < n_all
