@@ -120,7 +120,7 @@ ORACLES["user_lifecycle"] = """
     SELECT user_id,
            MIN(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup_event_id,
            MAX(CASE WHEN event_type = 'error' THEN event_id END) AS last_error_event_id,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts,
            arg_max(event_type, ts) <> 'error' AS is_active

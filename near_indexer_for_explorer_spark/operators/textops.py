@@ -79,7 +79,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -123,10 +123,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.col("t")
     scored = docs.select(
         "doc_id",
-        stopword_hits(tok, STOPWORDS_EN).alias("s_en"),
-        stopword_hits(tok, STOPWORDS_DE).alias("s_de"),
-        stopword_hits(tok, STOPWORDS_FR).alias("s_fr"),
-        stopword_hits(tok, STOPWORDS_ES).alias("s_es"),
+        stopword_hits(tok, STOPWORDS_EN).cast("long").alias("s_en"),
+        stopword_hits(tok, STOPWORDS_DE).cast("long").alias("s_de"),
+        stopword_hits(tok, STOPWORDS_FR).cast("long").alias("s_fr"),
+        stopword_hits(tok, STOPWORDS_ES).cast("long").alias("s_es"),
     )
     en, de, fr, es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
     lang = (
@@ -163,8 +163,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.col("t")
     return docs.select(
         "doc_id",
-        F.size(tok).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(BPE_ISH_RE)).alias("bpe_ish_tokens"),
+        F.size(tok).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).cast("long").alias("bpe_ish_tokens"),
         (F.length("text").cast("double") / F.size(tok)).alias("chars_per_token"),
     )
 

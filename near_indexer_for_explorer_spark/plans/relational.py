@@ -59,8 +59,10 @@ def _stabilize_decimal_casts(sql: str) -> str:
                     break
             k += 1
         inner = sql[j + 5 : k]  # "SUM(...) AS DOUBLE"
-        assert inner.endswith(" AS DOUBLE"), inner
-        out.append(f"CAST(CAST({inner[:-10]} AS VARCHAR) AS DOUBLE)")
+        if inner.endswith(" AS DOUBLE"):
+            out.append(f"CAST(CAST({inner[:-10]} AS VARCHAR) AS DOUBLE)")
+        else:  # integer-width casts etc. are exact already
+            out.append(sql[j : k + 1])
         i = k + 1
 
 
@@ -318,8 +320,8 @@ def orders_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, c_custkey, c_name, c_acctbal, rk
     FROM (
       SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
-             ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
-                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rk
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS BIGINT) AS rk
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     ) t
     WHERE rk <= 3
@@ -336,7 +338,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
     )
@@ -351,8 +353,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS order_date,
-           ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
-                              ORDER BY o_orderkey ASC) AS index_in_day
+           CAST(ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+                              ORDER BY o_orderkey ASC) AS BIGINT) AS index_in_day
     FROM orders
     """,
 )
@@ -362,7 +364,7 @@ def order_index_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         F.to_date("o_orderdate").alias("order_date"),
-        F.row_number().over(w).alias("index_in_day"),
+        F.row_number().over(w).cast("long").alias("index_in_day"),
     )
 
 
@@ -375,7 +377,7 @@ def order_index_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
     FROM events
     GROUP BY event_type
@@ -461,11 +463,11 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events
     GROUP BY user_id
     """,
@@ -507,7 +509,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM marked
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value,
            MAX(es) - MIN(es) AS duration_s
@@ -869,10 +871,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       COUNT(*) AS n_users,
-      SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-      SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS n_clicked_after,
-      SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-                AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_converted
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM firsts
     """,
 )
