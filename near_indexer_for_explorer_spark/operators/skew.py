@@ -48,3 +48,38 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: "dict[str, tuple[str, str]]",
+    salt_n: int = DEFAULT_SALT_N,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``agg_exprs`` maps output column -> (input column, fn) with fn in
+    {"sum", "count", "min", "max"}.  Phase 1 aggregates on
+    (key, salt) — spreading a hot key over salt_n reducers — phase 2
+    combines partials on the key alone (counts re-combine with sum).
+
+    Note: Spark's hash aggregate already does map-side partial
+    aggregation, which covers most skew; explicit salting is for
+    exactly-once-per-key stages downstream of a skewed shuffle (e.g.
+    collect_list-style aggregations with no partial form).
+    """
+    combiner = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_n))
+    phase1 = df.withColumn("__salt", salt).groupBy(*key_cols, "__salt").agg(
+        *[
+            combiner[fn](F.col(src)).alias(f"__p_{out}")
+            for out, (src, fn) in agg_exprs.items()
+        ]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[
+            recombine[fn](F.col(f"__p_{out}")).alias(out)
+            for out, (src, fn) in agg_exprs.items()
+        ]
+    )

@@ -113,3 +113,43 @@ def test_word_shingles_match_python(spark, texts):
             else []
         )
         assert got[i] == want, (t, toks, got[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(st.tuples(_ids, _val), min_size=1, max_size=30),
+)
+def test_salted_aggregate_equals_plain(spark, rows):
+    from near_indexer_for_explorer_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "total": ("v", "sum"),
+                "n": ("v", "count"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            salt_n=4,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
