@@ -161,8 +161,10 @@ QUERIES["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
 
 # ---------------------------------------------------------------------------
-# B3 MinHash + LSH (approximate; rows-only driver check — candidate
-# generation is probabilistic, so no SQL oracle claims exactness)
+# B3 MinHash + LSH — approximate in recall, but fully DETERMINISTIC:
+# every hash derives from md5, which both engines share, so the DuckDB
+# oracle (built by _minhash_oracle_sql below) reproduces the identical
+# signatures, buckets, candidates, and verified output.
 # ---------------------------------------------------------------------------
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16
@@ -337,7 +339,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ).cast("long")
     return (
         a.join(
             b,
@@ -356,3 +358,138 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_simhash"] = dedup_simhash
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of the ENTIRE MinHash+LSH pipeline.
+
+    The engine's hashing is deliberately built from md5 (the one hash
+    both engines share) + modular arithmetic, so the approximate
+    operator is still *deterministic* and cross-engine reproducible:
+    the oracle recomputes identical signatures, identical band buckets,
+    identical candidates, and the same verified-Jaccard output.  The
+    hex15 -> BIGINT step is a positional digit sum against power-of-16
+    literals (exact; DuckDB has no base-16 conv())."""
+    powers = [16 ** (15 - i) for i in range(1, 16)]
+    powers_list = ",".join(str(p) for p in powers)
+    hex15 = (
+        "list_sum(list_transform(range(1,16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
+        f" * ([{powers_list}])[i]))"
+    )
+    mins = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE}) AS mh_{s}"
+        for s, (a, b) in enumerate(_perm_coeffs())
+    )
+    band_structs = ",\n        ".join(
+        "{'band_id': %d, 'bucket': md5(concat_ws(','%s))}"
+        % (
+            band,
+            "".join(
+                f", CAST(mh_{band * _LSH_ROWS + r} AS VARCHAR)"
+                for r in range(_LSH_ROWS)
+            ),
+        )
+        for band in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, {hex15} % {_MERSENNE} AS x
+      FROM (SELECT doc_id, md5(sh) AS h FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, u.band_id AS band_id, u.bucket AS bucket
+      FROM sig, UNNEST([
+        {band_structs}
+      ]) AS t(u)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.d1, c.d2, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.sh = s2.sh
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+           CAST(cnt AS DOUBLE) / (z1.n + z2.n - cnt) AS jaccard
+    FROM common
+    JOIN sizes z1 ON d1 = z1.doc_id
+    JOIN sizes z2 ON d2 = z2.doc_id
+    WHERE CAST(cnt AS DOUBLE) / (z1.n + z2.n - cnt) >= {JACCARD_THRESHOLD}
+    """
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of the SimHash pipeline (same md5-only hashing
+    discipline as _minhash_oracle_sql: identical token hashes, bit
+    sums, signatures, band buckets, candidates, hamming distances)."""
+    powers8 = [16 ** (7 - i) for i in range(0, 8)]
+    powers_list = ",".join(str(p) for p in powers8)
+    hex8 = (
+        "list_sum(list_transform(range(1,9), i -> "
+        "CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
+        f" * ([{powers_list}])[i]))"
+    )
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (h32 >> {b}) & 1 = 1 THEN w ELSE -w END) AS s_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    band_mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_structs = ",\n        ".join(
+        f"{{'band_id': {k}, 'bucket': (simhash >> {_SIMHASH_BAND_BITS * k}) & {band_mask}}}"
+        for k in range(_SIMHASH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY doc_id, tok
+    ),
+    hashed AS (
+      SELECT doc_id, w, {hex8} AS h32
+      FROM (SELECT doc_id, w, md5(tok) AS h FROM weighted)
+    ),
+    sums AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {sim_terms} AS simhash FROM sums
+    ),
+    bands AS (
+      SELECT doc_id, simhash, u.band_id AS band_id, u.bucket AS bucket
+      FROM sig, UNNEST([
+        {band_structs}
+      ]) AS t(u)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """
+
+
+ORACLES["dedup_simhash"] = _simhash_oracle_sql()
