@@ -398,3 +398,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB replica of the multi-probe hyperplane-LSH ANN: the +-1
+    hyperplane components are md5-derived Python literals injected into
+    both plans, so buckets, probes, candidates, and rounded cosines all
+    reproduce.  (Sign of a projection could only diverge across engines
+    if |proj| < ~1e-13 — float-sum association noise — which random
+    embeddings never hit.)"""
+    plane_cases = []
+    for p, comp in enumerate(_hyperplanes()):
+        w_list = ",".join(str(c) for c in comp)
+        plane_cases.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+            f"i -> emb[i] * ([{w_list}])[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(plane_cases)
+    masks_list = ",".join(str(m) for m in _probe_masks())
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e),
+    b AS (SELECT vec_id, emb, nrm, {bucket_expr} AS bucket FROM n),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+          FROM b WHERE vec_id % {QUERY_MOD} = 0),
+    probes AS (
+      SELECT q_id, q_emb, q_nrm, xor(q_bucket, CAST(t.m AS BIGINT)) AS probe_bucket
+      FROM q, UNNEST([{masks_list}]) AS t(m)
+    ),
+    pairs AS (
+      SELECT p.q_id, b.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(b.emb) + 1),
+                                           i -> p.q_emb[i] * b.emb[i]))
+                   / (p.q_nrm * b.nrm), 6) AS cos_sim
+      FROM probes p JOIN b ON p.probe_bucket = b.bucket AND p.q_id <> b.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM pairs) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
