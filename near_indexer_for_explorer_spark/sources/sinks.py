@@ -98,3 +98,24 @@ def write_jdbc(
         return False
     df.write.mode(mode).options(**options).jdbc(url, table)
     return True
+
+
+def compact_parquet(
+    spark, src_dir: str, out_dir: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_mb.  The reference never needs this (PostgreSQL), but every
+    streaming lake sink accumulates micro-batch files and 100 TB scans
+    die on file-listing + tiny-row-group overhead; nightly compaction
+    is part of the sink's contract.  Returns the output file count."""
+    import glob
+    import os
+
+    df = spark.read.parquet(src_dir)
+    size_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return len(glob.glob(os.path.join(out_dir, "*.parquet")))

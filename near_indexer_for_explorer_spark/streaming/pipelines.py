@@ -278,3 +278,56 @@ def enrich_stream_with_dim(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_daily_rollup(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """C7: incremental continuous aggregate (hypertable-rollup analog,
+    and the incremental twin of aggregated__circulating_supply).
+
+    Each micro-batch is aggregated to per-day partials which MERGE into
+    the snapshot by summing with the existing partials — the rollup is
+    always query-ready without rescanning history.  Partials use exact
+    decimals so merge order never changes the result."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "rollup")
+        staging = os.path.join(out_dir, f"_staging_{batch_id}")
+        partial = (
+            batch_df.groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value_dec"),
+            )
+        )
+        if os.path.exists(snapshot):
+            existing = spark.read.parquet(snapshot)
+            partial = (
+                existing.unionByName(partial)
+                .groupBy("event_date")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value_dec").alias("total_value_dec"),
+                )
+            )
+        partial.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.exists(snapshot):
+            shutil.rmtree(snapshot)
+        os.replace(staging, snapshot)
+
+    return sink
+
+
+def incremental_daily_rollup(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C7 driver: stream -> incrementally-maintained daily rollup."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_daily_rollup(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -279,3 +279,42 @@ def test_stream_start_offset(spark, sf_dir, event_batches, tmp_path):
     want = ev.where(F.col("ts") >= F.lit(start).cast("timestamp_ntz")).count()
     assert got["n"] == want
     assert str(got["m"]) >= start
+
+
+def test_incremental_daily_rollup(spark, sf_dir, event_batches, tmp_path):
+    """The incrementally-merged rollup must equal the batch daily
+    aggregate exactly (decimal partials: merge order is irrelevant)."""
+    from near_indexer_for_explorer_spark.plans.relational import events_daily_stats
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        incremental_daily_rollup,
+    )
+
+    out = str(tmp_path / "rollup_out")
+    q = incremental_daily_rollup(
+        spark, event_batches, out, str(tmp_path / "ckpt")
+    )
+    _await(q)
+    got = {
+        r["event_date"]: (r["n_events"], float(r["total_value_dec"]))
+        for r in spark.read.parquet(out + "/rollup").collect()
+    }
+    want = {
+        r["event_date"]: (r["n_events"], r["total_value"])
+        for r in events_daily_stats(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_compact_parquet(spark, event_batches, tmp_path):
+    import glob
+    import os
+
+    from near_indexer_for_explorer_spark.sources.sinks import compact_parquet
+
+    n_in = len(glob.glob(os.path.join(event_batches, "*.parquet")))
+    out = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, event_batches, out, target_mb=512)
+    assert n_out == 1 <= n_in
+    assert spark.read.parquet(out).count() == spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).parquet(event_batches).count()
