@@ -272,11 +272,8 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> DataFrame:
     shuffle keyed on (centroid, dim) — linear in corpus size; k and
     iters are constants.  At 100 TB you train on a sample and only the
     assignment pass sees the full corpus."""
-    w = Window.orderBy("vec_id")
-    seeds = (
-        e.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).alias("centroid_id"), F.col("emb").alias("c_emb"))
+    seeds = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     centroids = seeds
     for _ in range(iters):
@@ -299,10 +296,18 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> DataFrame:
             .where(F.col("__rk") == 1)
             .select("vec_id", "centroid_id", "emb")
         )
+        # exact-decimal mean: components quantized to decimal(20,14)
+        # before summing, so the centroid is independent of both the
+        # partitioning and the engine (the DuckDB oracle reproduces it)
         centroids = (
             assigned.select("centroid_id", F.posexplode("emb").alias("i", "x"))
             .groupBy("centroid_id", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -444,3 +449,78 @@ def _ann_lsh_oracle_sql() -> str:
 
 
 ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replica of the full IVF pipeline: seeds (vec_id < k), two
+    unrolled Lloyd iterations with exact-decimal centroid means
+    (quantized decimal(20,14) sums, VARCHAR-hopped back to double),
+    nearest-list assignment, nprobe query probing, round-6 cosine
+    top-k.  Distance argmins could only diverge on sub-1e-13 ties,
+    which random embeddings never produce."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM e v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    iter_ctes = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev)})")
+        iter_ctes.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
+        prev = f"c{it}"
+    iters_sql = ",\n    ".join(iter_ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+           WHERE vec_id < {_IVF_K}),
+    {iters_sql},
+    lists AS ({assign.format(cents=prev)}),
+    corpus AS (SELECT l.vec_id, l.centroid_id, n.emb, n.nrm
+               FROM lists l JOIN n ON l.vec_id = n.vec_id),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
+          WHERE vec_id % {QUERY_MOD} = 0),
+    qprobe AS (
+      SELECT q_id, q_emb, q_nrm, centroid_id AS probe_centroid FROM (
+        SELECT v.q_id, v.q_emb, v.q_nrm, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.q_emb) + 1),
+                   i -> (v.q_emb[i] - c.c_emb[i]) * (v.q_emb[i] - c.c_emb[i]))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM q v, {prev} c) t
+      WHERE rk <= {_IVF_NPROBE}
+    ),
+    pairs AS (
+      SELECT p.q_id, s.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(s.emb) + 1),
+                                           i -> p.q_emb[i] * s.emb[i]))
+                   / (p.q_nrm * s.nrm), 6) AS cos_sim
+      FROM qprobe p JOIN corpus s
+        ON p.probe_centroid = s.centroid_id AND p.q_id <> s.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM pairs) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
