@@ -975,3 +975,36 @@ def monthly_unlocked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(unlocked).cast("double"), 2).alias("unlocked_value"),
         F.count(F.when(F.col("frac") >= 1.0, F.lit(1))).alias("n_fully_unlocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A27: EXISTS semi-join (reference analog: transactions that produced at
+# least one delayed receipt — parent selected by child-row predicate).
+# ---------------------------------------------------------------------------
+@_register(
+    "q4_late_shipment_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: left-semi join with a mixed equi + range
+    condition — the probe side streams, no duplicate parents, single
+    shuffle on the equi key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
