@@ -274,3 +274,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
+
+
+# ---------------------------------------------------------------------------
+# B15 text scrubbing (PII-style redaction: the pre-training cleanup op;
+# patterns kept RE2-and-Java-compatible so both engines agree)
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_URL_RE = "https?://[^ ]+"
+
+ORACLES["text_scrub"] = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_URL_RE}', '<URL>', 'g'),
+                       '\\s+', ' ', 'g'))) AS scrubbed_md5
+    FROM documents
+"""
+
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass: count + replace emails/URLs, collapse
+    whitespace, fingerprint the scrubbed text.  Pure regexp column ops
+    (one scan, no UDF); the md5 proves both engines produced the
+    byte-identical scrubbed document."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _URL_RE,
+                "<URL>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+QUERIES["text_scrub"] = text_scrub
