@@ -213,6 +213,14 @@ def make_session_kernel():
         rows = rows.sort_values(["ts", "event_id"])
         for ts, value in zip(rows["ts"], rows["value"]):
             es = ts.timestamp()
+            if last is not None and es < last:
+                # late arrival (older than the open session's frontier):
+                # absorb into the open session without moving time
+                # backward — the deterministic analog of the reference
+                # accepting late receipts into the already-open block
+                n += 1
+                total += float(value)
+                continue
             if last is not None and es - last > gap:
                 closed.append((user_id, start, last, n, round(total, 2)))
                 start, n, total = es, 0, 0.0

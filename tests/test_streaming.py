@@ -318,3 +318,64 @@ def test_compact_parquet(spark, event_batches, tmp_path):
     assert spark.read.parquet(out).count() == spark.read.schema(
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     ).parquet(event_batches).count()
+
+
+def test_stateful_sessionize_late_data_absorbed(spark, sf_dir, tmp_path_factory):
+    """A batch arriving with timestamps older than the state frontier
+    must be absorbed into the open session (no lost rows, no backward
+    time travel, no spurious session split)."""
+    import pandas as pd
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base, base + pd.Timedelta(minutes=5)],
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_id": [3, 4],
+            "ts": [base + pd.Timedelta(minutes=2), base + pd.Timedelta(hours=2)],
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [4.0, 8.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    for i, pdf in enumerate([on_time, late]):
+        sdf = spark.createDataFrame(pdf)
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1)
+        sdf.write.parquet(os.path.join(src, f"w{i}"))
+    import glob
+    import shutil
+
+    flat = str(tmp_path_factory.mktemp("late_flat"))
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(src, "w*", "part-*.parquet")))
+    ):
+        dst = os.path.join(flat, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        mt = time.time() - 10 + i
+        os.utime(dst, (mt, mt))
+
+    q = stateful_sessionize(spark, flat, "late_sessions")
+    _await(q)
+    rows = spark.sql("SELECT * FROM late_sessions").collect()
+    # event 3 (late) joins the open session; event 4 (2h later) closes
+    # it: the closed session holds events 1, 2, 3 with value 1+2+4
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7
+    assert r["n_events"] == 3
+    assert r["session_value"] == 7.0
+    assert r["session_start"] == base.timestamp()
