@@ -1008,3 +1008,59 @@ def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A28: subtotal rollup (reference analog: explorer dashboard totals —
+# per-status, per-priority, and grand-total in one pass).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP: detail + subtotal + grand-total rows in one
+    aggregation (NULL group markers align across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum_money("o_totalprice", "total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A29: sliding range-frame window (reference analog: gas used in the
+# trailing block interval — a continuous sliding metric, not tumbling).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_sliding_1h_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000.0
+                 RANGE BETWEEN 3600.0 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS value_1h
+    FROM events
+    """,
+)
+def events_sliding_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sliding sum per user via a RANGE frame over
+    epoch seconds (event-time, not row-count, frame); decimal-exact so
+    the incremental frame arithmetic matches across engines."""
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec_money("value")).over(w).cast("double").alias("value_1h"),
+    )
