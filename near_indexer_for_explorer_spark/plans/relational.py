@@ -741,7 +741,8 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
-           list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+             AS linenumbers,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY l_orderkey
@@ -749,8 +750,32 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_line_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect each order's line numbers into a deterministic sorted
-    array — the nested-document reconstruction every indexer needs when
-    serving 'give me the receipt with its actions' lookups."""
+    bundle — the nested-document reconstruction every indexer needs when
+    serving 'give me the receipt with its actions' lookups (analog:
+    database/src/models/receipts.rs:119 ordered child rebuild).
+
+    The registered query emits the bundle as a comma-joined string (sorted
+    numerically BEFORE the string cast) so the cross-engine canonicalizer
+    only ever sees scalars; `order_line_bundle_array` below keeps the
+    native array<int> variant for library use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenumbers"),
+        dsum(dec_money("l_quantity"), "total_qty"),
+    )
+
+
+def order_line_bundle_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library variant of `order_line_bundle` keeping the native
+    array<int> column (not oracle-registered: raw arrays are not
+    canonicalizer-comparable)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
