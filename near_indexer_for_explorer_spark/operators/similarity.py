@@ -206,30 +206,163 @@ QUERIES["ann_lsh_topk"] = ann_lsh_topk
 
 
 # ---------------------------------------------------------------------------
-# B11 embedding-cosine near-dup pairs (oracle-checked)
+# B11 embedding-cosine near-dup pairs (oracle-checked, LSH-blocked)
 # ---------------------------------------------------------------------------
-ORACLES["embedding_dedup_cosine"] = f"""
+# 8 independent bands of 3 hyperplanes each: a pair collides in a band
+# with prob (1 - theta/pi)^3, so across 8 bands recall at cos=0.4 is
+# ~0.90 and ~1.0 for genuine dups (cos>=0.9).  The pair space is
+# bucket-local: sum over buckets of |bucket|^2, never n^2.
+_DUP_BANDS = 8
+_DUP_PLANES_PER_BAND = 3
+
+
+def _dup_hyperplanes() -> list[list[list[float]]]:
+    """Deterministic +-1 hyperplanes per band via md5 bit parity (same
+    no-RNG discipline as _hyperplanes, independent seed namespace)."""
+    bands = []
+    for band in range(_DUP_BANDS):
+        planes = []
+        for p in range(_DUP_PLANES_PER_BAND):
+            h_comp = []
+            for i in range(_DIM):
+                h = hashlib.md5(f"dupband{band}:plane{p}:{i}".encode()).digest()
+                h_comp.append(1.0 if h[0] & 1 else -1.0)
+            planes.append(h_comp)
+        bands.append(planes)
+    return bands
+
+
+def dup_band_buckets(emb_col: F.Column) -> F.Column:
+    """array<struct<band_id, bucket>>: the vector's bucket in each of
+    the 8 blocking bands (bucket = 3-bit sign pattern)."""
+    structs = []
+    for band, planes in enumerate(_dup_hyperplanes()):
+        bucket = F.lit(0)
+        for p, comp in enumerate(planes):
+            w = F.array(*[F.lit(c) for c in comp])
+            proj = F.aggregate(
+                F.zip_with(emb_col, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        structs.append(
+            F.struct(F.lit(band).alias("band_id"), bucket.alias("bucket"))
+        )
+    return F.array(*structs)
+
+
+def _dup_bucket_exprs_sql() -> list[str]:
+    """DuckDB bucket expression per band (same md5-derived hyperplane
+    literals injected into both engines)."""
+    exprs = []
+    for planes in _dup_hyperplanes():
+        cases = []
+        for p, comp in enumerate(planes):
+            w_list = ",".join(str(c) for c in comp)
+            cases.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+                f"i -> emb[i] * ([{w_list}])[i])) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        exprs.append(" + ".join(cases))
+    return exprs
+
+
+def _embedding_dedup_oracle_sql() -> str:
+    band_structs = ",\n        ".join(
+        f"{{'band_id': {band}, 'bucket': {expr}}}"
+        for band, expr in enumerate(_dup_bucket_exprs_sql())
+    )
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     n AS (SELECT vec_id, emb,
                  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
-          FROM e)
-    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-           ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
-                                         i -> a.emb[i] * b.emb[i]))
-                 / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
-                                        i -> a.emb[i] * b.emb[i]))
-                / (a.nrm * b.nrm), 6) >= {DUP_COSINE_THRESHOLD}
-"""
+          FROM e),
+    bands AS (
+      SELECT vec_id, u.band_id AS band_id, u.bucket AS bucket
+      FROM n, UNNEST([
+        {band_structs}
+      ]) AS t(u)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_id_1, c.vec_id_2,
+           ROUND(list_sum(list_transform(range(1, len(x.emb) + 1),
+                                         i -> x.emb[i] * y.emb[i]))
+                 / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM cand c
+    JOIN n x ON c.vec_id_1 = x.vec_id
+    JOIN n y ON c.vec_id_2 = y.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, len(x.emb) + 1),
+                                        i -> x.emb[i] * y.emb[i]))
+                / (x.nrm * y.nrm), 6) >= {DUP_COSINE_THRESHOLD}
+    """
+
+
+ORACLES["embedding_dedup_cosine"] = _embedding_dedup_oracle_sql()
 
 
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup detection (exact, oracle-checked).
+    """Near-dup pairs by cosine, LSH-blocked: candidates come from
+    bucket-local equi-joins over 8 hyperplane-sign bands, then exact
+    cosine verification at the threshold.
 
-    This is the correctness baseline; at 100 TB the same threshold runs
-    behind lsh_bucket() blocking (see ann_lsh_topk) so the pair space is
-    bucket-local rather than n^2."""
+    The blocking is a semantic part of the operator and is replicated
+    bit-for-bit in the DuckDB oracle (md5-derived hyperplanes injected
+    into both plans), so the approximate operator is still
+    deterministically hash-checked.  All joins are equi-joins (no
+    BroadcastNestedLoopJoin — asserted in tests/test_plans.py);
+    embedding_dedup_cosine_allpairs below keeps the exact O(n^2)
+    baseline for tiny-sf recall tests."""
+    e = _vectors(spark, sf_dir)
+    banded = e.select(
+        "vec_id", F.explode(dup_band_buckets(F.col("emb"))).alias("b")
+    ).select("vec_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("emb").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("emb").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+    )
+    cos = F.round(
+        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
+    )
+    return (
+        cand.join(x, "vec_id_1")
+        .join(y, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= DUP_COSINE_THRESHOLD)
+    )
+
+
+QUERIES["embedding_dedup_cosine"] = embedding_dedup_cosine
+
+
+def embedding_dedup_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (O(n^2)) — library/test use only, for
+    measuring the blocked operator's recall at tiny scale factors."""
     e = _vectors(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("vec_id_1"),
@@ -249,9 +382,6 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= DUP_COSINE_THRESHOLD)
     )
-
-
-QUERIES["embedding_dedup_cosine"] = embedding_dedup_cosine
 
 
 # ---------------------------------------------------------------------------

@@ -15,10 +15,12 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     equal the exact-join output on this data."""
     from near_indexer_for_explorer_spark.operators.dedup import (
         dedup_minhash_lsh,
-        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_unpruned,
     )
 
-    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir), "doc_id_1", "doc_id_2")
+    exact = _pairs(
+        dedup_ngram_jaccard_unpruned(spark, sf_dir), "doc_id_1", "doc_id_2"
+    )
     lsh = _pairs(dedup_minhash_lsh(spark, sf_dir), "doc_id_1", "doc_id_2")
     assert exact, "test data should contain planted near-dup pairs"
     assert lsh == exact
@@ -28,11 +30,13 @@ def test_simhash_finds_near_dups(spark, sf_dir):
     """SimHash (token-level) must recover the planted near-dup pairs;
     allow extra (lower-precision) pairs but no missed ones."""
     from near_indexer_for_explorer_spark.operators.dedup import (
-        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_unpruned,
         dedup_simhash,
     )
 
-    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir), "doc_id_1", "doc_id_2")
+    exact = _pairs(
+        dedup_ngram_jaccard_unpruned(spark, sf_dir), "doc_id_1", "doc_id_2"
+    )
     sim = _pairs(dedup_simhash(spark, sf_dir), "doc_id_1", "doc_id_2")
     missed = exact - sim
     assert not missed, f"simhash missed planted near-dups: {sorted(missed)[:5]}"
@@ -89,6 +93,60 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     # no exact dups planted in documents: every group is a singleton
     assert all(r["n_copies"] >= 1 for r in rows)
     assert len({r["text_hash"] for r in rows}) == len(rows)
+
+
+def test_jaccard_df_prune_bounds_posting_lists(spark, sf_dir):
+    """The df-cap must actually bound every posting list (the 100 TB
+    guarantee: no shingle's candidate contribution exceeds cap^2), and
+    the pruned operator must still recover the planted near-dup pairs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _MAX_DF_FRAC,
+        _MIN_DF_CAP,
+        _df_pruned_shingles,
+        dedup_ngram_jaccard,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    cap = max(_MIN_DF_CAP, math.ceil(_MAX_DF_FRAC * n_docs))
+    max_df = (
+        _df_pruned_shingles(spark, sf_dir)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_df <= cap, f"posting list df {max_df} exceeds cap {cap}"
+    assert dedup_ngram_jaccard(spark, sf_dir).count() > 0
+
+
+def test_embedding_dedup_blocked_subset_and_recall(spark, sf_dir):
+    """LSH-blocked near-dup pairs must be a subset of the all-pairs
+    baseline with identical cosines (exact verification) and recall
+    above the 8-band theoretical floor."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_dedup_cosine,
+        embedding_dedup_cosine_allpairs,
+    )
+
+    blocked = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cos_sim"]
+        for r in embedding_dedup_cosine(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cos_sim"]
+        for r in embedding_dedup_cosine_allpairs(spark, sf_dir).collect()
+    }
+    assert exact, "test data should contain near-dup embedding pairs"
+    assert set(blocked) <= set(exact)
+    for key, sim in blocked.items():
+        assert sim == exact[key]
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"blocked recall {recall:.2f} below floor"
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):

@@ -61,6 +61,19 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         assert "MapInPandas" not in plan, name
 
 
+def test_embedding_dedup_no_nested_loop_join(spark, sf_dir):
+    """The blocked near-dup operator must plan bucket-local equi-joins
+    only: a BroadcastNestedLoopJoin or CartesianProduct would mean the
+    pair space regressed to n^2."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_dedup_cosine,
+    )
+
+    plan = _formatted_plan(spark, embedding_dedup_cosine(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_events_sessionize_single_shuffle(spark, sf_dir):
     """Both window passes and the aggregate share the user_id
     partitioning: exactly one exchange in the plan."""
