@@ -1,0 +1,393 @@
+"""Typed NEP-141/NEP-171 event extraction (the reference's `assets`
+surface re-expressed Spark-first).
+
+The reference parses `EVENT_JSON:`-prefixed log lines into typed,
+versioned event structs with validation, explodes each event's data
+array into one row per entry, and inserts with per-event dedup
+(ON CONFLICT DO NOTHING):
+
+- event taxonomy + serde schema: database/src/adapters/assets/
+  event_types.rs:1-91 (Nep141Event / Nep171Event, tagged `standard`,
+  `event`, `data`)
+- prefix-stripped, trimmed, failure-tolerant log parsing:
+  database/src/adapters/assets/events.rs:92-115 (`extract_events`)
+- typed FT rows with mint/transfer/burn old/new-owner mapping and
+  empty-string defaults: database/src/adapters/assets/
+  fungible_token_events.rs:56-138 (NFT analog in
+  non_fungible_token_events.rs:55-147)
+
+The synthetic events table carries no log payload, so the operator
+deterministically CONSTRUCTS the log lines from event columns first
+(valid events across all six kinds, non-event log lines, malformed
+JSON, and unknown-standard events), then runs the real Spark parsing
+pipeline: trim -> prefix filter -> `from_json` with an explicit
+StructType + PERMISSIVE corrupt-record column -> standard/kind
+validation -> `posexplode` of the data array -> typed rows with a
+per-event dedup key.  The DuckDB oracle derives the same typed rows
+directly from the construction spec, so the gate proves the JSON
+round-trip is lossless and the validation/explode semantics match.
+
+Scale notes: one narrow scan of events, all JSON work in JVM codegen
+(`to_json`/`from_json`), no shuffle until the optional aggregate —
+at 100 TB this is a map-only stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_PREFIX = "EVENT_JSON:"
+
+# Wide event schema: one struct covers both NEP-141 and NEP-171 data
+# entries (absent fields parse to NULL) — the idiomatic Spark analog of
+# the reference's tagged serde enums.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("standard", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField(
+            "data",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("owner_id", T.StringType()),
+                        T.StructField("old_owner_id", T.StringType()),
+                        T.StructField("new_owner_id", T.StringType()),
+                        T.StructField("authorized_id", T.StringType()),
+                        T.StructField("amount", T.StringType()),
+                        T.StructField("token_ids", T.ArrayType(T.StringType())),
+                        T.StructField("memo", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+_FT_KINDS = ("ft_mint", "ft_transfer", "ft_burn")
+_NFT_KINDS = ("nft_mint", "nft_transfer", "nft_burn")
+
+# Deterministic construction spec (shared with the oracle SQL):
+# bucket = event_id % 10 selects the line shape.
+#   0,1 ft_transfer | 2 ft_mint | 3 ft_burn | 4 nft_mint
+#   5 nft_transfer  | 6 nft_burn
+#   7 plain (non-event) log line      -> prefix filter drops it
+#   8 malformed JSON after the prefix -> corrupt-record column
+#   9 unknown standard 'nep999'       -> standard validation drops it
+# A second data entry is planted when event_id % 3 == 0 (explode
+# coverage); leading whitespace is planted when event_id % 6 == 0
+# (trim coverage, mirroring the reference's untrimmed_log.trim()).
+
+
+def _s(col: F.Column) -> F.Column:
+    return col.cast("string")
+
+
+def synthesize_event_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (event_id, log_line): the deterministic EVENT_JSON
+    corpus described in the construction spec above."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    b = F.col("event_id") % 10
+    amt = F.round(F.col("value") * 100).cast("long")
+    owner = F.concat(F.lit("acct_"), _s(F.col("user_id")))
+    cparty = F.concat(F.lit("acct_"), _s((F.col("user_id") * 7 + 3) % 1000))
+    owner2 = F.concat(F.lit("acct_"), _s(F.col("user_id") + 1))
+    cparty2 = F.concat(F.lit("acct_"), _s((F.col("user_id") * 7 + 4) % 1000))
+    memo = F.when(
+        F.col("event_id") % 4 == 0, F.concat(F.lit("memo_"), _s(F.col("event_id")))
+    )
+    auth = F.when(
+        F.col("event_id") % 8 == 0, F.concat(F.lit("auth_"), _s(F.col("user_id")))
+    )
+    version = F.when(F.col("event_id") % 7 == 0, F.lit("1.1.0")).otherwise("1.0.0")
+    tok_a = F.concat(F.lit("tok_"), _s(F.col("event_id")))
+    tok1 = F.when(
+        F.col("event_id") % 2 == 0,
+        F.array(tok_a, F.concat(tok_a, F.lit("_b"))),
+    ).otherwise(F.array(tok_a))
+    tok2 = F.array(F.concat(tok_a, F.lit("_1")))
+    null_s = F.lit(None).cast("string")
+    null_arr = F.lit(None).cast("array<string>")
+
+    is_transfer = b.isin(0, 1, 5, 9)  # bucket 9 is transfer-shaped too
+    is_mint = b.isin(2, 4)
+    is_burn = b.isin(3, 6)
+    is_ft = b.isin(0, 1, 2, 3, 9)
+    is_nft = b.isin(4, 5, 6)
+
+    def entry(eff_owner, eff_cparty, eff_amt, eff_tok, eff_memo, eff_auth):
+        return F.struct(
+            F.when(is_mint | is_burn, eff_owner).otherwise(null_s).alias("owner_id"),
+            F.when(is_transfer, eff_owner).otherwise(null_s).alias("old_owner_id"),
+            F.when(is_transfer, eff_cparty).otherwise(null_s).alias("new_owner_id"),
+            F.when(b.isin(5, 6), eff_auth).otherwise(null_s).alias("authorized_id"),
+            F.when(is_ft, _s(eff_amt)).otherwise(null_s).alias("amount"),
+            F.when(is_nft, eff_tok).otherwise(null_arr).alias("token_ids"),
+            eff_memo.alias("memo"),
+        )
+
+    e1 = entry(owner, cparty, amt, tok1, memo, auth)
+    e2 = entry(owner2, cparty2, amt + 1, tok2, null_s, null_s)
+    data_arr = F.when(F.col("event_id") % 3 == 0, F.array(e1, e2)).otherwise(
+        F.array(e1)
+    )
+    standard = F.when(b == 9, F.lit("nep999")).otherwise(
+        F.when(is_ft, F.lit("nep141")).otherwise("nep171")
+    )
+    kind = (
+        F.when(is_transfer & is_ft, F.lit("ft_transfer"))
+        .when(b == 2, F.lit("ft_mint"))
+        .when(b == 3, F.lit("ft_burn"))
+        .when(b == 4, F.lit("nft_mint"))
+        .when(b == 5, F.lit("nft_transfer"))
+        .otherwise("nft_burn")
+    )
+    payload = F.to_json(
+        F.struct(
+            standard.alias("standard"),
+            version.alias("version"),
+            kind.alias("event"),
+            data_arr.alias("data"),
+        )
+    )
+    line = (
+        F.when(b == 7, F.concat(F.lit("log: "), F.col("event_type")))
+        .when(b == 8, F.lit('EVENT_JSON:{"standard": nope'))
+        .otherwise(F.concat(F.lit(_PREFIX), payload))
+    )
+    line = F.when(
+        F.col("event_id") % 6 == 0, F.concat(F.lit("  "), line)
+    ).otherwise(line)
+    return ev.select("event_id", line.alias("log_line"))
+
+
+def extract_typed_events(logs: DataFrame) -> DataFrame:
+    """(event_id, log_line) -> typed event-entry rows.
+
+    The real parsing pipeline: trim, EVENT_JSON prefix filter, trimmed
+    suffix into from_json(EVENT_SCHEMA) with PERMISSIVE corrupt-record
+    capture, standard/kind validation, posexplode of the data array,
+    reference-style old/new-owner normalization with empty-string
+    defaults, and a per-entry dedup key + DISTINCT (the ON CONFLICT DO
+    NOTHING analog)."""
+    trimmed = F.trim(F.col("log_line"))
+    parsed = (
+        logs.select("event_id", trimmed.alias("line"))
+        .where(F.col("line").startswith(_PREFIX))
+        .select(
+            "event_id",
+            F.from_json(
+                F.trim(F.substring(F.col("line"), len(_PREFIX) + 1, 1 << 30)),
+                EVENT_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("ev"),
+        )
+    )
+    valid = parsed.where(
+        F.col("ev._corrupt").isNull()
+        & (
+            (
+                (F.col("ev.standard") == "nep141")
+                & F.col("ev.event").isin(*_FT_KINDS)
+            )
+            | (
+                (F.col("ev.standard") == "nep171")
+                & F.col("ev.event").isin(*_NFT_KINDS)
+            )
+        )
+        & F.col("ev.data").isNotNull()
+    )
+    d = F.col("d")
+    kind = F.col("ev.event")
+    old_owner = (
+        F.when(kind.isin("ft_transfer", "nft_transfer"), d.getField("old_owner_id"))
+        .when(kind.isin("ft_burn", "nft_burn"), d.getField("owner_id"))
+        .otherwise("")
+    )
+    new_owner = (
+        F.when(kind.isin("ft_transfer", "nft_transfer"), d.getField("new_owner_id"))
+        .when(kind.isin("ft_mint", "nft_mint"), d.getField("owner_id"))
+        .otherwise("")
+    )
+    cols = [
+        F.col("event_id").alias("emitted_by_event_id"),
+        F.col("pos").cast("long").alias("entry_index"),
+        F.col("ev.standard").alias("standard"),
+        F.col("ev.version").alias("version"),
+        kind.alias("event_kind"),
+        old_owner.alias("old_owner"),
+        new_owner.alias("new_owner"),
+        F.coalesce(d.getField("amount"), F.lit("")).alias("amount"),
+        F.coalesce(d.getField("authorized_id"), F.lit("")).alias("authorized_id"),
+        F.coalesce(F.array_join(d.getField("token_ids"), ","), F.lit("")).alias(
+            "token_ids_csv"
+        ),
+        F.coalesce(d.getField("memo"), F.lit("")).alias("memo"),
+    ]
+    out = valid.select("event_id", "ev", F.posexplode("ev.data").alias("pos", "d")).select(
+        *cols
+    )
+    dedup_key = F.md5(
+        F.concat_ws(
+            "|",
+            _s(F.col("emitted_by_event_id")),
+            _s(F.col("entry_index")),
+            "standard",
+            "event_kind",
+            "old_owner",
+            "new_owner",
+            "amount",
+            "token_ids_csv",
+            "memo",
+            "authorized_id",
+        )
+    )
+    return out.withColumn("dedup_key", dedup_key).distinct()
+
+
+def events_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed FT/NFT event table from EVENT_JSON log lines."""
+    return extract_typed_events(synthesize_event_logs(spark, sf_dir))
+
+
+QUERIES["events_typed_extract"] = events_typed_extract
+
+# The oracle derives the typed rows straight from the construction spec
+# (no JSON round-trip), so parity proves the Spark to_json -> from_json
+# -> validate -> explode path is exactly lossless.
+_TYPED_BASE_SQL = """
+    base AS (
+      SELECT event_id, user_id,
+             event_id % 10 AS b,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS amt,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) + 1 AS VARCHAR) AS amt2,
+             'acct_' || CAST(user_id AS VARCHAR) AS owner,
+             'acct_' || CAST((user_id * 7 + 3) % 1000 AS VARCHAR) AS cparty,
+             'acct_' || CAST(user_id + 1 AS VARCHAR) AS owner2,
+             'acct_' || CAST((user_id * 7 + 4) % 1000 AS VARCHAR) AS cparty2,
+             CASE WHEN event_id % 4 = 0
+                  THEN 'memo_' || CAST(event_id AS VARCHAR) ELSE NULL END AS memo,
+             CASE WHEN event_id % 8 = 0
+                  THEN 'auth_' || CAST(user_id AS VARCHAR) ELSE NULL END AS auth,
+             CASE WHEN event_id % 7 = 0 THEN '1.1.0' ELSE '1.0.0' END AS version,
+             CASE WHEN event_id % 2 = 0
+                  THEN 'tok_' || CAST(event_id AS VARCHAR) || ',tok_'
+                       || CAST(event_id AS VARCHAR) || '_b'
+                  ELSE 'tok_' || CAST(event_id AS VARCHAR) END AS tok1,
+             'tok_' || CAST(event_id AS VARCHAR) || '_1' AS tok2
+      FROM events
+      WHERE event_id % 10 <= 6
+    ),
+    entries AS (
+      SELECT *, 0 AS entry_index FROM base
+      UNION ALL
+      SELECT *, 1 AS entry_index FROM base WHERE event_id % 3 = 0
+    ),
+    typed AS (
+      SELECT event_id AS emitted_by_event_id,
+             CAST(entry_index AS BIGINT) AS entry_index,
+             CASE WHEN b <= 3 THEN 'nep141' ELSE 'nep171' END AS standard,
+             version,
+             CASE WHEN b IN (0, 1) THEN 'ft_transfer'
+                  WHEN b = 2 THEN 'ft_mint'
+                  WHEN b = 3 THEN 'ft_burn'
+                  WHEN b = 4 THEN 'nft_mint'
+                  WHEN b = 5 THEN 'nft_transfer'
+                  ELSE 'nft_burn' END AS event_kind,
+             CASE WHEN b IN (0, 1, 5)
+                    THEN (CASE WHEN entry_index = 0 THEN owner ELSE owner2 END)
+                  WHEN b IN (3, 6)
+                    THEN (CASE WHEN entry_index = 0 THEN owner ELSE owner2 END)
+                  ELSE '' END AS old_owner,
+             CASE WHEN b IN (0, 1, 5)
+                    THEN (CASE WHEN entry_index = 0 THEN cparty ELSE cparty2 END)
+                  WHEN b IN (2, 4)
+                    THEN (CASE WHEN entry_index = 0 THEN owner ELSE owner2 END)
+                  ELSE '' END AS new_owner,
+             CASE WHEN b <= 3
+                    THEN (CASE WHEN entry_index = 0 THEN amt ELSE amt2 END)
+                  ELSE '' END AS amount,
+             CASE WHEN b IN (5, 6) AND entry_index = 0
+                    THEN COALESCE(auth, '') ELSE '' END AS authorized_id,
+             CASE WHEN b >= 4
+                    THEN (CASE WHEN entry_index = 0 THEN tok1 ELSE tok2 END)
+                  ELSE '' END AS token_ids_csv,
+             CASE WHEN entry_index = 0 THEN COALESCE(memo, '') ELSE '' END AS memo
+      FROM entries
+    )
+"""
+
+ORACLES["events_typed_extract"] = f"""
+    WITH {_TYPED_BASE_SQL}
+    SELECT DISTINCT *,
+           md5(concat_ws('|',
+               CAST(emitted_by_event_id AS VARCHAR),
+               CAST(entry_index AS VARCHAR),
+               standard, event_kind, old_owner, new_owner, amount,
+               token_ids_csv, memo, authorized_id)) AS dedup_key
+    FROM typed
+"""
+
+
+def ft_affected_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account FT balance impact from the typed NEP-141 events:
+    mint credits the owner, transfer debits old / credits new, burn
+    debits the owner — the affected-account rollup the reference's FT
+    adapter feeds (fungible_token_events.rs:56-138).
+
+    Single pass: each typed row expands to its (account, delta) legs
+    via a filtered array explode (no self-union, no second scan)."""
+    typed = events_typed_extract(spark, sf_dir).where(
+        F.col("standard") == "nep141"
+    )
+    amt = F.col("amount").cast("long")
+    legs = F.array(
+        F.when(
+            F.col("event_kind").isin("ft_mint", "ft_transfer"),
+            F.struct(F.col("new_owner").alias("account_id"), amt.alias("delta")),
+        ),
+        F.when(
+            F.col("event_kind").isin("ft_burn", "ft_transfer"),
+            F.struct(F.col("old_owner").alias("account_id"), (-amt).alias("delta")),
+        ),
+    )
+    exploded = typed.select(
+        F.explode(F.filter(legs, lambda x: x.isNotNull())).alias("leg")
+    ).select("leg.account_id", "leg.delta")
+    return exploded.groupBy("account_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum("delta").alias("net_delta"),
+    )
+
+
+QUERIES["ft_affected_accounts"] = ft_affected_accounts
+
+ORACLES["ft_affected_accounts"] = f"""
+    WITH {_TYPED_BASE_SQL},
+    legs AS (
+      SELECT new_owner AS account_id, CAST(amount AS BIGINT) AS delta
+      FROM typed
+      WHERE standard = 'nep141' AND event_kind IN ('ft_mint', 'ft_transfer')
+      UNION ALL
+      SELECT old_owner, -CAST(amount AS BIGINT)
+      FROM typed
+      WHERE standard = 'nep141' AND event_kind IN ('ft_burn', 'ft_transfer')
+    )
+    SELECT account_id, COUNT(*) AS n_legs,
+           CAST(SUM(delta) AS BIGINT) AS net_delta
+    FROM legs
+    GROUP BY account_id
+"""

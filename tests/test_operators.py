@@ -95,6 +95,50 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     assert len({r["text_hash"] for r in rows}) == len(rows)
 
 
+def test_typed_event_extraction_policies(spark, sf_dir):
+    """The EVENT_JSON parser must drop non-event log lines, capture
+    malformed JSON via the corrupt-record column (not crash), drop
+    unknown standards, and keep every valid kind."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        EVENT_SCHEMA,
+        events_typed_extract,
+        synthesize_event_logs,
+    )
+
+    logs = synthesize_event_logs(spark, sf_dir)
+    typed = events_typed_extract(spark, sf_dir)
+    # buckets 7 (no prefix), 8 (malformed), 9 (unknown standard) must
+    # never reach the typed output
+    bad = typed.where(F.col("emitted_by_event_id") % 10 >= 7).count()
+    assert bad == 0
+    kinds = {r["event_kind"] for r in typed.select("event_kind").distinct().collect()}
+    assert kinds == {
+        "ft_mint", "ft_transfer", "ft_burn",
+        "nft_mint", "nft_transfer", "nft_burn",
+    }
+    # malformed lines surface in _corrupt instead of killing the parse
+    corrupt = (
+        logs.where(F.trim("log_line").startswith("EVENT_JSON:"))
+        .select(
+            F.from_json(
+                F.expr("trim(substring(trim(log_line), 12))"),
+                EVENT_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("ev")
+        )
+        .where(F.col("ev._corrupt").isNotNull())
+        .count()
+    )
+    n_malformed = logs.where(F.col("event_id") % 10 == 8).count()
+    assert corrupt == n_malformed > 0
+    # second data entries exploded: event_id % 3 == 0 rows have 2 entries
+    two = typed.where(F.col("entry_index") == 1)
+    assert two.count() > 0
+    assert two.where(F.col("emitted_by_event_id") % 3 != 0).count() == 0
+
+
 def test_jaccard_df_prune_bounds_posting_lists(spark, sf_dir):
     """The df-cap must actually bound every posting list (the 100 TB
     guarantee: no shingle's candidate contribution exceeds cap^2), and
