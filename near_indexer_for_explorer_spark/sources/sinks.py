@@ -55,16 +55,32 @@ def upsert_parquet(
     snapshot_dir: str,
     key_cols: list[str],
     order_cols: list[str],
+    n_buckets: int = 16,
 ) -> None:
-    """Last-write-wins keyed merge into a parquet snapshot (the batch
-    twin of the streaming foreachBatch sink; semantics mirror
-    adapters/accounts.rs:93 guarded updates)."""
+    """Last-write-wins keyed merge into a hash-partitioned parquet
+    snapshot (the batch twin of the streaming foreachBatch sink;
+    semantics mirror adapters/accounts.rs:93 guarded updates).
+
+    The snapshot is partitioned on __bucket = xxhash64(keys) %
+    n_buckets; a merge reads only the buckets holding the batch's keys
+    (partition-pruned) and commits them via dynamic partition
+    overwrite, so the cost is O(touched state) — no full-snapshot
+    rewrite, no driver-local directory swaps."""
     spark = batch.sparkSession
     snapshot = os.path.join(snapshot_dir, "state")
-    staging = snapshot + "._staging"
+    batch = batch.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int"),
+    )
     current = batch
     if os.path.exists(snapshot):
-        current = spark.read.parquet(snapshot).unionByName(batch)
+        touched = [
+            r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+        ]
+        existing = spark.read.parquet(snapshot).where(
+            F.col("__bucket").isin(touched)
+        )
+        current = existing.unionByName(batch)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
@@ -72,13 +88,13 @@ def upsert_parquet(
         current.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(snapshot)
     )
-    merged.write.mode("overwrite").parquet(staging)
-    import shutil
-
-    if os.path.exists(snapshot):
-        shutil.rmtree(snapshot)
-    os.replace(staging, snapshot)
 
 
 def write_jdbc(

@@ -135,25 +135,47 @@ def dedup_event_stream(
     )
 
 
-def foreach_batch_keyed_upsert(out_dir: str) -> Callable[[DataFrame, int], None]:
-    """C4: last-write-wins keyed sink for foreachBatch.
+N_STATE_BUCKETS = 16
+
+
+def foreach_batch_keyed_upsert(
+    out_dir: str, n_buckets: int = N_STATE_BUCKETS
+) -> Callable[[DataFrame, int], None]:
+    """C4: last-write-wins keyed sink for foreachBatch, partitioned so a
+    micro-batch only rewrites the state partitions it touches.
 
     Merge semantics mirror accounts.rs:93: keep the row with the
     greatest (ts, event_id) per user_id; re-delivering a batch cannot
     change the outcome (idempotent), which is the exactly-once contract
-    a JDBC sink needs.  Swap the parquet read/write for a database
-    MERGE when a JDBC URL is available."""
+    a JDBC sink needs.
+
+    Scale design: the snapshot is hash-partitioned on
+    bucket = user_id % n_buckets.  Each batch reads ONLY the buckets
+    containing its keys (partition pruning on the snapshot scan), merges
+    them with the batch, and commits via dynamic partition overwrite —
+    untouched buckets' files are never read or rewritten, so the
+    per-batch cost is O(touched state), not O(total state).  The merged
+    buckets are localCheckpoint'ed before the write to cut the lineage
+    back to the files being overwritten.  On a real deployment the same
+    shape becomes MERGE INTO an Iceberg/Delta table keyed on user_id."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
         snapshot = os.path.join(out_dir, "state")
-        staging = os.path.join(out_dir, f"_staging_{batch_id}")
-        current = batch_df
+        batch = batch_df.withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+        )
+        current = batch
         if os.path.exists(snapshot):
-            existing = spark.read.parquet(snapshot)
-            current = existing.unionByName(batch_df)
+            touched = [
+                r["bucket"] for r in batch.select("bucket").distinct().collect()
+            ]
+            existing = spark.read.parquet(snapshot).where(
+                F.col("bucket").isin(touched)
+            )
+            current = existing.unionByName(batch)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -161,13 +183,13 @@ def foreach_batch_keyed_upsert(out_dir: str) -> Callable[[DataFrame, int], None]
             current.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
+        ).localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(snapshot)
         )
-        merged.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        if os.path.exists(snapshot):
-            shutil.rmtree(snapshot)
-        os.replace(staging, snapshot)
 
     return sink
 
@@ -295,35 +317,51 @@ def foreach_batch_daily_rollup(out_dir: str) -> Callable[[DataFrame, int], None]
     Each micro-batch is aggregated to per-day partials which MERGE into
     the snapshot by summing with the existing partials — the rollup is
     always query-ready without rescanning history.  Partials use exact
-    decimals so merge order never changes the result."""
+    decimals so merge order never changes the result.
+
+    Scale design: the snapshot is partitioned by event_date; a batch
+    reads only the dates it touches (partition-pruned scan) and commits
+    them via dynamic partition overwrite, leaving every other day's
+    files untouched — per-batch cost is O(days in batch), not O(all
+    history)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         snapshot = os.path.join(out_dir, "rollup")
-        staging = os.path.join(out_dir, f"_staging_{batch_id}")
         partial = (
             batch_df.groupBy(F.to_date("ts").alias("event_date"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value_dec"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("decimal(20,2)")
+                .alias("total_value_dec"),
             )
         )
         if os.path.exists(snapshot):
-            existing = spark.read.parquet(snapshot)
+            touched = [
+                r["event_date"]
+                for r in partial.select("event_date").distinct().collect()
+            ]
+            existing = spark.read.parquet(snapshot).where(
+                F.col("event_date").isin(touched)
+            )
             partial = (
                 existing.unionByName(partial)
                 .groupBy("event_date")
                 .agg(
                     F.sum("n_events").alias("n_events"),
-                    F.sum("total_value_dec").alias("total_value_dec"),
+                    F.sum("total_value_dec")
+                    .cast("decimal(20,2)")
+                    .alias("total_value_dec"),
                 )
             )
-        partial.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        if os.path.exists(snapshot):
-            shutil.rmtree(snapshot)
-        os.replace(staging, snapshot)
+        partial = partial.localCheckpoint(eager=True)
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(snapshot)
+        )
 
     return sink
 
@@ -338,4 +376,96 @@ def incremental_daily_rollup(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str,
+    join_type: str = "inner",
+):
+    """C8: watermarked stream-stream join — the true Spark analog of the
+    reference's receipts_cache (database/src/receipts_cache.rs:1-16,
+    adapters/receipts.rs:40): receipts must be matched to transactions
+    that arrived in EARLIER streamed blocks, so the match state must
+    persist across micro-batches with bounded memory.
+
+    Purchases (receipts) join to every click (transaction) by the same
+    user within the preceding ATTRIBUTION_WINDOW.  Both sides carry a
+    1-hour watermark and the join condition bounds c_ts to
+    [p_ts - window, p_ts], so Spark evicts click state once the
+    purchase-side watermark passes p_ts, and drops events arriving more
+    than 1 hour late — the late policy is explicit, not accidental.
+    join_type='left_outer' additionally emits unmatched purchases with
+    null click columns once the watermark proves no match can arrive."""
+    purchases = (
+        read_event_stream(spark, src_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            "user_id",
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_event_stream(spark, src_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("user_id").alias("c_user_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id "
+            f"AND c_ts >= p_ts - INTERVAL {ATTRIBUTION_WINDOW} "
+            "AND c_ts <= p_ts"
+        ),
+        join_type,
+    ).select("p_event_id", "user_id", "p_ts", "p_value", "c_event_id", "c_ts")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bootstrap_user_state(
+    genesis_df: DataFrame, out_dir: str, n_buckets: int = N_STATE_BUCKETS
+) -> None:
+    """C9: genesis-style bootstrap (database/src/adapters/genesis.rs:
+    1-132 analog): bulk-load an initial keyed state snapshot in the
+    exact partitioned layout foreach_batch_keyed_upsert maintains, so a
+    stream started afterwards continues merging into it WITHOUT
+    reprocessing history — batch backfill and streaming tail compose
+    through the shared last-write-wins contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    state = (
+        genesis_df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        state.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "state"))
     )

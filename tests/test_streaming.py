@@ -320,6 +320,124 @@ def test_compact_parquet(spark, event_batches, tmp_path):
     ).parquet(event_batches).count()
 
 
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, event_batches):
+    """C8: the watermarked stream-stream join must equal its batch twin
+    — every (purchase, click) pair by the same user with the click in
+    the 30 minutes before the purchase — even though clicks and
+    purchases arrive across different micro-batches."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        stream_stream_attribution,
+    )
+
+    q = stream_stream_attribution(spark, event_batches, "ss_attrib")
+    _await(q, timeout=180)
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in spark.sql("SELECT * FROM ss_attrib").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user_id"),
+    )
+    want = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    }
+    assert want, "test data should contain attributable purchases"
+    assert got == want
+
+
+def test_genesis_bootstrap_plus_stream_equals_batch(
+    spark, sf_dir, event_batches, tmp_path
+):
+    """C9: batch-bootstrap the state from a genesis snapshot (first
+    half of history), then stream ONLY the second half — the final
+    state must equal the full-history batch answer, proving the stream
+    continued from the snapshot without reprocessing."""
+    import shutil
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_last_state_per_user,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        bootstrap_user_state,
+        upsert_user_state,
+    )
+
+    files = sorted(os.listdir(event_batches))
+    assert len(files) == 2
+    genesis = spark.read.schema(EVENT_SCHEMA).parquet(
+        os.path.join(event_batches, files[0])
+    )
+    out = str(tmp_path / "boot_state")
+    bootstrap_user_state(genesis, out)
+    tail_src = str(tmp_path / "tail_src")
+    os.makedirs(tail_src)
+    shutil.copy(os.path.join(event_batches, files[1]), tail_src)
+    q = upsert_user_state(spark, tail_src, out, str(tmp_path / "ckpt"))
+    _await(q)
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in spark.read.parquet(os.path.join(out, "state")).collect()
+    }
+    want = {
+        r["user_id"]: (r["last_event_id"], r["last_ts"])
+        for r in events_last_state_per_user(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The scale contract of the partitioned sinks: merging a batch
+    that touches one bucket must leave every other bucket's files
+    byte-identical (same paths, same mtimes) — O(touched state), not a
+    snapshot rewrite."""
+    import glob
+
+    from near_indexer_for_explorer_spark.sources.sinks import upsert_parquet
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "snap")
+    upsert_parquet(ev, out, ["user_id"], ["ts", "event_id"])
+    state = os.path.join(out, "state")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(state, "**", "*.parquet"), recursive=True)
+    }
+    one_user = ev.orderBy("event_id").limit(1)
+    upsert_parquet(one_user, out, ["user_id"], ["ts", "event_id"])
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(state, "**", "*.parquet"), recursive=True)
+    }
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in set(before) ^ set(after)
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    assert len(changed_dirs) == 1, f"expected 1 touched bucket, got {changed_dirs}"
+    # and the merge is still correct
+    got = spark.read.parquet(state)
+    assert got.count() == ev.select("user_id").distinct().count()
+
+
 def test_stateful_sessionize_late_data_absorbed(spark, sf_dir, tmp_path_factory):
     """A batch arriving with timestamps older than the state frontier
     must be absorbed into the open session (no lost rows, no backward
