@@ -1198,3 +1198,260 @@ def events_sliding_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(dec_money("value")).over(w).cast("double").alias("value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A33: correlated-min supplier selection (TPC-H Q2 shape over the lineitem
+# part-supplier bridge; reference analog: cheapest-gas access key per
+# account — pick the child row achieving a per-parent minimum).
+# ---------------------------------------------------------------------------
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+       AND p.p_size <= 10 AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM eligible
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+           CAST(e.cost AS DOUBLE) AS min_cost
+    FROM ranked e
+    JOIN part p ON e.l_partkey = p.p_partkey
+    JOIN supplier s ON e.l_suppkey = s.s_suppkey
+    WHERE e.cost = e.min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each filtered part, the EUROPE supplier(s)
+    achieving the minimum cost (min l_extendedprice over the lineitem
+    bridge — the test schema has no partsupp table).
+
+    Plan: both dims (filtered parts, region-filtered suppliers)
+    broadcast into the fact scan, one shuffle for the (part, supplier)
+    aggregate, and the per-part minimum rides the SAME partitioning via
+    a window — no second shuffle, no correlated subquery re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region")),
+              (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "EUROPE"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    eligible = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec_money("l_extendedprice")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = eligible.withColumn("min_cost_dec", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost_dec")
+    )
+    return (
+        ranked.join(F.broadcast(part), ranked.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ranked.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A34: distinct-count with exclusion anti-join (TPC-H Q16 shape; reference
+# analog: distinct active access keys per account class, excluding
+# blacklisted signers).
+# ---------------------------------------------------------------------------
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    with a broadcast ANTI-join excluding the 'complaint' suppliers
+    (deterministic s_suppkey % 4 analog — the test supplier table has
+    no comment column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 4 == 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A35: semi-join chain by child aggregate (TPC-H Q20 shape; reference
+# analog: validators that produced more than a block threshold in an
+# epoch — parents selected by a child-side aggregate filter).
+# ---------------------------------------------------------------------------
+@_register(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM shipped WHERE qty > CAST(50 AS DECIMAL(12,2))
+    )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a quantity
+    threshold of some single part within a year — a left_semi join
+    against a child-side aggregate, keeping the supplier row intact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    excess = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(dsum_money("l_quantity", "qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A36: meta-transaction / delegate-action unroll (migrations/
+# 2023-02-28-160000_meta_tx/up.sql: actions gain is_delegate_action +
+# delegate_parent_index; a DELEGATE_ACTION wraps inner actions that are
+# unrolled as rows pointing at their parent's index).
+# ---------------------------------------------------------------------------
+@_register(
+    "meta_tx_unroll",
+    """
+    WITH acts AS (
+      SELECT l_orderkey AS o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber,
+                                         CAST(l_quantity AS DOUBLE)) AS rn,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             (l_orderkey % 11 = 0) AS is_meta
+      FROM lineitem
+    )
+    SELECT o_orderkey, CAST(rn - 1 AS BIGINT) AS action_index,
+           'TRANSFER' AS action_kind, FALSE AS is_delegate_action,
+           CAST(NULL AS BIGINT) AS delegate_parent_index, qty AS amount
+    FROM acts WHERE NOT is_meta
+    UNION ALL
+    SELECT o_orderkey, CAST(rn AS BIGINT), 'TRANSFER', FALSE,
+           CAST(0 AS BIGINT), qty
+    FROM acts WHERE is_meta
+    UNION ALL
+    SELECT o_orderkey, CAST(0 AS BIGINT), 'DELEGATE_ACTION', TRUE,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM acts WHERE is_meta GROUP BY o_orderkey
+    """,
+)
+def meta_tx_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegate-action unroll: orders with o_orderkey % 11 == 0 model
+    meta-transactions — their line actions are wrapped under a synthetic
+    DELEGATE_ACTION row at index 0, and each inner action carries
+    delegate_parent_index = 0; plain orders emit their actions directly.
+
+    One window pass assigns per-parent action indexes; the parent rows
+    come from an aggregate over the SAME partitioning, so the whole
+    unroll is a single shuffle + cheap union."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        (F.col("l_orderkey") % 11 == 0).alias("is_meta"),
+    )
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+    # qty is the only payload column, so (linenumber, qty) is a total
+    # order up to interchangeable rows — the index assignment is then
+    # engine-independent
+    w = Window.partitionBy("o_orderkey").orderBy("l_linenumber", "qty")
+    acts = li.withColumn("rn", F.row_number().over(w))
+    null_ix = F.lit(None).cast("long")
+    plain = acts.where(~F.col("is_meta")).select(
+        "o_orderkey",
+        (F.col("rn") - 1).cast("long").alias("action_index"),
+        F.lit("TRANSFER").alias("action_kind"),
+        F.lit(False).alias("is_delegate_action"),
+        null_ix.alias("delegate_parent_index"),
+        F.col("qty").alias("amount"),
+    )
+    inner = acts.where(F.col("is_meta")).select(
+        "o_orderkey",
+        F.col("rn").cast("long").alias("action_index"),
+        F.lit("TRANSFER").alias("action_kind"),
+        F.lit(False).alias("is_delegate_action"),
+        F.lit(0).cast("long").alias("delegate_parent_index"),
+        F.col("qty").alias("amount"),
+    )
+    parents = (
+        acts.where(F.col("is_meta"))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "o_orderkey",
+            F.lit(0).cast("long").alias("action_index"),
+            F.lit("DELEGATE_ACTION").alias("action_kind"),
+            F.lit(True).alias("is_delegate_action"),
+            null_ix.alias("delegate_parent_index"),
+            F.lit(None).cast("double").alias("amount"),
+        )
+    )
+    return plain.unionByName(inner).unionByName(parents)

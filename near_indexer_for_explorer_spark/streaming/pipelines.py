@@ -379,6 +379,22 @@ def incremental_daily_rollup(
     )
 
 
+def foreach_batch_jdbc(table: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch -> JDBC sink (the reference's literal PostgreSQL
+    write path).  Gated like sources.sinks.write_jdbc: a no-op without
+    SPARK_GRAFT_JDBC_URL (this container has no server/driver jar);
+    with the URL set, each micro-batch appends to the table and the
+    gated integration test in tests/test_streaming.py exercises the
+    full stream -> JDBC path."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.sources.sinks import write_jdbc
+
+        write_jdbc(batch_df, table)
+
+    return sink
+
+
 ATTRIBUTION_WINDOW = "30 minutes"
 
 

@@ -61,6 +61,32 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         assert "MapInPandas" not in plan, name
 
 
+def test_q2_broadcast_dims_window_min(spark, sf_dir):
+    """Q2 shape: filtered part + region-filtered supplier dims must
+    broadcast; the per-part minimum must ride a window, not a second
+    aggregate-join (so the fact shuffles once on the group key)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        q2_min_cost_supplier,
+    )
+
+    plan = _formatted_plan(spark, q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    """The complaint-supplier exclusion must plan as a broadcast
+    anti-join, never a shuffled one (the exclusion dim is tiny)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        q16_supplier_part_counts,
+    )
+
+    plan = _formatted_plan(spark, q16_supplier_part_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_embedding_dedup_no_nested_loop_join(spark, sf_dir):
     """The blocked near-dup operator must plan bucket-local equi-joins
     only: a BroadcastNestedLoopJoin or CartesianProduct would mean the

@@ -438,6 +438,39 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(
     assert got.count() == ev.select("user_id").distinct().count()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_JDBC_URL"),
+    reason="SPARK_GRAFT_JDBC_URL not set (no database server in this container)",
+)
+def test_jdbc_sink_roundtrip(spark, sf_dir, event_batches, tmp_path):
+    """Activated only with a real JDBC URL: the batch sink writes and
+    reads back a table, and the streaming foreachBatch JDBC path
+    delivers every event exactly once per run."""
+    from near_indexer_for_explorer_spark.sources.sinks import write_jdbc
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_jdbc,
+        read_event_stream,
+    )
+
+    url = os.environ["SPARK_GRAFT_JDBC_URL"]
+    nation = load_table(spark, sf_dir, "nation")
+    assert write_jdbc(nation, "nation_jdbc", mode="overwrite") is True
+    assert spark.read.jdbc(url, "nation_jdbc").count() == nation.count()
+
+    q = (
+        read_event_stream(spark, event_batches)
+        .writeStream.foreachBatch(foreach_batch_jdbc("events_jdbc"))
+        .option("checkpointLocation", str(tmp_path / "jdbc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.jdbc(url, "events_jdbc").count()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want
+
+
 def test_stateful_sessionize_late_data_absorbed(spark, sf_dir, tmp_path_factory):
     """A batch arriving with timestamps older than the state frontier
     must be absorbed into the open session (no lost rows, no backward
