@@ -319,11 +319,22 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_dedup_cosine_allpairs below keeps the exact O(n^2)
     baseline for tiny-sf recall tests."""
     e = _vectors(spark, sf_dir)
+    # the banded relation carries the vector itself (8x replication —
+    # standard LSH layout), so the bucket-local self-join verifies
+    # cosine IN PLACE: no join back to the corpus, and the distinct
+    # runs over threshold survivors only, never the full candidate
+    # multiset
     banded = e.select(
-        "vec_id", F.explode(dup_band_buckets(F.col("emb"))).alias("b")
-    ).select("vec_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket"))
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(dup_band_buckets(F.col("emb"))).alias("b"),
+    ).select("vec_id", "emb", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cos = F.round(
+        cosine(F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")), 6
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -333,27 +344,10 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id_1"),
             F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cos_sim"),
         )
-        .distinct()
-    )
-    x = e.select(
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("emb").alias("emb_1"),
-        F.col("nrm").alias("nrm_1"),
-    )
-    y = e.select(
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("emb").alias("emb_2"),
-        F.col("nrm").alias("nrm_2"),
-    )
-    cos = F.round(
-        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
-    )
-    return (
-        cand.join(x, "vec_id_1")
-        .join(y, "vec_id_2")
-        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= DUP_COSINE_THRESHOLD)
+        .distinct()
     )
 
 
@@ -390,19 +384,25 @@ def embedding_dedup_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
 _IVF_K = 16  # centroids
 _IVF_ITERS = 2
 _IVF_NPROBE = 4
+# k-means trains on the deterministic vec_id % _IVF_TRAIN_MOD == 0
+# sample; only the (linear, single-pass) assignment sees the full
+# corpus.  At 100 TB the training pass is then bounded by the sample,
+# exactly as IVF indexes are built in practice.
+_IVF_TRAIN_MOD = 5
 
 
 def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> DataFrame:
     """Deterministic mini k-means entirely in DataFrame ops: seeds are
-    the first k vectors by vec_id (stable), then `iters` Lloyd rounds of
-    assign (crossJoin + min-distance) and recenter (positional mean via
-    posexplode + groupBy).
+    the first k vectors of the training input by vec_id (stable), then
+    `iters` Lloyd rounds of assign (crossJoin + min-distance) and
+    recenter (positional mean via posexplode + groupBy).
 
     Scale notes: each round is one broadcast of k centroids + one
-    shuffle keyed on (centroid, dim) — linear in corpus size; k and
-    iters are constants.  At 100 TB you train on a sample and only the
-    assignment pass sees the full corpus."""
-    seeds = e.where(F.col("vec_id") < k).select(
+    shuffle keyed on (centroid, dim) — linear in the TRAINING input,
+    which ann_ivf_topk restricts to the deterministic
+    vec_id % _IVF_TRAIN_MOD sample; only the single assignment pass
+    sees the full corpus."""
+    seeds = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     centroids = seeds
@@ -485,7 +485,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = _vectors(spark, sf_dir)
-    centroids = _kmeans_centroids(e.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    centroids = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
     lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
     corpus = e.join(lists, "vec_id")
 
@@ -597,7 +598,7 @@ def _ivf_oracle_sql() -> str:
         "SELECT v.vec_id, c.centroid_id, v.emb, "
         f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
         "c.centroid_id ASC) AS rk "
-        "FROM e v, {cents} c) WHERE rk = 1"
+        "FROM {src} v, {cents} c) WHERE rk = 1"
     )
     recenter = (
         "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
@@ -610,19 +611,20 @@ def _ivf_oracle_sql() -> str:
     iter_ctes = []
     prev = "c0"
     for it in range(1, _IVF_ITERS + 1):
-        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev)})")
+        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev, src='es')})")
         iter_ctes.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
         prev = f"c{it}"
     iters_sql = ",\n    ".join(iter_ctes)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
     n AS (SELECT vec_id, emb,
                  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
           FROM e),
-    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
-           WHERE vec_id < {_IVF_K}),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es
+           ORDER BY vec_id LIMIT {_IVF_K}),
     {iters_sql},
-    lists AS ({assign.format(cents=prev)}),
+    lists AS ({assign.format(cents=prev, src="e")}),
     corpus AS (SELECT l.vec_id, l.centroid_id, n.emb, n.nrm
                FROM lists l JOIN n ON l.vec_id = n.vec_id),
     q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
