@@ -1,0 +1,382 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY.md section 2B, rows B16-B19): eval-set decontamination,
+intra-document repetition metrics, deterministic train/val/test
+splitting with stratified sampling, and corpus-level n-gram statistics.
+
+These extend the dedup/text family (operators/dedup.py, textops.py)
+with the remaining steps a production pretraining pipeline runs between
+"raw documents" and "training shards".  The reference's analog surface
+is its idempotent keyed ingestion (ON CONFLICT DO NOTHING,
+database/src/adapters/transactions.rs) and arg/event text indexing;
+the operators here are the LLM-corpus counterparts the task brief asks
+for as first-class components.
+
+Hashing discipline matches operators/dedup.py: md5 is the only hash
+(both engines share it), so every "random" assignment is deterministic
+and every oracle replicates the pipeline bit-for-bit.  No Python UDFs
+anywhere — pure built-in column expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.text import tokens, word_shingles
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+# shared hashing helpers
+# ---------------------------------------------------------------------------
+_POWERS8 = [16 ** (7 - i) for i in range(8)]
+
+
+def _hash_bucket(col, salt: str, mod: int):
+    """First 8 hex digits of md5(salt || value) as a non-negative long,
+    reduced mod `mod`.  32 bits fits a long exactly; Spark-side conv()
+    and the oracle's positional digit sum agree digit for digit."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def _hash_bucket_sql(expr: str, salt: str, mod: int) -> str:
+    """DuckDB replica of _hash_bucket (no base-16 conv(): positional
+    digit sum against power-of-16 literals, exact)."""
+    powers = ",".join(str(p) for p in _POWERS8)
+    h = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
+    return (
+        "(list_sum(list_transform(range(1,9), i -> "
+        f"CAST(strpos('0123456789abcdef', substring({h}, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
+        f" * ([{powers}])[i])) % {mod})"
+    )
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB word-n-gram from token list `t` (1-based, empty when the
+    doc has fewer than n tokens — range() is empty then), mirroring
+    functions/text.py::word_shingles."""
+    parts = " || ' ' || ".join(f"t[i+{k}]" if k else "t[i]" for k in range(n))
+    return f"SELECT doc_id, {parts} AS sh FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)"
+
+
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# B16 eval-set decontamination (n-gram collision against the train split)
+# ---------------------------------------------------------------------------
+_DECON_N = 8  # standard 8-13 gram window for benchmark decontamination
+_DECON_MOD = 10  # train buckets 0-7, eval 8-9
+_DECON_FRAC = 0.05  # flag eval docs with >= 5% of grams seen in train
+
+ORACLES["decontaminate_overlap"] = f"""
+    WITH {_TOKS_CTE},
+    split AS (
+      SELECT doc_id, t,
+             {_hash_bucket_sql("doc_id", "decon:", _DECON_MOD)} < 8 AS is_train
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        {_gram_sql(_DECON_N).replace("FROM toks", "FROM split")}
+      )
+    ),
+    train_grams AS (
+      SELECT DISTINCT g.sh FROM grams g JOIN split s ON g.doc_id = s.doc_id
+      WHERE s.is_train
+    ),
+    eval_docs AS (
+      SELECT s.doc_id,
+             len(list_distinct(
+               CASE WHEN len(t) >= {_DECON_N}
+                 THEN list_transform(range(1, len(t) - {_DECON_N - 2}),
+                        i -> {" || ' ' || ".join(f"t[i+{k}]" if k else "t[i]" for k in range(_DECON_N))})
+                 ELSE [] END)) AS n_grams
+      FROM split s WHERE NOT s.is_train
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM grams g
+      JOIN split s ON g.doc_id = s.doc_id AND NOT s.is_train
+      JOIN train_grams tg ON g.sh = tg.sh
+      GROUP BY g.doc_id
+    )
+    SELECT e.doc_id,
+           CAST(e.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN e.n_grams = 0 THEN 0.0
+                ELSE CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / e.n_grams
+           END AS overlap_frac,
+           CASE WHEN e.n_grams = 0 THEN FALSE
+                ELSE CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / e.n_grams
+                     >= {_DECON_FRAC}
+           END AS contaminated
+    FROM eval_docs e LEFT JOIN hits h ON e.doc_id = h.doc_id
+"""
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which eval-split documents share word
+    8-grams with the train split, and what fraction of their grams leak.
+
+    Shape: deterministic md5 split -> distinct per-doc gram explode ->
+    semi-shaped equi-join against the DISTINCT train gram set ->
+    per-eval-doc count.  The train side is distinct grams (each gram
+    once), so join fan-out is bounded by the eval posting lists — no
+    hot-gram quadratic blowup, unlike a raw posting self-join; at 100 TB
+    this is one shuffle on `sh` (sort-merge) plus one on doc_id, both
+    linear.  Zero-gram eval docs survive via the left join (n_overlap 0).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    split = docs.withColumn(
+        "is_train", _hash_bucket(F.col("doc_id"), "decon:", _DECON_MOD) < 8
+    )
+    grams = split.select(
+        "doc_id",
+        "is_train",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), _DECON_N))).alias("sh"),
+    )
+    train_grams = grams.where("is_train").select("sh").distinct()
+    eval_grams = grams.where(~F.col("is_train")).select("doc_id", "sh")
+    hits = (
+        eval_grams.join(train_grams, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    eval_docs = split.where(~F.col("is_train")).select(
+        "doc_id",
+        F.size(F.array_distinct(word_shingles(F.col("t"), _DECON_N)))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        n_overlap.cast("double") / F.col("n_grams")
+    )
+    return eval_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_overlap.alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        F.when(F.col("n_grams") == 0, F.lit(False))
+        .otherwise(frac >= _DECON_FRAC)
+        .alias("contaminated"),
+    )
+
+
+QUERIES["decontaminate_overlap"] = decontaminate_overlap
+
+# ---------------------------------------------------------------------------
+# B17 intra-document repetition (Gopher-style duplicate n-gram fractions)
+# ---------------------------------------------------------------------------
+_REP_DUP_FRAC = 0.2
+_REP_MAX_REPEAT = 3
+
+ORACLES["doc_repetition"] = f"""
+    WITH {_TOKS_CTE},
+    arr AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS g3
+      FROM toks
+    ),
+    fr AS (
+      SELECT doc_id,
+             len(g2) AS n_2grams, len(list_distinct(g2)) AS d2,
+             len(g3) AS n_3grams, len(list_distinct(g3)) AS d3
+      FROM arr
+    ),
+    rep AS (
+      SELECT doc_id, MAX(c) AS max_3gram_repeat FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(g3) AS sh FROM arr)
+        GROUP BY doc_id, sh
+      ) GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(f.n_2grams AS BIGINT) AS n_2grams,
+           CASE WHEN f.n_2grams = 0 THEN 0.0
+                ELSE 1.0 - CAST(f.d2 AS DOUBLE) / f.n_2grams END AS dup_frac_2gram,
+           CAST(f.n_3grams AS BIGINT) AS n_3grams,
+           CASE WHEN f.n_3grams = 0 THEN 0.0
+                ELSE 1.0 - CAST(f.d3 AS DOUBLE) / f.n_3grams END AS dup_frac_3gram,
+           CAST(COALESCE(r.max_3gram_repeat, 0) AS BIGINT) AS max_3gram_repeat,
+           (CASE WHEN f.n_3grams = 0 THEN 0.0
+                 ELSE 1.0 - CAST(f.d3 AS DOUBLE) / f.n_3grams END) > {_REP_DUP_FRAC}
+             OR COALESCE(r.max_3gram_repeat, 0) >= {_REP_MAX_REPEAT} AS repetitive
+    FROM fr f LEFT JOIN rep r ON f.doc_id = r.doc_id
+"""
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher/MassiveText repetition
+    rule family): duplicate 2-gram and 3-gram fractions plus the highest
+    single-3-gram repeat count, and a combined `repetitive` flag.
+
+    The duplicate fractions are per-row array arithmetic (size vs
+    array_distinct size — no shuffle at all); only the max-repeat needs
+    an explode, and it pre-aggregates on (doc_id, gram) before the
+    per-doc max, so both shuffles are keyed on doc_id and map-side
+    combine applies.  Linear at any corpus size; per-doc cost is bounded
+    by document length, never corpus size."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    arr = docs.select(
+        "doc_id",
+        word_shingles(F.col("t"), 2).alias("g2"),
+        word_shingles(F.col("t"), 3).alias("g3"),
+    )
+    rep = (
+        arr.select("doc_id", F.explode("g3").alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_3gram_repeat"))
+    )
+    n2, n3 = F.size("g2"), F.size("g3")
+    d2 = F.size(F.array_distinct("g2"))
+    d3 = F.size(F.array_distinct("g3"))
+    dup2 = F.when(n2 == 0, F.lit(0.0)).otherwise(1.0 - d2.cast("double") / n2)
+    dup3 = F.when(n3 == 0, F.lit(0.0)).otherwise(1.0 - d3.cast("double") / n3)
+    maxrep = F.coalesce(F.col("max_3gram_repeat"), F.lit(0)).cast("long")
+    return (
+        arr.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            n2.cast("long").alias("n_2grams"),
+            dup2.alias("dup_frac_2gram"),
+            n3.cast("long").alias("n_3grams"),
+            dup3.alias("dup_frac_3gram"),
+            maxrep.alias("max_3gram_repeat"),
+            ((dup3 > _REP_DUP_FRAC) | (maxrep >= _REP_MAX_REPEAT)).alias("repetitive"),
+        )
+    )
+
+
+QUERIES["doc_repetition"] = doc_repetition
+
+# ---------------------------------------------------------------------------
+# B18 deterministic split + per-language stratified sample
+# ---------------------------------------------------------------------------
+_SPLIT_MOD = 40  # 32/4/4 -> 80% train, 10% val, 10% test
+_SAMPLE_FRAC = 0.2
+
+ORACLES["corpus_split_sample"] = f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} AS sb,
+             {_hash_bucket_sql("doc_id", "samp:", 1 << 31)} AS rk_key
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN sb < 32 THEN 'train'
+                WHEN sb < 36 THEN 'val' ELSE 'test' END AS split,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk_key, doc_id)
+                AS BIGINT) AS strat_rank,
+           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk_key, doc_id)
+             <= ceil({_SAMPLE_FRAC} * COUNT(*) OVER (PARTITION BY lang))
+             AS in_sample
+    FROM b
+"""
+
+
+def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 bucket of doc_id —
+    stable under reshuffles and re-runs, unlike rand()) plus an exactly-
+    sized per-language stratified sample: rank docs inside each language
+    by an independent md5 key and keep the top 20%.
+
+    One window pass partitioned by lang does both the rank and the
+    stratum size; the split column is embarrassingly parallel.  Skewed
+    language strata shuffle as one partition each — at extreme skew the
+    rank key could be salted two-phase (operators/skew.py), but sample
+    assignment only needs rank <= ceil(frac*n), which a two-phase
+    count + per-bucket rank offset also yields."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD).alias("sb"),
+        _hash_bucket(F.col("doc_id"), "samp:", 1 << 31).alias("rk_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("rk_key", "doc_id")
+    wn = Window.partitionBy("lang")
+    rank = F.row_number().over(w).cast("long")
+    n_lang = F.count(F.lit(1)).over(wn).cast("long")
+    split = (
+        F.when(F.col("sb") < 32, "train").when(F.col("sb") < 36, "val").otherwise("test")
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        rank.alias("strat_rank"),
+        n_lang.alias("n_lang"),
+        (rank <= F.ceil(F.lit(_SAMPLE_FRAC) * n_lang)).alias("in_sample"),
+    )
+
+
+QUERIES["corpus_split_sample"] = corpus_split_sample
+
+# ---------------------------------------------------------------------------
+# B19 corpus n-gram statistics (LM corpus profiling)
+# ---------------------------------------------------------------------------
+_NGRAM_TOPK = 50
+
+ORACLES["corpus_ngram_stats"] = f"""
+    WITH {_TOKS_CTE},
+    grams AS ({_gram_sql(3)}),
+    per_doc AS (
+      SELECT sh, doc_id, COUNT(*) AS c FROM grams GROUP BY sh, doc_id
+    ),
+    stats AS (
+      SELECT sh AS gram, SUM(c) AS tf, COUNT(*) AS df FROM per_doc GROUP BY sh
+    )
+    SELECT gram, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM stats
+    ORDER BY tf DESC, gram ASC
+    LIMIT {_NGRAM_TOPK}
+"""
+
+
+def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_NGRAM_TOPK} corpus 3-grams by total term frequency, with
+    document frequency — the corpus-profiling pass an LM data pipeline
+    runs for boilerplate detection and df-cap calibration (it feeds
+    operators/dedup.py's df-prune threshold).
+
+    Two-level aggregation: (gram, doc) partial counts first — map-side
+    combine collapses within-doc repeats before the shuffle — then one
+    shuffle on gram computes tf=sum and df=count without countDistinct's
+    expand.  Top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort).  The
+    (tf DESC, gram ASC) total order makes the boundary deterministic in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    grams = docs.select("doc_id", F.explode(word_shingles(F.col("t"), 3)).alias("sh"))
+    per_doc = grams.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("sh").agg(
+        F.sum("c").cast("long").alias("tf"), F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        stats.select(F.col("sh").alias("gram"), "tf", "df")
+        .orderBy(F.desc("tf"), F.asc("gram"))
+        .limit(_NGRAM_TOPK)
+    )
+
+
+QUERIES["corpus_ngram_stats"] = corpus_ngram_stats

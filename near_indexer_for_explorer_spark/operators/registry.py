@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from near_indexer_for_explorer_spark.multimodal import decode as _decode
 from near_indexer_for_explorer_spark.operators import asof as _asof
 from near_indexer_for_explorer_spark.operators import assets as _assets
+from near_indexer_for_explorer_spark.operators import corpus as _corpus
 from near_indexer_for_explorer_spark.operators import dedup as _dedup
 from near_indexer_for_explorer_spark.operators import similarity as _similarity
 from near_indexer_for_explorer_spark.operators import textops as _textops
@@ -20,6 +21,6 @@ from near_indexer_for_explorer_spark.operators import textops as _textops
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets):
+for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
