@@ -391,3 +391,91 @@ ORACLES["ft_affected_accounts"] = f"""
     FROM legs
     GROUP BY account_id
 """
+
+# Collapsing factor that folds the per-event-unique synthetic token ids
+# into a smaller key space so tokens accumulate a mint -> transfer ->
+# burn history across events (the ownership chains the reference's NFT
+# table records; each real token_id naturally repeats across events).
+_TOKEN_CHAIN_MOD = 500
+
+
+def nft_token_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token ownership rollup from the typed NEP-171 events:
+    current owner = last-write-wins over the (event_id, entry_index)
+    order — mint/transfer set the owner to ``new_owner``, burn clears
+    it to '' — plus per-token event/transfer counts and the last
+    touching event.  The query the reference's NFT table serves
+    (database/src/adapters/assets/non_fungible_token_events.rs:55-147,
+    migrations/2021-10-04-100000_assets_nft: PK (token_id, ...,
+    event_index) with last-state lookups by token).
+
+    The synthetic corpus mints a fresh token id per event, so the
+    operator folds token numbers modulo ``_TOKEN_CHAIN_MOD`` (suffix
+    preserved) to synthesize realistic multi-event chains; the oracle
+    applies the identical fold.
+
+    Scale shape: map-side explode of the token array, then ONE shuffle
+    (groupBy token) with ``max_by`` for the last-write-wins fields —
+    no window over the full history, no self-join.  The per-group
+    order key (event_id * 2 + entry_index) is unique within a token
+    group, so ``max_by`` is deterministic."""
+    typed = events_typed_extract(spark, sf_dir).where(F.col("standard") == "nep171")
+    tok = F.explode(F.split(F.col("token_ids_csv"), ",")).alias("token")
+    rows = typed.select(
+        "emitted_by_event_id", "entry_index", "event_kind", "new_owner", tok
+    )
+    num = F.regexp_extract(F.col("token"), r"^tok_(\d+)", 1).cast("long")
+    suffix = F.regexp_extract(F.col("token"), r"^tok_\d+(.*)$", 1)
+    token_id = F.concat(F.lit("tok_"), _s(num % _TOKEN_CHAIN_MOD), suffix)
+    ord_key = F.col("emitted_by_event_id") * 2 + F.col("entry_index")
+    owner_after = F.when(F.col("event_kind") == "nft_burn", F.lit("")).otherwise(
+        F.col("new_owner")
+    )
+    keyed = rows.select(
+        token_id.alias("token_id"),
+        ord_key.alias("ord_key"),
+        owner_after.alias("owner_after"),
+        "event_kind",
+        "emitted_by_event_id",
+    )
+    return keyed.groupBy("token_id").agg(
+        F.max_by("owner_after", "ord_key").alias("current_owner"),
+        F.max_by("event_kind", "ord_key").alias("last_event_kind"),
+        F.max("emitted_by_event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_kind") == "nft_transfer", F.lit(1)).otherwise(0)
+        ).cast("long").alias("n_transfers"),
+    )
+
+
+QUERIES["nft_token_owners"] = nft_token_owners
+
+ORACLES["nft_token_owners"] = f"""
+    WITH {_TYPED_BASE_SQL},
+    toks AS (
+      SELECT emitted_by_event_id, entry_index, event_kind, new_owner,
+             unnest(string_split(token_ids_csv, ',')) AS token
+      FROM typed
+      WHERE standard = 'nep171'
+    ),
+    keyed AS (
+      SELECT 'tok_' || CAST(CAST(regexp_extract(token, '^tok_(\\d+)', 1) AS BIGINT)
+                            % {_TOKEN_CHAIN_MOD} AS VARCHAR)
+                    || regexp_extract(token, '^tok_\\d+(.*)$', 1) AS token_id,
+             emitted_by_event_id * 2 + entry_index AS ord_key,
+             CASE WHEN event_kind = 'nft_burn' THEN '' ELSE new_owner END
+               AS owner_after,
+             event_kind, emitted_by_event_id
+      FROM toks
+    )
+    SELECT token_id,
+           arg_max(owner_after, ord_key) AS current_owner,
+           arg_max(event_kind, ord_key) AS last_event_kind,
+           MAX(emitted_by_event_id) AS last_event_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_kind = 'nft_transfer' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_transfers
+    FROM keyed
+    GROUP BY token_id
+"""
