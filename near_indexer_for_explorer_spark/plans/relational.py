@@ -1112,6 +1112,133 @@ def lockup_locked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A37: END-TO-END circulating supply (the reference's whole aggregated
+# surface composed in one query): for each monthly snapshot,
+#   circulating = total minted supply
+#               - locked amount across live lockup contracts (FULL A32
+#                 model: linear release + cliff vesting + termination)
+#               - balances held by the deterministic "foundation" set
+# Reference analog: circulating-supply/src/main.rs:1-277 (the nightly
+# job: total_supply of the day's last block, minus get_lockup_token_
+# amounts, minus foundation account balances),
+# circulating-supply/src/account_details.rs:1-59 (the fixed foundation
+# account list), database/src/adapters/aggregated/circulating_supply.rs
+# (one stored row per day).
+#
+# Model over the test tables: each order is a supply grant at
+# o_orderdate (nothing exists before it); orders of "foundation"
+# customers (o_custkey % 100 == 0 — the fixed-list analog) count fully
+# against circulating; all other orders are lockup contracts under the
+# A32 locked(t) formula.
+# ---------------------------------------------------------------------------
+@_register(
+    "circulating_supply_daily",
+    """
+    WITH snapshots AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS snap_date
+      FROM orders
+    ),
+    base AS (
+      SELECT s.snap_date,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS lock_d,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE), s.snap_date) AS DOUBLE) AS d,
+             (o.o_custkey % 100 = 0) AS foundation,
+             (o.o_orderkey % 7 = 0) AS terminated,
+             (o.o_orderkey % 3 = 0 AND o.o_orderkey % 7 <> 0) AS vesting
+      FROM snapshots s CROSS JOIN orders o
+      WHERE datediff('day', CAST(o.o_orderdate AS DATE), s.snap_date) >= 0
+    ),
+    calc AS (
+      SELECT snap_date, lock_d, foundation,
+             CASE WHEN foundation THEN 0.0
+                  ELSE greatest(
+                         greatest(
+                           lock_d * greatest(0.0, (90 - d) / 90)
+                             - CASE WHEN terminated THEN lock_d * 0.1 ELSE 0.0 END,
+                           0.0),
+                         CASE WHEN terminated THEN lock_d * 0.3
+                              WHEN vesting AND d < 30 THEN lock_d
+                              WHEN vesting AND d < 120 THEN lock_d * (120 - d) / 120
+                              ELSE 0.0 END)
+             END AS locked_d
+      FROM base
+    )
+    SELECT snap_date,
+           ROUND(CAST(SUM(CAST(lock_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_supply,
+           ROUND(CAST(SUM(CAST(locked_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_locked,
+           ROUND(CAST(SUM(CAST(CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE), 2) AS foundation_amount,
+           ROUND(CAST(SUM(CAST(lock_d - locked_d - CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE), 2) AS circulating_supply
+    FROM calc
+    GROUP BY snap_date
+    """,
+)
+def circulating_supply_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed circulating-supply snapshot series (see block comment).
+
+    Scale notes: identical shape to A26/A32 — the snapshot dim (one row
+    per month) broadcasts into a single pass over the fact table, so
+    the whole series costs one scan + one shuffle regardless of how
+    many snapshots exist; per-row doubles are IEEE-identical across
+    engines and every summand is quantized to decimal(24,6) before the
+    order-independent exact sum.  At 100 TB the reference's "query the
+    chain per account per day" loop becomes this one broadcast-join
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    snapshots = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("snap_date")
+    ).distinct()
+    lock_d = dec_money("o_totalprice").cast("double")
+    d = F.datediff(F.col("snap_date"), F.to_date("o_orderdate")).cast("double")
+    base = (
+        orders.crossJoin(F.broadcast(snapshots))
+        .where(F.datediff(F.col("snap_date"), F.to_date("o_orderdate")) >= 0)
+        .select(
+            "snap_date",
+            lock_d.alias("lock_d"),
+            d.alias("d"),
+            (F.col("o_custkey") % 100 == 0).alias("foundation"),
+            (F.col("o_orderkey") % 7 == 0).alias("terminated"),
+            ((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 != 0)).alias(
+                "vesting"
+            ),
+        )
+    )
+    withdrawn = F.when(F.col("terminated"), F.col("lock_d") * 0.1).otherwise(0.0)
+    unreleased = F.col("lock_d") * F.greatest(
+        F.lit(0.0), (F.lit(90.0) - F.col("d")) / 90.0
+    )
+    unvested = (
+        F.when(F.col("terminated"), F.col("lock_d") * 0.3)
+        .when(F.col("vesting") & (F.col("d") < 30), F.col("lock_d"))
+        .when(
+            F.col("vesting") & (F.col("d") < 120),
+            F.col("lock_d") * (F.lit(120.0) - F.col("d")) / 120.0,
+        )
+        .otherwise(0.0)
+    )
+    locked_d = F.when(F.col("foundation"), F.lit(0.0)).otherwise(
+        F.greatest(F.greatest(unreleased - withdrawn, F.lit(0.0)), unvested)
+    )
+    rows = base.select(
+        "snap_date",
+        "lock_d",
+        "foundation",
+        locked_d.alias("locked_d"),
+    )
+
+    def _rsum(col: F.Column, alias: str) -> F.Column:
+        return F.round(F.sum(col.cast("decimal(24,6)")).cast("double"), 2).alias(alias)
+
+    foundation_d = F.when(F.col("foundation"), F.col("lock_d")).otherwise(0.0)
+    return rows.groupBy("snap_date").agg(
+        _rsum(F.col("lock_d"), "total_supply"),
+        _rsum(F.col("locked_d"), "total_locked"),
+        _rsum(foundation_d, "foundation_amount"),
+        _rsum(F.col("lock_d") - F.col("locked_d") - foundation_d, "circulating_supply"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A27: EXISTS semi-join (reference analog: transactions that produced at
 # least one delayed receipt — parent selected by child-row predicate).
 # ---------------------------------------------------------------------------
