@@ -1582,3 +1582,612 @@ def meta_tx_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return plain.unionByName(inner).unionByName(parents)
+
+
+# ===========================================================================
+# A38-A48: remaining TPC-H query shapes (q6 q7 q8 q9 q10 q11 q12 q15 q17
+# q19 q21), each mapped to a reference query surface the indexer's DB
+# serves (migrations/* indexes; adapters/aggregated/*).  The test tables
+# lack partsupp / l_shipmode / l_commitdate / l_receiptdate / p_container,
+# so those inputs are modeled deterministically from available columns
+# (noted per query); the SHAPE — join graph, aggregation, correlation —
+# is the TPC-H one, expressed Spark-first.
+# ===========================================================================
+
+
+# A38 / TPC-H Q6: pure scan-aggregate with selective pushed-down filters
+# (reference analog: gas-fee revenue sweep over a block range —
+# migrations' blocks timestamp index).
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: no joins, no window — the whole query should collapse
+    to one WholeStageCodegen scan with every predicate pushed to
+    parquet.  Scale: trivially linear; the only knob is scan pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(dec_money("l_extendedprice") * dec_rate("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# A39 / TPC-H Q7: two-nation trade volume, nation dim joined TWICE under
+# different roles (reference analog: signer-nation x receiver-nation
+# transaction volume).
+@_register(
+    "q7_nation_trade_volume",
+    f"""
+    WITH flat AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+             {_DISC_PRICE.replace('l_', 'l.l_')} AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM flat
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: one fact-fact shuffle (lineitem x orders on orderkey);
+    supplier/customer/nation broadcast, nation twice under aliases.
+    The nation-pair disjunction prunes AFTER the broadcast joins, so the
+    fact shuffle carries only date-filtered rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec_money("l_extendedprice") * _one_minus("l_discount")
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return flat.select(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        volume.alias("volume"),
+    ).groupBy("supp_nation", "cust_nation", "l_year").agg(
+        dsum(F.col("volume"), "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# A40 / TPC-H Q8: market share of one nation inside a region per year —
+# conditional-share aggregation over an 8-way star (reference analog:
+# one validator's share of regional stake per epoch).
+@_register(
+    "q8_market_share",
+    f"""
+    WITH flat AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE.replace('l_', 'l.l_')} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM flat
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: same single-fact-shuffle star as Q7 plus part/region
+    dims; the share division happens on the exact decimal sums cast to
+    double, so both engines divide identical IEEE values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = dec_money("l_extendedprice") * _one_minus("l_discount")
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return flat.groupBy("o_year").agg(
+        (F.sum(nation_vol).cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        ),
+        dsum(F.col("volume"), "total_volume"),
+    )
+
+
+# A41 / TPC-H Q9: profit per supplier-nation per year; the missing
+# partsupp.ps_supplycost is modeled as 10% of p_retailprice (exact
+# decimal, engine-identical).  Reference analog: validator profit =
+# rewards minus cost across epochs.
+@_register(
+    "q9_product_profit",
+    """
+    WITH flat AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(7,4)) - CAST(l.l_discount AS DECIMAL(7,4)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(7,4))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    SELECT nation, o_year,
+           CAST(SUM(amount) AS DOUBLE) AS profit,
+           COUNT(*) AS n_items
+    FROM flat
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: one fact-fact shuffle; part (name-filtered), supplier,
+    nation broadcast.  The profit expression chains decimal multiplies
+    within precision 38 so the subtraction is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supplycost = dec_money("p_retailprice") * F.lit(0.1).cast("decimal(7,4)")
+    amount = dec_money("l_extendedprice") * _one_minus("l_discount") - supplycost * dec_money(
+        "l_quantity"
+    )
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        dsum(F.col("amount"), "profit"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# A42 / TPC-H Q10: top-20 accounts by returned-item revenue in a
+# quarter (reference analog: accounts ranked by failed-receipt refund
+# volume — the explorer's "top accounts" panel).
+@_register(
+    "q10_returned_items",
+    f"""
+    WITH agged AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    )
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+    FROM agged
+    ORDER BY rev_dec DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: fact-fact join, customer/nation broadcast, top-k on
+    the EXACT decimal revenue (ties broken by custkey) so the LIMIT
+    frontier is engine-identical; cast to double only on output."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    agged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    return (
+        agged.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+# A43 / TPC-H Q11: per-part stock value for one nation's suppliers,
+# kept only above a fraction of the total — scalar-aggregate broadcast
+# (reference analog: contracts holding > x% of one chain's storage).
+@_register(
+    "q11_important_stock",
+    """
+    WITH filtered AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(12,2)) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    grouped AS (
+      SELECT l_partkey, SUM(val) AS sval FROM filtered GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(sval) AS total FROM grouped)
+    SELECT g.l_partkey, CAST(CAST(g.sval AS VARCHAR) AS DOUBLE) AS stock_value
+    FROM grouped g CROSS JOIN tot t
+    WHERE g.sval > t.total * CAST(0.001 AS DECIMAL(8,6))
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: the group-vs-global-fraction filter uses a broadcast
+    1-row scalar aggregate (no driver action, no second scan of the
+    fact: the total is the sum of the group sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    filtered = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", dec_money("l_extendedprice").alias("val"))
+    )
+    grouped = filtered.groupBy("l_partkey").agg(F.sum("val").alias("sval"))
+    total = grouped.agg(F.sum("sval").alias("total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("sval") > F.col("total") * F.lit(0.001).cast("decimal(8,6)"))
+        .select("l_partkey", F.col("sval").cast("double").alias("stock_value"))
+    )
+
+
+# A44 / TPC-H Q12: shipping-mode service-level split.  l_shipmode and
+# the commit/receipt dates don't exist in the test schema, so mode is
+# the deterministic l_linenumber % 3 bucket and "received in window" is
+# shipdate within [30, 90] days of the order date (reference analog:
+# receipt latency SLA per shard).
+@_register(
+    "q12_shipmode_priority",
+    """
+    SELECT CASE l.l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+           ELSE 'RAIL' END AS ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE)
+            BETWEEN CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+                AND CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)
+    GROUP BY CASE l.l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+             ELSE 'RAIL' END
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: one fact-fact shuffle; the priority split is two
+    conditional integer sums (when/otherwise(0), never NULL-skipping)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ship_mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("MAIL"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit("SHIP"))
+        .otherwise("RAIL")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.to_date("l_shipdate").between(
+            F.date_add(F.to_date("o_orderdate"), 30),
+            F.date_add(F.to_date("o_orderdate"), 90),
+        )
+    )
+    return joined.groupBy(ship_mode.alias("ship_mode")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+# A45 / TPC-H Q15: supplier(s) achieving the maximum quarterly revenue —
+# scalar-max broadcast against a grouped aggregate (reference analog:
+# the epoch's top validator by produced-block rewards).
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    m AS (SELECT MAX(total_rev) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM rev r CROSS JOIN m
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = m.mx
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue per supplier (one shuffle), then the max is a
+    broadcast 1-row aggregate joined back — equality on the EXACT
+    decimal, so 'the' max is engine-identical even under revenue ties."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# A46 / TPC-H Q17: small-quantity orders vs the per-part average — a
+# grouped average joined back against the detail rows (reference
+# analog: receipts under 20% of a contract's average attached deposit).
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH li AS (
+      SELECT l.l_partkey, l.l_quantity,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#23'
+    ),
+    avgq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(li.price) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM li JOIN avgq ON li.l_partkey = avgq.l_partkey
+    WHERE li.l_quantity < 0.2 * avgq.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: the brand filter broadcasts into the fact scan, the
+    per-part average is a small grouped aggregate broadcast back onto
+    the same filtered rows — two passes over a tiny slice, zero passes
+    over the rest of the fact.  The 0.2x threshold compares doubles
+    computed identically in both engines (exact decimal sum / count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    sliced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", dec_money("l_extendedprice").alias("price")
+    )
+    avgq = sliced.groupBy("l_partkey").agg(
+        (F.sum(dec_money("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    joined = sliced.join(
+        F.broadcast(avgq.withColumnRenamed("l_partkey", "ap_key")),
+        F.col("l_partkey") == F.col("ap_key"),
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return joined.agg(
+        (F.sum("price").cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# A47 / TPC-H Q19: disjunctive brand/size/quantity predicate bands over
+# the part join (reference analog: OR-of-ANDs action filters in the
+# explorer's receipt search).
+@_register(
+    "q19_discounted_revenue",
+    f"""
+    SELECT CAST(SUM({_DISC_PRICE.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: broadcast hash join with the OR-of-ANDs residual on
+    mixed build/stream columns — Catalyst keeps the equi-key join and
+    evaluates the disjunction as a post-join filter (no BNLJ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = dec_money("l_extendedprice") * _one_minus("l_discount")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(band)
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# A48 / TPC-H Q21: suppliers who were the ONLY late shipper on a
+# multi-supplier finished order.  The correlated EXISTS / NOT EXISTS
+# pair collapses into ONE per-order aggregate: distinct suppliers,
+# distinct late suppliers, and (when exactly one is late) its key —
+# no self-joins of the fact at all.  "Late" = shipped more than 60
+# days after the order date (no commit/receipt dates in the schema).
+# Reference analog: the only failing producer in a multi-shard chunk.
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH flat AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (CAST(l.l_shipdate AS DATE) >
+              CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS DATE)) AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+             MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+      FROM flat GROUP BY l_orderkey
+    ),
+    waiting AS (
+      SELECT late_supp AS suppkey, COUNT(*) AS numwait
+      FROM per_order
+      WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY late_supp
+    )
+    SELECT s.s_name, w.suppkey AS s_suppkey, w.numwait
+    FROM waiting w JOIN supplier s ON w.suppkey = s.s_suppkey
+    ORDER BY w.numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 without the classic triple self-join: the EXISTS /
+    NOT-EXISTS correlation is a per-order conditional-distinct
+    aggregate (see block comment), then a per-supplier count — two
+    shuffles total on top of the one fact-fact join, and the top-100 is
+    tie-broken on the unique s_name so the frontier is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    flat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    waiting = (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_name", F.col("suppkey").alias("s_suppkey"), "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
