@@ -294,29 +294,22 @@ ORACLES["corpus_split_sample"] = f"""
 """
 
 
-def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment (md5 bucket of doc_id —
-    stable under reshuffles and re-runs, unlike rand()) plus an exactly-
-    sized per-language stratified sample: rank docs inside each language
-    by an independent md5 key and keep the top 20%.
+_SPLIT_RANK_BUCKETS_BITS = 4  # 16 range buckets per language stratum
 
-    One window pass partitioned by lang does both the rank and the
-    stratum size; the split column is embarrassingly parallel.  Skewed
-    language strata shuffle as one partition each — at extreme skew the
-    rank key could be salted two-phase (operators/skew.py), but sample
-    assignment only needs rank <= ceil(frac*n), which a two-phase
-    count + per-bucket rank offset also yields."""
+
+def _split_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, sb, rk_key): the deterministic md5 split bucket and
+    the independent md5 rank key shared by both rank implementations."""
     docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
+    return docs.select(
         "doc_id",
         "lang",
         _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD).alias("sb"),
         _hash_bucket(F.col("doc_id"), "samp:", 1 << 31).alias("rk_key"),
     )
-    w = Window.partitionBy("lang").orderBy("rk_key", "doc_id")
-    wn = Window.partitionBy("lang")
-    rank = F.row_number().over(w).cast("long")
-    n_lang = F.count(F.lit(1)).over(wn).cast("long")
+
+
+def _split_select(b: DataFrame, rank: F.Column, n_lang: F.Column) -> DataFrame:
     split = (
         F.when(F.col("sb") < 32, "train").when(F.col("sb") < 36, "val").otherwise("test")
     )
@@ -327,6 +320,66 @@ def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.alias("strat_rank"),
         n_lang.alias("n_lang"),
         (rank <= F.ceil(F.lit(_SAMPLE_FRAC) * n_lang)).alias("in_sample"),
+    )
+
+
+def corpus_split_sample_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window reference implementation: rank and stratum size in
+    one pass partitioned by lang.  Correct, but a skewed language
+    stratum (90% English at 100 TB) lands on ONE task.  Kept as the
+    property-test twin of the salted path below."""
+    b = _split_keys(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("rk_key", "doc_id")
+    wn = Window.partitionBy("lang")
+    return _split_select(
+        b, F.row_number().over(w).cast("long"), F.count(F.lit(1)).over(wn).cast("long")
+    )
+
+
+def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 bucket of doc_id —
+    stable under reshuffles and re-runs, unlike rand()) plus an exactly-
+    sized per-language stratified sample: rank docs inside each language
+    by an independent md5 key and keep the top 20%.
+
+    THE code path is the skew-proof two-phase rank (this is what runs
+    in the registry; corpus_split_sample_plain is the test twin):
+
+    1. bucket = the top ``_SPLIT_RANK_BUCKETS_BITS`` bits of the
+       uniform rk_key — a RANGE bucketing, so the within-bucket
+       (rk_key, doc_id) order concatenated across buckets IS the
+       global stratum order (no re-sort needed, unlike modulo salt);
+    2. row_number inside each (lang, bucket) — the biggest window
+       partition shrinks by 2^bits, so a 90%-of-corpus language
+       stratum spreads over 16 tasks instead of one;
+    3. per-(lang, bucket) counts (tiny: n_langs x 16 rows) yield each
+       bucket's rank offset and the stratum size via a prefix-sum
+       window over the counts only; broadcast-joined back.
+
+    Output is row-identical to the plain single-window version
+    (property-tested in tests/test_properties.py) and to the oracle's
+    ROW_NUMBER, which is why the same oracle SQL gates both."""
+    b = _split_keys(spark, sf_dir)
+    bucket = F.shiftright(F.col("rk_key"), 31 - _SPLIT_RANK_BUCKETS_BITS)
+    bb = b.withColumn("bucket", bucket)
+    w_in = Window.partitionBy("lang", "bucket").orderBy("rk_key", "doc_id")
+    ranked = bb.withColumn("rk_in_bucket", F.row_number().over(w_in).cast("long"))
+    counts = bb.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    offsets = counts.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("n_bucket").over(w_off), F.lit(0)).cast("long").alias("offset"),
+        F.sum("n_bucket").over(w_tot).cast("long").alias("n_lang_tot"),
+    )
+    joined = ranked.join(F.broadcast(offsets), ["lang", "bucket"])
+    return _split_select(
+        joined, F.col("offset") + F.col("rk_in_bucket"), F.col("n_lang_tot")
     )
 
 

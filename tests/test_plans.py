@@ -193,3 +193,38 @@ def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_day = one_day.count()
     assert 0 < n_day < n_all
+
+
+def test_decontaminate_overlap_no_nested_loop(spark, sf_dir):
+    """The train-gram containment check must stay an equi-join against
+    the DISTINCT train gram set (semi shape): a BroadcastNestedLoopJoin
+    or CartesianProduct would mean hot-gram fan-out came back."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        decontaminate_overlap,
+    )
+
+    plan = _formatted_plan(spark, decontaminate_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_ngram_stats_bounded_topk(spark, sf_dir):
+    """Top-k must execute as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of every gram."""
+    from near_indexer_for_explorer_spark.operators.corpus import corpus_ngram_stats
+
+    plan = _formatted_plan(spark, corpus_ngram_stats(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_split_sample_bucketed_windows(spark, sf_dir):
+    """The registered split/sample path must rank inside (lang, bucket)
+    — the skew-proof two-phase shape — and broadcast the tiny offset
+    relation back, with no nested-loop joins."""
+    from near_indexer_for_explorer_spark.operators.corpus import corpus_split_sample
+
+    plan = _formatted_plan(spark, corpus_split_sample(spark, sf_dir))
+    assert "bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -153,3 +153,22 @@ def test_salted_aggregate_equals_plain(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_salted_split_rank_equals_plain_window(spark, sf_dir):
+    """The two-phase range-bucketed rank (the registered
+    corpus_split_sample code path) must be row-identical to the plain
+    single-window implementation — same strat_rank, same n_lang, same
+    in_sample frontier."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        corpus_split_sample,
+        corpus_split_sample_plain,
+    )
+
+    salted = corpus_split_sample(spark, sf_dir)
+    plain = corpus_split_sample_plain(spark, sf_dir)
+    assert salted.columns == plain.columns
+    key = lambda r: r["doc_id"]  # noqa: E731
+    s_rows = sorted(salted.collect(), key=key)
+    p_rows = sorted(plain.collect(), key=key)
+    assert s_rows == p_rows
