@@ -485,3 +485,54 @@ def bootstrap_user_state(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "state"))
     )
+
+
+def soak_user_state(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    rows_per_batch: int = 1000,
+    n_users: int = 200,
+    timings: list | None = None,
+):
+    """C10: rate-source soak of the C4 partitioned upsert sink — the
+    load-shaped analog of the reference's months-long poll loop
+    (indexer/src/main.rs): an unbounded deterministic source
+    (rate-micro-batch: `rows_per_batch` rows per trigger, monotonic
+    value/timestamp) feeds the last-write-wins keyed sink continuously.
+
+    The contract under soak is FLATNESS: the key space is bounded
+    (user_id = value % n_users), so state size must stay at n_users
+    rows forever, and because the sink reads only touched buckets and
+    dynamically overwrites only those, per-batch wall time must not
+    trend upward with batch count.  `timings` (if given) collects each
+    batch's sink seconds for slope assertions in the soak test."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+            (F.col("value") % n_users).alias("user_id"),
+            F.lit("soak").alias("event_type"),
+            ((F.col("value") % 97) / 10.0).alias("value"),
+            F.to_json(F.struct((F.col("value") % 7).alias("k"))).alias("props"),
+        )
+    )
+    inner = foreach_batch_keyed_upsert(out_dir)
+
+    def timed_sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        inner(batch_df, batch_id)
+        if timings is not None:
+            timings.append(time.monotonic() - t0)
+
+    return (
+        stream.writeStream.foreachBatch(timed_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )

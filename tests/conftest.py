@@ -48,3 +48,7 @@ def duck():
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running soak/load tests")

@@ -530,3 +530,49 @@ def test_stateful_sessionize_late_data_absorbed(spark, sf_dir, tmp_path_factory)
     assert r["n_events"] == 3
     assert r["session_value"] == 7.0
     assert r["session_start"] == base.timestamp()
+
+
+@pytest.mark.slow
+def test_soak_rate_source_state_and_latency_stay_flat(spark, tmp_path):
+    """C10 soak: run the rate-source -> partitioned upsert pipeline for
+    a dozen micro-batches over a bounded key space.  State must stay at
+    exactly n_users rows (no growth), per-user state must be the
+    latest event, and per-batch sink time must not trend upward
+    (second-half median bounded by first-half median — the touched-
+    partitions-only contract under sustained load)."""
+    import statistics
+    import time as _time
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import soak_user_state
+
+    n_users, rows_per_batch, n_batches = 200, 1000, 12
+    timings: list[float] = []
+    q = soak_user_state(
+        spark,
+        str(tmp_path / "soak_state"),
+        str(tmp_path / "soak_ckpt"),
+        rows_per_batch=rows_per_batch,
+        n_users=n_users,
+        timings=timings,
+    )
+    deadline = _time.monotonic() + 300
+    try:
+        while len(timings) < n_batches and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert len(timings) >= n_batches, f"only {len(timings)} batches in 300s"
+
+    state = spark.read.parquet(str(tmp_path / "soak_state" / "state"))
+    rows = state.collect()
+    assert len(rows) == n_users  # bounded keys -> flat state size
+    # last-write-wins: every user's row is their max event_id
+    by_user = {r["user_id"]: r["event_id"] for r in rows}
+    max_seen = max(by_user.values())
+    assert by_user[max_seen % n_users] == max_seen
+    # latency flatness: second half must not trend above the first half
+    done = timings[:n_batches]
+    first = statistics.median(done[: n_batches // 2])
+    second = statistics.median(done[n_batches // 2 :])
+    assert second <= 1.6 * first, f"per-batch time trending up: {done}"
