@@ -220,10 +220,26 @@ QUERIES["ann_lsh_topk"] = ann_lsh_topk
 # (the dial: more planes pushes work down and recall toward the
 # high-cosine regime — at a real near-dup threshold >=0.85 the same
 # structure gives ~n^2/30 work at recall ~1).  Candidates are joined
-# as narrow (band, bucket, vec_id) relations, deduped to id-pairs,
-# and only then joined back to vectors for exact-cosine verification
-# — cosine is evaluated once per unique candidate pair, never on the
-# banded multiset.
+# as narrow (band, bucket, vec_id) relations and joined back to
+# vectors for exact-cosine verification; with 256 buckets/band the
+# candidate multiset is only ~1.05x the unique pair count, so the
+# id-pair distinct() runs AFTER the threshold filter, on the handful
+# of survivors (see the dedup-placement NOTE in the function body —
+# that note is the single source of truth for the placement tradeoff).
+#
+# Semantics note (recorded per round-3 advice): at the configured
+# DUP_COSINE_THRESHOLD=0.4 this blocking's theoretical recall is
+# ~0.71, down from ~0.90 with the old 3-plane bands — the structure
+# is tuned for the true near-dup regime (>=0.85 -> recall ~1).  0.4
+# is kept ONLY because the synthetic quasi-random embeddings have
+# essentially no pairs above 0.85 (an empty result would gut the
+# oracle's signal); a real deployment should raise the threshold into
+# the regime the blocking targets.  Corollary: at low thresholds the
+# expected candidate space for random vectors is ~0.28 n^2 (8 bands x
+# 9/256), i.e. blocking is a ~3.5x CONSTANT over brute force, not an
+# asymptotic win — the asymptotic win only exists in the high-cosine
+# regime the operator is meant for.  tests/test_operators.py pins the
+# measured recall floor against the all-pairs baseline.
 _DUP_BANDS = 8
 _DUP_PLANES_PER_BAND = 8
 # XOR masks for radius-1 probing: the bucket itself + each single
