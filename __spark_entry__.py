@@ -54,6 +54,8 @@ _GATE_PRIORITY: list[str] = [
     "corpus_ngram_stats",
     "nft_token_owners",
     "circulating_supply_daily",
+    "dedup_components",
+    "corpus_source_mix",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q8_market_share",

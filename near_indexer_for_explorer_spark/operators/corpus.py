@@ -433,3 +433,52 @@ def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["corpus_ngram_stats"] = corpus_ngram_stats
+
+# ---------------------------------------------------------------------------
+# B21 corpus source/language mix (sampling-weight calibration)
+# ---------------------------------------------------------------------------
+
+ORACLES["corpus_source_mix"] = """
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars FROM documents)
+    SELECT p.source, p.lang, p.n_docs, p.total_chars,
+           CAST(p.total_chars AS DOUBLE) / p.n_docs AS avg_chars,
+           CAST(p.total_chars AS DOUBLE) / t.corpus_chars AS char_share
+    FROM per p CROSS JOIN tot t
+"""
+
+
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) corpus composition: doc counts, exact
+    character totals, and each stratum's share of the whole corpus —
+    the table a pretraining pipeline calibrates sampling weights and
+    dedup budgets against (and the reference's per-shard/per-kind
+    volume dashboards mirror shape-wise).
+
+    One shuffle for the stratum aggregate; the corpus total is the sum
+    of the stratum sums via a broadcast 1-row aggregate (no second
+    scan, no driver action).  Integer-exact sums; the two divisions
+    are identical double ops in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("total_chars").cast("long").alias("corpus_chars"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        (F.col("total_chars").cast("double") / F.col("corpus_chars")).alias(
+            "char_share"
+        ),
+    )
+
+
+QUERIES["corpus_source_mix"] = corpus_source_mix

@@ -172,3 +172,40 @@ def test_salted_split_rank_equals_plain_window(spark, sf_dir):
     s_rows = sorted(salted.collect(), key=key)
     p_rows = sorted(plain.collect(), key=key)
     assert s_rows == p_rows
+
+
+def test_dedup_components_reached_fixpoint(spark, sf_dir):
+    """The fixed 4-round label propagation must equal the true
+    connected components at test scale (i.e. the planted duplicate
+    clusters' diameters are within the documented bound): python
+    union-find over the same verified pair set is the referee."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_components,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    got = {
+        r["doc_id"]: r["component_id"] for r in dedup_components(spark, sf_dir).collect()
+    }
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of each set
+    members: dict[int, list[int]] = {}
+    for d in got:
+        members.setdefault(find(d), []).append(d)
+    want = {d: min(ms) for root, ms in members.items() for d in ms}
+    assert got == want
