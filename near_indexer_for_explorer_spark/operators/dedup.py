@@ -49,8 +49,9 @@ _SHINGLE_CTE = r"""
 """
 
 
-def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) rows from any documents-shaped frame
+    (batch table or a micro-batch in the streaming dedup index)."""
     # materialize the token array as a named column BEFORE building
     # shingles: word_shingles references it ~5x, and an inline split()
     # would be recomputed per reference (measured 13x slower at sf0.1)
@@ -59,6 +60,10 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("sh"),
     )
+
+
+def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
 def _shingle_set_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,9 +274,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature (16 bands x 4 rows) and emit candidate pairs
-    sharing any band bucket."""
+def banded_minhash(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bucket): the signature banded 16x4 — the LSH
+    index relation (also what the streaming dedup index persists)."""
     bands = F.array(
         *[
             F.struct(
@@ -289,9 +294,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             for band in range(_LSH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (16 bands x 4 rows) and emit candidate pairs
+    sharing any band bucket."""
+    banded = banded_minhash(sig)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

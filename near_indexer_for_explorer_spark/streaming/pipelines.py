@@ -536,3 +536,109 @@ def soak_user_state(
         .trigger(processingTime="0 seconds")
         .start()
     )
+
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of document batches (new corpus shards)."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def foreach_batch_incremental_dedup(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """C11: incremental near-dup screening of NEW documents against a
+    STANDING MinHash-LSH index — the streaming form of dedup at corpus
+    scale, where re-deduplicating 100 TB per arriving shard is not an
+    option.  (Reference shape: the indexer's idempotent keyed ingest —
+    only never-seen keys produce effects; here the 'key' is the
+    document's LSH fingerprint.)
+
+    Per micro-batch:
+      1. shingle -> minhash -> band the batch (operators/dedup.py, the
+         exact same expressions as the batch operator);
+      2. a doc is NOVEL iff none of its 16 band buckets collides with
+         the standing index or with an earlier (smaller doc_id) doc of
+         the same batch — the LSH screening stage of the batch
+         operator (exact-Jaccard verification of flagged pairs stays a
+         batch job over the tiny flagged set);
+      3. append (doc_id, is_novel, batch_id) to `novel/`, and append
+         ALL batch docs' banded rows to `index/` (duplicates included:
+         novelty is 'no collision with anything seen before', so the
+         index must contain everything seen — it grows linearly with
+         the corpus, like any dedup index).
+
+    Scale notes: the index is parquet partitioned by band_id (16
+    partitions, each internally sorted by bucket at write); the batch
+    side joins it on (band_id, bucket) — an equi-join Spark executes
+    sort-merge with the batch side tiny, and on a real deployment the
+    index would be a bucketed table making the probe shuffle-free.
+    Appends are blind (no read-modify-write of old index files)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.operators.dedup import (
+            banded_minhash,
+            minhash_signatures,
+            shingles_of,
+        )
+
+        spark = batch_df.sparkSession
+        index_dir = os.path.join(out_dir, "index")
+        novel_dir = os.path.join(out_dir, "novel")
+        banded = banded_minhash(
+            minhash_signatures(shingles_of(batch_df))
+        ).localCheckpoint(eager=True)
+        intra = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        dup_ids = intra
+        if os.path.exists(index_dir):
+            standing = spark.read.parquet(index_dir)
+            hits = (
+                banded.join(standing.hint("shuffle_merge"), ["band_id", "bucket"])
+                .select(banded["doc_id"])
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(hits).distinct()
+        flagged = batch_df.select("doc_id").join(dup_ids, "doc_id", "left_semi")
+        out = (
+            batch_df.select("doc_id")
+            .join(flagged.withColumn("dup", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(~F.col("dup"), F.lit(True)).alias("is_novel"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        out.write.mode("append").parquet(novel_dir)
+        banded.write.mode("append").partitionBy("band_id").parquet(index_dir)
+
+    return sink
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C11 driver: document shards -> incremental LSH dedup screen."""
+    stream = read_document_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_incremental_dedup(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

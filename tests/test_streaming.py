@@ -576,3 +576,55 @@ def test_soak_rate_source_state_and_latency_stay_flat(spark, tmp_path):
     first = statistics.median(done[: n_batches // 2])
     second = statistics.median(done[n_batches // 2 :])
     assert second <= 1.6 * first, f"per-batch time trending up: {done}"
+
+
+def test_incremental_dedup_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    """C11: streaming the corpus in doc_id-ordered shards through the
+    standing-index LSH screen must flag exactly the docs the one-shot
+    batch rule flags (collision with ANY smaller doc_id), and the
+    standing index must contain every banded row seen."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        banded_minhash,
+        minhash_signatures,
+        shingles_of,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "doc_shards")
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "incdedup")
+    q = incremental_dedup_stream(spark, src, out, str(tmp_path / "inc_ckpt"))
+    _await(q)
+
+    got = {
+        r["doc_id"]: r["is_novel"]
+        for r in spark.read.parquet(os.path.join(out, "novel")).collect()
+    }
+    assert len(got) == docs.count()
+
+    banded = banded_minhash(minhash_signatures(shingles_of(docs)))
+    dup = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dup_ids = {r["doc_id"] for r in dup.collect()}
+    want = {
+        r["doc_id"]: r["doc_id"] not in dup_ids for r in docs.select("doc_id").collect()
+    }
+    assert got == want
+    n_index = spark.read.parquet(os.path.join(out, "index")).count()
+    assert n_index == banded.count()
