@@ -97,3 +97,134 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_decode"] = multimodal_decode
+
+
+# ---------------------------------------------------------------------------
+# B22 frame sampling (video-style fan-out: one input row -> K frame rows)
+# ---------------------------------------------------------------------------
+_N_FRAMES = 4
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_index long, frame_offset long, frame_len long, "
+    "fake_frame_mean double, decode_backend string"
+)
+
+
+def make_frame_sample_kernel(n_frames: int = _N_FRAMES) -> Callable[[Iterator], Iterator]:
+    """Fixed-stride frame sampler: each payload yields ``n_frames``
+    rows (fewer for short payloads) — the Arrow fan-out shape a video
+    pipeline needs (decode K frames per clip, not one row per clip).
+    Frame 'features' are the same deterministic byte math as the decode
+    stub; with cv2/av installed the real branch swaps in unchanged."""
+
+    def sample_frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def frames_of(doc_id: int, payload: bytes) -> list[dict]:
+            if not payload:
+                return []
+            stride = max(1, len(payload) // n_frames)
+            out = []
+            for k in range(min(n_frames, len(payload))):
+                off = k * stride
+                frame = payload[off : off + stride]
+                if not frame:
+                    break
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_index": k,
+                        "frame_offset": off,
+                        "frame_len": len(frame),
+                        "fake_frame_mean": sum(frame) / len(frame),
+                        "decode_backend": "stub",
+                    }
+                )
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.extend(frames_of(int(doc_id), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_index",
+                    "frame_offset",
+                    "frame_len",
+                    "fake_frame_mean",
+                    "decode_backend",
+                ],
+            )
+
+    return sample_frames
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled 'frame' (fan-out
+    inside the Arrow kernel).  Rows-only driver check, determinism and
+    fan-out shape asserted in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(make_frame_sample_kernel(), schema=FRAME_SCHEMA)
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+
+
+# ---------------------------------------------------------------------------
+# B23 resize-to-grid (typed fixed-size array output through Arrow)
+# ---------------------------------------------------------------------------
+_RESIZE_W = 4
+_RESIZE_H = 4
+
+RESIZE_SCHEMA = (
+    "doc_id long, target_w int, target_h int, "
+    "pixels array<double>, decode_backend string"
+)
+
+
+def make_resize_kernel(
+    w: int = _RESIZE_W, h: int = _RESIZE_H
+) -> Callable[[Iterator], Iterator]:
+    """Deterministic fake 'resize': strided byte sampling of the
+    payload into a fixed w*h grid (zero-padded), normalized to [0, 1].
+    Exercises the typed array<double> output path through Arrow — the
+    exact schema a Pillow-backed real resize would emit."""
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def grid(payload: bytes) -> list[float]:
+            n = w * h
+            if not payload:
+                return [0.0] * n
+            stride = max(1, len(payload) // n)
+            vals = [payload[min(i * stride, len(payload) - 1)] / 255.0 for i in range(n)]
+            return vals
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "target_w": w,
+                    "target_h": h,
+                    "pixels": [grid(p) for p in pdf["payload"]],
+                    "decode_backend": "stub",
+                }
+            )
+            yield out
+
+    return resize_batches
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: fixed-size pixel-grid array per document.
+    Rows-only driver check; determinism + grid invariants tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(make_resize_kernel(), schema=RESIZE_SCHEMA)
+
+
+QUERIES["multimodal_resize"] = multimodal_resize

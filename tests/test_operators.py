@@ -214,3 +214,46 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     # determinism: a second run returns the identical result
     again = sorted(tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect())
     assert again == sorted(tuple(r) for r in ivf_rows)
+
+
+def test_multimodal_frame_sample_fanout_and_determinism(spark, sf_dir):
+    """Frame sampling must fan out to <= N_FRAMES rows per doc with
+    consistent offsets/lengths, deterministically."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _N_FRAMES,
+        multimodal_frame_sample,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    again = multimodal_frame_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == n_docs  # every (non-empty) doc produced frames
+    for frames in by_doc.values():
+        assert 1 <= len(frames) <= _N_FRAMES
+        idx = sorted(f["frame_index"] for f in frames)
+        assert idx == list(range(len(frames)))
+        for f in frames:
+            assert f["frame_len"] > 0
+            assert 0.0 <= f["fake_frame_mean"] <= 255.0
+
+
+def test_multimodal_resize_grid_invariants(spark, sf_dir):
+    """Every doc maps to exactly one fixed-size [0,1] pixel grid."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _RESIZE_H,
+        _RESIZE_W,
+        multimodal_resize,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    df = multimodal_resize(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert len(r["pixels"]) == _RESIZE_W * _RESIZE_H
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])

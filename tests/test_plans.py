@@ -53,8 +53,8 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
     import __spark_entry__ as e
 
     for name, fn in e.queries().items():
-        if name == "multimodal_decode":
-            continue
+        if name.startswith("multimodal_"):
+            continue  # the sanctioned Arrow-UDF family
         plan = _formatted_plan(spark, fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
