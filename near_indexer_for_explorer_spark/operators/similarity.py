@@ -366,8 +366,12 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe relations are (id, band, bucket) triples — bytes per row,
     never the vector — so the self-join shuffles narrow keys; the
     distinct bounds cosine work to one evaluation per unique candidate
-    pair; the two vector-fetch joins are equi-joins on vec_id (AQE
-    splits any hot bucket).  All joins are equi-joins (no
+    pair-dedup (distinct on the id pair) runs AFTER the threshold
+    filter — with 256 buckets/band the candidate multiset is only
+    ~1.05x the unique pair count, so a handful of duplicate cosine
+    evaluations is cheaper than a pre-filter shuffle (the NOTE in the
+    body is the single source of truth); the two vector-fetch joins
+    are equi-joins on vec_id (AQE splits any hot bucket).  All joins are equi-joins (no
     BroadcastNestedLoopJoin — asserted in tests/test_plans.py);
     embedding_dedup_cosine_allpairs below keeps the exact O(n^2)
     baseline for tiny-sf recall tests."""

@@ -30,16 +30,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects outright; read nanos as long and truncate to a
-        # microsecond TIMESTAMP_NTZ — the same nanos->micros truncation
+        # events.parquet has shipped as either TIMESTAMP(NANOS) (which
+        # Spark's parquet reader rejects outright unless nanos are read
+        # as long) or plain TIMESTAMP(MICROS); normalize both layouts to
+        # a microsecond TIMESTAMP_NTZ — the same nanos->micros truncation
         # DuckDB applies, so oracle timestamps compare equal.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos surfaced as long
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:  # already a timestamp (ntz or ltz)
+            ts = F.col("ts")
+        return df.withColumn("ts", ts.cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
