@@ -598,6 +598,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
     )
+    # Materialize the pair graph ONCE: without this every propagation
+    # round's join re-derives the whole MinHash-LSH pipeline through
+    # lineage (measured 4x the work at sf0.01).  localCheckpoint both
+    # truncates the lineage (so round N's plan doesn't nest N copies)
+    # and is exactly what the 100 TB loop needs per-round anyway.
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")

@@ -740,3 +740,134 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B24 SemDeDup: cluster-local semantic dedup (oracle-checked)
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
+# space, then look for semantic duplicates ONLY within a cluster --
+# O(sum c_i^2) cosines instead of O(n^2).  This deterministic variant
+# reuses B13's coarse quantizer verbatim (same seeds, same 2 Lloyd
+# rounds on the same vec_id%5 training sample, exact-decimal centroid
+# means) and emits, for EVERY vector, the max cosine to any LOWER-id
+# vector in its cluster; `kept` = that max < threshold, i.e. the
+# classic keep-the-lowest-id-representative sweep, made order-free by
+# the id ordering.  At 100 TB k grows with n (k ~ n / target cluster
+# size) so per-cluster pair work stays bounded; here k is pinned to
+# the oracle-replicated constant.  The threshold sits at 0.3 for the
+# same reason B11 documents for 0.4: the synthetic quasi-random
+# embeddings have almost no high-cosine pairs, and the per-row
+# round-6 max_prior_cos is the hash signal either way.
+_SEM_T = 0.3
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, max_prior_cos, kept) for every vector.
+
+    Scale shape: quantizer trains on the deterministic 1/5 sample
+    (bounded), assignment is one broadcast pass, and the pair join is
+    cluster-local (equi-join on centroid_id with vec_id_2 < vec_id_1)
+    -- the only shuffle keyed wider than vec_id.  A hot cluster is the
+    skew risk; AQE's skew-join split handles it locally, salting at
+    1000-executor scale (see operators/skew.py)."""
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    centroids = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
+    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    corpus = e.join(lists, "vec_id")
+    a = corpus.select(
+        F.col("vec_id"),
+        F.col("centroid_id"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("prior_id"),
+        F.col("centroid_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        cosine(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")), 6
+    )
+    mx = (
+        a.join(b, ["centroid_id"])
+        .where(F.col("prior_id") < F.col("vec_id"))
+        .select("vec_id", cos.alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("max_prior_cos"))
+    )
+    return (
+        corpus.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster_id"),
+            F.coalesce(F.col("max_prior_cos"), F.lit(-1.0)).alias("max_prior_cos"),
+            (F.coalesce(F.col("max_prior_cos"), F.lit(-1.0)) < _SEM_T).alias("kept"),
+        )
+    )
+
+
+QUERIES["semdedup_embeddings"] = semdedup_embeddings
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replica: identical k-means CTE chain as ann_ivf_topk's
+    oracle (same seeds/rounds/decimal means), then the cluster-local
+    lower-id max-cosine sweep."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    iter_ctes = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev, src='es')})")
+        iter_ctes.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
+        prev = f"c{it}"
+    iters_sql = ",\n    ".join(iter_ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es
+           ORDER BY vec_id LIMIT {_IVF_K}),
+    {iters_sql},
+    lists AS ({assign.format(cents=prev, src="e")}),
+    corpus AS (SELECT l.vec_id, l.centroid_id, n.emb, n.nrm
+               FROM lists l JOIN n ON l.vec_id = n.vec_id),
+    mx AS (
+      SELECT a.vec_id,
+             MAX(ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+                                               i -> a.emb[i] * b.emb[i]))
+                       / (a.nrm * b.nrm), 6)) AS max_prior_cos
+      FROM corpus a JOIN corpus b
+        ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.centroid_id AS cluster_id,
+           COALESCE(m.max_prior_cos, -1.0) AS max_prior_cos,
+           COALESCE(m.max_prior_cos, -1.0) < {_SEM_T} AS kept
+    FROM corpus c LEFT JOIN mx m ON c.vec_id = m.vec_id
+    """
+
+
+ORACLES["semdedup_embeddings"] = _semdedup_oracle_sql()
