@@ -327,3 +327,112 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_scrub"] = text_scrub
+
+
+# ---------------------------------------------------------------------------
+# B25 C4/Gopher-style quality FILTER (per-rule flags + kept verdict)
+# ---------------------------------------------------------------------------
+# text_quality (B7) emits a score; this emits the *filter decision* the
+# way C4 (Raffel et al. 2020) / Gopher (Rae et al. 2021) pipelines
+# apply it: independent boolean rules, each kept as its own column so
+# downstream can audit WHICH rule dropped a document, plus the ANDed
+# `kept`.  Rules: word-count bounds, mean-word-length bounds, a
+# language-aware stopword floor (docs in a language without a curated
+# list auto-pass), and the duplicate-2-gram repetition cap.  Every rule
+# is per-row array arithmetic -- the operator has NO shuffle at all and
+# scales embarrassingly at 100 TB.
+_QF_MIN_WORDS = 25
+_QF_MAX_WORDS = 95
+_QF_MIN_MEAN_WLEN = 3.0
+_QF_MAX_MEAN_WLEN = 10.0
+_QF_MIN_STOP_FRAC = 0.05
+_QF_MAX_DUP2 = 0.08
+
+_QF_LANG_LISTS = {
+    "en": STOPWORDS_EN,
+    "de": STOPWORDS_DE,
+    "fr": STOPWORDS_FR,
+    "es": STOPWORDS_ES,
+}
+
+ORACLES["quality_filter_c4"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(tk) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / len(tk) AS mean_word_len,
+             CASE lang
+               WHEN 'en' THEN CAST(len(list_filter(tk, x -> x IN ({_sql_list(STOPWORDS_EN)}))) AS DOUBLE) / len(tk)
+               WHEN 'de' THEN CAST(len(list_filter(tk, x -> x IN ({_sql_list(STOPWORDS_DE)}))) AS DOUBLE) / len(tk)
+               WHEN 'fr' THEN CAST(len(list_filter(tk, x -> x IN ({_sql_list(STOPWORDS_FR)}))) AS DOUBLE) / len(tk)
+               WHEN 'es' THEN CAST(len(list_filter(tk, x -> x IN ({_sql_list(STOPWORDS_ES)}))) AS DOUBLE) / len(tk)
+               ELSE CAST(NULL AS DOUBLE) END AS stop_frac,
+             CASE WHEN len(tk) < 2 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))
+                       AS DOUBLE) / (len(tk) - 1) END AS dup_frac_2gram
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words, mean_word_len, stop_frac,
+           dup_frac_2gram,
+           n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS} AS ok_n_words,
+           mean_word_len BETWEEN {_QF_MIN_MEAN_WLEN} AND {_QF_MAX_MEAN_WLEN}
+             AS ok_mean_word_len,
+           COALESCE(stop_frac >= {_QF_MIN_STOP_FRAC}, TRUE) AS ok_stopwords,
+           dup_frac_2gram <= {_QF_MAX_DUP2} AS ok_repetition,
+           (n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS})
+             AND (mean_word_len BETWEEN {_QF_MIN_MEAN_WLEN} AND {_QF_MAX_MEAN_WLEN})
+             AND COALESCE(stop_frac >= {_QF_MIN_STOP_FRAC}, TRUE)
+             AND dup_frac_2gram <= {_QF_MAX_DUP2} AS kept
+    FROM m
+"""
+
+
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-friendly quality filter: per-rule booleans + ANDed kept."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
+    n_words = F.size(tok)
+    mean_wlen = (
+        F.aggregate(
+            F.transform(tok, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n_words
+    )
+    stop_frac = F.lit(None).cast("double")
+    for code, words in _QF_LANG_LISTS.items():
+        stop_frac = F.when(
+            F.col("lang") == code,
+            stopword_hits(tok, words).cast("double") / n_words,
+        ).otherwise(stop_frac)
+    g2 = word_shingles(tok, 2)
+    dup2 = F.when(n_words < 2, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(g2)).cast("double") / (n_words - 1)
+    )
+    ok_nw = F.col("n_words").between(_QF_MIN_WORDS, _QF_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(_QF_MIN_MEAN_WLEN, _QF_MAX_MEAN_WLEN)
+    ok_stop = F.coalesce(F.col("stop_frac") >= _QF_MIN_STOP_FRAC, F.lit(True))
+    ok_rep = F.col("dup_frac_2gram") <= _QF_MAX_DUP2
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_words.cast("long").alias("n_words"),
+            mean_wlen.alias("mean_word_len"),
+            stop_frac.alias("stop_frac"),
+            dup2.alias("dup_frac_2gram"),
+        )
+        .withColumn("ok_n_words", ok_nw)
+        .withColumn("ok_mean_word_len", ok_mwl)
+        .withColumn("ok_stopwords", ok_stop)
+        .withColumn("ok_repetition", ok_rep)
+        .withColumn("kept", ok_nw & ok_mwl & ok_stop & ok_rep)
+    )
+
+
+QUERIES["quality_filter_c4"] = quality_filter_c4
