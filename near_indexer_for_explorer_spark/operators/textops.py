@@ -436,3 +436,71 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quality_filter_c4"] = quality_filter_c4
+
+
+# ---------------------------------------------------------------------------
+# B26 vocabulary build + per-doc OOV coverage
+# ---------------------------------------------------------------------------
+# The tokenizer-prep primitive: build the top-V corpus vocabulary by
+# frequency (deterministic count-desc/token-asc order), then score every
+# document's out-of-vocabulary rate against it.  Two shuffles total:
+# the (token) count agg (map-side combined) and the doc_id re-agg; the
+# vocab itself is a TakeOrdered of V rows broadcast back -- at 100 TB
+# the vocab stays driver-small (V entries) no matter the corpus size.
+_VOCAB_V = 20
+
+ORACLES["vocab_coverage"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, UNNEST(tk) AS token FROM t),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token ASC
+              LIMIT {_VOCAB_V}),
+    scored AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM scored
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) against the corpus top-V
+    frequency vocabulary (count-desc, token-asc tie-break)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = docs.select("doc_id", F.explode("t").alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_VOCAB_V)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+QUERIES["vocab_coverage"] = vocab_coverage
