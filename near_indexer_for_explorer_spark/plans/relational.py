@@ -2191,3 +2191,97 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# A50 bounded receipt-tree traversal (reference analog: the execution
+# outcome -> produced receipts graph, database/src/models/
+# execution_outcomes.rs:51 produced_receipt_id and adapters/
+# execution_outcomes.rs — a receipt's execution spawns child receipts,
+# forming the per-transaction execution tree the explorer walks).
+#
+# Test-table mapping: per-user event chains — an event whose
+# predecessor (same user, ts/event_id order) is <= _TREE_GAP_S seconds
+# older is that predecessor's child; chain heads are roots.  The
+# operator emits every (root, descendant, depth) pair to depth
+# _TREE_DEPTH: a FIXED-round iterative edge join, the distributed form
+# of a recursive CTE (the DuckDB oracle IS the recursive CTE, bounded
+# to the same depth, so parity checks the traversal semantics).
+#
+# Scale notes: the edge list is built in one window pass (user_id
+# partitioning), localCheckpoint'd once, then each round is an
+# equi-join on the parent id — depth rounds, each shuffling only the
+# frontier.  At 100 TB this is the standard BFS-by-rounds plan;
+# frontier joins key on receipt_id (high cardinality, no skew).
+# ---------------------------------------------------------------------------
+_TREE_GAP_S = 7200.0
+_TREE_DEPTH = 3
+
+
+@_register(
+    "receipt_descendants",
+    f"""
+    WITH RECURSIVE lagged AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) / 1000000.0 AS es,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+             LAG(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_id AS parent, event_id AS child FROM lagged
+      WHERE prev_es IS NOT NULL AND es - prev_es <= {_TREE_GAP_S}
+    ),
+    roots AS (
+      SELECT event_id AS root_id FROM lagged
+      WHERE prev_es IS NULL OR es - prev_es > {_TREE_GAP_S}
+    ),
+    walk AS (
+      SELECT root_id, root_id AS node_id, 0 AS depth FROM roots
+      UNION ALL
+      SELECT w.root_id, e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node_id
+      WHERE w.depth < {_TREE_DEPTH}
+    )
+    SELECT root_id, node_id, CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE depth >= 1
+    """,
+)
+def receipt_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(root_id, node_id, depth) for every descendant within
+    _TREE_DEPTH hops of a chain root over the derived parent->child
+    event edges."""
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "es",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("es").over(w).alias("prev_es"),
+    )
+    is_root = F.col("prev_es").isNull() | (
+        F.col("es") - F.col("prev_es") > _TREE_GAP_S
+    )
+    edges = (
+        lagged.where(~is_root)
+        .select(F.col("prev_id").alias("parent"), F.col("event_id").alias("child"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = lagged.where(is_root).select(
+        F.col("event_id").alias("root_id"), F.col("event_id").alias("node_id")
+    )
+    out = []
+    for depth in range(1, _TREE_DEPTH + 1):
+        frontier = (
+            frontier.join(edges, frontier.node_id == edges.parent)
+            .select("root_id", F.col("child").alias("node_id"))
+        )
+        out.append(
+            frontier.select(
+                "root_id", "node_id", F.lit(depth).cast("long").alias("depth")
+            )
+        )
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionByName(nxt)
+    return res
