@@ -482,3 +482,97 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["corpus_source_mix"] = corpus_source_mix
+
+
+# ---------------------------------------------------------------------------
+# B27 bigram PMI collocation statistics
+# ---------------------------------------------------------------------------
+# Pointwise mutual information over adjacent word pairs — the classic
+# collocation/phrase-induction signal (word2vec phrase merging, BPE
+# merge scoring both rank candidate merges this way).  pmi(a,b) =
+# ln( (c2/N2) / ((c1a/N1)(c1b/N1)) ), reported round-6 so both
+# engines' libm ln() agree at the hash level (same discipline as the
+# round-6 cosines).
+#
+# Scale shape: one (token) agg and one (bigram) agg, both map-side
+# combined; the two unigram joins broadcast the vocab-sized count
+# table; the corpus totals are broadcast scalar aggregates.  Nothing
+# here grows with corpus size except the two linear scans.
+_PMI_MIN_COUNT = 10
+
+
+ORACLES["token_bigram_pmi"] = f"""
+    WITH {_TOKS_CTE},
+    uni AS (
+      SELECT token, COUNT(*) AS c1 FROM (
+        SELECT UNNEST(t) AS token FROM toks) GROUP BY token
+    ),
+    big AS (
+      SELECT sh, COUNT(*) AS c2 FROM ({_gram_sql(2)}) GROUP BY sh
+    ),
+    n1 AS (SELECT SUM(c1) AS n FROM uni),
+    n2 AS (SELECT SUM(c2) AS n FROM big),
+    sp AS (
+      SELECT string_split(sh, ' ')[1] AS w1, string_split(sh, ' ')[2] AS w2,
+             c2 FROM big WHERE c2 >= {_PMI_MIN_COUNT}
+    )
+    SELECT sp.w1, sp.w2, CAST(sp.c2 AS BIGINT) AS c_bigram,
+           CAST(a.c1 AS BIGINT) AS c_w1, CAST(b.c1 AS BIGINT) AS c_w2,
+           ROUND(ln((CAST(sp.c2 AS DOUBLE) / n2.n)
+                    / ((CAST(a.c1 AS DOUBLE) / n1.n)
+                       * (CAST(b.c1 AS DOUBLE) / n1.n))), 6) AS pmi
+    FROM sp JOIN uni a ON sp.w1 = a.token
+            JOIN uni b ON sp.w2 = b.token, n1, n2
+"""
+
+
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c_bigram, c_w1, c_w2, pmi) for bigrams with count >=
+    _PMI_MIN_COUNT."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    uni = (
+        docs.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        docs.select(F.explode(word_shingles(F.col("t"), 2)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    n2 = big.agg(F.sum("c2").alias("n2"))
+    sp = big.where(F.col("c2") >= _PMI_MIN_COUNT).select(
+        F.split("sh", " ").getItem(0).alias("w1"),
+        F.split("sh", " ").getItem(1).alias("w2"),
+        "c2",
+    )
+    a = uni.select(F.col("token").alias("w1"), F.col("c1").alias("c_w1"))
+    b = uni.select(F.col("token").alias("w2"), F.col("c1").alias("c_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c2").cast("double") / F.col("n2"))
+            / (
+                (F.col("c_w1").cast("double") / F.col("n1"))
+                * (F.col("c_w2").cast("double") / F.col("n1"))
+            )
+        ),
+        6,
+    )
+    return (
+        sp.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("c_bigram"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            pmi.alias("pmi"),
+        )
+    )
+
+
+QUERIES["token_bigram_pmi"] = token_bigram_pmi
