@@ -228,3 +228,29 @@ def test_corpus_split_sample_bucketed_windows(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """The §6 layout claim, enforced: a fact-fact join over the
+    bucketed tables sort-merges bucket-locally — no Exchange anywhere
+    in the plan, even with broadcast joins disabled."""
+    from near_indexer_for_explorer_spark.sources.bucketed import (
+        order_lines_bucketed_join,
+        write_bucketed,
+    )
+
+    write_bucketed(spark, sf_dir, str(tmp_path / "bucketed"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = order_lines_bucketed_join(spark)
+            plan = _formatted_plan(spark, df)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert df.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("orders_b", "lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
