@@ -259,8 +259,17 @@ def extract_typed_events(logs: DataFrame) -> DataFrame:
 
 
 def events_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed FT/NFT event table from EVENT_JSON log lines."""
-    return extract_typed_events(synthesize_event_logs(spark, sf_dir))
+    """Typed FT/NFT event table from EVENT_JSON log lines.
+
+    The synthesized log corpus is materialized once (localCheckpoint):
+    Catalyst otherwise inlines the whole to_json line-construction
+    expression into every downstream from_json field reference (the
+    validation filter alone drags 5 copies into the plan) — measured
+    ~1.7x the operator at sf0.1.  A real deployment reads log lines
+    from storage, so the barrier exactly models the intended input."""
+    return extract_typed_events(
+        synthesize_event_logs(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 QUERIES["events_typed_extract"] = events_typed_extract
