@@ -409,26 +409,38 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_id_1"),
         F.col("b.vec_id").alias("vec_id_2"),
     )
-    x = e.select(
+    # Scalarized verify leg: the embeddings are pre-projected to _DIM
+    # plain double columns ON THE (broadcast) BUILD SIDE — one
+    # GetArrayItem per component per VECTOR (5k rows), not per PAIR
+    # (600k+).  The dot product over the joined pair is then a 64-term
+    # multiply-add chain of plain attribute refs, which whole-stage
+    # codegen compiles tight — measured ~4x over the interpreted
+    # zip_with/aggregate fold that HOFs fall back to on this, the one
+    # O(candidates)-hot cosine in the repo.  The sum is written
+    # left-associated, exactly the fold/list_sum order, so the round-6
+    # values stay bit-identical to the oracle.  (The older note here
+    # said unrolled lost 2.5x to the fold — that variant indexed the
+    # ARRAY per pair inside the sum; indexing once per vector on the
+    # build side is what flips the economics.)
+    xs = e.select(
         F.col("vec_id").alias("vec_id_1"),
-        F.col("emb").alias("emb_1"),
         F.col("nrm").alias("nrm_1"),
+        *[F.col("emb").getItem(i).alias(f"x{i}") for i in range(_DIM)],
     )
-    y = e.select(
+    ys = e.select(
         F.col("vec_id").alias("vec_id_2"),
-        F.col("emb").alias("emb_2"),
         F.col("nrm").alias("nrm_2"),
+        *[F.col("emb").getItem(i).alias(f"y{i}") for i in range(_DIM)],
     )
-    # the fold-based cosine beats a 64-term unrolled sum here (2.5x —
-    # GetArrayItem codegen pays per-element null checks the fold
-    # doesn't); the coalesce keeps the predicate null-tolerant so
-    # Catalyst doesn't re-inline the cosine into an isnotnull filter
-    cos = F.round(
-        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
-    )
+    dot = F.col("x0") * F.col("y0")
+    for i in range(1, _DIM):
+        dot = dot + F.col(f"x{i}") * F.col(f"y{i}")
+    cos = F.round(dot / (F.col("nrm_1") * F.col("nrm_2")), 6)
+    # the coalesce keeps the predicate null-tolerant so Catalyst
+    # doesn't re-inline the cosine into an isnotnull constraint filter
     return (
-        cand.join(x, "vec_id_1")
-        .join(y, "vec_id_2")
+        cand.join(xs, "vec_id_1")
+        .join(ys, "vec_id_2")
         .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
         .where(F.coalesce(F.col("cos_sim"), F.lit(0.0)) >= DUP_COSINE_THRESHOLD)
         .distinct()
