@@ -47,6 +47,15 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Never driver-gated before round 4, or new in round 4 -> front of the window.
 _GATE_PRIORITY: list[str] = [
+    # new in round 4
+    "semdedup_embeddings",
+    "quality_filter_c4",
+    "vocab_coverage",
+    "token_bigram_pmi",
+    "receipt_descendants",
+    "embedding_quantize_int8",
+    "corpus_shard_pack",
+    # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",
     "doc_repetition",

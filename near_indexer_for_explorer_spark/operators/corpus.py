@@ -576,3 +576,89 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["token_bigram_pmi"] = token_bigram_pmi
+
+
+# ---------------------------------------------------------------------------
+# B29 token-budget shard packing
+# ---------------------------------------------------------------------------
+# The last step before training: lay documents end-to-end in ingest
+# order (doc_id) inside each split and cut shards every _PACK_BUDGET
+# tokens — every doc gets (shard_id, offset_in_shard), i.e. exactly
+# where its tokens land in the packed token stream (Megatron-style
+# sample packing).  The running token offset is computed with the same
+# skew-proof two-phase scheme as B18's stratified rank: local cumsum
+# inside (split, doc_id-range bucket) + broadcast per-bucket prefix
+# offsets — a 90%-of-corpus split never lands on one task.  All
+# arithmetic is exact integers; the oracle is the plain single-window
+# cumsum, which the two-phase form equals row-for-row.
+_PACK_BUDGET = 2048  # tokens per shard
+_PACK_BUCKET_SHIFT = 10  # ~1k docs per range bucket
+
+ORACLES["corpus_shard_pack"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, split, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_off
+      FROM d
+    )
+    SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+           CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS offset_in_shard
+    FROM c
+"""
+
+
+def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_tokens, shard_id, offset_in_shard): greedy
+    token-budget packing in ingest order, two-phase skew-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    d = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.shiftright(F.col("doc_id"), _PACK_BUCKET_SHIFT).alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("c_local", F.sum("n_tokens").over(w_local))
+    counts = d.groupBy("split", "bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_off = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "split",
+        "bucket",
+        F.coalesce(F.sum("tot").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    start = (F.col("off") + F.col("c_local") - F.col("n_tokens")).alias("start_off")
+    return (
+        local.join(F.broadcast(offsets), ["split", "bucket"])
+        .withColumn("start_off", start)
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            (F.col("start_off") / _PACK_BUDGET).cast("long").alias("shard_id"),
+            (F.col("start_off") % _PACK_BUDGET).cast("long").alias("offset_in_shard"),
+        )
+    )
+
+
+QUERIES["corpus_shard_pack"] = corpus_shard_pack

@@ -883,3 +883,74 @@ def _semdedup_oracle_sql() -> str:
 
 
 ORACLES["semdedup_embeddings"] = _semdedup_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B28 int8 embedding quantization (oracle-checked)
+# ---------------------------------------------------------------------------
+# Symmetric per-vector int8 quantization — the storage/serving path for
+# embedding corpora (a 64-dim float32 vector becomes 64 bytes + one
+# scale).  q_i = round(x_i / scale), scale = max|x_i| / 127, plus the
+# L2 reconstruction error.  Pure per-row array math (no shuffle); both
+# engines compute the same IEEE divisions and round-half-away ties
+# (which quasi-random ratios never hit), and the quantized vector is
+# emitted comma-joined (arrays hash engine-differently; strings don't
+# — the order_line_bundle lesson).
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, scale, q_csv, recon_err) symmetric int8 quantization."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        F.col("emb"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / F.col("scale")))
+        ).cast("long"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("emb"),
+            lambda qi, x: (qi * F.col("scale") - x) * (qi * F.col("scale") - x),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.withColumn("scale", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            F.round(F.col("scale"), 6).alias("scale_r6"),
+            F.array_join(F.col("q"), ",").alias("q_csv"),
+            F.round(F.sqrt(err2), 6).alias("recon_err"),
+        )
+    )
+
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+
+ORACLES["embedding_quantize_int8"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x ->
+               CAST(GREATEST(-127, LEAST(127, round(x / scale))) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r6,
+           list_aggregate(list_transform(qv, x -> CAST(x AS VARCHAR)),
+                          'string_agg', ',') AS q_csv,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+                 i -> (qv[i] * scale - emb[i]) * (qv[i] * scale - emb[i])))), 6)
+             AS recon_err
+    FROM q
+"""
