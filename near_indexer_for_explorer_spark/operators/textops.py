@@ -393,9 +393,11 @@ ORACLES["quality_filter_c4"] = f"""
 """
 
 
-def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit-friendly quality filter: per-rule booleans + ANDed kept."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+def quality_filter_columns(docs: DataFrame) -> DataFrame:
+    """The B25 rule columns over any (doc_id, text, lang) frame —
+    shared verbatim by the batch operator and the C12 streaming corpus
+    intake (per-row arithmetic only, so it lifts to a stream as-is)."""
+    docs = docs.withColumn("t", tokens("text"))
     tok = F.col("t")
     n_words = F.size(tok)
     mean_wlen = (
@@ -433,6 +435,11 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ok_repetition", ok_rep)
         .withColumn("kept", ok_nw & ok_mwl & ok_stop & ok_rep)
     )
+
+
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-friendly quality filter: per-rule booleans + ANDed kept."""
+    return quality_filter_columns(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES["quality_filter_c4"] = quality_filter_c4

@@ -642,3 +642,40 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C12: streaming corpus intake with the B25 quality filter
+# ---------------------------------------------------------------------------
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def quality_filter_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C12: document shards land as files -> the EXACT B25 rule columns
+    (operators/textops.py::quality_filter_columns, shared code, so the
+    stream can never drift from the batch filter) -> parquet sink
+    partitioned by lang with the kept flag and per-rule audit columns.
+
+    The filter is stateless per-row arithmetic, so the stream needs no
+    watermark and no state store — at 100 TB this is the
+    shards-as-they-land intake path, and restart safety is the file
+    source's checkpointed offsets + per-batch-id idempotent sink, the
+    same contract as C1."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_filter_columns,
+    )
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+    scored = quality_filter_columns(stream)
+    return (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("lang")
+        .trigger(availableNow=True)
+        .start()
+    )

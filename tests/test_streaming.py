@@ -628,3 +628,34 @@ def test_incremental_dedup_stream_equals_batch_twin(spark, sf_dir, tmp_path):
     assert got == want
     n_index = spark.read.parquet(os.path.join(out, "index")).count()
     assert n_index == banded.count()
+
+
+def test_stream_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """C12 == B25: the streamed, lang-partitioned sink holds exactly the
+    batch filter's rows (shared rule-column code, so this pins the
+    wiring: schema drift, partition column handling, restart dedup)."""
+    from near_indexer_for_explorer_spark.operators.textops import quality_filter_c4
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        quality_filter_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = quality_filter_stream(spark, src, out, ckpt)
+    _await(q)
+    got = spark.read.parquet(out)
+    want = quality_filter_c4(spark, sf_dir)
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # restart with the same checkpoint: nothing new -> no duplicates
+    q2 = quality_filter_stream(spark, src, out, ckpt)
+    _await(q2)
+    assert spark.read.parquet(out).count() == want.count()
