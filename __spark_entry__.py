@@ -55,6 +55,7 @@ _GATE_PRIORITY: list[str] = [
     "receipt_descendants",
     "embedding_quantize_int8",
     "corpus_shard_pack",
+    "multimodal_feature_stats",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

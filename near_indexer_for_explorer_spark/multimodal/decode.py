@@ -228,3 +228,115 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_resize"] = multimodal_resize
+
+
+# ---------------------------------------------------------------------------
+# B30 feature-extract pipeline WITH a full oracle (UDF -> JVM aggregate)
+# ---------------------------------------------------------------------------
+# The composition a production multimodal pipeline runs: Arrow-batched
+# per-payload feature extraction (Python kernel) feeding a native
+# aggregation.  Unlike the decode/frame/resize kernels (rows-only by
+# nature), THIS one is hash-checked end-to-end: the stand-in payload is
+# the utf-8 encoding of documents.text — pure ASCII in the test corpus,
+# so DuckDB reproduces the byte math with unicode(substr(...)) and the
+# oracle covers the whole UDF-into-aggregate path, proving the Arrow
+# hop is lossless.  The kernel emits INTEGER quarter byte-sums/counts
+# (not per-doc means): integer sums aggregate exactly in any order and
+# engine, and the single pooled-mean division at the end is one IEEE
+# op — no double->decimal conversion anywhere (where a first cut of
+# this operator picked up a 1-ulp engine divergence).
+FEATURE_SCHEMA = (
+    "doc_id long, lang string, byte_len long, "
+    "s0 long, c0 long, s1 long, c1 long, s2 long, c2 long, s3 long, c3 long"
+)
+_N_QUARTERS = 4
+
+
+def make_feature_kernel() -> Callable[[Iterator], Iterator]:
+    """Per-payload quarter byte-sum/count features (exact integers)."""
+
+    def feature_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def feats(payload: bytes) -> dict:
+            n = len(payload)
+            out = {"byte_len": n}
+            for k in range(_N_QUARTERS):
+                lo, hi = k * n // _N_QUARTERS, (k + 1) * n // _N_QUARTERS
+                q = payload[lo:hi]
+                out[f"s{k}"] = sum(q)
+                out[f"c{k}"] = len(q)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, payload in zip(
+                pdf["doc_id"], pdf["lang"], pdf["payload"]
+            ):
+                row = {"doc_id": doc_id, "lang": lang}
+                row.update(feats(payload))
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return feature_batches
+
+
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang corpus stats over UDF-extracted payload features:
+    (lang, n_docs, total_bytes, q0_mean_byte..q3_mean_byte) where the
+    per-quarter means are POOLED (total byte sum / total byte count) —
+    exact integer aggregation, one final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", "lang", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = payloads.mapInPandas(make_feature_kernel(), schema=FEATURE_SCHEMA)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("byte_len").cast("long").alias("total_bytes"),
+    ]
+    for k in range(_N_QUARTERS):
+        aggs.append(
+            (
+                F.sum(f"s{k}").cast("double") / F.sum(f"c{k}")
+            ).alias(f"q{k}_mean_byte")
+        )
+    return feats.groupBy("lang").agg(*aggs)
+
+
+QUERIES["multimodal_feature_stats"] = multimodal_feature_stats
+
+
+def _feature_stats_oracle_sql() -> str:
+    quarter_cols = []
+    for k in range(_N_QUARTERS):
+        lo = f"(({k} * n) // {_N_QUARTERS})"
+        hi = f"((({k} + 1) * n) // {_N_QUARTERS})"
+        quarter_cols.append(
+            f"COALESCE(list_sum(list_transform(range({lo} + 1, {hi} + 1), "
+            f"i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0) AS s{k}, "
+            f"({hi} - {lo}) AS c{k}"
+        )
+    qc = ",\n             ".join(quarter_cols)
+    f_aggs = ",\n           ".join(
+        f"CAST(SUM(s{k}) AS DOUBLE) / SUM(c{k}) AS q{k}_mean_byte"
+        for k in range(_N_QUARTERS)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, octet_length(encode(text)) AS n, text
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang, n,
+             {qc}
+      FROM b
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_bytes,
+           {f_aggs}
+    FROM f
+    GROUP BY lang
+    """
+
+
+ORACLES["multimodal_feature_stats"] = _feature_stats_oracle_sql()
