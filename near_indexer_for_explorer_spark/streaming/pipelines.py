@@ -679,3 +679,92 @@ def quality_filter_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C13: streaming shard packing (stateful continuation of B29)
+# ---------------------------------------------------------------------------
+PACK_OUTPUT_SCHEMA = (
+    "doc_id long, split string, n_tokens long, shard_id long, "
+    "offset_in_shard long"
+)
+PACK_STATE_SCHEMA = "next_off long"
+PACK_BUDGET = 2048  # == operators/corpus.py::_PACK_BUDGET
+
+
+def make_pack_kernel() -> Callable:
+    """Per-split packing state: the running token offset survives
+    across micro-batches, so shard boundaries are identical to the
+    one-shot batch packing when shards land in ingest order."""
+
+    def pack(key, pdfs, state) -> "Iterator":
+        import pandas as pd
+
+        (split,) = key
+        start = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n_tokens)
+                rows.append(
+                    (int(doc_id), split, n, start // PACK_BUDGET,
+                     start % PACK_BUDGET)
+                )
+                start += n
+        state.update((start,))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "split", "n_tokens", "shard_id", "offset_in_shard"
+            ],
+        )
+
+    return pack
+
+
+def shard_pack_stream(
+    spark: SparkSession, src_dir: str, query_name: str
+):
+    """C13: document shards land as files -> deterministic md5 split ->
+    token counts (JVM-side) -> per-split stateful packing that carries
+    the running token offset across micro-batches (the reference's
+    months-long poll loop writes blocks with exactly this kind of
+    monotone continuation state).
+
+    Equals the batch B29 packing row-for-row when files arrive in
+    ingest (doc_id) order — asserted by the batch-twin test.  State is
+    one long per split: O(splits) state total, forever."""
+    from near_indexer_for_explorer_spark.functions.text import tokens
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    sb = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 40
+    )
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    d = stream.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    packed = d.groupBy("split").applyInPandasWithState(
+        make_pack_kernel(),
+        PACK_OUTPUT_SCHEMA,
+        PACK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        packed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -659,3 +659,44 @@ def test_stream_quality_filter_matches_batch(spark, sf_dir, tmp_path):
     q2 = quality_filter_stream(spark, src, out, ckpt)
     _await(q2)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_shard_pack_matches_batch(spark, sf_dir, tmp_path):
+    """C13 == B29 when shards land in ingest order: the per-split token
+    offset carried in group state reproduces the one-shot packing's
+    shard boundaries across micro-batch restarts of the cumsum."""
+    from near_indexer_for_explorer_spark.operators.corpus import corpus_shard_pack
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        shard_pack_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    import os
+    import time
+
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    first = sorted(
+        p for p in os.listdir(src) if p.endswith(".parquet")
+    )
+    time.sleep(1.1)
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    for i, p in enumerate(sorted(
+        pp for pp in os.listdir(src) if pp.endswith(".parquet")
+    )):
+        # pin mtimes so the file source processes the low-doc_id file first
+        mt = time.time() - 10 + (0 if p in first else 5)
+        os.utime(os.path.join(src, p), (mt, mt))
+
+    q = shard_pack_stream(spark, src, "shard_pack")
+    _await(q)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT doc_id, split, n_tokens, shard_id, offset_in_shard "
+            "FROM shard_pack"
+        ).collect())
+    )
+    want = sorted(map(tuple, corpus_shard_pack(spark, sf_dir).collect()))
+    assert got == want
