@@ -39,6 +39,12 @@ EXTRA = [
     "doc_fingerprint",
     "events_typed_extract",
     "lockup_locked_supply",
+    # round 4 additions (SURVEY r5 rows)
+    "semdedup_embeddings",
+    "quality_filter_c4",
+    "corpus_shard_pack",
+    "receipt_descendants",
+    "multimodal_feature_stats",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
