@@ -768,3 +768,66 @@ def shard_pack_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C14: streaming vector ingestion into the IVF index
+# ---------------------------------------------------------------------------
+EMBEDDING_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def make_ivf_assign_expr(centroids: list) -> F.Column:
+    """Stream-safe nearest-centroid assignment: the trained centroids
+    are inlined as literals, so the argmin is a pure column expression
+    (array_min over (dist, centroid_id) structs — struct ordering gives
+    the same dist-then-id tie-break as the batch window/ROW_NUMBER).
+    No shuffle, no state: exactly how a serving-side quantizer runs.
+
+    `centroids` is [(centroid_id, [comp, ...]), ...] as collected from
+    operators/similarity.py::_kmeans_centroids."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cands = []
+    for cid, comp in centroids:
+        w = F.array(*[F.lit(float(c)) for c in comp])
+        dist = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(
+            F.struct(dist.alias("d"), F.lit(int(cid)).alias("c"))
+        )
+    return F.array_min(F.array(*cands)).getField("c")
+
+
+def ivf_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+):
+    """C14: new embedding shards stream in, are assigned to their IVF
+    list against the FROZEN coarse quantizer, and append to a
+    centroid_id-partitioned parquet index — the vector-side analog of
+    C4's keyed sink: blind partitioned appends, no index rewrite, so
+    per-batch cost is O(batch), never O(index).
+
+    At 100 TB: the quantizer retrains offline on a sample (B13 trains
+    on a deterministic 1/5 sample for exactly this reason); the stream
+    only ever ASSIGNS.  Batch-twin test proves streamed assignments ==
+    the batch ivf_assignments under the same centroids."""
+    stream = spark.readStream.schema(EMBEDDING_SCHEMA).parquet(src_dir)
+    assigned = stream.select(
+        "vec_id",
+        "embedding",
+        make_ivf_assign_expr(centroids).alias("centroid_id"),
+    )
+    return (
+        assigned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("centroid_id")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -700,3 +700,50 @@ def test_stream_shard_pack_matches_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, corpus_shard_pack(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_stream_ivf_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """C14 == B13's assignment pass: streamed nearest-centroid
+    assignment under the frozen quantizer equals batch
+    ivf_assignments, and the sink is centroid-partitioned."""
+    import os
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _IVF_ITERS,
+        _IVF_K,
+        _IVF_TRAIN_MOD,
+        _kmeans_centroids,
+        _vectors,
+        ivf_assignments,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        ivf_ingest_stream,
+    )
+
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    cents_df = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
+    centroids = [(r["centroid_id"], list(r["c_emb"])) for r in cents_df.collect()]
+
+    src = str(tmp_path / "vec_src")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "ivf_out"), str(tmp_path / "ivf_ckpt")
+    q = ivf_ingest_stream(spark, src, out, ckpt, centroids)
+    _await(q)
+
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(out).select("vec_id", "centroid_id").collect()
+    }
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments(e.select("vec_id", "emb"), cents_df).collect()
+    }
+    assert got == want
+    # the sink really is an inverted-list layout
+    parts = [d for d in os.listdir(out) if d.startswith("centroid_id=")]
+    assert len(parts) >= 2
