@@ -56,6 +56,8 @@ _GATE_PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "corpus_shard_pack",
     "multimodal_feature_stats",
+    "events_value_percentiles",
+    "minhash_jaccard_estimate",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

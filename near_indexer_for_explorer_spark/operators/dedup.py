@@ -664,3 +664,102 @@ def _components_oracle_sql() -> str:
 
 
 ORACLES["dedup_components"] = _components_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B31 MinHash Jaccard ESTIMATION (the estimator itself, oracle-checked)
+# ---------------------------------------------------------------------------
+# B3 uses the signatures only to FIND candidates, then verifies with
+# exact Jaccard.  At 100 TB the exact verify (a shingle equi-join per
+# pair) is itself a cost knob — production pipelines often accept the
+# signature ESTIMATE sim ~= (# agreeing permutations)/64 and skip the
+# shingle join entirely (the estimator is unbiased with stderr
+# ~= 1/sqrt(64) ~= 0.125).  This operator emits BOTH numbers per LSH
+# candidate pair, so the estimate's quality is itself an oracle-gated,
+# hash-checked output, and the cutover point is measurable.
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, est_jaccard, jaccard, abs_err) for every
+    LSH candidate pair (no threshold — the estimator is the point)."""
+    sh = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(_MINHASH_PERMS)
+    )
+    est = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (agree.cast("double") / _MINHASH_PERMS).alias("est_jaccard"),
+        )
+    )
+    sizes = _shingle_set_sizes(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, cand.doc_id_1 == F.col("a.doc_id"))
+        .join(
+            b,
+            (cand.doc_id_2 == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z1, z2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    exact = (
+        common.join(F.broadcast(z1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(z2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+    )
+    # LSH candidates always share >=1 band -> >=1 shingle, so the
+    # exact-join side covers every candidate pair (inner join safe)
+    return est.join(exact, ["doc_id_1", "doc_id_2"]).select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+QUERIES["minhash_jaccard_estimate"] = minhash_jaccard_estimate
+
+
+def _minhash_estimate_oracle_sql() -> str:
+    """Extends the B3 oracle chain with the signature-agreement count."""
+    base = _minhash_oracle_sql()
+    # reuse everything up to (and including) the `common` CTE, then
+    # re-emit the estimator join instead of the thresholded output
+    head, _tail = base.rsplit("SELECT d1 AS doc_id_1", 1)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(_MINHASH_PERMS)
+    )
+    return f"""{head}
+    SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+           ROUND(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}, 6) AS est_jaccard,
+           CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt) AS jaccard,
+           ROUND(ABS(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}
+                     - CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt)), 6)
+             AS abs_err
+    FROM cand c
+    JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2
+    JOIN sig sa ON c.d1 = sa.doc_id
+    JOIN sig sb ON c.d2 = sb.doc_id
+    JOIN sizes z1 ON c.d1 = z1.doc_id
+    JOIN sizes z2 ON c.d2 = z2.doc_id
+    """
+
+
+ORACLES["minhash_jaccard_estimate"] = _minhash_estimate_oracle_sql()

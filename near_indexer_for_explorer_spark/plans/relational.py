@@ -2285,3 +2285,46 @@ def receipt_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in out[1:]:
         res = res.unionByName(nxt)
     return res
+
+
+# ---------------------------------------------------------------------------
+# A51 exact per-group percentiles (reference analog: the explorer's
+# gas-price / fee percentile dashboards over blocks.gas_price,
+# database/src/models/blocks.rs:10 — a continuous-percentile rollup
+# per period).
+#
+# Spark's `percentile` is the EXACT linear-interpolation estimator —
+# the same definition DuckDB's percentile_cont implements, over
+# identical doubles, so round-6 values hash-match.  Scale note: exact
+# percentiles materialize each group's values; at 100 TB swap in
+# approx_percentile (t-digest) per group — same plan shape, bounded
+# memory — or pre-bucket into a fixed histogram.  Groups here are
+# event types (bounded cardinality), so the per-group state is the
+# day's values, not the corpus.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99,
+           CAST(MIN(value) AS DOUBLE) AS v_min,
+           CAST(MAX(value) AS DOUBLE) AS v_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, p50, p90, p99, v_min, v_max) — exact
+    interpolated percentiles per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
