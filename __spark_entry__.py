@@ -58,6 +58,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_feature_stats",
     "events_value_percentiles",
     "minhash_jaccard_estimate",
+    "embedding_lang_centroids",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

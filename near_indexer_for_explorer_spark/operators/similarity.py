@@ -954,3 +954,102 @@ ORACLES["embedding_quantize_int8"] = """
              AS recon_err
     FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# B32 per-language embedding centroids (oracle-checked)
+# ---------------------------------------------------------------------------
+# The text<->embedding alignment join every multimodal corpus needs
+# (vec_id == doc_id in the test tables), rolled up to per-language
+# centroids — the embedding-drift monitoring stat (compare centroids
+# across snapshots to catch encoder or corpus-mix regressions).
+# Means are decimal-quantized positional sums (the B13 recenter
+# discipline), emitted as a round-6 CSV string (cross-engine
+# array-hash trap), plus the centroid's own norm.
+def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_vecs, centroid_csv, centroid_norm): decimal-exact
+    per-language embedding centroids.
+
+    Scale shape: one (lang, dim) shuffle with map-side combine —
+    langs x 64 rows of state regardless of corpus size; the docs join
+    is broadcast-eligible per partition at test scale and co-keyed on
+    the id at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    comp = (
+        e.join(docs, "vec_id")
+        .select("lang", "vec_id", F.posexplode("emb").alias("i", "x"))
+        .groupBy("lang", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = comp.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+            lambda s: F.round(s.getField("m"), 6),
+        ).alias("c"),
+        # NOTE on the CSV below: small doubles stringify scientifically
+        # in Spark ("-4.93E-4") but plainly in DuckDB ("-0.000493");
+        # hopping each component through DECIMAL(12,6) pins one plain
+        # fixed-point rendering in both engines.
+    )
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+        6,
+    )
+    return cent.select(
+        "lang",
+        "n_vecs",
+        F.array_join(
+            F.transform(
+                F.col("c"), lambda x: x.cast("decimal(12,6)").cast("string")
+            ),
+            ",",
+        ).alias("centroid_csv"),
+        nrm.alias("centroid_norm"),
+    )
+
+
+QUERIES["embedding_lang_centroids"] = embedding_lang_centroids
+
+ORACLES["embedding_lang_centroids"] = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    j AS (
+      SELECT d.lang, e.vec_id, e.emb
+      FROM e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    comp AS (
+      SELECT lang, i,
+             ROUND(CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6) AS m,
+             COUNT(*) AS n
+      FROM (SELECT lang, vec_id, UNNEST(emb) AS x,
+                   generate_subscripts(emb, 1) AS i FROM j)
+      GROUP BY lang, i
+    ),
+    cent AS (
+      SELECT lang, MAX(n) AS n_vecs, list(m ORDER BY i) AS c
+      FROM comp GROUP BY lang
+    )
+    SELECT lang, CAST(n_vecs AS BIGINT) AS n_vecs,
+           list_aggregate(list_transform(c,
+                            x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)),
+                          'string_agg', ',') AS centroid_csv,
+           ROUND(sqrt(list_sum(list_transform(c, x -> x * x))), 6)
+             AS centroid_norm
+    FROM cent
+"""
