@@ -59,6 +59,7 @@ _GATE_PRIORITY: list[str] = [
     "events_value_percentiles",
     "minhash_jaccard_estimate",
     "embedding_lang_centroids",
+    "unigram_xent",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

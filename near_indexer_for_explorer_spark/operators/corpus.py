@@ -662,3 +662,87 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["corpus_shard_pack"] = corpus_shard_pack
+
+
+# ---------------------------------------------------------------------------
+# B33 unigram-LM cross-entropy scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) ranks web documents by LM perplexity;
+# the distributable core is: fit token probabilities on the train
+# split, score every doc by average negative log-likelihood.  Here the
+# LM is add-one-smoothed unigram: p(w) = (c_train(w)+1) / (N+V), OOV
+# -> 1/(N+V).  Float discipline: each token's ln p is rounded to 6
+# decimals (libm ln may differ 1 ulp across engines; round-6 absorbs
+# it), then summed as DECIMAL(20,6) — exact and order-independent —
+# before the final divide.  Scale shape: the LM is a vocab-sized
+# broadcast; scoring is one explode + one doc_id-keyed agg.
+def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_tokens, xent): add-one unigram cross-entropy
+    of every document under the train-split LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    tok = docs.select(
+        "doc_id", split.alias("split"), F.explode(tokens("text")).alias("token")
+    )
+    train_counts = (
+        tok.where(F.col("split") == "train")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = train_counts.agg(
+        F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_train") + F.col("v_train"))
+        ),
+        6,
+    )
+    return (
+        tok.join(F.broadcast(train_counts), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "split", lp.alias("lp"))
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("lp").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("xent"),
+        )
+    )
+
+
+QUERIES["unigram_xent"] = unigram_xent
+
+ORACLES["unigram_xent"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, split, UNNEST(t) AS token FROM d),
+    tc AS (
+      SELECT token, COUNT(*) AS c FROM tok WHERE split = 'train'
+      GROUP BY token
+    ),
+    tot AS (SELECT SUM(c) AS n_train, COUNT(*) AS v_train FROM tc),
+    lp AS (
+      SELECT tok.doc_id, tok.split,
+             ROUND(ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                      / (tot.n_train + tot.v_train)), 6) AS lp
+      FROM tok LEFT JOIN tc ON tok.token = tc.token, tot
+    )
+    SELECT doc_id, split, COUNT(*) AS n_tokens,
+           ROUND(-CAST(CAST(SUM(CAST(lp AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS xent
+    FROM lp
+    GROUP BY doc_id, split
+"""
