@@ -60,6 +60,7 @@ _GATE_PRIORITY: list[str] = [
     "minhash_jaccard_estimate",
     "embedding_lang_centroids",
     "unigram_xent",
+    "ts_user_similarity_topk",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

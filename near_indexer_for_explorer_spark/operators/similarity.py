@@ -1053,3 +1053,113 @@ ORACLES["embedding_lang_centroids"] = """
              AS centroid_norm
     FROM cent
 """
+
+
+# ---------------------------------------------------------------------------
+# A52 time-series similarity search over user activity profiles
+# ---------------------------------------------------------------------------
+# The EDBT'19 "Time Series Similarity Search for Streaming Data in
+# Distributed Systems" / REPOSE (ICDE'21) problem shape, Spark-first:
+# build each user's daily-activity vector (exact decimal sums into a
+# fixed 31-day calendar), then cosine top-k across users — "which
+# accounts behave like this account", the explorer's peer-analysis
+# query over account_changes (reference analog: account_changes.rs
+# ordered per-account activity).
+#
+# Scale shape: profile construction is ONE user_id-keyed shuffle with
+# 31 map-combined conditional sums; the 31-dim profile table is tiny
+# relative to the fact table (one row per user), so the pair search
+# broadcasts it — at 1B users the pair stage becomes the B11 banding
+# over profiles instead, same code shape.
+_TS_DAYS = 31
+_TS_TOP_K = 5
+
+
+def _ts_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").alias("day"), "value"
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(
+                F.when(F.col("day") == d, F.col("value").cast("decimal(12,2)"))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias(f"d{d}")
+        for d in range(1, _TS_DAYS + 1)
+    ]
+    prof = ev.groupBy("user_id").agg(*aggs)
+    vec = F.array(*[F.col(f"d{d}") for d in range(1, _TS_DAYS + 1)])
+    return prof.select(
+        "user_id", vec.alias("v"), l2_norm(vec).alias("nrm")
+    )
+
+
+def ts_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, peer_id, cos_sim): each user's _TS_TOP_K most similar
+    activity profiles by round-6 cosine (peer_id tie-break)."""
+    p = _ts_profiles(spark, sf_dir)
+    a = p.select(
+        F.col("user_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = p.select(
+        F.col("user_id").alias("peer_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("user_id") != F.col("peer_id")
+    ).select("user_id", "peer_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cos_sim").desc(), F.col("peer_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TS_TOP_K)
+        .select("user_id", "peer_id", "cos_sim")
+    )
+
+
+QUERIES["ts_user_similarity_topk"] = ts_user_similarity_topk
+
+
+def _ts_similarity_oracle_sql() -> str:
+    conds = ",\n             ".join(
+        f"COALESCE(CAST(SUM(CASE WHEN day = {d} THEN "
+        f"CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS d{d}"
+        for d in range(1, _TS_DAYS + 1)
+    )
+    vec = "[" + ", ".join(f"d{d}" for d in range(1, _TS_DAYS + 1)) + "]"
+    return f"""
+    WITH e AS (
+      SELECT user_id, EXTRACT(day FROM ts) AS day, value FROM events
+    ),
+    prof AS (
+      SELECT user_id,
+             {conds}
+      FROM e GROUP BY user_id
+    ),
+    vecs AS (
+      SELECT user_id, {vec} AS v,
+             sqrt(list_sum(list_transform({vec}, x -> x * x))) AS nrm
+      FROM prof
+    ),
+    pairs AS (
+      SELECT a.user_id, b.user_id AS peer_id,
+             ROUND(list_sum(list_transform(range(1, {_TS_DAYS} + 1),
+                                           i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM vecs a JOIN vecs b ON a.user_id <> b.user_id
+    )
+    SELECT user_id, peer_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY cos_sim DESC, peer_id ASC) AS rn
+          FROM pairs) t
+    WHERE rn <= {_TS_TOP_K}
+    """
+
+
+ORACLES["ts_user_similarity_topk"] = _ts_similarity_oracle_sql()
