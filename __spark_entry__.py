@@ -61,6 +61,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_lang_centroids",
     "unigram_xent",
     "ts_user_similarity_topk",
+    "dedup_common_spans",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

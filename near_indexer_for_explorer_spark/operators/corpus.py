@@ -746,3 +746,65 @@ ORACLES["unigram_xent"] = f"""
     FROM lp
     GROUP BY doc_id, split
 """
+
+
+# ---------------------------------------------------------------------------
+# B34 corpus-duplicated span fractions (substring-dedup signal)
+# ---------------------------------------------------------------------------
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") removes exact substrings shared across documents; the
+# distributable approximation at gram granularity: for every document,
+# the fraction of its word-8-gram spans that occur in ANY other
+# document.  Unlike B17 (intra-doc repetition) and B16 (eval-vs-train
+# leakage), this is corpus-wide self-duplication — the "how much of
+# this doc is boilerplate" ranking signal.  Shape: distinct per-doc
+# grams -> gram df agg (map-combined) -> join back -> doc agg; all
+# shuffles keyed on the gram or doc_id, linear in corpus size.
+_SPAN_N = 8
+
+
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, n_shared, shared_frac): per-doc fraction of
+    distinct 8-gram spans that appear in >= 2 documents."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), _SPAN_N))).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    joined = grams.join(df_counts, "g")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_spans")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+QUERIES["dedup_common_spans"] = dedup_common_spans
+
+ORACLES["dedup_common_spans"] = f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+      SELECT DISTINCT doc_id, sh AS g FROM ({_gram_sql(_SPAN_N)})
+    ),
+    dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_frac
+    FROM grams JOIN dfc ON grams.g = dfc.g
+    GROUP BY grams.doc_id
+"""
