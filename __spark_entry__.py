@@ -62,6 +62,7 @@ _GATE_PRIORITY: list[str] = [
     "unigram_xent",
     "ts_user_similarity_topk",
     "dedup_common_spans",
+    "orders_cube",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

@@ -2328,3 +2328,46 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A53 CUBE over (priority, status) — the full grouping-sets lattice
+# (reference analog: the explorer dashboard's action-kind x status
+# matrices with row/column/grand totals, served from the
+# index-action-kind-and-status migration, migrations/
+# 2021-03-11-123839_index-action-kind-and-status).  A28 covers ROLLUP
+# (hierarchical subtotals); CUBE emits ALL 2^k subtotal combinations
+# in one pass — Spark expands the lattice map-side, so it's still one
+# shuffle.  grouping_id() disambiguates rolled-up NULLs from data
+# NULLs with the same bitmask semantics as DuckDB's GROUPING(a, b).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, status, gid, n_orders, total_price) over the full
+    CUBE lattice — every subtotal combination plus the grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_money("o_totalprice", "total_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("gid").cast("long").alias("gid"),
+            "n_orders",
+            "total_price",
+        )
+    )
