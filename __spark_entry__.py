@@ -63,6 +63,7 @@ _GATE_PRIORITY: list[str] = [
     "ts_user_similarity_topk",
     "dedup_common_spans",
     "orders_cube",
+    "pq_ann_topk",
     # registered in round 3, never driver-gated
     "ft_affected_accounts",
     "decontaminate_overlap",

@@ -1163,3 +1163,226 @@ def _ts_similarity_oracle_sql() -> str:
 
 
 ORACLES["ts_user_similarity_topk"] = _ts_similarity_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B35 product-quantization ANN (PQ/ADC, oracle-checked)
+# ---------------------------------------------------------------------------
+# The third ANN scale path (after multi-probe LSH and IVF): Jegou et
+# al. 2011 product quantization.  The 64-dim space splits into
+# _PQ_M=8 subspaces of 8 dims; each subspace gets its own
+# deterministic k-means codebook (_PQ_K=16 centroids, same seeds/
+# Lloyd-round/decimal-mean discipline as B13, trained on the same 1/5
+# sample), so a corpus vector compresses to 8 nibbles.  Queries score
+# candidates by ASYMMETRIC distance: exact query subvector vs corpus
+# centroid code — 8 broadcast LUT joins and a FIXED-ORDER 8-term sum
+# (left-assoc, so both engines add identically; no decimal hop
+# needed).  At 100 TB the codes table is 64x smaller than the
+# vectors; scan+ADC is memory-bandwidth-bound exactly as the paper
+# intends.  The oracle replicates all 8 codebooks + the ADC join.
+_PQ_M = 8
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """One (centroid_id, c_emb) frame per subspace, deterministically
+    trained on the vec_id % _IVF_TRAIN_MOD sample."""
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    books = []
+    for s in range(_PQ_M):
+        sub = F.slice(F.col("emb"), s * _PQ_SUB + 1, _PQ_SUB)
+        books.append(
+            _kmeans_centroids(
+                train.select("vec_id", sub.alias("emb")), _PQ_K, _IVF_ITERS
+            )
+        )
+    return books
+
+
+def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 8 codebooks unioned into one broadcastable (s, centroid_id,
+    c_emb) relation — one crossJoin serves every subspace at once."""
+    books = _pq_codebooks(spark, sf_dir)
+    tagged = [
+        b.select(F.lit(s).alias("s"), "centroid_id", "c_emb")
+        for s, b in enumerate(books)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, adc_dist): top-k by PQ asymmetric distance
+    (round-6 fixed-order 8-term sum), neighbor_id tie-break.
+
+    Plan shape: ONE corpus crossJoin against the 128-row tagged
+    codebook union + one (vec_id, s) argmin window gives every code in
+    a single pass (a first cut chained 8 assignment rounds and nested
+    8 recomputing windows in the lineage); the LUT side is the same
+    join on the tiny query set; scoring joins the narrow (vec_id, s,
+    code) relation to the broadcast LUT and PICKS the 8 per-subspace
+    distances as columns (max-of-when — exact selection, no
+    float-order-dependent SUM) before the left-assoc add."""
+    e = _vectors(spark, sf_dir)
+    books = _pq_books_long(spark, sf_dir).localCheckpoint(eager=False)
+    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    dist = F.aggregate(
+        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes_long = (
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(books))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "s", F.col("centroid_id").alias("code"))
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("emb")
+    )
+    luts = (
+        q.crossJoin(F.broadcast(books))
+        .select("q_id", "s", F.col("centroid_id").alias("code"), dist.alias("d"))
+    )
+    picked = (
+        codes_long.join(F.broadcast(luts), ["s", "code"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d_{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+    adc = F.col("d_0")
+    for s in range(1, _PQ_M):
+        adc = adc + F.col(f"d_{s}")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        picked.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dist")
+    )
+
+
+QUERIES["pq_ann_topk"] = pq_ann_topk
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replica of the FULL PQ pipeline: 8 independent codebook
+    chains (same seeds / 2 unrolled Lloyd rounds / exact-decimal means
+    as the B13 oracle, each over its 8-dim slice), nearest-code
+    assignment, query LUTs, and the fixed-order ADC sum."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    chains = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, s * _PQ_SUB + _PQ_SUB
+        chains.append(
+            f"es_{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM es)"
+        )
+        chains.append(
+            f"c0_{s} AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es_{s} "
+            f"ORDER BY vec_id LIMIT {_PQ_K})"
+        )
+        prev = f"c0_{s}"
+        for it in range(1, _IVF_ITERS + 1):
+            chains.append(
+                f"a{it}_{s} AS ({assign.format(cents=prev, src='es_' + str(s))})"
+            )
+            chains.append(
+                f"c{it}_{s} AS ({recenter.format(assigned=f'a{it}_{s}')})"
+            )
+            prev = f"c{it}_{s}"
+    books_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, centroid_id, c_emb FROM c{_IVF_ITERS}_{s}"
+        for s in range(_PQ_M)
+    )
+    sub = f"v.emb[(v.s * {_PQ_SUB} + 1):(v.s * {_PQ_SUB} + {_PQ_SUB})]"
+    sdist = (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> ({sub}[i] - v.c_emb[i]) * ({sub}[i] - v.c_emb[i])))"
+    )
+    picks = ",\n           ".join(
+        f"MAX(CASE WHEN c.s = {s} THEN l.d END) AS d_{s}" for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"d_{s}" for s in range(_PQ_M))
+    chains_sql = ",\n    ".join(chains)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    {chains_sql},
+    books AS (
+      {books_union}
+    ),
+    codes AS (
+      SELECT vec_id, s, centroid_id AS code FROM (
+        SELECT v.vec_id, v.s, v.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                 ORDER BY {sdist} ASC, v.centroid_id ASC) AS rk
+        FROM (SELECT e.vec_id, e.emb, b.s, b.centroid_id, b.c_emb
+              FROM e, books b) v) t
+      WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    luts AS (
+      SELECT v.q_id, v.s, v.centroid_id AS code, {sdist} AS d
+      FROM (SELECT q.q_id, q.emb, b.s, b.centroid_id, b.c_emb
+            FROM q, books b) v
+    ),
+    picked AS (
+      SELECT l.q_id, c.vec_id,
+           {picks}
+      FROM codes c JOIN luts l ON c.s = l.s AND c.code = l.code
+      WHERE l.q_id <> c.vec_id
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id, adc_dist
+    FROM (
+      SELECT q_id, vec_id, ROUND({adc}, 6) AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ROUND({adc}, 6) ASC, vec_id ASC) AS rn
+      FROM picked) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+ORACLES["pq_ann_topk"] = _pq_oracle_sql()
