@@ -707,10 +707,15 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(
+            # NO final round: the decimal sum casts to an identical
+            # double in both engines and the division is one IEEE op,
+            # so the quotient is bit-identical — a round-6 here can
+            # only ADD divergence (hit at sf0.1: a quotient landed
+            # within 1 ulp of a .5e-6 boundary and the engines'
+            # rounding implementations split).
+            (
                 -F.sum(F.col("lp").cast("decimal(20,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("xent"),
         )
     )
@@ -741,8 +746,8 @@ ORACLES["unigram_xent"] = f"""
       FROM tok LEFT JOIN tc ON tok.token = tc.token, tot
     )
     SELECT doc_id, split, COUNT(*) AS n_tokens,
-           ROUND(-CAST(CAST(SUM(CAST(lp AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
-                 / COUNT(*), 6) AS xent
+           -CAST(CAST(SUM(CAST(lp AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS xent
     FROM lp
     GROUP BY doc_id, split
 """
