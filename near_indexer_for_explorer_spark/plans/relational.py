@@ -959,7 +959,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM snapshots s CROSS JOIN orders o
     )
     SELECT snap_date,
-           ROUND(CAST(SUM(CAST(CAST(total AS DOUBLE) * frac AS DECIMAL(24,6))) AS DOUBLE), 2) AS unlocked_value,
+           CAST(CAST(ROUND(SUM(CAST(CAST(total AS DOUBLE) * frac AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS unlocked_value,
            COUNT(CASE WHEN frac >= 1.0 THEN 1 END) AS n_fully_unlocked
     FROM unlock
     GROUP BY snap_date
@@ -997,7 +997,7 @@ def monthly_unlocked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(24,6) first — the sum is then exact and engine-independent
     unlocked = (F.col("total").cast("double") * F.col("frac")).cast("decimal(24,6)")
     return unlock.groupBy("snap_date").agg(
-        F.round(F.sum(unlocked).cast("double"), 2).alias("unlocked_value"),
+        F.sum(unlocked).cast("decimal(24,2)").cast("double").alias("unlocked_value"),
         F.count(F.when(F.col("frac") >= 1.0, F.lit(1))).alias("n_fully_unlocked"),
     )
 
@@ -1053,7 +1053,7 @@ def monthly_unlocked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM calc
     )
     SELECT snap_date,
-           ROUND(CAST(SUM(CAST(locked_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_locked,
+           CAST(CAST(ROUND(SUM(CAST(locked_d AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS total_locked,
            COUNT(CASE WHEN locked_d = 0 THEN 1 END) AS n_fully_released
     FROM locked
     GROUP BY snap_date
@@ -1104,9 +1104,10 @@ def lockup_locked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = base.select("snap_date", locked.alias("locked_d"))
     return rows.groupBy("snap_date").agg(
-        F.round(F.sum(F.col("locked_d").cast("decimal(24,6)")).cast("double"), 2).alias(
-            "total_locked"
-        ),
+        F.sum(F.col("locked_d").cast("decimal(24,6)"))
+        .cast("decimal(24,2)")
+        .cast("double")
+        .alias("total_locked"),
         F.count(F.when(F.col("locked_d") == 0, F.lit(1))).alias("n_fully_released"),
     )
 
@@ -1164,10 +1165,10 @@ def lockup_locked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT snap_date,
-           ROUND(CAST(SUM(CAST(lock_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_supply,
-           ROUND(CAST(SUM(CAST(locked_d AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_locked,
-           ROUND(CAST(SUM(CAST(CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE), 2) AS foundation_amount,
-           ROUND(CAST(SUM(CAST(lock_d - locked_d - CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE), 2) AS circulating_supply
+           CAST(CAST(ROUND(SUM(CAST(lock_d AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS total_supply,
+           CAST(CAST(ROUND(SUM(CAST(locked_d AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS total_locked,
+           CAST(CAST(ROUND(SUM(CAST(CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS foundation_amount,
+           CAST(CAST(ROUND(SUM(CAST(lock_d - locked_d - CASE WHEN foundation THEN lock_d ELSE 0.0 END AS DECIMAL(24,6))), 2) AS VARCHAR) AS DOUBLE) AS circulating_supply
     FROM calc
     GROUP BY snap_date
     """,
@@ -1227,7 +1228,12 @@ def circulating_supply_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _rsum(col: F.Column, alias: str) -> F.Column:
-        return F.round(F.sum(col.cast("decimal(24,6)")).cast("double"), 2).alias(alias)
+        return (
+            F.sum(col.cast("decimal(24,6)"))
+            .cast("decimal(24,2)")
+            .cast("double")
+            .alias(alias)
+        )
 
     foundation_d = F.when(F.col("foundation"), F.col("lock_d")).otherwise(0.0)
     return rows.groupBy("snap_date").agg(
