@@ -980,32 +980,37 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
+    # Per the §4 float-rounding rule: a decimal-sum / count quotient
+    # can sit EXACTLY on a round-6 boundary, where double-side ROUND
+    # splits across engines — so the mean is rounded in exact decimal
+    # space (decimal division + decimal(24,6) cast, both engines
+    # away-from-zero; boundary cases verified identical).  The decimal
+    # also stringifies plainly ("-0.000493", never "-4.93E-4"), which
+    # fixes the CSV rendering in the same stroke.
     comp = (
         e.join(docs, "vec_id")
         .select("lang", "vec_id", F.posexplode("emb").alias("i", "x"))
         .groupBy("lang", "i")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m"),
+                F.sum(F.col("x").cast("decimal(20,14)")) / F.count(F.lit(1))
+            )
+            .cast("decimal(24,6)")
+            .alias("m6"),
             F.count(F.lit(1)).alias("n"),
         )
     )
     cent = comp.groupBy("lang").agg(
         F.max("n").cast("long").alias("n_vecs"),
         F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
-            lambda s: F.round(s.getField("m"), 6),
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m6")))),
+            lambda s: s.getField("m6"),
         ).alias("c"),
-        # NOTE on the CSV below: small doubles stringify scientifically
-        # in Spark ("-4.93E-4") but plainly in DuckDB ("-0.000493");
-        # hopping each component through DECIMAL(12,6) pins one plain
-        # fixed-point rendering in both engines.
     )
+    c_d = F.transform(F.col("c"), lambda x: x.cast("double"))
     nrm = F.round(
         F.sqrt(
-            F.aggregate(F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x)
+            F.aggregate(c_d, F.lit(0.0), lambda acc, x: acc + x * x)
         ),
         6,
     )
@@ -1013,10 +1018,7 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_vecs",
         F.array_join(
-            F.transform(
-                F.col("c"), lambda x: x.cast("decimal(12,6)").cast("string")
-            ),
-            ",",
+            F.transform(F.col("c"), lambda x: x.cast("string")), ","
         ).alias("centroid_csv"),
         nrm.alias("centroid_norm"),
     )
@@ -1034,22 +1036,22 @@ ORACLES["embedding_lang_centroids"] = """
     ),
     comp AS (
       SELECT lang, i,
-             ROUND(CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE)
-                   / COUNT(*), 6) AS m,
+             CAST(SUM(CAST(x AS DECIMAL(20,14))) / COUNT(*) AS DECIMAL(24,6))
+               AS m6,
              COUNT(*) AS n
       FROM (SELECT lang, vec_id, UNNEST(emb) AS x,
                    generate_subscripts(emb, 1) AS i FROM j)
       GROUP BY lang, i
     ),
     cent AS (
-      SELECT lang, MAX(n) AS n_vecs, list(m ORDER BY i) AS c
+      SELECT lang, MAX(n) AS n_vecs, list(m6 ORDER BY i) AS c
       FROM comp GROUP BY lang
     )
     SELECT lang, CAST(n_vecs AS BIGINT) AS n_vecs,
-           list_aggregate(list_transform(c,
-                            x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)),
+           list_aggregate(list_transform(c, x -> CAST(x AS VARCHAR)),
                           'string_agg', ',') AS centroid_csv,
-           ROUND(sqrt(list_sum(list_transform(c, x -> x * x))), 6)
+           ROUND(sqrt(list_sum(list_transform(c,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
              AS centroid_norm
     FROM cent
 """
