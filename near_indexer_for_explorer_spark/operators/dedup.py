@@ -729,7 +729,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_2",
         F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
         "jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+        # unrounded: est and jaccard are bit-identical doubles in both
+        # engines, so the difference is too — a round-6 here could only
+        # split on a boundary (the §4 rule)
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
     )
 
 
@@ -750,8 +753,8 @@ def _minhash_estimate_oracle_sql() -> str:
     SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
            ROUND(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}, 6) AS est_jaccard,
            CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt) AS jaccard,
-           ROUND(ABS(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}
-                     - CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt)), 6)
+           ABS(ROUND(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}, 6)
+                     - CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt))
              AS abs_err
     FROM cand c
     JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2
