@@ -110,10 +110,11 @@ _GATE_DEFER: list[str] = [
     "q22_idle_customers",
     "events_funnel",
     "text_token_count",
-    # rows-only Arrow kernels: in-repo pytest covers them; keep the
-    # driver window's slots for oracle-gated queries
+    # rows-only entries: in-repo pytest covers them; keep the driver
+    # window's slots for oracle-gated queries
     "multimodal_frame_sample",
     "multimodal_resize",
+    "events_daily_approx_distinct",
 ]
 
 

@@ -2377,3 +2377,42 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A54 sketch-based distinct counting (reference analog: dashboard
+# distinct-account counters; any explorer "active accounts per day"
+# widget at 100 TB runs on a sketch, not a COUNT(DISTINCT)).
+#
+# HyperLogLog++ partials are fixed-size and merge associatively, so
+# the plan is one map-side-combined shuffle with O(days x sketch)
+# state — the ONLY way a distinct count scales to 1000 executors
+# without a second shuffle.  No oracle by design: Spark's HLL++ and
+# DuckDB's sketch are different algorithms with different estimates,
+# so the driver records a rows-only check; the accuracy contract
+# (relative error vs the exact count within 3x the configured rsd) is
+# pinned by tests/test_operators.py instead, which is the strongest
+# cross-engine statement an engine-specific sketch allows.
+# ---------------------------------------------------------------------------
+_HLL_RSD = 0.02
+
+
+def events_daily_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_exact, n_approx, rel_err) per day — the sketch
+    next to its ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("event_date")
+    out = ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("n_approx"),
+    )
+    rel = (
+        F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+        / F.col("n_exact")
+    )
+    return out.select(
+        "event_date", "n_exact", "n_approx", rel.alias("rel_err")
+    )
+
+
+QUERIES["events_daily_approx_distinct"] = events_daily_approx_distinct

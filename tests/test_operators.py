@@ -257,3 +257,18 @@ def test_multimodal_resize_grid_invariants(spark, sf_dir):
     for r in rows:
         assert len(r["pixels"]) == _RESIZE_W * _RESIZE_H
         assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """The sketch's accuracy contract: every day's HLL++ estimate is
+    within 3x the configured rsd of the exact distinct count (no
+    oracle possible — DuckDB's sketch is a different algorithm)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _HLL_RSD,
+        events_daily_approx_distinct,
+    )
+
+    rows = events_daily_approx_distinct(spark, sf_dir).collect()
+    assert len(rows) >= 28  # a month of days
+    for r in rows:
+        assert r["rel_err"] <= 3 * _HLL_RSD, (r["event_date"], r["rel_err"])
