@@ -332,7 +332,11 @@ def _feature_stats_oracle_sql() -> str:
              {qc}
       FROM b
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_bytes,
+    SELECT lang, COUNT(*) AS n_docs,
+           -- BIGINT cast: DuckDB SUM(BIGINT) is HUGEINT, which the
+           -- driver's pandas fetch renders as float64 and the stringified
+           -- value-hash diverges from Spark's int64 despite equal values.
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
            {f_aggs}
     FROM f
     GROUP BY lang

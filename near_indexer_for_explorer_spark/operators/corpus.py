@@ -807,7 +807,11 @@ ORACLES["dedup_common_spans"] = f"""
     dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
     SELECT grams.doc_id,
            COUNT(*) AS n_spans,
-           SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           -- BIGINT cast: DuckDB SUM(int) yields HUGEINT, which the
+           -- driver's pandas fetch renders as float64 ("498.0" vs "498")
+           -- and the value-hash diverges even though values are equal.
+           CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
            CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS shared_frac
     FROM grams JOIN dfc ON grams.g = dfc.g
