@@ -655,7 +655,11 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "split",
             "n_tokens",
-            (F.col("start_off") / _PACK_BUDGET).cast("long").alias("shard_id"),
+            # `div`, not `/`: Spark '/' on longs is IEEE double
+            # division, whose half-ulp near 2^52 can cross an integer
+            # and misassign the shard; `div` stays exact on longs,
+            # matching the oracle's integer `//`.
+            F.expr(f"start_off div {_PACK_BUDGET}").alias("shard_id"),
             (F.col("start_off") % _PACK_BUDGET).cast("long").alias("offset_in_shard"),
         )
     )

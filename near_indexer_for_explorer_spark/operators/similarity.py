@@ -28,7 +28,7 @@ ORACLES: dict[str, str] = {}
 
 TOP_K = 10
 QUERY_MOD = 100  # vec_id % 100 == 0 -> query set scales with the table
-DUP_COSINE_THRESHOLD = 0.4
+DUP_COSINE_THRESHOLD = 0.85
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,43 +208,51 @@ QUERIES["ann_lsh_topk"] = ann_lsh_topk
 # ---------------------------------------------------------------------------
 # B11 embedding-cosine near-dup pairs (oracle-checked, LSH-blocked)
 # ---------------------------------------------------------------------------
-# 8 independent bands of 8 hyperplanes each (256 buckets/band), with
-# radius-1 multi-probe on the blocking side.  For a pair at angle
+# 8 independent bands of 16 hyperplanes each (65536 buckets/band),
+# with radius-2 multi-probe on the blocking side.  For a pair at angle
 # theta, per-plane sign agreement is p = 1 - theta/pi, so a band
-# matches (exactly, or within one flipped plane when probing) with
-# prob p^8 + 8 p^7 (1-p).  At the configured threshold cos=0.4
-# (p=0.631) that is ~0.14 per band -> recall ~0.71 over 8 bands
-# (~0.84 at cos=0.6, ~1.0 at cos>=0.9); a random pair (p=0.5) matches
-# a band with prob 9/256, so the expected candidate multiset is
-# 8 * 9/256 ~= 0.28 of the n^2 pair space, concentrated bucket-local
-# (the dial: more planes pushes work down and recall toward the
-# high-cosine regime — at a real near-dup threshold >=0.85 the same
-# structure gives ~n^2/30 work at recall ~1).  Candidates are joined
-# as narrow (band, bucket, vec_id) relations and joined back to
-# vectors for exact-cosine verification; with 256 buckets/band the
-# candidate multiset is only ~1.05x the unique pair count, so the
-# id-pair distinct() runs AFTER the threshold filter, on the handful
-# of survivors (see the dedup-placement NOTE in the function body —
-# that note is the single source of truth for the placement tradeoff).
+# matches (exactly, or within <=2 flipped planes when probing) with
+# prob sum_{k<=2} C(16,k) p^(16-k) (1-p)^k.  At the configured
+# threshold cos=0.85 (p=0.823) that is ~0.45 per band -> recall ~0.99
+# over 8 bands (~1.0 at cos>=0.9); a random pair (p=0.5) matches a
+# band with prob 137/65536, so the expected candidate multiset is
+# 8 * 137/65536 ~= 0.017 of the n^2 pair space — a ~60x reduction
+# over brute force at near-perfect recall in the regime the operator
+# targets.  (The round-4 configuration — 8 planes/band, radius-1,
+# threshold 0.4 — admitted ~0.28 n^2 candidates, i.e. only a ~3.5x
+# constant over brute force; the round-5 retune moves both the
+# threshold and the blocking into the coherent near-dup regime, per
+# the round-4 advice.)  Candidates are joined as narrow (band,
+# bucket, vec_id) relations and joined back to vectors for
+# exact-cosine verification; the candidate multiset is ~1.0x the
+# unique pair count at 65536 buckets/band, so the id-pair distinct()
+# runs AFTER the threshold filter, on the handful of survivors (see
+# the dedup-placement NOTE in the function body — that note is the
+# single source of truth for the placement tradeoff).
 #
-# Semantics note (recorded per round-3 advice): at the configured
-# DUP_COSINE_THRESHOLD=0.4 this blocking's theoretical recall is
-# ~0.71, down from ~0.90 with the old 3-plane bands — the structure
-# is tuned for the true near-dup regime (>=0.85 -> recall ~1).  0.4
-# is kept ONLY because the synthetic quasi-random embeddings have
-# essentially no pairs above 0.85 (an empty result would gut the
-# oracle's signal); a real deployment should raise the threshold into
-# the regime the blocking targets.  Corollary: at low thresholds the
-# expected candidate space for random vectors is ~0.28 n^2 (8 bands x
-# 9/256), i.e. blocking is a ~3.5x CONSTANT over brute force, not an
-# asymptotic win — the asymptotic win only exists in the high-cosine
-# regime the operator is meant for.  tests/test_operators.py pins the
-# measured recall floor against the all-pairs baseline.
+# Semantics note: the driver's synthetic quasi-random embeddings have
+# no pairs above cos 0.6 at the test scale factors, so the registered
+# query returns ZERO rows there — the oracle replicates the full
+# blocking+verify pipeline bit-for-bit, so empty-vs-empty still
+# proves no false positives; the recall contract (the half the
+# driver corpus cannot exercise) is pinned by
+# tests/test_operators.py::test_embedding_dedup_blocked_subset_and_recall
+# against an all-pairs baseline on a PLANTED corpus with true
+# near-dup pairs at cos in [0.85, 0.99].
 _DUP_BANDS = 8
-_DUP_PLANES_PER_BAND = 8
-# XOR masks for radius-1 probing: the bucket itself + each single
-# flipped plane (9 probes over 256 buckets per band).
-_DUP_PROBE_MASKS = [0] + [1 << p for p in range(_DUP_PLANES_PER_BAND)]
+_DUP_PLANES_PER_BAND = 16
+# XOR masks for radius-2 probing: the bucket itself, each single
+# flipped plane, and each flipped plane pair (137 probes over 65536
+# buckets per band).
+_DUP_PROBE_MASKS = (
+    [0]
+    + [1 << p for p in range(_DUP_PLANES_PER_BAND)]
+    + [
+        (1 << p) | (1 << q)
+        for p in range(_DUP_PLANES_PER_BAND)
+        for q in range(p + 1, _DUP_PLANES_PER_BAND)
+    ]
+)
 
 
 def _dup_hyperplanes() -> list[list[list[float]]]:
@@ -265,7 +273,7 @@ def _dup_hyperplanes() -> list[list[list[float]]]:
 
 def dup_band_buckets(emb_name: str) -> F.Column:
     """array<struct<band_id, bucket>>: the vector's bucket in each of
-    the 8 blocking bands (bucket = 8-bit sign pattern, 256 buckets).
+    the 8 blocking bands (bucket = 16-bit sign pattern, 65536 buckets).
 
     Two deliberate plan-cost choices, both measured:
     - Projections use the compact zip_with/aggregate fold: 64 unrolled
@@ -353,8 +361,8 @@ ORACLES["embedding_dedup_cosine"] = _embedding_dedup_oracle_sql()
 
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by cosine, LSH-blocked: candidate id-pairs come
-    from bucket-local equi-joins over 8 bands x 256 hyperplane-sign
-    buckets (radius-1 multi-probe) as NARROW (vec_id_1, vec_id_2)
+    from bucket-local equi-joins over 8 bands x 65536 hyperplane-sign
+    buckets (radius-2 multi-probe) as NARROW (vec_id_1, vec_id_2)
     rows, which are joined back to the corpus for exact-cosine
     verification at the threshold; output pairs are deduplicated after
     the filter (see the dedup-placement note below).
@@ -365,10 +373,9 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     still deterministically hash-checked.  Scale shape: the banded and
     probe relations are (id, band, bucket) triples — bytes per row,
     never the vector — so the self-join shuffles narrow keys; the
-    distinct bounds cosine work to one evaluation per unique candidate
     pair-dedup (distinct on the id pair) runs AFTER the threshold
-    filter — with 256 buckets/band the candidate multiset is only
-    ~1.05x the unique pair count, so a handful of duplicate cosine
+    filter — with 65536 buckets/band the candidate multiset is ~1.0x
+    the unique pair count, so a handful of duplicate cosine
     evaluations is cheaper than a pre-filter shuffle (the NOTE in the
     body is the single source of truth); the two vector-fetch joins
     are equi-joins on vec_id (AQE splits any hot bucket).  All joins are equi-joins (no
@@ -392,14 +399,16 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("probe_bucket"),
     )
-    # NOTE on dedup placement: with 256 buckets/band the candidate
-    # multiset is only ~1.05x the unique pair count (a random pair
-    # almost never collides in two bands), so deduplicating BEFORE the
-    # cosine would spend a full 500k-row shuffle to save 5% of the
-    # verify work; the distinct() below instead runs on the handful of
-    # threshold survivors.  (With coarse buckets the factor was ~8x
-    # and dedup-first was right — the factor, bands/2^planes-ish, is
-    # the thing to check when retuning.)
+    # NOTE on dedup placement: with 65536 buckets/band a random
+    # candidate pair almost never collides in two bands (the multiset
+    # is ~1.0x the unique pair count; true near-dups repeat across
+    # bands, but they are the rare rows by construction), so
+    # deduplicating BEFORE the cosine would spend a full shuffle to
+    # save a few percent of the verify work; the distinct() below
+    # instead runs on the handful of threshold survivors.  (With
+    # coarse buckets the factor was ~8x and dedup-first was right —
+    # the factor, bands/2^planes-ish, is the thing to check when
+    # retuning.)
     cand = probes.alias("a").join(
         banded.alias("b"),
         (F.col("a.band_id") == F.col("b.band_id"))
@@ -1099,7 +1108,15 @@ def _ts_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ts_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, peer_id, cos_sim): each user's _TS_TOP_K most similar
-    activity profiles by round-6 cosine (peer_id tie-break)."""
+    activity profiles by round-6 cosine (peer_id tie-break).
+
+    Plan note: this is the repo's ONE sanctioned non-equi pair join
+    (BroadcastNestedLoopJoin over the bounded post-aggregation
+    profiles relation) — exact top-k all-pairs is the declared
+    semantic, mirrored by the oracle.  tests/test_plans.py carries the
+    explicit exemption (_BNLJ_EXEMPT) and asserts the build side stays
+    broadcast; at 1B-user scale swap in the B11 banding path under a
+    new name (approximate semantics -> different operator)."""
     p = _ts_profiles(spark, sf_dir)
     a = p.select(
         F.col("user_id"), F.col("v").alias("va"), F.col("nrm").alias("na")

@@ -31,6 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from near_indexer_for_explorer_spark.operators.corpus import (
+    _PACK_BUDGET,
+    _SPLIT_MOD,
+    _hash_bucket,
+)
+
 EVENT_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double, props string"
@@ -689,7 +695,10 @@ PACK_OUTPUT_SCHEMA = (
     "offset_in_shard long"
 )
 PACK_STATE_SCHEMA = "next_off long"
-PACK_BUDGET = 2048  # == operators/corpus.py::_PACK_BUDGET
+# Imported, not duplicated (see module imports): the C13==B29
+# batch-twin contract depends on the stream and batch paths agreeing
+# on the budget and split hash; a local copy could drift silently.
+PACK_BUDGET = _PACK_BUDGET
 
 
 def make_pack_kernel() -> Callable:
@@ -740,14 +749,7 @@ def shard_pack_stream(
     stream = spark.readStream.schema(DOC_SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(src_dir)
-    sb = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 40
-    )
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
     split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
     d = stream.select(
         "doc_id",

@@ -46,10 +46,43 @@ def test_q5_star_join_all_dims_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Registered queries allowed to plan a BroadcastNestedLoopJoin, each
+# with its bounded-build-side justification.  Two families:
+#
+# 1. Bounded broadcast relation (output stays O(n x small constant)):
+#    a crossJoin against a scalar aggregate, a point-in-time snapshot,
+#    or a <=128-row codebook.  The nested loop never touches a second
+#    fact-sized relation, so there is no pair explosion.
+# 2. Declared all-pairs semantics: exact operators whose oracle
+#    replicates the O(n^2) (or O(n^2/k)) pair space.  These are
+#    correctness baselines / bounded-cardinality top-k shapes; their
+#    approximate scale paths live under different names (B11's
+#    banding, B6 LSH, B13 IVF, B35 PQ).
+_BNLJ_EXEMPT = {
+    # family 1: scalar/snapshot/codebook broadcast crossJoins
+    "semdedup_embeddings",      # broadcast cluster-centroid snapshot
+    "token_bigram_pmi",         # broadcast corpus total counts scalar
+    "unigram_xent",             # broadcast (n_train, v_train) scalar
+    "pq_ann_topk",              # broadcast 128-row codebook
+    "circulating_supply_daily", # broadcast lockup snapshot
+    "corpus_source_mix",        # broadcast corpus totals scalar
+    "q11_important_stock",      # broadcast threshold scalar (TPC-H Q11)
+    "monthly_unlocked_supply",  # broadcast vesting snapshot
+    "lockup_locked_supply",     # broadcast lockup snapshot
+    "dedup_ngram_jaccard",      # broadcast df-cap scalar
+    "ann_ivf_topk",             # broadcast trained centroids
+    "tfidf_top_terms",          # broadcast doc-count scalar
+    # family 2: declared all-pairs semantics (exact, oracle-mirrored)
+    "ann_cosine_topk",          # brute-force ANN correctness baseline
+    "ts_user_similarity_topk",  # exact top-k over bounded profiles
+}
+
+
 def test_relational_plans_stay_jvm_side(spark, sf_dir):
-    """No Python UDF may appear in any relational or text/dedup plan —
-    everything must stay in codegen (multimodal_decode is the single
-    sanctioned Arrow-UDF operator)."""
+    """Global plan sweep over every registered query: no Python UDF
+    (everything stays in codegen; multimodal_* is the single
+    sanctioned Arrow-UDF family) and no nested-loop/cartesian pair
+    joins outside the explicit _BNLJ_EXEMPT list."""
     import __spark_entry__ as e
 
     for name, fn in e.queries().items():
@@ -59,6 +92,22 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+        if name not in _BNLJ_EXEMPT:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+
+
+def test_ts_user_similarity_exemption_shape(spark, sf_dir):
+    """The one sanctioned non-equi pair join must at least broadcast
+    its (bounded, post-aggregation) build side — a shuffled cartesian
+    would mean the profiles relation stopped being broadcastable."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ts_user_similarity_topk,
+    )
+
+    plan = _formatted_plan(spark, ts_user_similarity_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q2_broadcast_dims_window_min(spark, sf_dir):
