@@ -106,7 +106,7 @@ _N_FRAMES = 4
 
 FRAME_SCHEMA = (
     "doc_id long, frame_index long, frame_offset long, frame_len long, "
-    "fake_frame_mean double, decode_backend string"
+    "frame_byte_sum long, frame_mean double, decode_backend string"
 )
 
 
@@ -114,8 +114,13 @@ def make_frame_sample_kernel(n_frames: int = _N_FRAMES) -> Callable[[Iterator], 
     """Fixed-stride frame sampler: each payload yields ``n_frames``
     rows (fewer for short payloads) — the Arrow fan-out shape a video
     pipeline needs (decode K frames per clip, not one row per clip).
-    Frame 'features' are the same deterministic byte math as the decode
-    stub; with cv2/av installed the real branch swaps in unchanged."""
+    Frame features follow the B30 hash-proof discipline: an EXACT
+    integer byte sum per frame plus one final IEEE division for the
+    mean, so the DuckDB oracle replicates the kernel bit-for-bit and
+    the whole Arrow hop is hash-checked (the round-4 rows-only
+    fake_frame_mean emitted a Python float per frame, which no SQL
+    engine could reproduce).  With cv2/av installed the real branch
+    swaps in unchanged."""
 
     def sample_frames(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -130,13 +135,15 @@ def make_frame_sample_kernel(n_frames: int = _N_FRAMES) -> Callable[[Iterator], 
                 frame = payload[off : off + stride]
                 if not frame:
                     break
+                s = sum(frame)
                 out.append(
                     {
                         "doc_id": doc_id,
                         "frame_index": k,
                         "frame_offset": off,
                         "frame_len": len(frame),
-                        "fake_frame_mean": sum(frame) / len(frame),
+                        "frame_byte_sum": s,
+                        "frame_mean": s / len(frame),
                         "decode_backend": "stub",
                     }
                 )
@@ -153,7 +160,8 @@ def make_frame_sample_kernel(n_frames: int = _N_FRAMES) -> Callable[[Iterator], 
                     "frame_index",
                     "frame_offset",
                     "frame_len",
-                    "fake_frame_mean",
+                    "frame_byte_sum",
+                    "frame_mean",
                     "decode_backend",
                 ],
             )
@@ -163,14 +171,52 @@ def make_frame_sample_kernel(n_frames: int = _N_FRAMES) -> Callable[[Iterator], 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled 'frame' (fan-out
-    inside the Arrow kernel).  Rows-only driver check, determinism and
-    fan-out shape asserted in tests/test_operators.py."""
+    inside the Arrow kernel), hash-checked against a DuckDB oracle
+    that replicates the stride/offset/byte-sum math on the utf-8
+    payload (pure ASCII in the test corpus, so unicode(substr()) is
+    the byte)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(make_frame_sample_kernel(), schema=FRAME_SCHEMA)
 
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+
+# Frame replica in SQL: stride = max(1, n // 4); frame k at offset
+# k*stride with length min(stride, n - k*stride); k < min(4, n) and
+# only while the frame is non-empty (monotone in k, so a WHERE filter
+# equals the kernel's break).  Integer columns BIGINT-cast per the
+# dtype contract (DuckDB SUM/arith would otherwise surface HUGEINT).
+ORACLES["multimodal_frame_sample"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, n, greatest(1, n // {_N_FRAMES}) AS stride, t.k
+      FROM b, UNNEST(range({_N_FRAMES})) AS t(k)
+      WHERE t.k < least({_N_FRAMES}, n)
+    ),
+    g AS (
+      SELECT doc_id, k, k * stride AS off,
+             least(stride, n - k * stride) AS flen, text
+      FROM f
+      WHERE n - k * stride > 0
+    ),
+    s AS (
+      SELECT doc_id, k, off, flen,
+             list_sum(list_transform(range(off + 1, off + flen + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))) AS bsum
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_index,
+           CAST(off AS BIGINT) AS frame_offset,
+           CAST(flen AS BIGINT) AS frame_len,
+           CAST(bsum AS BIGINT) AS frame_byte_sum,
+           CAST(bsum AS DOUBLE) / flen AS frame_mean,
+           'stub' AS decode_backend
+    FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +274,110 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_resize"] = multimodal_resize
+
+
+# ---------------------------------------------------------------------------
+# B36 resize grid cells (hash-proof companion to B23)
+# ---------------------------------------------------------------------------
+# B23's array<double> output exercises the typed-array Arrow path but
+# is rows-only by nature (array stringification differs between a
+# numpy fetch and a SQL list, so a value hash over it would be
+# encoding-fragile).  This companion emits the SAME sampled grid as
+# exploded exact-integer rows — (doc_id, px_index, px_off, px_u8) — so
+# the kernel's stride/byte math is hash-checked end-to-end; px_frac is
+# the one final IEEE division (the [0,1] normalization B23 applies).
+RESIZE_CELLS_SCHEMA = (
+    "doc_id long, px_index long, px_off long, px_u8 long, "
+    "px_frac double, decode_backend string"
+)
+
+
+def make_resize_cells_kernel(
+    w: int = _RESIZE_W, h: int = _RESIZE_H
+) -> Callable[[Iterator], Iterator]:
+    """Exploded-cell resize kernel: mirrors make_resize_kernel's
+    sampled positions (min(i*stride, n-1), stride = max(1, n // w*h))
+    one row per cell, exact integers."""
+
+    def cells_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_cells = w * h
+
+        def cells_of(doc_id: int, payload: bytes) -> list[dict]:
+            if not payload:
+                return []
+            stride = max(1, len(payload) // n_cells)
+            out = []
+            for i in range(n_cells):
+                off = min(i * stride, len(payload) - 1)
+                u8 = payload[off]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "px_index": i,
+                        "px_off": off,
+                        "px_u8": u8,
+                        "px_frac": u8 / 255.0,
+                        "decode_backend": "stub",
+                    }
+                )
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.extend(cells_of(int(doc_id), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "px_index",
+                    "px_off",
+                    "px_u8",
+                    "px_frac",
+                    "decode_backend",
+                ],
+            )
+
+    return cells_batches
+
+
+def multimodal_resize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize grid as exploded exact-integer cells, hash-checked
+    against a DuckDB oracle replicating the strided sampling on the
+    utf-8 payload (test corpus is pure ASCII; tests assert the cells
+    agree with B23's array output value-for-value)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(make_resize_cells_kernel(), schema=RESIZE_CELLS_SCHEMA)
+
+
+QUERIES["multimodal_resize_cells"] = multimodal_resize_cells
+
+ORACLES["multimodal_resize_cells"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, text, n, t.i,
+             greatest(1, n // {_RESIZE_W * _RESIZE_H}) AS stride
+      FROM b, UNNEST(range({_RESIZE_W * _RESIZE_H})) AS t(i)
+    ),
+    p AS (
+      SELECT doc_id, i, least(i * stride, n - 1) AS off, text FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS px_index,
+           CAST(off AS BIGINT) AS px_off,
+           CAST(unicode(substr(text, CAST(off + 1 AS INTEGER), 1)) AS BIGINT)
+             AS px_u8,
+           CAST(unicode(substr(text, CAST(off + 1 AS INTEGER), 1)) AS DOUBLE)
+             / 255.0 AS px_frac,
+           'stub' AS decode_backend
+    FROM p
+"""
 
 
 # ---------------------------------------------------------------------------

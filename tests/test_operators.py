@@ -292,7 +292,8 @@ def test_multimodal_frame_sample_fanout_and_determinism(spark, sf_dir):
         assert idx == list(range(len(frames)))
         for f in frames:
             assert f["frame_len"] > 0
-            assert 0.0 <= f["fake_frame_mean"] <= 255.0
+            assert abs(f["frame_byte_sum"] - f["frame_mean"] * f["frame_len"]) < 1e-6
+            assert 0.0 <= f["frame_mean"] <= 255.0
 
 
 def test_multimodal_resize_grid_invariants(spark, sf_dir):
@@ -310,6 +311,26 @@ def test_multimodal_resize_grid_invariants(spark, sf_dir):
     for r in rows:
         assert len(r["pixels"]) == _RESIZE_W * _RESIZE_H
         assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+
+
+def test_multimodal_resize_cells_match_array(spark, sf_dir):
+    """The hash-proof exploded-cells companion (B36) must agree with
+    B23's array output value-for-value: px_frac[i] == pixels[i]."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _RESIZE_H,
+        _RESIZE_W,
+        multimodal_resize,
+        multimodal_resize_cells,
+    )
+
+    grids = {
+        r["doc_id"]: r["pixels"] for r in multimodal_resize(spark, sf_dir).collect()
+    }
+    cells = multimodal_resize_cells(spark, sf_dir).collect()
+    assert len(cells) == len(grids) * _RESIZE_W * _RESIZE_H
+    for c in cells:
+        assert c["px_frac"] == grids[c["doc_id"]][c["px_index"]]
+        assert c["px_u8"] == round(c["px_frac"] * 255.0)
 
 
 def test_approx_distinct_accuracy(spark, sf_dir):
