@@ -56,6 +56,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_feature_stats",
     "dedup_common_spans",
     # new or changed in round 5
+    "dedup_span_runs",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

@@ -821,3 +821,156 @@ ORACLES["dedup_common_spans"] = f"""
     FROM grams JOIN dfc ON grams.g = dfc.g
     GROUP BY grams.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B36 paragraph-level maximal shared spans (run-granular substring dedup)
+# ---------------------------------------------------------------------------
+# The suffix-array-free approximation of Lee et al. 2021 exact
+# substring dedup one level above B34's gram-granular fractions: a
+# word-8-gram POSITION in a document is "shared" when its gram occurs
+# in at least one OTHER document (cross-doc df >= 2; intra-doc repeats
+# are B17's signal); maximal runs of CONSECUTIVE shared positions are
+# the document's shared spans (a run of L consecutive shared 8-gram
+# positions certifies an L+7-token substring duplicated somewhere in
+# the corpus).  Everything falls out of ONE ordered window pass per
+# document:
+#
+#   prev      = lag(pos)                 -- gap to the previous shared pos
+#   new_run   = prev is null or gap != 1 -- run boundary
+#   run_start = running MAX of boundary positions (positions ascend, so
+#               the latest boundary IS the current run's start; MAX
+#               skips the nulls on non-boundary rows)
+#   contrib   = min(8, gap)              -- EXACT interval-union token
+#               coverage: position i covers tokens [i, i+7], so each
+#               new position extends the union by min(8, gap) tokens
+#
+# then one doc_id aggregation: n_runs = sum(new_run), longest span =
+# max(pos - run_start + 1) + 7, covered_tokens = sum(contrib).  Two
+# shuffles total on top of the gram-df leg (g, doc_id), both linear;
+# the window partition key is doc_id so the following groupBy reuses
+# its partitioning.  Reference analog: the receipt-arg byte-span
+# comparisons in database/src/adapters/transactions.rs (args dedup
+# shapes) — re-expressed as corpus-scale span accounting.
+
+
+def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_spans, n_runs, max_run_tokens,
+    covered_tokens, dup_token_frac): maximal cross-doc shared spans per
+    document — run count, longest duplicated span in tokens, and the
+    exact token count covered by the union of shared 8-gram windows."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    base = docs.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("t") - F.lit(_SPAN_N - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("t"), _SPAN_N)).alias("pos", "g"),
+    )
+    shared_grams = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        grams.join(shared_grams, "g")
+        .select("doc_id", "pos", F.lag("pos").over(w).alias("prev"))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") != 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_start",
+            F.max(F.when(F.col("new_run") == 1, F.col("pos"))).over(wrun),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.col("prev").isNull(), F.lit(_SPAN_N)).otherwise(
+                F.least(F.lit(_SPAN_N), F.col("pos") - F.col("prev"))
+            ),
+        )
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        (F.max(F.col("pos") - F.col("run_start") + 1) + F.lit(_SPAN_N - 1))
+        .cast("long")
+        .alias("max_run_tokens"),
+        F.sum("contrib").cast("long").alias("covered_tokens"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce("max_run_tokens", F.lit(0)).cast("long").alias("max_run_tokens"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+    )
+
+
+QUERIES["dedup_span_runs"] = dedup_span_runs
+
+ORACLES["dedup_span_runs"] = f"""
+    WITH {_TOKS_CTE},
+    base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(t) - {_SPAN_N - 1}, 0) AS BIGINT) AS n_spans
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, sh AS g
+      FROM ({_gram_sql(_SPAN_N).replace("SELECT doc_id,", "SELECT doc_id, i,")})
+    ),
+    shared AS (
+      SELECT g FROM (
+        SELECT g, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g
+      ) WHERE df >= 2
+    ),
+    flag AS (
+      SELECT doc_id, pos, lag(pos) OVER w AS prev,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w != 1
+                  THEN 1 ELSE 0 END AS new_run
+      FROM grams JOIN shared USING (g)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+      SELECT doc_id, pos, prev, new_run,
+             MAX(CASE WHEN new_run = 1 THEN pos END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS run_start,
+             CASE WHEN prev IS NULL THEN {_SPAN_N}
+                  ELSE least({_SPAN_N}, pos - prev) END AS contrib
+      FROM flag
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs,
+             CAST(MAX(pos - run_start + 1) + {_SPAN_N - 1} AS BIGINT)
+               AS max_run_tokens,
+             CAST(SUM(contrib) AS BIGINT) AS covered_tokens
+      FROM runs GROUP BY doc_id
+    )
+    SELECT base.doc_id, base.n_tokens, base.n_spans,
+           COALESCE(agg.n_runs, 0) AS n_runs,
+           COALESCE(agg.max_run_tokens, 0) AS max_run_tokens,
+           COALESCE(agg.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(agg.covered_tokens, 0) AS DOUBLE) / base.n_tokens
+             AS dup_token_frac
+    FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""

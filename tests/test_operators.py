@@ -346,3 +346,36 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     assert len(rows) >= 28  # a month of days
     for r in rows:
         assert r["rel_err"] <= 3 * _HLL_RSD, (r["event_date"], r["rel_err"])
+
+
+def test_span_runs_planted_duplicate_paragraph(spark, tmp_path):
+    """A paragraph planted verbatim in two documents must surface as
+    ONE maximal run whose token length equals the paragraph's, and the
+    interval-union coverage must not double-count overlapping windows
+    (two shared regions separated by < 8 unique tokens merge in token
+    space but stay distinct runs)."""
+    from near_indexer_for_explorer_spark.operators.corpus import dedup_span_runs
+
+    para = " ".join(f"p{i}" for i in range(20))  # 20-token shared paragraph
+    docs = [
+        (0, f"alpha beta gamma {para} delta epsilon zeta", "en", "s", 0),
+        (1, f"one two three four five six seven {para} eight", "en", "s", 0),
+        # unique doc: no shared grams at all
+        (2, " ".join(f"u{i}" for i in range(30)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r for r in dedup_span_runs(spark, str(tmp_path)).collect()
+    }
+    # 20-token paragraph -> 13 consecutive shared 8-gram positions ->
+    # one run of 13 + 7 = 20 tokens, covering exactly 20 tokens.
+    for d in (0, 1):
+        assert rows[d]["n_runs"] == 1
+        assert rows[d]["max_run_tokens"] == 20
+        assert rows[d]["covered_tokens"] == 20
+    assert rows[2]["n_runs"] == 0
+    assert rows[2]["max_run_tokens"] == 0
+    assert rows[2]["covered_tokens"] == 0
+    assert rows[2]["dup_token_frac"] == 0.0
