@@ -57,6 +57,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_common_spans",
     # new or changed in round 5
     "dedup_span_runs",
+    "dedup_edit_verify",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

@@ -434,16 +434,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB replica of the ENTIRE MinHash+LSH pipeline.
+def _minhash_cand_ctes() -> str:
+    """The shared CTE chain of the MinHash+LSH oracle, up to and
+    including `cand` (the deduped LSH candidate pairs).  Both the
+    Jaccard-verified oracle (B3) and the edit-verified oracle (B37)
+    build on these identical candidates.
 
     The engine's hashing is deliberately built from md5 (the one hash
     both engines share) + modular arithmetic, so the approximate
     operator is still *deterministic* and cross-engine reproducible:
     the oracle recomputes identical signatures, identical band buckets,
-    identical candidates, and the same verified-Jaccard output.  The
-    hex15 -> BIGINT step is a positional digit sum against power-of-16
-    literals (exact; DuckDB has no base-16 conv())."""
+    identical candidates.  The hex15 -> BIGINT step is a positional
+    digit sum against power-of-16 literals (exact; DuckDB has no
+    base-16 conv())."""
     powers = [16 ** (15 - i) for i in range(1, 16)]
     powers_list = ",".join(str(p) for p in powers)
     hex15 = (
@@ -487,7 +490,14 @@ def _minhash_oracle_sql() -> str:
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """B3's full oracle: the shared candidate CTEs + exact-Jaccard
+    verification (see _minhash_cand_ctes for the hashing discipline)."""
+    return f"""
+    {_minhash_cand_ctes()},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT c.d1, c.d2, COUNT(*) AS cnt
@@ -766,3 +776,86 @@ def _minhash_estimate_oracle_sql() -> str:
 
 
 ORACLES["minhash_jaccard_estimate"] = _minhash_estimate_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B37 doc-pair edit-similarity verification (exact verify leg for
+# MinHash candidates)
+# ---------------------------------------------------------------------------
+# B3 verifies LSH candidates with exact shingle-set Jaccard — a join
+# back through the shingle relation.  The other production verify leg
+# is EDIT similarity on the raw text: order-sensitive (catches
+# reshuffled boilerplate that fools bag-of-shingles Jaccard) and
+# join-free (one text fetch per side, then a per-pair scalar kernel).
+# Spark's levenshtein() and DuckDB's levenshtein() implement the same
+# unit-cost character-level DP, so the oracle replicates the kernel
+# exactly (verified over crafted pairs in tests).
+#
+# Scale notes: the kernel is O(len1*len2) per pair, so it runs ONLY on
+# the LSH candidate set (expected ~true-pairs + epsilon) and on texts
+# capped at _EDIT_MAX_CHARS (the cap is part of the operator contract,
+# mirrored in the oracle).  At 100 TB the same shape holds: candidates
+# are a linear-sized relation, the text fetch is two equi-joins on
+# doc_id, and the DP stays JVM-side in codegen; for book-length
+# documents swap the capped DP for a banded/Ukkonen kernel behind the
+# same columns.  Reference analog: receipt-arg byte comparisons in
+# database/src/adapters/transactions.rs (args dedup shapes).
+_EDIT_MAX_CHARS = 2000
+_EDIT_SIM_THRESHOLD = 0.8
+
+
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, len_1, len_2, edit_dist, edit_sim, is_dup):
+    every MinHash/LSH candidate pair verified by character-level edit
+    similarity 1 - dist/max(len) on normalized capped text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, _EDIT_MAX_CHARS).alias(
+            "txt"
+        ),
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    )
+    t1, t2 = docs.alias("t1"), docs.alias("t2")
+    dist = F.levenshtein(F.col("t1.txt"), F.col("t2.txt"))
+    longer = F.greatest(F.length("t1.txt"), F.length("t2.txt"))
+    sim = F.lit(1.0) - dist.cast("double") / longer.cast("double")
+    return (
+        cand.join(t1, cand.doc_id_1 == F.col("t1.doc_id"))
+        .join(t2, cand.doc_id_2 == F.col("t2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.length("t1.txt").cast("long").alias("len_1"),
+            F.length("t2.txt").cast("long").alias("len_2"),
+            dist.cast("long").alias("edit_dist"),
+            sim.alias("edit_sim"),
+            (sim >= F.lit(_EDIT_SIM_THRESHOLD)).alias("is_dup"),
+        )
+    )
+
+
+QUERIES["dedup_edit_verify"] = dedup_edit_verify
+
+ORACLES["dedup_edit_verify"] = f"""
+    {_minhash_cand_ctes()},
+    txt AS (
+      SELECT doc_id,
+             substring(lower(trim(text)), 1, {_EDIT_MAX_CHARS}) AS txt
+      FROM documents
+    )
+    SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+           CAST(length(t1.txt) AS BIGINT) AS len_1,
+           CAST(length(t2.txt) AS BIGINT) AS len_2,
+           CAST(levenshtein(t1.txt, t2.txt) AS BIGINT) AS edit_dist,
+           1.0 - CAST(levenshtein(t1.txt, t2.txt) AS DOUBLE)
+                 / CAST(greatest(length(t1.txt), length(t2.txt)) AS DOUBLE)
+             AS edit_sim,
+           (1.0 - CAST(levenshtein(t1.txt, t2.txt) AS DOUBLE)
+                  / CAST(greatest(length(t1.txt), length(t2.txt)) AS DOUBLE))
+             >= {_EDIT_SIM_THRESHOLD} AS is_dup
+    FROM cand c
+    JOIN txt t1 ON c.d1 = t1.doc_id
+    JOIN txt t2 ON c.d2 = t2.doc_id
+"""

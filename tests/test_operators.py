@@ -379,3 +379,52 @@ def test_span_runs_planted_duplicate_paragraph(spark, tmp_path):
     assert rows[2]["max_run_tokens"] == 0
     assert rows[2]["covered_tokens"] == 0
     assert rows[2]["dup_token_frac"] == 0.0
+
+
+def test_edit_verify_order_sensitivity(spark, tmp_path):
+    """The edit-similarity verify leg must (a) confirm a one-word-edit
+    near-copy and (b) REJECT a block-rotated document that bag-of-
+    shingles Jaccard (B3's verify) would accept — rotation keeps nearly
+    all word 3-grams (certain LSH candidate) but costs ~half the text
+    in edits."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_edit_verify,
+        dedup_minhash_lsh,
+    )
+
+    import hashlib
+
+    # mutually dissimilar tokens (md5-derived) so cross-token character
+    # overlap doesn't mask the rotation's edit cost
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(["CHANGED" if i == 7 else words[i] for i in range(40)])
+    rotated = " ".join(words[20:] + words[:20])
+    unrelated = " ".join(f"zzz{i}" for i in range(40))
+    docs = [
+        (0, base, "en", "s", 0),
+        (1, near, "en", "s", 0),
+        (2, rotated, "en", "s", 0),
+        (3, unrelated, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        (r["doc_id_1"], r["doc_id_2"]): r
+        for r in dedup_edit_verify(spark, str(tmp_path)).collect()
+    }
+    assert rows[(0, 1)]["is_dup"], "one-word edit must verify as dup"
+    assert rows[(0, 1)]["edit_sim"] > 0.9
+    assert (0, 2) in rows, "rotation shares ~all shingles -> LSH candidate"
+    assert not rows[(0, 2)]["is_dup"], "rotation must fail the edit verify"
+    assert rows[(0, 2)]["edit_sim"] < 0.8
+    assert not any(3 in k for k in rows), "unrelated doc must not pair"
+
+    # contrast with B3: the Jaccard leg ACCEPTS the rotated pair
+    jac = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert jac[(0, 2)] >= 0.5, "shingle Jaccard is blind to the rotation"
