@@ -58,6 +58,7 @@ _GATE_PRIORITY: list[str] = [
     # new or changed in round 5
     "dedup_span_runs",
     "dedup_edit_verify",
+    "events_interval_join",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

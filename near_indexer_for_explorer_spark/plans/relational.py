@@ -2416,3 +2416,100 @@ def events_daily_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_daily_approx_distinct"] = events_daily_approx_distinct
+
+
+# ---------------------------------------------------------------------------
+# A55 binned interval join (big x big range join without the BNLJ trap)
+#
+# Reference analog: "what happened during this window" queries the
+# explorer's DB serves off the blocks/receipts timestamp indexes
+# (database/migrations create_blocks timestamp index) — here: for
+# every alert window opened by a high-value error event, count and sum
+# ALL events falling inside [start, start + 2h), with NO equi key.
+#
+# A naive `a JOIN b ON b.ts BETWEEN a.lo AND a.hi` has no equi
+# condition, so Spark plans BroadcastNestedLoopJoin — O(n*m) and
+# banned repo-wide.  The scale path is the textbook distributed
+# interval join: quantize time into bins the size of the window span.
+# Each window overlaps AT MOST 2 bins (span == bin width) and explodes
+# to those bin rows; each event belongs to EXACTLY 1 bin, so every
+# qualifying (window, event) pair meets in precisely one bin — the
+# bin equi-join + residual range predicate is exact, no dedup needed.
+# Shuffles hash on bin (time-uniform by construction; a hot bin would
+# salt like operators/skew.py), and the residual filter runs inside
+# the join, so the pair blowup never materializes.  Works identically
+# at 100 TB: bins partition event time, both sides prune to the same
+# bin keyspace.
+# ---------------------------------------------------------------------------
+_IVL_SPAN_US = 2 * 3600 * 1_000_000  # 2h window == bin width
+_IVL_VALUE_MIN = 150.0  # alert anchors: high-value error events (~top 5%)
+
+
+@_register(
+    "events_interval_join",
+    f"""
+    WITH w AS (
+      SELECT event_id AS window_id, epoch_us(ts) AS start_us
+      FROM events
+      WHERE event_type = 'error' AND value >= {_IVL_VALUE_MIN}
+    )
+    SELECT w.window_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), 0)
+                AS DOUBLE) AS total_value
+    FROM w LEFT JOIN events e
+      ON epoch_us(e.ts) >= w.start_us
+     AND epoch_us(e.ts) < w.start_us + {_IVL_SPAN_US}
+     AND e.event_id != w.window_id
+    GROUP BY w.window_id
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_id, n_events, total_value): per 2-hour alert window, the
+    count and decimal-exact value sum of every OTHER event inside it —
+    a key-less range join executed as a binned equi-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        "event_type",
+        "value",
+    )
+    windows = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") >= _IVL_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + F.lit(_IVL_SPAN_US)).alias("end_us"),
+    )
+    # explode each window to the <=2 bins it overlaps; events get 1 bin
+    w_binned = windows.select(
+        "window_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {_IVL_SPAN_US}"),
+                F.expr(f"(end_us - 1) div {_IVL_SPAN_US}"),
+            )
+        ).alias("bin"),
+    ).alias("w")
+    e_binned = ev.select(
+        "event_id", "value", "us", F.expr(f"us div {_IVL_SPAN_US}").alias("bin")
+    ).alias("e")
+    joined = w_binned.join(
+        e_binned,
+        (F.col("w.bin") == F.col("e.bin"))
+        & (F.col("e.us") >= F.col("w.start_us"))
+        & (F.col("e.us") < F.col("w.end_us"))
+        & (F.col("e.event_id") != F.col("w.window_id")),
+        "left",
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("e.event_id").cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum(dec_money(F.col("e.value"))),
+            F.lit(0).cast("decimal(12,2)"),
+        )
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -428,3 +428,48 @@ def test_edit_verify_order_sensitivity(spark, tmp_path):
         for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
     }
     assert jac[(0, 2)] >= 0.5, "shingle Jaccard is blind to the rotation"
+
+
+def test_interval_join_binned_equals_naive(spark, tmp_path):
+    """The binned interval join must equal a naive all-pairs range join
+    on a corpus crafted to hit the edges: windows straddling a bin
+    boundary, events exactly at start (inclusive) and end (exclusive),
+    and an empty window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _IVL_SPAN_US,
+        events_interval_join,
+    )
+
+    base = dt.datetime(2024, 3, 1, 1, 0, 0)  # NOT bin-aligned (2h bins)
+    span = dt.timedelta(microseconds=_IVL_SPAN_US)
+    rows = [
+        # anchor window straddles the 02:00 bin edge
+        (1, base, 7, "error", 200.0, "{}"),
+        (2, base, 8, "view", 1.0, "{}"),  # == start: INcluded
+        (3, base + span, 9, "view", 2.0, "{}"),  # == end: EXcluded
+        (4, base + span - dt.timedelta(seconds=1), 10, "click", 4.0, "{}"),
+        (5, base - dt.timedelta(seconds=1), 11, "view", 8.0, "{}"),  # before
+        # empty window: anchor in a quiet region
+        (6, dt.datetime(2024, 3, 10), 12, "error", 300.0, "{}"),
+        # low-value error: NOT an anchor
+        (7, base + dt.timedelta(minutes=5), 13, "error", 10.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["window_id"]: (r["n_events"], r["total_value"])
+        for r in events_interval_join(spark, str(tmp_path)).collect()
+    }
+    # window 1 covers events 2 (==start), 4, 7 (other error, low value);
+    # excludes 3 (==end), 5 (before), itself
+    assert got[1] == (3, 1.0 + 4.0 + 10.0)
+    assert got[6] == (0, 0.0)
+    assert set(got) == {1, 6}
