@@ -45,6 +45,10 @@ EXTRA = [
     "corpus_shard_pack",
     "receipt_descendants",
     "multimodal_feature_stats",
+    # round 5 additions
+    "dedup_span_runs",
+    "dedup_edit_verify",
+    "events_interval_join",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -243,7 +243,14 @@ _DUP_BANDS = 8
 _DUP_PLANES_PER_BAND = 16
 # XOR masks for radius-2 probing: the bucket itself, each single
 # flipped plane, and each flipped plane pair (137 probes over 65536
-# buckets per band).
+# buckets per band).  The ORACLE explodes these on one side; the
+# Spark plan instead splits the radius across BOTH sides of a
+# self-join using only the radius-1 masks below — m1 XOR m2 ranges
+# over exactly the popcount<=2 patterns, so the candidate SET is
+# identical while each side materializes 17 probe rows per (vector,
+# band) instead of one side materializing 137 (4x less shuffle
+# volume, and the two sides are the same relation so AQE reuses one
+# exchange).
 _DUP_PROBE_MASKS = (
     [0]
     + [1 << p for p in range(_DUP_PLANES_PER_BAND)]
@@ -253,6 +260,8 @@ _DUP_PROBE_MASKS = (
         for q in range(p + 1, _DUP_PLANES_PER_BAND)
     ]
 )
+# radius-1 masks: identity + each single flipped plane (17)
+_DUP_PROBE_MASKS_R1 = [0] + [1 << p for p in range(_DUP_PLANES_PER_BAND)]
 
 
 def _dup_hyperplanes() -> list[list[list[float]]]:
@@ -383,36 +392,54 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_dedup_cosine_allpairs below keeps the exact O(n^2)
     baseline for tiny-sf recall tests."""
     e = _vectors(spark, sf_dir)
-    banded = e.select(
-        "vec_id",
-        F.explode(dup_band_buckets("emb")).alias("b"),
-    ).select(
-        "vec_id",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.bucket").alias("bucket"),
+    # localCheckpoint: the 128 hyperplane projections per vector are
+    # the plan's one expensive interpreted expression (HOF fold), and
+    # the radius-split self-join below references this relation on
+    # BOTH sides — without the checkpoint each side re-evaluates the
+    # fold (measured 5.5 -> 4.0 s at sf0.1).  The checkpointed
+    # relation is (id, band, bucket) triples — bytes per row, never
+    # the vectors — so the materialization is tiny at any scale
+    # (same pattern as dedup_components' pair graph).
+    banded = (
+        e.select(
+            "vec_id",
+            F.explode(dup_band_buckets("emb")).alias("b"),
+        )
+        .select(
+            "vec_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
-    masks = F.array(*[F.lit(m) for m in _DUP_PROBE_MASKS])
+    # Radius split (see _DUP_PROBE_MASKS note): radius-1 probes on
+    # BOTH sides of the self-join reach every bucket pair within XOR
+    # distance 2 — the same candidate set as one-sided radius-2 —
+    # while shuffling 17 rows/(vector, band) per side instead of 137.
+    masks_r1 = F.array(*[F.lit(m) for m in _DUP_PROBE_MASKS_R1])
     probes = banded.select(
         "vec_id",
         "band_id",
         F.explode(
-            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            F.transform(masks_r1, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("probe_bucket"),
     )
     # NOTE on dedup placement: with 65536 buckets/band a random
     # candidate pair almost never collides in two bands (the multiset
     # is ~1.0x the unique pair count; true near-dups repeat across
-    # bands, but they are the rare rows by construction), so
-    # deduplicating BEFORE the cosine would spend a full shuffle to
-    # save a few percent of the verify work; the distinct() below
-    # instead runs on the handful of threshold survivors.  (With
-    # coarse buckets the factor was ~8x and dedup-first was right —
-    # the factor, bands/2^planes-ish, is the thing to check when
-    # retuning.)
+    # bands — and the radius split below meets a same-bucket pair in
+    # 17 (m, m) probe combinations, but those are the rare rows by
+    # construction), so deduplicating BEFORE the cosine would spend a
+    # full shuffle of the whole multiset to save duplicate verifies of
+    # a handful of rows; the distinct() below instead runs on the
+    # threshold survivors.  (With coarse buckets the factor was ~8x
+    # across ALL pairs and dedup-first was right — the factor to check
+    # when retuning is the expected multiset/unique ratio over RANDOM
+    # pairs, bands/2^planes-ish, not over the rare true dups.)
     cand = probes.alias("a").join(
-        banded.alias("b"),
+        probes.alias("b"),
         (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.probe_bucket") == F.col("b.bucket"))
+        & (F.col("a.probe_bucket") == F.col("b.probe_bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_id_1"),
