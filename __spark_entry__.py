@@ -59,6 +59,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_span_runs",
     "dedup_edit_verify",
     "events_interval_join",
+    "multimodal_decode",  # oracle-gated r5 (was rows-only)
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",
@@ -154,7 +155,6 @@ _GATE_DEFER: list[str] = [
     "dedup_exact_docs",
     # rows-only entries: in-repo pytest covers them; keep the driver
     # window's slots for oracle-gated queries
-    "multimodal_decode",
     "multimodal_resize",
     "events_daily_approx_distinct",
 ]

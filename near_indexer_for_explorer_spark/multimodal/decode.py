@@ -98,6 +98,36 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_decode"] = multimodal_decode
 
+# Oracle for the stub kernel: every output is exact byte math over the
+# utf-8 payload — byte_len, the big-endian first-word, and one final
+# IEEE division for the 64-byte-window mean (Python and DuckDB divide
+# the same exact integers, so the doubles agree bit-for-bit).  The
+# codepoint-based replica below equals the byte-based kernel because
+# the test corpus is printable ASCII (verified across all SFs); a
+# non-ASCII corpus would need blob indexing instead.  This was the
+# last rows-only multimodal entry — with it, the whole Arrow hop
+# (encode -> mapInPandas kernel -> typed columns) is hash-proved
+# end-to-end like B30.
+_HDR_TERMS = " + ".join(
+    f"(CASE WHEN length(text) >= {i + 1} "
+    f"THEN ascii(substring(text, {i + 1}, 1)) ELSE 0 END) * {256 ** (3 - i)}"
+    for i in range(4)
+)
+
+ORACLES["multimodal_decode"] = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST({_HDR_TERMS} AS BIGINT) AS header_u32,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                         range(1, least(length(text), 64) + 1),
+                         i -> ascii(substring(text, CAST(i AS INTEGER), 1))))
+                     AS DOUBLE) / least(length(text), 64)
+           END AS fake_mean_byte,
+           'stub' AS decode_backend
+    FROM documents
+"""
+
 
 # ---------------------------------------------------------------------------
 # B22 frame sampling (video-style fan-out: one input row -> K frame rows)
