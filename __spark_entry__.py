@@ -60,6 +60,8 @@ _GATE_PRIORITY: list[str] = [
     "dedup_edit_verify",
     "events_interval_join",
     "multimodal_decode",  # oracle-gated r5 (was rows-only)
+    "events_value_equidepth",
+    "rp_project_embeddings",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

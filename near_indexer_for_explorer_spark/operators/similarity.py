@@ -1432,3 +1432,98 @@ def _pq_oracle_sql() -> str:
 
 
 ORACLES["pq_ann_topk"] = _pq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B38 random-projection dimensionality reduction (64 -> 16)
+# ---------------------------------------------------------------------------
+# The Johnson-Lindenstrauss workhorse that feeds every downstream
+# embedding consumer at 100 TB: a deterministic +-1 projection matrix
+# (md5-derived, the repo's no-RNG discipline) maps each vector to 16
+# components scaled by 1/sqrt(16) = 0.25 — EXACT in binary, so the
+# whole transform is 16 left-associated 64-term multiply-add chains
+# (whole-stage codegen; same scalarized shape as B11's verify leg,
+# 1024 terms total — well under the 8192-term codegen blowup measured
+# for the 128-chain variant) and one exact scaling.  Zero shuffle:
+# embarrassingly parallel per row.  The oracle replicates every chain
+# in list order and the norm-ratio quotient; components are emitted
+# round-6 (dot products never sit on decimal boundaries — the §4 rule
+# concerns DIVIDED quotients; sqrt is IEEE-correctly-rounded, so the
+# ratio's only rounding is the final round-6 on both engines).
+_RP_OUT = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic +-1 matrix rows via md5 bit parity (independent
+    seed namespace from the LSH planes)."""
+    rows = []
+    for j in range(_RP_OUT):
+        row = []
+        for i in range(_DIM):
+            h = hashlib.md5(f"rproj{j}:{i}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, p0..p15, norm_ratio): 16-dim Johnson-Lindenstrauss
+    sketch of each embedding + how well the projection preserved its
+    norm (E[ratio^2] = 1 under the JL guarantee; pytest pins the
+    corpus mean)."""
+    e = _vectors(spark, sf_dir)
+    xs = e.select(
+        "vec_id",
+        "nrm",
+        *[F.col("emb").getItem(i).alias(f"x{i}") for i in range(_DIM)],
+    )
+    raws = []
+    for j, signs in enumerate(_rp_signs()):
+        chain = F.col("x0") * F.lit(signs[0])
+        for i in range(1, _DIM):
+            chain = chain + F.col(f"x{i}") * F.lit(signs[i])
+        raws.append((chain * F.lit(0.25)).alias(f"r{j}"))
+    raw = xs.select("vec_id", "nrm", *raws)
+    sq = F.col("r0") * F.col("r0")
+    for j in range(1, _RP_OUT):
+        sq = sq + F.col(f"r{j}") * F.col(f"r{j}")
+    return raw.select(
+        "vec_id",
+        *[F.round(F.col(f"r{j}"), 6).alias(f"p{j}") for j in range(_RP_OUT)],
+        F.round(F.sqrt(sq) / F.col("nrm"), 6).alias("norm_ratio"),
+    )
+
+
+QUERIES["rp_project_embeddings"] = rp_project_embeddings
+
+
+def _rp_oracle_sql() -> str:
+    chains = []
+    for j, signs in enumerate(_rp_signs()):
+        s_list = ",".join(str(s) for s in signs)
+        chains.append(
+            f"list_sum(list_transform(range(1, {_DIM} + 1), "
+            f"i -> emb[i] * ([{s_list}])[i])) * 0.25 AS r{j}"
+        )
+    sq = " + ".join(f"r{j} * r{j}" for j in range(_RP_OUT))
+    ps = ",\n           ".join(
+        f"ROUND(r{j}, 6) AS p{j}" for j in range(_RP_OUT)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    raw AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+             {",             ".join(chains)}
+      FROM e
+    )
+    SELECT vec_id,
+           {ps},
+           ROUND(sqrt({sq}) / nrm, 6) AS norm_ratio
+    FROM raw
+"""
+
+
+ORACLES["rp_project_embeddings"] = _rp_oracle_sql()

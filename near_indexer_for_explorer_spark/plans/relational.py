@@ -2513,3 +2513,77 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A56 per-group equi-depth histogram (two-phase: exact percentile
+# boundaries -> broadcast -> map-side bucket assignment)
+#
+# Reference analog: the explorer's fee/gas dashboard distributions
+# (blocks.rs gas price columns).  Equal-WIDTH histograms are trivial
+# map-side math but useless on skewed money/gas values; equal-DEPTH
+# needs quantiles.  The scalable shape is two-phase: ONE shuffle
+# computes the K-1 per-group boundaries (exact `percentile` here ==
+# DuckDB percentile_cont, same interpolation — A51's parity; at
+# 100 TB swap approx_percentile/t-digest with no plan change), the
+# tiny boundary relation broadcasts, and bucket assignment is pure
+# map-side comparisons (bucket = #boundaries below the value), then
+# one final (group, bucket) aggregation.  Boundaries are rounded in
+# decimal space (round-6) before the comparisons so both engines
+# compare against bit-identical thresholds.
+# ---------------------------------------------------------------------------
+_EQD_K = 10
+
+
+def _eqd_boundary_sql() -> str:
+    return ",\n           ".join(
+        f"ROUND(percentile_cont({i / _EQD_K}) WITHIN GROUP (ORDER BY value), 6)"
+        f" AS b{i}"
+        for i in range(1, _EQD_K)
+    )
+
+
+@_register(
+    "events_value_equidepth",
+    f"""
+    WITH bounds AS (
+      SELECT event_type,
+           {_eqd_boundary_sql()}
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST({" + ".join(f"(CASE WHEN e.value > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, _EQD_K))} AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(e.value) AS DOUBLE) AS v_min,
+           CAST(MAX(e.value) AS DOUBLE) AS v_max,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, n, v_min, v_max, v_sum): ~equal-count value
+    buckets per event type from exact decile boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(i / _EQD_K)), 6).alias(f"b{i}")
+            for i in range(1, _EQD_K)
+        ]
+    )
+    bucket = None
+    for i in range(1, _EQD_K):
+        term = F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "value", bucket.cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.sum(dec_money("value")).cast("double").alias("v_sum"),
+        )
+    )

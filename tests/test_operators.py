@@ -473,3 +473,26 @@ def test_interval_join_binned_equals_naive(spark, tmp_path):
     assert got[1] == (3, 1.0 + 4.0 + 10.0)
     assert got[6] == (0, 0.0)
     assert set(got) == {1, 6}
+
+
+def test_rp_projection_preserves_norms(spark, sf_dir):
+    """JL contract: the 16-dim +-1/sqrt(16) projection preserves norms
+    in expectation (E[ratio^2] = 1) — corpus mean of norm_ratio near 1
+    and no catastrophic collapse on any vector."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        rp_project_embeddings,
+    )
+
+    stats = (
+        rp_project_embeddings(spark, sf_dir)
+        .agg(
+            F.avg("norm_ratio").alias("mean"),
+            F.min("norm_ratio").alias("lo"),
+            F.max("norm_ratio").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert 0.85 <= stats["mean"] <= 1.15, stats
+    assert stats["lo"] > 0.3 and stats["hi"] < 2.0, stats
