@@ -62,6 +62,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_decode",  # oracle-gated r5 (was rows-only)
     "events_value_equidepth",
     "rp_project_embeddings",
+    "bpe_train_merges",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

@@ -1,0 +1,227 @@
+"""Distributed BPE merge training (byte-pair-encoding tokenizer prep).
+
+The canonical tokenizer-training loop (Sennrich et al. 2016) over the
+corpus word-frequency table: count adjacent symbol pairs weighted by
+word frequency, merge the most frequent pair, re-segment, repeat.
+`token_bigram_pmi` (operators/corpus.py) scores candidate merges; this
+operator RUNS the training loop itself.
+
+Scale shape (the same one production BPE trainers use): pair
+statistics are computed over the DISTINCT-word frequency table, never
+the raw token stream — one tokens shuffle builds (word, freq), and
+each round is then (a) a pair aggregation over words (map-side
+combined, linear in distinct words), (b) a 1-row argmax broadcast,
+(c) a map-side re-segmentation.  Rounds are data-dependent
+(iterative), so they are UNROLLED a fixed _BPE_ROUNDS deep — the
+exact discipline ann_ivf_topk uses for Lloyd iterations — which makes
+the whole loop one declarative plan AND lets a DuckDB oracle replicate
+it bit-for-bit.
+
+The re-segmentation trick that keeps apply-merge SQL-expressible in
+BOTH engines: symbols stay single characters.  Round k's winning pair
+(a, b) is applied as `replace(encoded, a || b, sentinel_k)` — both
+Spark's and DuckDB's `replace` substitute non-overlapping occurrences
+greedily left-to-right, which IS BPE's merge order — and sentinel_k
+is an unused control character (chr(1..)) standing for the merged
+symbol.  Decoding nests the sentinel expansions back out, so outputs
+show real strings.  Reference analog: args/method-name token
+dictionaries in database/src/adapters/transactions.rs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_indexer_for_explorer_spark.functions.text import tokens
+from near_indexer_for_explorer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_BPE_ROUNDS = 3
+_TOP_PAIRS = 5  # emitted per round (rank 1 is the applied merge)
+_SENTINELS = [chr(1 + k) for k in range(_BPE_ROUNDS)]
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    return (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _pair_stats(words: DataFrame, enc_col: str) -> DataFrame:
+    """Adjacent single-char pair counts over the encoded word column,
+    weighted by word frequency."""
+    pos = F.explode(F.sequence(F.lit(1), F.length(enc_col) - 1)).alias("i")
+    pairs = words.where(F.length(enc_col) >= 2).select(
+        F.col("freq"), F.col(enc_col).alias("enc"), pos
+    )
+    return (
+        pairs.select(
+            F.substring(F.col("enc"), F.col("i").cast("int"), 1).alias("l"),
+            F.expr("substring(enc, CAST(i + 1 AS INT), 1)").alias("r"),
+            "freq",
+        )
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("weight"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, rank, left_sym, right_sym, merged, weight): the top-5
+    weighted symbol pairs per training round, symbols decoded to real
+    strings; rank 1 per round is the merge that round applied."""
+    words = _word_freq(spark, sf_dir)
+
+    outs = []
+    enc = F.col("w")
+    # decode expressions for sentinel chars learned in earlier rounds
+    decode_steps: list[tuple[str, F.Column]] = []
+
+    def decoded(col: F.Column) -> F.Column:
+        for sent, expansion in decode_steps:
+            col = F.replace(col, F.lit(sent), expansion)
+        return col
+
+    bests: list[DataFrame] = []
+    for k in range(_BPE_ROUNDS):
+        stage = words.select("w", "freq", enc.alias("enc"))
+        stats = _pair_stats(stage, "enc")
+        w_rank = Window.orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+        ranked = stats.select(
+            "l", "r", "weight", F.row_number().over(w_rank).alias("rank")
+        ).where(F.col("rank") <= _TOP_PAIRS)
+        # the decode expansions reference the bl{j}/br{j} columns of
+        # every PRIOR round's 1-row best-pair frame; crossJoin them in
+        # (broadcast, 1 row each) so the expressions resolve here too
+        for b in bests:
+            ranked = ranked.crossJoin(F.broadcast(b))
+        top = ranked.select(
+            F.lit(k + 1).cast("long").alias("round"),
+            F.col("rank").cast("long").alias("rank"),
+            decoded(F.col("l")).alias("left_sym"),
+            decoded(F.col("r")).alias("right_sym"),
+            F.concat(decoded(F.col("l")), decoded(F.col("r"))).alias(
+                "merged"
+            ),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        outs.append(top)
+        # the applied merge: rank-1 pair as a 1-row broadcast
+        best = (
+            stats.select(
+                "l", "r", F.row_number().over(w_rank).alias("rk")
+            )
+            .where(F.col("rk") == 1)
+            .select(F.col("l").alias(f"bl{k}"), F.col("r").alias(f"br{k}"))
+        )
+        bests.append(best)
+        words = stage.crossJoin(F.broadcast(best))
+        enc = F.replace(
+            F.col("enc"),
+            F.concat(F.col(f"bl{k}"), F.col(f"br{k}")),
+            F.lit(_SENTINELS[k]),
+        )
+        sent = _SENTINELS[k]
+        bl, br = F.col(f"bl{k}"), F.col(f"br{k}")
+        # freeze current decode of the new sentinel: decoded(l)+decoded(r)
+        decode_steps = decode_steps + [
+            (sent, F.concat(*(
+                [bl, br]
+                if not decode_steps
+                else [_apply_steps(bl, decode_steps), _apply_steps(br, decode_steps)]
+            )))
+        ]
+
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _apply_steps(col: F.Column, steps) -> F.Column:
+    for sent, expansion in steps:
+        col = F.replace(col, F.lit(sent), expansion)
+    return col
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled 3-round replica.  Per round: pair stats from the
+    encoded word table, rank by (weight DESC, l, r), re-encode with
+    replace(enc, l || r, sentinel)."""
+
+    def pair_cte(src: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT substring(enc, CAST(i AS INTEGER), 1) AS l,
+             substring(enc, CAST(i + 1 AS INTEGER), 1) AS r,
+             SUM(freq) AS weight
+      FROM {src}, UNNEST(range(1, length(enc))) AS t(i)
+      WHERE length(enc) >= 2
+      GROUP BY 1, 2
+    ),
+    {name}_rk AS (
+      SELECT l, r, weight,
+             ROW_NUMBER() OVER (ORDER BY weight DESC, l, r) AS rank
+      FROM {name}
+    )"""
+
+    ctes = [
+        r"""toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    words0 AS (
+      SELECT w AS enc, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+    )"""
+    ]
+    selects = []
+    decode = {}  # sentinel -> SQL expr producing expansion given scalar subqueries
+
+    for k in range(_BPE_ROUNDS):
+        src = f"words{k}"
+        name = f"p{k}"
+        ctes.append(pair_cte(src, name))
+        # decode expressions: nested replace over prior sentinels
+        def dec(expr: str) -> str:
+            for s_k in range(k):
+                sent = _SENTINELS[s_k].encode().hex()
+                expansion = decode[s_k]
+                expr = f"replace({expr}, chr({1 + s_k}), {expansion})"
+            return expr
+
+        best_l = f"(SELECT l FROM {name}_rk WHERE rank = 1)"
+        best_r = f"(SELECT r FROM {name}_rk WHERE rank = 1)"
+        decode[k] = f"({dec(best_l)} || {dec(best_r)})"
+        selects.append(
+            f"""
+    SELECT CAST({k + 1} AS BIGINT) AS round,
+           CAST(rank AS BIGINT) AS rank,
+           {dec("l")} AS left_sym,
+           {dec("r")} AS right_sym,
+           {dec("l")} || {dec("r")} AS merged,
+           CAST(weight AS BIGINT) AS weight
+    FROM {name}_rk WHERE rank <= {_TOP_PAIRS}"""
+        )
+        if k + 1 < _BPE_ROUNDS:
+            ctes.append(
+                f"""
+    words{k + 1} AS (
+      SELECT replace(enc, {best_l} || {best_r}, chr({1 + k})) AS enc, freq
+      FROM {src}
+    )"""
+            )
+
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["bpe_train_merges"] = _bpe_oracle_sql()

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from near_indexer_for_explorer_spark.multimodal import decode as _decode
 from near_indexer_for_explorer_spark.operators import asof as _asof
+from near_indexer_for_explorer_spark.operators import bpe as _bpe
 from near_indexer_for_explorer_spark.operators import assets as _assets
 from near_indexer_for_explorer_spark.operators import corpus as _corpus
 from near_indexer_for_explorer_spark.operators import dedup as _dedup
@@ -21,6 +22,6 @@ from near_indexer_for_explorer_spark.operators import textops as _textops
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus):
+for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -496,3 +496,39 @@ def test_rp_projection_preserves_norms(spark, sf_dir):
     )
     assert 0.85 <= stats["mean"] <= 1.15, stats
     assert stats["lo"] > 0.3 and stats["hi"] < 2.0, stats
+
+
+def test_bpe_greedy_merge_and_decode(spark, tmp_path):
+    """BPE on a crafted corpus: round 1 must merge the most frequent
+    pair; round 2's candidates must be expressed over the MERGED
+    symbol (greedy left-to-right re-segmentation, like replace()), and
+    sentinel symbols must decode back to real strings."""
+    from near_indexer_for_explorer_spark.operators.bpe import bpe_train_merges
+
+    docs = [
+        (0, "aaab aaab ccc", "en", "s", 0),
+        (1, "aaab ccc", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["round"], r["rank"]): r
+        for r in bpe_train_merges(spark, str(tmp_path)).collect()
+    }
+    # word freqs: aaab x3, ccc x2 -> pairs: aa=6, ab=3, cc=4
+    r1 = rows[(1, 1)]
+    assert (r1["left_sym"], r1["right_sym"], r1["merged"], r1["weight"]) == (
+        "a", "a", "aa", 6
+    )
+    assert rows[(1, 2)]["merged"] == "cc" and rows[(1, 2)]["weight"] == 4
+    # re-encode: aaab -> [aa]ab (greedy: no second 'aa' left), so round
+    # 2 sees (aa,a)=3, (a,b)=3, (c,c)=4 -> cc wins, then the sentinel
+    # pairs — decoded to real strings
+    r2 = rows[(2, 1)]
+    assert (r2["left_sym"], r2["right_sym"], r2["merged"], r2["weight"]) == (
+        "c", "c", "cc", 4
+    )
+    merged2 = {rows[(2, i)]["merged"] for i in (2, 3)}
+    assert merged2 == {"aaa", "ab"}
+    assert rows[(2, 2)]["weight"] == 3 and rows[(2, 3)]["weight"] == 3

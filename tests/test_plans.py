@@ -72,6 +72,7 @@ _BNLJ_EXEMPT = {
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
     "ann_ivf_topk",             # broadcast trained centroids
     "tfidf_top_terms",          # broadcast doc-count scalar
+    "bpe_train_merges",         # broadcast 1-row best-pair per round
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
@@ -303,3 +304,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         for t in ("orders_b", "lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bpe_exemption_shape(spark, sf_dir):
+    """BPE's only non-equi joins must be the 1-row best-pair
+    broadcasts (never a shuffled cartesian), and the word-frequency
+    relation must aggregate before any pair statistics."""
+    from near_indexer_for_explorer_spark.operators.bpe import bpe_train_merges
+
+    plan = _formatted_plan(spark, bpe_train_merges(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
