@@ -63,6 +63,8 @@ _GATE_PRIORITY: list[str] = [
     "events_value_equidepth",
     "rp_project_embeddings",
     "bpe_train_merges",
+    "orders_retention_cohorts",
+    "events_markov_transitions",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

@@ -2587,3 +2587,145 @@ def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec_money("value")).cast("double").alias("v_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A57 cohort retention matrix (warehouse classic; reference analog:
+# account-creation cohorts vs continued activity — accounts.rs
+# created/deleted lifecycle over account_changes).  Two shuffles: one
+# custkey pass builds (customer -> cohort month), one (cohort, offset)
+# aggregation; the cohort-size join is broadcast-sized (months, not
+# customers).  The retention ratio divides in DECIMAL space and
+# quantizes to 6 places (the B32 discipline) so both engines round
+# identically even on exact boundaries.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_retention_cohorts",
+    """
+    WITH first_m AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT DISTINCT o.o_custkey, date_trunc('month', o.o_orderdate) AS m
+      FROM orders o
+    ),
+    sizes AS (
+      SELECT cohort_m, COUNT(*) AS cohort_size FROM first_m GROUP BY cohort_m
+    ),
+    cells AS (
+      SELECT f.cohort_m,
+             CAST(datediff('month', f.cohort_m, a.m) AS BIGINT)
+               AS months_since,
+             COUNT(*) AS n_active
+      FROM activity a JOIN first_m f ON a.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.cohort_m AS DATE) AS cohort_month,
+           c.months_since,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(CAST(CAST(c.n_active AS DECIMAL(20,14)) / s.cohort_size
+                     AS DECIMAL(24,6)) AS DOUBLE) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+    """,
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_month, months_since, n_active, cohort_size, retention):
+    classic cohort-retention matrix over order activity."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_m = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    activity = orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        activity.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            F.months_between(F.col("m"), F.col("cohort_m"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    retention = (
+        (
+            F.col("n_active").cast("decimal(20,14)")
+            / F.col("cohort_size")
+        )
+        .cast("decimal(24,6)")
+        .cast("double")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").cast("date").alias("cohort_month"),
+            "months_since",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            retention.alias("retention"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A58 event-type transition matrix (first-order Markov chain over each
+# user's event sequence; reference analog: action-kind sequences per
+# account in action_receipt_actions).  ONE user_id window shuffle
+# produces every (prev, cur) adjacency; the per-prev totals ride a
+# second tiny aggregation, and the transition probability divides in
+# decimal space (same boundary-proof rounding as A57).  Sequence order
+# is (ts, event_id) — a total order, so both engines see identical
+# adjacencies even on timestamp ties.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT prev_type, SUM(n) AS total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.cur_type, CAST(t.n AS BIGINT) AS n,
+           CAST(CAST(CAST(t.n AS DECIMAL(20,14)) / tot.total
+                     AS DECIMAL(24,6)) AS DOUBLE) AS p
+    FROM trans t JOIN totals tot ON t.prev_type = tot.prev_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, cur_type, n, p): per-user event-type adjacency
+    counts and row-normalized transition probabilities."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("cur_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    p = (
+        (F.col("n").cast("decimal(20,14)") / F.col("total"))
+        .cast("decimal(24,6)")
+        .cast("double")
+    )
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "cur_type",
+        F.col("n").cast("long").alias("n"),
+        p.alias("p"),
+    )
