@@ -48,11 +48,20 @@ _SENTINELS = [chr(1 + k) for k in range(_BPE_ROUNDS)]
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    return (
+    wf = (
         docs.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    # every unrolled round re-derives its pair stats AND its
+    # re-encoded word table from this relation; checkpointing the
+    # (distinct word, freq) table — tiny by construction — evaluates
+    # the corpus scan/tokenize ONCE instead of ~2x per round.  At
+    # sf0.1 this is timing-neutral (the small corpus scan is not the
+    # bottleneck; per-round pair stats are), but at real corpus sizes
+    # the scan dominates and the checkpoint removes 2*rounds-1 passes
+    # over it.
+    return wf.localCheckpoint(eager=True)
 
 
 def _pair_stats(words: DataFrame, enc_col: str) -> DataFrame:
