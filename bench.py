@@ -49,6 +49,11 @@ EXTRA = [
     "dedup_span_runs",
     "dedup_edit_verify",
     "events_interval_join",
+    "bpe_train_merges",
+    "rp_project_embeddings",
+    "events_value_equidepth",
+    "orders_retention_cohorts",
+    "events_markov_transitions",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
