@@ -65,6 +65,8 @@ _GATE_PRIORITY: list[str] = [
     "bpe_train_merges",
     "orders_retention_cohorts",
     "events_markov_transitions",
+    "ann_recall_matrix",
+    "corpus_temperature_weights",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

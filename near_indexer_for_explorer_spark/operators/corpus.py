@@ -974,3 +974,86 @@ ORACLES["dedup_span_runs"] = f"""
              AS dup_token_frac
     FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B41 temperature-reweighted source sampling (data-mixture recipe)
+# ---------------------------------------------------------------------------
+# The multi-source mixing step of LLM data recipes (alpha-weighted
+# sampling a la multilingual BERT / XLM-R, alpha = 0.5): raw source
+# shares are flattened to share^alpha and renormalized, up-weighting
+# the tail sources.  alpha = 0.5 is deliberate: the reweight is
+# sqrt(), which IEEE requires to be CORRECTLY rounded — so unlike a
+# general pow() the whole pipeline stays bit-reproducible across
+# engines.  Rounding discipline: shares quantize in decimal space
+# (B32), sqrt runs on the quantized double, weights re-quantize to
+# decimal for an order-independent total, and the final probabilities
+# divide in decimal space.  One source-keyed shuffle + two broadcast
+# scalars; linear at any corpus size.
+
+
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_chars, share, alpha_weight, p_sampled):
+    alpha=0.5 temperature-reweighted sampling distribution over
+    sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    total = docs.agg(F.sum(F.length("text")).cast("long").alias("tc"))
+    share6 = (
+        (F.col("n_chars").cast("decimal(20,14)") / F.col("tc"))
+        .cast("decimal(24,6)")
+    )
+    with_share = src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        share6.alias("share6"),
+        F.round(F.sqrt(share6.cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("w6"),
+    )
+    tw = with_share.agg(F.sum("w6").alias("tw"))
+    p = (
+        (F.col("w6").cast("decimal(20,14)") / F.col("tw"))
+        .cast("decimal(24,6)")
+        .cast("double")
+    )
+    return with_share.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.col("share6").cast("double").alias("share"),
+        F.col("w6").cast("double").alias("alpha_weight"),
+        p.alias("p_sampled"),
+    )
+
+
+QUERIES["corpus_temperature_weights"] = corpus_temperature_weights
+
+ORACLES["corpus_temperature_weights"] = """
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    total AS (SELECT SUM(length(text)) AS tc FROM documents),
+    ws AS (
+      SELECT source, n_docs, n_chars,
+             CAST(CAST(n_chars AS DECIMAL(20,14)) / tc AS DECIMAL(24,6))
+               AS share6,
+             CAST(ROUND(sqrt(CAST(CAST(CAST(n_chars AS DECIMAL(20,14)) / tc
+                          AS DECIMAL(24,6)) AS DOUBLE)), 6) AS DECIMAL(12,6))
+               AS w6
+      FROM src, total
+    ),
+    tw AS (SELECT SUM(w6) AS tw FROM ws)
+    SELECT source, n_docs, n_chars,
+           CAST(share6 AS DOUBLE) AS share,
+           CAST(w6 AS DOUBLE) AS alpha_weight,
+           CAST(CAST(CAST(w6 AS DECIMAL(20,14)) / tw.tw AS DECIMAL(24,6))
+                AS DOUBLE) AS p_sampled
+    FROM ws, tw
+"""

@@ -1527,3 +1527,96 @@ def _rp_oracle_sql() -> str:
 
 
 ORACLES["rp_project_embeddings"] = _rp_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B40 ANN recall matrix (evaluation-as-data)
+# ---------------------------------------------------------------------------
+# The serving question every ANN deployment asks — "what recall@k is
+# each index giving me right now?" — computed INSIDE the engine as a
+# query: each approximate path (B6 LSH, B13 IVF, B35 PQ) joined
+# against the exact brute-force baseline (B5) on (q_id, neighbor_id),
+# micro-averaged.  Because all four pipelines are deterministic and
+# oracle-replicated, the recall numbers themselves are hash-checked:
+# the DuckDB oracle recomputes all four pipelines (their oracle texts
+# composed as subqueries) and must land on identical hit counts and
+# identical decimal-quantized recalls.  Scale: each leg is the
+# operator's own (already linear) plan; the evaluation join keys on
+# (q_id, neighbor_id) — top-k-bounded relations, broadcast-sized.
+# Run it over a sampled query set in production; the plan is unchanged.
+
+
+def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_expected, n_returned, n_hit, recall): recall@k of
+    every approximate ANN path against the exact baseline."""
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    legs = {
+        "lsh": ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id"),
+        "ivf": ann_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id"),
+        "pq": pq_ann_topk(spark, sf_dir).select("q_id", "neighbor_id"),
+    }
+    # the expected count enters the plan as a broadcast 1-row
+    # aggregate, NOT a driver-side .count() action (the r2 TF-IDF
+    # lesson: keep the whole evaluation one declarative DAG)
+    n_exp = exact.agg(F.count(F.lit(1)).alias("n_expected"))
+    outs = []
+    for method, df in legs.items():
+        hit = df.join(exact, ["q_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        stats = (
+            df.agg(F.count(F.lit(1)).alias("n_returned"))
+            .crossJoin(hit)
+            .crossJoin(F.broadcast(n_exp))
+        )
+        outs.append(
+            stats.select(
+                F.lit(method).alias("method"),
+                F.col("n_expected").cast("long").alias("n_expected"),
+                F.col("n_returned").cast("long").alias("n_returned"),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                (
+                    F.col("n_hit").cast("decimal(20,14)")
+                    / F.col("n_expected")
+                )
+                .cast("decimal(24,6)")
+                .cast("double")
+                .alias("recall"),
+            )
+        )
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+QUERIES["ann_recall_matrix"] = ann_recall_matrix
+
+
+def _ann_recall_oracle_sql() -> str:
+    legs = {
+        "lsh": ORACLES["ann_lsh_topk"],
+        "ivf": ORACLES["ann_ivf_topk"],
+        "pq": ORACLES["pq_ann_topk"],
+    }
+    exact = ORACLES["ann_cosine_topk"]
+    parts = []
+    for method, sql in legs.items():
+        parts.append(f"""
+    SELECT '{method}' AS method,
+           (SELECT COUNT(*) FROM ex) AS n_expected,
+           (SELECT COUNT(*) FROM ({sql}) m) AS n_returned,
+           (SELECT COUNT(*) FROM ({sql}) m
+             JOIN ex ON m.q_id = ex.q_id AND m.neighbor_id = ex.neighbor_id)
+             AS n_hit,
+           CAST(CAST(CAST((SELECT COUNT(*) FROM ({sql}) m
+             JOIN ex ON m.q_id = ex.q_id AND m.neighbor_id = ex.neighbor_id)
+                AS DECIMAL(20,14)) / (SELECT COUNT(*) FROM ex)
+                AS DECIMAL(24,6)) AS DOUBLE) AS recall""")
+    return (
+        f"WITH ex AS (SELECT q_id, neighbor_id FROM ({exact}) x)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()

@@ -66,6 +66,7 @@ _BNLJ_EXEMPT = {
     "pq_ann_topk",              # broadcast 128-row codebook
     "circulating_supply_daily", # broadcast lockup snapshot
     "corpus_source_mix",        # broadcast corpus totals scalar
+    "corpus_temperature_weights",  # broadcast char-total + weight-total scalars
     "q11_important_stock",      # broadcast threshold scalar (TPC-H Q11)
     "monthly_unlocked_supply",  # broadcast vesting snapshot
     "lockup_locked_supply",     # broadcast lockup snapshot
@@ -76,6 +77,7 @@ _BNLJ_EXEMPT = {
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
+    "ann_recall_matrix",        # composes the brute-force baseline leg
 }
 
 
