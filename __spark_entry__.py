@@ -67,6 +67,7 @@ _GATE_PRIORITY: list[str] = [
     "events_markov_transitions",
     "ann_recall_matrix",
     "corpus_temperature_weights",
+    "corpus_keep_list",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

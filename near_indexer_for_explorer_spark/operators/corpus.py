@@ -1057,3 +1057,107 @@ ORACLES["corpus_temperature_weights"] = """
                 AS DOUBLE) AS p_sampled
     FROM ws, tw
 """
+
+
+# ---------------------------------------------------------------------------
+# B42 composed corpus keep-list (the pipeline's final verdict)
+# ---------------------------------------------------------------------------
+# What a user of the engine actually materializes before training: ONE
+# keep/drop decision per document with the reason, composed from the
+# already-verified stages — exact dedup (B1 min-id representative),
+# near-dup clusters (B20 components over verified MinHash pairs, keep
+# the representative), and the C4 quality filter (B25).  Reason
+# precedence mirrors production pipelines (cheapest-first): exact_dup
+# > near_dup > quality > kept.  Because every stage is deterministic
+# and oracle-replicated, the COMPOSED decision is hash-checked too —
+# the oracle stitches the three stages' oracle texts into one query.
+# Scale: each stage is its own linear plan; the composition adds only
+# doc_id equi-joins.
+
+
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, keep, reason): final per-document corpus decision from
+    exact dedup, near-dup clustering, and the quality filter."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_components,
+        dedup_exact_docs,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_filter_c4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = dedup_exact_docs(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), F.col("keep_id")
+    )
+    with_hash = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_drop = (
+        with_hash.join(exact, "h")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit("exact_dup").alias("r1"))
+    )
+    near_drop = (
+        dedup_components(spark, sf_dir)
+        .where(~F.col("is_representative"))
+        .select("doc_id", F.lit("near_dup").alias("r2"))
+    )
+    qual_drop = (
+        quality_filter_c4(spark, sf_dir)
+        .where(~F.col("kept"))
+        .select("doc_id", F.lit("quality").alias("r3"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(exact_drop, "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
+        .join(qual_drop, "doc_id", "left")
+    )
+    reason = F.coalesce(
+        F.col("r1"), F.col("r2"), F.col("r3"), F.lit("kept")
+    )
+    return out.select(
+        "doc_id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+QUERIES["corpus_keep_list"] = corpus_keep_list
+
+
+def _keep_list_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        ORACLES as _DEDUP_ORACLES,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    return f"""
+    WITH exact AS (
+      SELECT d.doc_id, 'exact_dup' AS r1
+      FROM documents d JOIN ({_DEDUP_ORACLES["dedup_exact_docs"]}) e
+        ON md5(d.text) = e.text_hash
+      WHERE d.doc_id != e.keep_id
+    ),
+    near AS (
+      SELECT doc_id, 'near_dup' AS r2
+      FROM ({_DEDUP_ORACLES["dedup_components"]}) c
+      WHERE NOT c.is_representative
+    ),
+    qual AS (
+      SELECT doc_id, 'quality' AS r3
+      FROM ({_TEXT_ORACLES["quality_filter_c4"]}) q
+      WHERE NOT q.kept
+    )
+    SELECT d.doc_id,
+           COALESCE(e.r1, n.r2, q.r3, 'kept') = 'kept' AS keep,
+           COALESCE(e.r1, n.r2, q.r3, 'kept') AS reason
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near n ON d.doc_id = n.doc_id
+    LEFT JOIN qual q ON d.doc_id = q.doc_id
+"""
+
+
+ORACLES["corpus_keep_list"] = _keep_list_oracle_sql()

@@ -209,3 +209,66 @@ def test_dedup_components_reached_fixpoint(spark, sf_dir):
         members.setdefault(find(d), []).append(d)
     want = {d: min(ms) for root, ms in members.items() for d in ms}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3_000_000),  # offset seconds
+            st.sampled_from(["error", "view", "click"]),
+            st.integers(min_value=0, max_value=400),  # whole-dollar value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_interval_join_matches_naive(spark, tmp_path_factory, events):
+    """The binned interval join == the O(n*m) naive definition on
+    arbitrary generated event sets (random gaps exercise windows that
+    straddle, span, or miss bins entirely)."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _IVL_SPAN_US,
+        _IVL_VALUE_MIN,
+        events_interval_join,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), i, etype, float(v), "{}")
+        for i, (s, etype, v) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("ivl")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        r["window_id"]: (r["n_events"], r["total_value"])
+        for r in events_interval_join(spark, str(d)).collect()
+    }
+
+    us = {i: int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+          for i, (s, _, _) in enumerate(events)
+          for t in [base + dt.timedelta(seconds=s)]}
+    want = {}
+    for i, (s, etype, v) in enumerate(events):
+        if etype == "error" and v >= _IVL_VALUE_MIN:
+            inside = [
+                j
+                for j, (s2, _, _) in enumerate(events)
+                if j != i and us[i] <= us[j] < us[i] + _IVL_SPAN_US
+            ]
+            want[i] = (
+                len(inside),
+                float(sum(events[j][2] for j in inside)),
+            )
+    assert got == want
