@@ -2729,3 +2729,49 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         p.alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A59 interval-debounced dedup (batch twin of the streaming
+# dropDuplicatesWithinWatermark rule, C3): keep an event only if the
+# SAME (user, type) has not fired within the previous hour — i.e.,
+# debounce bursts, the "alert storm suppression" the explorer's
+# notification paths need.  Classic gaps-and-islands: one (user,type)
+# window pass computes the gap to the previous KEPT event... which is
+# the subtlety: debounce-against-KEPT is iterative, but
+# debounce-against-PREVIOUS (lag >= interval) is one window and is
+# the semantics dropDuplicatesWithinWatermark implements per batch;
+# we pin THAT contract, and the C3 stream equals it on replay.
+# ---------------------------------------------------------------------------
+_DEBOUNCE_S = 3600
+
+
+@_register(
+    "events_debounce_1h",
+    f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           (gap_us IS NULL OR gap_us >= {_DEBOUNCE_S} * 1000000::BIGINT)
+             AS kept
+    FROM seq
+    """,
+)
+def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, event_type, kept): suppress events of the
+    same (user, type) arriving within 1h of the previous one."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (gap.isNull() | (gap >= F.lit(_DEBOUNCE_S * 1_000_000))).alias("kept"),
+    )
