@@ -833,3 +833,67 @@ def ivf_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C16 true sequential debounce (emit-if-gap-from-last-EMITTED)
+# ---------------------------------------------------------------------------
+DEBOUNCE_GAP_S = 3600.0
+
+DEBOUNCE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, event_type string, es double"
+)
+DEBOUNCE_STATE_SCHEMA = "last_emitted double"
+
+
+def make_debounce_kernel():
+    """applyInPandasWithState kernel for debounce-against-KEPT: an
+    event is emitted only when >= 1h has passed since the last EMITTED
+    event of the same (user, type).  This is a sequential fold —
+    emitted_i depends on emitted_{i-1} — which plain batch windows
+    cannot express (the batch twin A59 `events_debounce_1h` pins the
+    weaker lag-vs-previous contract and documents exactly this gap);
+    group state makes it one long-lived decision per key.  State is a
+    single double per key: bounded forever."""
+    gap = DEBOUNCE_GAP_S
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user_id, event_type = key
+        last = state.get[0] if state.exists else None
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for eid, ts in zip(rows["event_id"], rows["ts"]):
+            es = ts.timestamp()
+            if last is None or es - last >= gap:
+                out.append((int(eid), int(user_id), event_type, es))
+                last = es
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "event_type", "es"]
+            )
+
+    return update
+
+
+def debounce_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C16: alert-storm suppression with sequential semantics, keyed
+    state spanning micro-batches."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    kept = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        make_debounce_kernel(),
+        DEBOUNCE_OUTPUT_SCHEMA,
+        DEBOUNCE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        kept.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -747,3 +747,90 @@ def test_stream_ivf_ingest_matches_batch(spark, sf_dir, tmp_path):
     # the sink really is an inverted-list layout
     parts = [d for d in os.listdir(out) if d.startswith("centroid_id=")]
     assert len(parts) >= 2
+
+
+def test_debounce_stream_sequential_semantics(spark, tmp_path_factory):
+    """C16: debounce-against-KEPT across micro-batches.  The tri-burst
+    (t=0, t=30min, t=70min) distinguishes the semantics: the batch
+    lag-rule (A59) keeps only t=0 (each gap-to-previous < 1h), while
+    the sequential stream emits t=0 AND t=70min (70min from the last
+    EMITTED).  State must span micro-batches: the bursts land in
+    separate files."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        debounce_stream,
+    )
+
+    base = pd.Timestamp("2024-04-01 00:00:00")
+    batches = [
+        pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": [base],
+                "user_id": [5],
+                "event_type": ["error"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [2, 3],
+                "ts": [
+                    base + pd.Timedelta(minutes=30),
+                    base + pd.Timedelta(minutes=70),
+                ],
+                "user_id": [5, 5],
+                "event_type": ["error", "error"],
+                "value": [2.0, 3.0],
+                "props": ["{}", "{}"],
+            }
+        ),
+        # other key: independent state
+        pd.DataFrame(
+            {
+                "event_id": [4],
+                "ts": [base + pd.Timedelta(minutes=40)],
+                "user_id": [5],
+                "event_type": ["view"],
+                "value": [4.0],
+                "props": ["{}"],
+            }
+        ),
+    ]
+    src = str(tmp_path_factory.mktemp("deb_src"))
+    flat = str(tmp_path_factory.mktemp("deb_flat"))
+    for i, pdf in enumerate(batches):
+        sdf = spark.createDataFrame(pdf)
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1)
+        sdf.write.parquet(os.path.join(src, f"w{i}"))
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(src, "w*", "part-*.parquet")))
+    ):
+        dst = os.path.join(flat, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        mt = time.time() - 10 + i
+        os.utime(dst, (mt, mt))
+
+    q = debounce_stream(spark, flat, "debounced")
+    _await(q)
+    emitted = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM debounced").collect()
+    )
+    assert emitted == [1, 3, 4]
+
+    # contrast with the batch lag-rule (A59 semantics) on the same
+    # events, evaluated inline
+    all_events = pd.concat(batches).sort_values(["ts", "event_id"])
+    kept_lag = []
+    prev = {}
+    for _, r in all_events.iterrows():
+        k = (r["user_id"], r["event_type"])
+        if k not in prev or (r["ts"] - prev[k]).total_seconds() >= 3600:
+            kept_lag.append(int(r["event_id"]))
+        prev[k] = r["ts"]  # lag rule: previous EVENT, kept or not
+    assert kept_lag == [1, 4], "lag rule drops t=70min; stream keeps it"
