@@ -1477,20 +1477,22 @@ def rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         *[F.col("emb").getItem(i).alias(f"x{i}") for i in range(_DIM)],
     )
+    # chains built as ONE SQL string each, not nested Column builders:
+    # 16 x 64 builder ops cost seconds of py4j driver time per plan
+    # construction (the dup_band_buckets lesson); parsing 16 literals
+    # is milliseconds.  SQL + is left-associative, matching list_sum.
     raws = []
     for j, signs in enumerate(_rp_signs()):
-        chain = F.col("x0") * F.lit(signs[0])
-        for i in range(1, _DIM):
-            chain = chain + F.col(f"x{i}") * F.lit(signs[i])
-        raws.append((chain * F.lit(0.25)).alias(f"r{j}"))
+        chain = " + ".join(
+            f"x{i} * {signs[i]}D" for i in range(_DIM)
+        )
+        raws.append(F.expr(f"({chain}) * 0.25D").alias(f"r{j}"))
     raw = xs.select("vec_id", "nrm", *raws)
-    sq = F.col("r0") * F.col("r0")
-    for j in range(1, _RP_OUT):
-        sq = sq + F.col(f"r{j}") * F.col(f"r{j}")
+    sq = " + ".join(f"r{j} * r{j}" for j in range(_RP_OUT))
     return raw.select(
         "vec_id",
         *[F.round(F.col(f"r{j}"), 6).alias(f"p{j}") for j in range(_RP_OUT)],
-        F.round(F.sqrt(sq) / F.col("nrm"), 6).alias("norm_ratio"),
+        F.round(F.expr(f"sqrt({sq})") / F.col("nrm"), 6).alias("norm_ratio"),
     )
 
 
