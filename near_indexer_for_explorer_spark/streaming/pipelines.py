@@ -897,3 +897,111 @@ def debounce_stream(spark: SparkSession, src_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C17 incremental cohort maintenance (non-additive view maintenance)
+# ---------------------------------------------------------------------------
+# The cohort-retention matrix (A57) is NOT an additive aggregate: a
+# late-arriving EARLIER order moves a customer's cohort month, which
+# retracts their contribution from one matrix row and adds it to
+# another.  Incremental maintenance therefore keeps the minimal
+# sufficient state — the distinct (customer, month) activity set,
+# bucket-partitioned like C4 so each micro-batch merges only touched
+# buckets — and derives the matrix from state on demand: first month
+# = min over the set, so cohort reassignment falls out of the merge
+# with no retraction bookkeeping.  Per-batch cost is O(touched
+# buckets); the derivation reads compact state, never order history.
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz"
+)
+COHORT_BUCKETS = 8
+
+
+def foreach_batch_cohort_state(
+    out_dir: str, n_buckets: int = COHORT_BUCKETS
+) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "cohort_state")
+        batch = (
+            batch_df.select(
+                "o_custkey",
+                F.date_trunc("month", "o_orderdate").alias("m"),
+            )
+            .distinct()
+            .withColumn(
+                "bucket", F.pmod(F.col("o_custkey"), F.lit(n_buckets)).cast("int")
+            )
+        )
+        current = batch
+        if os.path.exists(snapshot):
+            touched = [
+                r["bucket"] for r in batch.select("bucket").distinct().collect()
+            ]
+            existing = spark.read.parquet(snapshot).where(
+                F.col("bucket").isin(touched)
+            )
+            current = existing.unionByName(batch)
+        merged = current.dropDuplicates(["o_custkey", "m"]).localCheckpoint(
+            eager=True
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(snapshot)
+        )
+
+    return sink
+
+
+def cohort_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C17 driver: orders stream -> incrementally maintained cohort
+    activity state."""
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_cohort_state(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cohort_matrix_from_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Derive the A57 matrix from maintained state (no history scan):
+    identical columns, identical decimal-quantized retention."""
+    state = spark.read.parquet(os.path.join(out_dir, "cohort_state"))
+    first_m = state.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        state.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            F.months_between(F.col("m"), F.col("cohort_m"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    retention = (
+        (F.col("n_active").cast("decimal(20,14)") / F.col("cohort_size"))
+        .cast("decimal(24,6)")
+        .cast("double")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_m").select(
+        F.col("cohort_m").cast("date").alias("cohort_month"),
+        "months_since",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        retention.alias("retention"),
+    )

@@ -834,3 +834,110 @@ def test_debounce_stream_sequential_semantics(spark, tmp_path_factory):
             kept_lag.append(int(r["event_id"]))
         prev[k] = r["ts"]  # lag rule: previous EVENT, kept or not
     assert kept_lag == [1, 4], "lag rule drops t=70min; stream keeps it"
+
+
+def test_cohort_stream_reassignment_and_batch_twin(spark, tmp_path_factory):
+    """C17: the maintained cohort state must (a) equal the batch A57
+    matrix on everything streamed so far, and (b) REASSIGN a
+    customer's cohort when an earlier order arrives late — the
+    non-additive case that breaks naive partial-sum maintenance."""
+    import pandas as pd
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_retention_cohorts,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        cohort_matrix_from_state,
+        cohort_stream,
+    )
+
+    def orders_pdf(rows):
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            ],
+        )
+
+    b0 = orders_pdf(
+        [
+            (1, 10, "O", 5.0, pd.Timestamp("1997-05-10")),
+            (2, 11, "O", 6.0, pd.Timestamp("1997-05-20")),
+        ]
+    )
+    b1 = orders_pdf(
+        [
+            (3, 10, "O", 7.0, pd.Timestamp("1997-07-02")),
+            (4, 12, "O", 8.0, pd.Timestamp("1997-06-15")),
+        ]
+    )
+    # the late batch: customer 10's TRUE first order, two years earlier
+    b2 = orders_pdf([(5, 10, "O", 9.0, pd.Timestamp("1995-02-01"))])
+
+    src = str(tmp_path_factory.mktemp("cohort_src"))
+    out = str(tmp_path_factory.mktemp("cohort_out"))
+    ckpt = str(tmp_path_factory.mktemp("cohort_ckpt"))
+
+    def land(pdf, name):
+        sdf = spark.createDataFrame(pdf)
+        sdf = sdf.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+        ).coalesce(1)
+        sdf.write.parquet(os.path.join(src, name + "_stage"))
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(src, name + "_stage", "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, name + ".parquet"))
+        shutil.rmtree(os.path.join(src, name + "_stage"))
+
+    def matrix():
+        return {
+            (str(r["cohort_month"]), r["months_since"]): (
+                r["n_active"],
+                r["cohort_size"],
+                r["retention"],
+            )
+            for r in cohort_matrix_from_state(spark, out).collect()
+        }
+
+    def batch_twin(pdfs):
+        twin_dir = str(tmp_path_factory.mktemp("cohort_twin"))
+        full = pd.concat(pdfs, ignore_index=True)
+        sdf = spark.createDataFrame(full)
+        sdf = sdf.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+        )
+        sdf.write.parquet(os.path.join(twin_dir, "orders.parquet"))
+        return {
+            (str(r["cohort_month"]), r["months_since"]): (
+                r["n_active"],
+                r["cohort_size"],
+                r["retention"],
+            )
+            for r in orders_retention_cohorts(spark, twin_dir).collect()
+        }
+
+    # stage 1: first two batches
+    land(b0, "b0")
+    land(b1, "b1")
+    _await(cohort_stream(spark, src, out, ckpt))
+    m1 = matrix()
+    assert m1 == batch_twin([b0, b1])
+    assert ("1997-05-01", 0) in m1  # customer 10 cohorted at 1997-05
+
+    # stage 2: the late earlier order lands; same checkpoint continues
+    land(b2, "b2")
+    _await(cohort_stream(spark, src, out, ckpt))
+    m2 = matrix()
+    assert m2 == batch_twin([b0, b1, b2])
+    # customer 10 moved: 1995-02 cohort exists and its month-27/29
+    # offsets carry 10's 1997 activity
+    assert ("1995-02-01", 0) in m2
+    assert ("1995-02-01", 27) in m2  # 1997-05 is 27 months later
+    # and the 1997-05 cohort shrank to customer 11 alone
+    assert m2[("1997-05-01", 0)][1] == 1
