@@ -75,6 +75,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_temperature_weights",
     "corpus_keep_list",
     "events_debounce_1h",
+    "ivfpq_ann_topk",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

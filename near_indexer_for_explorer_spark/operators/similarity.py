@@ -1556,6 +1556,7 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id"),
         "ivf": ann_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id"),
         "pq": pq_ann_topk(spark, sf_dir).select("q_id", "neighbor_id"),
+        "ivfpq": ivfpq_ann_topk(spark, sf_dir).select("q_id", "neighbor_id"),
     }
     # the expected count enters the plan as a broadcast 1-row
     # aggregate, NOT a driver-side .count() action (the r2 TF-IDF
@@ -1601,24 +1602,341 @@ def _ann_recall_oracle_sql() -> str:
         "ivf": ORACLES["ann_ivf_topk"],
         "pq": ORACLES["pq_ann_topk"],
     }
+    # the composed IVF+PQ leg registers after this builder's first
+    # call; the re-invocation at the bottom of the module picks it up
+    if "ivfpq_ann_topk" in ORACLES:
+        legs["ivfpq"] = ORACLES["ivfpq_ann_topk"]
     exact = ORACLES["ann_cosine_topk"]
-    parts = []
-    for method, sql in legs.items():
-        parts.append(f"""
+    # each leg's pipeline evaluates ONCE as a materialized CTE; the
+    # counts read the CTE (the first cut inlined every leg 3x — the
+    # ivfpq leg alone made that a ~70 s oracle at sf0.01)
+    leg_ctes = ",\n".join(
+        f"    m_{method} AS MATERIALIZED (SELECT q_id, neighbor_id FROM ({sql}) x),\n"
+        f"    s_{method} AS (\n"
+        f"      SELECT (SELECT COUNT(*) FROM m_{method}) AS n_returned,\n"
+        f"             (SELECT COUNT(*) FROM m_{method} m JOIN ex\n"
+        f"                ON m.q_id = ex.q_id AND m.neighbor_id = ex.neighbor_id)\n"
+        f"               AS n_hit)"
+        for method, sql in legs.items()
+    )
+    parts = [
+        f"""
     SELECT '{method}' AS method,
            (SELECT COUNT(*) FROM ex) AS n_expected,
-           (SELECT COUNT(*) FROM ({sql}) m) AS n_returned,
-           (SELECT COUNT(*) FROM ({sql}) m
-             JOIN ex ON m.q_id = ex.q_id AND m.neighbor_id = ex.neighbor_id)
-             AS n_hit,
-           CAST(CAST(CAST((SELECT COUNT(*) FROM ({sql}) m
-             JOIN ex ON m.q_id = ex.q_id AND m.neighbor_id = ex.neighbor_id)
-                AS DECIMAL(20,14)) / (SELECT COUNT(*) FROM ex)
-                AS DECIMAL(24,6)) AS DOUBLE) AS recall""")
+           n_returned, n_hit,
+           CAST(CAST(CAST(n_hit AS DECIMAL(20,14))
+                / (SELECT COUNT(*) FROM ex)
+                AS DECIMAL(24,6)) AS DOUBLE) AS recall
+    FROM s_{method}"""
+        for method in legs
+    ]
     return (
-        f"WITH ex AS (SELECT q_id, neighbor_id FROM ({exact}) x)\n"
+        f"WITH ex AS MATERIALIZED (SELECT q_id, neighbor_id FROM ({exact}) x),\n"
+        + leg_ctes
+        + "\n"
         + "\nUNION ALL\n".join(parts)
     )
 
 
+ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B43 IVF+PQ composed index (the production FAISS IVFADC shape)
+# ---------------------------------------------------------------------------
+# Jegou et al. 2011 section V: the coarse quantizer (B13's k-means)
+# routes each vector to an inverted list, and PQ encodes the RESIDUAL
+# x - c(x) — residual energy is much lower than vector energy, so the
+# same 8-nibble budget quantizes far more precisely than B35's direct
+# PQ.  Search: probe the _IVF_NPROBE nearest lists; for each probed
+# list build the query's residual LUT against the residual codebooks;
+# score candidates by ADC over their stored codes.  Every stage reuses
+# the proven discipline: B13's deterministic k-means (seeds, 2 Lloyd
+# rounds, exact-decimal means), B35's one-crossJoin code assignment +
+# max-of-when distance picks + left-assoc ADC — so the FULL composed
+# pipeline remains oracle-replicable.  Scale: codes are 64x smaller
+# than vectors, candidates bounded by the nprobe lists, LUTs are
+# (queries x nprobe x 128) rows — broadcast-sized at any corpus size.
+
+
+def _residual(col_emb, col_c):
+    return F.zip_with(col_emb, col_c, lambda x, y: x - y)
+
+
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, adc_dist): top-k by IVF+PQ asymmetric
+    distance over residual codes in the nprobe probed lists."""
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    coarse = _kmeans_centroids(
+        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+    ).localCheckpoint(eager=False)
+
+    cdist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # corpus -> inverted list + residual (list_id disambiguates the
+    # coarse centroid from the PQ code ids downstream)
+    lists = (
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("__d", cdist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("list_id"),
+            _residual(F.col("emb"), F.col("c_emb")).alias("remb"),
+        )
+    )
+    # residual codebooks: B35's per-subspace k-means on the TRAINING
+    # sample's residuals
+    train_res = lists.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    tagged = []
+    for s in range(_PQ_M):
+        sub = F.slice(F.col("remb"), s * _PQ_SUB + 1, _PQ_SUB)
+        book = _kmeans_centroids(
+            train_res.select("vec_id", sub.alias("emb")), _PQ_K, _IVF_ITERS
+        )
+        tagged.append(book.select(F.lit(s).alias("s"), "centroid_id", "c_emb"))
+    rbooks = tagged[0]
+    for t in tagged[1:]:
+        rbooks = rbooks.unionByName(t)
+    rbooks = rbooks.localCheckpoint(eager=False)
+
+    rsub = F.slice(F.col("remb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    rdist = F.aggregate(
+        F.zip_with(rsub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        lists.crossJoin(F.broadcast(rbooks))
+        .withColumn("__d", rdist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "list_id", "s", F.col("centroid_id").alias("code"))
+    )
+
+    # queries probe the nprobe nearest lists, then build a residual
+    # LUT per (query, probed list)
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), "emb"
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("__d", cdist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") <= _IVF_NPROBE)
+        .select(
+            "q_id",
+            F.col("centroid_id").alias("list_id"),
+            _residual(F.col("emb"), F.col("c_emb")).alias("remb"),
+        )
+    )
+    luts = qprobe.crossJoin(F.broadcast(rbooks)).select(
+        "q_id",
+        "list_id",
+        "s",
+        F.col("centroid_id").alias("code"),
+        rdist.alias("d"),
+    )
+    picked = (
+        codes.join(F.broadcast(luts), ["list_id", "s", "code"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d_{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+    adc = F.col("d_0")
+    for s in range(1, _PQ_M):
+        adc = adc + F.col(f"d_{s}")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        picked.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dist")
+    )
+
+
+QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
+
+
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB replica of the FULL composed IVF+PQ pipeline: the B13
+    coarse chain (seeds, 2 unrolled Lloyd rounds, exact-decimal means)
+    -> per-vector residuals -> 8 residual codebook chains (B35
+    pattern, trained on the sample's residuals) -> code assignment,
+    nprobe query probing, per-(query, list) residual LUTs, max-of-when
+    distance picks and the fixed-order ADC sum."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    # coarse chain (identical to the B13 oracle)
+    coarse = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        coarse.append(f"a{it} AS ({assign.format(cents=prev, src='es')})")
+        coarse.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
+        prev = f"c{it}"
+    coarse_sql = ",\n    ".join(coarse)
+
+    # residual codebook chains over remb slices
+    chains = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, s * _PQ_SUB + _PQ_SUB
+        chains.append(
+            f"res_es_{s} AS (SELECT vec_id, remb[{lo}:{hi}] AS emb "
+            f"FROM resid WHERE vec_id % {_IVF_TRAIN_MOD} = 0)"
+        )
+        chains.append(
+            f"rc0_{s} AS (SELECT vec_id AS centroid_id, emb AS c_emb "
+            f"FROM res_es_{s} ORDER BY vec_id LIMIT {_PQ_K})"
+        )
+        rprev = f"rc0_{s}"
+        for it in range(1, _IVF_ITERS + 1):
+            chains.append(
+                f"ra{it}_{s} AS ({assign.format(cents=rprev, src='res_es_' + str(s))})"
+            )
+            chains.append(
+                f"rc{it}_{s} AS ({recenter.format(assigned=f'ra{it}_{s}')})"
+            )
+            rprev = f"rc{it}_{s}"
+    chains_sql = ",\n    ".join(chains)
+    rbooks_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, centroid_id, c_emb FROM rc{_IVF_ITERS}_{s}"
+        for s in range(_PQ_M)
+    )
+
+    rsub = f"v.remb[(v.s * {_PQ_SUB} + 1):(v.s * {_PQ_SUB} + {_PQ_SUB})]"
+    rdist = (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> ({rsub}[i] - v.c_emb[i]) * ({rsub}[i] - v.c_emb[i])))"
+    )
+    residual = (
+        "list_transform(range(1, len({x}) + 1), "
+        "i -> {x}[i] - {c}[i])"
+    )
+    picks = ",\n             ".join(
+        f"MAX(CASE WHEN c.s = {s} THEN l.d END) AS d_{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"d_{s}" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es
+           ORDER BY vec_id LIMIT {_IVF_K}),
+    {coarse_sql},
+    lists AS ({assign.format(cents=prev, src="e")}),
+    resid AS (
+      SELECT l.vec_id, l.centroid_id AS list_id,
+             {residual.format(x="l.emb", c="c.c_emb")} AS remb
+      FROM lists l JOIN {prev} c ON l.centroid_id = c.centroid_id
+    ),
+    {chains_sql},
+    rbooks AS (
+      {rbooks_union}
+    ),
+    codes AS (
+      SELECT vec_id, list_id, s, centroid_id AS code FROM (
+        SELECT v.vec_id, v.list_id, v.s, v.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                 ORDER BY {rdist} ASC, v.centroid_id ASC) AS rk
+        FROM (SELECT r.vec_id, r.list_id, r.remb, b.s, b.centroid_id, b.c_emb
+              FROM resid r, rbooks b) v) t
+      WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    qprobe AS (
+      SELECT q_id, list_id,
+             {residual.format(x="q_emb", c="c_emb")} AS remb
+      FROM (
+        SELECT v.q_id, c.centroid_id AS list_id,
+               v.emb AS q_emb, c.c_emb,
+               ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.emb) + 1),
+                   i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i]))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM q v, {prev} c) t
+      WHERE rk <= {_IVF_NPROBE}
+    ),
+    luts AS (
+      SELECT v.q_id, v.list_id, v.s, v.centroid_id AS code, {rdist} AS d
+      FROM (SELECT p.q_id, p.list_id, p.remb, b.s, b.centroid_id, b.c_emb
+            FROM qprobe p, rbooks b) v
+    ),
+    picked AS (
+      SELECT l.q_id, c.vec_id,
+             {picks}
+      FROM codes c
+      JOIN luts l ON c.list_id = l.list_id AND c.s = l.s AND c.code = l.code
+      WHERE l.q_id <> c.vec_id
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           ROUND({adc}, 6) AS adc_dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY ({adc}) ASC, vec_id ASC) AS rn
+          FROM picked) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+ORACLES["ivfpq_ann_topk"] = _ivfpq_oracle_sql()
+
+
+# re-register the recall matrix oracle now that the composed IVF+PQ
+# leg exists (the Spark side always includes it; the first builder
+# call at definition time ran before ivfpq's oracle was registered)
 ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()

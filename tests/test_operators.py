@@ -532,3 +532,27 @@ def test_bpe_greedy_merge_and_decode(spark, tmp_path):
     merged2 = {rows[(2, i)]["merged"] for i in (2, 3)}
     assert merged2 == {"aaa", "ab"}
     assert rows[(2, 2)]["weight"] == 3 and rows[(2, 3)]["weight"] == 3
+
+
+def test_ivfpq_recall_beats_direct_pq(spark):
+    """Residual quantization is the point of IVF+PQ (Jegou 2011 §V):
+    with the same 8-nibble code budget it recovers MORE of the exact
+    top-k than direct PQ.  Pinned at sf0.01 (measured 0.38 vs 0.28):
+    at sf0.001 the 500-vector corpus gives each of the 16 lists ~31
+    members and nprobe-4 probing loses more candidates than residual
+    precision wins back, so the ordering only emerges at realistic
+    list occupancy — which is itself the textbook IVF tradeoff."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
+        ivfpq_ann_topk,
+        pq_ann_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = _pairs(ann_cosine_topk(spark, sf_dir), "q_id", "neighbor_id")
+    ivfpq = _pairs(ivfpq_ann_topk(spark, sf_dir), "q_id", "neighbor_id")
+    pq = _pairs(pq_ann_topk(spark, sf_dir), "q_id", "neighbor_id")
+    r_ivfpq = len(ivfpq & exact) / len(exact)
+    r_pq = len(pq & exact) / len(exact)
+    assert r_ivfpq >= r_pq, (r_ivfpq, r_pq)
+    assert r_ivfpq >= 0.2, r_ivfpq

@@ -72,6 +72,7 @@ _BNLJ_EXEMPT = {
     "lockup_locked_supply",     # broadcast lockup snapshot
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
     "ann_ivf_topk",             # broadcast trained centroids
+    "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "tfidf_top_terms",          # broadcast doc-count scalar
     "bpe_train_merges",         # broadcast 1-row best-pair per round
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
