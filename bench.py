@@ -54,6 +54,7 @@ EXTRA = [
     "events_value_equidepth",
     "orders_retention_cohorts",
     "events_markov_transitions",
+    "ivfpq_ann_topk",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1697,6 +1697,13 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid_id").alias("list_id"),
             _residual(F.col("emb"), F.col("c_emb")).alias("remb"),
         )
+        # eager checkpoint: 8 residual codebook trainings x 2 Lloyd
+        # rounds each re-reference this relation — without it the full
+        # corpus assignment re-evaluates ~17x (measured 6.4 -> 5.5 s
+        # at sf0.1; the rest of the cost is the 9 trainings and the
+        # composed plan's optimizer time, both index-BUILD costs that
+        # amortize over queries in a served deployment)
+        .localCheckpoint(eager=True)
     )
     # residual codebooks: B35's per-subspace k-means on the TRAINING
     # sample's residuals
