@@ -76,6 +76,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_keep_list",
     "events_debounce_1h",
     "ivfpq_ann_topk",
+    "data_quality_report",
     "multimodal_frame_sample",
     "multimodal_resize_cells",
     "embedding_dedup_cosine",

@@ -2775,3 +2775,114 @@ def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (gap.isNull() | (gap >= F.lit(_DEBOUNCE_S * 1_000_000))).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A60 data-quality constraint report (the reference's DB-constraint
+# surface as a query)
+#
+# The reference delegates integrity to PostgreSQL constraints (primary
+# keys / FKs / NOT NULLs across database/migrations/*); a lake-side
+# engine has no enforcing database, so the SAME constraint surface
+# must run as a validation pass (the Deequ/dbt-test shape).  Each
+# constraint is one aggregate or broadcast anti-join; the report is a
+# tiny union — at 100 TB each check is a single linear scan with
+# map-side partials, and FK checks broadcast the key side when it is
+# dimension-sized or shuffle on the key when not.
+# ---------------------------------------------------------------------------
+@_register(
+    "data_quality_report",
+    """
+    WITH checks AS (
+      SELECT 'pk_orders_unique' AS constraint_name,
+             (SELECT COUNT(*) FROM orders) AS n_checked,
+             (SELECT COUNT(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'fk_lineitem_orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'nn_events_user',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events WHERE user_id IS NULL)
+      UNION ALL
+      SELECT 'range_events_value_nonneg',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events WHERE value < 0)
+      UNION ALL
+      SELECT 'range_lineitem_qty_positive',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    )
+    SELECT constraint_name, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS ok
+    FROM checks
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(constraint_name, n_checked, n_violations, ok): the reference's
+    PK/FK/NOT-NULL/range constraint surface evaluated lake-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def report(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        n_c = checked.agg(F.count(F.lit(1)).alias("n_checked"))
+        n_v = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+        return (
+            n_c.crossJoin(n_v)
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.col("n_checked").cast("long").alias("n_checked"),
+                F.col("n_violations").cast("long").alias("n_violations"),
+                (F.col("n_violations") == 0).alias("ok"),
+            )
+        )
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    fk_oc = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_lo = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    parts = [
+        report("pk_orders_unique", orders, pk_dups),
+        report("fk_orders_customer", orders, fk_oc),
+        report("fk_lineitem_orders", lineitem, fk_lo),
+        report("nn_events_user", events, events.where(F.col("user_id").isNull())),
+        report(
+            "range_events_value_nonneg",
+            events,
+            events.where(F.col("value") < 0),
+        ),
+        report(
+            "range_lineitem_qty_positive",
+            lineitem,
+            lineitem.where(F.col("l_quantity") <= 0),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
