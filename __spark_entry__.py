@@ -174,6 +174,7 @@ _GATE_DEFER: list[str] = [
     # window's slots for oracle-gated queries
     "multimodal_resize",
     "events_daily_approx_distinct",
+    "events_value_approx_percentiles",
 ]
 
 

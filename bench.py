@@ -55,6 +55,7 @@ EXTRA = [
     "orders_retention_cohorts",
     "events_markov_transitions",
     "ivfpq_ann_topk",
+    "data_quality_report",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

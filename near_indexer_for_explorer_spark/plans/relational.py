@@ -2886,3 +2886,42 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# A61 sketch-based percentiles (the t-digest path next to its ground
+# truth — completes the sketch story A54 started for distinct counts).
+#
+# A51/A56 compute EXACT percentiles (one sort-based aggregate per
+# group); at 100 TB the quantile machinery must run on mergeable
+# sketches instead, and Spark's approx_percentile (GK/t-digest-class)
+# is that path: fixed-size partials, map-side merged, one shuffle.
+# Like A54 this is rows-only BY DESIGN — the sketch is
+# engine-specific, so the driver records a rows-only check and the
+# accuracy contract (per-percentile relative rank error bounded by
+# the configured accuracy) is pinned in pytest against the exact
+# values instead, which is the strongest cross-engine statement an
+# engine-specific sketch allows.
+# ---------------------------------------------------------------------------
+_APPROX_PCT_ACC = 1000  # 1/accuracy = max rank error fraction
+
+
+def events_value_approx_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, p50_exact, p50_approx, p90_exact, p90_approx,
+    p99_exact, p99_approx): sketch percentiles beside ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for p in (0.5, 0.9, 0.99):
+        tag = str(p).replace("0.", "p")
+        aggs.append(F.percentile("value", F.lit(p)).alias(f"{tag}_exact"))
+        aggs.append(
+            F.percentile_approx(
+                "value", F.lit(p), F.lit(_APPROX_PCT_ACC)
+            ).alias(f"{tag}_approx")
+        )
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+QUERIES["events_value_approx_percentiles"] = events_value_approx_percentiles

@@ -556,3 +556,30 @@ def test_ivfpq_recall_beats_direct_pq(spark):
     r_pq = len(pq & exact) / len(exact)
     assert r_ivfpq >= r_pq, (r_ivfpq, r_pq)
     assert r_ivfpq >= 0.2, r_ivfpq
+
+
+def test_approx_percentiles_rank_error_contract(spark, sf_dir):
+    """A61: the sketch percentile's RANK error must respect the
+    configured accuracy — for each (type, p), the approx value's true
+    rank within the group sits within max(1, n/accuracy) positions of
+    p*n.  (Value-space error is unbounded on skewed data; rank error
+    is the contract percentile_approx actually makes.)"""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _APPROX_PCT_ACC,
+        events_value_approx_percentiles,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = events_value_approx_percentiles(spark, sf_dir).collect()
+    for r in rows:
+        et = r["event_type"]
+        grp = ev.where(F.col("event_type") == et)
+        n = grp.count()
+        tol = max(1.0, n / _APPROX_PCT_ACC) + 1  # +1 for interpolation
+        for p, col in ((0.5, "p5_approx"), (0.9, "p9_approx"), (0.99, "p99_approx")):
+            approx = r[col]
+            rank = grp.where(F.col("value") <= approx).count()
+            assert abs(rank - p * n) <= tol, (et, p, rank, p * n, tol)
