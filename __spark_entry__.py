@@ -51,12 +51,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # its FIRST driver row); (3) every oracle-gated query WITHOUT a
 # round-4 driver row (rotated out by the 50-entry cut — most last
 # driver-green in r3, per the round-4 verdict's rotation ask).
-# Everything green in r4 defers.  The priority list now slightly
-# overflows the window (53 > 50): the entries that fall out
-# (q13_order_count_distribution, q22_idle_customers, events_funnel)
-# are multi-round driver greens re-verified by the in-repo parity
-# suite at sf0.01 this round — the window slots go to the
-# never-gated queries first.
+# Everything green in r4 defers.  The priority list overflows the
+# window (r5 added 19 never-gated queries): the entries that fall
+# out (orders_status_rollup, events_sliding_1h_value,
+# q13_order_count_distribution, q22_idle_customers, events_funnel)
+# are all multi-round driver greens re-verified by the in-repo
+# parity suite at sf0.01 AND sf0.1 this round — window slots go to
+# queries that have never had a driver row.
 _GATE_PRIORITY: list[str] = [
     # round-4 red (hash-layer HUGEINT artifact, fixed) -> reconfirm
     "multimodal_feature_stats",
