@@ -2925,3 +2925,349 @@ def events_value_approx_percentiles(
 
 
 QUERIES["events_value_approx_percentiles"] = events_value_approx_percentiles
+
+
+# ---------------------------------------------------------------------------
+# A62 gaps-and-islands activity streaks (reference analog: account-activity
+# continuity over account_changes — "how many consecutive days was this
+# account active", the dashboard shape the 2021-03-11 index migrations
+# serve).  Classic gaps-and-islands: day - row_number() is constant within
+# a run of consecutive days, so a run collapses to one group key.
+#
+# Scale: distinct-days shuffles on (user_id, day); the window and both
+# aggregates all cluster on user_id, so Catalyst reuses one user-keyed
+# exchange for everything after the distinct — 2 shuffles total, both on
+# high-cardinality keys.  The argmax (longest streak's start date) rides
+# the same aggregate as a struct-max: max((len, -start_day)) picks the
+# longest run and breaks ties toward the EARLIEST start, no second join.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS len, MIN(d) AS start_d
+      FROM isl GROUP BY user_id, island
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(len) AS BIGINT) AS n_active_days,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(MAX(len) AS BIGINT) AS longest_streak
+      FROM runs GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_active_days, a.n_streaks, a.longest_streak,
+           MIN(r.start_d) AS longest_streak_start
+    FROM agg a
+    JOIN runs r ON r.user_id = a.user_id AND r.len = a.longest_streak
+    GROUP BY a.user_id, a.n_active_days, a.n_streaks, a.longest_streak
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.date_sub(F.col("d"), F.row_number().over(w)))
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    # struct-max argmax: maximize len, then minimize start (negate day number)
+    neg_day = F.lit(0) - F.datediff(F.col("start_d"), F.lit("1970-01-01").cast("date"))
+    best = F.max(F.struct(F.col("len").alias("len"), neg_day.alias("neg_day")))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            best.alias("best"),
+        )
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("best.len").alias("longest_streak"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.lit(0) - F.col("best.neg_day")
+            ).alias("longest_streak_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A64 SCD2 intervalization (reference analog: the access_keys slowly-changing
+# rows — created_by_receipt_id / deleted_by_receipt_id pairs,
+# database/src/models/access_keys.rs:9 — and the accounts lifecycle
+# adapters/accounts.rs).  The lake-side twin of an UPDATE-on-supersede sink:
+# each state-change event becomes a versioned interval [valid_from,
+# valid_to), open (NULL valid_to, is_current) for the latest.  ONE window
+# pass on the (ts, event_id) total order — tie-proof across engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "user_state_scd2",
+    """
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A66 time-weighted average state value (reference analog: account_changes
+# balance tracking — nonstaked_balance held over time, models/
+# account_changes.rs — where "average balance" must weight each state by
+# how long it was in force, not by event count).  Interval weights come
+# from the A64 intervalization (lead on the same total order); the
+# weighted sum is EXACT end-to-end: value is 2-decimal money (cast
+# decimal(12,2) exactly, the events_cumulative_value convention) and the
+# duration weight stays in integer MICROSECONDS, so each contribution is
+# an exact decimal product, the one user-keyed shuffle combines partials
+# in any order, and the microsecond units cancel in the final division
+# (a first cut weighted by fractional SECONDS hit the SURVEY section-4
+# boundary trap: money x integer-seconds products sit exactly on 6dp
+# rounding boundaries and ROUND(double, 6) split between engines).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_time_weighted_value",
+    """
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (MAX(us) - MIN(us)) / 1000000.0 AS span_seconds,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * (next_us - us)) AS DOUBLE)
+             / CAST(MAX(us) - MIN(us) AS DOUBLE) AS twa_value
+    FROM seq
+    GROUP BY user_id
+    HAVING MAX(us) - MIN(us) > 0
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    contrib = dec_money("value") * (F.col("next_us") - F.col("us"))
+    span_us = F.max("us") - F.min("us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).alias("wsum"),
+            span_us.alias("span_us"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("span_us") / F.lit(1000000.0)).alias("span_seconds"),
+            (
+                F.col("wsum").cast("double") / F.col("span_us").cast("double")
+            ).alias("twa_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A63 PageRank over the trade graph (reference analog: account-importance
+# ranking over the transaction graph — the signer->receiver edges of
+# database/src/models/transactions.rs; explorer dashboards rank accounts
+# by inbound activity).  Nodes = nations, edges = supplier-nation ->
+# customer-nation weighted by shipped trade volume (the q7 join shape);
+# PageRank with damping 0.85, THREE power iterations unrolled into one
+# declarative plan (the B13 Lloyd / B20 label-propagation discipline:
+# data-dependent loop -> fixed-depth unroll, resumable and
+# oracle-replicable, no driver-side loop).
+#
+# Determinism: edge weights are IEEE double quotients of two exact
+# decimal sums (identical in both engines); each contribution
+# pr_i * w_ij is rounded at 6 then summed in exact decimal, so the
+# per-destination combine is order-independent; the damping update
+# stays in decimal end-to-end.  Dangling-node mass is dropped (pinned
+# semantics; every nation has out-edges in practice).
+#
+# Scale: ONE fact shuffle builds the edge aggregate; everything after
+# is 25-node arithmetic with the pr vector broadcast.  At account
+# granularity (1B nodes) the identical unrolled plan runs with pr as a
+# distributed table and the edge join shuffling on src per round.
+# ---------------------------------------------------------------------------
+_PR_DAMP = "CAST(0.85 AS DECIMAL(3,2))"
+_PR_BASE = "CAST(0.006 AS DECIMAL(18,8))"  # (1-0.85)/25
+
+
+def _pr_round_sql(k: int) -> str:
+    return f"""
+    pr{k} AS (
+      SELECT n.node,
+             CAST({_PR_BASE} + CAST({_PR_DAMP} * COALESCE(s.m,
+                    CAST(0 AS DECIMAL(28,6))) AS DECIMAL(18,8))
+                  AS DECIMAL(19,8)) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) * e.w, 6)
+                             AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS m
+        FROM weights e JOIN pr{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@_register(
+    "nation_trade_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(SUM({_DISC_PRICE}) AS DECIMAL(22,2)) AS vol
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    outv AS (
+      SELECT src, CAST(SUM(vol) AS DECIMAL(26,2)) AS outvol
+      FROM edges GROUP BY src
+    ),
+    weights AS (
+      SELECT e.src, e.dst,
+             CAST(CAST(e.vol AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(o.outvol AS VARCHAR) AS DOUBLE) AS w
+      FROM edges e JOIN outv o ON e.src = o.src
+    ),
+    nodes AS (
+      SELECT n_nationkey AS node, n_name FROM nation
+    ),
+    pr0 AS (
+      SELECT node, CAST(0.04 AS DECIMAL(19,8)) AS pr FROM nodes
+    ),
+    {_pr_round_sql(1)},
+    {_pr_round_sql(2)},
+    {_pr_round_sql(3)}
+    SELECT n.n_name, CAST(p.pr AS DOUBLE) AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.pr DESC, n.n_name ASC)
+                AS BIGINT) AS rank
+    FROM pr3 p JOIN nodes n ON n.node = p.node
+    """,
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    disc_price = dec_money("l_extendedprice") * _one_minus("l_discount")
+    edges = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(disc_price).cast("decimal(22,2)").alias("vol"))
+    )
+    outv = edges.groupBy("src").agg(
+        F.sum("vol").cast("decimal(26,2)").alias("outvol")
+    )
+    weights = (
+        edges.join(F.broadcast(outv), "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("vol").cast("double") / F.col("outvol").cast("double")).alias(
+                "w"
+            ),
+        )
+        .localCheckpoint()  # <= 625 rows; stops the fact scan re-running per round
+    )
+
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    pr = nodes.select(
+        "node", F.lit(Decimal("0.04")).cast("decimal(19,8)").alias("pr")
+    )
+    base = F.lit(Decimal("0.006")).cast("decimal(18,8)")
+    damp = F.lit(Decimal("0.85")).cast("decimal(3,2)")
+    for _ in range(3):
+        contrib = (
+            weights.join(F.broadcast(pr), weights.src == pr.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(F.col("pr").cast("double") * F.col("w"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("decimal(28,6)")
+                .alias("m")
+            )
+        )
+        pr = (
+            nodes.select("node")
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + (
+                        damp
+                        * F.coalesce(
+                            F.col("m"), F.lit(Decimal(0)).cast("decimal(28,6)")
+                        )
+                    ).cast("decimal(18,8)")
+                )
+                .cast("decimal(19,8)")
+                .alias("pr"),
+            )
+        )
+    w_rank = Window.orderBy(F.col("pr").desc(), F.col("n_name").asc())
+    return (
+        pr.join(F.broadcast(nodes), "node")
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select("n_name", F.col("pr").cast("double").alias("pagerank"), "rank")
+    )
