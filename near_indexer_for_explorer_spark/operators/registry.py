@@ -18,10 +18,11 @@ from near_indexer_for_explorer_spark.operators import corpus as _corpus
 from near_indexer_for_explorer_spark.operators import dedup as _dedup
 from near_indexer_for_explorer_spark.operators import similarity as _similarity
 from near_indexer_for_explorer_spark.operators import textops as _textops
+from near_indexer_for_explorer_spark.sources import layout as _layout
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe):
+for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe, _layout):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -75,3 +75,26 @@ def test_jsonl_feeds_the_quality_filter(spark, sf_dir, tmp_path):
         docs.where(F.col("doc_id").isin([r["doc_id"] for r in rows]))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
+    """The point of z-ordering: per-file min/max ranges shrink in BOTH
+    pruning dimensions simultaneously vs the insertion-order layout
+    (linear files span nearly the whole custkey domain)."""
+    from near_indexer_for_explorer_spark.sources.layout import (
+        orders_zorder_layout,
+    )
+
+    rows = orders_zorder_layout(spark, sf_dir).collect()
+    import statistics
+
+    spans = {}
+    for layout in ("zorder", "linear"):
+        sel = [r for r in rows if r.layout == layout]
+        assert sel, "both layouts must report files"
+        spans[layout] = (
+            statistics.mean(r.custkey_span for r in sel),
+            statistics.mean(r.day_span for r in sel),
+        )
+    assert spans["zorder"][0] < spans["linear"][0] / 2
+    assert spans["zorder"][1] < spans["linear"][1] / 2
