@@ -82,6 +82,36 @@ def _pair_stats(words: DataFrame, enc_col: str) -> DataFrame:
     )
 
 
+def _merge_rounds(
+    words: DataFrame,
+) -> list[tuple[DataFrame, DataFrame, DataFrame]]:
+    """The shared training loop: per round, (stage, stats, best) where
+    stage = (w, freq, enc) entering the round, stats = weighted pair
+    counts, best = the applied rank-1 merge as a 1-row frame with
+    columns bl{k}/br{k}.  Both the trainer (B39) and the corpus
+    encoder (B45) consume THIS chain, so the applied merges cannot
+    drift between them."""
+    rounds = []
+    enc = F.col("w")
+    for k in range(_BPE_ROUNDS):
+        stage = words.select("w", "freq", enc.alias("enc"))
+        stats = _pair_stats(stage, "enc")
+        w_rank = Window.orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+        best = (
+            stats.select("l", "r", F.row_number().over(w_rank).alias("rk"))
+            .where(F.col("rk") == 1)
+            .select(F.col("l").alias(f"bl{k}"), F.col("r").alias(f"br{k}"))
+        )
+        rounds.append((stage, stats, best))
+        words = stage.crossJoin(F.broadcast(best))
+        enc = F.replace(
+            F.col("enc"),
+            F.concat(F.col(f"bl{k}"), F.col(f"br{k}")),
+            F.lit(_SENTINELS[k]),
+        )
+    return rounds
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(round, rank, left_sym, right_sym, merged, weight): the top-5
     weighted symbol pairs per training round, symbols decoded to real
@@ -89,7 +119,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _word_freq(spark, sf_dir)
 
     outs = []
-    enc = F.col("w")
     # decode expressions for sentinel chars learned in earlier rounds
     decode_steps: list[tuple[str, F.Column]] = []
 
@@ -99,9 +128,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return col
 
     bests: list[DataFrame] = []
-    for k in range(_BPE_ROUNDS):
-        stage = words.select("w", "freq", enc.alias("enc"))
-        stats = _pair_stats(stage, "enc")
+    for stage, stats, best in _merge_rounds(words):
+        k = len(bests)
         w_rank = Window.orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
         ranked = stats.select(
             "l", "r", "weight", F.row_number().over(w_rank).alias("rank")
@@ -122,21 +150,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weight").cast("long").alias("weight"),
         )
         outs.append(top)
-        # the applied merge: rank-1 pair as a 1-row broadcast
-        best = (
-            stats.select(
-                "l", "r", F.row_number().over(w_rank).alias("rk")
-            )
-            .where(F.col("rk") == 1)
-            .select(F.col("l").alias(f"bl{k}"), F.col("r").alias(f"br{k}"))
-        )
         bests.append(best)
-        words = stage.crossJoin(F.broadcast(best))
-        enc = F.replace(
-            F.col("enc"),
-            F.concat(F.col(f"bl{k}"), F.col(f"br{k}")),
-            F.lit(_SENTINELS[k]),
-        )
         sent = _SENTINELS[k]
         bl, br = F.col(f"bl{k}"), F.col(f"br{k}")
         # freeze current decode of the new sentinel: decoded(l)+decoded(r)
@@ -163,13 +177,8 @@ def _apply_steps(col: F.Column, steps) -> F.Column:
 QUERIES["bpe_train_merges"] = bpe_train_merges
 
 
-def _bpe_oracle_sql() -> str:
-    """Unrolled 3-round replica.  Per round: pair stats from the
-    encoded word table, rank by (weight DESC, l, r), re-encode with
-    replace(enc, l || r, sentinel)."""
-
-    def pair_cte(src: str, name: str) -> str:
-        return f"""
+def _pair_cte_sql(src: str, name: str) -> str:
+    return f"""
     {name} AS (
       SELECT substring(enc, CAST(i AS INTEGER), 1) AS l,
              substring(enc, CAST(i + 1 AS INTEGER), 1) AS r,
@@ -184,6 +193,11 @@ def _bpe_oracle_sql() -> str:
       FROM {name}
     )"""
 
+
+def _chain_ctes() -> tuple[list[str], list[tuple[str, str]]]:
+    """The words0..words{R-1} + per-round ranked-pair CTEs shared by
+    BOTH bpe oracles, and the (best_l, best_r) scalar subqueries per
+    round.  One generator -> the two oracle texts cannot drift."""
     ctes = [
         r"""toks AS (
       SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
@@ -193,23 +207,40 @@ def _bpe_oracle_sql() -> str:
       FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
     )"""
     ]
+    bests = []
+    for k in range(_BPE_ROUNDS):
+        name = f"p{k}"
+        ctes.append(_pair_cte_sql(f"words{k}", name))
+        best_l = f"(SELECT l FROM {name}_rk WHERE rank = 1)"
+        best_r = f"(SELECT r FROM {name}_rk WHERE rank = 1)"
+        bests.append((best_l, best_r))
+        if k + 1 < _BPE_ROUNDS:
+            ctes.append(
+                f"""
+    words{k + 1} AS (
+      SELECT replace(enc, {best_l} || {best_r}, chr({1 + k})) AS enc, freq
+      FROM words{k}
+    )"""
+            )
+    return ctes, bests
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled 3-round replica.  Per round: pair stats from the
+    encoded word table, rank by (weight DESC, l, r), re-encode with
+    replace(enc, l || r, sentinel)."""
+    ctes, bests = _chain_ctes()
     selects = []
-    decode = {}  # sentinel -> SQL expr producing expansion given scalar subqueries
+    decode = {}
 
     for k in range(_BPE_ROUNDS):
-        src = f"words{k}"
-        name = f"p{k}"
-        ctes.append(pair_cte(src, name))
-        # decode expressions: nested replace over prior sentinels
         def dec(expr: str) -> str:
             for s_k in range(k):
-                sent = _SENTINELS[s_k].encode().hex()
                 expansion = decode[s_k]
                 expr = f"replace({expr}, chr({1 + s_k}), {expansion})"
             return expr
 
-        best_l = f"(SELECT l FROM {name}_rk WHERE rank = 1)"
-        best_r = f"(SELECT r FROM {name}_rk WHERE rank = 1)"
+        best_l, best_r = bests[k]
         decode[k] = f"({dec(best_l)} || {dec(best_r)})"
         selects.append(
             f"""
@@ -219,18 +250,101 @@ def _bpe_oracle_sql() -> str:
            {dec("r")} AS right_sym,
            {dec("l")} || {dec("r")} AS merged,
            CAST(weight AS BIGINT) AS weight
-    FROM {name}_rk WHERE rank <= {_TOP_PAIRS}"""
+    FROM p{k}_rk WHERE rank <= {_TOP_PAIRS}"""
         )
-        if k + 1 < _BPE_ROUNDS:
-            ctes.append(
-                f"""
-    words{k + 1} AS (
-      SELECT replace(enc, {best_l} || {best_r}, chr({1 + k})) AS enc, freq
-      FROM {src}
-    )"""
-            )
 
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 ORACLES["bpe_train_merges"] = _bpe_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B45 corpus encoding under the learned merges: the APPLY side of B39.
+# A tokenizer is only useful once it encodes the corpus, and the two
+# numbers a data pipeline actually monitors are fertility (symbols per
+# word) and the compression ratio (symbols per character) — both per
+# document, so quality filters can drop pathological docs (e.g.
+# binary-ish text that refuses to compress).
+#
+# Scale shape: the merges are applied to the DISTINCT-word dictionary
+# (linear in distinct words, 3 chained replace() calls in codegen),
+# then one (token -> dictionary) equi-join prices every occurrence —
+# the token stream is never re-segmented row by row.  The merge chain
+# comes from the SAME _merge_rounds / _chain_ctes generators the
+# trainer uses, so trainer and encoder cannot drift.
+# ---------------------------------------------------------------------------
+def _bpe_encode_oracle_sql() -> str:
+    ctes, bests = _chain_ctes()
+    dict_ctes = ["""
+    dict0 AS (SELECT enc AS w, enc FROM words0)"""]
+    for k in range(_BPE_ROUNDS):
+        best_l, best_r = bests[k]
+        dict_ctes.append(
+            f"""
+    dict{k + 1} AS (
+      SELECT w, replace(enc, {best_l} || {best_r}, chr({1 + k})) AS enc
+      FROM dict{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes + dict_ctes)
+        + f""",
+    dtoks AS (
+      SELECT doc_id, UNNEST(t) AS w
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dt.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(d.enc)) AS BIGINT) AS n_symbols,
+           CAST(SUM(length(d.enc)) AS DOUBLE) / COUNT(*) AS fertility,
+           CAST(SUM(length(d.enc)) AS DOUBLE)
+             / NULLIF(SUM(length(dt.w)), 0) AS compression_ratio
+    FROM dtoks dt JOIN dict{_BPE_ROUNDS} d ON d.w = dt.w
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+ORACLES["bpe_encode_corpus"] = _bpe_encode_oracle_sql()
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_symbols, fertility,
+    compression_ratio): every document priced under the 3 trained
+    merges via the distinct-word dictionary."""
+    words = _word_freq(spark, sf_dir)
+    rounds = _merge_rounds(words)
+    dict_df = words.select("w", F.col("w").alias("enc"))
+    for k, (_stage, _stats, best) in enumerate(rounds):
+        dict_df = dict_df.crossJoin(F.broadcast(best)).select(
+            "w",
+            F.replace(
+                F.col("enc"),
+                F.concat(F.col(f"bl{k}"), F.col(f"br{k}")),
+                F.lit(_SENTINELS[k]),
+            ).alias("enc"),
+        )
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    dtoks = docs.select("doc_id", F.explode("t").alias("w"))
+    n_sym = F.sum(F.length("enc"))
+    n_chr = F.sum(F.length("w"))
+    return (
+        dtoks.join(dict_df, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            n_chr.cast("long").alias("n_chars"),
+            n_sym.cast("long").alias("n_symbols"),
+            (n_sym.cast("double") / F.count(F.lit(1))).alias("fertility"),
+            (
+                n_sym.cast("double") / F.nullif(n_chr, F.lit(0))
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+QUERIES["bpe_encode_corpus"] = bpe_encode_corpus

@@ -859,3 +859,152 @@ ORACLES["dedup_edit_verify"] = f"""
     JOIN txt t1 ON c.d1 = t1.doc_id
     JOIN txt t2 ON c.d2 = t2.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B46 cross-source corpus overlap matrix: the MinHash UNION-signature
+# trick applied at source granularity.  A training-data pipeline needs
+# "how much does source A duplicate source B" BEFORE mixing weights
+# (B41) are chosen; computing exact pairwise shingle-set Jaccard
+# between whole sources is a shuffle over every (source, shingle) pair
+# of the corpus, but the MinHash of a UNION is the elementwise min of
+# the MinHashes — so per-source signatures aggregate in ONE linear
+# pass (64 mins, map-side combined) and the pair stage runs on a
+# #sources-row relation.  Like B31, the output carries the exact
+# Jaccard and the absolute estimator error side by side, so estimator
+# quality is itself hash-checked.
+#
+# Reference analog: the reference's per-shard/per-contract dedup
+# surface (ON CONFLICT across shards, adapters/receipts.rs) asks the
+# same "how much does stream A repeat stream B" question.
+#
+# Scale: at 100 TB the exact leg is dropped and only the signature
+# matrix remains (linear scan + S^2 trivial pair stage); here the
+# exact leg doubles as the oracle-checked ground truth.  The pair
+# stage is a broadcast self-join of the aggregated #sources-row
+# signature relation (BNLJ-exempt, bounded).
+# ---------------------------------------------------------------------------
+def _src_overlap_oracle_sql() -> str:
+    powers = [16 ** (15 - i) for i in range(1, 16)]
+    powers_list = ",".join(str(p) for p in powers)
+    hex15 = (
+        "list_sum(list_transform(range(1,16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
+        f" * ([{powers_list}])[i]))"
+    )
+    mins = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE}) AS mh_{s}"
+        for s, (a, b) in enumerate(_perm_coeffs())
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(_MINHASH_PERMS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    ssh AS (
+      SELECT DISTINCT d.source, s.sh
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    hashed AS (
+      SELECT source, {hex15} % {_MERSENNE} AS x
+      FROM (SELECT source, md5(sh) AS h FROM ssh)
+    ),
+    sig AS (
+      SELECT source,
+        {mins}
+      FROM hashed GROUP BY source
+    ),
+    est AS (
+      SELECT a.source AS source_1, b.source AS source_2,
+             ({agree}) AS n_agree
+      FROM sig a JOIN sig b ON a.source < b.source
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
+    common AS (
+      SELECT s1.source AS source_1, s2.source AS source_2, COUNT(*) AS cnt
+      FROM ssh s1 JOIN ssh s2 ON s1.sh = s2.sh AND s1.source < s2.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_1, e.source_2,
+           CAST(e.n_agree AS DOUBLE) / {_MINHASH_PERMS} AS est_jaccard,
+           CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+             / (z1.n + z2.n - COALESCE(c.cnt, 0)) AS exact_jaccard,
+           ABS(CAST(e.n_agree AS DOUBLE) / {_MINHASH_PERMS}
+               - CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                 / (z1.n + z2.n - COALESCE(c.cnt, 0))) AS abs_err
+    FROM est e
+    LEFT JOIN common c ON c.source_1 = e.source_1 AND c.source_2 = e.source_2
+    JOIN sizes z1 ON z1.source = e.source_1
+    JOIN sizes z2 ON z2.source = e.source_2
+    """
+
+
+ORACLES["source_overlap_matrix"] = _src_overlap_oracle_sql()
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_1, source_2, est_jaccard, exact_jaccard, abs_err) per
+    unordered source pair — union-MinHash estimate beside ground truth.
+    All three outputs are unrounded quotients/differences of exact
+    integers, bit-identical across engines (B31 discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ssh = (
+        shingles_of(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    hashed = ssh.withColumn("x", base % F.lit(_MERSENNE))
+    x = F.col("x")
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{s}")
+            for s, (a, b) in enumerate(_perm_coeffs())
+        ]
+    )
+    a = sig.select(
+        F.col("source").alias("source_1"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    b = sig.select(
+        F.col("source").alias("source_2"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(_MINHASH_PERMS)
+    )
+    est = (
+        a.join(F.broadcast(b), F.col("source_1") < F.col("source_2"))
+        .select("source_1", "source_2", agree.alias("n_agree"))
+    )
+    sizes = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s1 = ssh.select(F.col("source").alias("source_1"), "sh")
+    s2 = ssh.select(F.col("source").alias("source_2"), "sh")
+    common = (
+        s1.join(s2, (s1.sh == s2.sh) & (F.col("source_1") < F.col("source_2")))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    z1 = sizes.select(F.col("source").alias("source_1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("source").alias("source_2"), F.col("n").alias("n2"))
+    cnt = F.coalesce(F.col("cnt"), F.lit(0))
+    est_j = F.col("n_agree").cast("double") / F.lit(_MINHASH_PERMS)
+    exact_j = cnt.cast("double") / (F.col("n1") + F.col("n2") - cnt)
+    return (
+        est.join(common, ["source_1", "source_2"], "left")
+        .join(F.broadcast(z1), "source_1")
+        .join(F.broadcast(z2), "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            est_j.alias("est_jaccard"),
+            exact_j.alias("exact_jaccard"),
+            F.abs(est_j - exact_j).alias("abs_err"),
+        )
+    )
+
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix

@@ -1947,3 +1947,145 @@ ORACLES["ivfpq_ann_topk"] = _ivfpq_oracle_sql()
 # leg exists (the Spark side always includes it; the first builder
 # call at definition time ran before ivfpq's oracle was registered)
 ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B47 topic clustering with characteristic terms: k-means clusters over
+# the embedding space, each labeled by its top TF-IDF terms from the
+# aligned documents (vec_id == doc_id, the B32 alignment).  This is the
+# standard corpus-cartography step (cluster -> eyeball top terms ->
+# decide inclusion/weighting) run entirely inside the engine.
+#
+# Composition of two already-verified pipelines: B13's deterministic
+# quantizer (same seeds / 2 Lloyd rounds / exact-decimal recentering —
+# the oracle replicates the identical chain) and B14's tf*ln(N/df)
+# scoring with round-6 ranking.  New shuffles: one (cluster, term)
+# aggregate and one term df aggregate — both map-side combined, linear.
+# The 1-row corpus-size aggregate rides a broadcast crossJoin
+# (BNLJ-exempt family 1).
+# ---------------------------------------------------------------------------
+_TOPIC_TOP_TERMS = 5
+
+
+def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, cluster_docs, term, rank, score): per k-means
+    cluster, the 5 highest cluster-tf * ln(N/df) terms."""
+    from near_indexer_for_explorer_spark.functions.text import tokens
+
+    e = _vectors(spark, sf_dir)
+    es = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    cents = _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
+    lists = ivf_assignments(e, cents).withColumnRenamed("vec_id", "doc_id")
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    toks = docs.select("doc_id", F.explode("t").alias("term"))
+    tl = toks.join(lists, "doc_id")
+    tf = tl.groupBy("centroid_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfd = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    csize = lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("cluster_docs")
+    )
+    scored = (
+        tf.join(dfd, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "centroid_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOPIC_TOP_TERMS)
+        .join(F.broadcast(csize), "centroid_id")
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("cluster_docs").cast("long").alias("cluster_docs"),
+            "term",
+            "rank",
+            "score",
+        )
+    )
+
+
+QUERIES["topic_cluster_terms"] = topic_cluster_terms
+
+
+def _topic_cluster_oracle_sql() -> str:
+    """Identical quantizer CTE chain as ann_ivf_topk's oracle, then
+    B14's tf*ln(N/df) scoring at cluster granularity."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    iter_ctes = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev, src='es')})")
+        iter_ctes.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
+        prev = f"c{it}"
+    iters_sql = ",\n    ".join(iter_ctes)
+    return rf"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es
+           ORDER BY vec_id LIMIT {_IVF_K}),
+    {iters_sql},
+    lists AS ({assign.format(cents=prev, src="e")}),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tl AS (
+      SELECT t.doc_id, t.term, l.centroid_id
+      FROM toks t JOIN lists l ON l.vec_id = t.doc_id
+    ),
+    tf AS (SELECT centroid_id, term, COUNT(*) AS tf FROM tl GROUP BY 1, 2),
+    dfd AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    csize AS (SELECT centroid_id, COUNT(*) AS cluster_docs FROM lists GROUP BY 1),
+    scored AS (
+      SELECT tf.centroid_id, tf.term,
+             ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfd.df), 6) AS score
+      FROM tf JOIN dfd ON tf.term = dfd.term, nd
+    ),
+    ranked AS (
+      SELECT centroid_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT r.centroid_id AS cluster_id,
+           CAST(c.cluster_docs AS BIGINT) AS cluster_docs,
+           r.term, CAST(r.rank AS BIGINT) AS rank, r.score
+    FROM ranked r JOIN csize c ON c.centroid_id = r.centroid_id
+    WHERE r.rank <= {_TOPIC_TOP_TERMS}
+    """
+
+
+ORACLES["topic_cluster_terms"] = _topic_cluster_oracle_sql()

@@ -76,6 +76,10 @@ _BNLJ_EXEMPT = {
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "tfidf_top_terms",          # broadcast doc-count scalar
     "bpe_train_merges",         # broadcast 1-row best-pair per round
+    "bpe_encode_corpus",        # broadcast 1-row best-pair per round
+    "topic_cluster_terms",      # broadcast centroids + doc-count scalar
+    "source_overlap_matrix",    # broadcast #sources-row signature matrix pair stage
+    "orders_zorder_layout",     # broadcast 1-row key-domain scalar aggregate
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
