@@ -1231,10 +1231,10 @@ _PQ_SUB = 8  # dims per subspace
 _PQ_K = 16
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+def _pq_codebooks_from(e: DataFrame) -> list[DataFrame]:
     """One (centroid_id, c_emb) frame per subspace, deterministically
-    trained on the vec_id % _IVF_TRAIN_MOD sample."""
-    e = _vectors(spark, sf_dir)
+    trained on the vec_id % _IVF_TRAIN_MOD sample of any (vec_id, emb)
+    frame (raw embeddings, or the B44 rotated space)."""
     train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
     books = []
     for s in range(_PQ_M):
@@ -1247,10 +1247,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return books
 
 
-def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    return _pq_codebooks_from(_vectors(spark, sf_dir))
+
+
+def _pq_books_long_from(e: DataFrame) -> DataFrame:
     """All 8 codebooks unioned into one broadcastable (s, centroid_id,
     c_emb) relation — one crossJoin serves every subspace at once."""
-    books = _pq_codebooks(spark, sf_dir)
+    books = _pq_codebooks_from(e)
     tagged = [
         b.select(F.lit(s).alias("s"), "centroid_id", "c_emb")
         for s, b in enumerate(books)
@@ -1259,6 +1263,10 @@ def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_books_long_from(_vectors(spark, sf_dir))
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2089,3 +2097,248 @@ def _topic_cluster_oracle_sql() -> str:
 
 
 ORACLES["topic_cluster_terms"] = _topic_cluster_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B44 rotation-before-PQ (the OPQ skeleton, Ge et al. 2013 / Jegou's
+# "structured rotation" variant): apply an orthonormal rotation to the
+# embedding space BEFORE product quantization, and make the effect a
+# hash-checked output — per-vector PQ reconstruction error in the
+# original space beside the rotated space, plus the isometry proof
+# (norm_ratio == 1 up to float rounding).
+#
+# Full OPQ *learns* the rotation (alternating SVD — not expressible as
+# a bounded declarative plan); the deployable skeleton uses a FIXED
+# structured rotation, here a deterministic Householder reflection
+# H = I - (2/64) v v^T with v in {+-1}^64 derived from md5 bits.
+# Because v's entries are +-1, Hx reduces to ONE shared scalar
+# d = (v . x)/32 and 64 add/subtracts — zero shuffle, embarrassingly
+# parallel, and exactly reproducible: the dot product is a single
+# left-associated 64-term chain (the B38 JL discipline), so both
+# engines compute bit-identical rotated vectors.
+#
+# On the isotropic synthetic embeddings the rotation is
+# variance-neutral by construction (documented; pytest pins isometry
+# and err_rot ~ err_orig in aggregate) — on real correlated data this
+# is where OPQ's error drop appears, with no plan change.
+#
+# Scale: rotation is map-side only; the two code-assignment passes are
+# each ONE crossJoin vs a broadcast 128-row codebook union + one
+# (vec_id, s) argmin window — the proven B35 shape, twice.
+# ---------------------------------------------------------------------------
+def _opq_signs() -> list[int]:
+    """64 deterministic +-1s from md5 bits (the _hyperplanes trick)."""
+    import hashlib
+
+    signs = []
+    for i in range(_DIM):
+        h = hashlib.md5(f"opq:{i}".encode()).hexdigest()
+        signs.append(1 if int(h[0], 16) < 8 else -1)
+    return signs
+
+
+def _rotate_expr(emb: str, zero_based: bool) -> tuple[str, list[str]]:
+    """(dot-chain SQL, per-dim rotated exprs).  Pure +-adds: no float
+    literals anywhere, so the two engines parse identical arithmetic."""
+    signs = _opq_signs()
+    off = 0 if zero_based else 1
+    dot = None
+    for i, sg in enumerate(signs):
+        term = f"{emb}[{i + off}]" if sg > 0 else f"(- {emb}[{i + off}])"
+        dot = term if dot is None else f"({dot} + {term})"
+    rot = [
+        f"({emb}[{i + off}] - __d32)" if sg > 0 else f"({emb}[{i + off}] + __d32)"
+        for i, sg in enumerate(signs)
+    ]
+    return f"(({dot}) / 32)", rot
+
+
+def _pq_recon_err(e: DataFrame, books: DataFrame, alias: str) -> DataFrame:
+    """(vec_id, <alias>): round-6 left-assoc total of the 8 per-subspace
+    nearest-centroid distances — the PQ reconstruction error."""
+    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    dist = F.aggregate(
+        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mins = (
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(books))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("__d"))).alias(f"d_{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+    total = F.col("d_0")
+    for s in range(1, _PQ_M):
+        total = total + F.col(f"d_{s}")
+    return mins.select("vec_id", F.round(total, 6).alias(alias))
+
+
+def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, norm_ratio, err_orig, err_rot): Householder-rotated PQ
+    beside plain PQ, isometry and both reconstruction errors emitted."""
+    e = _vectors(spark, sf_dir)
+    dot, rot = _rotate_expr("emb", zero_based=True)
+    rotated = (
+        e.withColumn("__d32", F.expr(dot))
+        .select(
+            "vec_id",
+            "emb",
+            F.expr("array(" + ", ".join(rot) + ")").alias("rot_emb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    norms = rotated.select(
+        "vec_id",
+        (F.sqrt(sq(F.col("rot_emb"))) / F.sqrt(sq(F.col("emb")))).alias(
+            "norm_ratio"
+        ),
+    )
+    er = rotated.select("vec_id", F.col("rot_emb").alias("emb"))
+    books_o = _pq_books_long_from(
+        rotated.select("vec_id", "emb")
+    ).localCheckpoint(eager=False)
+    books_r = _pq_books_long_from(er).localCheckpoint(eager=False)
+    err_o = _pq_recon_err(rotated.select("vec_id", "emb"), books_o, "err_orig")
+    err_r = _pq_recon_err(er, books_r, "err_rot")
+    return (
+        norms.join(err_o, "vec_id")
+        .join(err_r, "vec_id")
+        .select("vec_id", "norm_ratio", "err_orig", "err_rot")
+    )
+
+
+QUERIES["opq_rotate_quantize"] = opq_rotate_quantize
+
+
+def _opq_oracle_sql() -> str:
+    """Replicates the rotation (identical left-assoc chain) and BOTH
+    8-codebook chains (MATERIALIZED — the B43 oracle lesson)."""
+    dot, rot = _rotate_expr("emb", zero_based=False)
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i]))) ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+
+    def chain(space: str) -> tuple[str, str]:
+        """codebook chains for one space; returns (ctes, books cte name)."""
+        parts = []
+        for s in range(_PQ_M):
+            lo, hi = s * _PQ_SUB + 1, s * _PQ_SUB + _PQ_SUB
+            parts.append(
+                f"es_{space}_{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb "
+                f"FROM es_{space})"
+            )
+            parts.append(
+                f"c0_{space}_{s} AS (SELECT vec_id AS centroid_id, emb AS c_emb "
+                f"FROM es_{space}_{s} ORDER BY vec_id LIMIT {_PQ_K})"
+            )
+            prev = f"c0_{space}_{s}"
+            for it in range(1, _IVF_ITERS + 1):
+                parts.append(
+                    f"a{it}_{space}_{s} AS "
+                    f"({assign.format(cents=prev, src=f'es_{space}_{s}')})"
+                )
+                parts.append(
+                    f"c{it}_{space}_{s} AS "
+                    f"({recenter.format(assigned=f'a{it}_{space}_{s}')})"
+                )
+                prev = f"c{it}_{space}_{s}"
+        union = "\n      UNION ALL ".join(
+            f"SELECT {s} AS s, centroid_id, c_emb FROM c{_IVF_ITERS}_{space}_{s}"
+            for s in range(_PQ_M)
+        )
+        parts.append(f"books_{space} AS MATERIALIZED (\n      {union}\n    )")
+        return ",\n    ".join(parts), f"books_{space}"
+
+    sub = f"v.emb[(v.s * {_PQ_SUB} + 1):(v.s * {_PQ_SUB} + {_PQ_SUB})]"
+    sdist = (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> ({sub}[i] - v.c_emb[i]) * ({sub}[i] - v.c_emb[i])))"
+    )
+
+    def errs(space: str, books: str, alias: str) -> str:
+        picks = ",\n             ".join(
+            f"MAX(CASE WHEN s = {s} THEN dmin END) AS d_{s}"
+            for s in range(_PQ_M)
+        )
+        total = " + ".join(f"d_{s}" for s in range(_PQ_M))
+        return f"""
+    mins_{space} AS (
+      SELECT vec_id, s, dmin FROM (
+        SELECT v.vec_id, v.s, {sdist} AS dmin,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                 ORDER BY {sdist} ASC, v.centroid_id ASC) AS rk
+        FROM (SELECT e.vec_id, e.emb, b.s, b.centroid_id, b.c_emb
+              FROM e_{space} e, {books} b) v) t
+      WHERE rk = 1
+    ),
+    err_{space} AS (
+      SELECT vec_id, ROUND({total}, 6) AS {alias} FROM (
+        SELECT vec_id,
+             {picks}
+        FROM mins_{space} GROUP BY vec_id)
+    )"""
+
+    chains_o, books_o = chain("o")
+    chains_r, books_r = chain("r")
+    rot_list = ", ".join(rot)
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    rotated AS MATERIALIZED (
+      SELECT vec_id, emb, [{rot_list}] AS rot_emb
+      FROM (SELECT vec_id, emb, {dot} AS __d32 FROM e0)
+    ),
+    e_o AS (SELECT vec_id, emb FROM rotated),
+    e_r AS (SELECT vec_id, rot_emb AS emb FROM rotated),
+    es_o AS (SELECT vec_id, emb FROM e_o WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    es_r AS (SELECT vec_id, emb FROM e_r WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    {chains_o},
+    {chains_r},
+    {errs("o", books_o, "err_orig")},
+    {errs("r", books_r, "err_rot")},
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(rot_emb, x -> x * x)))
+               / sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm_ratio
+      FROM rotated
+    )
+    SELECT n.vec_id, n.norm_ratio, o.err_orig, r.err_rot
+    FROM norms n
+    JOIN err_o o ON o.vec_id = n.vec_id
+    JOIN err_r r ON r.vec_id = n.vec_id
+    """
+
+
+ORACLES["opq_rotate_quantize"] = _opq_oracle_sql()

@@ -583,3 +583,22 @@ def test_approx_percentiles_rank_error_contract(spark, sf_dir):
             approx = r[col]
             rank = grp.where(F.col("value") <= approx).count()
             assert abs(rank - p * n) <= tol, (et, p, rank, p * n, tol)
+
+
+def test_opq_rotation_is_isometric_and_error_neutral(spark, sf_dir):
+    """The Householder rotation must preserve norms exactly (up to
+    float rounding), and on the isotropic synthetic embeddings the
+    rotated-space PQ error must track the original-space error in
+    aggregate (OPQ's error DROP only appears on correlated data; a
+    blow-up here would mean the rotation is wrong)."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        opq_rotate_quantize,
+    )
+
+    rows = opq_rotate_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.norm_ratio - 1.0) < 1e-9, r
+    tot_o = sum(r.err_orig for r in rows)
+    tot_r = sum(r.err_rot for r in rows)
+    assert 0.8 < tot_r / tot_o < 1.25, (tot_o, tot_r)
