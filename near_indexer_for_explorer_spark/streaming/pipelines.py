@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1004,4 +1004,145 @@ def cohort_matrix_from_state(spark: SparkSession, out_dir: str) -> DataFrame:
         F.col("n_active").cast("long").alias("n_active"),
         F.col("cohort_size").cast("long").alias("cohort_size"),
         retention.alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C18 streaming ANN recall monitor (serving-quality observability)
+# ---------------------------------------------------------------------------
+_MONITOR_TOP_K = 10
+_MONITOR_NPROBE = 4
+
+
+def make_ivf_probe_expr(centroids: list, nprobe: int = _MONITOR_NPROBE) -> F.Column:
+    """Top-`nprobe` nearest centroid ids as an array — the query-side
+    probe set under the same frozen-quantizer-as-literals discipline as
+    make_ivf_assign_expr (struct ordering = dist-then-id tie-break)."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cands = []
+    for cid, comp in centroids:
+        w = F.array(*[F.lit(float(c)) for c in comp])
+        dist = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).alias("c")))
+    return F.transform(
+        F.slice(F.array_sort(F.array(*cands)), 1, nprobe),
+        lambda s: s.getField("c"),
+    )
+
+
+def recall_against_index(
+    queries: DataFrame, index: DataFrame, centroids: list
+) -> DataFrame:
+    """(q_id, n_hit, recall): per query, recall@k of the IVF-probed
+    top-k against the exact top-k over the SAME frozen index.  One
+    function serves the streaming monitor and its batch twin, so the
+    monitored metric cannot drift from the offline evaluation (the
+    C12/C13 shared-kernel discipline).
+
+    Scale shape: the exact leg broadcasts the (small) query batch
+    against the index scan; the probe leg explodes each query to its
+    nprobe lists and equi-joins on centroid_id — against the C14
+    partitioned index layout that join is partition-pruned, so the
+    probe leg reads only nprobe/k of the index per query batch."""
+    k = _MONITOR_TOP_K
+    qn = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "q_emb"
+        ),
+        make_ivf_probe_expr(centroids).alias("probes"),
+    )
+    cn = index.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+        "centroid_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = F.round(dot / (nrm(F.col("q_emb")) * nrm(F.col("emb"))), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("q_id", "vec_id")
+        )
+
+    exact_pairs = (
+        cn.crossJoin(F.broadcast(qn.select("q_id", "q_emb")))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    probe_pairs = (
+        qn.select("q_id", "q_emb", F.explode("probes").alias("centroid_id"))
+        .join(cn, "centroid_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    hits = topk(exact_pairs).join(topk(probe_pairs), ["q_id", "vec_id"])
+    return (
+        topk(exact_pairs)
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_monitor_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+):
+    """C18: query vectors stream in; each micro-batch's IVF recall@k
+    against the frozen C14 index is appended to a monitoring table
+    (batch_id, q_id, n_hit, recall).  This is the serving-side quality
+    loop the r5 SURVEY flagged as the open ivfpq follow-up: recall
+    regressions (e.g. after centroid drift) surface within one batch
+    of query traffic, computed by the SAME kernel as the offline
+    evaluation."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index = batch_df.sparkSession.read.parquet(index_dir)
+        (
+            recall_against_index(batch_df, index, centroids)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").parquet(out_dir)
+        )
+
+    stream = spark.readStream.schema(EMBEDDING_SCHEMA).parquet(src_dir)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

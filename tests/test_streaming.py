@@ -941,3 +941,72 @@ def test_cohort_stream_reassignment_and_batch_twin(spark, tmp_path_factory):
     assert ("1995-02-01", 27) in m2  # 1997-05 is 27 months later
     # and the 1997-05 cohort shrank to customer 11 alone
     assert m2[("1997-05-01", 0)][1] == 1
+
+
+def test_stream_recall_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """C18: per-micro-batch IVF recall@k rows over the frozen C14
+    index equal the batch twin (same recall_against_index kernel),
+    batch ids land, and probing actually trades recall for work
+    (0 < mean recall <= 1)."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _IVF_ITERS,
+        _IVF_K,
+        _IVF_TRAIN_MOD,
+        _kmeans_centroids,
+        _vectors,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        ann_recall_monitor_stream,
+        ivf_ingest_stream,
+        recall_against_index,
+    )
+
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    cents_df = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
+    centroids = [(r["centroid_id"], list(r["c_emb"])) for r in cents_df.collect()]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # build the serving index via the C14 path itself
+    vec_src = str(tmp_path / "vec_src")
+    emb.coalesce(1).write.mode("append").parquet(vec_src)
+    index_dir = str(tmp_path / "index")
+    _await(
+        ivf_ingest_stream(
+            spark, vec_src, index_dir, str(tmp_path / "ivf_ckpt"), centroids
+        )
+    )
+
+    # query traffic in two micro-batches: second file lands after the
+    # first availableNow run, so the restarted monitor (same
+    # checkpoint) processes exactly the delta as its own batch
+    q_src = str(tmp_path / "q_src")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    queries.where(F.col("vec_id") % 50 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(q_src)
+
+    out = str(tmp_path / "recall_out")
+    ckpt = str(tmp_path / "mon_ckpt")
+    _await(
+        ann_recall_monitor_stream(spark, q_src, index_dir, out, ckpt, centroids)
+    )
+    queries.where(F.col("vec_id") % 50 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(q_src)
+    _await(
+        ann_recall_monitor_stream(spark, q_src, index_dir, out, ckpt, centroids)
+    )
+
+    got = spark.read.parquet(out)
+    grows = {r["q_id"]: (r["n_hit"], r["recall"]) for r in got.collect()}
+    index = spark.read.parquet(index_dir)
+    want = {
+        r["q_id"]: (r["n_hit"], r["recall"])
+        for r in recall_against_index(queries, index, centroids).collect()
+    }
+    assert grows == want
+    assert got.select("batch_id").distinct().count() >= 2
+    recalls = [v[1] for v in grows.values()]
+    assert 0.0 < sum(recalls) / len(recalls) <= 1.0
