@@ -52,12 +52,12 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round-4 driver row (rotated out by the 50-entry cut — most last
 # driver-green in r3, per the round-4 verdict's rotation ask).
 # Everything green in r4 defers.  The priority list overflows the
-# window (r5 added 19 never-gated queries): the entries that fall
-# out (orders_status_rollup, events_sliding_1h_value,
-# q13_order_count_distribution, q22_idle_customers, events_funnel)
-# are all multi-round driver greens re-verified by the in-repo
-# parity suite at sf0.01 AND sf0.1 this round — window slots go to
-# queries that have never had a driver row.
+# window (r5 added 28 never-gated queries across its two sessions):
+# the entries that fall out (the tail of the r1-r3 rotation block,
+# from order_priority_distribution through events_funnel) are all
+# multi-round driver greens re-verified by the in-repo parity suite
+# at sf0.01 AND sf0.1 this round — window slots go to queries that
+# have never had a driver row first, then the longest-unverified.
 _GATE_PRIORITY: list[str] = [
     # round-4 red (hash-layer HUGEINT artifact, fixed) -> reconfirm
     "multimodal_feature_stats",
@@ -82,6 +82,16 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_resize_cells",
     "embedding_dedup_cosine",
     "corpus_shard_pack",
+    # new in round 5 session 2 (never driver-gated)
+    "events_activity_streaks",
+    "user_state_scd2",
+    "events_time_weighted_value",
+    "nation_trade_pagerank",
+    "orders_zorder_layout",
+    "bpe_encode_corpus",
+    "source_overlap_matrix",
+    "topic_cluster_terms",
+    "opq_rotate_quantize",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -56,6 +56,15 @@ EXTRA = [
     "events_markov_transitions",
     "ivfpq_ann_topk",
     "data_quality_report",
+    # round 5 session-2 additions
+    "events_activity_streaks",
+    "events_time_weighted_value",
+    "nation_trade_pagerank",
+    "orders_zorder_layout",
+    "bpe_encode_corpus",
+    "source_overlap_matrix",
+    "topic_cluster_terms",
+    "opq_rotate_quantize",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

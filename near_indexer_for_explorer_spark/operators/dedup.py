@@ -954,6 +954,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "sh")
         .distinct()
+        # consumed by the signature agg, both sides of the exact-common
+        # self-join, and the size agg: checkpoint so the corpus
+        # tokenize/explode/distinct runs ONCE, not 4x (plan census
+        # showed 12 Generate nodes without it)
+        .localCheckpoint(eager=False)
     )
     base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     hashed = ssh.withColumn("x", base % F.lit(_MERSENNE))

@@ -1983,7 +1983,13 @@ def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     es = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
     cents = _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
-    lists = ivf_assignments(e, cents).withColumnRenamed("vec_id", "doc_id")
+    # lists feeds the term join AND the cluster-size agg: checkpoint so
+    # the whole quantizer chain (2 Lloyd rounds + assignment) runs once
+    lists = (
+        ivf_assignments(e, cents)
+        .withColumnRenamed("vec_id", "doc_id")
+        .localCheckpoint(eager=False)
+    )
 
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     toks = docs.select("doc_id", F.explode("t").alias("term"))

@@ -3249,7 +3249,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.select("node")
-            .join(contrib, F.col("node") == contrib.dst, "left")
+            .join(F.broadcast(contrib), F.col("node") == contrib.dst, "left")
             .select(
                 "node",
                 (

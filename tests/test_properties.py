@@ -272,3 +272,47 @@ def test_interval_join_matches_naive(spark, tmp_path_factory, events):
                 float(sum(events[j][2] for j in inside)),
             )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),  # z-value
+            st.integers(min_value=0, max_value=10_000),  # row key
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_layout_two_phase_rank_equals_global_window(spark, rows):
+    """sources/layout.py::_two_phase_rank (range-bucketed row_number +
+    broadcast prefix offsets) must equal the global ROW_NUMBER over the
+    same (z, key) total order for arbitrary, arbitrarily-skewed input."""
+    from pyspark.sql import Window
+
+    from near_indexer_for_explorer_spark.sources.layout import (
+        _BUCKET_SHIFT,
+        _two_phase_rank,
+    )
+
+    df = spark.createDataFrame(rows, "z long, k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in _two_phase_rank(
+            df, F.shiftright("z", _BUCKET_SHIFT), [F.col("z"), F.col("k")]
+        ).collect()
+    }
+    w = Window.orderBy("z", "k")
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
