@@ -65,6 +65,7 @@ EXTRA = [
     "source_overlap_matrix",
     "topic_cluster_terms",
     "opq_rotate_quantize",
+    "events_value_anomalies",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

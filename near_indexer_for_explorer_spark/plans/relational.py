@@ -3271,3 +3271,100 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .select("n_name", F.col("pr").cast("double").alias("pagerank"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# A67 trailing-window anomaly flags (reference analog: anomalous balance
+# deltas in account_changes — the monitoring query a fraud/ops dashboard
+# runs over the 2021-03-11 time indexes: "which events deviate wildly
+# from this account's recent behavior").
+#
+# Robustness discipline: stddev_samp is NOT cross-engine stable (Welford
+# vs naive accumulation differ in float order), so the trailing variance
+# is derived from two EXACT decimal window sums instead — value is
+# 2-decimal money, so sum(x) and sum(x^2) over the 10-row trailing frame
+# are exact decimals in both engines; mean and variance then come out of
+# identical IEEE divisions, z-score rounds at 6 (quotient of a
+# non-boundary double: safe per the section-4 rule).
+#
+# Scale: ONE user-keyed shuffle; the frame is ROWS-bounded (10
+# preceding), so window state is O(1) per row.
+# ---------------------------------------------------------------------------
+_ANOM_LOOKBACK = 10
+_ANOM_Z = 2.0
+
+
+@_register(
+    "events_value_anomalies",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(*) OVER w AS n_prev,
+             SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(n_prev AS BIGINT) AS n_prev,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_prev AS mean_prev,
+             (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+              - n_prev * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_prev)
+                       * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_prev))
+               / (n_prev - 1) AS var_prev
+      FROM seq WHERE n_prev >= 3
+    )
+    SELECT user_id, event_id, ts, value, n_prev, mean_prev,
+           ROUND((value - mean_prev) / sqrt(var_prev), 6) AS zscore
+    FROM scored
+    WHERE var_prev > 0
+      AND ABS((value - mean_prev) / sqrt(var_prev)) > {_ANOM_Z}
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    v = dec_money("value")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+    ).where(F.col("n_prev") >= 3)
+    mean = F.col("s1").cast("double") / F.col("n_prev")
+    var = (
+        F.col("s2").cast("double") - F.col("n_prev") * mean * mean
+    ) / (F.col("n_prev") - 1)
+    scored = seq.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("n_prev").cast("long").alias("n_prev"),
+        mean.alias("mean_prev"),
+        var.alias("var_prev"),
+    )
+    z = (F.col("value") - F.col("mean_prev")) / F.sqrt(F.col("var_prev"))
+    return (
+        scored.where(F.col("var_prev") > 0)
+        .where(F.abs(z) > _ANOM_Z)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            "n_prev",
+            "mean_prev",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
