@@ -1146,3 +1146,90 @@ def ann_recall_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C19 streaming SCD2 maintenance (UPDATE-on-supersede as a lake sink)
+# ---------------------------------------------------------------------------
+def foreach_batch_scd2_upsert(out_dir: str, n_buckets: int = 8):
+    """foreachBatch sink maintaining the A64 SCD2 table incrementally:
+    each state-change event is a versioned [valid_from, valid_to) row,
+    and a new event CLOSES the previously-current interval of its key —
+    the reference's UPDATE-on-supersede PostgreSQL write
+    (access_keys deleted_by_receipt_id, adapters/access_keys.rs)
+    re-expressed as a partitioned-lake merge.
+
+    Like C17, the view is non-additive (a LATE event re-opens and
+    re-versions every later interval of that user), so the sink keeps
+    the minimal sufficient state — the touched buckets' event history —
+    and RE-DERIVES intervals from it: read only the buckets the batch
+    touches (partition-pruned), union the new rows, dedup by event_id
+    (replay/idempotence), one window pass re-intervalizes, dynamic
+    partition overwrite commits.  Per-batch cost is O(touched
+    buckets), never O(table); late and replayed input land exactly.
+    Batch-twin: the snapshot always equals A64 `user_state_scd2` over
+    the events ingested so far (pytest, including an out-of-order
+    event and a checkpoint-wipe replay)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "scd2")
+        batch = batch_df.select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        ).withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+        )
+        current = batch
+        if os.path.exists(snapshot):
+            touched = [
+                r["bucket"] for r in batch.select("bucket").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(snapshot)
+                .where(F.col("bucket").isin(touched))
+                .select(
+                    "user_id",
+                    "event_id",
+                    "event_type",
+                    "value",
+                    F.col("valid_from").alias("ts"),
+                    "bucket",
+                )
+            )
+            current = existing.unionByName(batch)
+        current = current.dropDuplicates(["event_id"])
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        merged = current.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.row_number().over(w).cast("long").alias("version"),
+            "bucket",
+        ).localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(snapshot)
+        )
+
+    return sink
+
+
+def scd2_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C19 driver: stream -> incrementally-maintained SCD2 table."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_scd2_upsert(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

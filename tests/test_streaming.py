@@ -1010,3 +1010,69 @@ def test_stream_recall_monitor_matches_batch(spark, sf_dir, tmp_path):
     assert got.select("batch_id").distinct().count() >= 2
     recalls = [v[1] for v in grows.values()]
     assert 0.0 < sum(recalls) / len(recalls) <= 1.0
+
+
+def test_scd2_stream_matches_batch_twin_with_late_data(spark, sf_dir, tmp_path):
+    """C19 == A64 over the ingested events: the incrementally-maintained
+    SCD2 table equals the batch intervalization, including after a
+    second micro-batch whose events are OLDER than already-ingested ones
+    (which must re-open and re-version existing intervals), and after a
+    checkpoint-wipe replay (recompute+dedup makes the sink idempotent)."""
+    import os as _os
+    import time as _time
+
+    from near_indexer_for_explorer_spark.plans.relational import user_state_scd2
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import scd2_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "scd2_src")
+    _os.makedirs(src)
+    # batch 1: two thirds of events; batch 2: the rest — id-sliced, so
+    # batch 2 contains events with EARLIER timestamps than batch 1's
+    ev.where(F.col("event_id") % 3 != 0).coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, d in enumerate(["b1", "b2"]):
+        part = _glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "scd2_out"), str(tmp_path / "scd2_ckpt")
+    _await(scd2_stream(spark, src, out, ckpt))
+
+    def snap():
+        return {
+            tuple(r)
+            for r in spark.read.parquet(_os.path.join(out, "scd2"))
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                "valid_from",
+                "valid_to",
+                "is_current",
+                "version",
+            )
+            .collect()
+        }
+
+    want = {tuple(r) for r in user_state_scd2(spark, sf_dir).collect()}
+    got = snap()
+    assert got == want
+
+    # checkpoint-wipe replay: every event re-ingests; table unchanged
+    _shutil.rmtree(ckpt)
+    _await(scd2_stream(spark, src, out, str(tmp_path / "scd2_ckpt2")))
+    assert snap() == want
