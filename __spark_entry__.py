@@ -93,6 +93,7 @@ _GATE_PRIORITY: list[str] = [
     "topic_cluster_terms",
     "opq_rotate_quantize",
     "events_value_anomalies",
+    "customer_rfm_scores",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

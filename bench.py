@@ -66,6 +66,7 @@ EXTRA = [
     "topic_cluster_terms",
     "opq_rotate_quantize",
     "events_value_anomalies",
+    "customer_rfm_scores",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3368,3 +3368,105 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A68 RFM segmentation (reference analog: account scoring over the
+# transactions surface — the explorer's "active accounts" dashboards
+# rank accounts by recency/frequency/volume, models/transactions.rs +
+# the 2021-03-11 account-activity indexes).
+#
+# Quintile assignment deliberately does NOT use a global NTILE window
+# (single-partition at scale): boundaries come from ONE percentile
+# aggregate (the A51/A56 machinery — Spark `percentile` == DuckDB
+# percentile_cont, round-6), broadcast, and each customer's scores are
+# map-side boundary comparisons.  Ties at a boundary land on the same
+# side in both engines (exact comparisons on identical doubles).
+# Recency scores by STRICT < (smaller gap = higher score); frequency/
+# monetary by STRICT > (bigger = higher score).
+# ---------------------------------------------------------------------------
+_RFM_PCTS = [0.2, 0.4, 0.6, 0.8]
+
+
+@_register(
+    "customer_rfm_scores",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    d0 AS (SELECT MAX(last_order) AS asof FROM cust),
+    base AS (
+      SELECT c.o_custkey,
+             CAST(d.asof - c.last_order AS BIGINT) AS recency_days,
+             c.frequency, c.monetary
+      FROM cust c, d0 d
+    ),
+    bounds AS (
+      SELECT
+        {", ".join(f"ROUND(percentile_cont({p}) WITHIN GROUP (ORDER BY CAST(recency_days AS DOUBLE)), 6) AS rb{i}" for i, p in enumerate(_RFM_PCTS))},
+        {", ".join(f"ROUND(percentile_cont({p}) WITHIN GROUP (ORDER BY CAST(frequency AS DOUBLE)), 6) AS fb{i}" for i, p in enumerate(_RFM_PCTS))},
+        {", ".join(f"ROUND(percentile_cont({p}) WITHIN GROUP (ORDER BY monetary), 6) AS mb{i}" for i, p in enumerate(_RFM_PCTS))}
+      FROM base
+    )
+    SELECT b.o_custkey AS c_custkey, b.recency_days, b.frequency, b.monetary,
+           CAST(1 {" ".join(f"+ (CASE WHEN CAST(b.recency_days AS DOUBLE) < s.rb{i} THEN 1 ELSE 0 END)" for i in range(4))} AS BIGINT) AS r_score,
+           CAST(1 {" ".join(f"+ (CASE WHEN CAST(b.frequency AS DOUBLE) > s.fb{i} THEN 1 ELSE 0 END)" for i in range(4))} AS BIGINT) AS f_score,
+           CAST(1 {" ".join(f"+ (CASE WHEN b.monetary > s.mb{i} THEN 1 ELSE 0 END)" for i in range(4))} AS BIGINT) AS m_score
+    FROM base b, bounds s
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec_money("o_totalprice")).cast("double").alias("monetary"),
+    )
+    d0 = cust.agg(F.max("last_order").alias("asof"))
+    base = cust.crossJoin(F.broadcast(d0)).select(
+        "o_custkey",
+        F.datediff("asof", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    bound_aggs = []
+    for i, p in enumerate(_RFM_PCTS):
+        bound_aggs.append(
+            F.round(
+                F.percentile(F.col("recency_days").cast("double"), F.lit(p)), 6
+            ).alias(f"rb{i}")
+        )
+        bound_aggs.append(
+            F.round(
+                F.percentile(F.col("frequency").cast("double"), F.lit(p)), 6
+            ).alias(f"fb{i}")
+        )
+        bound_aggs.append(
+            F.round(F.percentile(F.col("monetary"), F.lit(p)), 6).alias(f"mb{i}")
+        )
+    bounds = base.agg(*bound_aggs)
+
+    def score(metric, prefix: str, op: str):
+        s = F.lit(1)
+        for i in range(4):
+            cond = (
+                metric < F.col(f"{prefix}{i}")
+                if op == "<"
+                else metric > F.col(f"{prefix}{i}")
+            )
+            s = s + F.when(cond, 1).otherwise(0)
+        return s.cast("long")
+
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        score(F.col("recency_days").cast("double"), "rb", "<").alias("r_score"),
+        score(F.col("frequency").cast("double"), "fb", ">").alias("f_score"),
+        score(F.col("monetary"), "mb", ">").alias("m_score"),
+    )

@@ -81,6 +81,7 @@ _BNLJ_EXEMPT = {
     "source_overlap_matrix",    # broadcast #sources-row signature matrix pair stage
     "orders_zorder_layout",     # broadcast 1-row key-domain scalar aggregate
     "opq_rotate_quantize",      # broadcast 128-row codebooks (both spaces)
+    "customer_rfm_scores",      # broadcast as-of date + quantile-boundary scalars
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
