@@ -188,6 +188,7 @@ _GATE_DEFER: list[str] = [
     "multimodal_resize",
     "events_daily_approx_distinct",
     "events_value_approx_percentiles",
+    "events_heavy_hitters",
 ]
 
 

@@ -3470,3 +3470,49 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score(F.col("frequency").cast("double"), "fb", ">").alias("f_score"),
         score(F.col("monetary"), "mb", ">").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A69 heavy-hitters sketch (completes the sketch triad the SURVEY §6
+# scale story names: distinct counting = HLL (A54), quantiles =
+# GK/t-digest (A61), and frequent items = THIS — Spark's freqItems
+# implements the Karp/Misra-Gries one-pass heavy-hitters sketch, the
+# only frequent-items shape that runs on 100 TB without a full
+# group-by of the key space).  Reference analog: "hot contracts /
+# spam senders" monitoring over action_receipt_actions.
+#
+# Rows-only BY DESIGN (the sketch is engine-specific, like A54/A61);
+# the sketch's actual contract — every key with frequency > support*n
+# IS in the result (false positives possible, false negatives not) —
+# is pytest-pinned against exact counts, and the registered query
+# joins exact counts back so downstream consumers see (key,
+# exact_count, share) for every surfaced candidate.
+# ---------------------------------------------------------------------------
+_HH_SUPPORT = 0.05
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, exact_count, share): the freqItems candidate set
+    joined back to exact counts (one aggregate over candidates only)."""
+    ev = load_table(spark, sf_dir, "events")
+    cand = (
+        ev.select("event_type")
+        .stat.freqItems(["event_type"], _HH_SUPPORT)
+        .select(F.explode("event_type_freqItems").alias("event_type"))
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        cand.join(counts, "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "exact_count",
+            (F.col("exact_count").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+QUERIES["events_heavy_hitters"] = events_heavy_hitters

@@ -602,3 +602,31 @@ def test_opq_rotation_is_isometric_and_error_neutral(spark, sf_dir):
     tot_o = sum(r.err_orig for r in rows)
     tot_r = sum(r.err_rot for r in rows)
     assert 0.8 < tot_r / tot_o < 1.25, (tot_o, tot_r)
+
+
+def test_heavy_hitters_sketch_contract(spark, sf_dir):
+    """freqItems' guarantee: NO false negatives — every event_type
+    whose exact share exceeds the support threshold must appear in the
+    surfaced candidate set, and surfaced rows carry exact counts."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _HH_SUPPORT,
+        events_heavy_hitters,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: (r.exact_count, r.share) for r in
+           events_heavy_hitters(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for et, c in exact.items():
+        if c / n > _HH_SUPPORT:
+            assert et in got, f"{et} ({c}/{n}) missing from sketch output"
+    for et, (c, share) in got.items():
+        assert c == exact[et]
+        assert abs(share - c / n) < 1e-12

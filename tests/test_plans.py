@@ -82,6 +82,7 @@ _BNLJ_EXEMPT = {
     "orders_zorder_layout",     # broadcast 1-row key-domain scalar aggregate
     "opq_rotate_quantize",      # broadcast 128-row codebooks (both spaces)
     "customer_rfm_scores",      # broadcast as-of date + quantile-boundary scalars
+    "events_heavy_hitters",     # broadcast corpus-total scalar
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
