@@ -94,6 +94,7 @@ _GATE_PRIORITY: list[str] = [
     "opq_rotate_quantize",
     "events_value_anomalies",
     "customer_rfm_scores",
+    "dedup_pair_alignment",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -67,6 +67,7 @@ EXTRA = [
     "opq_rotate_quantize",
     "events_value_anomalies",
     "customer_rfm_scores",
+    "dedup_pair_alignment",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

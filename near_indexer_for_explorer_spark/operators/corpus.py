@@ -1161,3 +1161,194 @@ def _keep_list_oracle_sql() -> str:
 
 
 ORACLES["corpus_keep_list"] = _keep_list_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B48 doc-pair alignment stats (SURVEY r6 candidate "doc-pair alignment
+# stats"): the pairwise completion of the substring-dedup story — B34
+# counts shared grams corpus-wide, B36 finds each doc's maximal shared
+# runs against ANYONE, B37 scores candidate pairs by edit distance;
+# THIS aligns each LSH candidate PAIR positionally.  Two positions
+# (p1, p2) sharing an 8-gram lie on diagonal p1 - p2; maximal runs of
+# consecutive p1 along one diagonal are the pair's aligned blocks
+# (the dot-plot / Lee et al. 2021 picture), so
+# longest_align_tokens = longest common contiguous token block >= 8.
+# Coverage per side is the exact interval union of the matched 8-gram
+# windows (B36's min(8, gap) trick over distinct positions).
+#
+# Scale: matches are bounded by the LSH candidate set x shared-gram
+# occurrences (never all pairs); the diagonal windows partition on
+# (pair, diagonal) — high cardinality, skew-free.  Shares B3's
+# candidate CTEs in the oracle (B37 precedent), so candidates cannot
+# drift between the operators.
+# ---------------------------------------------------------------------------
+def dedup_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, n_matches, longest_align_tokens,
+    cov1_tokens, cov2_tokens) per MinHash/LSH candidate pair."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _distinct_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    ).localCheckpoint(eager=False)
+    grams = docs.select(
+        "doc_id", F.posexplode(word_shingles(F.col("t"), 8)).alias("pos", "g")
+    )
+    g1 = grams.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("pos").alias("p1"),
+        F.col("g").alias("g1"),
+    )
+    g2 = grams.select(
+        F.col("doc_id").alias("d2k"),
+        F.col("pos").alias("p2"),
+        F.col("g").alias("g2"),
+    )
+    matches = (
+        cand.join(g1, "doc_id_1")
+        .join(
+            g2,
+            (F.col("doc_id_2") == F.col("d2k")) & (F.col("g1") == F.col("g2")),
+        )
+        .select("doc_id_1", "doc_id_2", "p1", "p2")
+    ).localCheckpoint(eager=False)
+
+    wd = Window.partitionBy("doc_id_1", "doc_id_2", "dg").orderBy("p1")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        matches.withColumn("dg", F.col("p1") - F.col("p2"))
+        .withColumn("prev", F.lag("p1").over(wd))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("p1") - F.col("prev") != 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_start",
+            F.max(F.when(F.col("new_run") == 1, F.col("p1"))).over(wrun),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            (F.max(F.col("p1") - F.col("run_start") + 1) + F.lit(7))
+            .cast("long")
+            .alias("longest_align_tokens"),
+        )
+    )
+
+    def coverage(pcol: str, alias: str) -> DataFrame:
+        wq = Window.partitionBy("doc_id_1", "doc_id_2").orderBy(pcol)
+        return (
+            matches.select("doc_id_1", "doc_id_2", pcol)
+            .distinct()
+            .withColumn("prev", F.lag(pcol).over(wq))
+            .withColumn(
+                "contrib",
+                F.when(F.col("prev").isNull(), F.lit(8)).otherwise(
+                    F.least(F.lit(8), F.col(pcol) - F.col("prev"))
+                ),
+            )
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.sum("contrib").cast("long").alias(alias))
+        )
+
+    keys = ["doc_id_1", "doc_id_2"]
+    return (
+        cand.join(runs, keys, "left")
+        .join(coverage("p1", "cov1_tokens"), keys, "left")
+        .join(coverage("p2", "cov2_tokens"), keys, "left")
+        .select(
+            *keys,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("longest_align_tokens", F.lit(0))
+            .cast("long")
+            .alias("longest_align_tokens"),
+            F.coalesce("cov1_tokens", F.lit(0)).cast("long").alias("cov1_tokens"),
+            F.coalesce("cov2_tokens", F.lit(0)).cast("long").alias("cov2_tokens"),
+        )
+    )
+
+
+QUERIES["dedup_pair_alignment"] = dedup_pair_alignment
+
+
+def _pair_alignment_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _minhash_cand_ctes,
+    )
+
+    gram8 = " || ' ' || ".join(f"t[i+{k}]" if k else "t[i]" for k in range(8))
+    return f"""
+    {_minhash_cand_ctes()},
+    toks8 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos, {gram8} AS g
+      FROM toks8, UNNEST(range(1, len(t) - 6)) AS r(i)
+    ),
+    matches AS (
+      SELECT c.d1, c.d2, a.pos AS p1, b.pos AS p2
+      FROM cand c
+      JOIN pg a ON a.doc_id = c.d1
+      JOIN pg b ON b.doc_id = c.d2 AND b.g = a.g
+    ),
+    diag AS (
+      SELECT d1, d2, p1, p2, p1 - p2 AS dg,
+             lag(p1) OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS prev
+      FROM matches
+    ),
+    flagged AS (
+      SELECT d1, d2, p1, dg,
+             CASE WHEN prev IS NULL OR p1 - prev != 1 THEN 1 ELSE 0 END AS new_run
+      FROM diag
+    ),
+    runs0 AS (
+      SELECT d1, d2, p1,
+             MAX(CASE WHEN new_run = 1 THEN p1 END)
+               OVER (PARTITION BY d1, d2, dg ORDER BY p1
+                     ROWS UNBOUNDED PRECEDING) AS run_start
+      FROM flagged
+    ),
+    runs AS (
+      SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(MAX(p1 - run_start + 1) + 7 AS BIGINT) AS longest_align_tokens
+      FROM runs0 GROUP BY d1, d2
+    ),
+    cov1 AS (
+      SELECT d1, d2, CAST(SUM(contrib) AS BIGINT) AS cov1_tokens FROM (
+        SELECT d1, d2,
+               CASE WHEN lag(p1) OVER w IS NULL THEN 8
+                    ELSE least(8, p1 - lag(p1) OVER w) END AS contrib
+        FROM (SELECT DISTINCT d1, d2, p1 FROM matches)
+        WINDOW w AS (PARTITION BY d1, d2 ORDER BY p1)
+      ) GROUP BY d1, d2
+    ),
+    cov2 AS (
+      SELECT d1, d2, CAST(SUM(contrib) AS BIGINT) AS cov2_tokens FROM (
+        SELECT d1, d2,
+               CASE WHEN lag(p2) OVER w IS NULL THEN 8
+                    ELSE least(8, p2 - lag(p2) OVER w) END AS contrib
+        FROM (SELECT DISTINCT d1, d2, p2 FROM matches)
+        WINDOW w AS (PARTITION BY d1, d2 ORDER BY p2)
+      ) GROUP BY d1, d2
+    )
+    SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+           COALESCE(r.n_matches, 0) AS n_matches,
+           COALESCE(r.longest_align_tokens, 0) AS longest_align_tokens,
+           COALESCE(c1.cov1_tokens, 0) AS cov1_tokens,
+           COALESCE(c2.cov2_tokens, 0) AS cov2_tokens
+    FROM cand c
+    LEFT JOIN runs r ON r.d1 = c.d1 AND r.d2 = c.d2
+    LEFT JOIN cov1 c1 ON c1.d1 = c.d1 AND c1.d2 = c.d2
+    LEFT JOIN cov2 c2 ON c2.d1 = c.d1 AND c2.d2 = c.d2
+    """
+
+
+ORACLES["dedup_pair_alignment"] = _pair_alignment_oracle_sql()

@@ -630,3 +630,34 @@ def test_heavy_hitters_sketch_contract(spark, sf_dir):
     for et, (c, share) in got.items():
         assert c == exact[et]
         assert abs(share - c / n) < 1e-12
+
+
+def test_pair_alignment_finds_planted_block(spark, tmp_path):
+    """Two near-identical docs differing in ONE word: the alignment
+    must report exactly the prefix block (8-gram positions 0..7 -> a
+    15-token block), the suffix block, and the exact interval-union
+    coverage, all on diagonal 0."""
+    words = [f"w{i}" for i in range(30)]
+    t1 = " ".join(words)
+    t2 = " ".join(w if i != 15 else "zzz" for i, w in enumerate(words))
+    rows = [
+        (1, t1, "en", "srcA", len(t1)),
+        (2, t2, "en", "srcA", len(t2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        dedup_pair_alignment,
+    )
+
+    out = dedup_pair_alignment(spark, str(tmp_path)).collect()
+    assert len(out) == 1, out  # the pair must surface as an LSH candidate
+    r = out[0]
+    assert (r.doc_id_1, r.doc_id_2) == (1, 2)
+    # shared 8-gram positions: p <= 7 (before the edit) and p in 16..22
+    assert r.n_matches == 15
+    assert r.longest_align_tokens == 15  # run p=0..7 -> 8+7 tokens
+    assert r.cov1_tokens == 29 and r.cov2_tokens == 29  # union of both blocks
