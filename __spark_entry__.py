@@ -95,6 +95,7 @@ _GATE_PRIORITY: list[str] = [
     "events_value_anomalies",
     "customer_rfm_scores",
     "dedup_pair_alignment",
+    "lineitem_orderkey_gaps",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -68,6 +68,7 @@ EXTRA = [
     "events_value_anomalies",
     "customer_rfm_scores",
     "dedup_pair_alignment",
+    "lineitem_orderkey_gaps",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3516,3 +3516,81 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_heavy_hitters"] = events_heavy_hitters
+
+
+# ---------------------------------------------------------------------------
+# A70 sequence-gap detection (reference analog: the operational
+# "skipped blocks" query — TROBLESHOOTING.md's non-strict mode skips
+# blocks and mandates "we MUST go back ... and re-index the borked
+# blocks"; finding them IS a gap scan over the block-height sequence.
+# Here: orderkeys never observed in lineitem, the parents-missing-
+# children twin of the same shape).
+#
+# Scale design: the textbook lag-over-global-order gap scan needs ONE
+# window over the whole sequence — a single-partition sort at 100 TB.
+# Instead the sequence is bucketed THREE levels deep (1024 ids/bucket,
+# 1024 buckets/super-bucket): consecutive present ids are either in
+# the same bucket (lag partitioned by bucket), in different buckets of
+# one super-bucket (lag over the per-bucket min/max aggregate,
+# partitioned by super-bucket), or in different super-buckets (lag
+# over the per-super aggregate — n/2^20 rows, trivially bounded; a
+# fourth level drops out of the same recursion if ever needed).  The
+# union of the three legs equals the global scan row-for-row — the
+# oracle IS the global-lag version, so the decomposition's exactness
+# is hash-checked.
+# ---------------------------------------------------------------------------
+_GAP_B = 1024
+
+
+@_register(
+    "lineitem_orderkey_gaps",
+    """
+    WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+    s AS (
+      SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids
+    )
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(id - 1 AS BIGINT) AS gap_end,
+           CAST(id - prev - 1 AS BIGINT) AS gap_len
+    FROM s WHERE id - prev > 1
+    """,
+)
+def lineitem_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ids = li.select(F.col("l_orderkey").alias("id")).distinct()
+    b = F.expr(f"id div {_GAP_B}")
+    lv1 = ids.withColumn("b", b)
+
+    def gap_select(start_col, end_col):
+        return [
+            (start_col + 1).cast("long").alias("gap_start"),
+            (end_col - 1).cast("long").alias("gap_end"),
+            (end_col - start_col - 1).cast("long").alias("gap_len"),
+        ]
+
+    w1 = Window.partitionBy("b").orderBy("id")
+    intra = (
+        lv1.withColumn("prev", F.lag("id").over(w1))
+        .where(F.col("id") - F.col("prev") > 1)
+        .select(*gap_select(F.col("prev"), F.col("id")))
+    )
+
+    l2 = lv1.groupBy("b").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    ).withColumn("sb", F.expr(f"b div {_GAP_B}"))
+    w2 = Window.partitionBy("sb").orderBy("b")
+    inter_bucket = (
+        l2.withColumn("prev_mx", F.lag("mx").over(w2))
+        .where(F.col("mn") - F.col("prev_mx") > 1)
+        .select(*gap_select(F.col("prev_mx"), F.col("mn")))
+    )
+
+    l3 = l2.groupBy("sb").agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    w3 = Window.orderBy("sb")  # n / 2^20 rows: bounded at any real scale
+    inter_super = (
+        l3.withColumn("prev_mx", F.lag("mx").over(w3))
+        .where(F.col("mn") - F.col("prev_mx") > 1)
+        .select(*gap_select(F.col("prev_mx"), F.col("mn")))
+    )
+
+    return intra.unionByName(inter_bucket).unionByName(inter_super)

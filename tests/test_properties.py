@@ -316,3 +316,42 @@ def test_layout_two_phase_rank_equals_global_window(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(
+        st.integers(min_value=0, max_value=5_000_000), min_size=2, max_size=40
+    )
+)
+def test_sequence_gap_decomposition_equals_global_scan(spark, ids):
+    """A70's three-level bucketed gap legs must union to exactly the
+    global-lag gap scan for arbitrary sparse id sets — including ids
+    straddling bucket (2^10) and super-bucket (2^20) boundaries."""
+    import pyspark.sql.functions as SF
+
+    from near_indexer_for_explorer_spark.plans import relational as R
+
+    df = spark.createDataFrame([(i,) for i in ids], "l_orderkey long")
+
+    # run the operator body against a stand-in loader
+    orig = R.load_table
+    try:
+        R.load_table = lambda s, d, n: df
+        got = sorted(
+            tuple(r) for r in R.lineitem_orderkey_gaps(spark, "unused").collect()
+        )
+    finally:
+        R.load_table = orig
+
+    ordered = sorted(ids)
+    want = sorted(
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ordered, ordered[1:])
+        if b - a > 1
+    )
+    assert got == want
