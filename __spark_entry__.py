@@ -96,6 +96,8 @@ _GATE_PRIORITY: list[str] = [
     "customer_rfm_scores",
     "dedup_pair_alignment",
     "lineitem_orderkey_gaps",
+    "lineitem_correlations",
+    "vocab_zipf_fit",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -69,6 +69,8 @@ EXTRA = [
     "customer_rfm_scores",
     "dedup_pair_alignment",
     "lineitem_orderkey_gaps",
+    "lineitem_correlations",
+    "vocab_zipf_fit",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

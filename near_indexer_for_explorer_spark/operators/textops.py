@@ -511,3 +511,97 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["vocab_coverage"] = vocab_coverage
+
+
+# ---------------------------------------------------------------------------
+# B49 Zipf-law fit (LM-corpus diagnostics: a healthy natural-language
+# corpus shows ln(freq) ~ a + s*ln(rank) with s near -1; boilerplate-
+# or spam-heavy crawls bend the curve — this is the standard one-glance
+# corpus health check next to B7/B25's per-doc filters).
+#
+# Regression AS aggregation: the least-squares fit over the top-V
+# frequency curve needs only five sums — and because each ln() output
+# is rounded at 6 then quantized to decimal (the B27/B33 libm-1-ulp
+# discipline), all five sums are EXACT decimals whose products/ratios
+# evaluate in IEEE doubles identically in both engines.  Top-V is
+# TakeOrdered-bounded; the rank window runs over V=500 rows.
+# ---------------------------------------------------------------------------
+_ZIPF_V = 500
+
+
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_terms, zipf_slope, intercept, r2): OLS of ln(freq) on
+    ln(rank) over the top-500 frequency vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    freq = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(_ZIPF_V)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+QUERIES["vocab_zipf_fit"] = vocab_zipf_fit
+
+ORACLES["vocab_zipf_fit"] = rf"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+      ORDER BY freq DESC, w ASC LIMIT {_ZIPF_V}
+    ),
+    xy AS (
+      SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC)
+                               AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+"""

@@ -3594,3 +3594,94 @@ def lineitem_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return intra.unionByName(inter_bucket).unionByName(inter_super)
+
+
+# ---------------------------------------------------------------------------
+# A71 engine-stable correlation matrix (reference analog: the
+# gas-used vs gas-price vs tx-volume relationships an explorer's
+# analytics page derives from chunks/blocks columns).
+#
+# Spark's corr() and DuckDB's corr() accumulate co-moments in float
+# (order-dependent, engine-divergent).  Here every moment is an EXACT
+# decimal sum — the inputs are 2dp/4dp money decimals, so x·y, x², y²
+# are exact decimal products — and only the FINAL Pearson formula runs
+# in IEEE doubles over the (correctly-rounded, VARCHAR-hopped) sums
+# with a fixed expression tree, making the result bit-identical across
+# engines and partitionings.  ONE scan, map-side combined; emitted in
+# long form (var_x, var_y, n, r).
+# ---------------------------------------------------------------------------
+_CORR_VARS = [
+    ("quantity", "CAST(l_quantity AS DECIMAL(12,2))"),
+    ("extendedprice", "CAST(l_extendedprice AS DECIMAL(12,2))"),
+    ("discount", "CAST(l_discount AS DECIMAL(7,4))"),
+]
+
+
+def _corr_oracle_sql() -> str:
+    aggs, pairs = [], []
+    for name, expr in _CORR_VARS:
+        aggs.append(f"CAST(SUM({expr}) AS DOUBLE) AS s_{name}")
+        aggs.append(f"CAST(SUM({expr} * {expr}) AS DOUBLE) AS s2_{name}")
+    for i in range(len(_CORR_VARS)):
+        for j in range(i + 1, len(_CORR_VARS)):
+            a, ea = _CORR_VARS[i]
+            b, eb = _CORR_VARS[j]
+            aggs.append(f"CAST(SUM({ea} * {eb}) AS DOUBLE) AS sxy_{a}_{b}")
+            pairs.append((a, b))
+    selects = []
+    for a, b in pairs:
+        num = f"(n * sxy_{a}_{b} - s_{a} * s_{b})"
+        den = f"sqrt((n * s2_{a} - s_{a} * s_{a}) * (n * s2_{b} - s_{b} * s_{b}))"
+        selects.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, CAST(n AS BIGINT) AS n, "
+            f"{num} / {den} AS r FROM m"
+        )
+    return (
+        "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@_register("lineitem_correlations", _corr_oracle_sql())
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": dec_money("l_quantity"),
+        "extendedprice": dec_money("l_extendedprice"),
+        "discount": dec_rate("l_discount"),
+    }
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    pairs = []
+    names = list(cols)
+    for name, c in cols.items():
+        aggs.append(F.sum(c).cast("double").alias(f"s_{name}"))
+        aggs.append(F.sum(c * c).cast("double").alias(f"s2_{name}"))
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            aggs.append(F.sum(cols[a] * cols[b]).cast("double").alias(f"sxy_{a}_{b}"))
+            pairs.append((a, b))
+    m = li.agg(*aggs)
+    outs = []
+    for a, b in pairs:
+        num = F.col("n") * F.col(f"sxy_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"s2_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                F.col("n").cast("long").alias("n"),
+                (num / den).alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
