@@ -135,3 +135,56 @@ def compact_parquet(
     n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return len(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def compact_parquet_zorder(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    zcols: tuple[str, str],
+    n_files: int = 16,
+) -> int:
+    """Z-ORDERED compaction: rewrite a parquet directory into
+    `n_files` files clustered on the bit-interleave of two columns —
+    the writer side of sources/layout.py's analysis (Delta OPTIMIZE
+    ZORDER BY analog).  After this rewrite, per-file min/max footer
+    stats are tight in BOTH columns, so scans filtered on EITHER key
+    prune most files (the lake's answer to the reference keeping two
+    btree indexes per fact table).
+
+    Layout mechanics: each key is scaled to a 16-bit grid against its
+    observed max (exact integer arithmetic), interleaved with the
+    layout module's generated shift/mask expression, and the frame is
+    `repartitionByRange(zvalue)` — Spark's range partitioner samples
+    boundaries, so file SIZES are approximate but the CLUSTERING is
+    exact, which is what pruning needs.  Returns the output file
+    count."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.sources.layout import (
+        _interleave_spark,
+    )
+
+    df = spark.read.parquet(src_dir)
+    a, b = zcols
+    mx = df.agg(
+        F.max(F.col(a)).alias("ma"), F.max(F.col(b)).alias("mb")
+    )
+    z = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("__bx", F.expr(f"({a} * 65536) div (ma + 1)"))
+        .withColumn("__by", F.expr(f"({b} * 65536) div (mb + 1)"))
+        .withColumn("__z", F.expr(_interleave_spark("__bx", "__by")))
+        .drop("ma", "mb", "__bx", "__by")
+    )
+    (
+        z.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return len(glob.glob(os.path.join(out_dir, "*.parquet")))

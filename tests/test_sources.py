@@ -98,3 +98,56 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
         )
     assert spans["zorder"][0] < spans["linear"][0] / 2
     assert spans["zorder"][1] < spans["linear"][1] / 2
+
+
+def test_zorder_compaction_tightens_file_stats(spark, sf_dir, tmp_path):
+    """The z-ordered writer must produce files whose parquet footer
+    min/max ranges are tight in BOTH clustering columns vs the plain
+    compactor (this is what makes scans on either key prune files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        compact_parquet,
+        compact_parquet_zorder,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_days", F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+    ).write.parquet(src)
+
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    compact_parquet(spark, src, plain, target_mb=1)
+    n = compact_parquet_zorder(
+        spark, src, zord, ("o_custkey", "o_orderdate_days"), n_files=32
+    )
+    assert n >= 16
+
+    def mean_spans(d):
+        spans = {"o_custkey": [], "o_orderdate_days": []}
+        for p in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            lo = {k: None for k in spans}
+            hi = {k: None for k in spans}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in spans and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            for k in spans:
+                if lo[k] is not None:
+                    spans[k].append(hi[k] - lo[k])
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    sp, sz = mean_spans(plain), mean_spans(zord)
+    # plain compaction leaves each file spanning ~the whole domain;
+    # z-order must tighten both dimensions substantially
+    assert sz["o_custkey"] < sp["o_custkey"] / 2, (sp, sz)
+    assert sz["o_orderdate_days"] < sp["o_orderdate_days"] / 2, (sp, sz)
