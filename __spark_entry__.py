@@ -98,6 +98,8 @@ _GATE_PRIORITY: list[str] = [
     "lineitem_orderkey_gaps",
     "lineitem_correlations",
     "vocab_zipf_fit",
+    "cluster_silhouette",
+    "events_session_lift",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -71,6 +71,8 @@ EXTRA = [
     "lineitem_orderkey_gaps",
     "lineitem_correlations",
     "vocab_zipf_fit",
+    "cluster_silhouette",
+    "events_session_lift",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

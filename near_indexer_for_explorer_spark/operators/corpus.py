@@ -1197,7 +1197,7 @@ def dedup_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     grams = docs.select(
         "doc_id", F.posexplode(word_shingles(F.col("t"), 8)).alias("pos", "g")
-    )
+    ).localCheckpoint(eager=False)  # feeds BOTH sides of the match join
     g1 = grams.select(
         F.col("doc_id").alias("doc_id_1"),
         F.col("pos").alias("p1"),

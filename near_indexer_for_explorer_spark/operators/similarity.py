@@ -2348,3 +2348,128 @@ def _opq_oracle_sql() -> str:
 
 
 ORACLES["opq_rotate_quantize"] = _opq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B50 cluster quality as data (the B40 evaluation-as-data discipline
+# applied to the quantizer every ANN/SemDeDup/topic path shares):
+# SIMPLIFIED silhouette — a(i) = distance to own centroid, b(i) =
+# distance to the second-nearest centroid, s = (b-a)/max(a,b) — the
+# standard linear-time silhouette variant (full silhouette's pairwise
+# b(i) is O(n^2) and lives nowhere near a 100 TB budget).  One
+# crossJoin against the broadcast centroid codebook already yields
+# every (vector, centroid) distance; a and b are the rk=1 / rk=2
+# window picks.  Per-vector rows keep the metric drillable; the
+# per-cluster and corpus means are one aggregate away for monitoring.
+# ---------------------------------------------------------------------------
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, a_dist, b_dist, silhouette): simplified
+    silhouette per vector under the shared deterministic quantizer."""
+    e = _vectors(spark, sf_dir)
+    es = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    cents = _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("centroid_id"))).alias(
+                "cluster_id"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias("a_dist"),
+            F.max(F.when(F.col("__rk") == 2, F.col("__d"))).alias("b_dist"),
+        )
+    )
+    s = F.when(
+        F.greatest("a_dist", "b_dist") == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("b_dist") - F.col("a_dist")) / F.greatest("a_dist", "b_dist")
+    )
+    return ranked.select(
+        "vec_id",
+        "cluster_id",
+        F.round("a_dist", 6).alias("a_dist"),
+        F.round("b_dist", 6).alias("b_dist"),
+        F.round(s, 6).alias("silhouette"),
+    )
+
+
+QUERIES["cluster_silhouette"] = cluster_silhouette
+
+
+def _silhouette_oracle_sql() -> str:
+    """Identical quantizer chain; a/b are the rk<=2 distance picks."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, emb FROM ("
+        "SELECT v.vec_id, c.centroid_id, v.emb, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM {src} v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+        "FROM (SELECT centroid_id, UNNEST(emb) AS x, "
+        "generate_subscripts(emb, 1) AS i FROM {assigned}) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    iter_ctes = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iter_ctes.append(f"a{it} AS ({assign.format(cents=prev, src='es')})")
+        iter_ctes.append(f"c{it} AS ({recenter.format(assigned='a' + str(it))})")
+        prev = f"c{it}"
+    iters_sql = ",\n    ".join(iter_ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM es
+           ORDER BY vec_id LIMIT {_IVF_K}),
+    {iters_sql},
+    ranked AS (
+      SELECT v.vec_id, c.centroid_id, sqrt({dist}) AS d,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {dist} ASC, c.centroid_id ASC) AS rk
+      FROM e v, {prev} c
+    ),
+    ab AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN centroid_id END) AS cluster_id,
+             MAX(CASE WHEN rk = 1 THEN d END) AS a_dist,
+             MAX(CASE WHEN rk = 2 THEN d END) AS b_dist
+      FROM ranked WHERE rk <= 2 GROUP BY vec_id
+    )
+    SELECT vec_id, cluster_id,
+           ROUND(a_dist, 6) AS a_dist,
+           ROUND(b_dist, 6) AS b_dist,
+           ROUND(CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0.0
+                      ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+                 END, 6) AS silhouette
+    FROM ab
+    """
+
+
+ORACLES["cluster_silhouette"] = _silhouette_oracle_sql()

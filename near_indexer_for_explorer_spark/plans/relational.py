@@ -3685,3 +3685,111 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# A72 session-scoped association rules (reference analog: which action
+# kinds co-occur within one receipt chain — the "accounts that deploy
+# contracts also add function-call keys" dashboards over
+# action_receipt_actions kinds).  Classic market-basket
+# support/confidence/lift where the basket is A12's 30-minute session.
+#
+# Scale: baskets = distinct (user, session, event_type) — one shuffle
+# on the session keys (reusing A12's user_id windows), then the pair
+# join keys on the session (bounded fan-out: <= |types|^2 per
+# session); supports divide by the broadcast 1-row session count.
+# All probabilities are unrounded quotients of exact counts —
+# bit-identical either side.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_session_lift",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts) / 1000000.0 AS es,
+             LAG(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800.0 THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM numbered
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM numbered),
+    singles AS (
+      SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                    AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_sessions_both,
+           CAST(p.c_ab AS DOUBLE) / n.n_sessions AS support,
+           CAST(p.c_ab AS DOUBLE) / sa.c AS confidence_a_to_b,
+           (CAST(p.c_ab AS DOUBLE) * n.n_sessions) / (sa.c * CAST(sb.c AS DOUBLE))
+             AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b, n
+    """,
+)
+def events_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = (
+        ev.withColumn("prev_es", F.lag("es").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_es").isNull()
+                | (F.col("es") - F.col("prev_es") > 1800.0),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    baskets = numbered.select("user_id", "session_id", "event_type").distinct()
+    n = baskets.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("long").alias("n_sessions_both"),
+            (F.col("c_ab").cast("double") / F.col("n_sessions")).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("ca")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("c_ab").cast("double") * F.col("n_sessions"))
+                / (F.col("ca") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+    )

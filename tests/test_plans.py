@@ -83,6 +83,8 @@ _BNLJ_EXEMPT = {
     "opq_rotate_quantize",      # broadcast 128-row codebooks (both spaces)
     "customer_rfm_scores",      # broadcast as-of date + quantile-boundary scalars
     "events_heavy_hitters",     # broadcast corpus-total scalar
+    "cluster_silhouette",       # broadcast trained-centroid codebook
+    "events_session_lift",      # broadcast session-count scalar
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
