@@ -100,6 +100,7 @@ _GATE_PRIORITY: list[str] = [
     "vocab_zipf_fit",
     "cluster_silhouette",
     "events_session_lift",
+    "dedup_threshold_curve",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

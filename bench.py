@@ -73,6 +73,7 @@ EXTRA = [
     "vocab_zipf_fit",
     "cluster_silhouette",
     "events_session_lift",
+    "dedup_threshold_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1013,3 +1013,91 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["source_overlap_matrix"] = source_overlap_matrix
+
+
+# ---------------------------------------------------------------------------
+# B51 dedup operating curve (evaluation-as-data, the B40/B50
+# discipline applied to the dedup decision itself): at which verify
+# threshold should the pipeline cut?  For each candidate threshold,
+# precision/recall of the SIGNATURE-estimate decision against the
+# exact-Jaccard ground truth over the LSH candidate set — i.e. the
+# operating curve of the 100 TB configuration where the shingle
+# verify join is skipped and the estimator decides alone (B31's
+# motivation, now quantified per threshold).  Composes B31's output;
+# one pass with the threshold list exploded map-side.
+# ---------------------------------------------------------------------------
+_CURVE_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_candidates, n_true, tp, fp, fn, precision,
+    recall) per candidate verify threshold."""
+    est = minhash_jaccard_estimate(spark, sf_dir)
+    t = F.explode(
+        F.array(*[F.lit(x) for x in _CURVE_THRESHOLDS])
+    ).alias("threshold")
+    pred = F.col("est_jaccard") >= F.col("threshold")
+    truth = F.col("jaccard") >= F.col("threshold")
+    tp = F.sum(F.when(pred & truth, 1).otherwise(0)).cast("long")
+    fp = F.sum(F.when(pred & ~truth, 1).otherwise(0)).cast("long")
+    fn = F.sum(F.when(~pred & truth, 1).otherwise(0)).cast("long")
+    return (
+        est.select("est_jaccard", "jaccard", t)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(truth, 1).otherwise(0)).cast("long").alias("n_true"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+        )
+        .select(
+            "threshold",
+            "n_candidates",
+            "n_true",
+            "tp",
+            "fp",
+            "fn",
+            (
+                F.when(F.col("tp") + F.col("fp") == 0, None).otherwise(
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+                )
+            ).alias("precision"),
+            (
+                F.when(F.col("n_true") == 0, None).otherwise(
+                    F.col("tp").cast("double") / F.col("n_true")
+                )
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["dedup_threshold_curve"] = dedup_threshold_curve
+
+ORACLES["dedup_threshold_curve"] = f"""
+    WITH b31 AS ({ORACLES["minhash_jaccard_estimate"]}),
+    th AS (SELECT CAST(UNNEST([{", ".join(str(x) for x in _CURVE_THRESHOLDS)}]) AS DOUBLE) AS threshold),
+    m AS (
+      SELECT th.threshold,
+             COUNT(*) AS n_candidates,
+             SUM(CASE WHEN b.jaccard >= th.threshold THEN 1 ELSE 0 END) AS n_true,
+             SUM(CASE WHEN b.est_jaccard >= th.threshold
+                       AND b.jaccard >= th.threshold THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN b.est_jaccard >= th.threshold
+                       AND b.jaccard < th.threshold THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN b.est_jaccard < th.threshold
+                       AND b.jaccard >= th.threshold THEN 1 ELSE 0 END) AS fn
+      FROM b31 b, th GROUP BY th.threshold
+    )
+    SELECT threshold,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / n_true END AS recall
+    FROM m
+"""
