@@ -19,6 +19,7 @@ class MetricsListener(StreamingQueryListener):
     def __init__(self) -> None:
         self.batches: list[dict] = []
         self.rows_total = 0
+        self.state_rows_dropped_total = 0
         self.started: set[str] = set()
         self.terminated: set[str] = set()
 
@@ -29,12 +30,28 @@ class MetricsListener(StreamingQueryListener):
         p = event.progress
         n = p.numInputRows
         self.rows_total += n
+        # watermark/lateness observability (the reference's lag counters,
+        # metrics.rs): numRowsDroppedByWatermark populates for
+        # stream-stream joins and state eviction; aggregation/dedup
+        # pre-filter late rows WITHOUT that counter, so the listener
+        # also records each batch's watermark and state totals — input
+        # rows minus state admissions under a progressed watermark IS
+        # the late-arrival signal a lag dashboard alerts on.
+        dropped = sum(
+            (op.numRowsDroppedByWatermark or 0) for op in p.stateOperators
+        )
+        self.state_rows_dropped_total += dropped
         self.batches.append(
             {
                 "query_id": str(p.id),
                 "batch_id": p.batchId,
                 "num_input_rows": n,
                 "duration_ms": p.durationMs.get("triggerExecution"),
+                "state_rows_dropped": dropped,
+                "watermark": p.eventTime.get("watermark"),
+                "state_rows_total": sum(
+                    (op.numRowsTotal or 0) for op in p.stateOperators
+                ),
             }
         )
 

@@ -1076,3 +1076,77 @@ def test_scd2_stream_matches_batch_twin_with_late_data(spark, sf_dir, tmp_path):
     _shutil.rmtree(ckpt)
     _await(scd2_stream(spark, src, out, str(tmp_path / "scd2_ckpt2")))
     assert snap() == want
+
+
+def test_metrics_listener_observes_watermark_lateness(spark, sf_dir, tmp_path):
+    """Lateness observability: batch 2 is WHOLLY older than batch 1, so
+    after batch 1 advances the watermark, almost none of batch 2's rows
+    are admitted to windowed state — and the listener's per-batch
+    (watermark, input, state-total) metrics expose exactly that deficit
+    (Spark does not tick numRowsDroppedByWatermark for aggregation
+    pre-filtering; the admitted-vs-input gap under a progressed
+    watermark is the real lag signal, and it is what we assert)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.monitor import MetricsListener
+
+    ev = load_table(spark, sf_dir, "events")
+    split_ts = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP_LTZ) AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    es = F.col("ts").cast("timestamp_ltz").cast("double")
+    newer = ev.where(es > split_ts)
+    older = ev.where(es <= split_ts)
+    src = str(tmp_path / "swapped_src")
+    _os.makedirs(src)
+    # NEWER half first, OLDER half second (mtimes force the order)
+    for i, part in enumerate([newer, older]):
+        d = str(tmp_path / f"half_{i}")
+        part.coalesce(1).write.parquet(d)
+        f = _glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"b{i}.parquet")
+        _shutil.copy(f, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .count()
+            .writeStream.format("memory")
+            .queryName("wm_lag_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, timeout=180)
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(listener.batches) < 2:
+            _time.sleep(0.5)  # listener callbacks are async
+        batches = sorted(listener.batches, key=lambda b: b["batch_id"])[-2:]
+        first, second = batches
+        # the watermark visibly progressed between the batches
+        assert first["watermark"] < second["watermark"], batches
+        # batch 2 fed 500 rows but (being behind the watermark) admitted
+        # almost nothing into windowed state
+        admitted = second["state_rows_total"] - first["state_rows_total"]
+        assert second["num_input_rows"] >= 100
+        assert admitted < second["num_input_rows"] * 0.05, batches
+    finally:
+        spark.streams.removeListener(listener)
