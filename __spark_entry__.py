@@ -101,6 +101,7 @@ _GATE_PRIORITY: list[str] = [
     "cluster_silhouette",
     "events_session_lift",
     "dedup_threshold_curve",
+    "customer_revenue_gini",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

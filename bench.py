@@ -74,6 +74,7 @@ EXTRA = [
     "cluster_silhouette",
     "events_session_lift",
     "dedup_threshold_curve",
+    "customer_revenue_gini",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3793,3 +3793,80 @@ def events_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A73 revenue concentration / Gini (reference analog: stake- and
+# balance-concentration dashboards — "what share of total supply do the
+# top accounts hold", the account_changes/validator-stake question
+# every explorer answers).
+#
+# Gini = (2 * sum(i * x_i)) / (n * sum(x_i)) - (n + 1) / n over
+# ascending per-customer revenues x_i with rank i.  Exactness: x_i are
+# exact decimal sums; ranks come from the SKEW-PROOF two-phase scheme
+# (row_number inside integer-cents range buckets + broadcast
+# prefix-sum offsets — equal to the global ROW_NUMBER row-for-row, the
+# B18/B29/A65 discipline), so sum(i * x_i) is an exact
+# decimal-times-integer sum and the final formula is one IEEE
+# expression over VARCHAR-hopped totals.  No global sort anywhere.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM rev
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(i AS DECIMAL(12,0)) * x) AS DOUBLE) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           sx AS total_revenue,
+           (2 * six) / (n * sx) - (n + 1) / n AS gini
+    FROM m
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(dec_money("o_totalprice")).cast("decimal(22,2)").alias("x")
+    )
+    # two-phase global rank on (x, custkey): integer-cents range bucket
+    cents = (F.col("x") * 100).cast("long")
+    mx = rev.agg(F.max(cents).alias("maxc"))
+    b = rev.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.expr("(CAST(x * 100 AS BIGINT) * 64) div (maxc + 1)")
+    )
+    w_in = Window.partitionBy("bucket").orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = b.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("nb").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    withrank = ranked.join(F.broadcast(offsets), "bucket").withColumn(
+        "i", F.col("off") + F.col("rk_in")
+    )
+    m = withrank.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i").cast("decimal(12,0)") * F.col("x"))
+        .cast("double")
+        .alias("six"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1) / F.col("n")
+        ).alias("gini"),
+    )

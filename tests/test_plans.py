@@ -85,6 +85,7 @@ _BNLJ_EXEMPT = {
     "events_heavy_hitters",     # broadcast corpus-total scalar
     "cluster_silhouette",       # broadcast trained-centroid codebook
     "events_session_lift",      # broadcast session-count scalar
+    "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
