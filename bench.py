@@ -75,6 +75,7 @@ EXTRA = [
     "events_session_lift",
     "dedup_threshold_curve",
     "customer_revenue_gini",
+    "events_ohlc_hourly",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

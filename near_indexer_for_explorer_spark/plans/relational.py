@@ -3870,3 +3870,45 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1) / F.col("n")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A74 OHLC candles (reference analog: the gas-price-over-time candle
+# charts an explorer renders from blocks.gas_price — open/high/low/
+# close per interval).  Open/close are FIRST/LAST by the (ts,
+# event_id) total order — determinism needs the tie-break, so both
+# engines pick them via the same struct-ordered argmin/argmax rather
+# than any "first value seen" accumulator (order-dependent).  ONE
+# (type, hour) shuffle; high/low/volume/avg ride the same aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_ohlc_hourly",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_hour,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(dec_money("value")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+    )
