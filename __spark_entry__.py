@@ -103,6 +103,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_threshold_curve",
     "customer_revenue_gini",
     "events_ohlc_hourly",
+    "embedding_split_drift",
     # oracle-gated, no r4 driver row (last green r1-r3)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -76,6 +76,7 @@ EXTRA = [
     "dedup_threshold_curve",
     "customer_revenue_gini",
     "events_ohlc_hourly",
+    "embedding_split_drift",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

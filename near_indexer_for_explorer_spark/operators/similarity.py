@@ -2473,3 +2473,110 @@ def _silhouette_oracle_sql() -> str:
 
 
 ORACLES["cluster_silhouette"] = _silhouette_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B52 embedding distribution drift (the monitoring twin of B32's
+# centroid alignment): compare ingest cohorts — here the deterministic
+# vec_id % _IVF_TRAIN_MOD split the quantizer trains on vs the rest —
+# on the three numbers a drift monitor alerts on: norm mean/std and
+# mean cosine to the GLOBAL centroid.  A quantizer trained on cohort A
+# silently degrades when cohort B drifts; this query makes the drift
+# check a hash-checked output.
+#
+# Determinism: the global centroid uses the exact-decimal positional
+# means (B13 recenter discipline); per-vector norm and cosine are
+# IEEE-identical; means/stds come from round-6 decimal sums (A67's
+# exact s1/s2 variance trick).  ONE dim-keyed shuffle for the
+# centroid + one split-keyed aggregate.
+# ---------------------------------------------------------------------------
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_vecs, mean_norm, std_norm, mean_cos_global)."""
+    e = _vectors(spark, sf_dir)
+    centroid = (
+        e.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+                lambda s: s.getField("m"),
+            ).alias("c_emb")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        e.crossJoin(F.broadcast(centroid))
+        .select(
+            F.when(F.col("vec_id") % _IVF_TRAIN_MOD == 0, "train")
+            .otherwise("rest")
+            .alias("split"),
+            F.round(F.sqrt(sq(F.col("emb"))), 6)
+            .cast("decimal(18,6)")
+            .alias("nrm"),
+            F.round(
+                dot / (F.sqrt(sq(F.col("emb"))) * F.sqrt(sq(F.col("c_emb")))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("cosg"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("nrm").cast("double")
+    s2 = F.sum(F.col("nrm") * F.col("nrm")).cast("double")
+    mean = s1 / n
+    return scored.groupBy("split").agg(
+        n.cast("long").alias("n_vecs"),
+        mean.alias("mean_norm"),
+        F.sqrt((s2 - n * mean * mean) / (n - 1)).alias("std_norm"),
+        (F.sum("cosg").cast("double") / n).alias("mean_cos_global"),
+    )
+
+
+QUERIES["embedding_split_drift"] = embedding_split_drift
+
+ORACLES["embedding_split_drift"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cm AS (
+      SELECT i,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM (SELECT UNNEST(emb) AS x, generate_subscripts(emb, 1) AS i FROM e)
+      GROUP BY i
+    ),
+    c AS (SELECT list(m ORDER BY i) AS c_emb FROM cm),
+    scored AS (
+      SELECT CASE WHEN vec_id % {_IVF_TRAIN_MOD} = 0 THEN 'train'
+                  ELSE 'rest' END AS split,
+             CAST(ROUND(sqrt(list_sum(list_transform(emb, x -> x * x))), 6)
+                  AS DECIMAL(18,6)) AS nrm,
+             CAST(ROUND(
+               list_sum(list_transform(range(1, len(emb) + 1),
+                                       i -> emb[i] * c.c_emb[i]))
+               / (sqrt(list_sum(list_transform(emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.c_emb, x -> x * x)))), 6)
+                  AS DECIMAL(18,6)) AS cosg
+      FROM e, c
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS mean_norm,
+           sqrt((CAST(SUM(nrm * nrm) AS DOUBLE)
+                 - COUNT(*) * (CAST(SUM(nrm) AS DOUBLE) / COUNT(*))
+                            * (CAST(SUM(nrm) AS DOUBLE) / COUNT(*)))
+                / (COUNT(*) - 1)) AS std_norm,
+           CAST(SUM(cosg) AS DOUBLE) / COUNT(*) AS mean_cos_global
+    FROM scored GROUP BY split
+"""
