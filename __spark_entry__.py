@@ -45,107 +45,48 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation policy: (1) the two round-4 hash-red rows lead the
-# window so their fix is confirmed by a green driver row; (2) queries
-# new or materially changed this round (16 entries — every one needs
-# its FIRST driver row); (3) every oracle-gated query WITHOUT a
-# round-4 driver row (rotated out by the 50-entry cut — most last
-# driver-green in r3, per the round-4 verdict's rotation ask).
-# Everything green in r4 defers.  The priority list overflows the
-# window (r5 added 28 never-gated queries across its two sessions):
-# the entries that fall out (the tail of the r1-r3 rotation block,
-# from order_priority_distribution through events_funnel) are all
-# multi-round driver greens re-verified by the in-repo parity suite
-# at sf0.01 AND sf0.1 this round — window slots go to queries that
-# have never had a driver row first, then the longest-unverified.
+# Round-6 rotation policy (the r5 verdict's #1 ask): (1) queries new
+# this round lead — each needs its FIRST driver row; (2) the 26
+# oracle-gated queries whose last driver row is r3 (rotated out by the
+# 50-entry cut for two straight rounds — the verdict's explicit list);
+# (3) the remaining slots go to single-green r4 entries, oldest
+# verification first, so after r6 every oracle query has a driver row
+# within the r4-r6 window.  Everything driver-green in r5 defers (all
+# re-verified by the in-repo parity suite each round).
 _GATE_PRIORITY: list[str] = [
-    # round-4 red (hash-layer HUGEINT artifact, fixed) -> reconfirm
-    "multimodal_feature_stats",
-    "dedup_common_spans",
-    # new or changed in round 5
-    "dedup_span_runs",
-    "dedup_edit_verify",
-    "events_interval_join",
-    "multimodal_decode",  # oracle-gated r5 (was rows-only)
-    "events_value_equidepth",
-    "rp_project_embeddings",
-    "bpe_train_merges",
-    "orders_retention_cohorts",
-    "events_markov_transitions",
-    "ann_recall_matrix",
-    "corpus_temperature_weights",
-    "corpus_keep_list",
-    "events_debounce_1h",
-    "ivfpq_ann_topk",
-    "data_quality_report",
-    "multimodal_frame_sample",
-    "multimodal_resize_cells",
-    "embedding_dedup_cosine",
-    "corpus_shard_pack",
-    # new in round 5 session 2 (never driver-gated)
-    "events_activity_streaks",
-    "user_state_scd2",
-    "events_time_weighted_value",
-    "nation_trade_pagerank",
-    "orders_zorder_layout",
-    "bpe_encode_corpus",
-    "source_overlap_matrix",
-    "topic_cluster_terms",
-    "opq_rotate_quantize",
-    "events_value_anomalies",
-    "customer_rfm_scores",
-    "dedup_pair_alignment",
-    "lineitem_orderkey_gaps",
-    "lineitem_correlations",
-    "vocab_zipf_fit",
-    "cluster_silhouette",
-    "events_session_lift",
-    "dedup_threshold_curve",
-    "customer_revenue_gini",
-    "events_ohlc_hourly",
-    "embedding_split_drift",
-    # oracle-gated, no r4 driver row (last green r1-r3)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "text_scrub",
-    "text_token_count",
-    "asof_purchase_attribution",
-    "user_lifecycle",
-    "events_typed_extract",
-    "events_json_extract",
-    "order_index_in_day",
-    "events_type_pivot",
-    "dedup_exact_orders",
-    "customer_order_gaps",
-    "order_priority_distribution",
-    "events_daily_stats",
-    "events_last_state_per_user",
+    # --- new in round 6 (never driver-gated) ---
+    "dedup_edit_banded",
+    "dedup_longest_substring",
+    "scd2_stream_replay",
+    "ivfpq_ann_serve",
+    # --- last driver-green r3 (the r5 verdict's rotation list) ---
     "orders_daily_rollup",
     "top_customers_per_nation",
+    "order_index_in_day",
+    "events_json_extract",
+    "events_last_state_per_user",
+    "events_daily_stats",
+    "events_type_pivot",
+    "dedup_exact_orders",
+    "order_lines_enriched",
     "customer_order_balance",
     "events_cumulative_value",
-    "order_lines_enriched",
-    "q4_late_shipment_orders",
-    "orders_status_rollup",
-    "events_sliding_1h_value",
+    "order_priority_distribution",
+    "customer_order_gaps",
+    "asof_purchase_attribution",
+    "user_lifecycle",
     "q13_order_count_distribution",
     "q22_idle_customers",
     "events_funnel",
-]
-
-# Driver-green in round 4 (plus the by-design rows-only entries) ->
-# deferred past the 50-entry window; all stay covered by the in-repo
-# oracle-parity suite.  Single-green r4 entries lead so the window's
-# spare slots re-verify them before the multi-round greens.
-_GATE_DEFER: list[str] = [
+    "q4_late_shipment_orders",
+    "orders_status_rollup",
+    "events_sliding_1h_value",
+    "events_typed_extract",
+    "text_token_count",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "text_scrub",
+    # --- single-green r4, never re-verified by the driver since ---
     "semdedup_embeddings",
     "quality_filter_c4",
     "vocab_coverage",
@@ -166,6 +107,15 @@ _GATE_DEFER: list[str] = [
     "corpus_ngram_stats",
     "nft_token_owners",
     "circulating_supply_daily",
+]
+
+# Driver-green in round 5 (plus the by-design rows-only entries and
+# the r4 greens that don't fit the window this round) -> deferred past
+# the 50-entry cut; all stay covered by the in-repo oracle-parity
+# suite.  Remaining r4 single-greens lead so r7's spare slots pick
+# them up first.
+_GATE_DEFER: list[str] = [
+    # r4 single-greens that overflow the r6 window (r7 head)
     "dedup_components",
     "corpus_source_mix",
     "q6_forecast_revenue",
@@ -193,6 +143,57 @@ _GATE_DEFER: list[str] = [
     "q20_excess_suppliers",
     "meta_tx_unroll",
     "dedup_exact_docs",
+    # driver-green r5 -> freshest rows on the board, defer them all
+    "multimodal_feature_stats",
+    "dedup_common_spans",
+    "dedup_span_runs",
+    "dedup_edit_verify",
+    "events_interval_join",
+    "multimodal_decode",
+    "events_value_equidepth",
+    "rp_project_embeddings",
+    "bpe_train_merges",
+    "orders_retention_cohorts",
+    "events_markov_transitions",
+    "ann_recall_matrix",
+    "corpus_temperature_weights",
+    "corpus_keep_list",
+    "events_debounce_1h",
+    "ivfpq_ann_topk",
+    "data_quality_report",
+    "multimodal_frame_sample",
+    "multimodal_resize_cells",
+    "embedding_dedup_cosine",
+    "corpus_shard_pack",
+    "events_activity_streaks",
+    "user_state_scd2",
+    "events_time_weighted_value",
+    "nation_trade_pagerank",
+    "orders_zorder_layout",
+    "bpe_encode_corpus",
+    "source_overlap_matrix",
+    "topic_cluster_terms",
+    "opq_rotate_quantize",
+    "events_value_anomalies",
+    "customer_rfm_scores",
+    "dedup_pair_alignment",
+    "lineitem_orderkey_gaps",
+    "lineitem_correlations",
+    "vocab_zipf_fit",
+    "cluster_silhouette",
+    "events_session_lift",
+    "dedup_threshold_curve",
+    "customer_revenue_gini",
+    "events_ohlc_hourly",
+    "embedding_split_drift",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_lang_id",
     # rows-only entries: in-repo pytest covers them; keep the driver
     # window's slots for oracle-gated queries
     "multimodal_resize",

@@ -158,7 +158,13 @@ def compact_parquet_zorder(
     `repartitionByRange(zvalue)` — Spark's range partitioner samples
     boundaries, so file SIZES are approximate but the CLUSTERING is
     exact, which is what pruning needs.  Returns the output file
-    count."""
+    count.
+
+    Precondition: both key columns must be NON-NEGATIVE integers.
+    The scaling runs in BIGINT (cast below) so an INT32 key above
+    ~32767 cannot silently overflow `key * 65536`; negative keys
+    would still produce garbage z-values (clustering degrades, no
+    error), so they are rejected up front."""
     import glob
     import os
 
@@ -171,12 +177,27 @@ def compact_parquet_zorder(
     df = spark.read.parquet(src_dir)
     a, b = zcols
     mx = df.agg(
-        F.max(F.col(a)).alias("ma"), F.max(F.col(b)).alias("mb")
+        F.max(F.col(a).cast("bigint")).alias("ma"),
+        F.max(F.col(b).cast("bigint")).alias("mb"),
+        F.min(F.col(a).cast("bigint")).alias("mina"),
+        F.min(F.col(b).cast("bigint")).alias("minb"),
     )
+    lo = mx.select("mina", "minb").first()
+    if (lo["mina"] is not None and lo["mina"] < 0) or (
+        lo["minb"] is not None and lo["minb"] < 0
+    ):
+        raise ValueError(
+            f"compact_parquet_zorder requires non-negative integer keys; "
+            f"got min({a})={lo['mina']}, min({b})={lo['minb']}"
+        )
     z = (
-        df.crossJoin(F.broadcast(mx))
-        .withColumn("__bx", F.expr(f"({a} * 65536) div (ma + 1)"))
-        .withColumn("__by", F.expr(f"({b} * 65536) div (mb + 1)"))
+        df.crossJoin(F.broadcast(mx.drop("mina", "minb")))
+        .withColumn(
+            "__bx", F.expr(f"(CAST({a} AS BIGINT) * 65536) div (ma + 1)")
+        )
+        .withColumn(
+            "__by", F.expr(f"(CAST({b} AS BIGINT) * 65536) div (mb + 1)")
+        )
         .withColumn("__z", F.expr(_interleave_spark("__bx", "__by")))
         .drop("ma", "mb", "__bx", "__by")
     )

@@ -48,7 +48,10 @@ class MetricsListener(StreamingQueryListener):
                 "num_input_rows": n,
                 "duration_ms": p.durationMs.get("triggerExecution"),
                 "state_rows_dropped": dropped,
-                "watermark": p.eventTime.get("watermark"),
+                # default "" so consumers comparing watermarks across
+                # batches (lexicographic on the ISO string) never hit a
+                # None < str TypeError on pre-watermark batches
+                "watermark": p.eventTime.get("watermark", "") or "",
                 "state_rows_total": sum(
                     (op.numRowsTotal or 0) for op in p.stateOperators
                 ),
