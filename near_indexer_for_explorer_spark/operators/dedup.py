@@ -1101,3 +1101,209 @@ ORACLES["dedup_threshold_curve"] = f"""
                 ELSE CAST(tp AS DOUBLE) / n_true END AS recall
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# B53 banded (Ukkonen) edit-distance verification for book-length documents.
+#
+# B37's levenshtein() kernel is O(len^2) per candidate pair — fine at the
+# 2000-char cap, wrong for book-length documents.  The classical fix
+# (Ukkonen 1985, "Algorithms for approximate string matching") observes
+# that any alignment with cost <= K never leaves the diagonal band
+# |i - j| <= K, so the DP needs only a 2K+1-wide strip: O(len * K) work
+# and O(K) state.  Expressed declaratively here as a per-row fold —
+# Spark `aggregate()` over the first string's character indices carrying
+# the band strip as an array<bigint> accumulator — every step is a pure
+# higher-order-function expression (transform/array_min/substring), so
+# the whole kernel stays JVM-side with zero Python and is embarrassingly
+# parallel across pairs: the 100 TB path is exactly this plan.
+#
+# Within-row recurrence (band-relative index t, absolute j = i - K + t):
+#   cand[u] = min(prev[u+1] + 1,                      -- delete a[i]
+#                 prev[u] + (a[i] == b[j_u] ? 0 : 1)) -- copy/substitute
+#   new[t]  = min_{u <= t} cand[u] + (t - u)          -- insertion chain
+# The prefix-min-with-slope form removes the intra-row left-to-right
+# dependence so `new` is a pure transform() of `prev` (O(K^2) per char,
+# K is a small constant).  Cells outside [0, n] are +INF; D[i][0] = i
+# emerges from the prev[t+1]+1 chain with no special case.
+#
+# Contract (pinned in tests/test_operators.py against full Levenshtein):
+# banded_dist == edit_dist whenever edit_dist <= K (the optimal path
+# stays inside the band), and banded_dist == K+1 (capped) whenever
+# edit_dist > K (the band minimum only over-estimates).  The `agrees`
+# output column makes that contract a hash-checked result on every
+# driver run.  Text is normalized and capped at _EDIT_MAX_CHARS purely
+# so the oracle's recursive CTE stays cheap — the cap is shared contract
+# with B37; the Spark kernel itself has no quadratic term to cap for.
+#
+# Reference analog: the capped-args text handling in
+# database/src/adapters/transactions.rs (receipt-arg byte comparisons).
+# ---------------------------------------------------------------------------
+_BAND_K = 16
+_BAND_INF = 1000000000
+
+
+def _banded_dist_spark(txt1: str, txt2: str, k: int = _BAND_K) -> str:
+    """SQL expression: banded Levenshtein of two string columns, capped
+    at k+1.  Pure higher-order functions — no UDF, no shuffle."""
+    twok, inf = 2 * k, _BAND_INF
+    cand = (
+        f"least("
+        f" CASE WHEN u < {twok} THEN element_at(s, u + 2) + 1L ELSE {inf}L END,"
+        f" CASE WHEN i - {k} + u BETWEEN 1 AND length({txt2})"
+        f"      THEN element_at(s, u + 1) + (CASE WHEN substring({txt1}, i, 1)"
+        f"           = substring({txt2}, i - {k} + u, 1) THEN 0L ELSE 1L END)"
+        f"      ELSE {inf}L END)"
+    )
+    fold = (
+        f"aggregate("
+        f" sequence(1, length({txt1})),"
+        f" transform(sequence(0, {twok}), t -> CASE WHEN t >= {k}"
+        f"   AND t - {k} <= length({txt2}) THEN CAST(t - {k} AS BIGINT)"
+        f"   ELSE {inf}L END),"
+        f" (s, i) -> transform(sequence(0, {twok}), t ->"
+        f"   CASE WHEN i - {k} + t < 0 OR i - {k} + t > length({txt2})"
+        f"        THEN {inf}L"
+        f"   ELSE array_min(transform(sequence(0, t), u ->"
+        f"          ({cand}) + CAST(t - u AS BIGINT)))"
+        f"   END))"
+    )
+    raw = (
+        f"CASE WHEN abs(length({txt2}) - length({txt1})) > {k} THEN {inf}L"
+        f" WHEN length({txt1}) = 0 THEN CAST(length({txt2}) AS BIGINT)"
+        f" ELSE element_at({fold},"
+        f"      length({txt2}) - length({txt1}) + {k} + 1) END"
+    )
+    return f"least({raw}, CAST({k + 1} AS BIGINT))"
+
+
+def dedup_edit_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, len_1, len_2, band_k, edit_dist,
+    banded_dist, within_band, agrees): every MinHash/LSH candidate pair
+    verified by the O(len*K) banded edit-distance kernel, with the full
+    O(len^2) levenshtein() alongside so the band contract (equal when
+    <= K, capped K+1 when above) is itself a hash-checked output."""
+    k = _BAND_K
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, _EDIT_MAX_CHARS).alias(
+            "txt"
+        ),
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    )
+    t1, t2 = docs.alias("t1"), docs.alias("t2")
+    joined = (
+        cand.join(t1, cand.doc_id_1 == F.col("t1.doc_id"))
+        .join(t2, cand.doc_id_2 == F.col("t2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("t1.txt").alias("txt1"),
+            F.col("t2.txt").alias("txt2"),
+        )
+    )
+    full = F.levenshtein(F.col("txt1"), F.col("txt2")).cast("long")
+    return (
+        joined.withColumn(
+            "banded_dist", F.expr(_banded_dist_spark("txt1", "txt2", k))
+        )
+        .withColumn("edit_dist", full)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.length("txt1").cast("long").alias("len_1"),
+            F.length("txt2").cast("long").alias("len_2"),
+            F.lit(k).cast("long").alias("band_k"),
+            "edit_dist",
+            "banded_dist",
+            (F.col("banded_dist") <= k).alias("within_band"),
+            (
+                (
+                    (F.col("edit_dist") <= k)
+                    & (F.col("banded_dist") == F.col("edit_dist"))
+                )
+                | ((F.col("edit_dist") > k) & (F.col("banded_dist") == k + 1))
+            ).alias("agrees"),
+        )
+    )
+
+
+QUERIES["dedup_edit_banded"] = dedup_edit_banded
+
+
+def _banded_oracle_sql(k: int = _BAND_K) -> str:
+    """DuckDB replica: the same band recurrence as a recursive CTE over
+    character index i, state carried as a LIST(BIGINT) — step-for-step
+    identical to the Spark fold (same cand/prefix-min expressions)."""
+    twok, inf = 2 * k, _BAND_INF
+    cand = (
+        f"least("
+        f" CASE WHEN u < {twok} THEN s[u + 2] + 1 ELSE CAST({inf} AS BIGINT) END,"
+        f" CASE WHEN i + 1 - {k} + u BETWEEN 1 AND n"
+        f"      THEN s[u + 1] + (CASE WHEN substring(txt1, i + 1, 1)"
+        f"           = substring(txt2, i + 1 - {k} + u, 1) THEN 0 ELSE 1 END)"
+        f"      ELSE CAST({inf} AS BIGINT) END)"
+    )
+    return f"""
+    {_minhash_cand_ctes()},
+    txt AS (
+      SELECT doc_id,
+             substring(lower(trim(text)), 1, {_EDIT_MAX_CHARS}) AS txt
+      FROM documents
+    ),
+    pairs AS (
+      SELECT c.d1, c.d2, t1.txt AS txt1, t2.txt AS txt2,
+             length(t1.txt) AS m, length(t2.txt) AS n
+      FROM cand c
+      JOIN txt t1 ON c.d1 = t1.doc_id
+      JOIN txt t2 ON c.d2 = t2.doc_id
+    ),
+    live AS (SELECT * FROM pairs WHERE abs(n - m) <= {k} AND m > 0),
+    folded AS (
+      SELECT * FROM (
+        WITH RECURSIVE dp AS (
+          SELECT d1, d2, txt1, txt2, m, n, 0 AS i,
+                 list_transform(range(0, {twok + 1}), t ->
+                   CASE WHEN t >= {k} AND t - {k} <= n
+                        THEN CAST(t - {k} AS BIGINT)
+                        ELSE CAST({inf} AS BIGINT) END) AS s
+          FROM live
+          UNION ALL
+          SELECT d1, d2, txt1, txt2, m, n, i + 1,
+                 list_transform(range(0, {twok + 1}), t ->
+                   CASE WHEN i + 1 - {k} + t < 0 OR i + 1 - {k} + t > n
+                        THEN CAST({inf} AS BIGINT)
+                   ELSE list_min(list_transform(range(0, t + 1), u ->
+                          ({cand}) + CAST(t - u AS BIGINT)))
+                   END) AS s
+          FROM dp WHERE i < m
+        )
+        SELECT d1, d2, s[n - m + {k} + 1] AS raw FROM dp WHERE i = m
+      )
+    ),
+    scored AS (
+      SELECT p.d1, p.d2, p.m, p.n,
+             levenshtein(p.txt1, p.txt2) AS full_d,
+             least(CASE WHEN abs(p.n - p.m) > {k} THEN CAST({inf} AS BIGINT)
+                        WHEN p.m = 0 THEN CAST(p.n AS BIGINT)
+                        ELSE f.raw END,
+                   CAST({k + 1} AS BIGINT)) AS banded
+      FROM pairs p
+      LEFT JOIN folded f ON p.d1 = f.d1 AND p.d2 = f.d2
+    )
+    SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+           CAST(m AS BIGINT) AS len_1,
+           CAST(n AS BIGINT) AS len_2,
+           CAST({k} AS BIGINT) AS band_k,
+           CAST(full_d AS BIGINT) AS edit_dist,
+           banded AS banded_dist,
+           banded <= {k} AS within_band,
+           ((full_d <= {k} AND banded = full_d)
+            OR (full_d > {k} AND banded = {k + 1})) AS agrees
+    FROM scored
+"""
+
+
+ORACLES["dedup_edit_banded"] = _banded_oracle_sql()

@@ -661,3 +661,62 @@ def test_pair_alignment_finds_planted_block(spark, tmp_path):
     assert r.n_matches == 15
     assert r.longest_align_tokens == 15  # run p=0..7 -> 8+7 tokens
     assert r.cov1_tokens == 29 and r.cov2_tokens == 29  # union of both blocks
+
+
+def test_banded_edit_distance_matches_full_within_band(spark):
+    """B53 contract: the O(len*K) banded fold equals full Levenshtein
+    whenever the true distance <= K (the optimal path never leaves the
+    |i-j| <= K strip), and reports the K+1 cap whenever it exceeds K —
+    including the trivial |len diff| > K reject and empty strings.
+    Long inputs (3000+ chars, beyond B37's quadratic comfort zone) are
+    exercised with small and large edit loads."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _BAND_K,
+        _banded_dist_spark,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 70  # ~3000 chars
+    k = _BAND_K
+    cases = [
+        ("kitten", "sitting"),                      # 3
+        ("abc", "abc"),                             # 0
+        ("", ""),                                   # 0
+        ("", "x" * k),                              # == K exactly
+        ("", "x" * (k + 1)),                        # len-diff reject
+        ("a" * 40, "a" * 40 + "b" * (k + 5)),       # len-diff reject
+        (base, base),                               # 0 on long text
+        (base, base.replace("quick", "quack", 3)),  # small edits, long text
+        (base[:-5], "xy" + base[: -7]),             # shifted long text
+        (base, base[: len(base) // 2] + "z" * (len(base) // 2)),  # huge dist
+        ("abcdefgh" * 4, "badcfehg" * 4),           # mid-range swaps
+    ]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    rows = df.selectExpr(
+        "a",
+        "b",
+        f"{_banded_dist_spark('a', 'b')} AS banded",
+        "CAST(levenshtein(a, b) AS BIGINT) AS full",
+    ).collect()
+    checked_le, checked_gt = 0, 0
+    for r in rows:
+        if r["full"] <= k:
+            assert r["banded"] == r["full"], (r["a"][:40], r["b"][:40], r)
+            checked_le += 1
+        else:
+            assert r["banded"] == k + 1, (r["a"][:40], r["b"][:40], r)
+            checked_gt += 1
+    # both sides of the contract must actually have been exercised
+    assert checked_le >= 5 and checked_gt >= 3
+
+
+def test_banded_edit_query_agrees_everywhere(spark, sf_dir):
+    """The registered query's `agrees` column (band contract vs the full
+    kernel) must hold on every real LSH candidate pair."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_edit_banded,
+    )
+
+    out = dedup_edit_banded(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "LSH candidates expected in test data"
+    assert all(r["agrees"] for r in rows)
