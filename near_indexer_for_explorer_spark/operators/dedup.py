@@ -1307,3 +1307,202 @@ def _banded_oracle_sql(k: int = _BAND_K) -> str:
 
 
 ORACLES["dedup_edit_banded"] = _banded_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B54 exact longest shared substring (character-granular) per candidate
+# pair — the declarative completion of the Lee et al. 2021 substring-
+# dedup story: B34 measures shared 8-GRAMS corpus-wide, B36 merges them
+# into per-doc runs, B48 aligns pairs at 8-gram positions; this answers
+# "what is the LONGEST exactly-shared character span" with character
+# precision.  A suffix automaton (the classical O(len) answer) is
+# pointer-chasing — out of declarative scope; the equally classical
+# hashing answer is: existence of a shared substring of length L is
+# MONOTONE in L, so binary-search L, testing each probe by intersecting
+# the sets of md5-hashed length-L substrings (one hash per position).
+# 11 unrolled rounds cover the 2000-char cap; each round is a pure
+# per-row expression (transform + arrays_overlap), O(len * L) hashing
+# work, zero shuffle — embarrassingly parallel across candidate pairs,
+# which the LSH banding keeps linear in corpus size.  The relation is
+# localCheckpoint'd per round (25-ish rows) so 11 rounds of CASE logic
+# never compound into one exponential expression tree (B43 discipline).
+#
+# The witness substring is extracted deterministically (minimum md5 in
+# the intersection at L*, first position on each side) and re-compared
+# character-for-character: `verified` turns any astronomically-unlikely
+# md5 collision into a visible false, making exactness a hash-checked
+# output rather than an assumption.  md5 is the one hash both engines
+# share (B3 discipline), so the DuckDB oracle replicates every probe.
+#
+# Reference analog: receipt-args shared-prefix/containment analysis in
+# database/src/adapters/transactions.rs (args byte comparisons).
+# ---------------------------------------------------------------------------
+_LCS_ROUNDS = 11  # ceil(log2(_EDIT_MAX_CHARS + 1))
+
+
+def _substr_hash_arr_spark(txt: str, length_expr: str) -> str:
+    """SQL expr: md5 hashes of every length-L substring of `txt`
+    (empty array when L exceeds the text or is non-positive)."""
+    return (
+        f"CASE WHEN {length_expr} > length({txt}) OR {length_expr} <= 0"
+        f" THEN array()"
+        f" ELSE transform(sequence(1, length({txt}) - ({length_expr}) + 1),"
+        f" i -> md5(substring({txt}, i, {length_expr}))) END"
+    )
+
+
+def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, len_1, len_2, match_len, match_sub,
+    verified): the exact longest character-granular shared substring of
+    every MinHash/LSH candidate pair, by 11 unrolled binary-search
+    rounds over md5-hashed substring sets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, _EDIT_MAX_CHARS).alias(
+            "txt"
+        ),
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    )
+    t1, t2 = docs.alias("t1"), docs.alias("t2")
+    df = (
+        cand.join(t1, cand.doc_id_1 == F.col("t1.doc_id"))
+        .join(t2, cand.doc_id_2 == F.col("t2.doc_id"))
+        .selectExpr(
+            "doc_id_1",
+            "doc_id_2",
+            "t1.txt AS txt1",
+            "t2.txt AS txt2",
+            "CAST(0 AS INT) AS lo",
+            "CAST(least(length(t1.txt), length(t2.txt)) + 1 AS INT) AS hi",
+        )
+    )
+    for _ in range(_LCS_ROUNDS):
+        has = (
+            f"arrays_overlap({_substr_hash_arr_spark('txt1', 'mid')},"
+            f" {_substr_hash_arr_spark('txt2', 'mid')})"
+        )
+        df = (
+            df.selectExpr(
+                "doc_id_1", "doc_id_2", "txt1", "txt2", "lo", "hi",
+                "CAST((lo + hi) div 2 AS INT) AS mid",
+            )
+            .selectExpr(
+                "doc_id_1", "doc_id_2", "txt1", "txt2",
+                f"CASE WHEN hi - lo <= 1 THEN lo WHEN {has} THEN mid"
+                f" ELSE lo END AS lo",
+                f"CASE WHEN hi - lo <= 1 THEN hi WHEN {has} THEN hi"
+                f" ELSE mid END AS hi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    ha1 = _substr_hash_arr_spark("txt1", "match_len")
+    ha2 = _substr_hash_arr_spark("txt2", "match_len")
+    return (
+        df.selectExpr(
+            "doc_id_1", "doc_id_2", "txt1", "txt2",
+            "CAST(lo AS BIGINT) AS match_len",
+        )
+        .selectExpr(
+            "doc_id_1", "doc_id_2", "txt1", "txt2", "match_len",
+            f"CASE WHEN match_len = 0 THEN NULL"
+            f" ELSE array_min(array_intersect({ha1}, {ha2})) END AS h",
+        )
+        .selectExpr(
+            "doc_id_1", "doc_id_2", "txt1", "txt2", "match_len",
+            f"CASE WHEN match_len = 0 THEN NULL"
+            f" ELSE substring(txt1, array_position({ha1}, h),"
+            f" CAST(match_len AS INT)) END AS sub1",
+            f"CASE WHEN match_len = 0 THEN NULL"
+            f" ELSE substring(txt2, array_position({ha2}, h),"
+            f" CAST(match_len AS INT)) END AS sub2",
+        )
+        .selectExpr(
+            "doc_id_1",
+            "doc_id_2",
+            "CAST(length(txt1) AS BIGINT) AS len_1",
+            "CAST(length(txt2) AS BIGINT) AS len_2",
+            "match_len",
+            "sub1 AS match_sub",
+            "CASE WHEN match_len = 0 THEN NULL ELSE sub1 = sub2 END"
+            " AS verified",
+        )
+    )
+
+
+QUERIES["dedup_longest_substring"] = dedup_longest_substring
+
+
+def _lcs_oracle_sql() -> str:
+    """DuckDB replica: identical binary-search rounds as MATERIALIZED
+    CTEs (same md5 probes, same witness extraction)."""
+
+    def arr(txt: str, length_expr: str) -> str:
+        return (
+            f"CASE WHEN {length_expr} > length({txt}) OR {length_expr} <= 0"
+            f" THEN []"
+            f" ELSE list_transform(range(1, length({txt}) - ({length_expr}) + 2),"
+            f" i -> md5(substring({txt}, CAST(i AS INTEGER),"
+            f" CAST({length_expr} AS INTEGER)))) END"
+        )
+
+    rounds = []
+    for r in range(_LCS_ROUNDS):
+        has = (
+            f"list_has_any({arr('txt1', '(lo + hi) // 2')},"
+            f" {arr('txt2', '(lo + hi) // 2')})"
+        )
+        rounds.append(
+            f"r{r + 1} AS MATERIALIZED (SELECT d1, d2, txt1, txt2,"
+            f" CASE WHEN hi - lo <= 1 THEN lo WHEN {has} THEN (lo + hi) // 2"
+            f" ELSE lo END AS lo,"
+            f" CASE WHEN hi - lo <= 1 THEN hi WHEN {has} THEN hi"
+            f" ELSE (lo + hi) // 2 END AS hi"
+            f" FROM r{r})"
+        )
+    rounds_sql = ",\n    ".join(rounds)
+    ha1 = arr("txt1", "match_len")
+    ha2 = arr("txt2", "match_len")
+    return f"""
+    {_minhash_cand_ctes()},
+    txt AS (
+      SELECT doc_id,
+             substring(lower(trim(text)), 1, {_EDIT_MAX_CHARS}) AS txt
+      FROM documents
+    ),
+    r0 AS (
+      SELECT c.d1, c.d2, t1.txt AS txt1, t2.txt AS txt2,
+             0 AS lo, least(length(t1.txt), length(t2.txt)) + 1 AS hi
+      FROM cand c
+      JOIN txt t1 ON c.d1 = t1.doc_id
+      JOIN txt t2 ON c.d2 = t2.doc_id
+    ),
+    {rounds_sql},
+    fin AS (
+      SELECT d1, d2, txt1, txt2, CAST(lo AS BIGINT) AS match_len,
+             CASE WHEN lo = 0 THEN NULL
+                  ELSE list_min(list_intersect({ha1}, {ha2})) END AS h
+      FROM r{_LCS_ROUNDS}
+    ),
+    wit AS (
+      SELECT d1, d2, txt1, txt2, match_len,
+             CASE WHEN match_len = 0 THEN NULL
+                  ELSE substring(txt1, list_position({ha1}, h),
+                                 CAST(match_len AS INTEGER)) END AS sub1,
+             CASE WHEN match_len = 0 THEN NULL
+                  ELSE substring(txt2, list_position({ha2}, h),
+                                 CAST(match_len AS INTEGER)) END AS sub2
+      FROM fin
+    )
+    SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+           CAST(length(txt1) AS BIGINT) AS len_1,
+           CAST(length(txt2) AS BIGINT) AS len_2,
+           match_len,
+           sub1 AS match_sub,
+           CASE WHEN match_len = 0 THEN NULL ELSE sub1 = sub2 END AS verified
+    FROM wit
+"""
+
+
+ORACLES["dedup_longest_substring"] = _lcs_oracle_sql()

@@ -720,3 +720,47 @@ def test_banded_edit_query_agrees_everywhere(spark, sf_dir):
     rows = out.collect()
     assert rows, "LSH candidates expected in test data"
     assert all(r["agrees"] for r in rows)
+
+
+def test_longest_substring_exact_vs_python(spark, sf_dir):
+    """B54: the 11-round binary search over md5-hashed substring sets
+    must return the EXACT longest-common-substring length for every LSH
+    candidate pair (checked against an O(m*n) python DP on the same
+    normalized capped text), with a verified witness of that length."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _EDIT_MAX_CHARS,
+        dedup_longest_substring,
+    )
+
+    def py_lcs(a: str, b: str) -> int:
+        best, prev = 0, [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    out = dedup_longest_substring(spark, sf_dir).collect()
+    assert out, "LSH candidates expected in test data"
+    docs = {
+        r["doc_id"]: r["txt"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            f"substring(lower(trim(text)), 1, {_EDIT_MAX_CHARS}) AS txt",
+        )
+        .collect()
+    }
+    nonzero = 0
+    for r in out:
+        expect = py_lcs(docs[r["doc_id_1"]], docs[r["doc_id_2"]])
+        assert r["match_len"] == expect, (r["doc_id_1"], r["doc_id_2"], r)
+        if expect:
+            nonzero += 1
+            assert r["verified"] and len(r["match_sub"]) == expect
+            assert r["match_sub"] in docs[r["doc_id_1"]]
+            assert r["match_sub"] in docs[r["doc_id_2"]]
+    assert nonzero, "near-dup candidates should share substrings"
