@@ -68,24 +68,45 @@ def _psql(socket_dir: str, sql: str, stdin: str | None = None) -> str:
     return proc.stdout
 
 
-def _copy_partition(rows, socket_dir: str, staging: str) -> None:
-    """Stream one partition into the staging table via COPY (csv).
+# Per-COPY byte budget: a partition is streamed as a SEQUENCE of COPY
+# statements, each at most this many CSV bytes, so executor memory for
+# the sink is O(chunk), never O(partition) — at production partition
+# sizes (hundreds of MB) a single whole-partition StringIO would pin
+# partition-sized heap per task.  Chunking does not change semantics:
+# staging accepts duplicates freely and the ON CONFLICT merge dedups,
+# so a partition split across N COPYs lands identically (proven by the
+# multi-chunk test in tests/test_pg_sink.py).
+_COPY_CHUNK_BYTES = 64 * 1024 * 1024
+
+
+def _copy_partition(
+    rows, socket_dir: str, staging: str, chunk_bytes: int = _COPY_CHUNK_BYTES
+) -> None:
+    """Stream one partition into the staging table via bounded COPY
+    batches (csv).
 
     Runs inside foreachPartition on the executor: self-contained
-    closure, one psql subprocess per partition, NULLs as \\N."""
+    closure, one psql subprocess per <=chunk_bytes slice, NULLs as
+    \\N."""
     buf = io.StringIO()
     writer = csv.writer(buf, lineterminator="\n")
-    n = 0
+
+    def flush() -> None:
+        if buf.tell() == 0:
+            return
+        _psql(
+            socket_dir,
+            f"COPY {staging} FROM STDIN (FORMAT csv, NULL '\\N')",
+            stdin=buf.getvalue(),
+        )
+        buf.seek(0)
+        buf.truncate(0)
+
     for row in rows:
         writer.writerow(["\\N" if v is None else v for v in row])
-        n += 1
-    if n == 0:
-        return
-    _psql(
-        socket_dir,
-        f"COPY {staging} FROM STDIN (FORMAT csv, NULL '\\N')",
-        stdin=buf.getvalue(),
-    )
+        if buf.tell() >= chunk_bytes:
+            flush()
+    flush()
 
 
 def pg_copy_upsert(
@@ -94,6 +115,7 @@ def pg_copy_upsert(
     key_cols: list[str],
     ddl_cols: str,
     socket_dir: str,
+    chunk_bytes: int = _COPY_CHUNK_BYTES,
 ) -> None:
     """Idempotently upsert `df` into postgres table `table`.
 
@@ -118,7 +140,8 @@ def pg_copy_upsert(
     )
     sd = socket_dir  # capture plain strings, not self
     st = staging
-    df.foreachPartition(lambda rows: _copy_partition(rows, sd, st))
+    cb = chunk_bytes
+    df.foreachPartition(lambda rows: _copy_partition(rows, sd, st, cb))
     _psql(
         socket_dir,
         f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {st} "

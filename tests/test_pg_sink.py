@@ -182,3 +182,33 @@ def test_pg_streaming_foreach_batch_replay(spark, sf_dir, pg_server):
     )
     assert n2 == n_src
     _shutil.rmtree(work, ignore_errors=True)
+
+
+def test_pg_upsert_multi_chunk_partition(spark, pg_server):
+    """A partition larger than the COPY chunk budget must stream as
+    several bounded COPY statements with identical results — the
+    sink's executor memory is O(chunk), not O(partition).  A tiny
+    chunk_bytes forces every partition through many flushes; the
+    double-write proves chunking kept the idempotent merge semantics."""
+    df = (
+        spark.range(0, 5000)
+        .selectExpr("id AS k", "repeat('x', 64) AS v")
+        .coalesce(1)  # one partition >> chunk budget
+    )
+    ddl = "k bigint, v text"
+    # ~70 bytes/row, 4 KiB budget -> ~85 COPY statements for the partition
+    pg_copy_upsert(df, "chunk_sink", ["k"], ddl, pg_server, chunk_bytes=4096)
+    n1 = int(
+        pg_read_csv(pg_server, "SELECT COUNT(*) c FROM chunk_sink").splitlines()[1]
+    )
+    assert n1 == 5000
+    pg_copy_upsert(df, "chunk_sink", ["k"], ddl, pg_server, chunk_bytes=4096)
+    n2 = int(
+        pg_read_csv(pg_server, "SELECT COUNT(*) c FROM chunk_sink").splitlines()[1]
+    )
+    assert n2 == 5000
+    # spot value integrity across chunk boundaries
+    out = pg_read_csv(
+        pg_server, "SELECT k, length(v) l FROM chunk_sink WHERE k IN (0, 2500, 4999) ORDER BY k"
+    ).splitlines()[1:]
+    assert out == ["0,64", "2500,64", "4999,64"]
