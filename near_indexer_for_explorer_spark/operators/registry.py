@@ -19,10 +19,11 @@ from near_indexer_for_explorer_spark.operators import dedup as _dedup
 from near_indexer_for_explorer_spark.operators import similarity as _similarity
 from near_indexer_for_explorer_spark.operators import textops as _textops
 from near_indexer_for_explorer_spark.sources import layout as _layout
+from near_indexer_for_explorer_spark.streaming import replay as _replay
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe, _layout):
+for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe, _layout, _replay):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
