@@ -1671,9 +1671,12 @@ def _residual(col_emb, col_c):
     return F.zip_with(col_emb, col_c, lambda x, y: x - y)
 
 
-def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, neighbor_id, adc_dist): top-k by IVF+PQ asymmetric
-    distance over residual codes in the nprobe probed lists."""
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Index-BUILD leg: (coarse centroids, residual codebooks, corpus
+    codes) — the 9 k-means trainings + corpus assignment that amortize
+    over queries in a served deployment."""
     e = _vectors(spark, sf_dir)
     train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
     coarse = _kmeans_centroids(
@@ -1748,7 +1751,26 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") == 1)
         .select("vec_id", "list_id", "s", F.col("centroid_id").alias("code"))
     )
+    return coarse, rbooks, codes
 
+
+def _ivfpq_search(
+    e: DataFrame, coarse: DataFrame, rbooks: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """SERVING leg: probe nprobe lists, build per-(query, list)
+    residual LUTs, score by ADC — the per-query cost of a deployment
+    with a standing index (C14/C18's frozen-index pattern)."""
+    cdist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rsub = F.slice(F.col("remb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    rdist = F.aggregate(
+        F.zip_with(rsub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     # queries probe the nprobe nearest lists, then build a residual
     # LUT per (query, probed list)
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -1808,7 +1830,61 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, adc_dist): top-k by IVF+PQ asymmetric
+    distance over residual codes in the nprobe probed lists.  Builds
+    the index and serves in one composed plan (the oracle-replicable
+    end-to-end shape); `ivfpq_ann_serve` is the same search against a
+    session-frozen index."""
+    coarse, rbooks, codes = _ivfpq_index(spark, sf_dir)
+    return _ivfpq_search(_vectors(spark, sf_dir), coarse, rbooks, codes)
+
+
 QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
+
+
+# ---------------------------------------------------------------------------
+# Frozen-index serving twins (r5 verdict #2).  The three most expensive
+# bench rows (ivfpq/opq/topic) each REBUILD their trained artifacts —
+# codebooks, centroids, corpus codes — on every execution, by design,
+# so the DuckDB oracle can replicate the whole pipeline.  In production
+# those artifacts are trained once and served many times (exactly what
+# C14/C18 do for the streaming path), so benching only the composed
+# shape makes the regression canary noisiest where plans are most
+# complex.  The *_serve twins split that: the first call per
+# (query, sf_dir, session) trains and eagerly localCheckpoints the
+# artifacts into a module memo; every later call plans ONLY the
+# serving leg against the frozen relations.  Under bench.py's
+# min-of-3, run 1 pays the build and runs 2-3 measure pure serving.
+# Results are bit-identical to the composed twins (same deterministic
+# training), so each serve query reuses its twin's FULL oracle — the
+# driver can hash-verify serving against the same ground truth.
+# ---------------------------------------------------------------------------
+_FROZEN_INDEX: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
+
+
+def _frozen(
+    name: str, spark: SparkSession, sf_dir: str, build
+) -> tuple[DataFrame, ...]:
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    if key not in _FROZEN_INDEX:
+        _FROZEN_INDEX[key] = tuple(
+            df.localCheckpoint(eager=True) for df in build()
+        )
+    return _FROZEN_INDEX[key]
+
+
+def ivfpq_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_ann_topk's serving leg against a session-frozen index:
+    probe + LUT + ADC only after the first call.  Output (and oracle)
+    identical to the composed twin."""
+    coarse, rbooks, codes = _frozen(
+        "ivfpq", spark, sf_dir, lambda: _ivfpq_index(spark, sf_dir)
+    )
+    return _ivfpq_search(_vectors(spark, sf_dir), coarse, rbooks, codes)
+
+
+QUERIES["ivfpq_ann_serve"] = ivfpq_ann_serve
 
 
 def _ivfpq_oracle_sql() -> str:
@@ -1975,14 +2051,19 @@ ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()
 _TOPIC_TOP_TERMS = 5
 
 
-def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cluster_id, cluster_docs, term, rank, score): per k-means
-    cluster, the 5 highest cluster-tf * ln(N/df) terms."""
+def _topic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-BUILD leg: the deterministic k-means centroids (B13 chain)."""
+    es = _vectors(spark, sf_dir).where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    return _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
+
+
+def _topic_terms(
+    spark: SparkSession, sf_dir: str, cents: DataFrame
+) -> DataFrame:
+    """SERVING leg: assign the corpus to given centroids + score terms."""
     from near_indexer_for_explorer_spark.functions.text import tokens
 
     e = _vectors(spark, sf_dir)
-    es = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
-    cents = _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
     # lists feeds the term join AND the cluster-size agg: checkpoint so
     # the whole quantizer chain (2 Lloyd rounds + assignment) runs once
     lists = (
@@ -2032,7 +2113,28 @@ def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topic_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, cluster_docs, term, rank, score): per k-means
+    cluster, the 5 highest cluster-tf * ln(N/df) terms.  Trains the
+    quantizer and scores in one composed plan; `topic_terms_serve` is
+    the same scoring against session-frozen centroids."""
+    return _topic_terms(spark, sf_dir, _topic_centroids(spark, sf_dir))
+
+
 QUERIES["topic_cluster_terms"] = topic_cluster_terms
+
+
+def topic_terms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topic_cluster_terms' serving leg against session-frozen
+    centroids: corpus assignment + term scoring only after the first
+    call.  Output (and oracle) identical to the composed twin."""
+    (cents,) = _frozen(
+        "topic", spark, sf_dir, lambda: (_topic_centroids(spark, sf_dir),)
+    )
+    return _topic_terms(spark, sf_dir, cents)
+
+
+QUERIES["topic_terms_serve"] = topic_terms_serve
 
 
 def _topic_cluster_oracle_sql() -> str:
@@ -2195,12 +2297,10 @@ def _pq_recon_err(e: DataFrame, books: DataFrame, alias: str) -> DataFrame:
     return mins.select("vec_id", F.round(total, 6).alias(alias))
 
 
-def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, norm_ratio, err_orig, err_rot): Householder-rotated PQ
-    beside plain PQ, isometry and both reconstruction errors emitted."""
-    e = _vectors(spark, sf_dir)
+def _opq_rotated(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, rot_emb): the map-side Householder rotation."""
     dot, rot = _rotate_expr("emb", zero_based=True)
-    rotated = (
+    return (
         e.withColumn("__d32", F.expr(dot))
         .select(
             "vec_id",
@@ -2209,6 +2309,28 @@ def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+
+
+def _opq_books(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Index-BUILD leg: the two PQ codebook sets (original space,
+    rotated space) — 16 k-means trainings."""
+    rotated = _opq_rotated(_vectors(spark, sf_dir))
+    books_o = _pq_books_long_from(rotated.select("vec_id", "emb"))
+    books_r = _pq_books_long_from(
+        rotated.select("vec_id", F.col("rot_emb").alias("emb"))
+    )
+    return books_o, books_r
+
+
+def _opq_quantize(
+    spark: SparkSession, sf_dir: str, books_o: DataFrame, books_r: DataFrame
+) -> DataFrame:
+    """SERVING leg: rotate the corpus (map-side) and encode it under
+    the given codebooks, emitting isometry + both reconstruction
+    errors."""
+    rotated = _opq_rotated(_vectors(spark, sf_dir))
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
@@ -2219,10 +2341,6 @@ def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     er = rotated.select("vec_id", F.col("rot_emb").alias("emb"))
-    books_o = _pq_books_long_from(
-        rotated.select("vec_id", "emb")
-    ).localCheckpoint(eager=False)
-    books_r = _pq_books_long_from(er).localCheckpoint(eager=False)
     err_o = _pq_recon_err(rotated.select("vec_id", "emb"), books_o, "err_orig")
     err_r = _pq_recon_err(er, books_r, "err_rot")
     return (
@@ -2232,7 +2350,35 @@ def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, norm_ratio, err_orig, err_rot): Householder-rotated PQ
+    beside plain PQ, isometry and both reconstruction errors emitted.
+    Trains both codebook sets and encodes in one composed plan;
+    `opq_quantize_serve` is the same encoding against session-frozen
+    codebooks."""
+    books_o, books_r = _opq_books(spark, sf_dir)
+    return _opq_quantize(
+        spark,
+        sf_dir,
+        books_o.localCheckpoint(eager=False),
+        books_r.localCheckpoint(eager=False),
+    )
+
+
 QUERIES["opq_rotate_quantize"] = opq_rotate_quantize
+
+
+def opq_quantize_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """opq_rotate_quantize's serving leg against session-frozen
+    codebooks: rotation + two code assignments only after the first
+    call.  Output (and oracle) identical to the composed twin."""
+    books_o, books_r = _frozen(
+        "opq", spark, sf_dir, lambda: _opq_books(spark, sf_dir)
+    )
+    return _opq_quantize(spark, sf_dir, books_o, books_r)
+
+
+QUERIES["opq_quantize_serve"] = opq_quantize_serve
 
 
 def _opq_oracle_sql() -> str:
@@ -2580,3 +2726,12 @@ ORACLES["embedding_split_drift"] = f"""
            CAST(SUM(cosg) AS DOUBLE) / COUNT(*) AS mean_cos_global
     FROM scored GROUP BY split
 """
+
+
+# Serve twins share their composed twins' FULL oracles: the frozen
+# index is trained by the identical deterministic procedure, so the
+# serving output is bit-identical to the end-to-end pipeline and the
+# driver hash-verifies it against the same ground truth.
+ORACLES["ivfpq_ann_serve"] = ORACLES["ivfpq_ann_topk"]
+ORACLES["topic_terms_serve"] = ORACLES["topic_cluster_terms"]
+ORACLES["opq_quantize_serve"] = ORACLES["opq_rotate_quantize"]

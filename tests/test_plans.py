@@ -74,6 +74,9 @@ _BNLJ_EXEMPT = {
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
     "ann_ivf_topk",             # broadcast trained centroids
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
+    "ivfpq_ann_serve",          # same search leg vs the frozen broadcast index
+    "topic_terms_serve",        # same scoring leg vs frozen broadcast centroids
+    "opq_quantize_serve",       # same encoding leg vs frozen broadcast codebooks
     "tfidf_top_terms",          # broadcast doc-count scalar
     "bpe_train_merges",         # broadcast 1-row best-pair per round
     "bpe_encode_corpus",        # broadcast 1-row best-pair per round
