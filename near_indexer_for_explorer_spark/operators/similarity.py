@@ -2381,6 +2381,135 @@ def opq_quantize_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["opq_quantize_serve"] = opq_quantize_serve
 
 
+# ---------------------------------------------------------------------------
+# LEARNED-rotation OPQ (Ge et al. 2013 section 4, "OPQ-NP"): the
+# alternating optimization the B44 skeleton deliberately skipped, now
+# closed (r5 verdict #5).  Each iteration (1) trains PQ codebooks in
+# the current rotated space and quantizes the sample, (2) solves the
+# orthogonal Procrustes problem min_R ||R X - X_hat||_F whose solution
+# is R = U V^T for the SVD of the 64x64 cross-correlation
+# M = sum_v x_hat_v x_v^T.  M is computed DISTRIBUTEDLY (posexplode
+# pair join + one (i, j) aggregate — 4096 cells regardless of corpus
+# size) and only the tiny 64x64 SVD runs driver-side via numpy: the
+# matrix is broadcast-scale by construction, exactly the bounded
+# driver-safe form the r5 verdict sketched.  This is also how
+# production trainers work (FAISS OPQ trains on a bounded sample, then
+# the frozen rotation applies map-side at any scale — the B44/serve
+# path).
+#
+# NOT a registered query, by design: the SVD step is engine-specific
+# numerics no DuckDB oracle can replicate, and registered queries stay
+# free of driver actions (the r2 TF-IDF lesson).  The contract is
+# pytest-pinned instead (tests/test_operators.py): R stays orthonormal,
+# the alternation's reconstruction error is monotone non-increasing,
+# and on planted cross-subspace-correlated data the learned rotation
+# beats the identity baseline by a clear margin — the OPQ promise the
+# isotropic synthetic corpus cannot show.
+# ---------------------------------------------------------------------------
+def _rotation_apply_exprs(R: list[list[float]]) -> str:
+    """SQL array expression rotating `emb` by the 64x64 matrix R
+    (out[i] = sum_j R[i][j] * emb[j]).  The matrix enters as a FLAT
+    nested-array literal and the matmul is one small
+    transform/zip_with/aggregate tree — 64 unrolled literal chains (the
+    B38 form) blow up whole-stage codegen's subexpression machinery at
+    64x64, while here the matrix is data, not code, so the expression
+    tree stays O(1) and the same shape serves any dimension."""
+    rows_sql = ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in R
+    )
+    return (
+        f"transform(array({rows_sql}), r -> "
+        f"aggregate(zip_with(r, emb, (a, b) -> a * b), 0D, "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def _pq_reconstruction(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, recon, err): nearest-codebook reconstruction of
+    each vector under freshly-trained PQ codebooks in e's space, with
+    the squared reconstruction error."""
+    books = _pq_books_long_from(e).localCheckpoint(eager=False)
+    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    dist = F.aggregate(
+        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(books))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "s", "c_emb")
+    )
+    recon = assigned.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("c_emb")))),
+                lambda st: st.getField("c_emb"),
+            )
+        ).alias("recon")
+    )
+    err = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("recon"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", "emb")
+        .join(recon, "vec_id")
+        .withColumn("err", err)
+    )
+
+
+def opq_learn_rotation(
+    e: DataFrame, iters: int = 2
+) -> tuple[list[list[float]], list[float]]:
+    """Train an OPQ rotation on the (vec_id, emb) frame `e` by `iters`
+    rounds of alternating codebook-retrain / Procrustes-solve.
+
+    Returns (R, errors): the 64x64 learned rotation and the mean PQ
+    reconstruction error after each codebook training — errors[0] is
+    the identity-rotation (plain PQ) baseline, errors[-1] the learned
+    result.  Distributed everywhere except the 64x64 SVD."""
+    import numpy as np
+
+    orig = e.select("vec_id", "emb").localCheckpoint(eager=True)
+    R = np.eye(_DIM)
+    errors: list[float] = []
+    for it in range(iters + 1):
+        rotated = orig.selectExpr(
+            "vec_id", f"{_rotation_apply_exprs(R.tolist())} AS emb"
+        ).localCheckpoint(eager=True)
+        rec = _pq_reconstruction(rotated).localCheckpoint(eager=True)
+        errors.append(rec.agg(F.avg("err")).first()[0])
+        if it == iters:
+            break
+        # M[i][j] = sum_v recon_i(v) * orig_j(v), computed distributed
+        a = rec.select("vec_id", F.posexplode("recon").alias("i", "xh"))
+        b = orig.select("vec_id", F.posexplode("emb").alias("j", "xj"))
+        cells = (
+            a.join(b, "vec_id")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("xh") * F.col("xj")).alias("m"))
+            .collect()
+        )
+        M = np.zeros((_DIM, _DIM))
+        for r in cells:
+            M[r["i"], r["j"]] = r["m"]
+        U, _, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    return R.tolist(), errors
+
+
 def _opq_oracle_sql() -> str:
     """Replicates the rotation (identical left-assoc chain) and BOTH
     8-codebook chains (MATERIALIZED — the B43 oracle lesson)."""
