@@ -1506,3 +1506,120 @@ def _lcs_oracle_sql() -> str:
 
 
 ORACLES["dedup_longest_substring"] = _lcs_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B56 asymmetric CONTAINMENT scoring: the dedup family's answer to
+# excerpts and quotations.  Jaccard (and the MinHash/LSH machinery
+# built on it) is symmetric — a short document embedded verbatim
+# inside a much longer one scores |A|/|B| ~ 0 and slips every
+# Jaccard-thresholded net, yet it is exactly the kind of duplication a
+# training-data pipeline must catch (quoted articles, concatenated
+# shards, boilerplate-wrapped reposts).  Broder's containment
+# C(A,B) = |A n B| / |A| is the standard fix; this operator scores
+# every shared-shingle candidate pair in BOTH directions and flags
+# `is_excerpt` where containment is high while Jaccard stays below
+# the B2 threshold — the pairs every other dedup operator here
+# misses, made a hash-checked output.
+#
+# Candidates come from the df-pruned inverted index (B2's discipline:
+# sum(min(df,cap)^2) pairs, linear in corpus size — an excerpt shares
+# ALL of the contained doc's shingles, so rare-shingle co-occurrence
+# finds it); sizes/counts are over the same pruned shingle space,
+# mirrored exactly in the oracle.  At 100 TB the same plan holds; the
+# LSH upgrade for containment blocking is min-k signatures of the
+# SMALLER set, which drops in behind the identical output columns.
+#
+# Reference analog: receipt-args prefix/containment comparisons in
+# database/src/adapters/transactions.rs.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, n_1, n_2, n_common, c_1_in_2, c_2_in_1,
+    containment, jaccard, is_excerpt): directional shingle containment
+    for every shared-shingle candidate pair with max-direction
+    containment >= 0.9."""
+    kept = _df_pruned_shingles(spark, sf_dir)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    c = F.col("c").cast("double")
+    c12 = c / F.col("s1.n")
+    c21 = c / F.col("s2.n")
+    cont = F.greatest(c12, c21)
+    jac = c / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("s1.n").cast("long").alias("n_1"),
+            F.col("s2.n").cast("long").alias("n_2"),
+            F.col("c").cast("long").alias("n_common"),
+            c12.alias("c_1_in_2"),
+            c21.alias("c_2_in_1"),
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+            (
+                (cont >= _CONTAINMENT_THRESHOLD)
+                & (jac < JACCARD_THRESHOLD)
+            ).alias("is_excerpt"),
+        )
+        .where(cont >= _CONTAINMENT_THRESHOLD)
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+ORACLES["dedup_containment"] = f"""
+    WITH {_SHINGLE_CTE},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    keptsh AS (
+      SELECT sh FROM sh CROSS JOIN nd
+      GROUP BY sh, nd.n_docs
+      HAVING COUNT(*) <= greatest({_MIN_DF_CAP},
+                                  CAST(ceil({_MAX_DF_FRAC} * nd.n_docs) AS BIGINT))
+    ),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keptsh k ON s.sh = k.sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id_1, doc_id_2,
+             CAST(s1.n AS BIGINT) AS n_1,
+             CAST(s2.n AS BIGINT) AS n_2,
+             CAST(c AS BIGINT) AS n_common,
+             CAST(c AS DOUBLE) / s1.n AS c_1_in_2,
+             CAST(c AS DOUBLE) / s2.n AS c_2_in_1,
+             greatest(CAST(c AS DOUBLE) / s1.n,
+                      CAST(c AS DOUBLE) / s2.n) AS containment,
+             CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+      FROM common
+      JOIN sizes s1 ON doc_id_1 = s1.doc_id
+      JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    )
+    SELECT doc_id_1, doc_id_2, n_1, n_2, n_common,
+           c_1_in_2, c_2_in_1, containment, jaccard,
+           (containment >= {_CONTAINMENT_THRESHOLD}
+            AND jaccard < {JACCARD_THRESHOLD}) AS is_excerpt
+    FROM scored
+    WHERE containment >= {_CONTAINMENT_THRESHOLD}
+"""

@@ -803,3 +803,32 @@ def test_opq_learned_rotation_beats_identity_on_correlated_data(spark):
         assert b <= a + 1e-9, errors
     # (c) the learned rotation beats plain PQ by a clear margin
     assert errors[-1] < 0.9 * errors[0], errors
+
+
+def test_containment_catches_planted_excerpt(spark, tmp_path):
+    """B56: a short document embedded verbatim in a much longer one has
+    Jaccard far below the B2 threshold (symmetric dedup misses it) but
+    containment ~1 — the operator must surface it flagged is_excerpt,
+    and must NOT pair unrelated documents."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    small = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 10 shingles
+    filler = " ".join(f"f{i}" for i in range(120))
+    docs = [
+        (0, small, "en", "s", 0),
+        (1, f"{filler} {small}", "en", "s", 0),  # excerpt host
+        (2, " ".join(f"u{i}" for i in range(40)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {(r["doc_id_1"], r["doc_id_2"]): r
+            for r in dedup_containment(spark, str(tmp_path)).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    assert r["c_1_in_2"] == 1.0          # every shingle of the excerpt is shared
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5            # symmetric dedup would have missed it
+    assert r["is_excerpt"]
