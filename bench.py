@@ -85,6 +85,7 @@ EXTRA = [
     "dedup_edit_banded",
     "dedup_longest_substring",
     "dedup_containment",
+    "corpus_chunk_windows",
     # frozen-index serving twins: run 1 of the best-of-3 pays the
     # index build (memoized per session), runs 2-3 measure the pure
     # probe/encode/score serving leg — the regression canary the r5

@@ -1352,3 +1352,85 @@ def _pair_alignment_oracle_sql() -> str:
 
 
 ORACLES["dedup_pair_alignment"] = _pair_alignment_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B57 sliding-window context chunking: the LLM-ingest step between raw
+# documents and fixed-budget training sequences.  B29 packs WHOLE
+# documents into token-budget shards; long documents must first be cut
+# into model-context-sized windows, and production pipelines overlap
+# consecutive windows (stride < window) so no semantic boundary is
+# ever lost to a hard cut.  Pure map-side: tokenize, explode one row
+# per window start (0, S, 2S, ...), slice — zero shuffle,
+# embarrassingly parallel, the same plan at 100 TB.
+#
+# Window math is shared exactly with the oracle: n_chunks =
+# 1 + ceil(max(0, len - N) / S) computed as integer division of
+# NON-NEGATIVE terms only — Spark's `div` truncates toward zero while
+# DuckDB's `//` floors, so a negative numerator would silently
+# diverge between engines (the greatest(0, ...) sits INSIDE the
+# numerator for exactly that reason).  The chunk content is emitted
+# as an md5 hash: content-addressed, hash-checked, and the output
+# relation stays narrow.
+#
+# Reference analog: chunked receipt-args storage (args split across
+# rows, database/src/adapters/transactions.rs).
+# ---------------------------------------------------------------------------
+_CHUNK_N = 64  # window: tokens per chunk
+_CHUNK_STRIDE = 48  # overlap of 16 tokens between consecutive chunks
+
+
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash): each
+    document cut into 64-token windows at stride 48 (16-token
+    overlap), last window ragged; chunk content content-addressed by
+    md5."""
+    n, s = _CHUNK_N, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    base = docs.withColumn("len", F.size("t"))
+    nch = F.lit(1) + F.expr(
+        f"(greatest(0, len - {n}) + {s} - 1) div {s}"
+    )
+    exploded = base.select(
+        "doc_id",
+        "t",
+        "len",
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("i"),
+    )
+    start = F.col("i") * s
+    upper = F.least(start + n, F.col("len"))
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        (upper - start).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), start + 1, (upper - start))
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+QUERIES["corpus_chunk_windows"] = corpus_chunk_windows
+
+ORACLES["corpus_chunk_windows"] = f"""
+    WITH {_TOKS_CTE},
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    chunks AS (
+      SELECT doc_id, i,
+             i * {_CHUNK_STRIDE} AS start_tok,
+             least(i * {_CHUNK_STRIDE} + {_CHUNK_N}, n) AS upper_tok, t
+      FROM base,
+      UNNEST(range(0, 1 + (greatest(0, n - {_CHUNK_N}) + {_CHUNK_STRIDE} - 1)
+                          // {_CHUNK_STRIDE})) AS r(i)
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(upper_tok - start_tok AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[start_tok + 1 : upper_tok], ' ')) AS chunk_hash
+    FROM chunks
+"""

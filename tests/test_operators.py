@@ -832,3 +832,41 @@ def test_containment_catches_planted_excerpt(spark, tmp_path):
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.5            # symmetric dedup would have missed it
     assert r["is_excerpt"]
+
+
+def test_chunk_windows_overlap_and_ragged_tail(spark, tmp_path):
+    """B57 window math: a 100-token doc at window 64 / stride 48 cuts
+    into exactly 1 + ceil((100-64)/48) = 2 chunks — starts 0 and 48,
+    lengths 64 and a ragged 52, overlapping by 16 tokens — and a doc
+    shorter than one window yields exactly one ragged chunk.  Chunk
+    hashes are pinned against python md5 of the same token slices."""
+    import hashlib
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _CHUNK_N,
+        _CHUNK_STRIDE,
+        corpus_chunk_windows,
+    )
+
+    toks_a = [f"t{i}" for i in range(100)]
+    toks_b = [f"s{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(toks_a), "en", "s", 0),
+        (1, " ".join(toks_b), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_hash"])
+        for r in corpus_chunk_windows(spark, str(tmp_path)).collect()
+    )
+
+    def h(toks):
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert rows == [
+        (0, 0, 0, 64, h(toks_a[0:64])),
+        (0, 1, 48, 52, h(toks_a[48:100])),
+        (1, 0, 0, 10, h(toks_b)),
+    ]
