@@ -86,6 +86,7 @@ EXTRA = [
     "dedup_longest_substring",
     "dedup_containment",
     "corpus_chunk_windows",
+    "corpus_weighted_sample",
     # frozen-index serving twins: run 1 of the best-of-3 pays the
     # index build (memoized per session), runs 2-3 measure the pure
     # probe/encode/score serving leg — the regression canary the r5

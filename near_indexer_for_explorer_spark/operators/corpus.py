@@ -1434,3 +1434,73 @@ ORACLES["corpus_chunk_windows"] = f"""
            md5(array_to_string(t[start_tok + 1 : upper_tok], ' ')) AS chunk_hash
     FROM chunks
 """
+
+
+# ---------------------------------------------------------------------------
+# B58 deterministic weighted sampling WITHOUT replacement
+# (Efraimidis-Spirakis 2006 "A-ES"): every corpus-curation pipeline
+# ends with "draw a k-doc sample, long documents proportionally more
+# likely" — naive rand() breaks reproducibility and resampling breaks
+# without-replacement.  A-ES draws u_i ~ U(0,1] per item and keeps the
+# k LARGEST u_i^(1/w_i); ranking by ln(u)/w is the monotone-equivalent
+# form that avoids pow().  The uniform comes from the corpus's md5
+# hash discipline (first 8 hex digits -> 32-bit integer -> (x+1)/2^32),
+# so the sample is a pure function of doc_id: deterministic across
+# runs, engines, and partitionings, and the oracle replicates it
+# digit-for-digit.  ln is transcendental, so keys are round-6 before
+# ranking with a doc_id tiebreak (the B27/B33 libm discipline).
+#
+# Scale: one linear scan computes every key map-side; the top-k is a
+# bounded TakeOrdered reduction (k rows), and the rank window runs
+# over those k rows only — no global sort of the corpus.  The sample
+# is stable under corpus growth: adding documents never changes the
+# relative order of existing keys (the property that makes A-ES the
+# streaming/distributed standard).
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 100
+_U32 = 1 << 32
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, skey, sample_rank): the deterministic A-ES
+    size-weighted sample of _SAMPLE_K documents, ranked by round-6
+    ln(u)/w descending with doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    x = _hash_bucket(F.col("doc_id"), "wsample:", _U32)
+    u = (x + F.lit(1)).cast("double") / F.lit(float(_U32))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.log(u) / w, 6).alias("skey"),
+    )
+    top = keyed.orderBy(F.col("skey").desc(), F.col("doc_id").asc()).limit(
+        _SAMPLE_K
+    )
+    rank_w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "sample_rank", F.row_number().over(rank_w).cast("long")
+    )
+
+
+QUERIES["corpus_weighted_sample"] = corpus_weighted_sample
+
+ORACLES["corpus_weighted_sample"] = f"""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(greatest(n_chars, 1) AS DOUBLE) AS w,
+             {_hash_bucket_sql("doc_id", "wsample:", _U32)} AS x
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_chars,
+             round(ln(CAST(x + 1 AS DOUBLE) / {float(_U32)!r}) / w, 6) AS skey
+      FROM s
+    )
+    SELECT doc_id, n_chars, skey,
+           CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS BIGINT)
+             AS sample_rank
+    FROM k
+    ORDER BY skey DESC, doc_id ASC
+    LIMIT {_SAMPLE_K}
+"""

@@ -870,3 +870,41 @@ def test_chunk_windows_overlap_and_ragged_tail(spark, tmp_path):
         (0, 1, 48, 52, h(toks_a[48:100])),
         (1, 0, 0, 10, h(toks_b)),
     ]
+
+
+def test_weighted_sample_is_deterministic_and_size_biased(spark, tmp_path):
+    """B58 A-ES contract: (a) the sample is a pure function of doc_id
+    (re-running and growing the corpus never changes an existing doc's
+    key), (b) no replacement (distinct docs), and (c) heavy documents
+    are overrepresented relative to their count share."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SAMPLE_K,
+        corpus_weighted_sample,
+    )
+
+    # 300 light docs (w=10) + 100 heavy docs (w=1000): heavy count
+    # share is 25%, heavy WEIGHT share is ~97%
+    docs = [(i, "x", "en", "s", 10) for i in range(300)]
+    docs += [(300 + i, "x", "en", "s", 1000) for i in range(100)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    s1 = corpus_weighted_sample(spark, str(tmp_path)).collect()
+    s2 = corpus_weighted_sample(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # deterministic
+    ids = [r["doc_id"] for r in s1]
+    assert len(ids) == len(set(ids)) == _SAMPLE_K  # without replacement
+    heavy = sum(1 for r in s1 if r["n_chars"] == 1000)
+    assert heavy / _SAMPLE_K > 0.5  # count share would be 0.25
+
+    # growth stability: same docs + 200 more -> existing keys unchanged
+    grown = docs + [(1000 + i, "x", "en", "s", 500) for i in range(200)]
+    spark.createDataFrame(grown, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    s3 = corpus_weighted_sample(spark, str(tmp_path)).collect()
+    keys1 = {r["doc_id"]: r["skey"] for r in s1}
+    keys3 = {r["doc_id"]: r["skey"] for r in s3}
+    for d in set(keys1) & set(keys3):
+        assert keys1[d] == keys3[d]
