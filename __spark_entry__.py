@@ -61,6 +61,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_edit_banded",
     "dedup_longest_substring",
     "scd2_stream_replay",
+    "cohort_stream_replay",
     "ivfpq_ann_serve",
     # --- last driver-green r3 (the r5 verdict's rotation list) ---
     "orders_daily_rollup",

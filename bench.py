@@ -81,6 +81,9 @@ EXTRA = [
     # full-table row explosion (every event becomes a version row), so
     # the timing measures result materialization, not the one window
     # pass — the gate verifies it; the bench tracks plan execution.
+    # scd2_stream_replay / cohort_stream_replay are excluded for the
+    # same reason squared: they run whole streaming pipelines with
+    # temp-dir I/O (replay harness cost, not plan cost).
     # round 6 additions
     "dedup_edit_banded",
     "dedup_longest_substring",

@@ -2,17 +2,18 @@
 
 Every streaming pipeline in this package is pytest-verified against
 its batch twin, but pytest is a soft signal next to the driver's
-oracle gate.  This module closes that gap for C19: `scd2_stream_replay`
-is a REGISTERED QUERY (full DuckDB oracle — the same SQL as A64
-`user_state_scd2`) whose result is produced by actually RUNNING the
-streaming pipeline: it shards the events table into three
-micro-batch files (id-sliced, so later batches carry EARLIER
-timestamps — genuine late data), streams them through the C19
-foreachBatch SCD2 sink with a real checkpoint, and returns the
-sink-derived snapshot.  The driver then hash-compares that
-incrementally-maintained state against the declarative SQL — making
-at least one incremental-maintenance result a hard-signal artifact,
-not only a pytest claim.
+oracle gate.  This module closes that gap for the two NON-ADDITIVE
+incremental-maintenance sinks: `scd2_stream_replay` (C19, oracle =
+A64 `user_state_scd2` verbatim) and `cohort_stream_replay` (C17,
+oracle = A57 `orders_retention_cohorts` verbatim) are REGISTERED
+QUERIES whose results are produced by actually RUNNING the streaming
+pipelines: the source table is sharded into three micro-batch files
+(id-sliced, so later batches carry EARLIER timestamps — genuine late
+data, the case naive partial-sum IVM gets wrong), streamed through
+the real foreachBatch sink with a checkpoint, and the sink-derived
+state returned.  The driver then hash-compares incrementally-
+maintained state against the declarative SQL — making incremental
+maintenance a hard-signal artifact, not only a pytest claim.
 
 Reference analog: the UPDATE-on-supersede PostgreSQL write
 (access_keys deleted_by_receipt_id closing the superseded row,
@@ -105,6 +106,53 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["scd2_stream_replay"] = scd2_stream_replay
 
+
+def cohort_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_month, months_since, n_active, cohort_size, retention):
+    the A57 cohort-retention matrix derived from C17's incrementally
+    maintained activity state after replaying the orders table as
+    three out-of-order micro-batches — a late EARLIER order moves a
+    customer's cohort, the non-additive case naive partial-sum IVM
+    gets wrong; the oracle is A57's SQL verbatim."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        cohort_matrix_from_state,
+        cohort_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="cohort_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            orders.where(F.col("o_orderkey") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = cohort_stream(spark, src, out, ckpt)
+        q.awaitTermination(300)
+        return cohort_matrix_from_state(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["cohort_stream_replay"] = cohort_stream_replay
+
 # The oracle is deliberately A64's SQL verbatim: the claim under test
 # is that the INCREMENTAL maintenance converges to the declarative
 # definition.
@@ -116,4 +164,36 @@ ORACLES["scd2_stream_replay"] = """
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# A57's SQL verbatim: incremental maintenance must converge to the
+# declarative cohort matrix.
+ORACLES["cohort_stream_replay"] = """
+    WITH first_m AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT DISTINCT o.o_custkey, date_trunc('month', o.o_orderdate) AS m
+      FROM orders o
+    ),
+    sizes AS (
+      SELECT cohort_m, COUNT(*) AS cohort_size FROM first_m GROUP BY cohort_m
+    ),
+    cells AS (
+      SELECT f.cohort_m,
+             CAST(datediff('month', f.cohort_m, a.m) AS BIGINT)
+               AS months_since,
+             COUNT(*) AS n_active
+      FROM activity a JOIN first_m f ON a.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.cohort_m AS DATE) AS cohort_month,
+           c.months_since,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(CAST(CAST(c.n_active AS DECIMAL(20,14)) / s.cohort_size
+                     AS DECIMAL(24,6)) AS DOUBLE) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
 """
