@@ -1504,3 +1504,148 @@ ORACLES["corpus_weighted_sample"] = f"""
     ORDER BY skey DESC, doc_id ASC
     LIMIT {_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# B59 bigram Stupid-Backoff cross-entropy (Brants et al. 2007 "Large
+# Language Models in Machine Translation"): the production upgrade of
+# B33's unigram filter.  CCNet-style quality ranking really runs on
+# n-gram LMs; Stupid Backoff is THE web-scale choice because its
+# scores need no discounting normalization — S(w_i|w_{i-1}) =
+# c(w_{i-1}w_i)/c(w_{i-1}) when the train split saw the bigram, else
+# 0.4 * p_uni(w_i), with B33's add-one unigram as the backoff floor
+# (first token of a doc scores p_uni directly).  Every convention is
+# shared with B33 (same md5 split, same add-one unigram, same round-6
+# ln + DECIMAL(20,6) sum discipline) so the two filters are
+# comparable score-for-score.
+#
+# Plan shape: bigrams come from the token ARRAY map-side (transform
+# over positions -> one explode; no window, no O(len^2) row payloads);
+# the unigram LM joins broadcast (vocab-sized), the bigram table joins
+# on its composite key WITHOUT a broadcast hint — at 100 TB that
+# relation is token-stream-sized and the join is a plain shuffle on
+# (prev, cur), linear.  n_bigram_hits makes the backoff rate itself a
+# hash-checked output.
+# ---------------------------------------------------------------------------
+_BACKOFF_ALPHA = 0.4
+
+
+def bigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_tokens, n_bigram_hits, xent): per-document
+    cross-entropy under the train-split Stupid-Backoff bigram LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    base = docs.select("doc_id", split.alias("split"), tokens("text").alias("t"))
+    pairs = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)), i -> named_struct("
+                "'prev', CASE WHEN i = 1 THEN NULL ELSE element_at(t, i - 1) END,"
+                "'cur', element_at(t, i)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "split", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    train = pairs.where(F.col("split") == "train")
+    tc = train.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+    bc = (
+        train.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    totals = tc.agg(
+        F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+
+    tcur = tc.select(F.col("cur").alias("cur"), F.col("c").alias("c_cur"))
+    tprev = tc.select(F.col("cur").alias("prev"), F.col("c").alias("c_prev"))
+    p_uni = (F.coalesce(F.col("c_cur"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_train") + F.col("v_train")
+    )
+    is_bigram = F.col("prev").isNotNull() & F.col("cb").isNotNull()
+    lp = F.round(
+        F.when(is_bigram, F.log(F.col("cb").cast("double") / F.col("c_prev")))
+        .when(F.col("prev").isNull(), F.log(p_uni))
+        .otherwise(F.log(F.lit(_BACKOFF_ALPHA) * p_uni)),
+        6,
+    )
+    return (
+        pairs.join(bc, ["prev", "cur"], "left")
+        .join(F.broadcast(tprev), "prev", "left")
+        .join(F.broadcast(tcur), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "split",
+            lp.alias("lp"),
+            is_bigram.cast("int").alias("hit"),
+        )
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("hit").cast("long").alias("n_bigram_hits"),
+            # B33 discipline: round-6 per-token ln, exact decimal sum,
+            # one IEEE division, NO final round
+            (
+                -F.sum(F.col("lp").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("xent"),
+        )
+    )
+
+
+QUERIES["bigram_backoff_xent"] = bigram_backoff_xent
+
+ORACLES["bigram_backoff_xent"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, split,
+             CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+             t[i] AS cur
+      FROM d, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    tc AS (
+      SELECT cur, COUNT(*) AS c FROM pairs WHERE split = 'train' GROUP BY cur
+    ),
+    bc AS (
+      SELECT prev, cur, COUNT(*) AS cb FROM pairs
+      WHERE split = 'train' AND prev IS NOT NULL GROUP BY prev, cur
+    ),
+    tot AS (SELECT SUM(c) AS n_train, COUNT(*) AS v_train FROM tc),
+    lp AS (
+      SELECT p.doc_id, p.split,
+             CASE WHEN p.prev IS NOT NULL AND b.cb IS NOT NULL
+                  THEN 1 ELSE 0 END AS hit,
+             ROUND(CASE
+               WHEN p.prev IS NOT NULL AND b.cb IS NOT NULL
+                 THEN ln(CAST(b.cb AS DOUBLE) / tp.c)
+               WHEN p.prev IS NULL
+                 THEN ln(CAST(COALESCE(tcur.c, 0) + 1 AS DOUBLE)
+                         / (tot.n_train + tot.v_train))
+               ELSE ln({_BACKOFF_ALPHA} * CAST(COALESCE(tcur.c, 0) + 1 AS DOUBLE)
+                       / (tot.n_train + tot.v_train))
+             END, 6) AS lp
+      FROM pairs p
+      LEFT JOIN bc b ON p.prev = b.prev AND p.cur = b.cur
+      LEFT JOIN tc tp ON p.prev = tp.cur
+      LEFT JOIN tc tcur ON p.cur = tcur.cur, tot
+    )
+    SELECT doc_id, split,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(hit) AS BIGINT) AS n_bigram_hits,
+           -CAST(CAST(SUM(CAST(lp AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS xent
+    FROM lp
+    GROUP BY doc_id, split
+"""

@@ -908,3 +908,38 @@ def test_weighted_sample_is_deterministic_and_size_biased(spark, tmp_path):
     keys3 = {r["doc_id"]: r["skey"] for r in s3}
     for d in set(keys1) & set(keys3):
         assert keys1[d] == keys3[d]
+
+
+def test_bigram_backoff_orders_fluent_above_garbled(spark, tmp_path):
+    """B59 semantics: under the train-split Stupid-Backoff LM, a test
+    document repeating a train phrase verbatim scores bigram hits on
+    every interior token and lower cross-entropy than the SAME WORDS
+    garbled into unseen bigrams (a unigram LM cannot separate the two
+    — that's the point of the bigram upgrade)."""
+    import hashlib
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SPLIT_MOD,
+        bigram_backoff_xent,
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _SPLIT_MOD
+
+    train_ids = [i for i in range(200) if bucket(i) < 32][:3]
+    test_ids = [i for i in range(200) if bucket(i) >= 36][:2]
+    phrase = "the quick brown fox jumps over the lazy dog"
+    garbled = "dog the fox lazy quick jumps brown over the"  # same words
+    docs = [(i, phrase, "en", "s", 0) for i in train_ids]
+    docs += [(test_ids[0], phrase, "en", "s", 0)]
+    docs += [(test_ids[1], garbled, "en", "s", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in bigram_backoff_xent(spark, str(tmp_path)).collect()}
+    fluent, bad = rows[test_ids[0]], rows[test_ids[1]]
+    assert fluent["split"] == "test" and bad["split"] == "test"
+    assert fluent["n_bigram_hits"] == fluent["n_tokens"] - 1  # every pair seen
+    assert bad["n_bigram_hits"] < fluent["n_bigram_hits"]
+    assert fluent["xent"] < bad["xent"]
