@@ -82,7 +82,9 @@ def scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(base, "out")
         ckpt = os.path.join(base, "ckpt")
         q = scd2_stream(spark, src, out, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("scd2 replay stream did not finish in 300s")
         snapshot = (
             spark.read.parquet(os.path.join(out, "scd2"))
             .select(
@@ -143,7 +145,9 @@ def cohort_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(base, "out")
         ckpt = os.path.join(base, "ckpt")
         q = cohort_stream(spark, src, out, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("cohort replay stream did not finish in 300s")
         return cohort_matrix_from_state(spark, out).localCheckpoint(
             eager=True
         )
