@@ -355,3 +355,45 @@ def test_sequence_gap_decomposition_equals_global_scan(spark, ids):
         if b - a > 1
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from("abcx "), min_size=0, max_size=60),
+            st.text(alphabet=st.sampled_from("abcx "), min_size=0, max_size=60),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_banded_edit_distance_property(spark, pairs):
+    """B53 property: on ARBITRARY strings over a small alphabet (high
+    collision rate stresses the band recurrence), the banded fold
+    equals full Levenshtein whenever dist <= K and reports exactly the
+    K+1 cap otherwise — checked against Spark's own levenshtein kernel
+    (itself pinned equal to DuckDB's in the B37 tests)."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _BAND_K,
+        _banded_dist_spark,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    rows = df.selectExpr(
+        "i",
+        f"{_banded_dist_spark('a', 'b')} AS banded",
+        "CAST(levenshtein(a, b) AS BIGINT) AS full",
+    ).collect()
+    for r in rows:
+        a, b = pairs[r["i"]]
+        if r["full"] <= _BAND_K:
+            assert r["banded"] == r["full"], (a, b, dict(r.asDict()))
+        else:
+            assert r["banded"] == _BAND_K + 1, (a, b, dict(r.asDict()))
