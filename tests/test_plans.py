@@ -72,6 +72,8 @@ _BNLJ_EXEMPT = {
     "monthly_unlocked_supply",  # broadcast vesting snapshot
     "lockup_locked_supply",     # broadcast lockup snapshot
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
+    "dedup_containment",        # broadcast df-cap scalar (B2's posting lists)
+    "bigram_backoff_xent",      # broadcast (n_train, v_train) scalar (B33 shape)
     "ann_ivf_topk",             # broadcast trained centroids
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "ivfpq_ann_serve",          # same search leg vs the frozen broadcast index
