@@ -3912,3 +3912,96 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A75 GLOBAL robust anomaly detection: median/MAD outlier flags per user
+# (reference analog: the same fraud/ops monitoring surface as A67's
+# trailing-window z-scores — account_changes balance-delta outliers over
+# the time indexes — but the classical ROBUST estimator: mean/stddev are
+# themselves dragged by the outliers they're meant to find, while the
+# median and the median-absolute-deviation have a 50% breakdown point).
+# x is anomalous iff |x - med| > 3 * 1.4826 * MAD (1.4826 scales MAD to
+# sigma-equivalent under normality).
+#
+# Cross-engine discipline: med and MAD are interpolated percentiles
+# (Spark `percentile` == DuckDB percentile_cont, the A51 parity) but the
+# two engines' interpolation arithmetic is only equal to ~1 ulp — so med
+# and MAD are ROUND-6 FIRST and every downstream comparison runs on the
+# rounded values, which are identical parsed doubles in both engines
+# (round-6 is boundary-safe here: midpoints of 2-decimal money values
+# have <= 3 decimals, never on a 6dp half-boundary).
+#
+# Scale shape: two aggregates on the SAME user_id key (med, then MAD of
+# the joined-back deviations — Catalyst reuses the user-keyed exchange)
+# + one filter; the per-user stats tables join back on user_id with no
+# forced broadcast, so at 100 TB they co-partition with the fact.
+# Output is the anomalous rows only — bounded like A67.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_value_robust_anomalies",
+    """
+    WITH med AS (
+      SELECT user_id,
+             ROUND(percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY CAST(value AS DOUBLE)), 6) AS med,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.event_id, CAST(e.value AS DOUBLE) AS value,
+             m.med, m.n, abs(CAST(e.value AS DOUBLE) - m.med) AS ad
+      FROM events e JOIN med m ON e.user_id = m.user_id
+    ),
+    mad AS (
+      SELECT user_id,
+             ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY ad), 6)
+               AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value, d.med, a.mad,
+           CAST(d.n AS BIGINT) AS n_user_events,
+           ROUND((d.value - d.med) / (1.4826 * a.mad), 6) AS robust_z
+    FROM dev d JOIN mad a ON d.user_id = a.user_id
+    WHERE a.mad > 0 AND d.ad > 3 * 1.4826 * a.mad
+    """,
+)
+def events_value_robust_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(user_id, event_id, value, med, mad, n_user_events, robust_z):
+    events whose value deviates from the user's median by more than
+    3 sigma-equivalents of the user's MAD."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value")
+    )
+    med = ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .where(
+            (F.col("mad") > 0)
+            & (F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "med",
+            "mad",
+            F.col("n").cast("long").alias("n_user_events"),
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )

@@ -943,3 +943,38 @@ def test_bigram_backoff_orders_fluent_above_garbled(spark, tmp_path):
     assert fluent["n_bigram_hits"] == fluent["n_tokens"] - 1  # every pair seen
     assert bad["n_bigram_hits"] < fluent["n_bigram_hits"]
     assert fluent["xent"] < bad["xent"]
+
+
+def test_robust_anomalies_resist_outlier_masking(spark, tmp_path):
+    """A75's reason to exist: a huge outlier inflates mean/stddev enough
+    to mask itself (classic z-score breakdown), while median/MAD keep a
+    50% breakdown point.  On a planted series with one extreme spike:
+    (a) the robust operator flags exactly the spike, and (b) the
+    spike's plain z-score is demonstrably dampened below its robust z."""
+    import statistics
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_value_robust_anomalies,
+    )
+
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 10.3, 10000.0]
+    rows = [
+        (i, 1, "t", float(v), "{}", f"2024-01-01 00:{i:02d}:00")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, props string, ts string"
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "value", "props",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_value_robust_anomalies(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in out] == [9]  # exactly the spike
+    spike = out[0]
+    # plain z of the spike on the same series (population stddev):
+    mu = statistics.mean(vals)
+    sd = statistics.pstdev(vals)
+    plain_z = (vals[9] - mu) / sd
+    assert plain_z < 3.1  # mean/stddev nearly mask the spike...
+    assert spike["robust_z"] > 1000  # ...median/MAD do not
