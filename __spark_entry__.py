@@ -55,6 +55,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # re-verified by the in-repo parity suite each round).
 _GATE_PRIORITY: list[str] = [
     # --- new in round 6 (never driver-gated) ---
+    "bloom_seen_filter",
     "events_value_robust_anomalies",
     "bigram_backoff_xent",
     "corpus_weighted_sample",

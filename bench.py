@@ -92,6 +92,7 @@ EXTRA = [
     "corpus_weighted_sample",
     "bigram_backoff_xent",
     "events_value_robust_anomalies",
+    "bloom_seen_filter",
     # frozen-index serving twins: run 1 of the best-of-3 pays the
     # index build (memoized per session), runs 2-3 measure the pure
     # probe/encode/score serving leg — the regression canary the r5

@@ -1649,3 +1649,167 @@ ORACLES["bigram_backoff_xent"] = f"""
     FROM lp
     GROUP BY doc_id, split
 """
+
+
+# ---------------------------------------------------------------------------
+# B60 Bloom membership screen, RELATIONAL form (Bloom 1970; the Chang
+# et al. 2006 Bigtable usage): "have we seen this key before" is THE
+# primitive under streaming dedup, incremental ingest, and join
+# pre-filtering at 100 TB.  The textbook implementation is a bit array
+# in one process's memory; the DISTRIBUTED form used here stores the
+# filter as a (word_idx, bits) RELATION — built by one explode +
+# bit_or aggregate (map-side combinable, linear), probed by computing
+# each probe key's k (word_idx, mask) pairs and hash-joining the
+# filter relation on word_idx.  A gigabyte-scale bloom stays a
+# perfectly ordinary co-partitioned join this way — no driver-side
+# bitset, no UDF, and (because positions derive from the corpus md5
+# discipline) the whole filter is deterministic and oracle-replicable
+# bit-for-bit.
+#
+# The registered query makes the sketch's CONTRACT the output (B31/B51
+# evaluation-as-data discipline): users seen in even events form the
+# filter, odd events probe it, and the exact seen-set rides alongside —
+# so n_false_neg (structurally zero: all k bits of a seen key are set)
+# and the realized false-positive rate are hash-checked columns, not
+# assumptions.  32-bit words keep every mask positive in both engines
+# (1<<63 sign traps avoided by construction).
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 16384  # m
+_BLOOM_WORD = 32  # bits per word -> word_idx = pos // 32
+_BLOOM_K = 4  # hash functions
+
+
+def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_probes, n_member, n_true_seen, n_false_pos,
+    n_false_neg, fp_rate): odd events probed against the bloom of
+    users seen in even events, with the exact answer alongside."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    seen = (
+        ev.where(F.col("event_id") % 2 == 0).select("user_id").distinct()
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        legs = []
+        for j in range(_BLOOM_K):
+            pos = _hash_bucket(F.col("user_id"), f"bloom{j}:", _BLOOM_BITS)
+            legs.append(
+                df.withColumn("__pos", pos)
+                .withColumn(
+                    "word_idx", F.expr(f"CAST(__pos div {_BLOOM_WORD} AS BIGINT)")
+                )
+                .withColumn(
+                    "mask",
+                    F.expr(f"shiftleft(1L, CAST(__pos % {_BLOOM_WORD} AS INT))"),
+                )
+                .drop("__pos")
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+    bloom = (
+        positions(seen)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probes = ev.where(F.col("event_id") % 2 == 1)
+    hit = (
+        positions(probes.select("event_id", "user_id", "event_type"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy("event_id", "user_id", "event_type")
+        .agg(F.min("hit").alias("member"))
+    )
+    truth = seen.withColumn("truly_seen", F.lit(True))
+    joined = hit.join(truth, "user_id", "left").withColumn(
+        "truly_seen", F.coalesce(F.col("truly_seen"), F.lit(False))
+    )
+    n_probes = F.count(F.lit(1))
+    n_true = F.sum(F.col("truly_seen").cast("long"))
+    n_fp = F.sum((F.col("member") & ~F.col("truly_seen")).cast("long"))
+    return joined.groupBy("event_type").agg(
+        n_probes.cast("long").alias("n_probes"),
+        F.sum(F.col("member").cast("long")).cast("long").alias("n_member"),
+        n_true.cast("long").alias("n_true_seen"),
+        n_fp.cast("long").alias("n_false_pos"),
+        F.sum((~F.col("member") & F.col("truly_seen")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+        (
+            n_fp.cast("double")
+            / F.nullif(n_probes - n_true, F.lit(0)).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+QUERIES["bloom_seen_filter"] = bloom_seen_filter
+
+
+def _bloom_oracle_sql() -> str:
+    # hash positions land as plain columns FIRST (a lambda inside a
+    # lateral UNNEST breaks DuckDB's binder), then the struct list
+    # references only those columns
+    pos_cols = ", ".join(
+        f"({_hash_bucket_sql('user_id', f'bloom{j}:', _BLOOM_BITS)}) AS p{j}"
+        for j in range(_BLOOM_K)
+    )
+    pos_structs = ", ".join(
+        f"{{'word_idx': p{j} // {_BLOOM_WORD},"
+        f" 'mask': (1::BIGINT << CAST(p{j} % {_BLOOM_WORD} AS INTEGER))}}"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH seen AS (
+      SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0
+    ),
+    seen_hash AS (SELECT user_id, {pos_cols} FROM seen),
+    seen_pos AS (
+      SELECT u.wm.word_idx AS word_idx, u.wm.mask AS mask
+      FROM seen_hash, UNNEST([{pos_structs}]) AS u(wm)
+    ),
+    bloom AS (
+      SELECT word_idx, bit_or(mask) AS bits FROM seen_pos GROUP BY word_idx
+    ),
+    probes AS (
+      SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1
+    ),
+    probe_hash AS (
+      SELECT event_id, user_id, event_type, {pos_cols} FROM probes
+    ),
+    probe_pos AS (
+      SELECT p.event_id, p.user_id, p.event_type,
+             u.wm.word_idx AS word_idx, u.wm.mask AS mask
+      FROM probe_hash p, UNNEST([{pos_structs}]) AS u(wm)
+    ),
+    hits AS (
+      SELECT pp.event_id, pp.user_id, pp.event_type,
+             bool_and((COALESCE(b.bits, 0) & pp.mask) = pp.mask) AS member
+      FROM probe_pos pp LEFT JOIN bloom b ON pp.word_idx = b.word_idx
+      GROUP BY pp.event_id, pp.user_id, pp.event_type
+    ),
+    flagged AS (
+      SELECT h.event_type, h.member,
+             (s.user_id IS NOT NULL) AS truly_seen
+      FROM hits h LEFT JOIN seen s ON h.user_id = s.user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(SUM(CASE WHEN truly_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_true_seen,
+           CAST(SUM(CASE WHEN member AND NOT truly_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT member AND truly_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           CAST(SUM(CASE WHEN member AND NOT truly_seen THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(COUNT(*) - SUM(CASE WHEN truly_seen THEN 1 ELSE 0 END), 0) AS fp_rate
+    FROM flagged
+    GROUP BY event_type
+"""
+
+
+ORACLES["bloom_seen_filter"] = _bloom_oracle_sql()

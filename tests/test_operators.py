@@ -978,3 +978,37 @@ def test_robust_anomalies_resist_outlier_masking(spark, tmp_path):
     plain_z = (vals[9] - mu) / sd
     assert plain_z < 3.1  # mean/stddev nearly mask the spike...
     assert spike["robust_z"] > 1000  # ...median/MAD do not
+
+
+def test_bloom_filter_contract(spark, sf_dir):
+    """B60 contract on real data: a bloom NEVER produces a false
+    negative (every truly-seen probe is a member), and at the sized
+    m/k the realized false-positive rate stays within an order of the
+    theoretical bound (sanity, not exactness — fp is the traded
+    quantity)."""
+    import math
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        bloom_seen_filter,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    rows = bloom_seen_filter(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_false_neg"] == 0 for r in rows)
+    n_probes = sum(r["n_probes"] for r in rows)
+    n_fp = sum(r["n_false_pos"] for r in rows)
+    n_true = sum(r["n_true_seen"] for r in rows)
+    assert n_true > 0, "test data should have users on both sides"
+    n_seen = (
+        load_table(spark, sf_dir, "events")
+        .where("event_id % 2 = 0")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    theory = (1 - math.exp(-_BLOOM_K * n_seen / _BLOOM_BITS)) ** _BLOOM_K
+    realized = n_fp / max(1, n_probes - n_true)
+    assert realized <= max(10 * theory, 0.02), (realized, theory)
