@@ -1679,6 +1679,41 @@ _BLOOM_WORD = 32  # bits per word -> word_idx = pos // 32
 _BLOOM_K = 4  # hash functions
 
 
+def bloom_positions(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Explode each row into its _BLOOM_K (word_idx, mask) pairs.
+    MODULE-LEVEL so the streaming maintenance sink (C22) imports the
+    identical expressions — stream and batch cannot drift (the C13
+    shared-constants lesson)."""
+    legs = []
+    for j in range(_BLOOM_K):
+        pos = _hash_bucket(F.col(key), f"bloom{j}:", _BLOOM_BITS)
+        legs.append(
+            df.withColumn("__pos", pos)
+            .withColumn(
+                "word_idx", F.expr(f"CAST(__pos div {_BLOOM_WORD} AS BIGINT)")
+            )
+            .withColumn(
+                "mask",
+                F.expr(f"shiftleft(1L, CAST(__pos % {_BLOOM_WORD} AS INT))"),
+            )
+            .drop("__pos")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def bloom_bits_of(keys: DataFrame, key: str = "user_id") -> DataFrame:
+    """(word_idx, bits): the bloom relation of a key set — one explode
+    + one map-combinable bit_or aggregate."""
+    return (
+        bloom_positions(keys, key)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
 def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_probes, n_member, n_true_seen, n_false_pos,
     n_false_neg, fp_rate): odd events probed against the bloom of
@@ -1689,36 +1724,11 @@ def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = (
         ev.where(F.col("event_id") % 2 == 0).select("user_id").distinct()
     )
-
-    def positions(df: DataFrame) -> DataFrame:
-        legs = []
-        for j in range(_BLOOM_K):
-            pos = _hash_bucket(F.col("user_id"), f"bloom{j}:", _BLOOM_BITS)
-            legs.append(
-                df.withColumn("__pos", pos)
-                .withColumn(
-                    "word_idx", F.expr(f"CAST(__pos div {_BLOOM_WORD} AS BIGINT)")
-                )
-                .withColumn(
-                    "mask",
-                    F.expr(f"shiftleft(1L, CAST(__pos % {_BLOOM_WORD} AS INT))"),
-                )
-                .drop("__pos")
-            )
-        out = legs[0]
-        for leg in legs[1:]:
-            out = out.unionByName(leg)
-        return out
-
-    bloom = (
-        positions(seen)
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
+    bloom = bloom_bits_of(seen)
 
     probes = ev.where(F.col("event_id") % 2 == 1)
     hit = (
-        positions(probes.select("event_id", "user_id", "event_type"))
+        bloom_positions(probes.select("event_id", "user_id", "event_type"))
         .join(F.broadcast(bloom), "word_idx", "left")
         .withColumn(
             "hit",

@@ -1233,3 +1233,55 @@ def scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C22 incremental Bloom maintenance (the streaming side of B60)
+# ---------------------------------------------------------------------------
+def foreach_batch_bloom_merge(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining the standing (word_idx, bits)
+    bloom relation: each batch's key set folds in via bit_or.
+
+    Replay-idempotence here needs NO dedup bookkeeping at all — OR is
+    idempotent and commutative, so a crash-replayed micro-batch (or a
+    whole checkpoint wipe) merges to the exact same bits; the pytest
+    proves both, plus bit-for-bit equality with the one-shot batch
+    bloom (shared `bloom_positions` expressions — no stream/batch
+    drift possible).  State is the fixed-size word relation
+    (m / word_size rows), read and rewritten wholesale per batch:
+    O(m) per batch regardless of history, the sketch's whole point."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        bloom_bits_of,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "bloom")
+        batch_bits = bloom_bits_of(
+            batch_df.select("user_id").distinct()
+        )
+        current = batch_bits
+        if os.path.exists(snapshot):
+            existing = spark.read.parquet(snapshot)
+            current = (
+                existing.unionByName(batch_bits)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        merged = current.localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(snapshot)
+
+    return sink
+
+
+def bloom_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C22 driver: event stream -> incrementally maintained bloom."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_bloom_merge(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

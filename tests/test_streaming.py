@@ -1150,3 +1150,55 @@ def test_metrics_listener_observes_watermark_lateness(spark, sf_dir, tmp_path):
         assert admitted < second["num_input_rows"] * 0.05, batches
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_bloom_stream_matches_batch_and_survives_replay(spark, sf_dir, tmp_path):
+    """C22 == B60's bloom over the ingested keys: the incrementally
+    maintained (word_idx, bits) relation equals the one-shot batch
+    bloom bit-for-bit after multi-batch ingestion, and a checkpoint
+    wipe + full replay leaves it unchanged — OR's idempotence IS the
+    replay discipline, no dedup bookkeeping required."""
+    import os as _os
+    import shutil as _shutil
+
+    from near_indexer_for_explorer_spark.operators.corpus import bloom_bits_of
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import bloom_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "bloom_src")
+    _os.makedirs(src)
+    import glob as _glob
+    import time as _time
+
+    for i in range(2):
+        stage = tmp_path / f"bb{i}"
+        ev.where(F.col("event_id") % 2 == i).coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "bloom_out"), str(tmp_path / "bloom_ckpt")
+    _await(bloom_stream(spark, src, out, ckpt))
+
+    def snap():
+        return {
+            (r["word_idx"], r["bits"])
+            for r in spark.read.parquet(_os.path.join(out, "bloom")).collect()
+        }
+
+    want = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_bits_of(ev.select("user_id").distinct()).collect()
+    }
+    got = snap()
+    assert got == want
+
+    # checkpoint-wipe full replay: every batch re-merges; bits unchanged
+    _shutil.rmtree(ckpt)
+    _await(bloom_stream(spark, src, out, str(tmp_path / "bloom_ckpt2")))
+    assert snap() == want
