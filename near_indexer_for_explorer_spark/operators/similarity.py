@@ -2311,12 +2311,10 @@ def _opq_rotated(e: DataFrame) -> DataFrame:
     )
 
 
-def _opq_books(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+def _opq_books_from(rotated: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Index-BUILD leg: the two PQ codebook sets (original space,
-    rotated space) — 16 k-means trainings."""
-    rotated = _opq_rotated(_vectors(spark, sf_dir))
+    rotated space) — 16 k-means trainings over an already-rotated
+    (vec_id, emb, rot_emb) frame."""
     books_o = _pq_books_long_from(rotated.select("vec_id", "emb"))
     books_r = _pq_books_long_from(
         rotated.select("vec_id", F.col("rot_emb").alias("emb"))
@@ -2325,12 +2323,10 @@ def _opq_books(
 
 
 def _opq_quantize(
-    spark: SparkSession, sf_dir: str, books_o: DataFrame, books_r: DataFrame
+    rotated: DataFrame, books_o: DataFrame, books_r: DataFrame
 ) -> DataFrame:
-    """SERVING leg: rotate the corpus (map-side) and encode it under
-    the given codebooks, emitting isometry + both reconstruction
-    errors."""
-    rotated = _opq_rotated(_vectors(spark, sf_dir))
+    """SERVING leg: encode an already-rotated corpus under the given
+    codebooks, emitting isometry + both reconstruction errors."""
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
@@ -2353,13 +2349,14 @@ def _opq_quantize(
 def opq_rotate_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, norm_ratio, err_orig, err_rot): Householder-rotated PQ
     beside plain PQ, isometry and both reconstruction errors emitted.
-    Trains both codebook sets and encodes in one composed plan;
-    `opq_quantize_serve` is the same encoding against session-frozen
-    codebooks."""
-    books_o, books_r = _opq_books(spark, sf_dir)
+    Trains both codebook sets and encodes in one composed plan sharing
+    ONE checkpointed rotation of the corpus (training and encoding
+    legs must not each re-materialize it); `opq_quantize_serve` is the
+    same encoding against session-frozen codebooks."""
+    rotated = _opq_rotated(_vectors(spark, sf_dir))
+    books_o, books_r = _opq_books_from(rotated)
     return _opq_quantize(
-        spark,
-        sf_dir,
+        rotated,
         books_o.localCheckpoint(eager=False),
         books_r.localCheckpoint(eager=False),
     )
@@ -2373,9 +2370,12 @@ def opq_quantize_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks: rotation + two code assignments only after the first
     call.  Output (and oracle) identical to the composed twin."""
     books_o, books_r = _frozen(
-        "opq", spark, sf_dir, lambda: _opq_books(spark, sf_dir)
+        "opq",
+        spark,
+        sf_dir,
+        lambda: _opq_books_from(_opq_rotated(_vectors(spark, sf_dir))),
     )
-    return _opq_quantize(spark, sf_dir, books_o, books_r)
+    return _opq_quantize(_opq_rotated(_vectors(spark, sf_dir)), books_o, books_r)
 
 
 QUERIES["opq_quantize_serve"] = opq_quantize_serve

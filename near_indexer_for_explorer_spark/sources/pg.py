@@ -27,7 +27,6 @@ root; the test fixture uses `su nobody`).
 from __future__ import annotations
 
 import csv
-import io
 import shutil
 import subprocess
 
@@ -79,6 +78,28 @@ def _psql(socket_dir: str, sql: str, stdin: str | None = None) -> str:
 _COPY_CHUNK_BYTES = 64 * 1024 * 1024
 
 
+class _CountingBuf:
+    """Write target for csv.writer that tracks ENCODED (utf-8) size —
+    StringIO.tell() counts characters, which understates the real COPY
+    payload by up to 4x on non-ASCII data and would quietly weaken the
+    O(chunk) memory bound."""
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.nbytes = 0
+
+    def write(self, s: str) -> None:
+        self.parts.append(s)
+        self.nbytes += len(s.encode("utf-8"))
+
+    def value(self) -> str:
+        return "".join(self.parts)
+
+    def reset(self) -> None:
+        self.parts.clear()
+        self.nbytes = 0
+
+
 def _copy_partition(
     rows, socket_dir: str, staging: str, chunk_bytes: int = _COPY_CHUNK_BYTES
 ) -> None:
@@ -86,25 +107,24 @@ def _copy_partition(
     batches (csv).
 
     Runs inside foreachPartition on the executor: self-contained
-    closure, one psql subprocess per <=chunk_bytes slice, NULLs as
-    \\N."""
-    buf = io.StringIO()
+    closure, one psql subprocess per <=chunk_bytes slice (measured in
+    encoded bytes), NULLs as \\N."""
+    buf = _CountingBuf()
     writer = csv.writer(buf, lineterminator="\n")
 
     def flush() -> None:
-        if buf.tell() == 0:
+        if buf.nbytes == 0:
             return
         _psql(
             socket_dir,
             f"COPY {staging} FROM STDIN (FORMAT csv, NULL '\\N')",
-            stdin=buf.getvalue(),
+            stdin=buf.value(),
         )
-        buf.seek(0)
-        buf.truncate(0)
+        buf.reset()
 
     for row in rows:
         writer.writerow(["\\N" if v is None else v for v in row])
-        if buf.tell() >= chunk_bytes:
+        if buf.nbytes >= chunk_bytes:
             flush()
     flush()
 

@@ -176,27 +176,31 @@ def compact_parquet_zorder(
 
     df = spark.read.parquet(src_dir)
     a, b = zcols
-    mx = df.agg(
+    # ONE stats scan serves both the negative-key guard and the
+    # scaling: the collected extremes are inlined as literals, so the
+    # rewrite is exactly two jobs (stats scan + clustered write) — no
+    # second aggregation riding a crossJoin
+    stats = df.agg(
         F.max(F.col(a).cast("bigint")).alias("ma"),
         F.max(F.col(b).cast("bigint")).alias("mb"),
         F.min(F.col(a).cast("bigint")).alias("mina"),
         F.min(F.col(b).cast("bigint")).alias("minb"),
-    )
-    lo = mx.select("mina", "minb").first()
-    if (lo["mina"] is not None and lo["mina"] < 0) or (
-        lo["minb"] is not None and lo["minb"] < 0
+    ).first()
+    if (stats["mina"] is not None and stats["mina"] < 0) or (
+        stats["minb"] is not None and stats["minb"] < 0
     ):
         raise ValueError(
             f"compact_parquet_zorder requires non-negative integer keys; "
-            f"got min({a})={lo['mina']}, min({b})={lo['minb']}"
+            f"got min({a})={stats['mina']}, min({b})={stats['minb']}"
         )
+    ma = 0 if stats["ma"] is None else stats["ma"]
+    mb = 0 if stats["mb"] is None else stats["mb"]
     z = (
-        df.crossJoin(F.broadcast(mx.drop("mina", "minb")))
-        .withColumn(
-            "__bx", F.expr(f"(CAST({a} AS BIGINT) * 65536) div (ma + 1)")
+        df.withColumn(
+            "__bx", F.expr(f"(CAST({a} AS BIGINT) * 65536) div ({ma} + 1)")
         )
         .withColumn(
-            "__by", F.expr(f"(CAST({b} AS BIGINT) * 65536) div (mb + 1)")
+            "__by", F.expr(f"(CAST({b} AS BIGINT) * 65536) div ({mb} + 1)")
         )
         .withColumn("__z", F.expr(_interleave_spark("__bx", "__by")))
         .drop("ma", "mb", "__bx", "__by")

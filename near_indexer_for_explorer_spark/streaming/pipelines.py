@@ -1240,38 +1240,42 @@ def scd2_stream(
 # ---------------------------------------------------------------------------
 def foreach_batch_bloom_merge(out_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink maintaining the standing (word_idx, bits)
-    bloom relation: each batch's key set folds in via bit_or.
+    bloom relation as APPEND-ONLY per-batch deltas, merged on read.
 
     Replay-idempotence here needs NO dedup bookkeeping at all — OR is
-    idempotent and commutative, so a crash-replayed micro-batch (or a
-    whole checkpoint wipe) merges to the exact same bits; the pytest
-    proves both, plus bit-for-bit equality with the one-shot batch
-    bloom (shared `bloom_positions` expressions — no stream/batch
-    drift possible).  State is the fixed-size word relation
-    (m / word_size rows), read and rewritten wholesale per batch:
-    O(m) per batch regardless of history, the sketch's whole point."""
+    idempotent and commutative, so a crash-replayed micro-batch simply
+    appends a duplicate delta and the merged bits are unchanged; the
+    pytest proves that plus bit-for-bit equality with the one-shot
+    batch bloom (shared `bloom_positions` expressions — no
+    stream/batch drift possible).  Blind appends also close the
+    crash window a read-then-overwrite design would have (losing the
+    only state copy mid-rewrite would manufacture false negatives —
+    the one failure mode a bloom must never have); `bloom_bits_read`
+    performs the O(deltas) bit_or fold, and folding old deltas into
+    one is an ordinary compaction concern (sources/sinks.py), not a
+    correctness one."""
     from near_indexer_for_explorer_spark.operators.corpus import (
         bloom_bits_of,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         snapshot = os.path.join(out_dir, "bloom")
         batch_bits = bloom_bits_of(
             batch_df.select("user_id").distinct()
         )
-        current = batch_bits
-        if os.path.exists(snapshot):
-            existing = spark.read.parquet(snapshot)
-            current = (
-                existing.unionByName(batch_bits)
-                .groupBy("word_idx")
-                .agg(F.bit_or("bits").alias("bits"))
-            )
-        merged = current.localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(snapshot)
+        batch_bits.coalesce(1).write.mode("append").parquet(snapshot)
 
     return sink
+
+
+def bloom_bits_read(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(word_idx, bits): the maintained filter — bit_or fold of every
+    appended delta (duplicates from replays OR away)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "bloom"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
 
 
 def bloom_stream(

@@ -1163,7 +1163,10 @@ def test_bloom_stream_matches_batch_and_survives_replay(spark, sf_dir, tmp_path)
 
     from near_indexer_for_explorer_spark.operators.corpus import bloom_bits_of
     from near_indexer_for_explorer_spark.sources.tables import load_table
-    from near_indexer_for_explorer_spark.streaming.pipelines import bloom_stream
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        bloom_bits_read,
+        bloom_stream,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -1188,7 +1191,7 @@ def test_bloom_stream_matches_batch_and_survives_replay(spark, sf_dir, tmp_path)
     def snap():
         return {
             (r["word_idx"], r["bits"])
-            for r in spark.read.parquet(_os.path.join(out, "bloom")).collect()
+            for r in bloom_bits_read(spark, out).collect()
         }
 
     want = {
