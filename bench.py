@@ -134,17 +134,51 @@ def main() -> None:
         print(f"# {name}: best-of-{N_RUNS} {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
+    # workflow read this).  NOT the driver's line — see below.
+    print(json.dumps(payload))
+
+    # The driver's capture keeps only the LAST ~2000 chars of merged
+    # output and parses the final complete JSON line it finds; r6's
+    # 66-query 4dp line overran that window and recorded parsed=null.
+    # Emit a LAST line that is guaranteed to fit: drop precision first,
+    # then (only if the roster outgrows even 2dp) fold the FASTEST
+    # queries into one subtotal — the slow rows are the regression
+    # signal worth per-query resolution.
+    _FIT = 1900
+
+    def _compact(q: dict[str, float], nd: int) -> str:
+        body = dict(payload)
+        body["queries"] = {k: round(v, nd) for k, v in q.items()}
+        return json.dumps(body, separators=(",", ":"))
+
+    line = None
+    for nd in (3, 2):
+        cand = _compact(timings, nd)
+        if len(cand) <= _FIT:
+            line = cand
+            break
+    if line is None:
+        q = dict(timings)
+        folded_n, folded_sum = 0, 0.0
+        for name in sorted(timings, key=timings.get):
+            if len(_compact(q, 2)) <= _FIT - 60:
+                break
+            folded_sum += q.pop(name)
+            folded_n += 1
+        body = dict(payload)
+        body["queries"] = {k: round(v, 2) for k, v in q.items()}
+        body["n_folded_fast"] = folded_n
+        body["folded_fast_subtotal"] = round(folded_sum, 2)
+        line = json.dumps(body, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

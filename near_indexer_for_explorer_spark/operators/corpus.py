@@ -1633,8 +1633,9 @@ ORACLES["bigram_backoff_xent"] = f"""
                WHEN p.prev IS NULL
                  THEN ln(CAST(COALESCE(tcur.c, 0) + 1 AS DOUBLE)
                          / (tot.n_train + tot.v_train))
-               ELSE ln({_BACKOFF_ALPHA} * CAST(COALESCE(tcur.c, 0) + 1 AS DOUBLE)
-                       / (tot.n_train + tot.v_train))
+               ELSE ln({_BACKOFF_ALPHA}
+                       * (CAST(COALESCE(tcur.c, 0) + 1 AS DOUBLE)
+                          / (tot.n_train + tot.v_train)))
              END, 6) AS lp
       FROM pairs p
       LEFT JOIN bc b ON p.prev = b.prev AND p.cur = b.cur

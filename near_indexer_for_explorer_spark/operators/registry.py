@@ -24,6 +24,11 @@ from near_indexer_for_explorer_spark.streaming import replay as _replay
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Names whose query fn EXECUTES a full streaming pipeline at
+# DataFrame-construction time (see streaming/replay.py's eager
+# contract).  Plan-census consumers skip these structurally.
+REPLAY_QUERIES: frozenset[str] = _replay.REPLAY_QUERIES
+
 for _mod in (_dedup, _similarity, _textops, _decode, _asof, _assets, _corpus, _bpe, _layout, _replay):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

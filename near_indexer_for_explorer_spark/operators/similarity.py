@@ -1866,7 +1866,20 @@ _FROZEN_INDEX: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
 def _frozen(
     name: str, spark: SparkSession, sf_dir: str, build
 ) -> tuple[DataFrame, ...]:
-    key = (name, sf_dir, spark.sparkContext.applicationId)
+    """Session-scoped memo of eagerly localCheckpoint'd trained artifacts.
+
+    Entries are keyed by (name, sf_dir, applicationId); on every call,
+    entries belonging to a DEAD application (appId != the active
+    session's) are evicted so a long-lived process that restarts its
+    SparkSession doesn't pin dead checkpoint blocks forever.  Contract:
+    the data under ``sf_dir`` is immutable within a session — a rewrite
+    mid-session would serve results from the stale frozen index (same
+    assumption every *_serve twin documents).
+    """
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _FROZEN_INDEX if k[2] != app_id]:
+        del _FROZEN_INDEX[k]
+    key = (name, sf_dir, app_id)
     if key not in _FROZEN_INDEX:
         _FROZEN_INDEX[key] = tuple(
             df.localCheckpoint(eager=True) for df in build()

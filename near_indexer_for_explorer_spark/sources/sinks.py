@@ -195,6 +195,16 @@ def compact_parquet_zorder(
         )
     ma = 0 if stats["ma"] is None else stats["ma"]
     mb = 0 if stats["mb"] is None else stats["mb"]
+    # mirror the negative-key guard for the other silent-garbage edge:
+    # a BIGINT key above (2^63-1)/65536 would overflow `key * 65536`
+    # under non-ANSI Spark (wraps, no error) and destroy the clustering
+    _Z_MAX = (2**63 - 1) // 65536
+    if ma > _Z_MAX or mb > _Z_MAX:
+        raise ValueError(
+            f"compact_parquet_zorder keys must be <= {_Z_MAX} "
+            f"(BIGINT overflow in the 16-bit grid scaling); "
+            f"got max({a})={ma}, max({b})={mb}"
+        )
     z = (
         df.withColumn(
             "__bx", F.expr(f"(CAST({a} AS BIGINT) * 65536) div ({ma} + 1)")

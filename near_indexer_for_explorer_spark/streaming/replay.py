@@ -43,6 +43,19 @@ from near_indexer_for_explorer_spark.sources.tables import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# EAGER-EXECUTION CONTRACT: unlike every other registry entry, the
+# queries in this module run their ENTIRE streaming pipeline (temp-dir
+# materialization, foreachBatch sink, up-to-300s awaitTermination) at
+# DataFrame-CONSTRUCTION time — the returned frame is a localCheckpoint
+# of the finished sink state, not a lazy plan.  Consumers that merely
+# enumerate or EXPLAIN plans (plan census, tooling) should skip names
+# in REPLAY_QUERIES instead of allowlisting them one by one; the
+# registry re-exports this set (operators/registry.py) and the plan
+# sweep consumes it (tests/test_plans.py).
+REPLAY_QUERIES: frozenset[str] = frozenset(
+    {"scd2_stream_replay", "cohort_stream_replay"}
+)
+
 _N_BATCHES = 3
 
 
