@@ -1186,15 +1186,13 @@ def dedup_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id_1, doc_id_2, n_matches, longest_align_tokens,
     cov1_tokens, cov2_tokens) per MinHash/LSH candidate pair."""
     from near_indexer_for_explorer_spark.operators.dedup import (
-        _distinct_shingles,
-        lsh_candidate_pairs,
-        minhash_signatures,
+        frozen_lsh_candidates,
     )
 
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    cand = lsh_candidate_pairs(
-        minhash_signatures(_distinct_shingles(spark, sf_dir))
-    ).localCheckpoint(eager=False)
+    # session-frozen shared leg (dedup.py frozen_minhash_index) —
+    # already an eager checkpoint, so no extra lazy checkpoint needed
+    cand = frozen_lsh_candidates(spark, sf_dir)
     grams = docs.select(
         "doc_id", F.posexplode(word_shingles(F.col("t"), 8)).alias("pos", "g")
     ).localCheckpoint(eager=False)  # feeds BOTH sides of the match join

@@ -1860,31 +1860,15 @@ QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
 # training), so each serve query reuses its twin's FULL oracle — the
 # driver can hash-verify serving against the same ground truth.
 # ---------------------------------------------------------------------------
-_FROZEN_INDEX: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
-
-
-def _frozen(
-    name: str, spark: SparkSession, sf_dir: str, build
-) -> tuple[DataFrame, ...]:
-    """Session-scoped memo of eagerly localCheckpoint'd trained artifacts.
-
-    Entries are keyed by (name, sf_dir, applicationId); on every call,
-    entries belonging to a DEAD application (appId != the active
-    session's) are evicted so a long-lived process that restarts its
-    SparkSession doesn't pin dead checkpoint blocks forever.  Contract:
-    the data under ``sf_dir`` is immutable within a session — a rewrite
-    mid-session would serve results from the stale frozen index (same
-    assumption every *_serve twin documents).
-    """
-    app_id = spark.sparkContext.applicationId
-    for k in [k for k in _FROZEN_INDEX if k[2] != app_id]:
-        del _FROZEN_INDEX[k]
-    key = (name, sf_dir, app_id)
-    if key not in _FROZEN_INDEX:
-        _FROZEN_INDEX[key] = tuple(
-            df.localCheckpoint(eager=True) for df in build()
-        )
-    return _FROZEN_INDEX[key]
+# The memo machinery lives in operators/frozen.py (shared with the
+# dedup-verify family's frozen LSH candidate leg); see that module for
+# the eviction + sf_dir-immutability contract.
+from near_indexer_for_explorer_spark.operators.frozen import (  # noqa: E402
+    _FROZEN as _FROZEN_INDEX,
+)
+from near_indexer_for_explorer_spark.operators.frozen import (  # noqa: E402
+    frozen as _frozen,
+)
 
 
 def ivfpq_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1012,3 +1012,31 @@ def test_bloom_filter_contract(spark, sf_dir):
     theory = (1 - math.exp(-_BLOOM_K * n_seen / _BLOOM_BITS)) ** _BLOOM_K
     realized = n_fp / max(1, n_probes - n_true)
     assert realized <= max(10 * theory, 0.02), (realized, theory)
+
+
+def test_frozen_minhash_index_memoizes_per_session(spark, sf_dir):
+    """The dedup-verify family's shared LSH candidate leg is built once
+    per (sf_dir, session) and reused as an eager checkpoint: repeated
+    calls return the SAME DataFrame objects (no retraining), and the
+    frozen candidate relation equals a fresh recomputation row-for-row
+    (deterministic md5-based permutations — the property that lets the
+    composed queries keep their oracles verbatim)."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _distinct_shingles,
+        frozen_lsh_candidates,
+        frozen_minhash_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig1, cand1 = frozen_minhash_index(spark, sf_dir)
+    sig2, cand2 = frozen_minhash_index(spark, sf_dir)
+    assert sig1 is sig2 and cand1 is cand2
+    assert frozen_lsh_candidates(spark, sf_dir) is cand1
+
+    fresh = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    )
+    frozen_rows = sorted(map(tuple, cand1.collect()))
+    fresh_rows = sorted(map(tuple, fresh.collect()))
+    assert frozen_rows == fresh_rows
