@@ -1673,19 +1673,53 @@ ORACLES["bigram_backoff_xent"] = f"""
 # assumptions.  32-bit words keep every mask positive in both engines
 # (1<<63 sign traps avoided by construction).
 # ---------------------------------------------------------------------------
-_BLOOM_BITS = 16384  # m
+_BLOOM_BITS = 16384  # m (the registered query's fixed, oracle-replicated size)
 _BLOOM_WORD = 32  # bits per word -> word_idx = pos // 32
 _BLOOM_K = 4  # hash functions
+# Broadcast the (word_idx, bits) relation only while it is genuinely
+# dim-sized: 2^22 filter bits = 2^17 word rows (~2 MB hashed) — past
+# that the probe stays a plain shuffle equi-join on word_idx, which is
+# the whole point of the relational form (a 100 TB corpus needs
+# ~10 bits/key, i.e. a GB-scale filter no executor should hold whole).
+_BLOOM_BROADCAST_MAX_BITS = 1 << 22
 
 
-def bloom_positions(df: DataFrame, key: str = "user_id") -> DataFrame:
+def bloom_m_for_keys(n_keys: int, bits_per_key: int = 10) -> int:
+    """Size the filter from the key count at a constant bits/key ratio
+    (10 bits/key ~= 1% fp at k=4..7), rounded up to a power of two so
+    the modulo keeps its uniformity; floored at the registered query's
+    fixed m."""
+    m = _BLOOM_BITS
+    while m < n_keys * bits_per_key:
+        m *= 2
+    return m
+
+
+def build_sized_bloom(
+    keys: DataFrame, key: str = "user_id", bits_per_key: int = 10
+) -> tuple[DataFrame, int]:
+    """(bloom_relation, m_bits): the production build path — count the
+    distinct keys (one scalar action, the same bounded stats-scan
+    pattern as the z-order compactor), size m from it, and build the
+    (word_idx, bits) relation at that size.  The registered B60 query
+    keeps the FIXED _BLOOM_BITS so its DuckDB oracle replicates
+    positions bit-for-bit; this sized variant is the one a pipeline
+    should call."""
+    n_keys = keys.select(key).distinct().count()
+    m_bits = bloom_m_for_keys(n_keys, bits_per_key)
+    return bloom_bits_of(keys, key, m_bits=m_bits), m_bits
+
+
+def bloom_positions(
+    df: DataFrame, key: str = "user_id", m_bits: int = _BLOOM_BITS
+) -> DataFrame:
     """Explode each row into its _BLOOM_K (word_idx, mask) pairs.
     MODULE-LEVEL so the streaming maintenance sink (C22) imports the
     identical expressions — stream and batch cannot drift (the C13
     shared-constants lesson)."""
     legs = []
     for j in range(_BLOOM_K):
-        pos = _hash_bucket(F.col(key), f"bloom{j}:", _BLOOM_BITS)
+        pos = _hash_bucket(F.col(key), f"bloom{j}:", m_bits)
         legs.append(
             df.withColumn("__pos", pos)
             .withColumn(
@@ -1703,13 +1737,47 @@ def bloom_positions(df: DataFrame, key: str = "user_id") -> DataFrame:
     return out
 
 
-def bloom_bits_of(keys: DataFrame, key: str = "user_id") -> DataFrame:
+def bloom_bits_of(
+    keys: DataFrame, key: str = "user_id", m_bits: int = _BLOOM_BITS
+) -> DataFrame:
     """(word_idx, bits): the bloom relation of a key set — one explode
     + one map-combinable bit_or aggregate."""
     return (
-        bloom_positions(keys, key)
+        bloom_positions(keys, key, m_bits=m_bits)
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe_members(
+    probes: DataFrame,
+    bloom: DataFrame,
+    id_cols: list[str],
+    key: str = "user_id",
+    m_bits: int = _BLOOM_BITS,
+) -> DataFrame:
+    """Per-probe-row membership verdict: id_cols + `member`.
+
+    The join strategy is gated on the filter SIZE: a dim-sized filter
+    (m_bits <= _BLOOM_BROADCAST_MAX_BITS) broadcasts; anything larger
+    plans as an ordinary co-partitioned shuffle equi-join on word_idx —
+    the hint must never force a GB-scale relation onto every executor
+    (tests/test_plans.py pins both plans)."""
+    blm = (
+        F.broadcast(bloom) if m_bits <= _BLOOM_BROADCAST_MAX_BITS else bloom
+    )
+    return (
+        bloom_positions(probes, key, m_bits=m_bits)
+        .join(blm, "word_idx", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ),
+        )
+        .groupBy(*id_cols)
+        .agg(F.min("hit").alias("member"))
     )
 
 
@@ -1726,15 +1794,10 @@ def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_bits_of(seen)
 
     probes = ev.where(F.col("event_id") % 2 == 1)
-    hit = (
-        bloom_positions(probes.select("event_id", "user_id", "event_type"))
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .withColumn(
-            "hit",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")),
-        )
-        .groupBy("event_id", "user_id", "event_type")
-        .agg(F.min("hit").alias("member"))
+    hit = bloom_probe_members(
+        probes.select("event_id", "user_id", "event_type"),
+        bloom,
+        ["event_id", "user_id", "event_type"],
     )
     truth = seen.withColumn("truly_seen", F.lit(True))
     joined = hit.join(truth, "user_id", "left").withColumn(

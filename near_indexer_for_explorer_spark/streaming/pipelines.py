@@ -1251,9 +1251,9 @@ def foreach_batch_bloom_merge(out_dir: str) -> Callable[[DataFrame, int], None]:
     crash window a read-then-overwrite design would have (losing the
     only state copy mid-rewrite would manufacture false negatives —
     the one failure mode a bloom must never have); `bloom_bits_read`
-    performs the O(deltas) bit_or fold, and folding old deltas into
-    one is an ordinary compaction concern (sources/sinks.py), not a
-    correctness one."""
+    performs the O(deltas) bit_or fold, and `compact_bloom_deltas`
+    bounds the fold by periodically merging entry-listed deltas into
+    one file (write-before-delete, replay-safe — see its docstring)."""
     from near_indexer_for_explorer_spark.operators.corpus import (
         bloom_bits_of,
     )
@@ -1276,6 +1276,61 @@ def bloom_bits_read(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def compact_bloom_deltas(
+    spark: SparkSession, out_dir: str, _fail_before_prune: bool = False
+) -> tuple[int, int]:
+    """Fold-and-replace compaction for the C22 delta dir: merge the
+    deltas present at entry into ONE new delta file, then prune only
+    those entry-listed files.  Returns (n_folded, n_files_after).
+
+    Crash safety comes from OR-idempotence plus write-before-delete
+    ordering — at every intermediate state the directory's fold is the
+    correct filter:
+
+    - crash before the merged file lands: directory unchanged;
+    - crash after it lands, before pruning: old deltas coexist with
+      their own merge — duplicates OR away (``_fail_before_prune``
+      simulates exactly this state for the test);
+    - crash mid-prune: a subset of merged-away files remain — same OR;
+    - a replayed/concurrent micro-batch appending mid-compaction is
+      never touched: the prune list was snapshotted at entry, so new
+      deltas always survive.
+
+    No rename-swap of the whole directory is needed (and none would be
+    atomic on object stores anyway); the merged file is just another
+    delta.  The one invariant a bloom must never break — no false
+    negatives — cannot be broken by any interleaving, because no bit
+    is ever dropped, only re-OR'd."""
+    import glob
+    import shutil
+    import uuid
+
+    snapshot = os.path.join(out_dir, "bloom")
+    old = sorted(glob.glob(os.path.join(snapshot, "*.parquet")))
+    if len(old) <= 1:
+        return 0, len(old)
+    merged = (
+        spark.read.parquet(*old)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    # stage the merged relation beside the delta dir, then move the one
+    # part file in — never overwrite-in-place the only state copy
+    stage = os.path.join(out_dir, f"bloom_compact_tmp_{uuid.uuid4().hex}")
+    try:
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(snapshot, f"compacted-{uuid.uuid4().hex}.parquet")
+        os.replace(part, dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if _fail_before_prune:
+        raise RuntimeError("injected crash between merge and prune")
+    for p in old:
+        os.remove(p)
+    return len(old), len(glob.glob(os.path.join(snapshot, "*.parquet")))
 
 
 def bloom_stream(

@@ -397,3 +397,85 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bloom_probe_join_strategy_gated_on_filter_size(spark, sf_dir):
+    """The bloom probe join must broadcast ONLY while the filter is
+    dim-sized: with autoBroadcastJoinThreshold disabled (so Spark's own
+    size estimate can't mask the hint), a small-m filter still plans as
+    a BroadcastHashJoin (the explicit hint), and a filter past
+    _BLOOM_BROADCAST_MAX_BITS plans as a shuffle equi-join — the hint
+    must never force a GB-scale relation onto every executor."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _BLOOM_BITS,
+        _BLOOM_BROADCAST_MAX_BITS,
+        bloom_bits_of,
+        bloom_probe_members,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    seen = ev.where("event_id % 2 = 0").select("user_id").distinct()
+    probes = ev.where("event_id % 2 = 1")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = bloom_probe_members(
+            probes,
+            bloom_bits_of(seen),
+            ["event_id", "user_id", "event_type"],
+            m_bits=_BLOOM_BITS,
+        )
+        plan_small = _formatted_plan(spark, small)
+        assert "BroadcastHashJoin" in plan_small
+
+        big_m = _BLOOM_BROADCAST_MAX_BITS * 2
+        large = bloom_probe_members(
+            probes,
+            bloom_bits_of(seen, m_bits=big_m),
+            ["event_id", "user_id", "event_type"],
+            m_bits=big_m,
+        )
+        plan_large = _formatted_plan(spark, large)
+        assert "BroadcastHashJoin" not in plan_large
+        assert (
+            "SortMergeJoin" in plan_large or "ShuffledHashJoin" in plan_large
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_sized_build_matches_ratio(spark, sf_dir):
+    """build_sized_bloom sizes m from the distinct-key count at a
+    constant bits/key (power-of-two, floored at the fixed m), and the
+    sized filter still has zero false negatives."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _BLOOM_BITS,
+        bloom_m_for_keys,
+        bloom_probe_members,
+        build_sized_bloom,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    assert bloom_m_for_keys(0) == _BLOOM_BITS
+    assert bloom_m_for_keys(100) == _BLOOM_BITS
+    assert bloom_m_for_keys(10_000) == 131072  # 10k*10 -> next pow2
+    m = bloom_m_for_keys(50_000_000)
+    assert m >= 500_000_000 and (m & (m - 1)) == 0
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    seen = ev.where("event_id % 2 = 0").select("user_id").distinct()
+    bloom, m_bits = build_sized_bloom(seen)
+    assert m_bits == bloom_m_for_keys(seen.count())
+    probes = ev.where("event_id % 2 = 1").select("user_id").distinct()
+    verdicts = bloom_probe_members(
+        probes, bloom, ["user_id"], m_bits=m_bits
+    )
+    truly = {r.user_id for r in seen.collect()}
+    rows = verdicts.collect()
+    assert all(r.member for r in rows if r.user_id in truly), (
+        "sized bloom produced a false negative"
+    )

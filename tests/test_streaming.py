@@ -1205,3 +1205,76 @@ def test_bloom_stream_matches_batch_and_survives_replay(spark, sf_dir, tmp_path)
     _shutil.rmtree(ckpt)
     _await(bloom_stream(spark, src, out, str(tmp_path / "bloom_ckpt2")))
     assert snap() == want
+
+
+def test_bloom_delta_compaction_identical_bits_and_crash_safe(
+    spark, sf_dir, tmp_path
+):
+    """C22 compaction contract: folding the delta dir leaves the probe
+    relation bit-for-bit identical and shrinks the file count to 1;
+    a crash BETWEEN merge and prune (merged file landed, old deltas
+    not yet removed) still folds to the same bits; and a
+    checkpoint-wipe replay landing in that half-compacted state
+    appends deltas the next compaction run preserves."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        bloom_bits_read,
+        bloom_stream,
+        compact_bloom_deltas,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for i in range(3):
+        stage = tmp_path / f"b{i}"
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _await(bloom_stream(spark, src, out, ckpt))
+    delta_glob = _os.path.join(out, "bloom", "*.parquet")
+
+    def snap():
+        return {
+            (r["word_idx"], r["bits"])
+            for r in bloom_bits_read(spark, out).collect()
+        }
+
+    want = snap()
+    assert len(_glob.glob(delta_glob)) == 3  # one delta per micro-batch
+
+    # crash between merge and prune: merged file + all old deltas coexist
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        compact_bloom_deltas(spark, out, _fail_before_prune=True)
+    assert len(_glob.glob(delta_glob)) == 4
+    assert snap() == want, "half-compacted state must fold identically"
+
+    # checkpoint-wipe replay lands IN the half-compacted state
+    _shutil.rmtree(ckpt)
+    _await(bloom_stream(spark, src, out, str(tmp_path / "ckpt2")))
+    assert len(_glob.glob(delta_glob)) == 7
+    assert snap() == want
+
+    # full compaction: folds everything present, prunes what it listed
+    folded, remaining = compact_bloom_deltas(spark, out)
+    assert (folded, remaining) == (7, 1)
+    assert snap() == want, "compaction changed the filter bits"
+
+    # idempotent no-op on a single-file dir
+    assert compact_bloom_deltas(spark, out) == (0, 1)
