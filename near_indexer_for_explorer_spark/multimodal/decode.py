@@ -31,27 +31,51 @@ DECODE_SCHEMA = (
 )
 
 
-def make_decode_kernel() -> Callable[[Iterator], Iterator]:
+def make_decode_kernel(backend: str = "stub") -> Callable[[Iterator], Iterator]:
     """Build the Arrow-batched decode kernel as a self-contained
     closure.  Per-batch (not per-row) Python overhead; at scale this
-    runs once per ~maxRecordsPerBatch rows."""
+    runs once per ~maxRecordsPerBatch rows.
+
+    ``backend``:
+      - ``"stub"``  — deterministic byte-math features.  The REGISTERED
+        query pins this unconditionally so its DuckDB oracle stays
+        valid no matter what libraries the environment ships.
+      - ``"pil"``   — real pixel decode via Pillow (width/height +
+        grayscale pixel mean in the same columns).  Raises at executor
+        time if Pillow is absent; exercised by an env-gated pytest
+        (the C15 live-PostgreSQL precedent).
+      - ``"auto"``  — ``"pil"`` when importable, else ``"stub"``
+        (the opportunistic production default).
+    """
+    if backend not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown decode backend {backend!r}")
 
     def decode_binary_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        try:  # real decoders, absent in this container by design
-            import PIL.Image  # noqa: F401
+        try:  # media decoders are optional in this container
+            import PIL.Image
 
-            have_media_libs = True
+            have_pil = True
         except ImportError:
-            have_media_libs = False
+            have_pil = False
 
         def decode_real(payload: bytes) -> dict:
-            # Real decode path (Pillow etc.).  Deliberately unreachable
-            # here — the container ships no media libraries.
-            raise NotImplementedError(
-                "media libraries not available in this environment"
-            )
+            # Real decode (Pillow): same output columns as the stub —
+            # header_u32 stays byte math, fake_mean_byte carries the
+            # grayscale pixel mean, so the schema/plumbing is identical
+            # and only the backend tag distinguishes provenance.
+            import io
+
+            head = payload[:4].ljust(4, b"\0")
+            img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+            px = list(img.getdata())
+            return {
+                "byte_len": len(payload),
+                "header_u32": int.from_bytes(head, "big"),
+                "fake_mean_byte": (sum(px) / len(px)) if px else 0.0,
+                "decode_backend": "pil",
+            }
 
         def decode_stub(payload: bytes) -> dict:
             # Deterministic fake 'decode': header word + mean of the
@@ -66,7 +90,12 @@ def make_decode_kernel() -> Callable[[Iterator], Iterator]:
                 "decode_backend": "stub",
             }
 
-        decode = decode_real if have_media_libs else decode_stub
+        if backend == "pil" and not have_pil:
+            raise ImportError(
+                "decode backend 'pil' requested but Pillow is not installed"
+            )
+        use_real = backend == "pil" or (backend == "auto" and have_pil)
+        decode = decode_real if use_real else decode_stub
         for pdf in batches:
             feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
@@ -93,7 +122,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("text/plain").alias("mime"),
         ).alias("meta"),
     )
-    return payloads.mapInPandas(make_decode_kernel(), schema=DECODE_SCHEMA)
+    # backend pinned to the stub so the byte-math oracle stays valid in
+    # every environment; real-decode coverage rides the env-gated test
+    return payloads.mapInPandas(
+        make_decode_kernel("stub"), schema=DECODE_SCHEMA
+    )
 
 
 QUERIES["multimodal_decode"] = multimodal_decode

@@ -2418,6 +2418,44 @@ def events_daily_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_daily_approx_distinct"] = events_daily_approx_distinct
 
 
+# Contract projection of A54 (the sketch VALUES are engine-specific —
+# DuckDB's HLL is a different algorithm — but the accuracy CONTRACT is
+# a deterministic fact of this dataset because Spark's HLL++ has no
+# randomness): emit the exact inputs plus the contract verdict; the
+# oracle recomputes the exact inputs and asserts the verdict column is
+# literally TRUE.  A hash match therefore certifies both that the
+# exact legs agree AND that every day's estimate sits within 3x the
+# configured rsd — the same bound tests/test_operators.py pins.
+@_register(
+    "approx_distinct_contract",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_3rsd
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_exact, hll_within_3rsd): A54's HLL++ sketch
+    projected onto its accuracy contract — hard-gated via the driver
+    oracle instead of pytest-only."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("event_date")
+    out = ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("n_approx"),
+    )
+    rel = (
+        F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+        / F.col("n_exact")
+    )
+    return out.select(
+        "event_date",
+        "n_exact",
+        (rel <= F.lit(3 * _HLL_RSD)).alias("hll_within_3rsd"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A55 binned interval join (big x big range join without the BNLJ trap)
 #
@@ -2790,6 +2828,12 @@ def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side partials, and FK checks broadcast the key side when it is
 # dimension-sized or shuffle on the key when not.
 # ---------------------------------------------------------------------------
+_EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
+_ORDER_STATUS_DOMAIN = ("O", "F", "P")
+_RETURNFLAG_DOMAIN = ("R", "A", "N")
+_LINESTATUS_DOMAIN = ("O", "F")
+
+
 @_register(
     "data_quality_report",
     """
@@ -2823,6 +2867,24 @@ def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'range_lineitem_qty_positive',
              (SELECT COUNT(*) FROM lineitem),
              (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+      UNION ALL
+      SELECT 'domain_events_event_type',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events WHERE event_type IS NULL
+              OR event_type NOT IN
+                 ('click','error','purchase','signup','view'))
+      UNION ALL
+      SELECT 'domain_orders_status',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O','F','P'))
+      UNION ALL
+      SELECT 'domain_lineitem_flags',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_returnflag IS NULL OR l_linestatus IS NULL
+              OR l_returnflag NOT IN ('R','A','N')
+              OR l_linestatus NOT IN ('O','F'))
     )
     SELECT constraint_name, CAST(n_checked AS BIGINT) AS n_checked,
            CAST(n_violations AS BIGINT) AS n_violations,
@@ -2832,7 +2894,13 @@ def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(constraint_name, n_checked, n_violations, ok): the reference's
-    PK/FK/NOT-NULL/range constraint surface evaluated lake-side."""
+    PK/FK/NOT-NULL/range constraint surface evaluated lake-side, plus
+    the CLOSED-VOCABULARY domains the reference enforces at the type
+    level as Postgres enums (database/src/models/enums.rs:25-66 —
+    ActionKind / ExecutionOutcomeStatus etc.): a lake engine has no
+    enum column type, so domain membership runs as the same
+    validation-pass shape (one linear scan per dimension, NULL counts
+    as a violation like an enum cast would fail)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -2881,6 +2949,32 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem,
             lineitem.where(F.col("l_quantity") <= 0),
         ),
+        report(
+            "domain_events_event_type",
+            events,
+            events.where(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*_EVENT_TYPE_DOMAIN)
+            ),
+        ),
+        report(
+            "domain_orders_status",
+            orders,
+            orders.where(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin(*_ORDER_STATUS_DOMAIN)
+            ),
+        ),
+        report(
+            "domain_lineitem_flags",
+            lineitem,
+            lineitem.where(
+                F.col("l_returnflag").isNull()
+                | F.col("l_linestatus").isNull()
+                | ~F.col("l_returnflag").isin(*_RETURNFLAG_DOMAIN)
+                | ~F.col("l_linestatus").isin(*_LINESTATUS_DOMAIN)
+            ),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2925,6 +3019,63 @@ def events_value_approx_percentiles(
 
 
 QUERIES["events_value_approx_percentiles"] = events_value_approx_percentiles
+
+
+# Contract projection of A61 (same discipline as approx_distinct_contract):
+# percentile_approx's guarantee is a RANK bound — the approx value's
+# true rank sits within max(1, n/accuracy)+1 positions of p*n (the +1
+# absorbs the exact side's interpolation).  The verdict is computed by
+# joining the 5-row per-type sketch output back to events and counting
+# values <= the approx value (one broadcast join, one extra aggregate);
+# the oracle recomputes n exactly and asserts all three verdicts TRUE.
+@_register(
+    "approx_percentiles_contract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentiles_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, n_values, p50_rank_ok, p90_rank_ok, p99_rank_ok):
+    A61's GK sketch projected onto its rank-error contract."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        *[
+            F.percentile_approx(
+                "value", F.lit(p), F.lit(_APPROX_PCT_ACC)
+            ).alias(f"a{tag}")
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ],
+    )
+    ranked = ev.join(F.broadcast(approx), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.first("n_values").alias("n_values"),
+        *[
+            F.sum((F.col("value") <= F.col(f"a{tag}")).cast("long")).alias(
+                f"r{tag}"
+            )
+            for tag in ("50", "90", "99")
+        ],
+    )
+    tol = F.greatest(
+        F.lit(1.0), F.col("n_values") / F.lit(_APPROX_PCT_ACC)
+    ) + F.lit(1.0)
+    return ranked.select(
+        "event_type",
+        "n_values",
+        *[
+            (
+                F.abs(F.col(f"r{tag}") - F.lit(p) * F.col("n_values")) <= tol
+            ).alias(f"p{tag}_rank_ok")
+            for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3516,6 +3667,60 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_heavy_hitters"] = events_heavy_hitters
+
+
+# Contract projection of A69: freqItems' guarantee is NO FALSE
+# NEGATIVES — every key whose exact share strictly exceeds the support
+# threshold must be in the candidate set.  The query emits exactly the
+# above-threshold keys (exact counts, integer-arithmetic threshold so
+# no float boundary: share > 0.05 <=> 20*c > n) with an in_sketch
+# membership verdict; the oracle recomputes the exact rows and asserts
+# TRUE.  A missed heavy hitter flips a row to FALSE and reddens the
+# hash gate.
+@_register(
+    "heavy_hitters_contract",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_total FROM events),
+    c AS (
+      SELECT event_type, COUNT(*) AS exact_count
+      FROM events GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(c.exact_count AS BIGINT) AS exact_count,
+           CAST(c.exact_count AS DOUBLE) / n.n_total AS share,
+           TRUE AS in_sketch
+    FROM c, n WHERE 20 * c.exact_count > n.n_total
+    """,
+)
+def heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, exact_count, share, in_sketch): A69's freqItems
+    sketch projected onto its no-false-negative contract."""
+    ev = load_table(spark, sf_dir, "events")
+    cand = (
+        ev.select("event_type")
+        .stat.freqItems(["event_type"], _HH_SUPPORT)
+        .select(
+            F.explode("event_type_freqItems").alias("event_type"),
+            F.lit(True).alias("in_cand"),
+        )
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .where(F.lit(20) * F.col("exact_count") > F.col("n_total"))
+        .join(F.broadcast(cand), "event_type", "left")
+        .select(
+            "event_type",
+            "exact_count",
+            (F.col("exact_count").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+            F.coalesce(F.col("in_cand"), F.lit(False)).alias("in_sketch"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,7 @@ _BNLJ_EXEMPT = {
     "opq_rotate_quantize",      # broadcast 128-row codebooks (both spaces)
     "customer_rfm_scores",      # broadcast as-of date + quantile-boundary scalars
     "events_heavy_hitters",     # broadcast corpus-total scalar
+    "heavy_hitters_contract",   # same scalar crossJoin, contract projection
     "cluster_silhouette",       # broadcast trained-centroid codebook
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
