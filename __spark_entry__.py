@@ -45,28 +45,118 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation policy (the r5 verdict's #1 ask): (1) queries new
-# this round lead — each needs its FIRST driver row; (2) the 26
-# oracle-gated queries whose last driver row is r3 (rotated out by the
-# 50-entry cut for two straight rounds — the verdict's explicit list);
-# (3) the remaining slots go to single-green r4 entries, oldest
-# verification first, so after r6 every oracle query has a driver row
-# within the r4-r6 window.  Everything driver-green in r5 defers (all
-# re-verified by the in-repo parity suite each round).
+# Round-7 rotation policy (the r6 verdict's #1 ask): (1) the TWO
+# oracle queries that have never had a driver row — the serve twins at
+# r6 positions 57-58 — lead the window; (2) queries new or CHANGED this
+# round (the three sketch-contract projections, the enum-extended
+# data_quality_report, and every query whose plan was rewired onto the
+# frozen LSH leg / stub-pinned kernel — identical values, but the
+# driver should re-prove that); (3) the 27 queries whose last driver
+# row is r4; (4) the remaining slots take the OLDEST r5-greens.  After
+# r7 every oracle query has a driver row within the r5-r7 window.
 _GATE_PRIORITY: list[str] = [
-    # --- new in round 6 (never driver-gated) ---
-    "bloom_seen_filter",
-    "events_value_robust_anomalies",
-    "bigram_backoff_xent",
-    "corpus_weighted_sample",
-    "corpus_chunk_windows",
-    "dedup_containment",
-    "dedup_edit_banded",
-    "dedup_longest_substring",
-    "scd2_stream_replay",
-    "cohort_stream_replay",
-    "ivfpq_ann_serve",
-    # --- last driver-green r3 (the r5 verdict's rotation list) ---
+    # --- never driver-gated (registry positions 57-58 every prior round) ---
+    "opq_quantize_serve",
+    "topic_terms_serve",
+    # --- new in round 7 (first driver rows) ---
+    "approx_distinct_contract",
+    "approx_percentiles_contract",
+    "heavy_hitters_contract",
+    "lsh_candidates_serve",
+    # --- output or plan changed in round 7 ---
+    "data_quality_report",        # +3 enum-domain constraint rows
+    "bigram_backoff_xent",        # oracle float-order parenthesization
+    "bloom_seen_filter",          # probe refactored through bloom_probe_members
+    "multimodal_decode",          # kernel backend pinned to "stub"
+    "dedup_edit_verify",          # ┐
+    "dedup_pair_alignment",       # │ rewired onto the frozen
+    "dedup_threshold_curve",      # │ LSH candidate leg
+    "dedup_edit_banded",          # │
+    "dedup_longest_substring",    # ┘
+    "minhash_jaccard_estimate",   # body split into _jaccard_estimate_core
+    "ivfpq_ann_serve",            # memo relocated to operators/frozen.py
+    # --- last driver-green r4 (three rounds stale) ---
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "q14_brand_revenue",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "events_sessionize",
+    "order_line_bundle",
+    "monthly_unlocked_supply",
+    "lockup_locked_supply",
+    "meta_tx_unroll",
+    "dedup_exact_docs",
+    "dedup_components",
+    "corpus_source_mix",
+    # --- oldest r5-greens fill the remaining slots ---
+    "events_interval_join",
+    "events_value_equidepth",
+    "orders_retention_cohorts",
+    "events_markov_transitions",
+    "events_debounce_1h",
+    "user_state_scd2",
+]
+
+# Deferred past the 50-entry cut (all stay covered by the in-repo
+# oracle-parity suite every round): remaining r5-greens lead (r8's
+# window head — they will be 3 rounds stale then), r6-greens next,
+# rows-only-by-design entries last so driver slots never go to a
+# query without a value-hash oracle.
+_GATE_DEFER: list[str] = [
+    "rp_project_embeddings",
+    "multimodal_feature_stats",
+    "dedup_common_spans",
+    "dedup_span_runs",
+    "bpe_train_merges",
+    "ann_recall_matrix",
+    "corpus_temperature_weights",
+    "corpus_keep_list",
+    "ivfpq_ann_topk",
+    "multimodal_frame_sample",
+    "multimodal_resize_cells",
+    "embedding_dedup_cosine",
+    "corpus_shard_pack",
+    "events_activity_streaks",
+    "events_time_weighted_value",
+    "nation_trade_pagerank",
+    "orders_zorder_layout",
+    "bpe_encode_corpus",
+    "source_overlap_matrix",
+    "topic_cluster_terms",
+    "opq_rotate_quantize",
+    "events_value_anomalies",
+    "customer_rfm_scores",
+    "lineitem_orderkey_gaps",
+    "lineitem_correlations",
+    "vocab_zipf_fit",
+    "cluster_silhouette",
+    "events_session_lift",
+    "customer_revenue_gini",
+    "events_ohlc_hourly",
+    "embedding_split_drift",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_lang_id",
     "orders_daily_rollup",
     "top_customers_per_nation",
     "order_index_in_day",
@@ -80,129 +170,44 @@ _GATE_PRIORITY: list[str] = [
     "events_cumulative_value",
     "order_priority_distribution",
     "customer_order_gaps",
-    "asof_purchase_attribution",
-    "user_lifecycle",
     "q13_order_count_distribution",
     "q22_idle_customers",
     "events_funnel",
+    "circulating_supply_daily",
     "q4_late_shipment_orders",
     "orders_status_rollup",
     "events_sliding_1h_value",
-    "events_typed_extract",
+    "receipt_descendants",
+    "events_value_percentiles",
+    "orders_cube",
+    "events_value_robust_anomalies",
+    "dedup_containment",
+    "semdedup_embeddings",
+    "embedding_quantize_int8",
+    "embedding_lang_centroids",
+    "ts_user_similarity_topk",
+    "pq_ann_topk",
     "text_token_count",
     "doc_fingerprint",
     "tfidf_top_terms",
     "text_scrub",
-    # --- single-green r4, never re-verified by the driver since ---
-    "semdedup_embeddings",
     "quality_filter_c4",
     "vocab_coverage",
-    "token_bigram_pmi",
-    "receipt_descendants",
-    "embedding_quantize_int8",
-    "events_value_percentiles",
-    "minhash_jaccard_estimate",
-    "embedding_lang_centroids",
-    "unigram_xent",
-    "ts_user_similarity_topk",
-    "orders_cube",
-    "pq_ann_topk",
+    "asof_purchase_attribution",
+    "user_lifecycle",
+    "events_typed_extract",
     "ft_affected_accounts",
+    "nft_token_owners",
     "decontaminate_overlap",
     "doc_repetition",
     "corpus_split_sample",
     "corpus_ngram_stats",
-    "nft_token_owners",
-    "circulating_supply_daily",
-]
-
-# Driver-green in round 5 (plus the by-design rows-only entries and
-# the r4 greens that don't fit the window this round) -> deferred past
-# the 50-entry cut; all stay covered by the in-repo oracle-parity
-# suite.  Remaining r4 single-greens lead so r7's spare slots pick
-# them up first.
-_GATE_DEFER: list[str] = [
-    # r4 single-greens that overflow the r6 window (r7 head)
-    "dedup_components",
-    "corpus_source_mix",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_volume",
-    "q14_brand_revenue",
-    "events_sessionize",
-    "order_line_bundle",
-    "q18_large_orders",
-    "monthly_unlocked_supply",
-    "lockup_locked_supply",
-    "q2_min_cost_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "meta_tx_unroll",
-    "dedup_exact_docs",
-    # driver-green r5 -> freshest rows on the board, defer them all
-    "multimodal_feature_stats",
-    "dedup_common_spans",
-    "dedup_span_runs",
-    "dedup_edit_verify",
-    "events_interval_join",
-    "multimodal_decode",
-    "events_value_equidepth",
-    "rp_project_embeddings",
-    "bpe_train_merges",
-    "orders_retention_cohorts",
-    "events_markov_transitions",
-    "ann_recall_matrix",
-    "corpus_temperature_weights",
-    "corpus_keep_list",
-    "events_debounce_1h",
-    "ivfpq_ann_topk",
-    "data_quality_report",
-    "multimodal_frame_sample",
-    "multimodal_resize_cells",
-    "embedding_dedup_cosine",
-    "corpus_shard_pack",
-    "events_activity_streaks",
-    "user_state_scd2",
-    "events_time_weighted_value",
-    "nation_trade_pagerank",
-    "orders_zorder_layout",
-    "bpe_encode_corpus",
-    "source_overlap_matrix",
-    "topic_cluster_terms",
-    "opq_rotate_quantize",
-    "events_value_anomalies",
-    "customer_rfm_scores",
-    "dedup_pair_alignment",
-    "lineitem_orderkey_gaps",
-    "lineitem_correlations",
-    "vocab_zipf_fit",
-    "cluster_silhouette",
-    "events_session_lift",
-    "dedup_threshold_curve",
-    "customer_revenue_gini",
-    "events_ohlc_hourly",
-    "embedding_split_drift",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",
-    "text_lang_id",
-    # rows-only entries: in-repo pytest covers them; keep the driver
-    # window's slots for oracle-gated queries
+    "token_bigram_pmi",
+    "unigram_xent",
+    "corpus_chunk_windows",
+    "corpus_weighted_sample",
+    "scd2_stream_replay",
+    "cohort_stream_replay",
     "multimodal_resize",
     "events_daily_approx_distinct",
     "events_value_approx_percentiles",

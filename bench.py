@@ -100,6 +100,12 @@ EXTRA = [
     "ivfpq_ann_serve",
     "opq_quantize_serve",
     "topic_terms_serve",
+    # round 7 additions: the frozen LSH candidate relation served
+    # directly, and the three sketch-contract projections
+    "lsh_candidates_serve",
+    "approx_distinct_contract",
+    "approx_percentiles_contract",
+    "heavy_hitters_contract",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -359,6 +359,17 @@ def frozen_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frozen_minhash_index(spark, sf_dir)[1]
 
 
+def lsh_candidates_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2): the session-frozen LSH candidate relation
+    itself, driver-gated — proves the artifact every verify query rides
+    is bit-identical to the declarative banding chain (the oracle is
+    the shared `cand` CTE verbatim)."""
+    return frozen_lsh_candidates(spark, sf_dir)
+
+
+QUERIES["lsh_candidates_serve"] = lsh_candidates_serve
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16x4) candidates, verified with exact Jaccard.
 
@@ -556,6 +567,11 @@ def _minhash_oracle_sql() -> str:
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
+
+ORACLES["lsh_candidates_serve"] = f"""
+    {_minhash_cand_ctes()}
+    SELECT d1 AS doc_id_1, d2 AS doc_id_2 FROM cand
+"""
 
 
 def _simhash_oracle_sql() -> str:

@@ -1,0 +1,143 @@
+"""10x scale canary for the dedup/ANN families (r6 verdict #6).
+
+The shipped testdata tops out at sf0.1 (5k docs / 2k vectors), so the
+"these legs scale linearly" claims in SURVEY.md section 6 were design
+arguments, not measurements.  This script synthesizes a ~10x corpus
+and measures the claim: run B2/B3/B11/B43 at sf0.1 and at 10x, record
+wall times, output rows, and the MinHash/LSH candidate-pair count, and
+print one JSON line with the ratios.  Linear legs should show
+pairs/rows ratios ~= 10 and time ratios <= ~10 (32 cores are not
+saturated at sf0.1, so sublinear time is expected).
+
+Synthesis keeps the duplicate-rate REALISTIC instead of quadratic:
+replica r of a document suffixes every token with "_r", and replica r
+of an embedding circularly shifts the vector by 7*r positions — so
+replicas of the same row are NOT near-duplicates of each other, the
+vocabulary grows 10x with an identical df shape, and every replica
+family reproduces the original corpus's internal near-dup structure.
+Appending 10 verbatim copies instead would manufacture 45 extra dup
+pairs per doc and the canary would (wrongly) measure quadratic growth.
+
+Usage: python scale_canary.py  [prints one JSON line; ~3 min]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_CANARY_X", "10"))
+
+
+def synthesize(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    doc_off = 10 ** (len(str(docs.agg(F.max("doc_id")).first()[0])) + 1)
+    vec_off = 10 ** (len(str(emb.agg(F.max("vec_id")).first()[0])) + 1)
+
+    doc_parts = [docs]
+    emb_parts = [emb]
+    for r in range(1, REPLICAS):
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * doc_off)).alias("doc_id"),
+                F.expr(
+                    f"array_join(transform(split(text, '\\\\s+'),"
+                    f" t -> concat(t, '_{r}')), ' ')"
+                ).alias("text"),
+                "lang",
+                "source",
+                F.col("n_chars").alias("n_chars"),
+            )
+        )
+        shift = (7 * r) % 64
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * vec_off)).alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, 63),"
+                    f" i -> embedding[((i + {shift}) % 64) + 1])"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _distinct_shingles,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_dedup_cosine,
+        ivfpq_ann_topk,
+    )
+
+    out: dict = {}
+    t0 = time.perf_counter()
+    out["lsh_candidate_pairs"] = lsh_candidate_pairs(
+        minhash_signatures(_distinct_shingles(spark, sf_dir))
+    ).count()
+    out["lsh_candidate_sec"] = round(time.perf_counter() - t0, 2)
+    for name, fn in (
+        ("dedup_ngram_jaccard", dedup_ngram_jaccard),
+        ("dedup_minhash_lsh", dedup_minhash_lsh),
+        ("embedding_dedup_cosine", embedding_dedup_cosine),
+        ("ivfpq_ann_topk", ivfpq_ann_topk),
+    ):
+        t0 = time.perf_counter()
+        out[f"{name}_rows"] = fn(spark, sf_dir).count()
+        out[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    from near_indexer_for_explorer_spark.session import get_spark
+
+    spark = get_spark(app_name="nifes-scale-canary")
+    base = measure(spark, SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="nifes_canary_")
+    try:
+        synthesize(spark, tmp)
+        big = measure(spark, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ratios = {
+        k: (round(big[k] / base[k], 2) if base[k] else None)
+        for k in base
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_canary",
+                "replicas": REPLICAS,
+                "sf01": base,
+                "x10": big,
+                "ratio": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
