@@ -64,8 +64,9 @@ def synthesize(spark, out_dir: str) -> None:
             emb.select(
                 (F.col("vec_id") + F.lit(r * vec_off)).alias("vec_id"),
                 F.expr(
+                    # bracket indexing is 0-based (element_at is 1-based)
                     f"transform(sequence(0, 63),"
-                    f" i -> embedding[((i + {shift}) % 64) + 1])"
+                    f" i -> embedding[(i + {shift}) % 64])"
                 ).alias("embedding"),
                 "label",
             )
@@ -115,6 +116,12 @@ def main() -> None:
     from near_indexer_for_explorer_spark.session import get_spark
 
     spark = get_spark(app_name="nifes-scale-canary")
+    # warm the JVM/codegen so the first measured row isn't startup cost
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _distinct_shingles,
+    )
+
+    _distinct_shingles(spark, SF_DIR).count()
     base = measure(spark, SF_DIR)
     tmp = tempfile.mkdtemp(prefix="nifes_canary_")
     try:
