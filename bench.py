@@ -106,6 +106,11 @@ EXTRA = [
     "approx_distinct_contract",
     "approx_percentiles_contract",
     "heavy_hitters_contract",
+    # round 7 session-2 additions: DSIR importance weights, interpolated
+    # Kneser-Ney scoring, cumulative-distinct decomposition
+    "dsir_importance_weights",
+    "kneser_ney_bigram_xent",
+    "events_cumulative_distinct_users",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1885,3 +1885,290 @@ def _bloom_oracle_sql() -> str:
 
 
 ORACLES["bloom_seen_filter"] = _bloom_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B61 DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling").  The production
+# data-selection primitive: score every raw document by how much more
+# likely its hashed n-gram bag is under a TARGET distribution than
+# under the RAW distribution, log w(x) = sum_f c_f(x) * ln(p_f / q_f),
+# then resample raw data proportional to w.  The paper's own trick
+# makes this distributable at any corpus size: features are unigrams +
+# word-bigrams HASHED into a fixed bucket space, so both "LMs" are
+# fixed-size count vectors (one map-combined aggregate each) and the
+# per-bucket log-ratio table is a broadcastable dim no matter how big
+# the corpus grows.  Target here is the val split (the stand-in for a
+# curated target-domain sample), raw is the train split; both
+# estimates are add-one smoothed over the bucket space.
+#
+# Shape: one explode -> bucket agg (<= _DSIR_BUCKETS rows, broadcast
+# back) -> doc agg.  Two shuffles, both linear; zero UDFs.  Per-bucket
+# ln(ratio) is round-6 then decimal-summed per doc (B33 libm + order-
+# independence discipline); log_w is the exact decimal sum cast to
+# double, no final round.
+#
+# Reference analog: the indexer's arg/event text surface feeding
+# downstream relevance ranking; here the LLM-curation counterpart the
+# brief lists as first-class.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_feats, log_w): hashed unigram+bigram DSIR log
+    importance weight of every document (target = val split LM, raw =
+    train split LM, add-one smoothing over the hashed bucket space)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    base = docs.select("doc_id", split.alias("split"), tokens("text").alias("t"))
+    feats = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.concat(F.col("t"), word_shingles(F.col("t"), 2))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "split",
+        _hash_bucket(F.col("g"), "dsir:", _DSIR_BUCKETS).alias("b"),
+    )
+    bt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("cr"),
+    )
+    totals = bt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # identical association order as the oracle: (ct+1)/(nt+B) and
+    # (cr+1)/(nr+B) each one IEEE division, then one quotient, ln,
+    # round-6 (transcendental output -> boundary measure ~0)
+    lr = F.round(
+        F.log(
+            (
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.lit(_DSIR_BUCKETS))
+            )
+            / (
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.lit(_DSIR_BUCKETS))
+            )
+        ),
+        6,
+    )
+    lrt = bt.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+    return (
+        feats.join(F.broadcast(lrt), "b")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(20,6)")).cast("double").alias("log_w"),
+        )
+    )
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+
+ORACLES["dsir_importance_weights"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split, UNNEST(t) AS g FROM d
+      UNION ALL
+      SELECT doc_id, split, t[i] || ' ' || t[i+1] AS g
+      FROM d, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    feats AS (
+      SELECT doc_id, split,
+             {_hash_bucket_sql("g", "dsir:", _DSIR_BUCKETS)} AS b
+      FROM grams
+    ),
+    bt AS (
+      SELECT b,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS cr
+      FROM feats GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bt),
+    lrt AS (
+      SELECT b,
+             ROUND(ln((CAST(ct + 1 AS DOUBLE) / (nt + {_DSIR_BUCKETS}))
+                      / (CAST(cr + 1 AS DOUBLE) / (nr + {_DSIR_BUCKETS}))), 6) AS lr
+      FROM bt, tot
+    )
+    SELECT f.doc_id, f.split,
+           COUNT(*) AS n_feats,
+           CAST(CAST(SUM(CAST(lr AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS log_w
+    FROM feats f JOIN lrt USING (b)
+    GROUP BY f.doc_id, f.split
+"""
+
+
+# ---------------------------------------------------------------------------
+# B62 interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+# Goodman 1999's interpolated form) — the production upgrade of B59's
+# Stupid Backoff and the declarative analog of the KenLM perplexity
+# filters CCNet-style pipelines run.  KN's insight over count backoff:
+# the lower-order distribution should model how DIVERSELY a word
+# continues contexts (N1+(.,w): in how many distinct bigram types does
+# w appear as the continuation), not how often it occurs — "Francisco"
+# is frequent but only ever follows "San", so its continuation
+# probability is tiny.  Interpolated form with absolute discount D:
+#
+#   P(w|prev) = max(c(prev,w) - D, 0) / c(prev.)
+#             + (D * N1+(prev,.) / c(prev.)) * Pcont(w)
+#   Pcont(w)  = (N1+(.,w) + 1) / (T + V + 1)     [add-one over the
+#               continuation space keeps OOV continuations finite]
+#
+# where c(prev.) is prev's bigram-token marginal, N1+(prev,.) its
+# distinct-continuation count, T the number of distinct bigram types
+# and V the continuation vocabulary.  First tokens and unseen-starter
+# contexts score Pcont(w) directly.  D = 0.75 (the Chen-Goodman
+# default; exactly representable in binary so the discount arithmetic
+# is bit-stable).
+#
+# Every input to the probability expression is an exact integer count;
+# the expression tree is written with IDENTICAL association in both
+# engines, so ln's argument is bit-identical; round-6 ln -> decimal
+# sum -> one division (the B33/B59 discipline).  Plan shape == B59:
+# map-side pair explode, token-stream-sized bigram table joined
+# WITHOUT broadcast, vocab-sized marginal/continuation dims broadcast,
+# one doc_id aggregate.
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+def kneser_ney_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_tokens, n_bigram_hits, xent): per-document
+    cross-entropy under the train-split interpolated Kneser-Ney bigram
+    LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    base = docs.select("doc_id", split.alias("split"), tokens("text").alias("t"))
+    pairs = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)), i -> named_struct("
+                "'prev', CASE WHEN i = 1 THEN NULL ELSE element_at(t, i - 1) END,"
+                "'cur', element_at(t, i)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "split", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    train_bi = (
+        pairs.where((F.col("split") == "train") & F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    # prev marginals over the BIGRAM table: token marginal c(prev.) and
+    # distinct-continuation count N1+(prev,.)
+    prev_marg = train_bi.groupBy("prev").agg(
+        F.sum("cb").alias("cpm"), F.count(F.lit(1)).alias("d1")
+    )
+    # continuation counts N1+(.,w)
+    cont = train_bi.groupBy("cur").agg(F.count(F.lit(1)).alias("nc"))
+    totals = train_bi.agg(
+        F.count(F.lit(1)).alias("tt"),  # distinct bigram types T
+        F.count_distinct(F.col("cur")).alias("vc"),  # continuation vocab V
+    )
+
+    pcont = (F.coalesce(F.col("nc"), F.lit(0)) + 1).cast("double") / (
+        F.col("tt") + F.col("vc") + 1
+    )
+    pkn = (
+        F.greatest(
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double") - F.lit(_KN_D),
+            F.lit(0.0),
+        )
+        / F.col("cpm")
+        + ((F.lit(_KN_D) * F.col("d1")) / F.col("cpm")) * pcont
+    )
+    seen_ctx = F.col("prev").isNotNull() & F.col("cpm").isNotNull()
+    lp = F.round(F.log(F.when(seen_ctx, pkn).otherwise(pcont)), 6)
+    hit = (F.col("prev").isNotNull() & F.col("cb").isNotNull()).cast("int")
+    return (
+        pairs.join(train_bi, ["prev", "cur"], "left")
+        .join(F.broadcast(prev_marg), "prev", "left")
+        .join(F.broadcast(cont), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "split", lp.alias("lp"), hit.alias("hit"))
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("hit").cast("long").alias("n_bigram_hits"),
+            (
+                -F.sum(F.col("lp").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("xent"),
+        )
+    )
+
+
+QUERIES["kneser_ney_bigram_xent"] = kneser_ney_bigram_xent
+
+ORACLES["kneser_ney_bigram_xent"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, split,
+             CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+             t[i] AS cur
+      FROM d, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    bi AS (
+      SELECT prev, cur, COUNT(*) AS cb FROM pairs
+      WHERE split = 'train' AND prev IS NOT NULL GROUP BY prev, cur
+    ),
+    pm AS (
+      SELECT prev, SUM(cb) AS cpm, COUNT(*) AS d1 FROM bi GROUP BY prev
+    ),
+    cont AS (
+      SELECT cur, COUNT(*) AS nc FROM bi GROUP BY cur
+    ),
+    tot AS (
+      SELECT COUNT(*) AS tt, COUNT(DISTINCT cur) AS vc FROM bi
+    ),
+    lp AS (
+      SELECT p.doc_id, p.split,
+             CASE WHEN p.prev IS NOT NULL AND b.cb IS NOT NULL
+                  THEN 1 ELSE 0 END AS hit,
+             ROUND(ln(CASE
+               WHEN p.prev IS NOT NULL AND pm.cpm IS NOT NULL THEN
+                 greatest(CAST(COALESCE(b.cb, 0) AS DOUBLE) - {_KN_D}, 0.0)
+                   / pm.cpm
+                 + (({_KN_D} * pm.d1) / pm.cpm)
+                   * (CAST(COALESCE(cont.nc, 0) + 1 AS DOUBLE)
+                      / (tot.tt + tot.vc + 1))
+               ELSE
+                 CAST(COALESCE(cont.nc, 0) + 1 AS DOUBLE)
+                   / (tot.tt + tot.vc + 1)
+             END), 6) AS lp
+      FROM pairs p
+      LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+      LEFT JOIN pm ON p.prev = pm.prev
+      LEFT JOIN cont ON p.cur = cont.cur, tot
+    )
+    SELECT doc_id, split,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(hit) AS BIGINT) AS n_bigram_hits,
+           -CAST(CAST(SUM(CAST(lp AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS xent
+    FROM lp
+    GROUP BY doc_id, split
+"""

@@ -4210,3 +4210,71 @@ def events_value_robust_anomalies(
             ).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A76: cumulative distinct users (growth dashboards: "total accounts
+# ever active through day D" over the accounts/account_changes surface,
+# database/src/models/accounts.rs lifecycle).  The naive expression —
+# COUNT(DISTINCT user) OVER (ORDER BY day) — is a global-window
+# distinct: single-partition state proportional to ALL USERS EVER at
+# 100 TB.  The scalable decomposition: cumulative-distinct-through-D ==
+# sum of FIRST OCCURRENCES up to D, so one user-keyed min reduces the
+# fact to one row per user, the per-day news/actives are day-grain
+# aggregates, and the only running sum is over the day-grain relation
+# (bounded: one row per calendar day — the A70/A73 "global window only
+# over reduced data" discipline).  Two user-keyed fact shuffles total
+# (min-per-user + the (user, day) distinct), both map-combinable.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_cumulative_distinct_users",
+    """
+    WITH fo AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS event_date
+      FROM events GROUP BY user_id
+    ),
+    nu AS (
+      SELECT event_date, COUNT(*) AS new_users FROM fo GROUP BY event_date
+    ),
+    da AS (
+      SELECT event_date, COUNT(*) AS daily_active
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+            FROM events)
+      GROUP BY event_date
+    )
+    SELECT da.event_date,
+           da.daily_active,
+           COALESCE(nu.new_users, 0) AS new_users,
+           SUM(COALESCE(nu.new_users, 0))
+             OVER (ORDER BY da.event_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_users
+    FROM da LEFT JOIN nu ON da.event_date = nu.event_date
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, daily_active, new_users, cum_users): per-day active
+    distinct users, first-ever-seen users, and the running total of
+    distinct users ever active — without a global distinct window."""
+    ev = load_table(spark, sf_dir, "events")
+    fo = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("event_date"))
+    nu = fo.groupBy("event_date").agg(F.count(F.lit(1)).alias("new_users"))
+    da = (
+        ev.select("user_id", F.to_date("ts").alias("event_date"))
+        .distinct()
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("daily_active"))
+    )
+    w = (
+        Window.orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        da.join(nu, "event_date", "left")
+        .select(
+            "event_date",
+            "daily_active",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )

@@ -1114,3 +1114,92 @@ def test_multimodal_real_pil_decode(spark):
     assert got[3].fake_mean_byte == 128.0
     # header_u32 = big-endian PNG magic first word, same byte math as stub
     assert got[1].header_u32 == int.from_bytes(b"\x89PNG", "big")
+
+
+def test_dsir_weights_prefer_target_domain(spark, tmp_path):
+    """B61 semantics: a raw document phrased like the TARGET (val-split)
+    domain gets a higher DSIR log importance weight than one phrased
+    like the off-target bulk — with identical lengths, so the ordering
+    comes from the hashed-n-gram likelihood ratio, not size."""
+    import hashlib
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SPLIT_MOD,
+        dsir_importance_weights,
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _SPLIT_MOD
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if bucket(i) < 32][:20]
+    val_ids = [i for i in ids if 32 <= bucket(i) < 36][:5]
+    test_ids = [i for i in ids if bucket(i) >= 36][:2]
+    target_phrase = "formal proofs of theorem statements in lean four"
+    bulk_phrase = "click here to win amazing prizes right now"
+    docs = [(i, bulk_phrase, "en", "s", 0) for i in train_ids]
+    docs += [(i, target_phrase, "en", "s", 0) for i in val_ids]
+    docs += [(test_ids[0], target_phrase, "en", "s", 0)]
+    docs += [(test_ids[1], bulk_phrase, "en", "s", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    on_target, off_target = rows[test_ids[0]], rows[test_ids[1]]
+    assert on_target["split"] == "test" and off_target["split"] == "test"
+    assert on_target["n_feats"] == off_target["n_feats"]  # same length
+    assert on_target["log_w"] > off_target["log_w"]
+
+
+def test_kneser_ney_continuation_diversity(spark, tmp_path):
+    """B62's reason to exist (the "Francisco" effect): a word that is
+    FREQUENT but continues only one context gets a LOWER KN score in a
+    novel context than a rarer word with diverse continuations — the
+    exact ordering count-based Stupid Backoff (B59) gets backwards.
+    Both orderings are asserted, proving the two LMs genuinely
+    disagree on the planted corpus."""
+    import hashlib
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SPLIT_MOD,
+        bigram_backoff_xent,
+        kneser_ney_bigram_xent,
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _SPLIT_MOD
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if bucket(i) < 32][:5]
+    test_ids = [i for i in ids if bucket(i) >= 36][:2]
+    # "francisco" occurs 8x but ONLY after "san"; "the" occurs 4x after
+    # 4 DISTINCT contexts.  Unigram frequency favors francisco;
+    # continuation diversity favors the.
+    docs = [
+        (train_ids[0], "san francisco san francisco san francisco san francisco "
+         "san francisco san francisco san francisco san francisco",
+         "en", "s", 0),
+        (train_ids[1], "alpha the", "en", "s", 0),
+        (train_ids[2], "beta the", "en", "s", 0),
+        (train_ids[3], "gamma the", "en", "s", 0),
+        (train_ids[4], "delta the", "en", "s", 0),
+        # test docs: unseen starter "query" -> second token scores on
+        # the lower-order distribution alone in both LMs
+        (test_ids[0], "query francisco", "en", "s", 0),
+        (test_ids[1], "query the", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    kn = {r["doc_id"]: r for r in kneser_ney_bigram_xent(spark, str(tmp_path)).collect()}
+    sb = {r["doc_id"]: r for r in bigram_backoff_xent(spark, str(tmp_path)).collect()}
+    # KN: diverse continuations win
+    assert kn[test_ids[1]]["xent"] < kn[test_ids[0]]["xent"]
+    # Stupid Backoff: raw frequency wins (the opposite ordering)
+    assert sb[test_ids[0]]["xent"] < sb[test_ids[1]]["xent"]
+    # seen-context sanity: interior tokens of a train phrase all hit
+    assert kn[train_ids[0]]["n_bigram_hits"] == kn[train_ids[0]]["n_tokens"] - 1
