@@ -111,6 +111,7 @@ EXTRA = [
     "dsir_importance_weights",
     "kneser_ney_bigram_xent",
     "events_cumulative_distinct_users",
+    "lsh_s_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

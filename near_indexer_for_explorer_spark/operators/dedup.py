@@ -485,6 +485,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
+def _sig_ctes_sql() -> str:
+    """`hashed` + `sig` CTE bodies (assumes an `sh` CTE in scope): the
+    DuckDB replica of minhash_signatures, shared by every oracle that
+    needs the 64-wide signature relation (B3/B31/B37/B63 chains).  The
+    hex15 -> BIGINT step is a positional digit sum against power-of-16
+    literals (exact; DuckDB has no base-16 conv())."""
+    powers = [16 ** (15 - i) for i in range(1, 16)]
+    powers_list = ",".join(str(p) for p in powers)
+    hex15 = (
+        "list_sum(list_transform(range(1,16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
+        f" * ([{powers_list}])[i]))"
+    )
+    mins = ",\n        ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE}) AS mh_{s}"
+        for s, (a, b) in enumerate(_perm_coeffs())
+    )
+    return f"""hashed AS (
+      SELECT doc_id, {hex15} % {_MERSENNE} AS x
+      FROM (SELECT doc_id, md5(sh) AS h FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM hashed GROUP BY doc_id
+    )"""
+
+
 def _minhash_cand_ctes() -> str:
     """The shared CTE chain of the MinHash+LSH oracle, up to and
     including `cand` (the deduped LSH candidate pairs).  Both the
@@ -498,17 +526,6 @@ def _minhash_cand_ctes() -> str:
     identical candidates.  The hex15 -> BIGINT step is a positional
     digit sum against power-of-16 literals (exact; DuckDB has no
     base-16 conv())."""
-    powers = [16 ** (15 - i) for i in range(1, 16)]
-    powers_list = ",".join(str(p) for p in powers)
-    hex15 = (
-        "list_sum(list_transform(range(1,16), i -> "
-        "CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
-        f" * ([{powers_list}])[i]))"
-    )
-    mins = ",\n        ".join(
-        f"MIN(({a} * x + {b}) % {_MERSENNE}) AS mh_{s}"
-        for s, (a, b) in enumerate(_perm_coeffs())
-    )
     band_structs = ",\n        ".join(
         "{'band_id': %d, 'bucket': md5(concat_ws(','%s))}"
         % (
@@ -522,15 +539,7 @@ def _minhash_cand_ctes() -> str:
     )
     return f"""
     WITH {_SHINGLE_CTE},
-    hashed AS (
-      SELECT doc_id, {hex15} % {_MERSENNE} AS x
-      FROM (SELECT doc_id, md5(sh) AS h FROM sh)
-    ),
-    sig AS (
-      SELECT doc_id,
-        {mins}
-      FROM hashed GROUP BY doc_id
-    ),
+    {_sig_ctes_sql()},
     bands AS (
       SELECT doc_id, u.band_id AS band_id, u.bucket AS bucket
       FROM sig, UNNEST([
@@ -1686,3 +1695,201 @@ ORACLES["dedup_containment"] = f"""
     FROM scored
     WHERE containment >= {_CONTAINMENT_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# B63 LSH banding operating curve (Leskovec-Rajaraman-Ullman, "Mining
+# of Massive Datasets" ch.3's S-curve analysis, as evaluation-as-data):
+# the (bands, rows/band) choice IS the dedup pipeline's recall/cost
+# knob — P(candidate | jaccard s) = 1 - (1 - s^r)^b — and production
+# pipelines pick (b, r) from this curve.  This operator measures the
+# curve ON THE ACTUAL CORPUS instead of trusting the formula: for each
+# factorization of the 64-hash signature, every measurable pair (the
+# df-pruned posting-list space — the same linear-sized pair universe
+# B2's registered dedup decision runs in) is tested against the REAL
+# banded signatures, split by ground truth (pruned-space jaccard >=
+# the pipeline threshold), and the empirical catch rates land next to
+# the theoretical P at the threshold (a per-config constant, injected
+# as an identical literal in both engines).
+#
+# Scale notes: the pair universe is the df-capped posting-list join
+# (sum(min(df,cap)^2), linear — the B2/B56 bound), the signature
+# relation is one map-combined aggregate, and the 5-config evaluation
+# is a map-side explode over the joined pairs (~320 integer
+# comparisons per pair in codegen, no extra shuffle beyond the final
+# 5-row aggregate).  Banding joins are NEVER run per config — the
+# whole grid evaluates on the fixed pair relation.
+# ---------------------------------------------------------------------------
+_SCURVE_CONFIGS = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]
+
+
+def _scurve_theory(bands: int, rows: int) -> float:
+    """1 - (1 - t^r)^b at the pipeline threshold, in plain python
+    floats — a deterministic constant injected as the same literal in
+    both engines."""
+    return 1.0 - (1.0 - JACCARD_THRESHOLD**rows) ** bands
+
+
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands, rows_per_band, theory_p_at_t, n_dup_pairs, n_dup_caught,
+    recall, n_nondup_pairs, n_nondup_caught, nondup_catch_rate): the
+    empirical LSH S-curve over every (b, r) factorization of the
+    64-hash MinHash signature."""
+    kept = _df_pruned_shingles(spark, sf_dir)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = _exact_jaccard_pairs(kept, sizes, 0.0)
+    sig = minhash_signatures(_distinct_shingles(spark, sf_dir))
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    structs = []
+    for bands, rows in _SCURVE_CONFIGS:
+        caught = F.lit(False)
+        for i in range(bands):
+            band = F.lit(True)
+            for k in range(rows):
+                band = band & (
+                    F.col(f"a_{i * rows + k}") == F.col(f"b_{i * rows + k}")
+                )
+            caught = caught | band
+        structs.append(
+            F.struct(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                caught.alias("caught"),
+            )
+        )
+    ex = (
+        pairs.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_dup"),
+            F.explode(F.array(*structs)).alias("cfg"),
+        )
+    )
+    theory = F.lit(None).cast("double")
+    for bands, rows in _SCURVE_CONFIGS:
+        theory = F.when(
+            (F.col("bands") == bands) & (F.col("rows_per_band") == rows),
+            F.lit(_scurve_theory(bands, rows)),
+        ).otherwise(theory)
+    return (
+        ex.groupBy(
+            F.col("cfg.bands").alias("bands"),
+            F.col("cfg.rows_per_band").alias("rows_per_band"),
+        )
+        .agg(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_pairs"),
+            F.sum(F.when(F.col("is_dup") & F.col("cfg.caught"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_caught"),
+            F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nondup_pairs"),
+            F.sum(F.when((~F.col("is_dup")) & F.col("cfg.caught"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nondup_caught"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            theory.alias("theory_p_at_t"),
+            "n_dup_pairs",
+            "n_dup_caught",
+            (
+                F.col("n_dup_caught").cast("double")
+                / F.nullif(F.col("n_dup_pairs"), F.lit(0))
+            ).alias("recall"),
+            "n_nondup_pairs",
+            "n_nondup_caught",
+            (
+                F.col("n_nondup_caught").cast("double")
+                / F.nullif(F.col("n_nondup_pairs"), F.lit(0))
+            ).alias("nondup_catch_rate"),
+        )
+    )
+
+
+QUERIES["lsh_s_curve"] = lsh_s_curve
+
+
+def _scurve_oracle_sql() -> str:
+    cfg_selects = []
+    for bands, rows in _SCURVE_CONFIGS:
+        band_terms = []
+        for i in range(bands):
+            eqs = " AND ".join(
+                f"a_{i * rows + k} = b_{i * rows + k}" for k in range(rows)
+            )
+            band_terms.append(f"({eqs})")
+        caught = " OR ".join(band_terms)
+        cfg_selects.append(
+            f"SELECT {bands} AS bands, {rows} AS rows_per_band, is_dup,"
+            f" ({caught}) AS caught FROM evalp"
+        )
+    cfg_union = "\n      UNION ALL\n      ".join(cfg_selects)
+    # CAST('…' AS DOUBLE): a bare high-precision numeric literal types
+    # as DECIMAL in DuckDB and re-rounds 1 ulp off the python double;
+    # the string parse is correctly rounded in both engines
+    theory = " ".join(
+        f"WHEN bands = {bands} AND rows_per_band = {rows}"
+        f" THEN CAST('{_scurve_theory(bands, rows)!r}' AS DOUBLE)"
+        for bands, rows in _SCURVE_CONFIGS
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    keptsh AS (
+      SELECT sh FROM sh CROSS JOIN nd
+      GROUP BY sh, nd.n_docs
+      HAVING COUNT(*) <= greatest({_MIN_DF_CAP},
+                                  CAST(ceil({_MAX_DF_FRAC} * nd.n_docs) AS BIGINT))
+    ),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keptsh k ON s.sh = k.sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairsj AS (
+      SELECT doc_id_1, doc_id_2,
+             CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+      FROM common
+      JOIN sizes s1 ON doc_id_1 = s1.doc_id
+      JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    ),
+    {_sig_ctes_sql()},
+    evalp AS (
+      SELECT p.jaccard >= {JACCARD_THRESHOLD} AS is_dup,
+             {", ".join(f"sa.mh_{s} AS a_{s}" for s in range(_MINHASH_PERMS))},
+             {", ".join(f"sb.mh_{s} AS b_{s}" for s in range(_MINHASH_PERMS))}
+      FROM pairsj p
+      JOIN sig sa ON p.doc_id_1 = sa.doc_id
+      JOIN sig sb ON p.doc_id_2 = sb.doc_id
+    ),
+    cfgs AS (
+      {cfg_union}
+    )
+    SELECT bands, rows_per_band,
+           CASE {theory} END AS theory_p_at_t,
+           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_pairs,
+           SUM(CASE WHEN is_dup AND caught THEN 1 ELSE 0 END) AS n_dup_caught,
+           CAST(SUM(CASE WHEN is_dup AND caught THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS recall,
+           SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS n_nondup_pairs,
+           SUM(CASE WHEN NOT is_dup AND caught THEN 1 ELSE 0 END) AS n_nondup_caught,
+           CAST(SUM(CASE WHEN NOT is_dup AND caught THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END), 0)
+             AS nondup_catch_rate
+    FROM cfgs
+    GROUP BY bands, rows_per_band
+"""
+
+
+ORACLES["lsh_s_curve"] = _scurve_oracle_sql()

@@ -1203,3 +1203,29 @@ def test_kneser_ney_continuation_diversity(spark, tmp_path):
     assert sb[test_ids[0]]["xent"] < sb[test_ids[1]]["xent"]
     # seen-context sanity: interior tokens of a train phrase all hit
     assert kn[train_ids[0]]["n_bigram_hits"] == kn[train_ids[0]]["n_tokens"] - 1
+
+
+def test_lsh_s_curve_monotone_in_band_width(spark, sf_dir):
+    """B63 structure: if a pair agrees on some r-row band, every row of
+    that band agrees, so it also agrees on a band of every FINER
+    factorization — caught sets are nested along (4,16) ⊆ (8,8) ⊆
+    (16,4) ⊆ (32,2) ⊆ (64,1).  Checked on the real corpus, plus the
+    theoretical S-curve values ordering the same way and the empirical
+    recall never exceeding 1."""
+    from near_indexer_for_explorer_spark.operators.dedup import lsh_s_curve
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_s_curve(spark, sf_dir).collect()
+    }
+    order = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]
+    assert set(rows) == set(order)
+    for finer, coarser in zip(order, order[1:]):
+        assert rows[finer]["n_dup_caught"] >= rows[coarser]["n_dup_caught"]
+        assert rows[finer]["n_nondup_caught"] >= rows[coarser]["n_nondup_caught"]
+        assert rows[finer]["theory_p_at_t"] >= rows[coarser]["theory_p_at_t"]
+    for cfg in order:
+        r = rows[cfg]
+        assert r["n_dup_caught"] <= r["n_dup_pairs"]
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
