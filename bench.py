@@ -112,6 +112,7 @@ EXTRA = [
     "kneser_ney_bigram_xent",
     "events_cumulative_distinct_users",
     "lsh_s_curve",
+    "ann_hard_negatives",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -606,14 +606,11 @@ def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer, inverted lists per centroid,
-    queries probe their nprobe nearest lists, exact cosine within.
-
-    The second scale path next to multi-probe LSH: lists adapt to the
-    data distribution (LSH buckets don't), so recall per probed vector
-    is higher on clustered corpora.  Rows-only driver check; recall is
-    asserted against brute force in tests."""
+def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF search leg: (q_id, vec_id, cos_sim) for every
+    query x corpus-vector pair inside the query's nprobe nearest
+    inverted lists.  ann_ivf_topk takes the per-query top-k;
+    ann_hard_negatives takes the top of the mid-similarity band."""
     from pyspark.sql import Window as W
 
     e = _vectors(spark, sf_dir)
@@ -646,7 +643,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "q_emb", "q_nrm", F.col("centroid_id").alias("probe_centroid")
         )
     )
-    pairs = corpus.join(
+    return corpus.join(
         F.broadcast(q_probes),
         (F.col("centroid_id") == F.col("probe_centroid"))
         & (F.col("q_id") != F.col("vec_id")),
@@ -657,6 +654,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
         ).alias("cos_sim"),
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer, inverted lists per centroid,
+    queries probe their nprobe nearest lists, exact cosine within.
+
+    The second scale path next to multi-probe LSH: lists adapt to the
+    data distribution (LSH buckets don't), so recall per probed vector
+    is higher on clustered corpora.  Rows-only driver check; recall is
+    asserted against brute force in tests."""
+    from pyspark.sql import Window as W
+
+    pairs = _ivf_probe_pairs(spark, sf_dir)
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -714,13 +724,15 @@ def _ann_lsh_oracle_sql() -> str:
 ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB replica of the full IVF pipeline: seeds (vec_id < k), two
+def _ivf_pairs_ctes() -> str:
+    """DuckDB replica of the shared IVF search leg (_ivf_probe_pairs),
+    up to and including the `pairs` CTE: seeds (vec_id < k), two
     unrolled Lloyd iterations with exact-decimal centroid means
     (quantized decimal(20,14) sums, VARCHAR-hopped back to double),
-    nearest-list assignment, nprobe query probing, round-6 cosine
-    top-k.  Distance argmins could only diverge on sub-1e-13 ties,
-    which random embeddings never produce."""
+    nearest-list assignment, nprobe query probing, round-6 cosines.
+    Distance argmins could only diverge on sub-1e-13 ties, which
+    random embeddings never produce.  Shared by the ann_ivf_topk and
+    ann_hard_negatives oracles."""
     dist = (
         "list_sum(list_transform(range(1, len(v.emb) + 1), "
         "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
@@ -778,7 +790,12 @@ def _ivf_oracle_sql() -> str:
                    / (p.q_nrm * s.nrm), 6) AS cos_sim
       FROM qprobe p JOIN corpus s
         ON p.probe_centroid = s.centroid_id AND p.q_id <> s.vec_id
-    )
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+    {_ivf_pairs_ctes()}
     SELECT q_id, vec_id AS neighbor_id, cos_sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                        ORDER BY cos_sim DESC, vec_id ASC) AS rn
@@ -788,6 +805,57 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B64 hard-negative mining (the contrastive-training data step: DPR,
+# Karpukhin et al. 2020; SimCSE, Gao et al. 2021).  Embedding-model
+# training needs, per anchor, negatives that are SIMILAR BUT NOT
+# DUPLICATES — random negatives are too easy and near-dups are false
+# negatives — so production pipelines mine the top of a mid-similarity
+# band.  This is an ANN problem, not a new one: the hardest negatives
+# live in the anchor's own coarse-quantizer neighborhoods, so the
+# mining ride's B13's IVF search leg verbatim (nprobe-bounded
+# equi-joins, broadcast centroids — linear, never all-pairs) and only
+# the per-query reduction differs: keep the _NEG_K most-similar
+# candidates with cosine in [_NEG_LO, _NEG_HI), where the upper bound
+# is B11's near-dup threshold (anything above it is a suspected
+# duplicate, i.e. a false negative, not a hard negative).
+# ---------------------------------------------------------------------------
+_NEG_LO = 0.2
+_NEG_HI = 0.85  # == the near-dup regime boundary (B11)
+_NEG_K = 5
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cos_sim, rank): per anchor, the _NEG_K
+    hardest negatives — most-similar in-probe vectors inside the
+    [_NEG_LO, _NEG_HI) band."""
+    from pyspark.sql import Window as W
+
+    pairs = _ivf_probe_pairs(spark, sf_dir).where(
+        (F.col("cos_sim") >= _NEG_LO) & (F.col("cos_sim") < _NEG_HI)
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NEG_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+QUERIES["ann_hard_negatives"] = ann_hard_negatives
+
+ORACLES["ann_hard_negatives"] = f"""
+    {_ivf_pairs_ctes()}
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rank
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY cos_sim DESC, vec_id ASC)
+                         AS INTEGER) AS rank
+          FROM pairs
+          WHERE cos_sim >= {_NEG_LO} AND cos_sim < {_NEG_HI}) t
+    WHERE rank <= {_NEG_K}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1344,3 +1344,64 @@ def bloom_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C23: NATIVE session windows (Spark's built-in session_window) — the
+# declarative counterpart of C5's applyInPandasWithState sessionizer.
+# The engine maintains gap-merged event-time intervals in the state
+# store itself (merging sessions when a new event lands within the gap
+# of an existing interval), so the operator needs zero custom state
+# code and inherits watermark-driven state eviction — at 100 TB this is
+# the preferred sessionization path, with C5's kernel reserved for
+# session logic session_window cannot express (e.g. per-session
+# early-emission rules).
+#
+# Boundary semantics, pinned in pytest: session_window merges ADJACENT
+# intervals — an event at exactly prev + gap lands where the previous
+# event's [ts, ts+gap) window closes and still merges — so its rule is
+# "new session only when gap > threshold", IDENTICAL to A12/C5's cumsum
+# rule (verified empirically at gap and gap+1s; the agreement is what
+# makes the three sessionizers interchangeable).
+# ---------------------------------------------------------------------------
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """The shared session aggregation (stream and batch twins run this
+    same function, so they cannot drift): 30-min-gap session windows
+    per user with event count and exact-decimal session value."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def session_window_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C23 driver: file-source events -> native session_window agg ->
+    memory sink (complete mode: the twin test reads final merged
+    sessions; production runs the same agg append-mode and lets the
+    watermark finalize sessions)."""
+    stream = read_event_stream(spark, src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "1 hour")
+    agg = session_window_agg(stream)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

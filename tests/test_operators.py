@@ -1229,3 +1229,37 @@ def test_lsh_s_curve_monotone_in_band_width(spark, sf_dir):
         assert r["n_dup_caught"] <= r["n_dup_pairs"]
         if r["recall"] is not None:
             assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_hard_negatives_exclude_near_dups(spark, tmp_path):
+    """B64 semantics: mined hard negatives sit strictly inside the
+    [_NEG_LO, _NEG_HI) band, so a PLANTED near-duplicate of an anchor
+    (cos >= 0.86 — a false negative for contrastive training) never
+    appears in the anchor's negative set, and ranks are contiguous
+    hardest-first."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _NEG_HI,
+        _NEG_K,
+        _NEG_LO,
+        ann_hard_negatives,
+    )
+
+    planted_dir = _planted_neardup_dir(tmp_path)
+    rows = ann_hard_negatives(spark, planted_dir).collect()
+    assert rows, "expected mined negatives on the planted corpus"
+    for r in rows:
+        assert _NEG_LO <= r["cos_sim"] < _NEG_HI
+    # anchor 400 is the planted partner of base 0 (cos 0.86) and both
+    # are in the query set (vec_id % 100 == 0): the pair must be banned
+    mined = {(r["q_id"], r["neighbor_id"]) for r in rows}
+    assert (400, 0) not in mined and (0, 400) not in mined
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= _NEG_K
+        ordered = sorted(rs, key=lambda x: x["rank"])
+        sims = [x["cos_sim"] for x in ordered]
+        assert sims == sorted(sims, reverse=True)

@@ -72,9 +72,13 @@ _BNLJ_EXEMPT = {
     "monthly_unlocked_supply",  # broadcast vesting snapshot
     "lockup_locked_supply",     # broadcast lockup snapshot
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
+    "lsh_s_curve",              # broadcast df-cap scalar (B2's pair universe)
+    "dsir_importance_weights",  # broadcast (nt, nr) totals scalar
+    "kneser_ney_bigram_xent",   # broadcast (T, V) totals scalar (B33 shape)
     "dedup_containment",        # broadcast df-cap scalar (B2's posting lists)
     "bigram_backoff_xent",      # broadcast (n_train, v_train) scalar (B33 shape)
     "ann_ivf_topk",             # broadcast trained centroids
+    "ann_hard_negatives",       # same IVF search leg (broadcast centroids)
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "ivfpq_ann_serve",          # same search leg vs the frozen broadcast index
     "topic_terms_serve",        # same scoring leg vs frozen broadcast centroids

@@ -1278,3 +1278,60 @@ def test_bloom_delta_compaction_identical_bits_and_crash_safe(
 
     # idempotent no-op on a single-file dir
     assert compact_bloom_deltas(spark, out) == (0, 1)
+
+
+def test_session_window_stream_matches_batch_and_pins_boundary(
+    spark, sf_dir, event_batches, tmp_path_factory
+):
+    """C23: (a) the native session_window stream over micro-batched
+    files equals the SAME shared aggregation run in batch over the full
+    table (sessions merge correctly across micro-batches in the state
+    store); (b) the boundary rule AGREES with A12's cumsum
+    sessionization — adjacent windows merge at exactly 1800 s, split at
+    1801 s — pinned on planted gaps so the three sessionizers (A12
+    batch cumsum, C5 stateful kernel, C23 native) stay
+    interchangeable."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        session_window_agg,
+        session_window_stream,
+    )
+
+    q = session_window_stream(spark, event_batches, "session_windows_stream")
+    _await(q, timeout=180)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["session_value"]
+        )
+        for r in spark.sql("SELECT * FROM session_windows_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["session_value"]
+        )
+        for r in session_window_agg(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and got
+
+    # planted boundary: events at t0, t0+1800s, t0+3600s for one user
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    from near_indexer_for_explorer_spark.plans.relational import events_sessionize
+
+    for gap_s, want_sessions in ((1800, 1), (1801, 3)):
+        rows = [
+            (i + 1, t0 + datetime.timedelta(seconds=gap_s * i), 7, "click", 1.0, "{}")
+            for i in range(3)
+        ]
+        planted = spark.createDataFrame(rows, schema)
+        sw = session_window_agg(planted).collect()
+        assert len(sw) == want_sessions, f"session_window at gap {gap_s}"
+        src = str(tmp_path_factory.mktemp(f"boundary_events_{gap_s}"))
+        planted.coalesce(1).write.parquet(src + "/events.parquet")
+        a12 = events_sessionize(spark, src).collect()
+        assert len(a12) == want_sessions, f"A12 cumsum at gap {gap_s}"
