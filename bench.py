@@ -113,6 +113,9 @@ EXTRA = [
     "events_cumulative_distinct_users",
     "lsh_s_curve",
     "ann_hard_negatives",
+    "events_ewma_value",
+    "minhash_bbit_estimate",
+    "embedding_top_component",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

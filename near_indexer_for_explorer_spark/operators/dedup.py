@@ -1893,3 +1893,119 @@ def _scurve_oracle_sql() -> str:
 
 
 ORACLES["lsh_s_curve"] = _scurve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B65 b-bit minwise hashing (Li & Konig 2010): store only the lowest b
+# bits of each minhash value and the signature shrinks 16x (2 bits vs
+# a 31-bit value per permutation) — the storage trick that makes
+# billion-document signature tables fit in memory at 100 TB.  Low-bit
+# agreement overstates similarity (unrelated minima collide on b bits
+# with probability C = 2^-b), so the estimator debiases:
+#
+#   J_b = (A_b - C) / (1 - C),   A_b = (# low-b-bit agreements) / 64
+#
+# clamped at 0 (the raw estimator goes negative below the collision
+# floor).  Emitted beside B31's full-width estimate and the exact
+# Jaccard over the SAME candidate pairs, so the compression's accuracy
+# cost is a hash-checked output (the B31/B51 evaluation-as-data
+# discipline): err_bbit vs err_full quantifies what 16x less signature
+# storage buys.  A_b is an exact multiple of 1/64 (dyadic), C = 0.25
+# and 1-C = 0.75 are fixed literals, so the correction is a pinned
+# two-op IEEE expression — deterministic cross-engine, no rounding.
+# ---------------------------------------------------------------------------
+_BBIT = 2
+_BBIT_MOD = 1 << _BBIT
+_BBIT_C = 1.0 / _BBIT_MOD
+
+
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, jaccard, est_full, err_full, est_bbit,
+    err_bbit) for every LSH candidate pair: the 2-bit debiased
+    estimate next to the full 64x31-bit estimate and the exact
+    truth."""
+    sh = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    core = _jaccard_estimate_core(spark, sf_dir, sig, cand).select(
+        "doc_id_1",
+        "doc_id_2",
+        "jaccard",
+        F.col("est_jaccard").alias("est_full"),
+        F.col("abs_err").alias("err_full"),
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    agree_b = sum(
+        F.when(
+            F.col(f"a_{s}") % _BBIT_MOD == F.col(f"b_{s}") % _BBIT_MOD, 1
+        ).otherwise(0)
+        for s in range(_MINHASH_PERMS)
+    )
+    est_bbit = F.greatest(
+        (agree_b.cast("double") / _MINHASH_PERMS - F.lit(_BBIT_C))
+        / F.lit(1.0 - _BBIT_C),
+        F.lit(0.0),
+    )
+    bbit = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", est_bbit.alias("est_bbit"))
+    )
+    return core.join(bbit, ["doc_id_1", "doc_id_2"]).select(
+        "doc_id_1",
+        "doc_id_2",
+        "jaccard",
+        "est_full",
+        "err_full",
+        "est_bbit",
+        F.abs(F.col("est_bbit") - F.col("jaccard")).alias("err_bbit"),
+    )
+
+
+QUERIES["minhash_bbit_estimate"] = minhash_bbit_estimate
+
+
+def _bbit_oracle_sql() -> str:
+    """Extends the B3 oracle chain with full-width and low-b-bit
+    agreement counts (head reuse, the B31 pattern)."""
+    base = _minhash_oracle_sql()
+    head, _tail = base.rsplit("SELECT d1 AS doc_id_1", 1)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(_MINHASH_PERMS)
+    )
+    agree_b = " + ".join(
+        f"CASE WHEN sa.mh_{s} % {_BBIT_MOD} = sb.mh_{s} % {_BBIT_MOD}"
+        " THEN 1 ELSE 0 END"
+        for s in range(_MINHASH_PERMS)
+    )
+    jac = "CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt)"
+    est_b = (
+        f"greatest((CAST(({agree_b}) AS DOUBLE) / {_MINHASH_PERMS}"
+        f" - {_BBIT_C!r}) / {1.0 - _BBIT_C!r}, 0.0)"
+    )
+    return f"""{head}
+    SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+           {jac} AS jaccard,
+           ROUND(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}, 6) AS est_full,
+           ABS(ROUND(CAST(({agree}) AS DOUBLE) / {_MINHASH_PERMS}, 6)
+               - {jac}) AS err_full,
+           {est_b} AS est_bbit,
+           ABS({est_b} - {jac}) AS err_bbit
+    FROM cand c
+    JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2
+    JOIN sig sa ON c.d1 = sa.doc_id
+    JOIN sig sb ON c.d2 = sb.doc_id
+    JOIN sizes z1 ON c.d1 = z1.doc_id
+    JOIN sizes z2 ON c.d2 = z2.doc_id
+    """
+
+
+ORACLES["minhash_bbit_estimate"] = _bbit_oracle_sql()

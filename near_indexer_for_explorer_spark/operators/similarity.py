@@ -2929,3 +2929,155 @@ ORACLES["embedding_split_drift"] = f"""
 ORACLES["ivfpq_ann_serve"] = ORACLES["ivfpq_ann_topk"]
 ORACLES["topic_terms_serve"] = ORACLES["topic_cluster_terms"]
 ORACLES["opq_quantize_serve"] = ORACLES["opq_rotate_quantize"]
+
+
+# ---------------------------------------------------------------------------
+# B66 top principal component by UNROLLED POWER ITERATION — the PCA
+# primitive under embedding whitening, OPQ-style rotations, drift
+# detection (B52's directional upgrade: "WHICH direction is the
+# corpus drifting"), and dimensionality diagnostics before choosing a
+# JL target dim (B38).  The fixed-depth declarative form follows the
+# repo's iterative-algorithm discipline (B13 Lloyd rounds, A63
+# PageRank, B39 BPE): 3 power iterations v <- normalize(G v) against
+# the centered Gram matrix G = sum_i x'_i x'_i^T, each iteration two
+# corpus shuffles —
+#
+#   y_i = x'_i . v        (vec_id-keyed 64-term reduction)
+#   z_j = sum_i x'_ij y_i (dim-keyed reduction; G v without ever
+#                          materializing the 64x64 G)
+#
+# with every corpus-sized float sum rounded-6 per term and summed in
+# exact decimal (order-independent, the A63/B33 discipline), means in
+# exact decimal (B13 recenter), the start vector a fixed md5-derived
+# +-1/8 literal in both engines, and normalization/sqrt/divisions
+# pinned single IEEE ops.  lambda_est = ||G v2|| (the Rayleigh scale
+# of the final un-normalized iterate) and explained_frac = lambda /
+# tr(G) make convergence quality a hash-checked output.  Unlike
+# opq_learn_rotation (driver-side SVD, unregistered), this stays 100%
+# in-plan and oracle-replicable.
+# ---------------------------------------------------------------------------
+_PC_ITERS = 3
+
+
+def _pc_v0() -> list[float]:
+    """Deterministic unit start vector: +-1/8 components from md5 bit
+    parity (64 components at 1/8 -> norm exactly 1, all values exact
+    dyadic doubles)."""
+    comps = []
+    for j in range(_DIM):
+        h = hashlib.md5(f"pc0:{j}".encode()).digest()
+        comps.append(0.125 if h[0] & 1 else -0.125)
+    return comps
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim_idx, loading, lambda_est, explained_frac): the corpus's top
+    principal direction after 3 unrolled power iterations, with its
+    Gram eigenvalue estimate and explained-variance share."""
+    e = _vectors(spark, sf_dir)
+    x = e.select("vec_id", F.posexplode("emb").alias("j", "x"))
+    mu = x.groupBy("j").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    xc = x.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    vf = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(c) for c in _pc_v0()])).alias("j", "v")
+    )
+    nrm = None
+    for _ in range(_PC_ITERS):
+        y = (
+            xc.join(F.broadcast(vf), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("v"), 6).cast("decimal(24,6)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        z = (
+            xc.join(y, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("y"), 6).cast("decimal(24,6)"))
+                .cast("double")
+                .alias("z")
+            )
+        )
+        nrm = z.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(30,6)"))
+                .cast("double")
+            ).alias("nz")
+        )
+        vf = z.crossJoin(F.broadcast(nrm)).select(
+            "j", (F.col("z") / F.col("nz")).alias("v")
+        )
+    tv = xc.agg(
+        F.sum(F.round(F.col("xc") * F.col("xc"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("tv")
+    )
+    return (
+        vf.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.col("j").alias("dim_idx"),
+            F.col("v").alias("loading"),
+            F.col("nz").alias("lambda_est"),
+            (F.col("nz") / F.col("tv")).alias("explained_frac"),
+        )
+    )
+
+
+QUERIES["embedding_top_component"] = embedding_top_component
+
+
+def _top_component_oracle_sql() -> str:
+    v0_vals = ", ".join(f"({j}, {v!r})" for j, v in enumerate(_pc_v0()))
+    dsum6 = "CAST(CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL({p},6))) AS VARCHAR) AS DOUBLE)"
+    iter_ctes = []
+    prev = "v0"
+    for it in range(1, _PC_ITERS + 1):
+        ysum = dsum6.format(expr="xc.xc * v.v", p=24)
+        zsum = dsum6.format(expr="xc.xc * y.y", p=24)
+        nsum = dsum6.format(expr="z.z * z.z", p=30)
+        iter_ctes.append(
+            f"y{it} AS (SELECT xc.vec_id, {ysum} AS y"
+            f" FROM xc JOIN {prev} v ON xc.j = v.j GROUP BY xc.vec_id)"
+        )
+        iter_ctes.append(
+            f"z{it} AS (SELECT xc.j, {zsum} AS z"
+            f" FROM xc JOIN y{it} y ON xc.vec_id = y.vec_id GROUP BY xc.j)"
+        )
+        iter_ctes.append(f"n{it} AS (SELECT sqrt({nsum}) AS nz FROM z{it} z)")
+        iter_ctes.append(
+            f"v{it} AS (SELECT j, z / nz AS v FROM z{it}, n{it})"
+        )
+        prev = f"v{it}"
+    iters_sql = ",\n    ".join(iter_ctes)
+    tvsum = dsum6.format(expr="xc.xc * xc.xc", p=30)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    x AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, UNNEST(emb) AS x
+          FROM e),
+    mu AS (SELECT j,
+                  CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE)
+                    / COUNT(*) AS mu
+           FROM x GROUP BY j),
+    xc AS (SELECT x.vec_id, x.j, x.x - mu.mu AS xc
+           FROM x JOIN mu ON x.j = mu.j),
+    v0 AS (SELECT * FROM (VALUES {v0_vals}) t(j, v)),
+    {iters_sql},
+    tv AS (SELECT {tvsum} AS tv FROM xc)
+    SELECT v.j AS dim_idx, v.v AS loading, n.nz AS lambda_est,
+           n.nz / tv.tv AS explained_frac
+    FROM v{_PC_ITERS} v, n{_PC_ITERS} n, tv
+"""
+
+
+ORACLES["embedding_top_component"] = _top_component_oracle_sql()

@@ -4278,3 +4278,74 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withColumn("cum_users", F.sum("new_users").over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# A77: EWMA smoothing of per-user values (monitoring dashboards smooth
+# gas-price / balance series before alerting; the EWMA is also the
+# classic denominator for A67-style anomaly scores).  The textbook
+# recursion s_i = a*x_i + (1-a)*s_{i-1} is a sequential fold — the
+# declarative, scale-stable form used here is the 20-term trailing
+# dyadic kernel with alpha = 1/2:
+#
+#   ewma_i = (sum_{k=0..19} x_{i-k} * 2^-(k+1)) / (1 - 2^-n_i)
+#
+# where n_i = min(i, 20) terms are available; the denominator
+# renormalizes the truncated geometric weights so early rows are
+# unbiased, and the tail truncation error is bounded by 2^-20 of the
+# value range.  alpha = 1/2 is chosen deliberately: every weight is a
+# power of two, so each product is an EXACT binary-exponent shift and
+# the whole expression — evaluated in one pinned left-associative
+# order in both engines — is bit-identical in IEEE doubles with no
+# decimal hop and no rounding anywhere (the §4 discipline's strongest
+# case).  Plan: 20 lags over ONE user-keyed window pass (O(1) state
+# per row, same exchange as the row_number), no aggregation.
+# ---------------------------------------------------------------------------
+_EWMA_TERMS = 20
+
+
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts, value, n_terms, ewma): dyadic-kernel
+    EWMA of each user's value series on the (ts, event_id) total
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    num = None
+    for k in range(_EWMA_TERMS):
+        term = F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) * F.lit(
+            2.0 ** -(k + 1)
+        )
+        num = term if num is None else num + term
+    n_terms = F.least(rn, F.lit(_EWMA_TERMS))
+    denom = F.lit(1.0) - F.lit(2.0) ** (-n_terms.cast("double"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_terms.cast("int").alias("n_terms"),
+        (num / denom).alias("ewma"),
+    )
+
+
+QUERIES["events_ewma_value"] = events_ewma_value
+
+
+def _ewma_oracle_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(lag(value, {k}) OVER w, 0.0) * {2.0 ** -(k + 1)!r}"
+        for k in range(_EWMA_TERMS)
+    )
+    return f"""
+    SELECT event_id, user_id, ts, value,
+           CAST(LEAST(ROW_NUMBER() OVER w, {_EWMA_TERMS}) AS INTEGER) AS n_terms,
+           ({terms})
+             / (1.0 - pow(2.0, -CAST(LEAST(ROW_NUMBER() OVER w, {_EWMA_TERMS})
+                                     AS DOUBLE))) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+ORACLES["events_ewma_value"] = _ewma_oracle_sql()

@@ -1263,3 +1263,83 @@ def test_hard_negatives_exclude_near_dups(spark, tmp_path):
         ordered = sorted(rs, key=lambda x: x["rank"])
         sims = [x["cos_sim"] for x in ordered]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ewma_dyadic_kernel_semantics(spark, tmp_path):
+    """A77: the renormalized dyadic kernel is unbiased on a constant
+    series (ewma == the constant to float precision at every prefix
+    length) and tracks a step change monotonically from inside the
+    (old, new) interval."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import events_ewma_value
+
+    t0 = datetime.datetime(2024, 1, 1)
+    const = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "c", 10.0, "{}")
+        for i in range(30)
+    ]
+    step = [
+        (100 + i, t0 + datetime.timedelta(minutes=i), 2, "c",
+         0.0 if i < 25 else 100.0, "{}")
+        for i in range(50)
+    ]
+    spark.createDataFrame(
+        const + step,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = events_ewma_value(spark, str(tmp_path)).collect()
+    u1 = sorted((r for r in rows if r["user_id"] == 1), key=lambda r: r["event_id"])
+    assert abs(u1[0]["ewma"] - 10.0) == 0.0  # n=1: x/2 / (1/2), exact
+    for r in u1:
+        assert abs(r["ewma"] - 10.0) < 1e-9
+    u2 = sorted((r for r in rows if r["user_id"] == 2), key=lambda r: r["event_id"])
+    tail = [r["ewma"] for r in u2 if r["event_id"] >= 125]
+    # reaches exactly 100 once the 20-term window is all post-step
+    assert all(0.0 < v <= 100.0 for v in tail)
+    assert tail == sorted(tail)  # monotone approach to the new level
+    assert tail[-1] > 99.0  # 25 steps of halving ~ fully converged
+
+
+def test_top_component_recovers_planted_direction(spark, tmp_path):
+    """B66: on a corpus whose variance is concentrated along ONE
+    planted direction, 3 power iterations recover it (|cosine| > 0.99
+    to the planted axis) and the explained-variance share reflects the
+    concentration (well above the isotropic 1/64)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_top_component,
+    )
+
+    rng = np.random.default_rng(20260814)
+    dim, n = 64, 2000
+    d = rng.standard_normal(dim)
+    d /= np.linalg.norm(d)
+    data = rng.standard_normal((n, dim)) * 0.1
+    data += np.outer(rng.standard_normal(n) * 2.0, d)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in data], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = embedding_top_component(spark, str(tmp_path)).collect()
+    assert len(rows) == 64
+    v = np.zeros(dim)
+    for r in rows:
+        v[r["dim_idx"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert abs(float(v @ d)) > 0.99
+    frac = rows[0]["explained_frac"]
+    assert all(abs(r["explained_frac"] - frac) < 1e-12 for r in rows)
+    # planted: ~4/(4 + 64*0.01) ~ 0.86 of total variance on one axis
+    assert frac > 0.5
+    assert rows[0]["lambda_est"] > 0

@@ -97,6 +97,7 @@ _BNLJ_EXEMPT = {
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
+    "embedding_top_component",  # broadcast 1-row norm/total-variance scalars per iteration
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
