@@ -103,13 +103,13 @@ _GATE_PRIORITY: list[str] = [
     "dedup_exact_docs",
     "dedup_components",
     "corpus_source_mix",
-    # --- oldest r5-greens fill the remaining slots ---
-    "events_interval_join",
-    "events_value_equidepth",
-    "orders_retention_cohorts",
-    "events_markov_transitions",
-    "events_debounce_1h",
-    "user_state_scd2",
+    # --- new in round 7 session 2 (first driver rows) ---
+    "dsir_importance_weights",
+    "kneser_ney_bigram_xent",
+    "lsh_s_curve",
+    "ann_hard_negatives",
+    "minhash_bbit_estimate",
+    "embedding_top_component",
 ]
 
 # Deferred past the 50-entry cut (all stay covered by the in-repo
@@ -118,6 +118,18 @@ _GATE_PRIORITY: list[str] = [
 # rows-only-by-design entries last so driver slots never go to a
 # query without a value-hash oracle.
 _GATE_DEFER: list[str] = [
+    # r7-session-2 additions that did not fit the 50-slot window (both
+    # with the simplest, most parity-covered shapes of the batch) plus
+    # the r5-greens the new queries displaced: together they lead r8's
+    # window.
+    "events_cumulative_distinct_users",
+    "events_ewma_value",
+    "events_interval_join",
+    "events_value_equidepth",
+    "orders_retention_cohorts",
+    "events_markov_transitions",
+    "events_debounce_1h",
+    "user_state_scd2",
     "rp_project_embeddings",
     "multimodal_feature_stats",
     "dedup_common_spans",
