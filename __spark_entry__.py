@@ -68,11 +68,13 @@ _GATE_PRIORITY: list[str] = [
     "bigram_backoff_xent",        # oracle float-order parenthesization
     "bloom_seen_filter",          # probe refactored through bloom_probe_members
     "multimodal_decode",          # kernel backend pinned to "stub"
-    "dedup_edit_verify",          # ┐
-    "dedup_pair_alignment",       # │ rewired onto the frozen
-    "dedup_threshold_curve",      # │ LSH candidate leg
-    "dedup_edit_banded",          # │
-    "dedup_longest_substring",    # ┘
+    # three of the five queries rewired onto the frozen LSH leg (the
+    # other two — dedup_edit_verify, dedup_edit_banded — have
+    # pytest/hypothesis-pinned kernels and the shared leg itself is
+    # driver-gated via lsh_candidates_serve; they defer to r8)
+    "dedup_pair_alignment",
+    "dedup_threshold_curve",
+    "dedup_longest_substring",
     "minhash_jaccard_estimate",   # body split into _jaccard_estimate_core
     "ivfpq_ann_serve",            # memo relocated to operators/frozen.py
     # --- last driver-green r4 (three rounds stale) ---
@@ -110,6 +112,8 @@ _GATE_PRIORITY: list[str] = [
     "ann_hard_negatives",
     "minhash_bbit_estimate",
     "embedding_top_component",
+    "events_value_cusum",
+    "bm25_search",
 ]
 
 # Deferred past the 50-entry cut (all stay covered by the in-repo
@@ -124,6 +128,8 @@ _GATE_DEFER: list[str] = [
     # window.
     "events_cumulative_distinct_users",
     "events_ewma_value",
+    "dedup_edit_verify",
+    "dedup_edit_banded",
     "events_interval_join",
     "events_value_equidepth",
     "orders_retention_cohorts",

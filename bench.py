@@ -116,6 +116,8 @@ EXTRA = [
     "events_ewma_value",
     "minhash_bbit_estimate",
     "embedding_top_component",
+    "events_value_cusum",
+    "bm25_search",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

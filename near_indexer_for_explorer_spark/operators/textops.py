@@ -605,3 +605,162 @@ ORACLES["vocab_zipf_fit"] = rf"""
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# B67 BM25 retrieval scoring (Robertson & Sparck Jones; the Okapi
+# BM25 formula in its Lucene-style non-negative-idf form) — the
+# SEARCH counterpart of B14's TF-IDF ranking and the standard
+# relevance primitive over any corpus index (the reference's analog
+# surface: the tx-args/event text the explorer indexes for lookup).
+# A fixed literal query set is scored against the whole corpus:
+#
+#   score(q, d) = sum_{t in q} idf(t) * tf * (k1+1)
+#                 / (tf + k1 * (1 - b + b * dl/avgdl))
+#   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+#
+# Plan shape: one token explode joined to the broadcast query-term
+# dim -> (term, doc) tf aggregate; df/idf is a term-keyed aggregate
+# (vocab-bounded, broadcast); dl is a map-side array size; avgdl and N
+# enter as broadcast 1-row aggregates (the r2 TF-IDF lesson — no
+# driver actions).  Per-term contributions are pinned IEEE
+# expressions rounded-6 then decimal-summed per (query, doc) (B33
+# discipline), ranking ties broken on doc_id.  Everything shuffles on
+# term or (query_id, doc_id) — linear at any corpus size.
+# ---------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 10
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "window merge sort"),
+    (3, "spark stream batch"),
+]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-10 documents for each
+    fixed query."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    dl = docs.select("doc_id", F.size("t").alias("dl"))
+    tok = docs.select("doc_id", F.explode("t").alias("term"))
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"), F.lit(term).alias("term")
+                    )
+                    for qid, q in _BM25_QUERIES
+                    for term in q.split()
+                ]
+            )
+        ).alias("qt")
+    ).select("qt.query_id", "qt.term")
+    corpus_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_counts = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = F.round(
+        idf
+        * (
+            (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B)
+                    * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(20,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+QUERIES["bm25_search"] = bm25_search
+
+
+def _bm25_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, q in _BM25_QUERIES
+        for term in q.split()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM d),
+    tok AS (SELECT doc_id, UNNEST(t) AS term FROM d),
+    qt AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+    cs AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM d),
+    dfc AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY term
+    ),
+    tf AS (
+      SELECT qt.query_id, tok.term, tok.doc_id, COUNT(*) AS tf
+      FROM tok JOIN qt ON tok.term = qt.term
+      GROUP BY qt.query_id, tok.term, tok.doc_id
+    ),
+    scored AS (
+      SELECT tf.query_id, tf.doc_id,
+             CAST(CAST(SUM(CAST(ROUND(
+               ln((cs.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+               * ((tf.tf * {_BM25_K1 + 1.0!r})
+                  / (tf.tf + {_BM25_K1!r}
+                     * ({1.0 - _BM25_B!r}
+                        + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE) / cs.avgdl))))
+             , 6) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS score
+      FROM tf
+      JOIN dfc ON tf.term = dfc.term
+      JOIN dl ON tf.doc_id = dl.doc_id, cs
+      GROUP BY tf.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc_id ASC)
+                         AS INTEGER) AS rank
+          FROM scored) t
+    WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+ORACLES["bm25_search"] = _bm25_oracle_sql()

@@ -4349,3 +4349,131 @@ def _ewma_oracle_sql() -> str:
 
 
 ORACLES["events_ewma_value"] = _ewma_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# A78: CUSUM change-point detection per user (Page 1954) — the ops
+# question behind balance-drift / fee-regime monitoring: "did this
+# series' MEAN shift, and when?".  The statistic is the maximum
+# absolute excursion of the centered prefix walk,
+#
+#   d_i = S_i - i * mu,   stat = max_i |d_i|,
+#   norm = stat / (sd * sqrt(n))   (the Brownian-bridge scaling; the
+#   0.05-level critical value 1.358 flags a shift)
+#
+# Engine-stability: the prefix sum S_i runs in EXACT decimal over the
+# (ts, event_id) total order (a float running sum would depend on the
+# engine's window-sum association), mu/sd come from the A67 trick (two
+# exact decimal sums, variance assembled in one pinned IEEE
+# expression), and d_i = hop(S_i) - rn * mu is two pinned IEEE ops per
+# row.  The argmax row is picked by a ROW_NUMBER over (|d| DESC,
+# event_id ASC) — total order, tie-proof cross-engine.  Plan: one
+# user-keyed exchange reused by the running sum, the stats aggregate,
+# and the argmax window; no global window, no extra shuffle.
+# ---------------------------------------------------------------------------
+_CUSUM_CRIT = 1.358  # Kolmogorov 95% critical value
+
+
+@_register(
+    "events_value_cusum",
+    """
+    WITH walk AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS VARCHAR) AS DOUBLE) AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))
+                           * CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+                  AS DOUBLE) AS s2
+      FROM events
+      GROUP BY user_id
+    ),
+    dev AS (
+      SELECT w.user_id, w.event_id, w.ts, st.n,
+             st.s1 / st.n AS mu,
+             sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS sd,
+             ABS(w.s - w.rn * (st.s1 / st.n)) AS abs_d,
+             ROW_NUMBER() OVER (
+               PARTITION BY w.user_id
+               ORDER BY ABS(w.s - w.rn * (st.s1 / st.n)) DESC, w.event_id ASC
+             ) AS pick
+      FROM walk w JOIN stats st ON w.user_id = st.user_id
+    )
+    SELECT user_id, n, mu, sd,
+           abs_d AS cusum_stat,
+           abs_d / NULLIF(sd * sqrt(CAST(n AS DOUBLE)), 0) AS cusum_norm,
+           event_id AS cp_event_id, ts AS cp_ts,
+           CASE WHEN abs_d / NULLIF(sd * sqrt(CAST(n AS DOUBLE)), 0)
+                     > {crit} THEN TRUE ELSE FALSE END AS changepoint
+    FROM dev WHERE pick = 1
+    """.format(crit=_CUSUM_CRIT),
+)
+def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n, mu, sd, cusum_stat, cusum_norm, cp_event_id, cp_ts,
+    changepoint): per-user maximum CUSUM excursion, its location, and
+    the Brownian-bridge-normalized change flag."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vdec = F.col("value").cast("decimal(12,2)")
+    walk = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(vdec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("s"),
+        F.row_number().over(w).alias("rn"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    abs_d = F.abs(F.col("s") - F.col("rn") * mu)
+    pick_w = Window.partitionBy("user_id").orderBy(
+        abs_d.desc(), F.col("event_id").asc()
+    )
+    norm = F.col("cusum_stat") / F.nullif(
+        F.col("sd") * F.sqrt(F.col("n").cast("double")), F.lit(0.0)
+    )
+    return (
+        walk.join(stats, "user_id")
+        .withColumn("pick", F.row_number().over(pick_w))
+        .where(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "n",
+            mu.alias("mu"),
+            sd.alias("sd"),
+            abs_d.alias("cusum_stat"),
+            F.col("event_id").alias("cp_event_id"),
+            F.col("ts").alias("cp_ts"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "mu",
+            "sd",
+            "cusum_stat",
+            norm.alias("cusum_norm"),
+            "cp_event_id",
+            "cp_ts",
+            F.when(norm > _CUSUM_CRIT, F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("changepoint"),
+        )
+    )

@@ -1405,3 +1405,64 @@ def session_window_stream(spark: SparkSession, src_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C24: EXACT-recursion EWMA stream — the stateful twin of A77's batch
+# kernel.  The textbook recursion s_i = a*x_i + (1-a)*s_{i-1} is a
+# sequential fold over each user's full history: batch windows can
+# only truncate it (A77 keeps 20 dyadic terms and renormalizes), but
+# group state carries s across micro-batches forever, so the stream
+# computes the INFINITE-horizon value exactly — one double per user,
+# bounded state, the C16 discipline.  With a = 1/2 every step is two
+# exact binary shifts and one add, so the streamed value is a pure
+# function of the value sequence (bit-stable across replays), and the
+# batch-kernel divergence is bounded by the truncated tail:
+# |exact - A77| <= max|x| * 2^-19-ish, pinned in pytest.
+# ---------------------------------------------------------------------------
+EWMA_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, es double, value double, ewma double"
+)
+EWMA_STATE_SCHEMA = "s double"
+
+
+def make_ewma_kernel():
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        s = state.get[0] if state.exists else None
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for eid, ts, x in zip(rows["event_id"], rows["ts"], rows["value"]):
+            x = float(x)
+            s = x if s is None else 0.5 * x + 0.5 * s
+            out.append((int(eid), int(user_id), ts.timestamp(), x, s))
+        state.update((s,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "es", "value", "ewma"]
+            )
+
+    return update
+
+
+def ewma_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C24 driver: file-source events -> per-user exact EWMA fold with
+    one double of state per user."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        make_ewma_kernel(),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1343,3 +1343,59 @@ def test_top_component_recovers_planted_direction(spark, tmp_path):
     # planted: ~4/(4 + 64*0.01) ~ 0.86 of total variance on one axis
     assert frac > 0.5
     assert rows[0]["lambda_est"] > 0
+
+
+def test_cusum_finds_planted_step_change(spark, tmp_path):
+    """A78: a planted mean shift maximizes the CUSUM walk exactly at
+    the step boundary (flagged, located); an alternating stationary
+    series stays below the critical value."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import events_value_cusum
+
+    t0 = datetime.datetime(2024, 1, 1)
+    step = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "c",
+         10.0 if i < 50 else 20.0, "{}")
+        for i in range(100)
+    ]
+    flat = [
+        (200 + i, t0 + datetime.timedelta(minutes=i), 2, "c",
+         10.0 + (0.01 if i % 2 == 0 else -0.01), "{}")
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        step + flat,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = {r["user_id"]: r for r in events_value_cusum(spark, str(tmp_path)).collect()}
+    assert rows[1]["changepoint"] is True
+    assert rows[1]["cp_event_id"] == 49  # the last pre-shift row peaks the walk
+    assert rows[1]["cusum_norm"] > 1.358
+    assert rows[2]["changepoint"] is False
+    assert rows[2]["cusum_norm"] < 1.358
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark, tmp_path):
+    """B67: a short document dense in BOTH query terms outranks
+    single-term and diluted documents; docs with no query term never
+    appear."""
+    from near_indexer_for_explorer_spark.operators.textops import bm25_search
+
+    filler = "data table row column value stream"
+    docs = [(i, filler, "en", "s", 0) for i in range(30)]
+    docs.append((100, "hash join hash join hash join", "en", "s", 0))  # dense, both
+    docs.append((101, "hash hash " + filler * 4, "en", "s", 0))  # one term, diluted
+    docs.append((102, filler + " join " + filler, "en", "s", 0))  # one term once
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = [r for r in bm25_search(spark, str(tmp_path)).collect() if r["query_id"] == 1]
+    assert rows, "query 1 should match planted docs"
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert by_rank[0]["doc_id"] == 100
+    returned = {r["doc_id"] for r in rows}
+    assert returned == {100, 101, 102}  # fillers contain neither term
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[100] > scores[101] and scores[100] > scores[102]

@@ -84,6 +84,7 @@ _BNLJ_EXEMPT = {
     "topic_terms_serve",        # same scoring leg vs frozen broadcast centroids
     "opq_quantize_serve",       # same encoding leg vs frozen broadcast codebooks
     "tfidf_top_terms",          # broadcast doc-count scalar
+    "bm25_search",              # broadcast (n_docs, avgdl) corpus-stats scalar
     "bpe_train_merges",         # broadcast 1-row best-pair per round
     "bpe_encode_corpus",        # broadcast 1-row best-pair per round
     "topic_cluster_terms",      # broadcast centroids + doc-count scalar

@@ -1335,3 +1335,54 @@ def test_session_window_stream_matches_batch_and_pins_boundary(
         planted.coalesce(1).write.parquet(src + "/events.parquet")
         a12 = events_sessionize(spark, src).collect()
         assert len(a12) == want_sessions, f"A12 cumsum at gap {gap_s}"
+
+
+def test_ewma_stream_exact_fold_and_batch_kernel_bound(
+    spark, sf_dir, event_batches
+):
+    """C24: (a) the streamed EWMA equals a python exact fold over each
+    user's totally-ordered history BIT-FOR-BIT (alpha = 1/2: every step
+    is exact binary shifts, and state carries the fold across
+    micro-batches); (b) A77's truncated 20-term batch kernel agrees
+    within the documented tail bound max|x| * 2^-18."""
+    from near_indexer_for_explorer_spark.plans.relational import events_ewma_value
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import ewma_stream
+
+    q = ewma_stream(spark, event_batches, "ewma_stream_out")
+    _await(q, timeout=180)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_stream_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(
+        ev.selectExpr(
+            "event_id", "user_id",
+            "CAST(CAST(ts AS TIMESTAMP_LTZ) AS DOUBLE) AS es", "value",
+        ).collect(),
+        key=lambda r: (r["user_id"], r["es"], r["event_id"]),
+    )
+    want, state, depth, full = {}, {}, {}, set()
+    for r in rows:
+        s = state.get(r["user_id"])
+        s = r["value"] if s is None else 0.5 * r["value"] + 0.5 * s
+        state[r["user_id"]] = s
+        want[r["event_id"]] = s
+        depth[r["user_id"]] = depth.get(r["user_id"], 0) + 1
+        if depth[r["user_id"]] > 20:
+            full.add(r["event_id"])
+    assert got == want  # bit-for-bit
+
+    # the tail bound applies once the 20-term batch window is full;
+    # earlier rows weight the head of the series differently by design
+    # (exact recursion gives x_0 weight 2^-i, the truncated kernel
+    # renormalizes) — only full-window rows are comparable
+    batch = {
+        r["event_id"]: r["ewma"] for r in events_ewma_value(spark, sf_dir).collect()
+    }
+    assert full, "expected users with > 20 events"
+    max_x = max(abs(r["value"]) for r in rows)
+    bound = max_x * 2.0 ** -18
+    worst = max(abs(batch[eid] - got[eid]) for eid in full)
+    assert worst <= bound, f"truncation divergence {worst} above bound {bound}"
