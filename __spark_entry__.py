@@ -128,6 +128,8 @@ _GATE_DEFER: list[str] = [
     # window.
     "events_cumulative_distinct_users",
     "events_ewma_value",
+    "quality_budget_curve",
+    "events_daily_autocorrelation",
     "dedup_edit_verify",
     "dedup_edit_banded",
     "events_interval_join",

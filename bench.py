@@ -118,6 +118,8 @@ EXTRA = [
     "embedding_top_component",
     "events_value_cusum",
     "bm25_search",
+    "quality_budget_curve",
+    "events_daily_autocorrelation",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -2172,3 +2172,92 @@ ORACLES["kneser_ney_bigram_xent"] = f"""
     FROM lp
     GROUP BY doc_id, split
 """
+
+
+# ---------------------------------------------------------------------------
+# B68 quality-budget operating curve — the calibration step between a
+# continuous quality score and a FILTER decision.  CCNet (Wenzek 2020)
+# ranks documents by LM perplexity and keeps the best slice up to a
+# token budget; choosing the cut requires exactly this curve: for each
+# candidate cross-entropy threshold, how many documents and how many
+# TOKENS survive (training budgets are token-denominated, and long
+# docs dominate — doc_frac and token_frac diverge, which is the
+# operating decision).  Composes B33's verified unigram_xent scores
+# (the B42/B51 composition discipline: the curve's oracle stitches
+# B33's oracle text as a subquery, so the composed decision is itself
+# hash-checked).  Thresholds explode map-side over the doc-grain score
+# relation; one aggregate; corpus totals enter as a broadcast 1-row
+# aggregate.  Linear at any scale.
+# ---------------------------------------------------------------------------
+_QB_THRESHOLDS = [4.0, 4.5, 5.0, 5.5, 6.0, 6.5, 7.0, 7.5, 8.0]
+
+
+def quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_docs_kept, n_tokens_kept, doc_frac, token_frac):
+    survivors under "keep docs with unigram cross-entropy <= t" for
+    each candidate threshold."""
+    scored = unigram_xent(spark, sf_dir)
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    ex = scored.select(
+        "xent",
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(t) for t in _QB_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    return (
+        ex.groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("xent") <= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("xent") <= F.col("threshold"), F.col("n_tokens"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "n_tokens_kept",
+            (F.col("n_docs_kept").cast("double") / F.col("total_docs")).alias(
+                "doc_frac"
+            ),
+            (
+                F.col("n_tokens_kept").cast("double") / F.col("total_tokens")
+            ).alias("token_frac"),
+        )
+    )
+
+
+QUERIES["quality_budget_curve"] = quality_budget_curve
+
+
+def _quality_budget_oracle_sql() -> str:
+    tvals = ", ".join(f"({t!r})" for t in _QB_THRESHOLDS)
+    return f"""
+    WITH scored AS ({ORACLES["unigram_xent"]}),
+    th AS (SELECT * FROM (VALUES {tvals}) v(threshold)),
+    tot AS (SELECT COUNT(*) AS total_docs, SUM(n_tokens) AS total_tokens
+            FROM scored)
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN s.xent <= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN s.xent <= th.threshold THEN s.n_tokens ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(CASE WHEN s.xent <= th.threshold THEN 1 ELSE 0 END)
+                AS DOUBLE) / ANY_VALUE(tot.total_docs) AS doc_frac,
+           CAST(SUM(CASE WHEN s.xent <= th.threshold THEN s.n_tokens ELSE 0 END)
+                AS DOUBLE) / ANY_VALUE(tot.total_tokens) AS token_frac
+    FROM scored s CROSS JOIN th CROSS JOIN tot
+    GROUP BY th.threshold
+"""
+
+
+ORACLES["quality_budget_curve"] = _quality_budget_oracle_sql()

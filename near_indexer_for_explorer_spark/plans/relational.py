@@ -4477,3 +4477,95 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("changepoint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A79: autocorrelation of the daily activity series (lag-1 persistence
+# and lag-7 weekly seasonality) — the diagnostic behind capacity
+# planning and anomaly baselines on the blocks/transactions time
+# indexes: "does today's volume predict tomorrow's / next week's?".
+# Per event_type, the lag-k Pearson autocorrelation over day pairs
+# where both endpoints exist.  Engine-stability is FREE here: the
+# series is integer daily counts, so all five co-moments are EXACT
+# BIGINT sums and the Pearson formula is one pinned IEEE expression
+# (the A71 discipline without even needing decimals).  Plan: one fact
+# shuffle to day grain; the lag pairing is an equi-join on
+# (event_type, day + lag) over the tiny day-grain relation; zero
+# extra fact passes.
+# ---------------------------------------------------------------------------
+_ACF_LAGS = [1, 7]
+
+
+@_register(
+    "events_daily_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (7)) v(lag)),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.y AS x, b.y AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.d = CAST(a.d + l.lag * INTERVAL 1 DAY AS DATE)
+    ),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS acf
+    FROM m
+    """,
+)
+def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, lag, n_pairs, acf): lag-1 / lag-7 Pearson
+    autocorrelation of each event type's daily count series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag")
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("d").alias("b_d"),
+        F.col("y").alias("b_y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("a.event_type"))
+        & (F.col("b_d") == F.date_add(F.col("a.d"), F.col("lag"))),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "lag",
+        F.col("a.y").alias("x"),
+        F.col("b_y").alias("y"),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_type", "lag", F.col("n").alias("n_pairs"), acf.alias("acf")
+    )

@@ -1466,3 +1466,102 @@ def ewma_stream(spark: SparkSession, src_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C25: streaming CUSUM change detection — the ONLINE twin of A78's
+# batch statistic.  A78 answers "did the mean shift somewhere in this
+# history"; the operational question is "raise an alarm AS the shift
+# happens", which is Page's one-sided recursion
+#
+#   S+_i = max(0, S+_{i-1} + (x_i - mu) - k)     (upward shifts)
+#   S-_i = max(0, S-_{i-1} - (x_i - mu) - k)     (downward shifts)
+#
+# — a sequential fold (each S depends on the previous), so it is group
+# state, not a window.  The per-user baseline mu comes from a STATIC
+# batch-computed relation joined per micro-batch (the C6 stream-static
+# enrichment pattern: at 100 TB the baseline is a nightly batch
+# artifact and the detector never rescans history).  State: two
+# doubles per user, bounded forever (C16/C24 discipline).  Alarm when
+# either side exceeds h; k (slack) and h are the standard CUSUM
+# tuning knobs.
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_K = 0.5
+CUSUM_ALARM_H = 5.0
+CUSUM_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, es double, value double, "
+    "s_pos double, s_neg double, alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "sp double, sn double"
+
+
+def user_value_baseline(events: DataFrame) -> DataFrame:
+    """Per-user mean value in exact decimal — the batch artifact the
+    streaming detector joins against (and the same mu definition A78
+    uses)."""
+    return events.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+
+
+def make_cusum_kernel():
+    k, h = CUSUM_SLACK_K, CUSUM_ALARM_H
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for eid, ts, x, mu in zip(
+            rows["event_id"], rows["ts"], rows["value"], rows["mu"]
+        ):
+            x = float(x)
+            dev = x - float(mu)
+            sp = max(0.0, sp + dev - k)
+            sn = max(0.0, sn - dev - k)
+            out.append(
+                (int(eid), int(user_id), ts.timestamp(), x, sp, sn,
+                 sp > h or sn > h)
+            )
+        state.update((sp, sn))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "user_id", "es", "value",
+                    "s_pos", "s_neg", "alarm",
+                ],
+            )
+
+    return update
+
+
+def cusum_stream(
+    spark: SparkSession, src_dir: str, baseline: DataFrame, query_name: str
+):
+    """C25 driver: events stream joined to the static per-user baseline
+    (broadcast per micro-batch), folded through the two-sided CUSUM
+    recursion with two doubles of state per user."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1).join(
+        F.broadcast(baseline), "user_id"
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        make_cusum_kernel(),
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1399,3 +1399,54 @@ def test_bm25_ranks_planted_relevant_doc_first(spark, tmp_path):
     assert returned == {100, 101, 102}  # fillers contain neither term
     scores = {r["doc_id"]: r["score"] for r in rows}
     assert scores[100] > scores[101] and scores[100] > scores[102]
+
+
+def test_autocorrelation_detects_planted_weekly_period(spark, tmp_path):
+    """A79: a perfectly period-7 daily series has lag-7 autocorrelation
+    exactly 1 and smaller lag-1 correlation; the budget curve test data
+    doubles as a monotonicity check for B68."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_daily_autocorrelation,
+    )
+
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    pattern = [1, 5, 2, 9, 3, 7, 4]  # weekly profile, all days present
+    for day in range(28):
+        for _ in range(pattern[day % 7]):
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, minutes=eid % 60),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    acf = {
+        r["lag"]: r for r in events_daily_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    assert acf[7]["acf"] == 1.0
+    assert acf[7]["n_pairs"] == 21
+    assert acf[1]["acf"] < 0.99
+
+
+def test_quality_budget_curve_monotone(spark, sf_dir):
+    """B68: kept docs/tokens are monotone nondecreasing in the
+    threshold and fractions stay in [0, 1]."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        quality_budget_curve,
+    )
+
+    rows = sorted(
+        quality_budget_curve(spark, sf_dir).collect(), key=lambda r: r["threshold"]
+    )
+    assert len(rows) == 9
+    docs = [r["n_docs_kept"] for r in rows]
+    toks = [r["n_tokens_kept"] for r in rows]
+    assert docs == sorted(docs) and toks == sorted(toks)
+    for r in rows:
+        assert 0.0 <= r["doc_frac"] <= 1.0 and 0.0 <= r["token_frac"] <= 1.0

@@ -63,6 +63,8 @@ _BNLJ_EXEMPT = {
     "semdedup_embeddings",      # broadcast cluster-centroid snapshot
     "token_bigram_pmi",         # broadcast corpus total counts scalar
     "unigram_xent",             # broadcast (n_train, v_train) scalar
+    "quality_budget_curve",     # composes B33's scalar + broadcast totals
+    "events_daily_autocorrelation",  # broadcast 2-row lag dim crossJoin
     "pq_ann_topk",              # broadcast 128-row codebook
     "circulating_supply_daily", # broadcast lockup snapshot
     "corpus_source_mix",        # broadcast corpus totals scalar

@@ -1386,3 +1386,75 @@ def test_ewma_stream_exact_fold_and_batch_kernel_bound(
     bound = max_x * 2.0 ** -18
     worst = max(abs(batch[eid] - got[eid]) for eid in full)
     assert worst <= bound, f"truncation divergence {worst} above bound {bound}"
+
+
+def test_cusum_stream_alarms_after_planted_shift(spark, tmp_path_factory):
+    """C25: with a baseline learned from pre-shift behavior, the
+    streamed CUSUM stays silent on in-regime data (spanning
+    micro-batches) and alarms shortly after a planted mean shift —
+    and the fold matches a python reference bit-for-bit."""
+    import datetime
+    import os
+    import time as _time
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        CUSUM_ALARM_H,
+        CUSUM_SLACK_K,
+        cusum_stream,
+        user_value_baseline,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # 60 in-regime events (value 10 +- 0.5 alternating), then 20 shifted
+    pre = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "c",
+         10.0 + (0.5 if i % 2 == 0 else -0.5), "{}")
+        for i in range(60)
+    ]
+    post = [
+        (100 + i, t0 + datetime.timedelta(minutes=60 + i), 1, "c", 13.0, "{}")
+        for i in range(20)
+    ]
+    baseline = user_value_baseline(spark.createDataFrame(pre, schema))
+    src = str(tmp_path_factory.mktemp("cusum_src"))
+    b1 = spark.createDataFrame(pre, schema)
+    b2 = spark.createDataFrame(post, schema)
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    import glob
+    import shutil
+
+    flat = str(tmp_path_factory.mktemp("cusum_flat"))
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(src, "f*", "part-*.parquet")))
+    ):
+        dst = os.path.join(flat, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        os.utime(dst, (mt, mt))
+
+    q = cusum_stream(spark, flat, baseline, "cusum_stream_out")
+    _await(q, timeout=180)
+    rows = sorted(
+        spark.sql("SELECT * FROM cusum_stream_out").collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert len(rows) == 80
+    mu = baseline.collect()[0]["mu"]
+    sp = sn = 0.0
+    first_alarm = None
+    for r in rows:
+        dev = r["value"] - mu
+        sp = max(0.0, sp + dev - CUSUM_SLACK_K)
+        sn = max(0.0, sn - dev - CUSUM_SLACK_K)
+        assert r["s_pos"] == sp and r["s_neg"] == sn  # bit-for-bit
+        if r["alarm"] and first_alarm is None:
+            first_alarm = r["event_id"]
+    pre_alarms = [r for r in rows if r["event_id"] < 100 and r["alarm"]]
+    assert not pre_alarms  # silent in-regime
+    # shift of +3 with k=0.5 accumulates 2.5/event -> alarm within ~3
+    assert first_alarm is not None and first_alarm <= 103
