@@ -130,6 +130,7 @@ _GATE_DEFER: list[str] = [
     "events_ewma_value",
     "quality_budget_curve",
     "events_daily_autocorrelation",
+    "ivf_nprobe_recall_curve",
     "dedup_edit_verify",
     "dedup_edit_banded",
     "events_interval_join",

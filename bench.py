@@ -120,6 +120,7 @@ EXTRA = [
     "bm25_search",
     "quality_budget_curve",
     "events_daily_autocorrelation",
+    "ivf_nprobe_recall_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -640,7 +640,11 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("__rk") <= _IVF_NPROBE)
         .select(
-            "q_id", "q_emb", "q_nrm", F.col("centroid_id").alias("probe_centroid")
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            F.col("centroid_id").alias("probe_centroid"),
+            F.col("__rk").cast("int").alias("probe_rank"),
         )
     )
     return corpus.join(
@@ -653,6 +657,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
         ).alias("cos_sim"),
+        "probe_rank",
     )
 
 
@@ -774,7 +779,8 @@ def _ivf_pairs_ctes() -> str:
     q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
           WHERE vec_id % {QUERY_MOD} = 0),
     qprobe AS (
-      SELECT q_id, q_emb, q_nrm, centroid_id AS probe_centroid FROM (
+      SELECT q_id, q_emb, q_nrm, centroid_id AS probe_centroid,
+             CAST(rk AS INTEGER) AS probe_rank FROM (
         SELECT v.q_id, v.q_emb, v.q_nrm, c.centroid_id,
                ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
                  list_sum(list_transform(range(1, len(v.q_emb) + 1),
@@ -787,7 +793,8 @@ def _ivf_pairs_ctes() -> str:
       SELECT p.q_id, s.vec_id,
              ROUND(list_sum(list_transform(range(1, len(s.emb) + 1),
                                            i -> p.q_emb[i] * s.emb[i]))
-                   / (p.q_nrm * s.nrm), 6) AS cos_sim
+                   / (p.q_nrm * s.nrm), 6) AS cos_sim,
+             p.probe_rank
       FROM qprobe p JOIN corpus s
         ON p.probe_centroid = s.centroid_id AND p.q_id <> s.vec_id
     )"""
@@ -855,6 +862,98 @@ ORACLES["ann_hard_negatives"] = f"""
           FROM pairs
           WHERE cos_sim >= {_NEG_LO} AND cos_sim < {_NEG_HI}) t
     WHERE rank <= {_NEG_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# B69 IVF nprobe/recall operating curve — the ANN counterpart of the
+# B63 LSH S-curve and B51 dedup threshold curve: nprobe is THE
+# latency/recall knob of an IVF deployment (FAISS's `nprobe`), and the
+# operating decision needs the measured curve, not folklore.  For
+# every nprobe in 1.._IVF_NPROBE: candidate volume, top-k recall
+# against the exact brute-force baseline (B5's oracle text stitched
+# as a subquery — the B40/B68 composition discipline), computed from
+# ONE ranked probe relation: the shared IVF search leg already knows
+# each candidate's probe_rank, and a pair is a candidate for every
+# nprobe >= its rank, so the whole curve is a map-side explode — the
+# nprobe grid never re-runs the search.  Recall is monotone
+# nondecreasing in nprobe BY CONSTRUCTION (candidate sets are
+# nested), pinned in pytest.
+# ---------------------------------------------------------------------------
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nprobe, n_candidates, n_hit, n_exact, recall): measured
+    top-{TOP_K} recall and candidate volume per probe depth."""
+    from pyspark.sql import Window as W
+
+    pairs = _ivf_probe_pairs(spark, sf_dir)
+    ex = pairs.select(
+        "q_id",
+        "vec_id",
+        "cos_sim",
+        F.explode(
+            F.sequence(F.col("probe_rank"), F.lit(_IVF_NPROBE))
+        ).alias("nprobe"),
+    )
+    cands = ex.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    w = W.partitionBy("nprobe", "q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("nprobe", "q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = approx.join(exact, ["q_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        cands.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve
+
+ORACLES["ivf_nprobe_recall_curve"] = f"""
+    {_ivf_pairs_ctes()},
+    ex AS (
+      SELECT q_id, vec_id, cos_sim, CAST(r.p AS INTEGER) AS nprobe
+      FROM pairs, UNNEST(range(pairs.probe_rank, {_IVF_NPROBE} + 1)) AS r(p)
+    ),
+    cands AS (SELECT nprobe, COUNT(*) AS n_candidates FROM ex GROUP BY nprobe),
+    approx AS (
+      SELECT nprobe, q_id, vec_id AS neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                                         ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM ex) t
+      WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+      SELECT q_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]}) b
+    ),
+    ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+    hits AS (
+      SELECT a.nprobe, COUNT(*) AS n_hit
+      FROM approx a JOIN exact e
+        ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.nprobe
+    )
+    SELECT c.nprobe, c.n_candidates,
+           COALESCE(h.n_hit, 0) AS n_hit, ne.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+    FROM cands c LEFT JOIN hits h ON c.nprobe = h.nprobe, ne
 """
 
 

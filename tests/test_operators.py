@@ -1450,3 +1450,25 @@ def test_quality_budget_curve_monotone(spark, sf_dir):
     assert docs == sorted(docs) and toks == sorted(toks)
     for r in rows:
         assert 0.0 <= r["doc_frac"] <= 1.0 and 0.0 <= r["token_frac"] <= 1.0
+
+
+def test_ivf_recall_curve_monotone_nested(spark, sf_dir):
+    """B69: candidate sets are nested in nprobe by construction, so
+    candidates, hits, and recall are all monotone nondecreasing; at
+    nprobe = max the candidates are exactly the full IVF search leg."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _ivf_probe_pairs,
+        ivf_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        ivf_nprobe_recall_curve(spark, sf_dir).collect(), key=lambda r: r["nprobe"]
+    )
+    assert [r["nprobe"] for r in rows] == list(range(1, _IVF_NPROBE + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["n_hit"] <= b["n_hit"]
+        assert a["recall"] <= b["recall"]
+    assert rows[-1]["n_candidates"] == _ivf_probe_pairs(spark, sf_dir).count()
+    assert 0.0 < rows[-1]["recall"] <= 1.0

@@ -105,6 +105,7 @@ _BNLJ_EXEMPT = {
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
     "ann_recall_matrix",        # composes the brute-force baseline leg
+    "ivf_nprobe_recall_curve",  # composes the brute-force baseline + IVF legs
 }
 
 
