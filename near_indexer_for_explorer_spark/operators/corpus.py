@@ -2243,7 +2243,8 @@ def _quality_budget_oracle_sql() -> str:
     tvals = ", ".join(f"({t!r})" for t in _QB_THRESHOLDS)
     return f"""
     WITH scored AS ({ORACLES["unigram_xent"]}),
-    th AS (SELECT * FROM (VALUES {tvals}) v(threshold)),
+    th AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+           FROM (VALUES {tvals}) v(threshold)),
     tot AS (SELECT COUNT(*) AS total_docs, SUM(n_tokens) AS total_tokens
             FROM scored)
     SELECT th.threshold,

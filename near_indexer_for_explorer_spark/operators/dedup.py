@@ -1878,12 +1878,16 @@ def _scurve_oracle_sql() -> str:
     )
     SELECT bands, rows_per_band,
            CASE {theory} END AS theory_p_at_t,
-           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_pairs,
-           SUM(CASE WHEN is_dup AND caught THEN 1 ELSE 0 END) AS n_dup_caught,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_pairs,
+           CAST(SUM(CASE WHEN is_dup AND caught THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_caught,
            CAST(SUM(CASE WHEN is_dup AND caught THEN 1 ELSE 0 END) AS DOUBLE)
              / NULLIF(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS recall,
-           SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS n_nondup_pairs,
-           SUM(CASE WHEN NOT is_dup AND caught THEN 1 ELSE 0 END) AS n_nondup_caught,
+           CAST(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nondup_pairs,
+           CAST(SUM(CASE WHEN NOT is_dup AND caught THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nondup_caught,
            CAST(SUM(CASE WHEN NOT is_dup AND caught THEN 1 ELSE 0 END) AS DOUBLE)
              / NULLIF(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END), 0)
              AS nondup_catch_rate

@@ -4245,10 +4245,10 @@ def events_value_robust_anomalies(
     SELECT da.event_date,
            da.daily_active,
            COALESCE(nu.new_users, 0) AS new_users,
-           SUM(COALESCE(nu.new_users, 0))
+           CAST(SUM(COALESCE(nu.new_users, 0))
              OVER (ORDER BY da.event_date
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_users
+             AS BIGINT) AS cum_users
     FROM da LEFT JOIN nu ON da.event_date = nu.event_date
     """,
 )
