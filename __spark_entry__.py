@@ -131,6 +131,8 @@ _GATE_DEFER: list[str] = [
     "quality_budget_curve",
     "events_daily_autocorrelation",
     "ivf_nprobe_recall_curve",
+    "events_funnel_latency",
+    "token_kl_drift",
     "dedup_edit_verify",
     "dedup_edit_banded",
     "events_interval_join",

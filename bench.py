@@ -121,6 +121,8 @@ EXTRA = [
     "quality_budget_curve",
     "events_daily_autocorrelation",
     "ivf_nprobe_recall_curve",
+    "events_funnel_latency",
+    "token_kl_drift",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

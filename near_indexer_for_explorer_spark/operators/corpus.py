@@ -2262,3 +2262,104 @@ def _quality_budget_oracle_sql() -> str:
 
 
 ORACLES["quality_budget_curve"] = _quality_budget_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B70 split distribution drift (KL / Jensen-Shannon over unigram LMs) —
+# the token-level drift monitor beside B52's embedding-space one: "has
+# the val split (or a new ingest cohort) drifted from the train
+# distribution?" is the standard gate before reusing a tokenizer,
+# sampling temperature, or filter calibration.  Both LMs are add-one
+# estimates over the UNION vocabulary, so every term is finite:
+#
+#   p_t = (c_val+1)/(n_val+V),  q_t = (c_train+1)/(n_train+V)
+#   KL(p||q) = sum_t p_t ln(p_t/q_t),  JS = (KL(p||m)+KL(q||m))/2,
+#   m = (p+q)/2
+#
+# Per-token terms are tiny (O(1/V)), so they round at 8 decimals into
+# DECIMAL(24,8) sums (the B33 order-independence discipline, scaled to
+# the term magnitude).  Plan: one token explode -> one vocab-keyed
+# aggregate carrying both splits' counts -> broadcast totals -> one
+# 1-row reduce.  Linear, two shuffles, vocab-bounded intermediate.
+# ---------------------------------------------------------------------------
+def token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_train, n_val, v_union, kl_val_train, kl_train_val, js): the
+    drift of the val split's unigram distribution off the train
+    split's."""
+    docs = load_table(spark, sf_dir, "documents")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    tok = docs.select(split.alias("split"), F.explode(tokens("text")).alias("t"))
+    counts = (
+        tok.where(F.col("split").isin("train", "val"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ctr"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cva"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ctr").alias("n_tr"),
+        F.sum("cva").alias("n_va"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("cva") + 1).cast("double") / (F.col("n_va") + F.col("v"))
+    q = (F.col("ctr") + 1).cast("double") / (F.col("n_tr") + F.col("v"))
+    m = (p + q) / 2
+    d8 = lambda c: F.sum(F.round(c, 8).cast("decimal(24,8)")).cast("double")  # noqa: E731
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_tr").cast("long").alias("n_train"),
+            F.max("n_va").cast("long").alias("n_val"),
+            F.max("v").cast("long").alias("v_union"),
+            d8(p * F.log(p / q)).alias("kl_val_train"),
+            d8(q * F.log(q / p)).alias("kl_train_val"),
+            ((d8(p * F.log(p / m)) + d8(q * F.log(q / m))) / 2).alias("js"),
+        )
+    )
+
+
+QUERIES["token_kl_drift"] = token_kl_drift
+
+ORACLES["token_kl_drift"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 32
+                  THEN 'train'
+                  WHEN {_hash_bucket_sql("doc_id", "split:", _SPLIT_MOD)} < 36
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (SELECT split, UNNEST(t) AS t FROM d
+            WHERE split IN ('train', 'val')),
+    counts AS (
+      SELECT t,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cva
+      FROM tok GROUP BY t
+    ),
+    tot AS (SELECT SUM(ctr) AS n_tr, SUM(cva) AS n_va, COUNT(*) AS v
+            FROM counts),
+    terms AS (
+      SELECT CAST(cva + 1 AS DOUBLE) / (n_va + v) AS p,
+             CAST(ctr + 1 AS DOUBLE) / (n_tr + v) AS q,
+             (CAST(cva + 1 AS DOUBLE) / (n_va + v)
+              + CAST(ctr + 1 AS DOUBLE) / (n_tr + v)) / 2 AS m,
+             n_tr, n_va, v
+      FROM counts, tot
+    )
+    SELECT CAST(MAX(n_tr) AS BIGINT) AS n_train,
+           CAST(MAX(n_va) AS BIGINT) AS n_val,
+           CAST(MAX(v) AS BIGINT) AS v_union,
+           CAST(CAST(SUM(CAST(ROUND(p * ln(p / q), 8) AS DECIMAL(24,8)))
+                AS VARCHAR) AS DOUBLE) AS kl_val_train,
+           CAST(CAST(SUM(CAST(ROUND(q * ln(q / p), 8) AS DECIMAL(24,8)))
+                AS VARCHAR) AS DOUBLE) AS kl_train_val,
+           (CAST(CAST(SUM(CAST(ROUND(p * ln(p / m), 8) AS DECIMAL(24,8)))
+                 AS VARCHAR) AS DOUBLE)
+            + CAST(CAST(SUM(CAST(ROUND(q * ln(q / m), 8) AS DECIMAL(24,8)))
+                   AS VARCHAR) AS DOUBLE)) / 2 AS js
+    FROM terms
+"""

@@ -4569,3 +4569,85 @@ def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "lag", F.col("n").alias("n_pairs"), acf.alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# A80: funnel latency distribution — A25 counts WHO converts
+# (signup -> purchase); the operational follow-up is HOW FAST:
+# the distribution of time-to-convert (the explorer's account-lifecycle
+# latency question over accounts.rs created_at -> first transaction).
+# Per user: first signup, first purchase AT OR AFTER it, duration; the
+# output is one global row of interpolated percentiles over the
+# converted population (A51's cross-engine percentile parity, round-6)
+# plus the funnel counts.  Plan: two conditional aggregates on ONE
+# user_id exchange (signup-min rides the groupBy; the
+# purchase-after-signup min is a second agg over the same partitioning
+# joined back — Catalyst reuses the exchange), then one global
+# aggregate over the user-grain relation (bounded: one row per user).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_funnel_latency",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS signup_ts
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+                      THEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                           - epoch_us(s.signup_ts) END) / 1000000.0
+               AS dur_s
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE s.signup_ts IS NOT NULL
+      GROUP BY s.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           CAST(SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY dur_s), 6) AS p25,
+           ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY dur_s), 6) AS p50,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY dur_s), 6) AS p75,
+           ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY dur_s), 6) AS p90
+    FROM conv
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_signup_users, n_converted, p25, p50, p75, p90): the
+    time-to-convert distribution over users who signed up."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts")
+    ).where(F.col("signup_ts").isNotNull())
+    dur_us = epoch_seconds("ts") * 1000000.0 - epoch_seconds("signup_ts") * 1000000.0
+    conv = (
+        ev.join(s, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") >= F.col("signup_ts")),
+                        dur_us,
+                    )
+                )
+                / 1000000.0
+            ).alias("dur_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum(F.when(F.col("dur_s").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.round(F.percentile("dur_s", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("dur_s", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("dur_s", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("dur_s", F.lit(0.90)), 6).alias("p90"),
+    )

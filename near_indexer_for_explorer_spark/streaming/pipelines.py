@@ -1565,3 +1565,109 @@ def cusum_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C26: streaming Space-Saving heavy hitters (Metwally et al. 2005) —
+# the ONLINE side of the A69 sketch story: a bounded set of counters
+# per key shard, maintained across micro-batches, with the classic
+# guarantees (no false negatives above n/k; est >= true >= est - err).
+# Sharding by item hash PARTITIONS the key space, so each item's whole
+# count lives in one shard and the per-shard guarantee carries to the
+# merged summary: true count > n/k >= n_shard/k implies the item
+# survives its shard's evictions.  State per shard: k (item, count,
+# err) counters + a monotone seq — bounded forever regardless of
+# stream length (the A69 sketch contract, C16/C24 state discipline).
+# Each batch emits the shard's full summary stamped with seq; readers
+# take the max-seq snapshot per shard (memory/update sinks append
+# every trigger's rows).
+# ---------------------------------------------------------------------------
+TOPK_COUNTERS = 8  # k counters per shard
+TOPK_SHARDS = 4
+TOPK_OUTPUT_SCHEMA = "shard int, seq long, item long, est long, err long"
+TOPK_STATE_SCHEMA = "items string, counts string, errs string, seq long"
+
+
+def make_space_saving_kernel(k: int = TOPK_COUNTERS):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            items_s, counts_s, errs_s, seq = state.get
+            items = [int(x) for x in items_s.split(",")] if items_s else []
+            counts = [int(x) for x in counts_s.split(",")] if counts_s else []
+            errs = [int(x) for x in errs_s.split(",")] if errs_s else []
+        else:
+            items, counts, errs, seq = [], [], [], 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for item in rows["user_id"]:
+            item = int(item)
+            if item in items:
+                counts[items.index(item)] += 1
+            elif len(items) < k:
+                items.append(item)
+                counts.append(1)
+                errs.append(0)
+            else:
+                # evict the min-count counter (ties: lowest item id,
+                # deterministic across replays/engines)
+                j = min(range(k), key=lambda i: (counts[i], items[i]))
+                errs[j] = counts[j]
+                counts[j] = counts[j] + 1
+                items[j] = item
+        seq += 1
+        state.update(
+            (
+                ",".join(str(x) for x in items),
+                ",".join(str(x) for x in counts),
+                ",".join(str(x) for x in errs),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                (int(shard), int(seq), items[i], counts[i], errs[i])
+                for i in range(len(items))
+            ],
+            columns=["shard", "seq", "item", "est", "err"],
+        )
+
+    return update
+
+
+def topk_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C26 driver: events keyed by user-hash shard -> Space-Saving
+    summaries maintained in bounded state, snapshot emitted per
+    batch."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1).withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(TOPK_SHARDS)).cast("int")
+    )
+    out = stream.groupBy("shard").applyInPandasWithState(
+        make_space_saving_kernel(),
+        TOPK_OUTPUT_SCHEMA,
+        TOPK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topk_snapshot(spark: SparkSession, query_name: str) -> DataFrame:
+    """Latest (max-seq) Space-Saving summary per shard from the memory
+    sink's appended trigger snapshots."""
+    return spark.sql(
+        f"""
+        SELECT shard, seq, item, est, err FROM (
+          SELECT *, MAX(seq) OVER (PARTITION BY shard) AS mx
+          FROM {query_name}
+        ) WHERE seq = mx
+        """
+    )

@@ -1472,3 +1472,43 @@ def test_ivf_recall_curve_monotone_nested(spark, sf_dir):
         assert a["recall"] <= b["recall"]
     assert rows[-1]["n_candidates"] == _ivf_probe_pairs(spark, sf_dir).count()
     assert 0.0 < rows[-1]["recall"] <= 1.0
+
+
+def test_kl_drift_separates_planted_shift(spark, tmp_path):
+    """B70: a val split phrased like train scores near-zero divergence;
+    a val split with disjoint phrasing scores clearly higher, and JS
+    stays within its ln(2) bound."""
+    import hashlib
+    import math
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SPLIT_MOD,
+        token_kl_drift,
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _SPLIT_MOD
+
+    ids = list(range(600))
+    train_ids = [i for i in ids if bucket(i) < 32][:30]
+    val_ids = [i for i in ids if 32 <= bucket(i) < 36][:10]
+    same = "alpha beta gamma delta epsilon zeta"
+    shifted = "omega psi chi phi upsilon tau"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def corpus(val_phrase):
+        docs = [(i, same, "en", "s", 0) for i in train_ids]
+        docs += [(i, val_phrase, "en", "s", 0) for i in val_ids]
+        return docs
+
+    results = {}
+    for tag, phrase in (("same", same), ("shifted", shifted)):
+        spark.createDataFrame(corpus(phrase), schema).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "documents.parquet"))
+        results[tag] = token_kl_drift(spark, str(tmp_path)).collect()[0]
+    assert results["same"]["kl_val_train"] < 0.01
+    assert results["shifted"]["kl_val_train"] > results["same"]["kl_val_train"] * 10
+    for tag in results:
+        assert 0.0 <= results[tag]["js"] <= math.log(2.0) + 1e-9

@@ -64,6 +64,7 @@ _BNLJ_EXEMPT = {
     "token_bigram_pmi",         # broadcast corpus total counts scalar
     "unigram_xent",             # broadcast (n_train, v_train) scalar
     "quality_budget_curve",     # composes B33's scalar + broadcast totals
+    "token_kl_drift",           # broadcast (n_tr, n_va, v) totals scalar
     "events_daily_autocorrelation",  # broadcast 2-row lag dim crossJoin
     "pq_ann_topk",              # broadcast 128-row codebook
     "circulating_supply_daily", # broadcast lockup snapshot

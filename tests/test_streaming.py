@@ -1458,3 +1458,42 @@ def test_cusum_stream_alarms_after_planted_shift(spark, tmp_path_factory):
     assert not pre_alarms  # silent in-regime
     # shift of +3 with k=0.5 accumulates 2.5/event -> alarm within ~3
     assert first_alarm is not None and first_alarm <= 103
+
+
+def test_topk_stream_space_saving_guarantees(spark, sf_dir, event_batches):
+    """C26: after streaming all micro-batches, the merged Space-Saving
+    snapshot (a) contains EVERY user whose true count exceeds its
+    shard's n/k (no false negatives — the sketch's defining contract),
+    and (b) brackets every estimate: est >= true >= est - err."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        TOPK_COUNTERS,
+        TOPK_SHARDS,
+        topk_snapshot,
+        topk_stream,
+    )
+
+    q = topk_stream(spark, event_batches, "topk_stream_out")
+    _await(q, timeout=180)
+    snap = {
+        (r["shard"], r["item"]): (r["est"], r["err"])
+        for r in topk_snapshot(spark, "topk_stream_out").collect()
+    }
+    assert snap
+    ev = load_table(spark, sf_dir, "events")
+    true_counts = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    shard_n = {}
+    for u, c in true_counts.items():
+        shard_n[u % TOPK_SHARDS] = shard_n.get(u % TOPK_SHARDS, 0) + c
+    # (a) no false negatives above the per-shard threshold
+    for u, c in true_counts.items():
+        s = u % TOPK_SHARDS
+        if c > shard_n[s] / TOPK_COUNTERS:
+            assert (s, u) in snap, f"user {u} (count {c}) missing from shard {s}"
+    # (b) bracketing for every surviving counter
+    for (s, u), (est, err) in snap.items():
+        true = true_counts.get(u, 0)
+        assert est >= true >= est - err
