@@ -133,6 +133,8 @@ _GATE_DEFER: list[str] = [
     "ivf_nprobe_recall_curve",
     "events_funnel_latency",
     "token_kl_drift",
+    "minhash_width_curve",
+    "receipt_depth_histogram",
     "dedup_edit_verify",
     "dedup_edit_banded",
     "events_interval_join",

@@ -123,6 +123,8 @@ EXTRA = [
     "ivf_nprobe_recall_curve",
     "events_funnel_latency",
     "token_kl_drift",
+    "minhash_width_curve",
+    "receipt_depth_histogram",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -2058,3 +2058,117 @@ def _bbit_oracle_sql() -> str:
 
 
 ORACLES["minhash_bbit_estimate"] = _bbit_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B71 signature-width operating curve — the remaining MinHash storage
+# knob after B65's bit-width: HOW MANY permutations does the estimator
+# need?  Var(est) = J(1-J)/P, so halving P doubles the variance; this
+# measures it on the real candidate set instead of quoting the
+# formula: for P in {16, 32, 64}, the Jaccard estimate from the FIRST
+# P permutations (a prefix of the one signature relation — no
+# retraining; prefix-minhash is itself a valid P-permutation MinHash)
+# against the exact Jaccard, aggregated to mean absolute error and
+# worst-case error per width.  Completes the tuning-curve family:
+# B51 (verify threshold), B63 (banding), B65 (bits/hash), B69
+# (nprobe), THIS (hashes/signature).  Rides the frozen
+# signature/candidate/exact-jaccard artifacts (deterministic; the
+# fresh chain stays benched via B3/B31).
+# ---------------------------------------------------------------------------
+_PERM_WIDTHS = [16, 32, 64]
+
+
+def minhash_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_perms, n_pairs, mean_abs_err, max_abs_err): estimator error
+    vs signature width over the LSH candidate pairs."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    sig, cand = frozen_minhash_index(spark, sf_dir)
+
+    def _build_estimates() -> tuple[DataFrame, ...]:
+        return (
+            _jaccard_estimate_core(spark, sf_dir, sig, cand).select(
+                "doc_id_1",
+                "doc_id_2",
+                F.col("est_jaccard").alias("est_full"),
+                "jaccard",
+            ),
+        )
+
+    (estimates,) = frozen("candidate_estimates", spark, sf_dir, _build_estimates)
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
+    )
+    width_structs = []
+    for p in _PERM_WIDTHS:
+        agree = sum(
+            F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+            for s in range(p)
+        )
+        # est is an exact multiple of 1/P (dyadic for these widths), so
+        # |est - jaccard| is a pinned IEEE expression; round-6 for the
+        # decimal mean (order-independent), max needs no rounding
+        width_structs.append(
+            F.struct(
+                F.lit(p).alias("n_perms"),
+                F.abs(agree.cast("double") / p - F.col("jaccard")).alias("ae"),
+            )
+        )
+    ex = (
+        estimates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(F.explode(F.array(*width_structs)).alias("w"))
+        .select(F.col("w.n_perms").alias("n_perms"), F.col("w.ae").alias("ae"))
+    )
+    return ex.groupBy("n_perms").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.round(F.col("ae"), 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_abs_err"),
+        F.max("ae").alias("max_abs_err"),
+    )
+
+
+QUERIES["minhash_width_curve"] = minhash_width_curve
+
+
+def _width_curve_oracle_sql() -> str:
+    base = _minhash_oracle_sql()
+    head, _tail = base.rsplit("SELECT d1 AS doc_id_1", 1)
+    width_selects = []
+    for p in _PERM_WIDTHS:
+        agree = " + ".join(
+            f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+            for s in range(p)
+        )
+        width_selects.append(
+            f"SELECT {p} AS n_perms,"
+            f" ABS(CAST(({agree}) AS DOUBLE) / {p}"
+            f" - CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt)) AS ae"
+            " FROM cand c"
+            " JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2"
+            " JOIN sig sa ON c.d1 = sa.doc_id"
+            " JOIN sig sb ON c.d2 = sb.doc_id"
+            " JOIN sizes z1 ON c.d1 = z1.doc_id"
+            " JOIN sizes z2 ON c.d2 = z2.doc_id"
+        )
+    union = "\n      UNION ALL\n      ".join(width_selects)
+    return f"""{head}
+    SELECT n_perms, COUNT(*) AS n_pairs,
+           CAST(CAST(SUM(CAST(ROUND(ae, 6) AS DECIMAL(20,6))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) AS mean_abs_err,
+           MAX(ae) AS max_abs_err
+    FROM (
+      {union}
+    )
+    GROUP BY n_perms
+    """
+
+
+ORACLES["minhash_width_curve"] = _width_curve_oracle_sql()

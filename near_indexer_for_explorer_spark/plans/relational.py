@@ -4651,3 +4651,69 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("dur_s", F.lit(0.75)), 6).alias("p75"),
         F.round(F.percentile("dur_s", F.lit(0.90)), 6).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A81: receipt-tree depth histogram — the operational rollup over A50's
+# bounded traversal (execution_outcomes.rs produced-receipts trees):
+# how deep do receipt chains actually run, and how many roots reach
+# each depth?  The answer calibrates _TREE_DEPTH itself (the bound is
+# honest only if the mass at the boundary is visible).  Composes A50's
+# edge/frontier legs verbatim plus the root set as depth 0; one
+# depth-grain aggregate.  Oracle = the same recursive CTE aggregated,
+# so the composed histogram is hash-checked (B42/B68 discipline).
+# ---------------------------------------------------------------------------
+@_register(
+    "receipt_depth_histogram",
+    f"""
+    WITH RECURSIVE lagged AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) / 1000000.0 AS es,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+             LAG(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_id AS parent, event_id AS child FROM lagged
+      WHERE prev_es IS NOT NULL AND es - prev_es <= {_TREE_GAP_S}
+    ),
+    roots AS (
+      SELECT event_id AS root_id FROM lagged
+      WHERE prev_es IS NULL OR es - prev_es > {_TREE_GAP_S}
+    ),
+    walk AS (
+      SELECT root_id, root_id AS node_id, 0 AS depth FROM roots
+      UNION ALL
+      SELECT w.root_id, e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node_id
+      WHERE w.depth < {_TREE_DEPTH}
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           COUNT(*) AS n_nodes,
+           COUNT(DISTINCT root_id) AS n_roots_reaching
+    FROM walk GROUP BY depth
+    """,
+)
+def receipt_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(depth, n_nodes, n_roots_reaching): node and root counts per
+    traversal depth, depth 0 = the root set itself."""
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "es",
+        F.lag("es").over(w).alias("prev_es"),
+    )
+    is_root = F.col("prev_es").isNull() | (
+        F.col("es") - F.col("prev_es") > _TREE_GAP_S
+    )
+    roots = lagged.where(is_root).select(
+        F.col("event_id").alias("root_id"),
+        F.col("event_id").alias("node_id"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    walk = receipt_descendants(spark, sf_dir).unionByName(roots)
+    return walk.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("root_id").alias("n_roots_reaching"),
+    )

@@ -1512,3 +1512,38 @@ def test_kl_drift_separates_planted_shift(spark, tmp_path):
     assert results["shifted"]["kl_val_train"] > results["same"]["kl_val_train"] * 10
     for tag in results:
         assert 0.0 <= results[tag]["js"] <= math.log(2.0) + 1e-9
+
+
+def test_minhash_width_curve_consistency(spark, sf_dir):
+    """B71: same candidate pairs at every width; the 64-hash column
+    reproduces B31's estimator error (same signatures), and all errors
+    are valid magnitudes."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_width_curve,
+    )
+
+    rows = {r["n_perms"]: r for r in minhash_width_curve(spark, sf_dir).collect()}
+    assert set(rows) == {16, 32, 64}
+    n = {r["n_pairs"] for r in rows.values()}
+    assert len(n) == 1
+    for r in rows.values():
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0
+    b31 = minhash_jaccard_estimate(spark, sf_dir).collect()
+    mean31 = sum(r["abs_err"] for r in b31) / len(b31)
+    assert abs(rows[64]["mean_abs_err"] - mean31) < 1e-5
+
+
+def test_receipt_depth_histogram_structure(spark, sf_dir):
+    """A81: depth 0 counts the root set (n_nodes == n_roots_reaching),
+    and the set of roots reaching depth d is nonincreasing in d."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        receipt_depth_histogram,
+    )
+
+    rows = {r["depth"]: r for r in receipt_depth_histogram(spark, sf_dir).collect()}
+    assert 0 in rows
+    assert rows[0]["n_nodes"] == rows[0]["n_roots_reaching"]
+    depths = sorted(rows)
+    for a, b in zip(depths, depths[1:]):
+        assert rows[a]["n_roots_reaching"] >= rows[b]["n_roots_reaching"]
