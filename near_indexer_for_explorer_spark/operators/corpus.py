@@ -33,27 +33,14 @@ ORACLES: dict[str, str] = {}
 # ---------------------------------------------------------------------------
 # shared hashing helpers
 # ---------------------------------------------------------------------------
-_POWERS8 = [16 ** (7 - i) for i in range(8)]
-
-
-def _hash_bucket(col, salt: str, mod: int):
-    """First 8 hex digits of md5(salt || value) as a non-negative long,
-    reduced mod `mod`.  32 bits fits a long exactly; Spark-side conv()
-    and the oracle's positional digit sum agree digit for digit."""
-    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
-
-
-def _hash_bucket_sql(expr: str, salt: str, mod: int) -> str:
-    """DuckDB replica of _hash_bucket (no base-16 conv(): positional
-    digit sum against power-of-16 literals, exact)."""
-    powers = ",".join(str(p) for p in _POWERS8)
-    h = f"md5('{salt}' || CAST({expr} AS VARCHAR))"
-    return (
-        "(list_sum(list_transform(range(1,9), i -> "
-        f"CAST(strpos('0123456789abcdef', substring({h}, CAST(i AS INTEGER), 1)) - 1 AS BIGINT)"
-        f" * ([{powers}])[i])) % {mod})"
-    )
+# canonical definitions live in functions/hashing.py (shared with
+# operators/dedup.py and the streaming pipelines); the private aliases
+# predate the move and are kept for the many call sites below.
+from near_indexer_for_explorer_spark.functions.hashing import (  # noqa: E402
+    POWERS8 as _POWERS8,
+    md5_u32 as _hash_bucket,
+    md5_u32_sql as _hash_bucket_sql,
+)
 
 
 def _gram_sql(n: int) -> str:

@@ -19,6 +19,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from near_indexer_for_explorer_spark.functions.hashing import (
+    md5_u32 as _hash_bucket,
+    md5_u32_sql as _hash_bucket_sql,
+)
 from near_indexer_for_explorer_spark.functions.text import tokens, word_shingles
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
@@ -2172,3 +2176,175 @@ def _width_curve_oracle_sql() -> str:
 
 
 ORACLES["minhash_width_curve"] = _width_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B72 winnowing fingerprint dedup (Schleimer-Wilkerson-Aiken 2003, the
+# MOSS algorithm; also the "minimizer" scheme of bioinformatics).  The
+# reference indexes transaction args for substring lookup
+# (migrations/2021-05-10-084700_indexer_on_args_field); winnowing is the
+# corpus-scale analog: a position-robust fingerprint subset with the
+# GUARANTEE that any shared token run of length >= _WIN_W + 3 - 1 tokens
+# contributes at least one shared fingerprint (no false negatives for
+# long matches), at ~2/(w+1) the storage of full shingling.
+# ---------------------------------------------------------------------------
+_WIN_W = 4  # window width in grams; guarantee threshold = w + k - 1 = 6 tokens
+_POS_MOD = 1 << 21  # positions packed under the 32-bit hash: key = h*2^21 + ~pos
+_WIN_MIN_SHARED = 2  # MOSS-style report threshold
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> distinct selected fingerprint hashes (fp_h, 32-bit).
+
+    Selection is per-window rightmost-argmin, encoded arithmetically:
+    key = hash * 2^21 + (2^21 - 1 - pos), so min(key) over a window
+    picks the smallest hash and, on ties, the LARGEST position — the
+    paper's tie rule — in one window-min pass (no argmin join).  Docs
+    are assumed < 2^21 grams (2M tokens); longer inputs should be
+    chunked first (corpus_chunk_windows), same contract as the banded
+    edit kernel."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    grams = docs.select(
+        "doc_id", F.posexplode(word_shingles(F.col("t"))).alias("p0", "sh")
+    )
+    h32 = _hash_bucket(F.col("sh"), "wfp", 1 << 32)
+    pos = F.col("p0") + 1
+    hk = grams.select(
+        "doc_id",
+        pos.alias("pos"),
+        (h32 * F.lit(_POS_MOD) + (F.lit(_POS_MOD - 1) - pos)).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    bydoc = Window.partitionBy("doc_id")
+    fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    # both windows share the doc_id partitioning -> one exchange
+    wins = hk.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(bydoc).alias("n_grams"),
+        F.min("key").over(fwd).alias("wmin"),
+    )
+    sel = wins.where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1)).select(
+        "doc_id", F.expr(f"wmin DIV {_POS_MOD}").alias("fp_h")
+    )
+    return sel.distinct()
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs: docs sharing >= 2 selected
+    fingerprints, with containment-style overlap on the pruned
+    fingerprint space.
+
+    Scale notes: fingerprinting is map-side (explode + one doc-keyed
+    window pass); the pair space is the posting-list self-join on fp_h
+    — the same df-capped bound as dedup_ngram_jaccard but over the
+    ~2/(w+1)-density fingerprint subset, so posting lists are ~2.5x
+    shorter and the candidate space ~6x smaller at identical recall for
+    matches >= 6 tokens.  The df prune (boilerplate fingerprints in
+    > max(4, 10% of docs) documents) is semantic and mirrored in the
+    oracle."""
+    fps = _winnow_fingerprints(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cap = F.greatest(
+        F.lit(_MIN_DF_CAP).cast("long"),
+        F.ceil(F.lit(_MAX_DF_FRAC) * F.col("n_docs")),
+    )
+    kepth = (
+        fps.groupBy("fp_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= cap)
+        .select("fp_h")
+    )
+    kept = fps.join(kepth, "fp_h")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.fp_h") == F.col("b.fp_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= _WIN_MIN_SHARED)
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    return (
+        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_shared_fp",
+            (
+                F.col("n_shared_fp").cast("double")
+                / F.least(F.col("s1.n"), F.col("s2.n"))
+            ).alias("overlap"),
+        )
+    )
+
+
+QUERIES["dedup_winnowing"] = dedup_winnowing
+
+
+def _winnow_oracle_sql() -> str:
+    hash_expr = _hash_bucket_sql("g.sh", "wfp", 1 << 32)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh, i AS pos
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+    ),
+    hk AS (
+      SELECT g.doc_id, g.pos,
+             {hash_expr} * {_POS_MOD}
+               + ({_POS_MOD - 1} - g.pos) AS key
+      FROM grams g
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS wmin
+      FROM hk
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, wmin // {_POS_MOD} AS fp_h
+      FROM wins WHERE pos <= n_grams - {_WIN_W - 1}
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    kepth AS (
+      SELECT fp_h FROM fps CROSS JOIN nd
+      GROUP BY fp_h, nd.n_docs
+      HAVING COUNT(*) <= greatest({_MIN_DF_CAP},
+                                  CAST(ceil({_MAX_DF_FRAC} * nd.n_docs) AS BIGINT))
+    ),
+    kept AS (SELECT f.doc_id, f.fp_h FROM fps f JOIN kepth k ON f.fp_h = k.fp_h),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             COUNT(*) AS n_shared_fp
+      FROM kept a JOIN kept b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    )
+    SELECT doc_id_1, doc_id_2, CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+           CAST(n_shared_fp AS DOUBLE) / least(s1.n, s2.n) AS overlap
+    FROM common
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    """
+
+
+ORACLES["dedup_winnowing"] = _winnow_oracle_sql()

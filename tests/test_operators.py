@@ -1547,3 +1547,56 @@ def test_receipt_depth_histogram_structure(spark, sf_dir):
     depths = sorted(rows)
     for a, b in zip(depths, depths[1:]):
         assert rows[a]["n_roots_reaching"] >= rows[b]["n_roots_reaching"]
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """B72 contracts: (1) the winnowing theorem — two docs sharing a
+    token run of length >= w + k - 1 share at least one selected
+    fingerprint, and a 16-token shared run (11 fully-interior windows,
+    each fingerprint covering at most w=4 of them) yields >= ceil(11/4)
+    = 3 shared fingerprints, clearing the report threshold; (2) the
+    selected-fingerprint density on distinct-token text sits near the
+    paper's 2/(w+1) expectation."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _WIN_W,
+        _winnow_fingerprints,
+        dedup_winnowing,
+    )
+
+    shared = " ".join(f"run{i}" for i in range(16))
+    docs = [
+        (1, "alpha bravo charlie delta " + shared + " echo foxtrot golf hotel", "en", "s", 0),
+        (2, "india juliett kilo lima " + shared + " mike november oscar papa", "en", "s", 0),
+    ]
+    # filler docs with fully distinct vocabularies (no shared grams)
+    for d in range(3, 13):
+        docs.append((d, " ".join(f"w{d}x{i}" for i in range(40)), "en", "s", 0))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    fps = _winnow_fingerprints(spark, str(tmp_path))
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_h"])
+    n_shared = len(by_doc[1] & by_doc[2])
+    assert n_shared >= 3  # theorem bound for the 16-token run
+
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r for r in dedup_winnowing(
+        spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["n_shared_fp"] == n_shared
+    assert 0.0 < pairs[(1, 2)]["overlap"] <= 1.0
+    # no cross-pairs among the distinct-vocabulary fillers
+    assert all(a == 1 and b == 2 for (a, b) in pairs)
+
+    # density: one 500-distinct-token doc -> ~2/(w+1) of windows selected
+    long_doc = [(99, " ".join(f"t{i}" for i in range(500)), "en", "s", 0)]
+    spark.createDataFrame(long_doc, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    n_fp = _winnow_fingerprints(spark, str(tmp_path)).count()
+    n_windows = (500 - 2) - (_WIN_W - 1)
+    density = n_fp / n_windows
+    assert 0.25 < density < 0.55, density

@@ -75,6 +75,7 @@ _BNLJ_EXEMPT = {
     "monthly_unlocked_supply",  # broadcast vesting snapshot
     "lockup_locked_supply",     # broadcast lockup snapshot
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
+    "dedup_winnowing",          # broadcast df-cap scalar (B2's prune shape)
     "lsh_s_curve",              # broadcast df-cap scalar (B2's pair universe)
     "dsir_importance_weights",  # broadcast (nt, nr) totals scalar
     "kneser_ney_bigram_xent",   # broadcast (T, V) totals scalar (B33 shape)
