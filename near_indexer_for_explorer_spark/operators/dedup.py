@@ -2348,3 +2348,75 @@ def _winnow_oracle_sql() -> str:
 
 
 ORACLES["dedup_winnowing"] = _winnow_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B73 cluster-representative selection: the curation ACTION the whole
+# dedup family exists for.  Pair detection (B2/B3), cluster labels
+# (B20), and quality scores (B7) compose into the keep/drop decision —
+# keep the highest-quality document of every near-dup cluster (the
+# standard corpus-curation rule: dedup should drop the WORST copy, not
+# an arbitrary one).  Reference analog: ON CONFLICT keyed inserts keep
+# the first row per key (indexer/src/main.rs insert path); at corpus
+# scale "first" is replaced by "best".
+# ---------------------------------------------------------------------------
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, n_cluster, quality_r, keep) for every
+    document: keep = this doc has the best (rounded) quality score of
+    its near-dup cluster, doc_id-tie-broken.
+
+    Scale notes: cluster labels come from the bounded label propagation
+    (B20); quality is a map-side expression (B7); the decision itself is
+    ONE window pass partitioned on component_id — a high-cardinality key
+    (mostly singletons), so the shuffle is balanced.  Scores are rounded
+    to 6 decimals before ranking (the tfidf_top_terms discipline) so the
+    keep flag is stable across engines."""
+    from near_indexer_for_explorer_spark.operators.textops import text_quality
+    from pyspark.sql.window import Window
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_r")
+    )
+    scored = comp.join(q, "doc_id")
+    byc = Window.partitionBy("component_id")
+    rank = Window.partitionBy("component_id").orderBy(
+        F.col("quality_r").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(byc).alias("n_cluster"),
+        "quality_r",
+        (F.row_number().over(rank) == 1).alias("keep"),
+    )
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+
+
+def _keep_best_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.operators.textops import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    return f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    tq AS ({_TEXT_ORACLES['text_quality']}),
+    scored AS (
+      SELECT c.doc_id, c.component_id,
+             ROUND(tq.quality_score, 6) AS quality_r
+      FROM comp c JOIN tq ON c.doc_id = tq.doc_id
+    )
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS n_cluster,
+           quality_r,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY quality_r DESC, doc_id ASC) = 1
+             AS keep
+    FROM scored
+    """
+
+
+ORACLES["dedup_keep_best"] = _keep_best_oracle_sql()

@@ -1600,3 +1600,36 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
     n_windows = (500 - 2) - (_WIN_W - 1)
     density = n_fp / n_windows
     assert 0.25 < density < 0.55, density
+
+
+def test_keep_best_selects_quality_not_min_id(spark, tmp_path):
+    """B73 semantics: within a near-dup cluster the keep flag follows
+    the QUALITY ranking, not the component label (which is the min id);
+    singletons keep themselves; exactly one keep per component."""
+    from near_indexer_for_explorer_spark.operators.dedup import dedup_keep_best
+
+    base = " ".join(f"shared{i}" for i in range(200))
+    # doc 2 = doc 1 + a stopword-rich tail: still a near-dup (the tail
+    # is ~5% of the grams) but strictly higher quality_score (higher
+    # stopword ratio at the same token budget)
+    docs = [
+        (1, base, "en", "s", 0),
+        (2, base + " the a of to and is in that it on", "en", "s", 0),
+    ]
+    for d in range(3, 9):
+        docs.append((d, " ".join(f"w{d}y{i}" for i in range(60)), "en", "s", 0))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert rows[1]["component_id"] == rows[2]["component_id"] == 1
+    assert rows[1]["n_cluster"] == rows[2]["n_cluster"] == 2
+    assert rows[2]["quality_r"] > rows[1]["quality_r"]
+    assert rows[2]["keep"] and not rows[1]["keep"]  # best, not min-id
+    for d in range(3, 9):
+        assert rows[d]["keep"] and rows[d]["n_cluster"] == 1
+    by_comp = {}
+    for r in rows.values():
+        by_comp.setdefault(r["component_id"], []).append(r["keep"])
+    assert all(sum(flags) == 1 for flags in by_comp.values())
