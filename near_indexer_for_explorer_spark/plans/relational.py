@@ -4717,3 +4717,140 @@ def receipt_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.countDistinct("root_id").alias("n_roots_reaching"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A82 co-purchase graph triangle census (Schank-Wagner 2005 /
+# Suri-Vassilvitskii 2011 "Counting triangles and the curse of the last
+# reducer").  The reference's receipt/transaction graph queries walk
+# EDGES (A50); this measures graph STRUCTURE: how clustered is the
+# part co-purchase graph — the community-detection / recommender
+# primitive over market-basket data.  The two classic scale traps are
+# both engineered around: (1) edge generation is a per-order self-join,
+# bounded by lines-per-order squared (~21 pairs/order, NEVER all-pairs
+# over parts); (2) the wedge join is degree-ORIENTED — every edge
+# points from the (degree, id)-smaller endpoint to the larger, so
+# per-node out-degree is O(sqrt(E)) and the join cost is O(E^1.5)
+# instead of sum(d^2) on the raw graph (the "last reducer" hub trap).
+# ---------------------------------------------------------------------------
+_TRI_MIN_SUPPORT = 2  # keep edges co-occurring in >= 2 orders (noise prune)
+
+
+@_register(
+    "part_copurchase_triangles",
+    f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(3.0 * tri.n_triangles AS DOUBLE)
+             / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS global_cc,
+           CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree
+    FROM tri
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row census of the part co-purchase graph: nodes, edges,
+    wedges, triangles, global clustering coefficient, max degree.
+
+    Edges: parts co-occurring in >= {_TRI_MIN_SUPPORT} distinct orders
+    (the support prune is semantic — random single co-occurrences carry
+    no affinity signal and are what densifies the graph).  Triangles
+    are counted ONCE each via the (degree, id) total-order orientation:
+    e1(u,v) + e2(v,w) wedges closed by e3(u,w), all three equi-joins.
+    The wedge join shuffles on the shared node key; orientation bounds
+    every node's out-degree by ~sqrt(2E), so no reducer sees a hub's
+    full neighborhood — the plan that survives a power-law graph at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    # pairs feeds degree, orientation, and the closing join: checkpoint
+    # once so the per-order self-join doesn't re-run per consumer (the
+    # dedup_components discipline; at 100 TB this is the materialized
+    # edge relation every triangle job starts from)
+    pairs = pairs.localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.max("d").alias("max_degree"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_cc"
+            ),
+            "max_degree",
+        )
+    )

@@ -1633,3 +1633,32 @@ def test_keep_best_selects_quality_not_min_id(spark, tmp_path):
     for r in rows.values():
         by_comp.setdefault(r["component_id"], []).append(r["keep"])
     assert all(sum(flags) == 1 for flags in by_comp.values())
+
+
+def test_triangle_census_planted_graph(spark, tmp_path):
+    """A82 semantics on a hand-built basket set: parts 1-2-3 co-occur
+    twice each (one triangle), part 4 hangs off part 1, a support-1
+    pair is pruned.  Every census column is checkable by hand."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        part_copurchase_triangles,
+    )
+
+    rows = []
+    for o in (1, 2):  # triangle 1-2-3, support 2 per edge
+        rows += [(o, 1), (o, 2), (o, 3)]
+    for o in (3, 4):  # pendant edge 1-4, support 2
+        rows += [(o, 1), (o, 4)]
+    rows += [(5, 2), (5, 5)]  # support-1 pair: pruned
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = part_copurchase_triangles(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 4  # (1,2) (1,3) (2,3) (1,4)
+    assert r["n_wedges"] == 5  # deg 3,2,2,1 -> 3+1+1+0
+    assert r["n_triangles"] == 1  # counted once despite 3 corners
+    assert abs(r["global_cc"] - 0.6) < 1e-12
+    assert r["max_degree"] == 3

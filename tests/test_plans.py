@@ -101,6 +101,7 @@ _BNLJ_EXEMPT = {
     "cluster_silhouette",       # broadcast trained-centroid codebook
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
+    "part_copurchase_triangles",  # broadcast 1-row census scalars
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
     "embedding_top_component",  # broadcast 1-row norm/total-variance scalars per iteration
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
