@@ -1671,3 +1671,116 @@ def topk_snapshot(spark: SparkSession, query_name: str) -> DataFrame:
         ) WHERE seq = mx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# C27: streaming weighted sample — the online twin of B58
+# (corpus_weighted_sample).  A-ES keys are pure functions of
+# (doc_id, n_chars), so "reservoir" state is just the running top-K by
+# key: bounded, merge-idempotent (re-delivered docs dedupe by doc_id),
+# and EXACTLY equal to the batch sample over everything ingested — the
+# union of per-shard top-Ks provably contains the global top-K, the
+# same key-space-partition argument as the C26 Space-Saving shards.
+# ---------------------------------------------------------------------------
+WSAMPLE_SHARDS = 4
+WSAMPLE_OUTPUT_SCHEMA = "shard int, seq long, doc_id long, n_chars long, skey double"
+WSAMPLE_STATE_SCHEMA = "doc_ids string, n_chars string, skeys string, seq long"
+
+
+def make_wsample_kernel(k: int):
+    """Per-shard kernel: merge the batch's (doc_id, n_chars, skey) rows
+    into the state's top-k by (skey desc, doc_id asc).  Idempotent under
+    replay: doc_id dedup before the cut, and the cut itself is a pure
+    function of the merged set."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            ids_s, nc_s, sk_s, seq = state.get
+            rows = {
+                int(i): (int(n), float(s))
+                for i, n, s in zip(
+                    ids_s.split(",") if ids_s else [],
+                    nc_s.split(",") if nc_s else [],
+                    sk_s.split(",") if sk_s else [],
+                )
+            }
+        else:
+            rows, seq = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for doc_id, n_chars, skey in zip(
+            batch["doc_id"], batch["n_chars"], batch["skey"]
+        ):
+            rows[int(doc_id)] = (int(n_chars), float(skey))
+        top = sorted(rows.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+        seq += 1
+        state.update(
+            (
+                ",".join(str(d) for d, _ in top),
+                ",".join(str(v[0]) for _, v in top),
+                ",".join(repr(v[1]) for _, v in top),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            [(int(shard), int(seq), d, v[0], v[1]) for d, v in top],
+            columns=["shard", "seq", "doc_id", "n_chars", "skey"],
+        )
+
+    return update
+
+
+def weighted_sample_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C27 driver: document shards -> JVM-side A-ES keys (the exact B58
+    expression) -> per-shard bounded top-K state -> per-batch snapshot
+    into a memory sink."""
+    from near_indexer_for_explorer_spark.operators.corpus import _SAMPLE_K, _U32
+
+    stream = read_document_stream(spark, src_dir, max_files_per_trigger=1)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    x = _hash_bucket(F.col("doc_id"), "wsample:", _U32)
+    u = (x + F.lit(1)).cast("double") / F.lit(float(_U32))
+    keyed = stream.select(
+        F.pmod(F.col("doc_id"), F.lit(WSAMPLE_SHARDS)).cast("int").alias("shard"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.log(u) / w, 6).alias("skey"),
+    )
+    out = keyed.groupBy("shard").applyInPandasWithState(
+        make_wsample_kernel(_SAMPLE_K),
+        WSAMPLE_OUTPUT_SCHEMA,
+        WSAMPLE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def weighted_sample_snapshot(spark: SparkSession, query_name: str) -> DataFrame:
+    """Global sample from the latest per-shard snapshots: merge the
+    max-seq rows of every shard and take the top-K by (skey desc,
+    doc_id asc) with the B58 rank column."""
+    from near_indexer_for_explorer_spark.operators.corpus import _SAMPLE_K
+
+    merged = spark.sql(
+        f"""
+        SELECT doc_id, n_chars, skey FROM (
+          SELECT *, MAX(seq) OVER (PARTITION BY shard) AS mx
+          FROM {query_name}
+        ) WHERE seq = mx
+        """
+    )
+    rank_w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        merged.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(_SAMPLE_K)
+        .withColumn("sample_rank", F.row_number().over(rank_w).cast("long"))
+    )

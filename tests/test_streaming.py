@@ -1497,3 +1497,38 @@ def test_topk_stream_space_saving_guarantees(spark, sf_dir, event_batches):
     for (s, u), (est, err) in snap.items():
         true = true_counts.get(u, 0)
         assert est >= true >= est - err
+
+
+def test_weighted_sample_stream_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """C27 == B58: after streaming the corpus in two shards the merged
+    snapshot's global top-K equals corpus_weighted_sample row-for-row
+    (keys are pure functions of the doc, so the online reservoir is
+    exact, not approximate).  Re-delivering the first shard (an
+    at-least-once replay) must not change the sample."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        corpus_weighted_sample,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        weighted_sample_snapshot,
+        weighted_sample_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "ws_shards")
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    q = weighted_sample_stream(spark, src, "wsample_out")
+    _await(q, timeout=180)
+    got = [tuple(r) for r in weighted_sample_snapshot(spark, "wsample_out").collect()]
+    want = [tuple(r) for r in corpus_weighted_sample(spark, sf_dir).collect()]
+    assert got == want
+
+    # at-least-once replay: re-deliver the first half, resume the stream
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    q2 = weighted_sample_stream(spark, src, "wsample_out")
+    _await(q2, timeout=180)
+    got2 = [tuple(r) for r in weighted_sample_snapshot(spark, "wsample_out").collect()]
+    assert got2 == want
