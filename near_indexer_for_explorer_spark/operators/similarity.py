@@ -3180,3 +3180,101 @@ def _top_component_oracle_sql() -> str:
 
 
 ORACLES["embedding_top_component"] = _top_component_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B74 embedding-space isotropy diagnostics (participation ratio of the
+# per-dimension variance spectrum — Gao et al. 2019 "representation
+# degeneration", Ethayarajh 2019).  An anisotropic space (variance
+# concentrated in a few directions) breaks cosine-based dedup/ANN
+# calibration; PR = (sum var)^2 / sum var^2 counts the "effective
+# dimensions" without an eigendecomposition, so it stays one aggregate
+# (B66 measures the top DIRECTION; this measures the spectrum's shape).
+# ---------------------------------------------------------------------------
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, total_var, participation_ratio, isotropy_score):
+    per-label variance spectrum diagnostics.
+
+    Scale shape: one (label, dim) shuffle with map-side combine —
+    labels x 64 rows of state at any corpus size.  Engine stability:
+    per-dim sums and sum-of-squares are exact decimal; the per-dim
+    variance is one pinned IEEE expression rounded to 6 decimals, and
+    the cross-dim reductions re-enter exact decimal space (the B33
+    round-then-decimal discipline), so PR is a two-op IEEE quotient of
+    identical inputs in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("emb")
+    )
+    comp = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(20,14)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(22,14)")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    var6 = F.round(m2 - m1 * m1, 6)
+    dims = comp.select(
+        "label",
+        "n",
+        var6.cast("decimal(18,6)").alias("v6"),
+        (var6 * var6).cast("decimal(24,12)").alias("vv"),
+    )
+    per = dims.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum("v6").alias("sv"),
+        F.sum("vv").alias("svv"),
+    )
+    sv_d = F.col("sv").cast("double")
+    svv_d = F.col("svv").cast("double")
+    pr = sv_d * sv_d / svv_d
+    return per.select(
+        "label",
+        "n_vecs",
+        sv_d.alias("total_var"),
+        F.round(pr, 6).alias("participation_ratio"),
+        F.round(pr / F.lit(64.0), 6).alias("isotropy_score"),
+    )
+
+
+QUERIES["embedding_isotropy"] = embedding_isotropy
+
+
+ORACLES["embedding_isotropy"] = """
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE)
+               AS s1d,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(22,14))) AS VARCHAR) AS DOUBLE)
+               AS s2d,
+             COUNT(*) AS n
+      FROM (SELECT label, UNNEST(emb) AS x,
+                   generate_subscripts(emb, 1) AS i FROM e)
+      GROUP BY label, i
+    ),
+    dims AS (
+      SELECT label, n,
+             CAST(ROUND(s2d / n - (s1d / n) * (s1d / n), 6)
+                  AS DECIMAL(18,6)) AS v6,
+             CAST(ROUND(s2d / n - (s1d / n) * (s1d / n), 6)
+                  * ROUND(s2d / n - (s1d / n) * (s1d / n), 6)
+                  AS DECIMAL(24,12)) AS vv
+      FROM comp
+    ),
+    per AS (
+      SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+             CAST(CAST(SUM(v6) AS VARCHAR) AS DOUBLE) AS sv_d,
+             CAST(CAST(SUM(vv) AS VARCHAR) AS DOUBLE) AS svv_d
+      FROM dims GROUP BY label
+    )
+    SELECT label, n_vecs, sv_d AS total_var,
+           ROUND(sv_d * sv_d / svv_d, 6) AS participation_ratio,
+           ROUND(sv_d * sv_d / svv_d / 64.0, 6) AS isotropy_score
+    FROM per
+"""

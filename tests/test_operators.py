@@ -1662,3 +1662,34 @@ def test_triangle_census_planted_graph(spark, tmp_path):
     assert r["n_triangles"] == 1  # counted once despite 3 corners
     assert abs(r["global_cc"] - 0.6) < 1e-12
     assert r["max_degree"] == 3
+
+
+def test_isotropy_planted_spectra(spark, tmp_path):
+    """B74 semantics: a label whose variance lives in ONE dimension
+    scores PR ~= 1; a label with equal variance in every dimension
+    scores PR = 64 exactly (the isotropic limit)."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    rows = []
+    # label 0: +-1 in dim 0 only -> var = (1.0) in dim 0, 0 elsewhere
+    for i in range(64):
+        v = [0.0] * 64
+        v[0] = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, v, 0))
+    # label 1: one-hot basis vectors cycled -> identical variance per dim
+    for i in range(128):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        rows.append((1000 + i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["label"]: r for r in embedding_isotropy(spark, str(tmp_path)).collect()}
+    assert out[0]["n_vecs"] == 64 and out[1]["n_vecs"] == 128
+    assert abs(out[0]["participation_ratio"] - 1.0) < 1e-9
+    assert abs(out[0]["isotropy_score"] - 1 / 64) < 1e-6
+    assert abs(out[1]["participation_ratio"] - 64.0) < 1e-6
+    assert abs(out[1]["isotropy_score"] - 1.0) < 1e-6
