@@ -4854,3 +4854,88 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_degree",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A83 day-of-week seasonality baseline + seasonally-adjusted anomalies.
+# A67/A75 flag outliers against a TREND baseline; operational series
+# (block production, user traffic — the reference's aggregations/*.sql
+# daily dashboards) are dominated by WEEKLY shape, so the correct
+# baseline is the per-(type, weekday) mean and the anomaly unit is the
+# ratio to it (the classic STL-lite / "weekday index" decomposition).
+# Weekday derives from pure integer arithmetic on epoch days — no
+# engine's dayofweek() convention (Sunday=0 vs 1 vs ISO) is trusted.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_dow_seasonality",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    keyed AS (
+      SELECT event_type, d, y,
+             ((d - DATE '1970-01-01') + 3) % 7 AS dow
+      FROM daily
+    ),
+    base AS (
+      SELECT event_type, dow, SUM(y) AS sy, COUNT(*) AS nd
+      FROM keyed GROUP BY event_type, dow
+    ),
+    tot AS (
+      SELECT event_type, SUM(y) AS ty, COUNT(*) AS td
+      FROM keyed GROUP BY event_type
+    )
+    SELECT k.event_type, k.d AS event_date, CAST(k.dow AS BIGINT) AS dow,
+           CAST(k.y AS BIGINT) AS n_events,
+           ROUND(CAST(b.sy AS DOUBLE) / b.nd, 6) AS dow_mean,
+           ROUND((CAST(b.sy AS DOUBLE) / b.nd)
+                 / (CAST(t.ty AS DOUBLE) / t.td), 6) AS seasonal_index,
+           ROUND(k.y / (CAST(b.sy AS DOUBLE) / b.nd), 6) AS ratio,
+           k.y > 1.5 * (CAST(b.sy AS DOUBLE) / b.nd)
+             OR k.y < 0.5 * (CAST(b.sy AS DOUBLE) / b.nd) AS is_anomaly
+    FROM keyed k
+    JOIN base b ON k.event_type = b.event_type AND k.dow = b.dow
+    JOIN tot t ON k.event_type = t.event_type
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, event_date, dow, n_events, dow_mean, seasonal_index,
+    ratio, is_anomaly): each day's count against its weekday baseline.
+
+    Scale shape: ONE fact shuffle to (type, day) grain; everything after
+    runs on the bounded day-grain relation with broadcast weekday/total
+    dims.  All inputs to every float expression are exact BIGINTs, so
+    the divisions are pinned IEEE and the 1.5x/0.5x anomaly comparison
+    is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    keyed = daily.withColumn("dow", ((epoch + 3) % 7).cast("long"))
+    base = keyed.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("nd")
+    )
+    tot = keyed.groupBy("event_type").agg(
+        F.sum("y").alias("ty"), F.count(F.lit(1)).alias("td")
+    )
+    dmean = F.col("sy").cast("double") / F.col("nd")
+    omean = F.col("ty").cast("double") / F.col("td")
+    return (
+        keyed.join(F.broadcast(base), ["event_type", "dow"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("d").alias("event_date"),
+            "dow",
+            F.col("y").alias("n_events"),
+            F.round(dmean, 6).alias("dow_mean"),
+            F.round(dmean / omean, 6).alias("seasonal_index"),
+            F.round(F.col("y") / dmean, 6).alias("ratio"),
+            (
+                (F.col("y") > F.lit(1.5) * dmean)
+                | (F.col("y") < F.lit(0.5) * dmean)
+            ).alias("is_anomaly"),
+        )
+    )

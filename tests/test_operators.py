@@ -1693,3 +1693,46 @@ def test_isotropy_planted_spectra(spark, tmp_path):
     assert abs(out[0]["isotropy_score"] - 1 / 64) < 1e-6
     assert abs(out[1]["participation_ratio"] - 64.0) < 1e-6
     assert abs(out[1]["isotropy_score"] - 1.0) < 1e-6
+
+
+def test_dow_seasonality_planted_weekly_pattern(spark, tmp_path):
+    """A83 semantics on a planted weekly series: Mondays carry 10
+    events, other days 2, one Monday spikes to 40.  The weekday index
+    must mark Mondays hot, the epoch-day arithmetic must put Monday at
+    dow=0, and the only anomaly is the planted spike."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_dow_seasonality,
+    )
+
+    rows = []
+    eid = 0
+    start = dt.date(2024, 1, 1)  # a Monday
+    for day in range(28):  # 4 full weeks
+        d = start + dt.timedelta(days=day)
+        n = 10 if d.weekday() == 0 else 2
+        if day == 21:  # the 4th Monday spikes
+            n = 40
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(d.year, d.month, d.day, 12), 1, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["event_date"]: r for r in events_dow_seasonality(
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 28
+    mon = out[dt.date(2024, 1, 1)]
+    assert mon["dow"] == 0  # epoch-day arithmetic, Monday = 0
+    assert mon["dow_mean"] == 17.5  # (10+10+10+40)/4
+    assert mon["seasonal_index"] > 1.5  # Mondays run hot
+    tue = out[dt.date(2024, 1, 2)]
+    assert tue["dow"] == 1 and tue["dow_mean"] == 2.0
+    anomalies = [d for d, r in out.items() if r["is_anomaly"]]
+    assert anomalies == [dt.date(2024, 1, 22)]  # only the planted spike
