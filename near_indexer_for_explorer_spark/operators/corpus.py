@@ -2350,3 +2350,95 @@ ORACLES["token_kl_drift"] = f"""
                    AS VARCHAR) AS DOUBLE)) / 2 AS js
     FROM terms
 """
+
+
+# ---------------------------------------------------------------------------
+# B75 sequence-packing efficiency curve (Krell et al. 2021 "Efficient
+# sequence packing"; the GPT-style concat-and-split alternative).  A
+# training pipeline must pick a context length L; the costs are padding
+# (short docs wasting sequence tails) and document splitting (long docs
+# crossing boundaries).  This measures both, per candidate L, from ONE
+# token-count scan: the whole L-grid evaluates map-side (pure integer
+# arithmetic per doc) into one 3-row aggregate — the B63/B69-style
+# operating curve, applied to the packing knob.
+# ---------------------------------------------------------------------------
+_PACK_LENGTHS = [128, 512, 2048]
+
+
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq_len, n_docs, total_tokens, n_docs_over, n_sequences,
+    pad_tokens, efficiency, packed_sequences): per candidate context
+    length, the cost of one-doc-per-sequence packing (each doc split
+    into ceil(t/L) sequences, last one padded) vs the concat-and-split
+    lower bound ceil(total/L).
+
+    Scale notes: one scan computes token counts; the grid is a 3-row
+    broadcast explode; the aggregate is map-combinable integer sums.
+    ceil-division is (t + L - 1) DIV L — integer both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("long").alias("t")
+    )
+    grid = F.explode(
+        F.array(*[F.lit(x) for x in _PACK_LENGTHS])
+    ).alias("seq_len")
+    g = docs.select("t", grid)
+    nseq = F.expr(f"(t + seq_len - 1) DIV seq_len")
+    per = g.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("total_tokens"),
+        F.sum((F.col("t") > F.col("seq_len")).cast("long")).alias("n_docs_over"),
+        F.sum(nseq).alias("n_sequences"),
+        F.sum(nseq * F.col("seq_len") - F.col("t")).alias("pad_tokens"),
+    )
+    return per.select(
+        F.col("seq_len").cast("long").alias("seq_len"),
+        "n_docs",
+        "total_tokens",
+        "n_docs_over",
+        "n_sequences",
+        "pad_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sequences") * F.col("seq_len")),
+            6,
+        ).alias("efficiency"),
+        F.expr("(total_tokens + seq_len - 1) DIV seq_len").alias(
+            "packed_sequences"
+        ),
+    )
+
+
+QUERIES["packing_efficiency_curve"] = packing_efficiency_curve
+
+ORACLES["packing_efficiency_curve"] = f"""
+    WITH counts AS (
+      SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT t, seq_len
+      FROM counts CROSS JOIN (
+        SELECT UNNEST([{", ".join(str(x) for x in _PACK_LENGTHS)}]) AS seq_len
+      )
+    ),
+    per AS (
+      SELECT seq_len,
+             COUNT(*) AS n_docs,
+             SUM(t) AS total_tokens,
+             SUM(CASE WHEN t > seq_len THEN 1 ELSE 0 END) AS n_docs_over,
+             SUM((t + seq_len - 1) // seq_len) AS n_sequences,
+             SUM(((t + seq_len - 1) // seq_len) * seq_len - t) AS pad_tokens
+      FROM g GROUP BY seq_len
+    )
+    SELECT CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_docs_over AS BIGINT) AS n_docs_over,
+           CAST(n_sequences AS BIGINT) AS n_sequences,
+           CAST(pad_tokens AS BIGINT) AS pad_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / (n_sequences * seq_len), 6)
+             AS efficiency,
+           CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT)
+             AS packed_sequences
+    FROM per
+"""

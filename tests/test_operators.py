@@ -1736,3 +1736,33 @@ def test_dow_seasonality_planted_weekly_pattern(spark, tmp_path):
     assert tue["dow"] == 1 and tue["dow_mean"] == 2.0
     anomalies = [d for d, r in out.items() if r["is_anomaly"]]
     assert anomalies == [dt.date(2024, 1, 22)]  # only the planted spike
+
+
+def test_packing_curve_hand_checked(spark, tmp_path):
+    """B75 arithmetic on 3 hand-sized docs (tokens 100, 600, 2500):
+    every column per L is checkable by hand, including the ceil-div
+    boundary (600 tokens at L=512 -> 2 sequences, 424 pad)."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        packing_efficiency_curve,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"t{k}" for k in range(n)), "en", "s", 0)
+
+    spark.createDataFrame(
+        [doc(1, 100), doc(2, 600), doc(3, 2500)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["seq_len"]: r for r in packing_efficiency_curve(
+        spark, str(tmp_path)).collect()}
+    total = 100 + 600 + 2500
+    r = out[512]
+    assert r["n_docs"] == 3 and r["total_tokens"] == total
+    assert r["n_docs_over"] == 2  # 600 and 2500 exceed 512
+    assert r["n_sequences"] == 1 + 2 + 5  # ceil(100/512)+ceil(600/512)+ceil(2500/512)
+    assert r["pad_tokens"] == (512 - 100) + (1024 - 600) + (2560 - 2500)
+    assert abs(r["efficiency"] - total / (8 * 512)) < 1e-6
+    assert r["packed_sequences"] == 7  # ceil(3200/512)
+    assert out[2048]["n_docs_over"] == 1
+    assert out[128]["n_sequences"] == 1 + 5 + 20
