@@ -1784,3 +1784,82 @@ def weighted_sample_snapshot(spark: SparkSession, query_name: str) -> DataFrame:
         .limit(_SAMPLE_K)
         .withColumn("sample_rank", F.row_number().over(rank_w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C28 incremental approximate-distinct maintenance (the streaming side
+# of A54): per-type Datasketches-HLL deltas appended per micro-batch,
+# merged on read.  The same algebra as the C22 bloom: HLL union is a
+# register-wise MAX — idempotent, commutative, associative — so a
+# crash-replayed batch appends a duplicate sketch that merges away, no
+# dedup bookkeeping, and compaction is the same fold-and-replace.  At
+# 100 TB this is THE way distinct-counting state survives: per-batch
+# sketches are KB-sized regardless of cardinality and the fold is one
+# tiny aggregate.
+# ---------------------------------------------------------------------------
+def foreach_batch_hll_merge(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sketch")
+        )
+        deltas.coalesce(1).write.mode("append").parquet(
+            os.path.join(out_dir, "hll")
+        )
+
+    return sink
+
+
+def hll_distinct_read(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(event_type, approx_distinct_users): union-fold of every
+    appended sketch delta (replay duplicates max-merge away)."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "hll"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct_users"
+            )
+        )
+    )
+
+
+def compact_hll_deltas(
+    spark: SparkSession, out_dir: str, _fail_before_prune: bool = False
+) -> tuple[int, int]:
+    """Fold-and-replace compaction for the C28 delta dir — the
+    compact_bloom_deltas protocol verbatim (snapshot the entry list,
+    write the merged delta, then prune only entry-listed files), safe
+    under the same idempotent-merge algebra (register-wise max instead
+    of bitwise OR)."""
+    import glob
+
+    snapshot = os.path.join(out_dir, "hll")
+    entry_files = sorted(glob.glob(os.path.join(snapshot, "*.parquet")))
+    if len(entry_files) <= 1:
+        return (0, len(entry_files))
+    merged = (
+        spark.read.parquet(*entry_files)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+    merged.coalesce(1).write.mode("append").parquet(snapshot)
+    if _fail_before_prune:
+        raise RuntimeError("injected crash between merge and prune")
+    for f in entry_files:
+        os.remove(f)
+    remaining = glob.glob(os.path.join(snapshot, "*.parquet"))
+    return (len(entry_files), len(remaining))
+
+
+def hll_distinct_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C28 driver: event stream -> incrementally maintained per-type
+    distinct-user sketches."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_hll_merge(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

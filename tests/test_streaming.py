@@ -1532,3 +1532,80 @@ def test_weighted_sample_stream_equals_batch_and_replays(spark, sf_dir, tmp_path
     _await(q2, timeout=180)
     got2 = [tuple(r) for r in weighted_sample_snapshot(spark, "wsample_out").collect()]
     assert got2 == want
+
+
+def test_hll_stream_matches_batch_replays_and_compacts(spark, sf_dir, tmp_path):
+    """C28 == A54's sketch over the ingested keys: the union-fold of
+    per-batch HLL deltas equals the one-shot batch sketch estimate
+    EXACTLY (register-wise max over a partition of the key set is the
+    one-shot register state), a checkpoint-wipe full replay leaves it
+    unchanged, the estimate sits within the sketch's error bound of the
+    exact count, and fold-and-replace compaction (including an injected
+    crash between merge and prune) preserves every estimate."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        compact_hll_deltas,
+        hll_distinct_read,
+        hll_distinct_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "hll_src")
+    _os.makedirs(src)
+    for i in range(3):
+        stage = tmp_path / f"hb{i}"
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "hll_out"), str(tmp_path / "hll_ckpt")
+    _await(hll_distinct_stream(spark, src, out, ckpt))
+
+    def snap():
+        return {
+            r["event_type"]: r["approx_distinct_users"]
+            for r in hll_distinct_read(spark, out).collect()
+        }
+
+    want = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["ex"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    got = snap()
+    assert got == want  # union of parts == one-shot, exactly
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t])
+
+    # checkpoint-wipe full replay: duplicate deltas max-merge away
+    _shutil.rmtree(ckpt)
+    _await(hll_distinct_stream(spark, src, out, str(tmp_path / "hll_ckpt2")))
+    assert snap() == want
+
+    # injected crash between merge and prune: fold unchanged
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        compact_hll_deltas(spark, out, _fail_before_prune=True)
+    assert snap() == want
+    # real compaction: one file left, estimates identical
+    n_folded, n_after = compact_hll_deltas(spark, out)
+    assert n_folded >= 2 and n_after == 1
+    assert snap() == want
