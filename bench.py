@@ -125,6 +125,13 @@ EXTRA = [
     "token_kl_drift",
     "minhash_width_curve",
     "receipt_depth_histogram",
+    # round 7 session-3 additions
+    "dedup_winnowing",
+    "dedup_keep_best",
+    "part_copurchase_triangles",
+    "embedding_isotropy",
+    "events_dow_seasonality",
+    "packing_efficiency_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

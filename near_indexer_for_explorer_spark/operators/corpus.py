@@ -2442,3 +2442,138 @@ ORACLES["packing_efficiency_curve"] = f"""
              AS packed_sequences
     FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# B76 Heaps'-law type growth (Heaps 1978) — the companion of B49's
+# Zipf fit: V(N) ~ k * N^b measured on the corpus, the estimator
+# behind "how big does the type/hash space get at 100 TB" (B61's
+# bucket count, B26's OOV rate, dedup shingle-table sizing).  Types
+# are word 3-GRAMS (the B2/B3 shingle inventory — also the "novel
+# n-gram rate" curation metric; unigram vocabularies saturate long
+# before shingle tables do, and the shingle table is what actually
+# costs memory at scale).  Growth order is four deterministic md5
+# QUARTERS of the corpus (randomized-order growth curves are the
+# standard way to remove ingestion-order artifacts), so no global
+# rank is needed: V at each prefix is the A76 first-occurrence trick
+# applied to types (a type counts at its MINIMUM quarter), and the
+# whole curve is one type-keyed aggregate plus a 4-row cumulative
+# window.  Quarters whose types were all seen earlier still emit
+# their curve point (left join + zero fill), so the relation is
+# always exactly 4 rows.
+# ---------------------------------------------------------------------------
+_HEAPS_QUARTERS = 4
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prefix_quarter, n_grams_cum, types_cum, heaps_b, heaps_k):
+    the 4-point shingle-type growth curve and its closed-form log-log
+    OLS fit (b = growth exponent, k = scale).
+
+    Scale shape: one token explode feeding two map-combinable
+    aggregates (tokens per quarter; MIN quarter per term, then first-
+    occurrence counts per quarter); everything after runs on a 4-row
+    relation.  Engine stability: curve points are exact BIGINTs; the
+    fit sums ln() terms via the round-8 decimal discipline so the
+    4-term reductions are order-free in both engines."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = docs.select(
+        _hash_bucket(F.col("doc_id"), "heaps:", _HEAPS_QUARTERS).alias("q"),
+        F.explode(word_shingles(F.col("t"))).alias("term"),
+    )
+    tokens_per_q = tok.groupBy("q").agg(F.count(F.lit(1)).alias("nt"))
+    first_q = tok.groupBy("term").agg(F.min("q").alias("q"))
+    firsts_per_q = first_q.groupBy("q").agg(F.count(F.lit(1)).alias("nv"))
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        tokens_per_q.join(firsts_per_q, "q", "left")
+        .withColumn("nv", F.coalesce(F.col("nv"), F.lit(0)))
+        .select(
+            (F.col("q") + 1).cast("long").alias("prefix_quarter"),
+            F.sum("nt").over(w_cum).cast("long").alias("n_grams_cum"),
+            F.sum("nv").over(w_cum).cast("long").alias("types_cum"),
+        )
+    )
+    x = F.log(F.col("n_grams_cum").cast("double"))
+    y = F.log(F.col("types_cum").cast("double"))
+    dec = lambda c: F.round(c, 8).cast("decimal(24,8)")  # noqa: E731
+    fit = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fitted = fit.select(
+        F.round(b, 6).alias("heaps_b"),
+        F.round(F.exp((sy - b * sx) / n), 6).alias("heaps_k"),
+    )
+    return curve.crossJoin(F.broadcast(fitted))
+
+
+QUERIES["vocab_growth_heaps"] = vocab_growth_heaps
+
+ORACLES["vocab_growth_heaps"] = f"""
+    WITH {_TOKS_CTE.strip()},
+    tok AS (
+      SELECT {_hash_bucket_sql("doc_id", "heaps:", _HEAPS_QUARTERS)} AS q,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+    ),
+    tpq AS (SELECT q, COUNT(*) AS nt FROM tok GROUP BY q),
+    fq AS (SELECT term, MIN(q) AS q FROM tok GROUP BY term),
+    vpq AS (SELECT q, COUNT(*) AS nv FROM fq GROUP BY q),
+    curve AS (
+      SELECT CAST(tpq.q + 1 AS BIGINT) AS prefix_quarter,
+             CAST(SUM(nt) OVER (ORDER BY tpq.q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_grams_cum,
+             CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY tpq.q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS types_cum
+      FROM tpq LEFT JOIN vpq ON tpq.q = vpq.q
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(ln(CAST(n_grams_cum AS DOUBLE)), 8)
+                 AS DECIMAL(24,8))) AS sx,
+             SUM(CAST(ROUND(ln(CAST(types_cum AS DOUBLE)), 8)
+                 AS DECIMAL(24,8))) AS sy,
+             SUM(CAST(ROUND(ln(CAST(n_grams_cum AS DOUBLE))
+                 * ln(CAST(types_cum AS DOUBLE)), 8)
+                 AS DECIMAL(24,8))) AS sxy,
+             SUM(CAST(ROUND(ln(CAST(n_grams_cum AS DOUBLE))
+                 * ln(CAST(n_grams_cum AS DOUBLE)), 8)
+                 AS DECIMAL(24,8))) AS sxx
+      FROM curve
+    ),
+    fitted AS (
+      SELECT ROUND((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6) AS heaps_b,
+             ROUND(exp((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                        - ((CAST(n AS DOUBLE)
+                            * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                              * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                           / (CAST(n AS DOUBLE)
+                              * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                              - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                                * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                          * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                       / CAST(n AS DOUBLE)), 6) AS heaps_k
+      FROM fit
+    )
+    SELECT c.prefix_quarter, c.n_grams_cum, c.types_cum,
+           f.heaps_b, f.heaps_k
+    FROM curve c CROSS JOIN fitted f
+"""

@@ -1766,3 +1766,50 @@ def test_packing_curve_hand_checked(spark, tmp_path):
     assert r["packed_sequences"] == 7  # ceil(3200/512)
     assert out[2048]["n_docs_over"] == 1
     assert out[128]["n_sequences"] == 1 + 5 + 20
+
+
+def test_heaps_growth_planted_limits(spark, tmp_path):
+    """B76 contracts: a corpus where every 3-gram type is globally
+    unique has V(N) = N at every prefix, so the log-log OLS fit must
+    return exactly b=1, k=1; on a pure-duplicate corpus (every doc the
+    same text) the type inventory saturates in the first quarter, b
+    collapses toward 0, and the left-join zero-fill still emits all 4
+    curve points.  Structural: grams strictly increase, types never
+    decrease, the 4th point equals the corpus totals."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        vocab_growth_heaps,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    uniq = [
+        (d, " ".join(f"u{d}x{i}" for i in range(30)), "en", "s", 0)
+        for d in range(40)
+    ]
+    spark.createDataFrame(uniq, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sorted(
+        vocab_growth_heaps(spark, str(tmp_path)).collect(),
+        key=lambda r: r["prefix_quarter"],
+    )
+    assert [r["prefix_quarter"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert r["types_cum"] == r["n_grams_cum"]  # every gram unique
+    assert rows[-1]["n_grams_cum"] == 40 * 28  # 30 tokens -> 28 grams/doc
+    assert all(
+        a["n_grams_cum"] < b["n_grams_cum"] and a["types_cum"] < b["types_cum"]
+        for a, b in zip(rows, rows[1:])
+    )
+    assert rows[0]["heaps_b"] == 1.0 and rows[0]["heaps_k"] == 1.0
+
+    dup = [(d, "same tokens every single doc", "en", "s", 0) for d in range(40)]
+    spark.createDataFrame(dup, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sorted(
+        vocab_growth_heaps(spark, str(tmp_path)).collect(),
+        key=lambda r: r["prefix_quarter"],
+    )
+    assert len(rows) == 4  # zero-fill keeps the saturated quarters
+    assert rows[-1]["types_cum"] == 3  # one doc's worth of grams
+    assert rows[0]["heaps_b"] < 0.2  # type inventory saturates

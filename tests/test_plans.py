@@ -102,6 +102,7 @@ _BNLJ_EXEMPT = {
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
     "part_copurchase_triangles",  # broadcast 1-row census scalars
+    "vocab_growth_heaps",       # broadcast 1-row OLS-fit scalars
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
     "embedding_top_component",  # broadcast 1-row norm/total-variance scalars per iteration
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
