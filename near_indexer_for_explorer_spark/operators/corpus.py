@@ -2577,3 +2577,74 @@ ORACLES["vocab_growth_heaps"] = f"""
            f.heaps_b, f.heaps_k
     FROM curve c CROSS JOIN fitted f
 """
+
+
+# ---------------------------------------------------------------------------
+# B77 per-document n-gram novelty vs the corpus prefix (the doc-level
+# counterpart of B76's growth curve; the "novel n-gram rate" curation
+# signal — RefinedWeb/Gopher-style repetition culling scores documents
+# by how much NEW content they add to what is already ingested).  A
+# gram is attributed to the smallest doc_id containing it (the A76
+# first-occurrence decomposition on the shingle inventory); a doc's
+# novelty is the share of its distinct grams it introduced.
+# ---------------------------------------------------------------------------
+_NOVELTY_REDUNDANT = 0.25  # docs introducing <25% new grams are flagged
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty, is_redundant) for every doc
+    with at least one 3-gram: n_novel = distinct grams whose corpus-wide
+    first occurrence (min doc_id) is this doc.
+
+    Scale shape: one distinct-shingle explode, one gram-keyed min
+    aggregate, one join back on the SAME gram key (shared exchange),
+    one doc-keyed count — all linear, the B2 posting-list discipline
+    without the pair join.  Novelty is an exact integer ratio."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    scored = sh.join(first, "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            (F.col("first_doc") == F.col("doc_id")).cast("long")
+        ).alias("n_novel"),
+    )
+    novelty = F.col("n_novel").cast("double") / F.col("n_grams")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(novelty, 6).alias("novelty"),
+        (novelty < F.lit(_NOVELTY_REDUNDANT)).alias("is_redundant"),
+    )
+
+
+QUERIES["doc_novelty"] = doc_novelty
+
+ORACLES["doc_novelty"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+    ),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+    scored AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh s JOIN first f ON s.sh = f.sh
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty,
+           CAST(n_novel AS DOUBLE) / n_grams < {_NOVELTY_REDUNDANT}
+             AS is_redundant
+    FROM scored
+"""

@@ -1813,3 +1813,32 @@ def test_heaps_growth_planted_limits(spark, tmp_path):
     assert len(rows) == 4  # zero-fill keeps the saturated quarters
     assert rows[-1]["types_cum"] == 3  # one doc's worth of grams
     assert rows[0]["heaps_b"] < 0.2  # type inventory saturates
+
+
+def test_doc_novelty_first_occurrence_attribution(spark, tmp_path):
+    """B77 semantics: the first doc containing a gram gets the credit.
+    Doc 1 is all-novel (it's first); doc 2 copies doc 1 plus one new
+    sentence (partial novelty); doc 3 is a verbatim copy of doc 1
+    (novelty 0, flagged redundant)."""
+    from near_indexer_for_explorer_spark.operators.corpus import doc_novelty
+
+    base = " ".join(f"b{i}" for i in range(20))  # 18 grams
+    extra = " ".join(f"x{i}" for i in range(10))
+    docs = [
+        (1, base, "en", "s", 0),
+        (2, base + " " + extra, "en", "s", 0),
+        (3, base, "en", "s", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in doc_novelty(spark, str(tmp_path)).collect()}
+    assert out[1]["n_grams"] == 18 and out[1]["novelty"] == 1.0
+    assert not out[1]["is_redundant"]
+    # doc 2: 30 tokens -> 28 grams; 18 copied + 2 bridge + 8 extra-only
+    assert out[2]["n_grams"] == 28
+    assert out[2]["n_novel"] == 10  # the 2 bridge + 8 extra grams
+    assert abs(out[2]["novelty"] - 10 / 28) < 1e-6
+    assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
+    assert out[3]["is_redundant"]
