@@ -2420,3 +2420,84 @@ def _keep_best_oracle_sql() -> str:
 
 
 ORACLES["dedup_keep_best"] = _keep_best_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B78 dedup savings report — the summary every curation run ships:
+# per source, how many documents and TOKENS the keep/drop decision
+# (B73) retains.  Budgets are token-denominated (the B68 lesson), so
+# doc-rate and token-rate diverge exactly when duplicates skew long —
+# that divergence is the number a data lead reads.
+# ---------------------------------------------------------------------------
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_docs_kept, n_tokens, n_tokens_kept,
+    doc_keep_rate, token_keep_rate) per source.
+
+    Scale shape: B73's decision relation joined to a map-side
+    (source, token-count) projection on doc_id, one source-grain
+    aggregate — nothing beyond the pipeline it reports on."""
+    keep = dedup_keep_best(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("nt"),
+    )
+    per = (
+        docs.join(keep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_docs_kept"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_docs_kept",
+        "n_tokens",
+        "n_tokens_kept",
+        F.round(F.col("n_docs_kept") / F.col("n_docs"), 6).alias(
+            "doc_keep_rate"
+        ),
+        F.round(F.col("n_tokens_kept") / F.col("n_tokens"), 6).alias(
+            "token_keep_rate"
+        ),
+    )
+
+
+QUERIES["dedup_savings_report"] = dedup_savings_report
+
+
+def _savings_oracle_sql() -> str:
+    return f"""
+    WITH kb AS ({_keep_best_oracle_sql()}),
+    d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+      FROM documents
+    ),
+    per AS (
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN kb.keep THEN 1 ELSE 0 END) AS n_docs_kept,
+             SUM(d.nt) AS n_tokens,
+             SUM(CASE WHEN kb.keep THEN d.nt ELSE 0 END) AS n_tokens_kept
+      FROM d JOIN kb ON d.doc_id = kb.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens_kept AS BIGINT) AS n_tokens_kept,
+           ROUND(CAST(n_docs_kept AS DOUBLE) / n_docs, 6) AS doc_keep_rate,
+           ROUND(CAST(n_tokens_kept AS DOUBLE) / n_tokens, 6)
+             AS token_keep_rate
+    FROM per
+    """
+
+
+ORACLES["dedup_savings_report"] = _savings_oracle_sql()

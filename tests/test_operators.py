@@ -1842,3 +1842,33 @@ def test_doc_novelty_first_occurrence_attribution(spark, tmp_path):
     assert abs(out[2]["novelty"] - 10 / 28) < 1e-6
     assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
     assert out[3]["is_redundant"]
+
+
+def test_dedup_savings_report_token_vs_doc_divergence(spark, tmp_path):
+    """B78 semantics: dropping one of two near-dups in source 'a'
+    halves its doc rate but NOT its token rate (the kept copy is the
+    longer one); untouched source 'b' keeps 100% of both."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_savings_report,
+    )
+
+    base = " ".join(f"shared{i}" for i in range(200))
+    docs = [
+        (1, base, "en", "a", 0),
+        (2, base + " the a of to and is in that it on", "en", "a", 0),
+    ]
+    for d in range(3, 9):
+        docs.append((d, " ".join(f"w{d}y{i}" for i in range(60)), "en", "b", 0))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in dedup_savings_report(
+        spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 2 and a["n_docs_kept"] == 1
+    assert a["doc_keep_rate"] == 0.5
+    assert a["n_tokens"] == 200 + 210 and a["n_tokens_kept"] == 210
+    assert a["token_keep_rate"] > 0.5  # the longer copy was kept
+    assert b["n_docs_kept"] == b["n_docs"] == 6
+    assert b["token_keep_rate"] == 1.0
