@@ -4939,3 +4939,107 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A84 multi-touch conversion attribution.  A19 (as-of join) answers
+# last-touch: the single latest touch before each purchase.  Growth
+# teams also read LINEAR attribution — every touch in the lookback
+# window shares the conversion credit equally — and the decision-grade
+# number is the DIVERGENCE between the two models per channel
+# (evaluation-as-data, the B46/B65 discipline).  Reference analog: the
+# explorer's receipt->transaction attribution joins, generalized from
+# "the one cause" to "the causal set".
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_S = 7 * 86400.0
+_ATTR_TOUCH_TYPES = ("click", "view")
+
+
+@_register(
+    "attribution_models",
+    f"""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) / 1000000.0 AS ts_p
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, event_type,
+             epoch_us(ts) / 1000000.0 AS ts_t
+      FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.p_id, t.t_id, t.event_type, t.ts_t
+      FROM purch p JOIN touch t
+        ON p.user_id = t.user_id
+       AND t.ts_t <= p.ts_p
+       AND t.ts_t >= p.ts_p - {_ATTR_WINDOW_S}
+    ),
+    sized AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touches,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY ts_t DESC, t_id DESC) AS rn
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touch_credits,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions_touched,
+           CAST(SUM(CAST(ROUND(1.0 / n_touches, 8) AS DECIMAL(18,8)))
+                AS DOUBLE) AS linear_credit,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_conversions
+    FROM sized
+    GROUP BY event_type
+    """,
+)
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_touch_credits, n_conversions_touched,
+    linear_credit, last_touch_conversions): linear vs last-touch
+    attribution per channel over a 7-day lookback.
+
+    Scale shape: the pair join is an EQUI-join on user_id with the
+    window as a residual range predicate — never a nested loop — and
+    the per-purchase credit split is one window pass partitioned on
+    the purchase id (high cardinality).  Per-user pair volume is
+    bounded by the 7-day window.  Fractional credits 1/n are rounded
+    to 8 decimals into exact decimal sums (order-free both engines);
+    the last-touch pick is (ts, event_id)-tie-proof."""
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("es").alias("ts_p"),
+    )
+    touch = ev.where(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        "event_type",
+        F.col("es").alias("ts_t"),
+    )
+    pairs = purch.join(
+        touch,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ts_t") <= F.col("ts_p"))
+        & (F.col("ts_t") >= F.col("ts_p") - F.lit(_ATTR_WINDOW_S)),
+    ).select("p_id", "t_id", "event_type", "ts_t")
+    w_n = Window.partitionBy("p_id")
+    w_rn = Window.partitionBy("p_id").orderBy(
+        F.col("ts_t").desc(), F.col("t_id").desc()
+    )
+    sized = pairs.select(
+        "event_type",
+        "p_id",
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return sized.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touch_credits"),
+        F.countDistinct("p_id").alias("n_conversions_touched"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("n_touches"), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("linear_credit"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("last_touch_conversions"),
+    )

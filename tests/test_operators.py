@@ -1872,3 +1872,43 @@ def test_dedup_savings_report_token_vs_doc_divergence(spark, tmp_path):
     assert a["token_keep_rate"] > 0.5  # the longer copy was kept
     assert b["n_docs_kept"] == b["n_docs"] == 6
     assert b["token_keep_rate"] == 1.0
+
+
+def test_attribution_models_planted_journey(spark, tmp_path):
+    """A84 semantics: a purchase with a click 1 day before and a view
+    2 days before splits linear credit 0.5/0.5 but gives last-touch
+    credit to the click alone; a click 10 days out is outside the
+    window; a touchless purchase contributes nothing."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        attribution_models,
+    )
+
+    t0 = dt.datetime(2024, 5, 10, 12)
+
+    def at(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = [
+        (1, at(-10), 7, "click", 0.0, "{}"),   # outside the 7d window
+        (2, at(-2), 7, "view", 0.0, "{}"),
+        (3, at(-1), 7, "click", 0.0, "{}"),
+        (4, at(0), 7, "purchase", 9.0, "{}"),
+        (5, at(3), 8, "purchase", 9.0, "{}"),  # touchless
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["event_type"]: r for r in attribution_models(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {"click", "view"}
+    assert out["click"]["n_touch_credits"] == 1  # the -10d click excluded
+    assert out["click"]["linear_credit"] == 0.5
+    assert out["view"]["linear_credit"] == 0.5
+    assert out["click"]["last_touch_conversions"] == 1
+    assert out["view"]["last_touch_conversions"] == 0
+    assert out["click"]["n_conversions_touched"] == 1
