@@ -132,6 +132,10 @@ EXTRA = [
     "embedding_isotropy",
     "events_dow_seasonality",
     "packing_efficiency_curve",
+    "vocab_growth_heaps",
+    "doc_novelty",
+    "dedup_savings_report",
+    "attribution_models",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
