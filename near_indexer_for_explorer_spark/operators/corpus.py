@@ -2648,3 +2648,116 @@ ORACLES["doc_novelty"] = f"""
              AS is_redundant
     FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# B79 cross-split near-dup leakage report.  B16 catches EXACT n-gram
+# contamination; the subtler eval-integrity bug is NEAR-duplicate pairs
+# straddling the train/val/test boundary (a paraphrase of a training
+# doc in the eval split inflates every metric).  This crosses the
+# verified MinHash-LSH pairs (B3) with the B18 split assignment and
+# reports, per split pair, how many near-dup edges leak and how many
+# eval-side documents are compromised — beside the within-split pair
+# counts (evaluation-as-data: leakage is only meaningful against the
+# base rate).
+# ---------------------------------------------------------------------------
+_SPLIT_ORDER = {"train": 0, "val": 1, "test": 2}
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_1, split_2, n_pairs, n_docs_leaked): verified near-dup
+    pairs per canonically-ordered split pair; n_docs_leaked = distinct
+    docs on the LATER split's side (the eval docs to quarantine;
+    within-split rows report 0 by definition).
+
+    Scale shape: the B3 pair relation joined twice to the map-side
+    split projection on doc_id — pairs are the small side, splits are
+    a pure expression; one pair-grain aggregate."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
+    split = (
+        F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
+    )
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    s1 = splits.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("split").alias("sp1")
+    )
+    s2 = splits.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("split").alias("sp2")
+    )
+    order = F.create_map(
+        *[F.lit(x) for kv in _SPLIT_ORDER.items() for x in kv]
+    )
+    tagged = (
+        pairs.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            F.when(order[F.col("sp1")] <= order[F.col("sp2")], F.col("sp1"))
+            .otherwise(F.col("sp2"))
+            .alias("split_1"),
+            F.when(order[F.col("sp1")] <= order[F.col("sp2")], F.col("sp2"))
+            .otherwise(F.col("sp1"))
+            .alias("split_2"),
+            F.when(
+                order[F.col("sp1")] <= order[F.col("sp2")], F.col("doc_id_2")
+            )
+            .otherwise(F.col("doc_id_1"))
+            .alias("later_doc"),
+        )
+    )
+    return tagged.groupBy("split_1", "split_2").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("split_1") != F.col("split_2"), F.col("later_doc"))
+        ).alias("n_docs_leaked"),
+    )
+
+
+QUERIES["split_leakage_report"] = split_leakage_report
+
+
+def _split_leakage_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        ORACLES as _DEDUP_ORACLES,
+    )
+
+    split_expr = (
+        f"CASE WHEN {_hash_bucket_sql('doc_id', 'split:', _SPLIT_MOD)} < 32"
+        " THEN 'train' WHEN"
+        f" {_hash_bucket_sql('doc_id', 'split:', _SPLIT_MOD)} < 36"
+        " THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH pairs AS ({_DEDUP_ORACLES['dedup_minhash_lsh']}),
+    splits AS (SELECT doc_id, {split_expr} AS split FROM documents),
+    ranks AS (SELECT * FROM (VALUES ('train', 0), ('val', 1), ('test', 2))
+              v(split, rk)),
+    tagged AS (
+      SELECT CASE WHEN r1.rk <= r2.rk THEN s1.split ELSE s2.split END
+               AS split_1,
+             CASE WHEN r1.rk <= r2.rk THEN s2.split ELSE s1.split END
+               AS split_2,
+             CASE WHEN r1.rk <= r2.rk THEN p.doc_id_2 ELSE p.doc_id_1 END
+               AS later_doc
+      FROM pairs p
+      JOIN splits s1 ON p.doc_id_1 = s1.doc_id
+      JOIN splits s2 ON p.doc_id_2 = s2.doc_id
+      JOIN ranks r1 ON s1.split = r1.split
+      JOIN ranks r2 ON s2.split = r2.split
+    )
+    SELECT split_1, split_2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN split_1 <> split_2
+                                    THEN later_doc END) AS BIGINT)
+             AS n_docs_leaked
+    FROM tagged
+    GROUP BY split_1, split_2
+    """
+
+
+ORACLES["split_leakage_report"] = _split_leakage_oracle_sql()

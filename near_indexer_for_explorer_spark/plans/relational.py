@@ -5043,3 +5043,97 @@ def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("linear_credit"),
         F.sum((F.col("rn") == 1).cast("long")).alias("last_touch_conversions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A85 DAU/WAU/MAU engagement + stickiness — the dashboard every
+# explorer ships (accounts.rs activity over the time indexes).  The
+# scale trap is the TRAILING-WINDOW DISTINCT: recounting a 28-day
+# window per day rescans the fact 28x, and a naive
+# COUNT(DISTINCT) OVER (RANGE 27 PRECEDING) holds a 28-day user set
+# per day of state.  The scalable decomposition: reduce to the
+# (user, day) grain once, then each active day CONTRIBUTES to the 7/28
+# covering days map-side (explode of date_add) and the rollup is an
+# ordinary distinct count per covered day — linear in user-days x
+# window/grain, no windowed distinct anywhere.
+# ---------------------------------------------------------------------------
+@_register(
+    "engagement_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT cover_d AS d, COUNT(DISTINCT user_id) AS wau
+      FROM (SELECT user_id, CAST(d + i * INTERVAL 1 DAY AS DATE) AS cover_d
+            FROM ud, UNNEST(range(0, 7)) AS r(i))
+      GROUP BY cover_d
+    ),
+    mau AS (
+      SELECT cover_d AS d, COUNT(DISTINCT user_id) AS mau
+      FROM (SELECT user_id, CAST(d + i * INTERVAL 1 DAY AS DATE) AS cover_d
+            FROM ud, UNNEST(range(0, 28)) AS r(i))
+      GROUP BY cover_d
+    )
+    SELECT days.d AS event_date,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness_dw,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness_dm
+    FROM days
+    JOIN dau ON days.d = dau.d
+    JOIN wau ON days.d = wau.d
+    JOIN mau ON days.d = mau.d
+    """,
+)
+def engagement_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, dau, wau, mau, stickiness_dw, stickiness_dm) for
+    every observed day: trailing 1/7/28-day distinct actives and the
+    DAU/WAU, DAU/MAU stickiness ratios.
+
+    Scale shape: ONE reduction of the fact to (user, day); the trailing
+    windows are map-side covering-day explodes (a day's activity covers
+    the next 6/27 days) followed by plain distinct counts — never a
+    windowed distinct, never a per-day rescan.  All ratios divide exact
+    BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def covered(n: int, alias: str) -> DataFrame:
+        cover = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n - 1))
+            ).alias("i"),
+            "d",
+        ).select(
+            "user_id", F.date_add(F.col("d"), F.col("i")).alias("d")
+        )
+        return cover.groupBy("d").agg(
+            F.countDistinct("user_id").alias(alias)
+        )
+
+    wau = covered(7, "wau")
+    mau = covered(28, "mau")
+    out = (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .join(mau, "d")
+    )
+    return out.select(
+        F.col("d").alias("event_date"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness_dw"
+        ),
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness_dm"
+        ),
+    )

@@ -1912,3 +1912,80 @@ def test_attribution_models_planted_journey(spark, tmp_path):
     assert out["click"]["last_touch_conversions"] == 1
     assert out["view"]["last_touch_conversions"] == 0
     assert out["click"]["n_conversions_touched"] == 1
+
+
+def test_engagement_windows_planted_activity(spark, tmp_path):
+    """A85 semantics: activity on day X covers WAU for X..X+6 and MAU
+    for X..X+27.  User 1 active Jan 1 only; user 2 active Jan 1 and
+    Jan 11.  On Jan 11: DAU=1 (u2), WAU=1 (u1's coverage lapsed Jan 7),
+    MAU=2 (u1 still covers)."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        engagement_dau_wau_mau,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "click", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 2, "click", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 11, 9), 2, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["event_date"]: r for r in engagement_dau_wau_mau(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {dt.date(2024, 1, 1), dt.date(2024, 1, 11)}
+    d1 = out[dt.date(2024, 1, 1)]
+    assert (d1["dau"], d1["wau"], d1["mau"]) == (2, 2, 2)
+    assert d1["stickiness_dw"] == 1.0
+    d11 = out[dt.date(2024, 1, 11)]
+    assert (d11["dau"], d11["wau"], d11["mau"]) == (1, 1, 2)
+    assert d11["stickiness_dm"] == 0.5
+
+
+def test_split_leakage_planted_cross_pair(spark, tmp_path):
+    """B79 semantics: two planted near-dup docs whose md5 split buckets
+    land in different splits must surface as a cross-split pair with
+    the later-split doc counted as leaked; within-split rows report 0
+    leaked docs by definition."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.functions.hashing import md5_u32
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _SPLIT_MOD,
+        split_leakage_report,
+    )
+
+    # find doc ids whose split buckets differ (train vs val/test)
+    spark_ids = spark.range(0, 200).select(
+        "id", md5_u32(F.col("id"), "split:", _SPLIT_MOD).alias("sb")
+    ).collect()
+    train_id = next(r["id"] for r in spark_ids if r["sb"] < 32)
+    eval_id = next(r["id"] for r in spark_ids if r["sb"] >= 32)
+
+    base = " ".join(f"leak{i}" for i in range(200))
+    docs = [
+        (train_id, base, "en", "s", 0),
+        (eval_id, base + " tail drift", "en", "s", 0),
+    ]
+    filler_ids = [r["id"] for r in spark_ids
+                  if r["id"] not in (train_id, eval_id)][:6]
+    for d in filler_ids:
+        docs.append((int(d), " ".join(f"w{d}z{i}" for i in range(60)), "en", "s", 0))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {(r["split_1"], r["split_2"]): r for r in split_leakage_report(
+        spark, str(tmp_path)).collect()}
+    cross = [k for k in out if k[0] != k[1]]
+    assert len(cross) == 1 and cross[0][0] == "train"
+    r = out[cross[0]]
+    assert r["n_pairs"] == 1 and r["n_docs_leaked"] == 1
+    for k in out:
+        if k[0] == k[1]:
+            assert out[k]["n_docs_leaked"] == 0
