@@ -136,6 +136,8 @@ EXTRA = [
     "doc_novelty",
     "dedup_savings_report",
     "attribution_models",
+    "engagement_dau_wau_mau",
+    "split_leakage_report",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
