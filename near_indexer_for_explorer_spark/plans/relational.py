@@ -5137,3 +5137,526 @@ def engagement_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_dm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A86 Benford first-digit audit (reference analog: the explorer's
+# fraud/data-quality dashboards over transaction amounts — synthetic or
+# tampered value columns fall off the Benford curve).  Exactness: the
+# first significant digit comes from the DECIMAL(12,2) cents string,
+# never from float log10 (whose boundary rounding differs per libm);
+# expected Benford shares are ln-literals rounded to 8 dp FIRST (the
+# B76 Heaps-fit discipline) so every downstream float op is
+# bit-identical across engines.  Scale shape: one fact aggregate to 9
+# rows; the share/chi-square arithmetic runs on the 9-row relation via
+# an unpartitioned window (9 rows regardless of data size).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_benford_digits",
+    """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+      FROM orders
+      WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM digits GROUP BY digit
+    ),
+    shared AS (
+      SELECT digit, n_orders,
+             CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER () AS obs,
+             ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 8) AS exp_share,
+             SUM(n_orders) OVER () AS n_total
+      FROM counts
+    )
+    SELECT digit, n_orders,
+           ROUND(obs, 6) AS observed_share,
+           ROUND(exp_share, 6) AS benford_share,
+           ROUND(n_total * (obs - exp_share) * (obs - exp_share) / exp_share,
+                 6) AS chi2_term
+    FROM shared
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n_orders, observed_share, benford_share, chi2_term) for
+    first significant digits 1-9 of o_totalprice.
+
+    Scale shape: ONE aggregate of the fact to <=9 rows; shares and the
+    chi-square contribution are computed on that 9-row relation with an
+    unpartitioned window (constant-size, never data-size).  The digit
+    is exact integer/string arithmetic on DECIMAL cents; the Benford
+    expectation is an 8dp-rounded ln literal so both engines evaluate
+    identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec_money("o_totalprice") * 100).cast("bigint")
+    counts = (
+        orders.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w_all = Window.partitionBy()
+    obs = F.col("n_orders").cast("double") / F.sum("n_orders").over(w_all)
+    exp_share = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 8
+    )
+    n_total = F.sum("n_orders").over(w_all)
+    shared = counts.select(
+        "digit",
+        "n_orders",
+        obs.alias("obs"),
+        exp_share.alias("exp_share"),
+        n_total.alias("n_total"),
+    )
+    return shared.select(
+        "digit",
+        "n_orders",
+        F.round(F.col("obs"), 6).alias("observed_share"),
+        F.round(F.col("exp_share"), 6).alias("benford_share"),
+        F.round(
+            F.col("n_total")
+            * (F.col("obs") - F.col("exp_share"))
+            * (F.col("obs") - F.col("exp_share"))
+            / F.col("exp_share"),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A87 market-concentration HHI per part type (reference analog: the
+# validator-stake / holder-concentration dashboards — "is this market
+# a monopoly" over per-supplier revenue shares).  Herfindahl index =
+# sum over suppliers of squared revenue share.  Exactness: per-cell
+# revenues become DECIMAL(19,0) micro-units (scale-6 integers — the
+# discounted price's native scale, so NO intermediate rounding
+# anywhere), whose squares and sums stay exact in both engines; HHI is
+# ONE IEEE division of VARCHAR-hopped exact totals.  Scale shape: two
+# keyed aggregates — (type, supplier) then (type) — one broadcast dim
+# join, no windows.
+# ---------------------------------------------------------------------------
+@_register(
+    "supplier_market_hhi",
+    f"""
+    WITH cell AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(SUM({_DISC_PRICE}) * 1000000 AS DECIMAL(19,0)) AS micros
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    market AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(micros) AS DECIMAL(38,0)) AS total_micros,
+             CAST(SUM(micros * micros) AS DECIMAL(38,0)) AS sum_sq,
+             CAST(MAX(micros) AS DECIMAL(19,0)) AS max_micros
+      FROM cell GROUP BY p_type
+    )
+    SELECT p_type, n_suppliers,
+           CAST(CAST(total_micros AS VARCHAR) AS DOUBLE) / 1000000.0
+             AS total_revenue,
+           ROUND(CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(total_micros AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(total_micros AS VARCHAR) AS DOUBLE)), 6)
+             AS hhi,
+           ROUND(CAST(CAST(max_micros AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_micros AS VARCHAR) AS DOUBLE), 6)
+             AS top_share
+    FROM market
+    """,
+)
+def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_type, n_suppliers, total_revenue, hhi, top_share): Herfindahl
+    revenue concentration of each part-type market.
+
+    Scale shape: part broadcasts into the fact scan; one shuffle on
+    (p_type, l_suppkey), one on p_type.  All concentration arithmetic
+    is exact integer cents until the final IEEE division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = dec_money("l_extendedprice") * _one_minus("l_discount")
+    cell = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("micros")
+        )
+    )
+    market = cell.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("micros").cast("decimal(38,0)").alias("total_micros"),
+        F.sum(F.col("micros") * F.col("micros"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+        F.max("micros").cast("decimal(19,0)").alias("max_micros"),
+    )
+    tot_d = F.col("total_micros").cast("string").cast("double")
+    return market.select(
+        "p_type",
+        "n_suppliers",
+        (tot_d / F.lit(1000000.0)).alias("total_revenue"),
+        F.round(
+            F.col("sum_sq").cast("string").cast("double") / (tot_d * tot_d), 6
+        ).alias("hhi"),
+        F.round(
+            F.col("max_micros").cast("string").cast("double") / tot_d, 6
+        ).alias("top_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A88 dense-calendar gap-filled monthly revenue (reference analog: the
+# explorer's per-epoch charts — a month with no activity must still
+# render a zero bar, and period-over-period deltas must span the gap;
+# the aggregated__* daily tables are built on exactly this dense-spine
+# discipline).  Scale shape: ONE fact aggregate to (nation, month)
+# grain; the spine is dims-only — months (a 1-row min/max aggregate
+# exploded via sequence()) x the 25-row nation dim, both broadcast —
+# so the gap-fill join and the lag window touch only grain-sized data.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_monthly_gapfill",
+    """
+    WITH rng AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT CAST(m AS DATE) AS month
+      FROM rng, UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 MONTH)) AS g(m)
+    ),
+    actual AS (
+      SELECT n.n_name AS nation_name,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(22,2)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+    ),
+    spine AS (
+      SELECT n.n_name AS nation_name, m.month FROM nation n, months m
+    ),
+    filled AS (
+      SELECT s.nation_name, s.month,
+             COALESCE(a.rev, CAST(0 AS DECIMAL(22,2))) AS rev
+      FROM spine s LEFT JOIN actual a
+        ON s.nation_name = a.nation_name AND s.month = a.month
+    ),
+    lagged AS (
+      SELECT nation_name, month, rev,
+             LAG(rev) OVER (PARTITION BY nation_name ORDER BY month) AS prev
+      FROM filled
+    )
+    SELECT nation_name, month,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS prev_revenue,
+           CAST(CAST(rev - prev AS VARCHAR) AS DOUBLE) AS mom_delta
+    FROM lagged
+    """,
+)
+def orders_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation_name, month, revenue, prev_revenue, mom_delta) on a
+    DENSE month spine: every nation x every month between the corpus
+    min and max order month, zero-filled, with the month-over-month
+    delta computed across gaps.
+
+    Scale shape: the fact aggregates ONCE to (nation, month) grain;
+    the spine (months x 25 nations) is generated from a 1-row min/max
+    aggregate and broadcast, so the left join and the per-nation lag
+    window run on grain-sized relations regardless of fact size.  All
+    money stays exact decimal until the VARCHAR-hopped double."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rng = orders.agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("lo"),
+        F.to_date(F.date_trunc("month", F.max("o_orderdate"))).alias("hi"),
+    )
+    months = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    actual = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(dec_money("o_totalprice")).cast("decimal(22,2)").alias("rev"))
+    )
+    spine = nation.select(F.col("n_name").alias("nation_name")).crossJoin(
+        F.broadcast(months)
+    )
+    filled = spine.join(actual, ["nation_name", "month"], "left").select(
+        "nation_name",
+        "month",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(22,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("nation_name").orderBy("month")
+    lagged = filled.withColumn("prev", F.lag("rev").over(w))
+    return lagged.select(
+        "nation_name",
+        "month",
+        F.col("rev").cast("string").cast("double").alias("revenue"),
+        F.col("prev").cast("string").cast("double").alias("prev_revenue"),
+        (F.col("rev") - F.col("prev"))
+        .cast("string")
+        .cast("double")
+        .alias("mom_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A89 ABC / Pareto inventory classification (reference analog: the
+# "top accounts hold X% of supply" cut every explorer publishes —
+# classify entities by cumulative revenue share: A = the head covering
+# 70%, B = to 90%, C = the tail).  The scale trap is the GLOBAL
+# DESCENDING CUMSUM; this plan uses the A73/A70 two-phase scheme —
+# range-bucket by revenue cents, per-bucket subtotal prefix offsets
+# broadcast, within-bucket window — and classifies with EXACT decimal
+# comparisons (cum*10 <= total*7), so no float ever decides a class
+# boundary.
+# ---------------------------------------------------------------------------
+@_register(
+    "parts_abc_pareto",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,6)) AS x
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(x) AS DECIMAL(38,6)) AS total FROM rev),
+    ranked AS (
+      SELECT x,
+             CAST(SUM(x) OVER (ORDER BY x DESC, l_partkey DESC
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cumd
+      FROM rev
+    ),
+    classed AS (
+      SELECT x,
+             CASE WHEN cumd * 10 <= total * 7 THEN 'A'
+                  WHEN cumd * 10 <= total * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(abc_class, n_parts, class_revenue, revenue_share): Pareto
+    classes over per-part revenue — A covers the first 70% of
+    cumulative descending revenue, B to 90%, C the rest.
+
+    Scale shape: NO global sort — the descending cumulative sum is the
+    ascending two-phase decomposition (range buckets on revenue cents,
+    broadcast per-bucket prefix subtotals, within-bucket window)
+    reflected through cum_desc = total - cum_asc + x.  Class
+    boundaries compare exact decimals scaled by integers, so the split
+    is reproducible to the cent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = dec_money("l_extendedprice") * _one_minus("l_discount")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(disc).cast("decimal(38,6)").alias("x")
+    )
+    cents = F.expr("CAST(x * 100 AS BIGINT)")
+    scal = rev.agg(
+        F.max(cents).alias("maxc"),
+        F.sum("x").cast("decimal(38,6)").alias("total"),
+    )
+    b = rev.crossJoin(F.broadcast(scal)).withColumn(
+        "bucket", F.expr("(CAST(x * 100 AS BIGINT) * 64) div (maxc + 1)")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("x").asc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = b.withColumn(
+        "cum_in", F.sum("x").over(w_in).cast("decimal(38,6)")
+    )
+    bsums = b.groupBy("bucket").agg(F.sum("x").cast("decimal(38,6)").alias("bx"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bsums.select(
+        "bucket",
+        F.coalesce(F.sum("bx").over(w_off), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("off"),
+    )
+    cum = cum_in.join(F.broadcast(offsets), "bucket").withColumn(
+        "cumd",
+        (F.col("total") - (F.col("off") + F.col("cum_in")) + F.col("x")).cast(
+            "decimal(38,6)"
+        ),
+    )
+    classed = cum.select(
+        "x",
+        "total",
+        F.when(F.col("cumd") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cumd") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("x").cast("string").cast("double").alias("class_revenue"),
+        F.round(
+            F.sum("x").cast("string").cast("double")
+            / F.max("total").cast("string").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A90 per-type linear trend of daily value (reference analog: the
+# "is gas usage trending up" fit over the aggregated daily tables —
+# the simplest forecast an explorer publishes).  Closed-form OLS of
+# daily total value against the absolute epoch day: the sufficient
+# statistics (n, Sx, Sy, Sxx, Sxy, Syy) are EXACT integer/decimal
+# sums (the A71/B76 discipline), so the slope/intercept/r2 are each
+# one IEEE expression over VARCHAR-hopped exact totals — merge-order
+# free, and incrementally maintainable (the C29 streaming twin keeps
+# the same (type, day) rollup and calls the same kernel).
+# ---------------------------------------------------------------------------
+_TREND_STATS_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(d - DATE '1970-01-01' AS BIGINT))
+                  AS DECIMAL(20,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(30,2)) AS sy,
+             CAST(SUM(CAST(d - DATE '1970-01-01' AS BIGINT)
+                      * CAST(d - DATE '1970-01-01' AS BIGINT))
+                  AS DECIMAL(30,0)) AS sxx,
+             CAST(SUM(CAST(CAST(d - DATE '1970-01-01' AS BIGINT)
+                           AS DECIMAL(10,0)) * y) AS DECIMAL(38,2)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+      FROM daily GROUP BY event_type
+    )
+"""
+
+_TREND_SELECT_SQL = """
+    SELECT event_type, n_days,
+           ROUND((CAST(n_days AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - ((CAST(n_days AS DOUBLE)
+                      * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                     / (CAST(n_days AS DOUBLE)
+                        * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                    * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                 / CAST(n_days AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n_days AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                  * (CAST(n_days AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                 / ((CAST(n_days AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE)
+                       * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6) AS r2
+    FROM stats
+"""
+
+
+def daily_value_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, d, y): exact DECIMAL(14,2) total value per type per
+    day — the minimal sufficient state for the A90 trend (and the C29
+    incremental twin's merge grain: decimal sums merge exactly in any
+    order)."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(dec_money("value")).cast("decimal(14,2)").alias("y")
+    )
+
+
+def trend_from_daily(daily: DataFrame) -> DataFrame:
+    """Closed-form per-type OLS over a (event_type, d, y) rollup.
+    Shared verbatim by the batch query and the C29 streaming sink's
+    read path, so their equality is a real invariant of the kernel."""
+    x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(x).cast("decimal(20,0)").alias("sx"),
+        F.sum("y").cast("decimal(30,2)").alias("sy"),
+        F.sum(x * x).cast("decimal(30,0)").alias("sxx"),
+        F.sum(x.cast("decimal(10,0)") * F.col("y"))
+        .cast("decimal(38,2)")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("syy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("string").cast("double")
+    sy = F.col("sy").cast("string").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    sxy = F.col("sxy").cast("string").cast("double")
+    syy = F.col("syy").cast("string").cast("double")
+    num = nd * sxy - sx * sy
+    den = nd * sxx - sx * sx
+    slope = num / den
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+        F.round((num * num) / (den * (nd * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@_register("events_daily_trend", _TREND_STATS_SQL + _TREND_SELECT_SQL)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, slope, intercept, r2): closed-form OLS of
+    daily total value against the epoch day, per event type.
+
+    Scale shape: one (type, day) aggregate, one type aggregate — both
+    keyed shuffles with map-side partials; the fit itself is O(types)
+    arithmetic on exact sufficient statistics.  The C29 streaming twin
+    maintains the SAME (type, day) decimal rollup incrementally and
+    calls the SAME trend_from_daily kernel."""
+    return trend_from_daily(
+        daily_value_rollup(load_table(spark, sf_dir, "events"))
+    )
