@@ -2761,3 +2761,99 @@ def _split_leakage_oracle_sql() -> str:
 
 
 ORACLES["split_leakage_report"] = _split_leakage_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B83 windowed skip-gram co-occurrence PMI (oracle-checked).  B27
+# scores ADJACENT bigrams; word2vec-style pipelines need the +-2
+# window co-occurrence table (the input to SGNS/GloVe training and a
+# stronger collocation signal).  Pairs are generated MAP-SIDE as a
+# per-row array transform (each position pairs with the next two — no
+# self-join, no quadratic blowup), symmetrized via least/greatest,
+# and PMI uses the B27 formula over exact counts with round-6 ln.
+# Scale shape: one explode of O(2 x tokens) pair slots, one pair-key
+# aggregate, broadcast unigram-margin joins, one broadcast total
+# scalar.
+# ---------------------------------------------------------------------------
+def skipgram_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c_pair, marg_w1, marg_w2, pmi) for symmetrized +-2
+    window co-occurrence pairs with count >= _PMI_MIN_COUNT.
+
+    PMI = ln((c_ab/N) / ((marg_a/2N) * (marg_b/2N))) where N is the
+    total pair count and marg counts pair slots — all exact integers
+    until the single round-6 ln."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    pair_arr = F.expr(
+        """
+        flatten(transform(
+          sequence(0, size(t) - 2),
+          i -> transform(
+            sequence(i + 1, least(i + 2, size(t) - 1)),
+            j -> struct(least(t[i], t[j]) AS w1,
+                        greatest(t[i], t[j]) AS w2))))
+        """
+    )
+    pairs = (
+        docs.where(F.size("t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    slots = pairs.select(F.col("w1").alias("w")).unionAll(
+        pairs.select(F.col("w2").alias("w"))
+    )
+    marg = slots.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    a = marg.select(F.col("w").alias("w1"), F.col("m").alias("marg_w1"))
+    b = marg.select(F.col("w").alias("w2"), F.col("m").alias("marg_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_pair").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("marg_w1").cast("double") / (2 * F.col("n_pairs")))
+                * (F.col("marg_w2").cast("double") / (2 * F.col("n_pairs")))
+            )
+        ),
+        6,
+    )
+    return (
+        cp.where(F.col("c_pair") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_pair", "marg_w1", "marg_w2", pmi.alias("pmi"))
+    )
+
+
+QUERIES["skipgram_cooc_pmi"] = skipgram_cooc_pmi
+
+ORACLES["skipgram_cooc_pmi"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT LEAST(t[i], t[j]) AS w1, GREATEST(t[i], t[j]) AS w2
+      FROM toks, UNNEST(range(1, len(t))) r(i), UNNEST([i + 1, i + 2]) s(j)
+      WHERE j <= len(t)
+    ),
+    cp AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM pairs GROUP BY w1, w2
+    ),
+    slots AS (
+      SELECT w1 AS w FROM pairs UNION ALL SELECT w2 AS w FROM pairs
+    ),
+    marg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS m FROM slots GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+    SELECT c.w1, c.w2, c.c_pair,
+           a.m AS marg_w1, b.m AS marg_w2,
+           ROUND(ln((CAST(c.c_pair AS DOUBLE) / n.n_pairs)
+                    / ((CAST(a.m AS DOUBLE) / (2 * n.n_pairs))
+                       * (CAST(b.m AS DOUBLE) / (2 * n.n_pairs)))), 6) AS pmi
+    FROM cp c
+    JOIN marg a ON c.w1 = a.w
+    JOIN marg b ON c.w2 = b.w
+    CROSS JOIN n
+    WHERE c.c_pair >= {_PMI_MIN_COUNT}
+"""

@@ -2501,3 +2501,108 @@ def _savings_oracle_sql() -> str:
 
 
 ORACLES["dedup_savings_report"] = _savings_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B84 dedup-method agreement report (oracle-checked).  The operating
+# question when you run BOTH text near-dup (B3 MinHash-LSH verified
+# Jaccard) and embedding near-dup (B11 cosine banding): do they find
+# the same pairs?  Paraphrases surface only in embedding space;
+# template/boilerplate pairs only in shingle space — the disagreement
+# classes are exactly the pairs a curation pipeline must route to
+# different handling.  Full outer join of the two verified pair
+# relations on the normalized pair key; per agreement class, counts
+# and decimal-exact mean similarities (round-6 leg outputs summed as
+# DECIMAL, so the averages are order-free).  Scale shape: both legs
+# are candidate-bounded relations; one equi-join, one 3-row aggregate.
+# ---------------------------------------------------------------------------
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(agreement, n_pairs, avg_jaccard, avg_cos): 'both',
+    'text_only', or 'embedding_only' over the B3 text pairs vs the
+    B11 embedding pairs (vec_id == doc_id in the test tables)."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_dedup_cosine,
+    )
+
+    text = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_1").alias("id_1"),
+        F.col("doc_id_2").alias("id_2"),
+        "jaccard",
+    )
+    emb = embedding_dedup_cosine(spark, sf_dir).select(
+        F.col("vec_id_1").alias("id_1"),
+        F.col("vec_id_2").alias("id_2"),
+        "cos_sim",
+    )
+    joined = text.join(emb, ["id_1", "id_2"], "full_outer")
+    classed = joined.select(
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("cos_sim").isNotNull(), "both"
+        )
+        .when(F.col("jaccard").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+        .alias("agreement"),
+        F.col("jaccard").cast("decimal(10,6)").alias("j6"),
+        F.col("cos_sim").cast("decimal(10,6)").alias("c6"),
+    )
+    agg = classed.groupBy("agreement").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("j6").cast("decimal(20,6)").alias("sj"),
+        F.count("j6").alias("nj"),
+        F.sum("c6").cast("decimal(20,6)").alias("sc"),
+        F.count("c6").alias("nc"),
+    )
+    return agg.select(
+        "agreement",
+        "n_pairs",
+        F.round(
+            F.col("sj").cast("string").cast("double") / F.col("nj"), 6
+        ).alias("avg_jaccard"),
+        F.round(
+            F.col("sc").cast("string").cast("double") / F.col("nc"), 6
+        ).alias("avg_cos"),
+    )
+
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+
+
+def _method_agreement_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ORACLES as _SIM_ORACLES,
+    )
+
+    return f"""
+    WITH text_pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    emb_pairs AS ({_SIM_ORACLES["embedding_dedup_cosine"]}),
+    joined AS (
+      SELECT COALESCE(t.doc_id_1, e.vec_id_1) AS id_1,
+             COALESCE(t.doc_id_2, e.vec_id_2) AS id_2,
+             t.jaccard, e.cos_sim
+      FROM text_pairs t FULL OUTER JOIN emb_pairs e
+        ON t.doc_id_1 = e.vec_id_1 AND t.doc_id_2 = e.vec_id_2
+    ),
+    classed AS (
+      SELECT CASE WHEN jaccard IS NOT NULL AND cos_sim IS NOT NULL
+                    THEN 'both'
+                  WHEN jaccard IS NOT NULL THEN 'text_only'
+                  ELSE 'embedding_only' END AS agreement,
+             CAST(jaccard AS DECIMAL(10,6)) AS j6,
+             CAST(cos_sim AS DECIMAL(10,6)) AS c6
+      FROM joined
+    ),
+    agg AS (
+      SELECT agreement,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(j6) AS DECIMAL(20,6)) AS sj, COUNT(j6) AS nj,
+             CAST(SUM(c6) AS DECIMAL(20,6)) AS sc, COUNT(c6) AS nc
+      FROM classed GROUP BY agreement
+    )
+    SELECT agreement, n_pairs,
+           ROUND(CAST(CAST(sj AS VARCHAR) AS DOUBLE) / nj, 6) AS avg_jaccard,
+           ROUND(CAST(CAST(sc AS VARCHAR) AS DOUBLE) / nc, 6) AS avg_cos
+    FROM agg
+    """
+
+
+ORACLES["dedup_method_agreement"] = _method_agreement_oracle_sql()

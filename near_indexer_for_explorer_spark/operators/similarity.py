@@ -3278,3 +3278,274 @@ ORACLES["embedding_isotropy"] = """
            ROUND(sv_d * sv_d / svv_d / 64.0, 6) AS isotropy_score
     FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# B80 nearest-centroid language classification confusion (oracle-
+# checked).  Composes the B32 centroids into the curation check that
+# actually uses them: assign every embedding to its nearest per-lang
+# centroid (round-6 cosine, lang-asc tie-break) and cross it with the
+# document's labeled lang — the confusion matrix that tells you
+# whether the embedding space separates languages before you trust
+# embedding-based filtering.  Scale shape: the centroid codebook is
+# langs x 64 values (broadcast); assignment is one map-side pass over
+# the corpus; the confusion aggregate is langs^2 rows.
+# ---------------------------------------------------------------------------
+def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_lang, assigned_lang, n_docs, share): nearest-centroid
+    assignment vs labeled language.
+
+    share = n_docs / total docs of true_lang (exact integer division
+    at the final step).  Centroids replicate B32's decimal-exact mean
+    chain verbatim, so this is gate-consistent with
+    embedding_lang_centroids."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    comp = (
+        e.join(docs, "vec_id")
+        .select("lang", "vec_id", F.posexplode("emb").alias("i", "x"))
+        .groupBy("lang", "i")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(20,14)")) / F.count(F.lit(1)))
+            .cast("decimal(24,6)")
+            .alias("m6")
+        )
+    )
+    cent = comp.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m6")))),
+            lambda s: s.getField("m6").cast("double"),
+        ).alias("c")
+    )
+    cent = cent.select(
+        F.col("lang").alias("c_lang"),
+        "c",
+        l2_norm(F.col("c")).alias("c_nrm"),
+    )
+    ev = e.withColumn("nrm", l2_norm(F.col("emb")))
+    scored = ev.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_lang",
+        F.round(
+            cosine(F.col("emb"), F.col("c"), F.col("nrm"), F.col("c_nrm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_lang").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_lang").alias("assigned_lang"))
+    )
+    conf = (
+        assigned.join(docs, "vec_id")
+        .groupBy(F.col("lang").alias("true_lang"), "assigned_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_t = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "assigned_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_t), 6
+        ).alias("share"),
+    )
+
+
+QUERIES["centroid_assign_confusion"] = centroid_assign_confusion
+
+ORACLES["centroid_assign_confusion"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    j AS (
+      SELECT d.lang, e.vec_id, e.emb
+      FROM e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    comp AS (
+      SELECT lang, i,
+             CAST(SUM(CAST(x AS DECIMAL(20,14))) / COUNT(*) AS DECIMAL(24,6))
+               AS m6
+      FROM (SELECT lang, vec_id, UNNEST(emb) AS x,
+                   generate_subscripts(emb, 1) AS i FROM j)
+      GROUP BY lang, i
+    ),
+    cent AS (
+      SELECT lang AS c_lang,
+             list_transform(list(m6 ORDER BY i), x -> CAST(x AS DOUBLE)) AS c
+      FROM comp GROUP BY lang
+    ),
+    cn AS (
+      SELECT c_lang, c,
+             sqrt(list_sum(list_transform(c, x -> x * x))) AS c_nrm
+      FROM cent
+    ),
+    ev AS (
+      SELECT vec_id, emb,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    scored AS (
+      SELECT ev.vec_id, cn.c_lang,
+             ROUND(list_sum(list_transform(range(1, len(ev.emb) + 1),
+                                           i -> ev.emb[i] * cn.c[i]))
+                   / (ev.nrm * cn.c_nrm), 6) AS cos_sim
+      FROM ev CROSS JOIN cn
+    ),
+    assigned AS (
+      SELECT vec_id, c_lang AS assigned_lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, c_lang ASC) AS rn
+            FROM scored) t
+      WHERE rn = 1
+    ),
+    conf AS (
+      SELECT d.lang AS true_lang, a.assigned_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+      GROUP BY d.lang, a.assigned_lang
+    )
+    SELECT true_lang, assigned_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY true_lang), 6) AS share
+    FROM conf
+"""
+
+
+# ---------------------------------------------------------------------------
+# B81 int8-prefilter + exact-rerank retrieval (oracle-checked).  The
+# production two-stage pattern B28's quantization exists for: a cheap
+# integer-dot coarse scan over the int8 corpus keeps the top
+# RERANK_M candidates per query, then ONLY those M are re-scored with
+# exact float cosine.  Exactness: coarse scores are exact BIGINT dot
+# products scaled by two per-vector doubles (one IEEE multiply chain,
+# round-6 before ranking); rerank is the B5 round-6 cosine.  Scale
+# shape: the coarse scan is the declared all-pairs leg (sequential
+# int8 math, 4x smaller than floats, SIMD-friendly); everything after
+# it is bounded by M per query.
+# ---------------------------------------------------------------------------
+RERANK_M = 50
+
+
+def ann_rerank_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cos_sim, coarse_score): exact cosine top-k
+    over the RERANK_M int8-coarse candidates per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
+    qv = F.transform(
+        F.col("emb"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / F.col("scale")))
+        ).cast("long"),
+    )
+    quant = (
+        e.withColumn("scale", absmax / F.lit(127.0))
+        .withColumn("qv", qv)
+        .withColumn("nrm", l2_norm(F.col("emb")))
+    )
+    q = quant.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("scale").alias("q_scale"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        quant.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "emb",
+            "nrm",
+            "q_emb",
+            "q_nrm",
+            F.round(
+                idot.cast("double") * F.col("q_scale") * F.col("scale"), 6
+            ).alias("coarse_score"),
+        )
+    )
+    w_c = Window.partitionBy("q_id").orderBy(
+        F.col("coarse_score").desc(), F.col("vec_id").asc()
+    )
+    cand = coarse.withColumn("crn", F.row_number().over(w_c)).where(
+        F.col("crn") <= RERANK_M
+    )
+    rer = cand.select(
+        "q_id",
+        "vec_id",
+        "coarse_score",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_r = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w_r))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim",
+                "coarse_score")
+    )
+
+
+QUERIES["ann_rerank_int8"] = ann_rerank_int8
+
+ORACLES["ann_rerank_int8"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    quant AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    qz AS (
+      SELECT vec_id, emb, scale, nrm,
+             list_transform(emb, x ->
+               CAST(GREATEST(-127, LEAST(127, round(x / scale))) AS BIGINT))
+               AS qv
+      FROM quant
+    ),
+    q AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale,
+                 emb AS q_emb, nrm AS q_nrm
+          FROM qz WHERE vec_id % {QUERY_MOD} = 0),
+    coarse AS (
+      SELECT q.q_id, z.vec_id, z.emb, z.nrm, q.q_emb, q.q_nrm,
+             ROUND(CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
+                                 i -> q.q_qv[i] * z.qv[i])) AS DOUBLE)
+                   * q.q_scale * z.scale, 6) AS coarse_score
+      FROM qz z CROSS JOIN q
+      WHERE q.q_id <> z.vec_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY coarse_score DESC, vec_id ASC) AS crn
+        FROM coarse) t
+      WHERE crn <= {RERANK_M}
+    ),
+    rer AS (
+      SELECT q_id, vec_id, coarse_score,
+             ROUND(list_sum(list_transform(range(1, len(emb) + 1),
+                                           i -> q_emb[i] * emb[i]))
+                   / (q_nrm * nrm), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, coarse_score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM rer) t
+    WHERE rn <= {TOP_K}
+"""

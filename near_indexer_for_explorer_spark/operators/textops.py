@@ -764,3 +764,126 @@ def _bm25_oracle_sql() -> str:
 
 
 ORACLES["bm25_search"] = _bm25_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B82 term burstiness + cross-source dispersion (oracle-checked).
+# Two classic lexical-statistics curation signals (Church & Gale 1995
+# burstiness; chi-square dispersion a la Gries' DP): burstiness =
+# cf/df (how much a term CLUMPS inside the documents that contain it
+# — topical terms clump, function words spread), and a chi-square of
+# the term's per-source counts against the sources' token-mass
+# expectation (terms that live in one source are boilerplate/domain
+# markers; candidates for source-specific stopword lists).
+# Engine-stability: per-source chi-square contributions are rounded
+# to 8 dp and summed as DECIMAL (the B76 Heaps discipline) so the
+# cross-source sum is order-free.  Scale shape: one token explode,
+# one (term, source) aggregate, equi-joins on term/source, one
+# broadcast corpus-total scalar; output bounded by the cf floor.
+# ---------------------------------------------------------------------------
+_BURST_MIN_CF = 20
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, cf, df, burstiness, chi2_dispersion) for terms with
+    collection frequency >= _BURST_MIN_CF.
+
+    burstiness = cf/df exactly (integer inputs, one IEEE division);
+    chi2_dispersion sums round-8 decimal per-source contributions, so
+    both engines aggregate identical values in any order."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = docs.select("doc_id", "source", F.explode("t").alias("term"))
+    per_term = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    per_cell = tok.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    per_source = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ts"))
+    total = tok.agg(F.count(F.lit(1)).alias("tt"))
+    kept = per_term.where(F.col("cf") >= _BURST_MIN_CF)
+    exp = (
+        F.col("cf").cast("double")
+        * F.col("ts").cast("double")
+        / F.col("tt").cast("double")
+    )
+    cells = (
+        per_cell.join(kept, "term")
+        .join(per_source, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp,
+                8,
+            )
+            .cast("decimal(24,8)")
+            .alias("chi_term"),
+        )
+    )
+    chi = cells.groupBy("term").agg(
+        F.sum("chi_term").cast("decimal(30,8)").alias("chi8")
+    )
+    return (
+        kept.join(chi, "term")
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+            F.round(F.col("chi8").cast("string").cast("double"), 6).alias(
+                "chi2_dispersion"
+            ),
+        )
+    )
+
+
+QUERIES["term_burstiness"] = term_burstiness
+
+ORACLES["term_burstiness"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, UNNEST(string_split_regex(lower(trim(text)),
+                                    '\\s+')) AS term
+      FROM documents
+    ),
+    per_term AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    per_cell AS (
+      SELECT term, source, COUNT(*) AS obs FROM tok GROUP BY term, source
+    ),
+    per_source AS (SELECT source, COUNT(*) AS ts FROM tok GROUP BY source),
+    total AS (SELECT COUNT(*) AS tt FROM tok),
+    kept AS (SELECT * FROM per_term WHERE cf >= {_BURST_MIN_CF}),
+    cells AS (
+      SELECT c.term,
+             CAST(ROUND((CAST(c.obs AS DOUBLE)
+                         - CAST(k.cf AS DOUBLE) * CAST(s.ts AS DOUBLE)
+                           / CAST(t.tt AS DOUBLE))
+                        * (CAST(c.obs AS DOUBLE)
+                           - CAST(k.cf AS DOUBLE) * CAST(s.ts AS DOUBLE)
+                             / CAST(t.tt AS DOUBLE))
+                        / (CAST(k.cf AS DOUBLE) * CAST(s.ts AS DOUBLE)
+                           / CAST(t.tt AS DOUBLE)), 8)
+                  AS DECIMAL(24,8)) AS chi_term
+      FROM per_cell c JOIN kept k ON c.term = k.term
+      JOIN per_source s ON c.source = s.source
+      CROSS JOIN total t
+    ),
+    chi AS (
+      SELECT term, CAST(SUM(chi_term) AS DECIMAL(30,8)) AS chi8
+      FROM cells GROUP BY term
+    )
+    SELECT k.term, k.cf, k.df,
+           ROUND(CAST(k.cf AS DOUBLE) / k.df, 6) AS burstiness,
+           ROUND(CAST(CAST(c.chi8 AS VARCHAR) AS DOUBLE), 6)
+             AS chi2_dispersion
+    FROM kept k JOIN chi c ON k.term = c.term
+"""

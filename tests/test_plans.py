@@ -105,8 +105,14 @@ _BNLJ_EXEMPT = {
     "vocab_growth_heaps",       # broadcast 1-row OLS-fit scalars
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
     "embedding_top_component",  # broadcast 1-row norm/total-variance scalars per iteration
+    "orders_monthly_gapfill",   # broadcast dims-only month-spine x nation crossJoin
+    "parts_abc_pareto",         # broadcast 1-row total/max-cents scalar
+    "centroid_assign_confusion",  # broadcast per-lang centroid codebook (B32 shape)
+    "term_burstiness",          # broadcast corpus-total scalar (B27 shape)
+    "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
+    "ann_rerank_int8",          # int8 coarse scan is the declared all-pairs leg
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
     "ann_recall_matrix",        # composes the brute-force baseline leg
     "ivf_nprobe_recall_curve",  # composes the brute-force baseline + IVF legs
