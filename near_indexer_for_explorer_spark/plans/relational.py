@@ -5151,6 +5151,26 @@ def engagement_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows; the share/chi-square arithmetic runs on the 9-row relation via
 # an unpartitioned window (9 rows regardless of data size).
 # ---------------------------------------------------------------------------
+def benford_digit_counts(df: DataFrame, amount_col: str) -> DataFrame:
+    """(digit, n): first-significant-digit counts of an amount column
+    via exact DECIMAL-cents string arithmetic.  Shared verbatim by the
+    A86 batch audit and the C30 streaming monitor, whose equality is
+    therefore a kernel invariant (counts are additive longs, so the
+    incremental merge is order-free)."""
+    cents = (dec_money(amount_col) * 100).cast("bigint")
+    return (
+        df.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @_register(
     "orders_benford_digits",
     """
@@ -5191,17 +5211,8 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation is an 8dp-rounded ln literal so both engines evaluate
     identical doubles."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (dec_money("o_totalprice") * 100).cast("bigint")
-    counts = (
-        orders.select(cents.alias("cents"))
-        .where(F.col("cents") > 0)
-        .select(
-            F.substring(F.col("cents").cast("string"), 1, 1)
-            .cast("int")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    counts = benford_digit_counts(orders, "o_totalprice").withColumnRenamed(
+        "n", "n_orders"
     )
     w_all = Window.partitionBy()
     obs = F.col("n_orders").cast("double") / F.sum("n_orders").over(w_all)

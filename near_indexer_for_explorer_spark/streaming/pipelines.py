@@ -1863,3 +1863,116 @@ def hll_distinct_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C29 incremental trend maintenance.  The A90 closed-form OLS trend is
+# a pure function of the (event_type, day) daily-value rollup, whose
+# partials are exact decimals — so the streaming side maintains ONLY
+# that rollup (the minimal sufficient state, merge-order free) and the
+# read path calls the SAME trend_from_daily kernel as the batch query.
+# Scale design: state is O(types x days) regardless of event volume;
+# each micro-batch merges only the days it touches via dynamic
+# partition overwrite (the C7 discipline, composite (type, day) key
+# partitioned by day).
+# ---------------------------------------------------------------------------
+def foreach_batch_trend_rollup(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.plans.relational import (
+            daily_value_rollup,
+        )
+
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "trend_rollup")
+        partial = daily_value_rollup(batch_df)
+        if os.path.exists(snapshot):
+            touched = [
+                r["d"] for r in partial.select("d").distinct().collect()
+            ]
+            existing = spark.read.parquet(snapshot).where(
+                F.col("d").isin(touched)
+            )
+            partial = (
+                existing.unionByName(partial)
+                .groupBy("event_type", "d")
+                .agg(F.sum("y").cast("decimal(14,2)").alias("y"))
+            )
+        partial = partial.localCheckpoint(eager=True)
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(snapshot)
+        )
+
+    return sink
+
+
+def trend_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C29 driver: event stream -> incrementally maintained daily
+    rollup; read the trend with read_stream_trend()."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_trend_rollup(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_trend(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C29 read path: the SAME closed-form kernel as A90, over the
+    incrementally maintained rollup."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        trend_from_daily,
+    )
+
+    snapshot = os.path.join(out_dir, "trend_rollup")
+    daily = spark.read.parquet(snapshot).select("event_type", "d", "y")
+    return trend_from_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# C30 streaming Benford monitor.  Digit counts are additive longs —
+# the canonical mergeable sketch — so the incremental state is the
+# 9-row (digit, n) relation itself, maintained by read-merge-overwrite
+# (bounded state: the snapshot is <= 9 rows forever).  The digit
+# expression is SHARED with the A86 batch audit (benford_digit_counts)
+# so stream == batch is a kernel invariant, not a coincidence.
+# ---------------------------------------------------------------------------
+def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.plans.relational import (
+            benford_digit_counts,
+        )
+
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "benford")
+        partial = benford_digit_counts(batch_df, "value")
+        if os.path.exists(snapshot):
+            existing = spark.read.parquet(snapshot)
+            partial = (
+                existing.unionByName(partial)
+                .groupBy("digit")
+                .agg(F.sum("n").alias("n"))
+            )
+        partial = partial.localCheckpoint(eager=True)
+        partial.coalesce(1).write.mode("overwrite").parquet(snapshot)
+
+    return sink
+
+
+def benford_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C30 driver: event stream -> incrementally maintained Benford
+    first-digit counts over `value`."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_benford(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1609,3 +1609,57 @@ def test_hll_stream_matches_batch_replays_and_compacts(spark, sf_dir, tmp_path):
     n_folded, n_after = compact_hll_deltas(spark, out)
     assert n_folded >= 2 and n_after == 1
     assert snap() == want
+
+
+def test_trend_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp_path):
+    """C29: the incrementally maintained (type, day) rollup must feed
+    the SAME trend_from_daily kernel to the SAME output as the A90
+    batch query — exact decimal partials make the merge order-free, so
+    the equality is row-for-row including the round-6 floats."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_daily_trend,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        read_stream_trend,
+        trend_stream,
+    )
+
+    out = str(tmp_path / "trend_out")
+    q = trend_stream(spark, event_batches, out, str(tmp_path / "ckpt"))
+    _await(q)
+    got = {
+        r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
+        for r in read_stream_trend(spark, out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
+        for r in events_daily_trend(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_benford_stream_matches_batch_counts(spark, sf_dir, event_batches, tmp_path):
+    """C30: streamed Benford digit counts over `value` must equal the
+    shared benford_digit_counts kernel run in batch over the same
+    files (additive-long state; bounded 9-row snapshot)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        benford_digit_counts,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        benford_stream,
+    )
+
+    out = str(tmp_path / "benford_out")
+    q = benford_stream(spark, event_batches, out, str(tmp_path / "ckpt"))
+    _await(q)
+    got = {
+        r["digit"]: r["n"]
+        for r in spark.read.parquet(out + "/benford").collect()
+    }
+    batch_src = spark.read.schema(EVENT_SCHEMA).parquet(event_batches)
+    want = {
+        r["digit"]: r["n"]
+        for r in benford_digit_counts(batch_src, "value").collect()
+    }
+    assert got == want and got
