@@ -1989,3 +1989,216 @@ def test_split_leakage_planted_cross_pair(spark, tmp_path):
     for k in out:
         if k[0] == k[1]:
             assert out[k]["n_docs_leaked"] == 0
+
+
+def test_abc_pareto_planted_classes(spark, tmp_path):
+    """A89 semantics: revenues 70/20/10 split exactly at the 70%/90%
+    boundaries — the boundary part belongs to the HEAD class because
+    the comparison is <= on exact decimals."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        parts_abc_pareto,
+    )
+
+    rows = [(1, 70.0, 0.0), (2, 20.0, 0.0), (3, 10.0, 0.0)]
+    spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_discount double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {r["abc_class"]: r for r in parts_abc_pareto(spark, str(tmp_path)).collect()}
+    assert out["A"]["n_parts"] == 1 and out["A"]["class_revenue"] == 70.0
+    assert out["B"]["n_parts"] == 1 and out["B"]["class_revenue"] == 20.0
+    assert out["C"]["n_parts"] == 1 and out["C"]["class_revenue"] == 10.0
+    assert out["A"]["revenue_share"] == 0.7
+
+
+def test_hhi_monopoly_vs_uniform(spark, tmp_path):
+    """A87 semantics: a single-supplier market scores HHI = 1; four
+    equal suppliers score exactly 0.25."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        supplier_market_hhi,
+    )
+
+    li = [(1, 1, 50.0, 0.0)] + [(2, s, 25.0, 0.0) for s in range(1, 5)]
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "MONO"), (2, "UNIF")], "p_partkey long, p_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    out = {r["p_type"]: r for r in supplier_market_hhi(spark, str(tmp_path)).collect()}
+    assert out["MONO"]["hhi"] == 1.0 and out["MONO"]["top_share"] == 1.0
+    assert out["UNIF"]["n_suppliers"] == 4
+    assert out["UNIF"]["hhi"] == 0.25 and out["UNIF"]["top_share"] == 0.25
+
+
+def test_gapfill_planted_gap_and_delta(spark, tmp_path):
+    """A88 semantics: activity in Jan and Mar only — Feb must exist
+    with revenue 0 and Mar's MoM delta must span the gap from 0."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_monthly_gapfill,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, 1, 100.0, datetime.datetime(1995, 1, 15)),
+            (2, 1, 40.0, datetime.datetime(1995, 3, 2)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 7)], "c_custkey long, c_nationkey int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(7, "FRANCE")], "n_nationkey int, n_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+
+    out = {
+        str(r["month"]): r
+        for r in orders_monthly_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"1995-01-01", "1995-02-01", "1995-03-01"}
+    assert out["1995-02-01"]["revenue"] == 0.0
+    assert out["1995-02-01"]["mom_delta"] == -100.0
+    assert out["1995-03-01"]["mom_delta"] == 40.0
+    assert out["1995-01-01"]["prev_revenue"] is None
+
+
+def test_daily_trend_planted_line(spark, tmp_path):
+    """A90 semantics: daily totals exactly on y = 2x + 3 (x = epoch
+    day) recover slope 2, intercept 3, r2 = 1 bit-exactly — the
+    closed form runs on exact sufficient statistics."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_daily_trend,
+    )
+
+    rows = []
+    base = datetime.date(2020, 1, 1)
+    for i in range(10):
+        d = base + datetime.timedelta(days=i)
+        x = (d - datetime.date(1970, 1, 1)).days
+        rows.append(
+            (i, datetime.datetime(d.year, d.month, d.day, 12), "t", 2.0 * x + 3.0)
+        )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_daily_trend(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 10
+    assert r["slope"] == 2.0 and r["intercept"] == 3.0 and r["r2"] == 1.0
+
+
+def test_centroid_confusion_planted_orthogonal(spark, tmp_path):
+    """B80 semantics: two languages with orthogonal embeddings give a
+    perfectly diagonal confusion matrix with share 1.0."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        centroid_assign_confusion,
+    )
+
+    rows, docs = [], []
+    for i in range(8):
+        v = [0.0] * 64
+        v[0] = 1.0
+        rows.append((i, v, 0))
+        docs.append((i, "en"))
+    for i in range(8, 16):
+        v = [0.0] * 64
+        v[1] = 1.0
+        rows.append((i, v, 1))
+        docs.append((i, "fr"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame(docs, "doc_id long, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = centroid_assign_confusion(spark, str(tmp_path)).collect()
+    got = {(r["true_lang"], r["assigned_lang"]): r for r in out}
+    assert set(got) == {("en", "en"), ("fr", "fr")}
+    assert all(r["share"] == 1.0 and r["n_docs"] == 8 for r in out)
+
+
+def test_rerank_int8_equals_exact_when_prefilter_covers(spark, tmp_path):
+    """B81 contract: with fewer corpus vectors than RERANK_M, the
+    coarse stage keeps everything and the rerank output must equal the
+    brute-force exact top-k verbatim."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_rerank_int8,
+    )
+
+    rows = []
+    for i in range(40):
+        v = [
+            ((_h.md5(f"{i}:{j}".encode()).digest()[0] / 255.0) - 0.5)
+            for j in range(64)
+        ]
+        rows.append((i * 10, v))  # ids 0,10,...,390: queries at 0,100,...
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_cosine_topk(spark, str(tmp_path)).collect()
+    }
+    rerank = {
+        (r["q_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_rerank_int8(spark, str(tmp_path)).collect()
+    }
+    assert exact and rerank == exact
+
+
+def test_skipgram_pmi_planted_pair(spark, tmp_path):
+    """B83 semantics: 12 two-token docs 'a b' yield c_pair 12, margins
+    12/12, N = 12, pmi = ln 4."""
+    import math
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        skipgram_cooc_pmi,
+    )
+
+    docs = [(i, "a b", "s") for i in range(12)]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = skipgram_cooc_pmi(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["c_pair"]) == ("a", "b", 12)
+    assert r["marg_w1"] == 12 and r["marg_w2"] == 12
+    assert abs(r["pmi"] - round(math.log(4.0), 6)) < 1e-9
+
+
+def test_burstiness_planted_clump_vs_spread(spark, tmp_path):
+    """B82 semantics: 24 occurrences in one doc score burstiness 24;
+    24 occurrences across 24 docs score 1; a single source means the
+    chi-square dispersion is exactly 0."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        term_burstiness,
+    )
+
+    docs = [(0, " ".join(["clump"] * 24), "s")]
+    docs += [(i, "spread", "s") for i in range(1, 25)]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["term"]: r for r in term_burstiness(spark, str(tmp_path)).collect()}
+    assert out["clump"]["cf"] == 24 and out["clump"]["df"] == 1
+    assert out["clump"]["burstiness"] == 24.0
+    assert out["spread"]["burstiness"] == 1.0
+    assert out["clump"]["chi2_dispersion"] == 0.0
+    assert out["spread"]["chi2_dispersion"] == 0.0
