@@ -138,6 +138,17 @@ EXTRA = [
     "attribution_models",
     "engagement_dau_wau_mau",
     "split_leakage_report",
+    # round 7 session-4 additions
+    "orders_benford_digits",
+    "supplier_market_hhi",
+    "orders_monthly_gapfill",
+    "parts_abc_pareto",
+    "events_daily_trend",
+    "centroid_assign_confusion",
+    "ann_rerank_int8",
+    "term_burstiness",
+    "skipgram_cooc_pmi",
+    "dedup_method_agreement",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

