@@ -3549,3 +3549,287 @@ ORACLES["ann_rerank_int8"] = f"""
           FROM rer) t
     WHERE rn <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# B85 Matryoshka prefix-dimension ANN (oracle-checked).  The MRL
+# serving trick (Kusupati et al. 2022): score candidates with only
+# the first _MRL_DIM dimensions (a 4x cheaper scan that needs no
+# training at all, unlike PQ/IVF), keep the top RERANK_M per query,
+# rerank those with the full-dimension exact cosine.  Completes the
+# coarse-stage ladder: B81 shrinks the VALUE width (int8), this
+# shrinks the DIMENSION width — orthogonal cost knobs a serving stack
+# composes.  Scale shape: identical to B81 — declared all-pairs
+# coarse leg, RERANK_M-bounded rerank.
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+def matryoshka_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cos_sim, coarse_score): exact cosine top-k
+    over the RERANK_M prefix-dim-cosine candidates per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    pre = F.slice(F.col("emb"), 1, _MRL_DIM)
+    base = (
+        e.withColumn("pre", pre)
+        .withColumn("pnrm", l2_norm(F.col("pre")))
+        .withColumn("nrm", l2_norm(F.col("emb")))
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("pre").alias("q_pre"),
+        F.col("pnrm").alias("q_pnrm"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    coarse = base.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        "vec_id",
+        "emb",
+        "nrm",
+        "q_emb",
+        "q_nrm",
+        F.round(
+            cosine(F.col("q_pre"), F.col("pre"), F.col("q_pnrm"), F.col("pnrm")),
+            6,
+        ).alias("coarse_score"),
+    )
+    w_c = Window.partitionBy("q_id").orderBy(
+        F.col("coarse_score").desc(), F.col("vec_id").asc()
+    )
+    cand = coarse.withColumn("crn", F.row_number().over(w_c)).where(
+        F.col("crn") <= RERANK_M
+    )
+    rer = cand.select(
+        "q_id",
+        "vec_id",
+        "coarse_score",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_r = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w_r))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim",
+                "coarse_score")
+    )
+
+
+QUERIES["matryoshka_ann_topk"] = matryoshka_ann_topk
+
+ORACLES["matryoshka_ann_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    base AS (
+      SELECT vec_id, emb,
+             emb[1:{_MRL_DIM}] AS pre,
+             sqrt(list_sum(list_transform(emb[1:{_MRL_DIM}], x -> x * x)))
+               AS pnrm,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, pre AS q_pre, pnrm AS q_pnrm,
+                 emb AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id % {QUERY_MOD} = 0),
+    coarse AS (
+      SELECT q.q_id, b.vec_id, b.emb, b.nrm, q.q_emb, q.q_nrm,
+             ROUND(list_sum(list_transform(range(1, {_MRL_DIM} + 1),
+                                           i -> q.q_pre[i] * b.pre[i]))
+                   / (q.q_pnrm * b.pnrm), 6) AS coarse_score
+      FROM base b CROSS JOIN q
+      WHERE q.q_id <> b.vec_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY coarse_score DESC, vec_id ASC) AS crn
+        FROM coarse) t
+      WHERE crn <= {RERANK_M}
+    ),
+    rer AS (
+      SELECT q_id, vec_id, coarse_score,
+             ROUND(list_sum(list_transform(range(1, len(emb) + 1),
+                                           i -> q_emb[i] * emb[i]))
+                   / (q_nrm * nrm), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, coarse_score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM rer) t
+    WHERE rn <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# B87 anisotropy + diagonal-whitening gain (oracle-checked).  The
+# Ethayarajh (2019) / Mu & Viswanath (2018) diagnostic: anisotropic
+# embedding spaces have a LARGE mean pairwise cosine (all vectors
+# share a common direction), which silently breaks cosine-threshold
+# dedup (B11) and ANN calibration; per-dimension standardization
+# (diagonal whitening) is the cheap fix.  The mean pairwise cosine
+# over n unit vectors is computed EXACTLY from one pass via the
+# sum-vector identity: sum_{i<>j} u_i.u_j = ||S||^2 - sum_i ||u_i||^2
+# where S = sum_i u_i — no pair join at any scale.  Unit components
+# are rounded to 8 dp and summed as DECIMAL (the B74 discipline), so
+# both engines aggregate identical values order-free.  Scale shape:
+# two linear passes (raw / whitened), dim-keyed aggregates of 64 rows
+# of state, one vec_id-keyed norm join for the whitened pass.
+# ---------------------------------------------------------------------------
+def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_vecs, mean_pairwise_cos): 'raw' vs 'whitened'
+    mean pairwise cosine across all embeddings.
+
+    whitened = (x - mu_dim) / sd_dim with round-6 per-dim stats, then
+    unit-normalized like the raw path; a healthy whitening pulls the
+    mean pairwise cosine toward 0."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+
+    def _mean_pairwise(vec_rows: DataFrame, variant: str) -> DataFrame:
+        # vec_rows: (vec_id, i, u) unit components; round-8 into decimal
+        u8 = F.round(F.col("u"), 8).cast("decimal(12,8)")
+        comp = vec_rows.select("vec_id", "i", u8.alias("u8"))
+        dims = comp.groupBy("i").agg(
+            F.sum("u8").cast("decimal(18,8)").alias("s"),
+            F.sum(F.col("u8") * F.col("u8")).cast("decimal(30,16)").alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        tot = dims.agg(
+            F.sum(F.col("s") * F.col("s")).cast("decimal(38,16)").alias("s2"),
+            F.sum("ss").cast("decimal(38,16)").alias("tss"),
+            F.max("n").cast("long").alias("n_vecs"),
+        )
+        nd = F.col("n_vecs").cast("double")
+        return tot.select(
+            F.lit(variant).alias("variant"),
+            "n_vecs",
+            F.round(
+                (
+                    F.col("s2").cast("string").cast("double")
+                    - F.col("tss").cast("string").cast("double")
+                )
+                / (nd * (nd - 1)),
+                6,
+            ).alias("mean_pairwise_cos"),
+        )
+
+    raw_units = (
+        e.withColumn("nrm", l2_norm(F.col("emb")))
+        .select("vec_id", F.posexplode("emb").alias("i", "x"), "nrm")
+        .select("vec_id", "i", (F.col("x") / F.col("nrm")).alias("u"))
+    )
+    raw = _mean_pairwise(raw_units, "raw")
+
+    cells = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    stats = cells.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(20,14)")).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(22,14)")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    stats = stats.select(
+        "i",
+        F.round(m1, 6).alias("mu6"),
+        F.round(F.sqrt(F.round(m2 - m1 * m1, 6)), 6).alias("sd6"),
+    )
+    z = (
+        cells.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            "i",
+            ((F.col("x") - F.col("mu6")) / F.col("sd6")).alias("z"),
+        )
+    )
+    znrm = z.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("z") * F.col("z"), 8).cast("decimal(20,8)")
+            )
+            .cast("decimal(30,8)")
+            .cast("string")
+            .cast("double")
+        ).alias("znrm")
+    )
+    white_units = z.join(znrm, "vec_id").select(
+        "vec_id", "i", (F.col("z") / F.col("znrm")).alias("u")
+    )
+    white = _mean_pairwise(white_units, "whitened")
+    return raw.unionByName(white)
+
+
+QUERIES["embedding_anisotropy_whiten"] = embedding_anisotropy_whiten
+
+
+def _anisotropy_leg_sql(units_cte: str, variant: str) -> str:
+    return f"""
+      SELECT '{variant}' AS variant, n_vecs, ROUND((s2 - tss) / (nd * (nd - 1)), 6)
+               AS mean_pairwise_cos
+      FROM (
+        SELECT CAST(CAST(SUM(CAST(s AS DECIMAL(18,8)) * CAST(s AS DECIMAL(18,8)))
+                    AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(ss) AS VARCHAR) AS DOUBLE) AS tss,
+               CAST(MAX(n) AS BIGINT) AS n_vecs,
+               CAST(MAX(n) AS DOUBLE) AS nd
+        FROM (
+          SELECT i, CAST(SUM(u8) AS DECIMAL(18,8)) AS s,
+                 CAST(SUM(u8 * u8) AS DECIMAL(30,16)) AS ss,
+                 COUNT(*) AS n
+          FROM (SELECT vec_id, i, CAST(ROUND(u, 8) AS DECIMAL(12,8)) AS u8
+                FROM ({units_cte}) uu) r
+          GROUP BY i
+        ) dims
+      ) tot
+    """
+
+
+ORACLES["embedding_anisotropy_whiten"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    raw_units AS (
+      SELECT vec_id, i, emb[i] / nrm AS u
+      FROM (SELECT vec_id, emb,
+                   sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+            FROM e) v,
+           UNNEST(range(1, len(emb) + 1)) AS r(i)
+    ),
+    cells AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS i, UNNEST(emb) AS x
+      FROM e
+    ),
+    stats AS (
+      SELECT i,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*),
+                   6) AS mu6,
+             ROUND(sqrt(ROUND(
+               CAST(SUM(CAST(x * x AS DECIMAL(22,14))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(x AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(x AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*)),
+               6)), 6) AS sd6
+      FROM cells GROUP BY i
+    ),
+    z AS (
+      SELECT c.vec_id, c.i, (c.x - s.mu6) / s.sd6 AS z
+      FROM cells c JOIN stats s ON c.i = s.i
+    ),
+    znrm AS (
+      SELECT vec_id,
+             sqrt(CAST(CAST(CAST(SUM(CAST(ROUND(z * z, 8) AS DECIMAL(20,8)))
+                  AS DECIMAL(30,8)) AS VARCHAR) AS DOUBLE)) AS znrm
+      FROM z GROUP BY vec_id
+    ),
+    white_units AS (
+      SELECT z.vec_id, z.i, z.z / n.znrm AS u
+      FROM z JOIN znrm n ON z.vec_id = n.vec_id
+    )
+    {_anisotropy_leg_sql("SELECT * FROM raw_units", "raw")}
+    UNION ALL
+    {_anisotropy_leg_sql("SELECT * FROM white_units", "whitened")}
+"""

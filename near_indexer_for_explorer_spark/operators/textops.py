@@ -887,3 +887,81 @@ ORACLES["term_burstiness"] = f"""
              AS chi2_dispersion
     FROM kept k JOIN chi c ON k.term = c.term
 """
+
+
+# ---------------------------------------------------------------------------
+# B86 induced stopword lists (oracle-checked).  B7/B25 consume CURATED
+# stopword lists; real pipelines INDUCE them from the corpus (terms
+# whose document-frequency ratio within a language exceeds a floor are
+# function words for that corpus, whatever the dictionary says).
+# Emitting the curated-list membership beside the induced decision is
+# the evaluation-as-data check: a healthy corpus induces mostly
+# curated words; divergence flags domain boilerplate.  Scale shape:
+# one distinct-(doc, term) explode, one (lang, term) aggregate, one
+# broadcast per-lang doc-count join; output bounded by the df floor.
+# ---------------------------------------------------------------------------
+_INDUCE_DF_RATIO = 0.5
+
+
+def induced_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, term, df, n_docs, df_ratio, is_curated): terms appearing
+    in >= _INDUCE_DF_RATIO of a language's documents.
+
+    The induction threshold compares exact integers (df * 10 >=
+    n_docs * 5), so no float decides membership; df_ratio is emitted
+    round-6 for reading."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    dt = docs.select(
+        "lang", "doc_id", F.explode(F.array_distinct("t")).alias("term")
+    )
+    df_rel = dt.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    curated = (
+        F.when(F.col("lang") == "en", F.col("term").isin(STOPWORDS_EN))
+        .when(F.col("lang") == "fr", F.col("term").isin(STOPWORDS_FR))
+        .when(F.col("lang") == "de", F.col("term").isin(STOPWORDS_DE))
+        .when(F.col("lang") == "es", F.col("term").isin(STOPWORDS_ES))
+        .otherwise(F.lit(False))
+    )
+    return (
+        df_rel.join(F.broadcast(nd), "lang")
+        .where(F.col("df") * 10 >= F.col("n_docs") * 5)
+        .select(
+            "lang",
+            "term",
+            "df",
+            "n_docs",
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 6).alias(
+                "df_ratio"
+            ),
+            curated.alias("is_curated"),
+        )
+    )
+
+
+QUERIES["induced_stopwords"] = induced_stopwords
+
+ORACLES["induced_stopwords"] = f"""
+    WITH dt AS (
+      SELECT DISTINCT lang, doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    df_rel AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY lang, term
+    ),
+    nd AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, d.term, d.df, n.n_docs,
+           ROUND(CAST(d.df AS DOUBLE) / n.n_docs, 6) AS df_ratio,
+           CASE WHEN d.lang = 'en' THEN d.term IN ({_sql_list(STOPWORDS_EN)})
+                WHEN d.lang = 'fr' THEN d.term IN ({_sql_list(STOPWORDS_FR)})
+                WHEN d.lang = 'de' THEN d.term IN ({_sql_list(STOPWORDS_DE)})
+                WHEN d.lang = 'es' THEN d.term IN ({_sql_list(STOPWORDS_ES)})
+                ELSE FALSE END AS is_curated
+    FROM df_rel d JOIN nd n ON d.lang = n.lang
+    WHERE d.df * 10 >= n.n_docs * 5
+"""

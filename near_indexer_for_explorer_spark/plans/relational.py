@@ -5254,9 +5254,7 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keyed aggregates — (type, supplier) then (type) — one broadcast dim
 # join, no windows.
 # ---------------------------------------------------------------------------
-@_register(
-    "supplier_market_hhi",
-    f"""
+_HHI_ORACLE_SQL = f"""
     WITH cell AS (
       SELECT p.p_type, l.l_suppkey,
              CAST(SUM({_DISC_PRICE}) * 1000000 AS DECIMAL(19,0)) AS micros
@@ -5282,19 +5280,16 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(CAST(total_micros AS VARCHAR) AS DOUBLE), 6)
              AS top_share
     FROM market
-    """,
-)
-def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(p_type, n_suppliers, total_revenue, hhi, top_share): Herfindahl
-    revenue concentration of each part-type market.
+    """
 
-    Scale shape: part broadcasts into the fact scan; one shuffle on
-    (p_type, l_suppkey), one on p_type.  All concentration arithmetic
-    is exact integer cents until the final IEEE division."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
+
+def market_cells(li: DataFrame, part: DataFrame) -> DataFrame:
+    """(p_type, l_suppkey, micros): exact micro-unit revenue cells —
+    the minimal sufficient state for the HHI (and the C31 streaming
+    twin's merge grain: integer micro-units add exactly in any
+    order)."""
     disc = dec_money("l_extendedprice") * _one_minus("l_discount")
-    cell = (
+    return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type", "l_suppkey")
         .agg(
@@ -5303,6 +5298,12 @@ def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("micros")
         )
     )
+
+
+def hhi_from_cells(cell: DataFrame) -> DataFrame:
+    """Concentration rollup over a (p_type, l_suppkey, micros) cell
+    relation.  Shared verbatim by the batch query and the C31
+    streaming sink's read path."""
     market = cell.groupBy("p_type").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("micros").cast("decimal(38,0)").alias("total_micros"),
@@ -5322,6 +5323,24 @@ def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("max_micros").cast("string").cast("double") / tot_d, 6
         ).alias("top_share"),
+    )
+
+
+@_register("supplier_market_hhi", _HHI_ORACLE_SQL)
+def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_type, n_suppliers, total_revenue, hhi, top_share): Herfindahl
+    revenue concentration of each part-type market.
+
+    Scale shape: part broadcasts into the fact scan; one shuffle on
+    (p_type, l_suppkey), one on p_type.  All concentration arithmetic
+    is exact integer micro-units until the final IEEE division.  The
+    C31 streaming twin maintains the SAME market_cells relation
+    incrementally and calls the SAME hhi_from_cells kernel."""
+    return hhi_from_cells(
+        market_cells(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+        )
     )
 
 
@@ -5670,4 +5689,111 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls the SAME trend_from_daily kernel."""
     return trend_from_daily(
         daily_value_rollup(load_table(spark, sf_dir, "events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A91 top session paths (reference analog: the "what do users do in a
+# visit" product-analytics cut — the 3-step action sequences inside
+# A12's 30-minute sessions, the path-analysis complement of A58's
+# one-step Markov transitions).  Scale shape: the sessionization
+# window chain reuses ONE user_id shuffle; each session's ordered
+# type sequence is built map-side with sort_array over the
+# session-bounded rows; trigram paths explode linearly (one per
+# event beyond the second) into a single path-key aggregate.
+# Determinism: the in-session order ties on (ts, event_id) — both
+# engines enumerate identical sequences.
+# ---------------------------------------------------------------------------
+_PATH_MIN_SUPPORT = 5
+
+
+@_register(
+    "events_top_paths",
+    f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts) / 1000000.0 AS es,
+             LAG(epoch_us(ts) / 1000000.0) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800.0
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ), seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM numbered GROUP BY user_id, session_id
+    ), paths AS (
+      SELECT user_id, session_id,
+             seq[i] || '>' || seq[i+1] || '>' || seq[i+2] AS path
+      FROM seqs, UNNEST(range(1, len(seq) - 1)) AS r(i)
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id * 1000000 + session_id) AS BIGINT)
+             AS n_sessions
+    FROM paths
+    GROUP BY path
+    HAVING COUNT(*) >= {_PATH_MIN_SUPPORT}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, n_occurrences, n_sessions): 3-step event-type paths
+    within 30-minute sessions, with support >= _PATH_MIN_SUPPORT.
+
+    n_sessions counts distinct sessions containing the path at least
+    once (a session id is the exact (user_id, session_id) pair packed
+    into one integer for the distinct)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("es", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_es", F.lag("es").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 1800.0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = numbered.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("seq")
+    )
+    paths = (
+        seqs.where(F.size("seq") >= 3)
+        .select(
+            "user_id",
+            "session_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(seq) - 3),"
+                    " i -> concat(seq[i], '>', seq[i+1], '>', seq[i+2]))"
+                )
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(
+                F.col("user_id") * 1000000 + F.col("session_id")
+            ).alias("n_sessions"),
+        )
+        .where(F.col("n_occurrences") >= _PATH_MIN_SUPPORT)
     )

@@ -1976,3 +1976,96 @@ def benford_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C31 incremental market-concentration maintenance.  The A87 HHI is a
+# pure function of the (p_type, l_suppkey) micro-unit revenue cells,
+# whose partials are exact integers — so the stream maintains ONLY
+# that cell relation (C29's minimal-sufficient-state discipline over
+# a LINEITEM stream with the part dim broadcast per batch, the C6
+# stream-static pattern) and the read path calls the SAME
+# hhi_from_cells kernel as the batch query.  State is
+# O(types x suppliers) regardless of fact volume; each micro-batch
+# merges only the types it touches via dynamic partition overwrite.
+# ---------------------------------------------------------------------------
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def foreach_batch_hhi_cells(
+    out_dir: str, part_df: DataFrame
+) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.plans.relational import (
+            market_cells,
+        )
+
+        spark = batch_df.sparkSession
+        snapshot = os.path.join(out_dir, "hhi_cells")
+        partial = market_cells(batch_df, part_df)
+        if os.path.exists(snapshot):
+            touched = [
+                r["p_type"]
+                for r in partial.select("p_type").distinct().collect()
+            ]
+            existing = spark.read.parquet(snapshot).where(
+                F.col("p_type").isin(touched)
+            )
+            partial = (
+                existing.unionByName(partial)
+                .groupBy("p_type", "l_suppkey")
+                .agg(F.sum("micros").cast("decimal(19,0)").alias("micros"))
+            )
+        partial = partial.localCheckpoint(eager=True)
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_type")
+            .parquet(snapshot)
+        )
+
+    return sink
+
+
+def hhi_stream(
+    spark: SparkSession,
+    src_dir: str,
+    part_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """C31 driver: lineitem stream + broadcast part dim ->
+    incrementally maintained concentration cells; read the HHI with
+    read_stream_hhi()."""
+    stream = (
+        spark.readStream.schema(LINEITEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            foreach_batch_hhi_cells(out_dir, part_df)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_hhi(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C31 read path: the SAME concentration kernel as A87, over
+    the incrementally maintained cells."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        hhi_from_cells,
+    )
+
+    snapshot = os.path.join(out_dir, "hhi_cells")
+    cells = spark.read.parquet(snapshot).select(
+        "p_type", "l_suppkey", F.col("micros").cast("decimal(19,0)").alias("micros")
+    )
+    return hhi_from_cells(cells)

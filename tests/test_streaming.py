@@ -1663,3 +1663,54 @@ def test_benford_stream_matches_batch_counts(spark, sf_dir, event_batches, tmp_p
         for r in benford_digit_counts(batch_src, "value").collect()
     }
     assert got == want and got
+
+
+def test_hhi_stream_matches_batch_kernel(spark, sf_dir, tmp_path):
+    """C31: lineitem streamed in two halves with the part dim static
+    must produce the A87 HHI exactly — micro-unit cells are additive
+    integers, so the incremental merge is order-free and the shared
+    hhi_from_cells kernel sees identical state."""
+    import glob
+    import shutil
+    import time as _t
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        supplier_market_hhi,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        hhi_stream,
+        read_stream_hhi,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = str(tmp_path / "li_src")
+    half = li.where(F.col("l_orderkey") % 2 == 0)
+    other = li.where(F.col("l_orderkey") % 2 == 1)
+    half.coalesce(1).write.parquet(src + "/h0")
+    other.coalesce(1).write.parquet(src + "/h1")
+    flat = str(tmp_path / "li_flat")
+    os.makedirs(flat)
+    for i, part_file in enumerate(
+        sorted(glob.glob(src + "/h*/part-*.parquet"))
+    ):
+        dst = os.path.join(flat, f"batch_{i}.parquet")
+        shutil.copy(part_file, dst)
+        mt = _t.time() - 10 + i
+        os.utime(dst, (mt, mt))
+
+    part_df = load_table(spark, sf_dir, "part")
+    out = str(tmp_path / "hhi_out")
+    q = hhi_stream(spark, flat, part_df, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        r["p_type"]: (r["n_suppliers"], r["total_revenue"], r["hhi"], r["top_share"])
+        for r in read_stream_hhi(spark, out).collect()
+    }
+    want = {
+        r["p_type"]: (r["n_suppliers"], r["total_revenue"], r["hhi"], r["top_share"])
+        for r in supplier_market_hhi(spark, sf_dir).collect()
+    }
+    assert got == want and got
