@@ -3741,12 +3741,18 @@ def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1, 6).alias("mu6"),
         F.round(F.sqrt(F.round(m2 - m1 * m1, 6)), 6).alias("sd6"),
     )
+    # a zero-variance dimension (padding dims, constant features)
+    # carries no information: whiten it to 0 instead of dividing by 0
     z = (
         cells.join(F.broadcast(stats), "i")
         .select(
             "vec_id",
             "i",
-            ((F.col("x") - F.col("mu6")) / F.col("sd6")).alias("z"),
+            F.when(
+                F.col("sd6") > 0, (F.col("x") - F.col("mu6")) / F.col("sd6")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
         )
     )
     znrm = z.groupBy("vec_id").agg(
@@ -3759,8 +3765,11 @@ def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("znrm")
     )
-    white_units = z.join(znrm, "vec_id").select(
-        "vec_id", "i", (F.col("z") / F.col("znrm")).alias("u")
+    # a vector equal to the mean in every informative dim has no
+    # direction after whitening: drop it rather than emit NaNs
+    white_units = (
+        z.join(znrm.where(F.col("znrm") > 0), "vec_id")
+        .select("vec_id", "i", (F.col("z") / F.col("znrm")).alias("u"))
     )
     white = _mean_pairwise(white_units, "whitened")
     return raw.unionByName(white)
@@ -3816,7 +3825,8 @@ ORACLES["embedding_anisotropy_whiten"] = f"""
       FROM cells GROUP BY i
     ),
     z AS (
-      SELECT c.vec_id, c.i, (c.x - s.mu6) / s.sd6 AS z
+      SELECT c.vec_id, c.i,
+             CASE WHEN s.sd6 > 0 THEN (c.x - s.mu6) / s.sd6 ELSE 0.0 END AS z
       FROM cells c JOIN stats s ON c.i = s.i
     ),
     znrm AS (
@@ -3828,6 +3838,7 @@ ORACLES["embedding_anisotropy_whiten"] = f"""
     white_units AS (
       SELECT z.vec_id, z.i, z.z / n.znrm AS u
       FROM z JOIN znrm n ON z.vec_id = n.vec_id
+      WHERE n.znrm > 0
     )
     {_anisotropy_leg_sql("SELECT * FROM raw_units", "raw")}
     UNION ALL

@@ -2202,3 +2202,117 @@ def test_burstiness_planted_clump_vs_spread(spark, tmp_path):
     assert out["spread"]["burstiness"] == 1.0
     assert out["clump"]["chi2_dispersion"] == 0.0
     assert out["spread"]["chi2_dispersion"] == 0.0
+
+
+def test_top_paths_planted_sessions(spark, tmp_path):
+    """A91 semantics: five single-session users each doing a>b>c
+    yield one path row with support 5; a 2-event session contributes
+    no trigram."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_top_paths,
+    )
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    for u in range(5):
+        for k, et in enumerate(["a", "b", "c"]):
+            rows.append((eid, base + datetime.timedelta(seconds=k), u, et, 1.0))
+            eid += 1
+    rows.append((eid, base, 99, "a", 1.0))
+    rows.append((eid + 1, base + datetime.timedelta(seconds=1), 99, "b", 1.0))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_top_paths(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["path"] == "a>b>c"
+    assert r["n_occurrences"] == 5 and r["n_sessions"] == 5
+
+
+def test_matryoshka_equals_exact_when_prefilter_covers(spark, tmp_path):
+    """B85 contract: with fewer corpus vectors than RERANK_M the
+    prefix-dim coarse stage keeps everything, so the rerank output
+    must equal the brute-force exact top-k verbatim."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
+        matryoshka_ann_topk,
+    )
+
+    rows = []
+    for i in range(40):
+        v = [
+            ((_h.md5(f"m{i}:{j}".encode()).digest()[0] / 255.0) - 0.5)
+            for j in range(64)
+        ]
+        rows.append((i * 10, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_cosine_topk(spark, str(tmp_path)).collect()
+    }
+    got = {
+        (r["q_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in matryoshka_ann_topk(spark, str(tmp_path)).collect()
+    }
+    assert exact and got == exact
+
+
+def test_induced_stopwords_planted_ratios(spark, tmp_path):
+    """B86 semantics: df_ratio 1.0 curated word induced, boundary 0.5
+    word included (exact-integer threshold), 0.25 word excluded."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        induced_stopwords,
+    )
+
+    docs = [
+        (0, "the zebra runs", "s", "en"),
+        (1, "the zebra sleeps", "s", "en"),
+        (2, "the fox", "s", "en"),
+        (3, "the fox rare", "s", "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["term"]: r for r in induced_stopwords(spark, str(tmp_path)).collect()}
+    assert out["the"]["df_ratio"] == 1.0 and out["the"]["is_curated"]
+    assert out["zebra"]["df_ratio"] == 0.5 and not out["zebra"]["is_curated"]
+    assert out["fox"]["df_ratio"] == 0.5
+    assert "rare" not in out and "runs" not in out
+
+
+def test_anisotropy_whiten_planted_common_direction(spark, tmp_path):
+    """B87 semantics: vectors sharing a dominant common direction score
+    a high raw mean pairwise cosine; diagonal whitening (which must
+    survive the 62 zero-variance padding dims) pulls it near zero."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_anisotropy_whiten,
+    )
+
+    rows = []
+    combos = [(0.1, 0.5), (0.1, -0.5), (-0.1, 0.5), (-0.1, -0.5)]
+    for i in range(16):
+        d0, d1 = combos[i % 4]
+        v = [0.0] * 64
+        v[0] = 1.0 + d0
+        v[1] = d1
+        rows.append((i, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["variant"]: r for r in embedding_anisotropy_whiten(spark, str(tmp_path)).collect()}
+    assert out["raw"]["n_vecs"] == 16
+    assert out["raw"]["mean_pairwise_cos"] > 0.5
+    assert abs(out["whitened"]["mean_pairwise_cos"]) < 0.1
+    assert out["whitened"]["mean_pairwise_cos"] < out["raw"]["mean_pairwise_cos"]
