@@ -149,6 +149,10 @@ EXTRA = [
     "term_burstiness",
     "skipgram_cooc_pmi",
     "dedup_method_agreement",
+    "events_top_paths",
+    "matryoshka_ann_topk",
+    "induced_stopwords",
+    "embedding_anisotropy_whiten",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
