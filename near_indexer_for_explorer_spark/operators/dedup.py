@@ -2626,3 +2626,91 @@ def _method_agreement_oracle_sql() -> str:
 
 
 ORACLES["dedup_method_agreement"] = _method_agreement_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B89 dedup pair-feature matrix (oracle-checked).  The input a learned
+# dedup/link classifier trains on: for every LSH candidate pair, the
+# cheap similarity features side by side — exact shingle Jaccard,
+# asymmetric containment (B56's signal: catches excerpts Jaccard
+# misses), and the character-length ratio (near-dups of very unequal
+# length are usually quote/excerpt relations).  Built over the
+# SESSION-FROZEN candidate leg (B55 discipline) so the feature pass
+# measures feature computation, not candidate generation.  Scale
+# shape: candidate-bounded joins only; sizes/lengths broadcast.
+# ---------------------------------------------------------------------------
+def dedup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, n_common, n_1, n_2, jaccard, containment,
+    len_ratio, is_near_dup) for every LSH candidate pair."""
+    cand = frozen_lsh_candidates(spark, sf_dir)
+    sh = _distinct_shingles(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, cand.doc_id_1 == F.col("a.doc_id"))
+        .join(
+            b,
+            (cand.doc_id_2 == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = _shingle_set_sizes(spark, sf_dir)
+    lens = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    l1, l2 = lens.alias("l1"), lens.alias("l2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("s1.n"), F.col("s2.n")
+    )
+    lr = F.least(F.col("l1.n_chars"), F.col("l2.n_chars")).cast(
+        "double"
+    ) / F.greatest(F.col("l1.n_chars"), F.col("l2.n_chars"))
+    return (
+        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        .join(F.broadcast(l1), F.col("doc_id_1") == F.col("l1.doc_id"))
+        .join(F.broadcast(l2), F.col("doc_id_2") == F.col("l2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_common",
+            F.col("s1.n").alias("n_1"),
+            F.col("s2.n").alias("n_2"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+            F.round(lr, 6).alias("len_ratio"),
+            (jac >= JACCARD_THRESHOLD).alias("is_near_dup"),
+        )
+    )
+
+
+QUERIES["dedup_pair_features"] = dedup_pair_features
+
+ORACLES["dedup_pair_features"] = f"""
+    {_minhash_cand_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.d1, c.d2, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh x1 ON x1.doc_id = c.d1
+      JOIN sh x2 ON x2.doc_id = c.d2 AND x1.sh = x2.sh
+      GROUP BY 1, 2
+    )
+    SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
+           CAST(m.cnt AS BIGINT) AS n_common,
+           CAST(z1.n AS BIGINT) AS n_1, CAST(z2.n AS BIGINT) AS n_2,
+           ROUND(CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt), 6) AS jaccard,
+           ROUND(CAST(m.cnt AS DOUBLE) / LEAST(z1.n, z2.n), 6) AS containment,
+           ROUND(CAST(LEAST(d1.n_chars, d2.n_chars) AS DOUBLE)
+                 / GREATEST(d1.n_chars, d2.n_chars), 6) AS len_ratio,
+           CAST(m.cnt AS DOUBLE) / (z1.n + z2.n - m.cnt)
+             >= {JACCARD_THRESHOLD} AS is_near_dup
+    FROM common m
+    JOIN sizes z1 ON m.d1 = z1.doc_id
+    JOIN sizes z2 ON m.d2 = z2.doc_id
+    JOIN documents d1 ON m.d1 = d1.doc_id
+    JOIN documents d2 ON m.d2 = d2.doc_id
+"""

@@ -965,3 +965,81 @@ ORACLES["induced_stopwords"] = f"""
     FROM df_rel d JOIN nd n ON d.lang = n.lang
     WHERE d.df * 10 >= n.n_docs * 5
 """
+
+
+# ---------------------------------------------------------------------------
+# B88 cross-language vocabulary overlap (oracle-checked).  B46
+# estimates SOURCE overlap with MinHash; this measures the exact
+# lexical overlap between LANGUAGES — high overlap between two lang
+# labels flags mislabeled documents or script-sharing (the lang-ID
+# confusion's lexical counterpart, B80's cousin in token space).
+# Scale shape: one distinct (lang, term) relation, a term-keyed
+# equi self-join (linear: a term joins only across the handful of
+# langs containing it), one 6-row pair aggregate; all-integer inputs.
+# ---------------------------------------------------------------------------
+def cross_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_1, lang_2, n_common, n_1, n_2, jaccard, containment):
+    exact vocabulary overlap for every unordered language pair."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    vocab = docs.select(
+        "lang", F.explode(F.array_distinct("t")).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("lang").alias("lang_1"), "term")
+    b = vocab.select(F.col("lang").alias("lang_2"), "term")
+    common = (
+        a.join(b, "term")
+        .where(F.col("lang_1") < F.col("lang_2"))
+        .groupBy("lang_1", "lang_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("lang").alias("lang_1"), F.col("n").alias("n_1"))
+    s2 = sizes.select(F.col("lang").alias("lang_2"), F.col("n").alias("n_2"))
+    return (
+        common.join(F.broadcast(s1), "lang_1")
+        .join(F.broadcast(s2), "lang_2")
+        .select(
+            "lang_1",
+            "lang_2",
+            "n_common",
+            "n_1",
+            "n_2",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("n_1", "n_2"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+QUERIES["cross_lang_vocab_overlap"] = cross_lang_vocab_overlap
+
+ORACLES["cross_lang_vocab_overlap"] = """
+    WITH vocab AS (
+      SELECT DISTINCT lang,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM vocab GROUP BY lang),
+    common AS (
+      SELECT a.lang AS lang_1, b.lang AS lang_2,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT c.lang_1, c.lang_2, c.n_common, s1.n AS n_1, s2.n AS n_2,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (s1.n + s2.n - c.n_common), 6) AS jaccard,
+           ROUND(CAST(c.n_common AS DOUBLE) / LEAST(s1.n, s2.n), 6)
+             AS containment
+    FROM common c
+    JOIN sizes s1 ON c.lang_1 = s1.lang
+    JOIN sizes s2 ON c.lang_2 = s2.lang
+"""

@@ -5797,3 +5797,182 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") >= _PATH_MIN_SUPPORT)
     )
+
+
+# ---------------------------------------------------------------------------
+# A92 cohort LTV curves (reference analog: the account-value-over-
+# lifetime charts behind retention dashboards — A57 answers "do they
+# come back", this answers "what are they WORTH at each age").  Per
+# acquisition cohort (first-order month) and age-in-months: active
+# customers, period revenue, cumulative revenue, and LTV per cohort
+# member.  Scale shape: one customer-keyed aggregate for cohorts, one
+# (cohort, age) fact aggregate; the cumulative window runs on the
+# cohort x age grain (dozens of rows per cohort) — never on the fact.
+# Months are exact integer indexes (year*12 + month), so ages and the
+# cumulative order are engine-proof.
+# ---------------------------------------------------------------------------
+@_register(
+    "cohort_ltv_curves",
+    """
+    WITH mo AS (
+      SELECT o_custkey,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) AS BIGINT) AS m,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ),
+    cohorts AS (SELECT o_custkey, MIN(m) AS cohort_m FROM mo GROUP BY o_custkey),
+    csize AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_m
+    ),
+    cells AS (
+      SELECT c.cohort_m, mo.m - c.cohort_m AS age_months,
+             CAST(COUNT(DISTINCT mo.o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(mo.price) AS DECIMAL(22,2)) AS rev
+      FROM mo JOIN cohorts c ON mo.o_custkey = c.o_custkey
+      GROUP BY c.cohort_m, mo.m - c.cohort_m
+    ),
+    cum AS (
+      SELECT cohort_m, age_months, n_active, rev,
+             CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(22,2)) AS cum_rev
+      FROM cells
+    )
+    SELECT cohort_m AS cohort_month_idx, age_months, n_active,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(cum_rev AS VARCHAR) AS DOUBLE) AS cumulative_revenue,
+           ROUND(CAST(CAST(cum_rev AS VARCHAR) AS DOUBLE) / s.cohort_size, 6)
+             AS ltv_per_customer
+    FROM cum JOIN csize s USING (cohort_m)
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_month_idx, age_months, n_active, revenue,
+    cumulative_revenue, ltv_per_customer): cohort value curves.
+
+    cohort_month_idx is the exact integer month index (year*12+month)
+    — no date arithmetic conventions to disagree on.  Money stays
+    exact decimal through the cumulative sum; LTV is one IEEE division
+    by the cohort's exact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+        ).alias("m"),
+        dec_money("o_totalprice").alias("price"),
+    )
+    cohorts = mo.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    csize = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        mo.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("price").cast("decimal(22,2)").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn(
+        "cum_rev", F.sum("rev").over(w).cast("decimal(22,2)")
+    )
+    return cum.join(F.broadcast(csize), "cohort_m").select(
+        F.col("cohort_m").alias("cohort_month_idx"),
+        "age_months",
+        "n_active",
+        F.col("rev").cast("string").cast("double").alias("revenue"),
+        F.col("cum_rev").cast("string").cast("double").alias(
+            "cumulative_revenue"
+        ),
+        F.round(
+            F.col("cum_rev").cast("string").cast("double")
+            / F.col("cohort_size"),
+            6,
+        ).alias("ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A93 user behavioral entropy (reference analog: bot/script detection
+# over account activity — an account that only ever calls one method
+# has near-zero action entropy; organic users spread).  Shannon
+# entropy of each user's event-type distribution from exact counts;
+# the per-type terms -p*ln(p) are rounded to 8 dp and summed as
+# DECIMAL (the B76 order-free discipline).  Scale shape: one
+# (user, type) aggregate, one user aggregate — both keyed shuffles
+# with map-side combine; no windows, no explode.
+# ---------------------------------------------------------------------------
+_ENTROPY_MIN_EVENTS = 10
+_LOW_ENTROPY = 0.5
+
+
+@_register(
+    "user_event_entropy",
+    f"""
+    WITH ct AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM ct GROUP BY user_id
+    ),
+    terms AS (
+      SELECT ct.user_id,
+             CAST(ROUND(-(CAST(ct.c AS DOUBLE) / t.n_events)
+                        * ln(CAST(ct.c AS DOUBLE) / t.n_events), 8)
+                  AS DECIMAL(20,8)) AS h_term
+      FROM ct JOIN tot t ON ct.user_id = t.user_id
+    ),
+    ent AS (
+      SELECT user_id, CAST(SUM(h_term) AS DECIMAL(24,8)) AS h8
+      FROM terms GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_events, t.n_types,
+           ROUND(CAST(CAST(e.h8 AS VARCHAR) AS DOUBLE), 6) AS entropy,
+           t.n_events >= {_ENTROPY_MIN_EVENTS}
+             AND CAST(CAST(e.h8 AS VARCHAR) AS DOUBLE) < {_LOW_ENTROPY}
+             AS is_low_entropy
+    FROM tot t JOIN ent e ON t.user_id = e.user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, n_types, entropy, is_low_entropy): Shannon
+    entropy of each user's event-type mix; the low-entropy flag marks
+    high-volume single-behavior accounts (bot signature)."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = ct.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n_events")
+    terms = ct.join(tot, "user_id").select(
+        "user_id",
+        F.round(-p * F.log(p), 8).cast("decimal(20,8)").alias("h_term"),
+    )
+    ent = terms.groupBy("user_id").agg(
+        F.sum("h_term").cast("decimal(24,8)").alias("h8")
+    )
+    h_d = F.col("h8").cast("string").cast("double")
+    return tot.join(ent, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(h_d, 6).alias("entropy"),
+        (
+            (F.col("n_events") >= _ENTROPY_MIN_EVENTS)
+            & (h_d < _LOW_ENTROPY)
+        ).alias("is_low_entropy"),
+    )
