@@ -2316,3 +2316,110 @@ def test_anisotropy_whiten_planted_common_direction(spark, tmp_path):
     assert out["raw"]["mean_pairwise_cos"] > 0.5
     assert abs(out["whitened"]["mean_pairwise_cos"]) < 0.1
     assert out["whitened"]["mean_pairwise_cos"] < out["raw"]["mean_pairwise_cos"]
+
+
+def test_cohort_ltv_planted_curve(spark, tmp_path):
+    """A92 semantics: a 2-customer cohort where one customer returns
+    in month+1 — active counts, cumulative revenue, and per-member
+    LTV are all hand-checkable."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        cohort_ltv_curves,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, 10, 100.0, datetime.datetime(1995, 1, 5)),
+            (2, 10, 50.0, datetime.datetime(1995, 2, 7)),
+            (3, 20, 30.0, datetime.datetime(1995, 1, 20)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r["age_months"]: r for r in cohort_ltv_curves(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_active"] == 2 and out[0]["revenue"] == 130.0
+    assert out[0]["cumulative_revenue"] == 130.0
+    assert out[0]["ltv_per_customer"] == 65.0
+    assert out[1]["n_active"] == 1 and out[1]["revenue"] == 50.0
+    assert out[1]["cumulative_revenue"] == 180.0
+    assert out[1]["ltv_per_customer"] == 90.0
+
+
+def test_user_entropy_planted_bot_vs_organic(spark, tmp_path):
+    """A93 semantics: a 12-event single-type user scores entropy 0 and
+    the low-entropy flag; an even two-type mix scores ln 2; a 4-event
+    user never flags regardless of entropy."""
+    import datetime
+    import math
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        user_event_entropy,
+    )
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for _ in range(12):
+        rows.append((eid, base, 1, "x", 1.0)); eid += 1
+    for k in range(12):
+        rows.append((eid, base, 2, "x" if k % 2 else "y", 1.0)); eid += 1
+    for _ in range(4):
+        rows.append((eid, base, 3, "x", 1.0)); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r for r in user_event_entropy(spark, str(tmp_path)).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["is_low_entropy"]
+    assert abs(out[2]["entropy"] - round(math.log(2.0), 6)) < 1e-9
+    assert not out[2]["is_low_entropy"]
+    assert out[3]["n_events"] == 4 and not out[3]["is_low_entropy"]
+
+
+def test_cross_lang_overlap_planted_sets(spark, tmp_path):
+    """B88 semantics: vocabularies {a,b,c} and {b,c,d} overlap with
+    Jaccard 0.5 and containment 2/3."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        cross_lang_vocab_overlap,
+    )
+
+    docs = [(0, "a b c", "s", "en"), (1, "b c d", "s", "fr")]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = cross_lang_vocab_overlap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lang_1"], r["lang_2"]) == ("en", "fr")
+    assert r["n_common"] == 2 and r["n_1"] == 3 and r["n_2"] == 3
+    assert r["jaccard"] == 0.5 and r["containment"] == round(2 / 3, 6)
+
+
+def test_pair_features_planted_identical_docs(spark, tmp_path):
+    """B89 semantics: two byte-identical documents are an LSH candidate
+    pair with jaccard = containment = len_ratio = 1 and the near-dup
+    flag; the unrelated third doc pairs with nobody."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_pair_features,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    docs = [
+        (0, text, "s", "en", len(text)),
+        (1, text, "s", "en", len(text)),
+        (2, other, "s", "en", len(other)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_pair_features(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r for r in out}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r["jaccard"] == 1.0 and r["containment"] == 1.0
+    assert r["len_ratio"] == 1.0 and r["is_near_dup"]
+    assert all(2 not in k for k in pairs)
