@@ -153,6 +153,10 @@ EXTRA = [
     "matryoshka_ann_topk",
     "induced_stopwords",
     "embedding_anisotropy_whiten",
+    "cohort_ltv_curves",
+    "user_event_entropy",
+    "cross_lang_vocab_overlap",
+    "dedup_pair_features",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
