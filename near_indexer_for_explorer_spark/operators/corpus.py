@@ -2857,3 +2857,65 @@ ORACLES["skipgram_cooc_pmi"] = f"""
     CROSS JOIN n
     WHERE c.c_pair >= {_PMI_MIN_COUNT}
 """
+
+
+# ---------------------------------------------------------------------------
+# B90 shard balance report (oracle-checked).  The ops check on B29's
+# packing: per shard, docs and token fill vs the budget; per split,
+# the max/mean fill skew.  A skewed shard map means stragglers in
+# every downstream training epoch — this is the report that catches
+# it before a run is launched.  Scale shape: one aggregate of the
+# B29 relation to shard grain (bounded: corpus_tokens/budget rows),
+# split-level stats as windows over that grain; all ratios divide
+# exact integers.
+# ---------------------------------------------------------------------------
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, shard_id, n_docs, shard_tokens, fill_ratio,
+    split_max_tokens, split_mean_fill): per-shard fill + per-split
+    skew over the B29 packing."""
+    packed = corpus_shard_pack(spark, sf_dir)
+    shards = packed.groupBy("split", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    w = Window.partitionBy("split")
+    return shards.select(
+        "split",
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        F.round(
+            F.col("shard_tokens").cast("double") / F.lit(_PACK_BUDGET), 6
+        ).alias("fill_ratio"),
+        F.max("shard_tokens").over(w).alias("split_max_tokens"),
+        F.round(
+            F.sum("shard_tokens").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.lit(_PACK_BUDGET)),
+            6,
+        ).alias("split_mean_fill"),
+    )
+
+
+QUERIES["shard_skew_report"] = shard_skew_report
+
+
+def _shard_skew_oracle_sql() -> str:
+    return f"""
+    WITH packed AS ({ORACLES["corpus_shard_pack"]}),
+    shards AS (
+      SELECT split, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      FROM packed GROUP BY split, shard_id
+    )
+    SELECT split, shard_id, n_docs, shard_tokens,
+           ROUND(CAST(shard_tokens AS DOUBLE) / {_PACK_BUDGET}, 6)
+             AS fill_ratio,
+           MAX(shard_tokens) OVER (PARTITION BY split) AS split_max_tokens,
+           ROUND(CAST(SUM(shard_tokens) OVER (PARTITION BY split) AS DOUBLE)
+                 / (COUNT(*) OVER (PARTITION BY split) * {_PACK_BUDGET}), 6)
+             AS split_mean_fill
+    FROM shards
+    """
+
+
+ORACLES["shard_skew_report"] = _shard_skew_oracle_sql()

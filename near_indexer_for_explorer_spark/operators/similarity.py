@@ -3844,3 +3844,81 @@ ORACLES["embedding_anisotropy_whiten"] = f"""
     UNION ALL
     {_anisotropy_leg_sql("SELECT * FROM white_units", "whitened")}
 """
+
+
+# ---------------------------------------------------------------------------
+# B91 embedding-norm outliers (oracle-checked).  Broken-encoder
+# detection: a failed encode shows up as a near-zero or blown-up
+# vector norm long before any downstream metric moves.  Per-label
+# median/MAD on ROUND-6 norms (rounding before the percentile gives
+# both engines the identical value multiset — the A75 robust-z
+# discipline applied per cluster), flagging vectors beyond 3
+# sigma-equivalents.  Scale shape: two label-keyed percentile
+# aggregates + one join back; group state bounded per label.
+# ---------------------------------------------------------------------------
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, vec_id, nrm, med, mad, robust_z): vectors whose norm
+    deviates from the label's median by more than 3 MAD-sigmas."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.round(l2_norm(as_double_array("embedding")), 6).alias("nrm"),
+    )
+    med = e.groupBy("label").agg(
+        F.round(F.percentile("nrm", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(med, "label").withColumn(
+        "ad", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(mad, "label")
+        .where(
+            (F.col("mad") > 0)
+            & (F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+        )
+        .select(
+            "label",
+            "vec_id",
+            "nrm",
+            "med",
+            "mad",
+            F.round(
+                (F.col("nrm") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+
+
+QUERIES["embedding_norm_outliers"] = embedding_norm_outliers
+
+ORACLES["embedding_norm_outliers"] = """
+    WITH e AS (
+      SELECT label, vec_id,
+             ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS nrm
+      FROM embeddings
+    ),
+    med AS (
+      SELECT label,
+             ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm), 6)
+               AS med
+      FROM e GROUP BY label
+    ),
+    dev AS (
+      SELECT e.label, e.vec_id, e.nrm, m.med, abs(e.nrm - m.med) AS ad
+      FROM e JOIN med m ON e.label = m.label
+    ),
+    mad AS (
+      SELECT label,
+             ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY ad), 6) AS mad
+      FROM dev GROUP BY label
+    )
+    SELECT d.label, d.vec_id, d.nrm, d.med, a.mad,
+           ROUND((d.nrm - d.med) / (1.4826 * a.mad), 6) AS robust_z
+    FROM dev d JOIN mad a ON d.label = a.label
+    WHERE a.mad > 0 AND d.ad > 3 * 1.4826 * a.mad
+"""

@@ -65,3 +65,23 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = snap.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = snap.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, corrupt
+
+
+def read_csv_lake(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-explicit CSV scan with the same corrupt-record contract
+    as read_jsonl: well-formed lines parse into typed columns,
+    malformed lines (wrong arity, untypeable values) land whole in
+    `_corrupt_record` instead of failing the batch.  CSV is the other
+    lake interchange format every export pipeline ends up speaking;
+    schema-explicit for the same 100 TB single-pass/pruning reasons."""
+    if CORRUPT_COL not in schema.fieldNames():
+        raise ValueError(f"schema must include {CORRUPT_COL!r}")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", "false")
+        .csv(path)
+    )

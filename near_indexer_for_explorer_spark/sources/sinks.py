@@ -223,3 +223,16 @@ def compact_parquet_zorder(
         .parquet(out_dir)
     )
     return len(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def convert_parquet_to_orc(
+    spark: SparkSession, src_dir: str, out_dir: str
+) -> int:
+    """Rewrite a parquet table as ORC (Spark's other built-in columnar
+    format — ORC-native warehouses read the lake directly, and ORC's
+    row-group indexes serve the same min/max pruning parquet footers
+    do).  Returns the row count written; the round-trip is tested
+    value-identical."""
+    df = spark.read.parquet(src_dir)
+    df.write.mode("overwrite").orc(out_dir)
+    return spark.read.orc(out_dir).count()

@@ -151,3 +151,74 @@ def test_zorder_compaction_tightens_file_stats(spark, sf_dir, tmp_path):
     # z-order must tighten both dimensions substantially
     assert sz["o_custkey"] < sp["o_custkey"] / 2, (sp, sz)
     assert sz["o_orderdate_days"] < sp["o_orderdate_days"] / 2, (sp, sz)
+
+
+def test_csv_lake_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """CSV scan honors the same never-crash contract as JSONL: typed
+    rows round-trip exactly, untypeable lines land whole in the
+    quarantine column."""
+    from pyspark.sql import types as T
+
+    from near_indexer_for_explorer_spark.sources.lake import (
+        CORRUPT_COL,
+        read_csv_lake,
+        split_corrupt,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rows = orders.limit(40).collect()
+    path = tmp_path / "orders.csv"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['o_orderkey']},{r['o_custkey']},{r['o_totalprice']}\n")
+        f.write("12345,not_a_number,99.5\n")  # untypeable custkey
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ]
+    )
+    df = read_csv_lake(spark, str(path), schema)
+    clean, corrupt = split_corrupt(df)
+    assert clean.count() == 40
+    assert corrupt.count() == 1
+    got = {r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"]) for r in clean.collect()}
+    want = {r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"]) for r in rows}
+    assert got == want
+    assert corrupt.collect()[0][CORRUPT_COL] == "12345,not_a_number,99.5"
+
+
+def test_csv_lake_schema_requires_corrupt_column(spark):
+    from pyspark.sql import types as T
+
+    from near_indexer_for_explorer_spark.sources.lake import read_csv_lake
+
+    with pytest.raises(ValueError):
+        read_csv_lake(
+            spark, "/nonexistent", T.StructType([T.StructField("a", T.LongType())])
+        )
+
+
+def test_orc_roundtrip_value_identical(spark, sf_dir, tmp_path):
+    """ORC conversion preserves every value: the round-trip compares
+    the full sorted row set of the orders table."""
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        convert_parquet_to_orc,
+    )
+
+    src = f"{sf_dir}/orders.parquet"
+    out = str(tmp_path / "orders_orc")
+    n = convert_parquet_to_orc(spark, src, out)
+    pq = spark.read.parquet(src)
+    orc = spark.read.orc(out)
+    assert n == pq.count() == orc.count()
+    cols = sorted(pq.columns)
+    a = sorted([tuple(r) for r in pq.select(*cols).collect()], key=repr)
+    b = sorted([tuple(r) for r in orc.select(*cols).collect()], key=repr)
+    assert a == b
