@@ -157,6 +157,8 @@ EXTRA = [
     "user_event_entropy",
     "cross_lang_vocab_overlap",
     "dedup_pair_features",
+    "shard_skew_report",
+    "embedding_norm_outliers",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
