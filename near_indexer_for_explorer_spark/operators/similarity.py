@@ -3431,9 +3431,11 @@ ORACLES["centroid_assign_confusion"] = """
 RERANK_M = 50
 
 
-def ann_rerank_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, neighbor_id, cos_sim, coarse_score): exact cosine top-k
-    over the RERANK_M int8-coarse candidates per query."""
+def _int8_coarse_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, emb, nrm, q_emb, q_nrm, coarse_score, crn): the
+    int8 coarse scan ranked per query — shared by the B81 rerank and
+    the B92 recall operating curve (one definition of the coarse
+    stage, so the curve measures exactly the stage B81 serves)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
@@ -3478,7 +3480,13 @@ def ann_rerank_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_c = Window.partitionBy("q_id").orderBy(
         F.col("coarse_score").desc(), F.col("vec_id").asc()
     )
-    cand = coarse.withColumn("crn", F.row_number().over(w_c)).where(
+    return coarse.withColumn("crn", F.row_number().over(w_c))
+
+
+def ann_rerank_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cos_sim, coarse_score): exact cosine top-k
+    over the RERANK_M int8-coarse candidates per query."""
+    cand = _int8_coarse_ranked(spark, sf_dir).where(
         F.col("crn") <= RERANK_M
     )
     rer = cand.select(
@@ -3922,3 +3930,114 @@ ORACLES["embedding_norm_outliers"] = """
     FROM dev d JOIN mad a ON d.label = a.label
     WHERE a.mad > 0 AND d.ad > 3 * 1.4826 * a.mad
 """
+
+
+# ---------------------------------------------------------------------------
+# B92 int8 rerank-depth operating curve (oracle-checked).  The tuning
+# question B81 leaves open: how deep must the exact rerank reach?
+# recall@k of the two-stage retrieval equals |exact top-k ∩ coarse
+# top-M| / k (any true top-k member inside the candidate set outranks
+# every filler in the exact rerank), so the whole M-grid is evaluated
+# from ONE ranked coarse relation + ONE exact-baseline join — the
+# B69 evaluate-the-grid-from-one-relation discipline applied to the
+# int8 coarse stage, sharing its definition with B81 via
+# _int8_coarse_ranked.
+# ---------------------------------------------------------------------------
+_RERANK_GRID = [10, 25, 50]
+
+
+def ann_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rerank_m, n_queries, mean_recall): recall@TOP_K of the B81
+    two-stage retrieval for each candidate depth in _RERANK_GRID."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    )
+    coarse = _int8_coarse_ranked(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), "crn"
+    )
+    hits = exact.join(coarse, ["q_id", "neighbor_id"])
+    grid = hits.select(
+        "crn",
+        F.explode(
+            F.array(*[F.lit(m) for m in _RERANK_GRID])
+        ).alias("rerank_m"),
+    )
+    per_m = grid.groupBy("rerank_m").agg(
+        F.sum((F.col("crn") <= F.col("rerank_m")).cast("long")).alias("n_hits")
+    )
+    nq = exact.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    return per_m.crossJoin(F.broadcast(nq)).select(
+        "rerank_m",
+        "n_queries",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_truth"), 6
+        ).alias("mean_recall"),
+    )
+
+
+QUERIES["ann_rerank_curve"] = ann_rerank_curve
+
+
+def _rerank_curve_oracle_sql() -> str:
+    grid = ",".join(str(m) for m in _RERANK_GRID)
+    return f"""
+    WITH exact AS ({ORACLES["ann_cosine_topk"]}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    quant AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    qz AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x ->
+               CAST(GREATEST(-127, LEAST(127, round(x / scale))) AS BIGINT))
+               AS qv
+      FROM quant
+    ),
+    q AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale
+          FROM qz WHERE vec_id % {QUERY_MOD} = 0),
+    coarse AS (
+      SELECT q.q_id, z.vec_id,
+             ROUND(CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
+                                 i -> q.q_qv[i] * z.qv[i])) AS DOUBLE)
+                   * q.q_scale * z.scale, 6) AS coarse_score
+      FROM qz z CROSS JOIN q
+      WHERE q.q_id <> z.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY coarse_score DESC, vec_id ASC) AS crn
+      FROM coarse
+    ),
+    hits AS (
+      SELECT x.q_id, r.crn
+      FROM exact x JOIN ranked r
+        ON x.q_id = r.q_id AND x.neighbor_id = r.vec_id
+    ),
+    grid AS (
+      SELECT h.crn, m.rerank_m
+      FROM hits h, UNNEST([{grid}]) AS m(rerank_m)
+    ),
+    per_m AS (
+      SELECT rerank_m,
+             CAST(SUM(CASE WHEN crn <= rerank_m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM grid GROUP BY rerank_m
+    ),
+    nq AS (
+      SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+             COUNT(*) AS n_truth
+      FROM exact
+    )
+    SELECT CAST(p.rerank_m AS INTEGER) AS rerank_m, n.n_queries,
+           ROUND(CAST(p.n_hits AS DOUBLE) / n.n_truth, 6) AS mean_recall
+    FROM per_m p CROSS JOIN nq n
+    """
+
+
+ORACLES["ann_rerank_curve"] = _rerank_curve_oracle_sql()

@@ -1043,3 +1043,75 @@ ORACLES["cross_lang_vocab_overlap"] = """
     JOIN sizes s1 ON c.lang_1 = s1.lang
     JOIN sizes s2 ON c.lang_2 = s2.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# B93 borderline-document review queue (oracle-checked).  The curation
+# action between keep and drop: documents failing EXACTLY ONE of the
+# B25 rules are the cheap wins — fix the one defect (or relax the one
+# threshold) and the doc re-enters the corpus.  Real pipelines route
+# these to human review / secondary classifiers instead of discarding
+# them with the hopeless multi-rule failures.  Scale shape: the B25
+# per-row rule columns (shared fn — no drift) plus one integer filter;
+# no joins, no shuffle beyond the source scan.
+# ---------------------------------------------------------------------------
+def borderline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, failed_rule, n_words, mean_word_len, stop_frac,
+    dup_frac_2gram): documents failing exactly one B25 rule, labeled
+    with which."""
+    cols = quality_filter_columns(load_table(spark, sf_dir, "documents"))
+    n_failed = (
+        (~F.col("ok_n_words")).cast("int")
+        + (~F.col("ok_mean_word_len")).cast("int")
+        + (~F.col("ok_stopwords")).cast("int")
+        + (~F.col("ok_repetition")).cast("int")
+    )
+    failed_rule = (
+        F.when(~F.col("ok_n_words"), "n_words")
+        .when(~F.col("ok_mean_word_len"), "mean_word_len")
+        .when(~F.col("ok_stopwords"), "stopwords")
+        .otherwise("repetition")
+    )
+    return (
+        cols.where(n_failed == 1)
+        .select(
+            "doc_id",
+            "lang",
+            failed_rule.alias("failed_rule"),
+            "n_words",
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round("stop_frac", 6).alias("stop_frac"),
+            F.round("dup_frac_2gram", 6).alias("dup_frac_2gram"),
+        )
+    )
+
+
+QUERIES["borderline_docs"] = borderline_docs
+
+
+def _borderline_oracle_sql() -> str:
+    return f"""
+    WITH qf AS ({ORACLES["quality_filter_c4"]}),
+    flagged AS (
+      SELECT *,
+             CAST(NOT ok_n_words AS INTEGER)
+             + CAST(NOT ok_mean_word_len AS INTEGER)
+             + CAST(NOT ok_stopwords AS INTEGER)
+             + CAST(NOT ok_repetition AS INTEGER) AS n_failed
+      FROM qf
+    )
+    SELECT doc_id, lang,
+           CASE WHEN NOT ok_n_words THEN 'n_words'
+                WHEN NOT ok_mean_word_len THEN 'mean_word_len'
+                WHEN NOT ok_stopwords THEN 'stopwords'
+                ELSE 'repetition' END AS failed_rule,
+           n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(stop_frac, 6) AS stop_frac,
+           ROUND(dup_frac_2gram, 6) AS dup_frac_2gram
+    FROM flagged
+    WHERE n_failed = 1
+    """
+
+
+ORACLES["borderline_docs"] = _borderline_oracle_sql()

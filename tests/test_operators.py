@@ -2423,3 +2423,62 @@ def test_pair_features_planted_identical_docs(spark, tmp_path):
     assert r["jaccard"] == 1.0 and r["containment"] == 1.0
     assert r["len_ratio"] == 1.0 and r["is_near_dup"]
     assert all(2 not in k for k in pairs)
+
+
+def test_rerank_curve_monotone_and_saturates(spark, tmp_path):
+    """B92 contract: recall is monotone non-decreasing in the rerank
+    depth and saturates at exactly 1.0 once the depth covers the whole
+    corpus (here 39 < 50 candidates per query)."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_rerank_curve,
+    )
+
+    rows = []
+    for i in range(40):
+        v = [
+            ((_h.md5(f"c{i}:{j}".encode()).digest()[0] / 255.0) - 0.5)
+            for j in range(64)
+        ]
+        rows.append((i * 10, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["rerank_m"]: r["mean_recall"] for r in ann_rerank_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [10, 25, 50]
+    assert out[10] <= out[25] <= out[50]
+    assert out[50] == 1.0
+
+
+def test_borderline_docs_planted_single_failures(spark, tmp_path):
+    """B93 semantics: exactly-one-rule failures enter the review queue
+    labeled with the failed rule; multi-rule failures and clean docs
+    stay out."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        borderline_docs,
+    )
+
+    import itertools
+    import string
+
+    two = [a + b for a, b in itertools.product(string.ascii_lowercase, repeat=2)]
+    four = [
+        "".join(w) for w in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    four = [w + "xy" for w in four]
+    docs = [
+        (0, " ".join(four[:10]), "s", "xx"),   # only n_words fails (10 < 25)
+        (1, " ".join(two[:30]), "s", "xx"),    # only mean_word_len fails (2.0)
+        (2, " ".join(two[:10]), "s", "xx"),    # both fail -> excluded
+        (3, " ".join(four[:30]), "s", "xx"),   # clean -> excluded
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in borderline_docs(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["failed_rule"] == "n_words"
+    assert out[1]["failed_rule"] == "mean_word_len"
