@@ -159,6 +159,8 @@ EXTRA = [
     "dedup_pair_features",
     "shard_skew_report",
     "embedding_norm_outliers",
+    "ann_rerank_curve",
+    "borderline_docs",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
