@@ -3865,8 +3865,11 @@ ORACLES["embedding_anisotropy_whiten"] = f"""
 # aggregates + one join back; group state bounded per label.
 # ---------------------------------------------------------------------------
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(label, vec_id, nrm, med, mad, robust_z): vectors whose norm
-    deviates from the label's median by more than 3 MAD-sigmas."""
+    """(label, vec_id, nrm, med, mad, robust_z, is_outlier): the 3
+    most norm-deviant vectors per label, flagged when beyond 3
+    MAD-sigmas.  Always emitting the per-label top deviants (not only
+    threshold crossers) keeps the monitor's output non-degenerate on
+    healthy corpora — the review surface plus the alarm bit."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "label",
         "vec_id",
@@ -3881,22 +3884,31 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("label").agg(
         F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
     )
+    w = Window.partitionBy("label").orderBy(
+        F.col("ad").desc(), F.col("vec_id").asc()
+    )
     return (
         dev.join(mad, "label")
-        .where(
-            (F.col("mad") > 0)
-            & (F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
-        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
         .select(
             "label",
             "vec_id",
             "nrm",
             "med",
             "mad",
-            F.round(
-                (F.col("nrm") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
-                6,
+            F.when(
+                F.col("mad") > 0,
+                F.round(
+                    (F.col("nrm") - F.col("med"))
+                    / (F.lit(1.4826) * F.col("mad")),
+                    6,
+                ),
             ).alias("robust_z"),
+            (
+                (F.col("mad") > 0)
+                & (F.col("ad") > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+            ).alias("is_outlier"),
         )
     )
 
@@ -3925,10 +3937,17 @@ ORACLES["embedding_norm_outliers"] = """
              ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY ad), 6) AS mad
       FROM dev GROUP BY label
     )
-    SELECT d.label, d.vec_id, d.nrm, d.med, a.mad,
-           ROUND((d.nrm - d.med) / (1.4826 * a.mad), 6) AS robust_z
-    FROM dev d JOIN mad a ON d.label = a.label
-    WHERE a.mad > 0 AND d.ad > 3 * 1.4826 * a.mad
+    SELECT label, vec_id, nrm, med, mad,
+           CASE WHEN mad > 0
+                THEN ROUND((nrm - med) / (1.4826 * mad), 6) END AS robust_z,
+           (mad > 0 AND ad > 3 * 1.4826 * mad) AS is_outlier
+    FROM (
+      SELECT d.label, d.vec_id, d.nrm, d.med, a.mad, d.ad,
+             ROW_NUMBER() OVER (PARTITION BY d.label
+               ORDER BY d.ad DESC, d.vec_id ASC) AS rn
+      FROM dev d JOIN mad a ON d.label = a.label
+    ) t
+    WHERE rn <= 3
 """
 
 

@@ -2482,3 +2482,46 @@ def test_borderline_docs_planted_single_failures(spark, tmp_path):
     assert set(out) == {0, 1}
     assert out[0]["failed_rule"] == "n_words"
     assert out[1]["failed_rule"] == "mean_word_len"
+
+
+def test_norm_outliers_planted_blowup(spark, tmp_path):
+    """B91 semantics: a label with one blown-up-norm vector flags
+    exactly that vector; a healthy label still emits its top-3 review
+    rows with no outlier flag."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    rows = []
+    for i in range(20):
+        v = [
+            ((_h.md5(f"n{i}:{j}".encode()).digest()[0] / 255.0) - 0.5) * 0.1
+            for j in range(64)
+        ]
+        v[0] += 1.0  # healthy norms cluster near 1
+        rows.append((i, v, 0))
+    blown = [0.0] * 64
+    blown[0] = 50.0
+    rows.append((100, blown, 1))
+    for i in range(101, 120):
+        v = [
+            ((_h.md5(f"m{i}:{j}".encode()).digest()[0] / 255.0) - 0.5) * 0.1
+            for j in range(64)
+        ]
+        v[0] += 1.0
+        rows.append((i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = embedding_norm_outliers(spark, str(tmp_path)).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    assert len(by_label[0]) == 3 and len(by_label[1]) == 3
+    assert not any(r["is_outlier"] for r in by_label[0])
+    flagged = [r for r in by_label[1] if r["is_outlier"]]
+    assert [r["vec_id"] for r in flagged] == [100]
+    assert flagged[0]["robust_z"] > 100
