@@ -89,6 +89,12 @@ def measure(spark, sf_dir: str) -> dict:
         lsh_candidate_pairs,
         minhash_signatures,
     )
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        skipgram_cooc_pmi,
+    )
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_pair_features,
+    )
     from near_indexer_for_explorer_spark.operators.similarity import (
         embedding_dedup_cosine,
         ivfpq_ann_topk,
@@ -105,6 +111,11 @@ def measure(spark, sf_dir: str) -> dict:
         ("dedup_minhash_lsh", dedup_minhash_lsh),
         ("embedding_dedup_cosine", embedding_dedup_cosine),
         ("ivfpq_ann_topk", ivfpq_ann_topk),
+        # r7 session-4 additions: the map-side pair explode (linear in
+        # tokens) and the candidate-bounded feature pass (first call
+        # includes the frozen-leg build, i.e. the full B3 shape)
+        ("skipgram_cooc_pmi", skipgram_cooc_pmi),
+        ("dedup_pair_features", dedup_pair_features),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
