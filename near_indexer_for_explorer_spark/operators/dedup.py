@@ -2714,3 +2714,57 @@ ORACLES["dedup_pair_features"] = f"""
     JOIN documents d1 ON m.d1 = d1.doc_id
     JOIN documents d2 ON m.d2 = d2.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B94 duplicate-cluster size histogram (oracle-checked).  The shape
+# question behind every dedup budget: is duplication a few giant
+# template families or a long tail of pairs?  Aggregates B20's
+# connected components to (cluster_size, n_clusters, n_docs) plus the
+# removable-doc count (size - 1 per cluster — what dedup actually
+# deletes).  Scale shape: two keyed aggregates over the component
+# labeling; output bounded by the largest cluster size.
+# ---------------------------------------------------------------------------
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_removable): histogram of
+    near-dup component sizes (size >= 2 — singletons are not clusters)."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.where(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+    )
+
+
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+
+
+def _cluster_sizes_oracle_sql() -> str:
+    return f"""
+    WITH comp AS ({ORACLES["dedup_components"]}),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    WHERE cluster_size >= 2
+    GROUP BY cluster_size
+    """
+
+
+ORACLES["dedup_cluster_sizes"] = _cluster_sizes_oracle_sql()

@@ -5976,3 +5976,105 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (h_d < _LOW_ENTROPY)
         ).alias("is_low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A94 order-to-ship latency distribution (reference analog: the
+# block-to-finality / submit-to-execute latency panels — the SLA
+# question per priority class).  Interpolated p50/p90/p99 of
+# ship-minus-order days per order priority.  Engine-stability:
+# latencies are EXACT integer day differences, so percentile_cont
+# interpolates identical integer multisets in both engines (the A51
+# discipline); round-6 outputs.  Scale shape: one broadcast-dim-free
+# equi-join on orderkey (both sides shuffle on their natural key once)
+# reduced to a priority-grain aggregate (5 groups).
+# ---------------------------------------------------------------------------
+@_register(
+    "order_ship_latency",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY days), 6) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY days), 6) AS p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY days), 6) AS p99,
+           ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS mean_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_lines, p50, p90, p99, mean_days):
+    order-to-ship latency per priority class on exact integer days."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.percentile("days", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("days", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("days", F.lit(0.99)), 6).alias("p99"),
+        F.round(
+            F.sum("days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A95 new-vs-returning DAU split (reference analog: the
+# accounts-created-today vs returning-actives panel — A85 counts
+# actives, this attributes each active to its lifecycle stage).  A
+# user's first-seen day comes from the A76 first-occurrence
+# decomposition (one (user) aggregate), so the split is one equi-join
+# and one day-grain aggregate — never a windowed "min over history
+# up to this row".
+# ---------------------------------------------------------------------------
+@_register(
+    "dau_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id)
+    SELECT ud.d AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN ud.d <> f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           ROUND(CAST(SUM(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pct_new
+    FROM ud JOIN first f ON ud.user_id = f.user_id
+    GROUP BY ud.d
+    """,
+)
+def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, dau, new_users, returning_users, pct_new): daily
+    actives split by lifecycle stage via the first-occurrence
+    decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    is_new = (F.col("d") == F.col("first_d")).cast("long")
+    return (
+        ud.join(first, "user_id")
+        .groupBy(F.col("d").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(is_new).alias("new_users"),
+            F.sum(1 - is_new).alias("returning_users"),
+            F.round(
+                F.sum(is_new).cast("double") / F.count(F.lit(1)), 6
+            ).alias("pct_new"),
+        )
+    )

@@ -2525,3 +2525,79 @@ def test_norm_outliers_planted_blowup(spark, tmp_path):
     flagged = [r for r in by_label[1] if r["is_outlier"]]
     assert [r["vec_id"] for r in flagged] == [100]
     assert flagged[0]["robust_z"] > 100
+
+
+def test_order_ship_latency_planted_percentiles(spark, tmp_path):
+    """A94 semantics: latencies 1..10 days give interpolated p50 5.5,
+    p90 9.1, p99 9.91, mean 5.5."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        order_ship_latency,
+    )
+
+    base = datetime.datetime(1995, 1, 1)
+    orders = [(k, base, "1-URGENT") for k in range(1, 11)]
+    lines = [
+        (k, base + datetime.timedelta(days=k)) for k in range(1, 11)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = order_ship_latency(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines"] == 10 and r["mean_days"] == 5.5
+    assert r["p50"] == 5.5 and r["p90"] == 9.1 and r["p99"] == 9.91
+
+
+def test_dau_split_planted_lifecycle(spark, tmp_path):
+    """A95 semantics: day 1 has one new user; day 2 adds a second new
+    user while the first returns — pct_new 0.5."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        dau_new_vs_returning,
+    )
+
+    d1 = datetime.datetime(2024, 1, 1, 9)
+    d2 = datetime.datetime(2024, 1, 2, 9)
+    rows = [(0, d1, 1, "x", 1.0), (1, d2, 1, "x", 1.0), (2, d2, 2, "x", 1.0)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {str(r["event_date"]): r for r in dau_new_vs_returning(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["new_users"] == 1
+    assert out["2024-01-02"]["dau"] == 2
+    assert out["2024-01-02"]["new_users"] == 1
+    assert out["2024-01-02"]["returning_users"] == 1
+    assert out["2024-01-02"]["pct_new"] == 0.5
+
+
+def test_cluster_sizes_planted_histogram(spark, tmp_path):
+    """B94 semantics: a 3-copy family and a 2-copy family yield one
+    size-3 and one size-2 histogram row; the unique doc is no
+    cluster."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_cluster_sizes,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    b = "one two three four five six seven eight nine ten"
+    c = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    docs = [(i, a, "s", "en") for i in range(3)]
+    docs += [(10 + i, b, "s", "en") for i in range(2)]
+    docs += [(20, c, "s", "en")]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["cluster_size"]: r for r in dedup_cluster_sizes(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 3}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_removable"] == 2
+    assert out[2]["n_clusters"] == 1 and out[2]["n_removable"] == 1
