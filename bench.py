@@ -161,6 +161,9 @@ EXTRA = [
     "embedding_norm_outliers",
     "ann_rerank_curve",
     "borderline_docs",
+    "order_ship_latency",
+    "dau_new_vs_returning",
+    "dedup_cluster_sizes",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
