@@ -4060,3 +4060,52 @@ def _rerank_curve_oracle_sql() -> str:
 
 
 ORACLES["ann_rerank_curve"] = _rerank_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B95 ANN hubness report (oracle-checked).  The embedding pathology
+# Radovanovic et al. (2010) named: in high dimensions a few "hub"
+# vectors appear in nearly everyone's top-k while antihubs appear in
+# nobody's — skewed in-degree silently biases ANN-based dedup and
+# retrieval (B84's embedding leg included).  Aggregates the exact
+# B5 top-k relation to the neighbor in-degree distribution plus the
+# max-hub row.  Scale shape: one aggregate of the top-k relation
+# (k x queries rows) to in-degree grain, one bounded histogram
+# aggregate; the expensive leg is B5 itself, already measured under
+# its own name.
+# ---------------------------------------------------------------------------
+def ann_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_vectors, max_hub_id): how many corpus vectors
+    appear in exactly in_degree query top-k lists; max_hub_id is the
+    smallest vec_id among the most-referenced vectors (one global
+    value repeated per row for a flat, joinable shape)."""
+    topk = ann_cosine_topk(spark, sf_dir).select("neighbor_id")
+    deg = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    hist = deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    hub = deg.orderBy(F.col("in_degree").desc(), F.col("neighbor_id").asc()).limit(1)
+    return hist.crossJoin(
+        F.broadcast(hub.select(F.col("neighbor_id").alias("max_hub_id")))
+    )
+
+
+QUERIES["ann_hubness_report"] = ann_hubness_report
+
+ORACLES["ann_hubness_report"] = f"""
+    WITH topk AS ({ORACLES["ann_cosine_topk"]}),
+    deg AS (
+      SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+      FROM topk GROUP BY neighbor_id
+    ),
+    hist AS (
+      SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM deg GROUP BY in_degree
+    ),
+    hub AS (
+      SELECT neighbor_id AS max_hub_id
+      FROM deg ORDER BY in_degree DESC, neighbor_id ASC LIMIT 1
+    )
+    SELECT h.in_degree, h.n_vectors, b.max_hub_id
+    FROM hist h CROSS JOIN hub b
+"""

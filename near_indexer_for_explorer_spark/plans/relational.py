@@ -6078,3 +6078,57 @@ def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A96 hour-of-week activity profile (reference analog: the
+# when-is-the-chain-busy heatmap — per action kind, the hour x weekday
+# load shape that capacity planning and anomaly baselines read).
+# Weekday from the A83 integer epoch-day arithmetic (Monday=0, no
+# engine dayofweek() convention trusted); hour from the UTC-pinned
+# naive timestamp (identical in both engines).  Scale shape: ONE fact
+# aggregate to (type, dow, hour) — at most types x 168 rows; shares
+# and the peak flag run on that bounded grain via windows.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_hourly_profile",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7
+               AS dow,
+             CAST(date_part('hour', ts) AS BIGINT) AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / SUM(n_events) OVER (PARTITION BY event_type), 6) AS share,
+           n_events = MAX(n_events) OVER (PARTITION BY event_type)
+             AS is_peak
+    FROM cells
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, dow, hour, n_events, share, is_peak): the hour x
+    weekday load shape per event type (Monday=0), with each cell's
+    share of the type's volume and the peak-cell flag."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cells = ev.groupBy(
+        "event_type",
+        ((epoch + 3) % 7).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w), 6
+        ).alias("share"),
+        (F.col("n_events") == F.max("n_events").over(w)).alias("is_peak"),
+    )

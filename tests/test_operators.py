@@ -2601,3 +2601,64 @@ def test_cluster_sizes_planted_histogram(spark, tmp_path):
     assert set(out) == {2, 3}
     assert out[3]["n_clusters"] == 1 and out[3]["n_removable"] == 2
     assert out[2]["n_clusters"] == 1 and out[2]["n_removable"] == 1
+
+
+def test_hourly_profile_planted_peak(spark, tmp_path):
+    """A96 semantics: Monday (dow 0) 9am carries the mass and is the
+    unique peak cell; shares sum to 1 over the type."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_hourly_profile,
+    )
+
+    rows, eid = [], 0
+    for _ in range(8):  # 2024-01-01 is a Monday
+        rows.append((eid, datetime.datetime(2024, 1, 1, 9, 5), 1, "t", 1.0)); eid += 1
+    rows.append((eid, datetime.datetime(2024, 1, 2, 14, 0), 1, "t", 1.0)); eid += 1
+    rows.append((eid, datetime.datetime(2024, 1, 7, 23, 0), 1, "t", 1.0)); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_hourly_profile(spark, str(tmp_path)).collect()
+    cells = {(r["dow"], r["hour"]): r for r in out}
+    assert cells[(0, 9)]["n_events"] == 8 and cells[(0, 9)]["is_peak"]
+    assert cells[(1, 14)]["n_events"] == 1 and not cells[(1, 14)]["is_peak"]
+    assert (6, 23) in cells  # Sunday
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6
+
+
+def test_hubness_report_degree_conservation(spark, tmp_path):
+    """B95 contract: in-degrees across the histogram account for every
+    top-k slot exactly (sum degree*count == TOP_K * n_queries), and
+    the hub id is one of the most-referenced vectors."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_hubness_report,
+    )
+
+    rows = []
+    for i in range(40):
+        v = [
+            ((_h.md5(f"h{i}:{j}".encode()).digest()[0] / 255.0) - 0.5)
+            for j in range(64)
+        ]
+        rows.append((i * 10, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    topk = ann_cosine_topk(spark, str(tmp_path)).collect()
+    nq = len({r["q_id"] for r in topk})
+    out = ann_hubness_report(spark, str(tmp_path)).collect()
+    assert sum(r["in_degree"] * r["n_vectors"] for r in out) == TOP_K * nq
+    max_deg = max(r["in_degree"] for r in out)
+    from collections import Counter
+
+    degs = Counter(r["neighbor_id"] for r in topk)
+    hubs = {v for v, d in degs.items() if d == max_deg}
+    assert out[0]["max_hub_id"] == min(hubs)

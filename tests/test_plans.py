@@ -115,6 +115,7 @@ _BNLJ_EXEMPT = {
     "ann_rerank_int8",          # int8 coarse scan is the declared all-pairs leg
     "matryoshka_ann_topk",      # prefix-dim coarse scan, same declared shape
     "ann_rerank_curve",         # composes the declared int8 coarse leg + B5 baseline
+    "ann_hubness_report",       # composes the B5 baseline + broadcast 1-row hub
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
     "ann_recall_matrix",        # composes the brute-force baseline leg
     "ivf_nprobe_recall_curve",  # composes the brute-force baseline + IVF legs
