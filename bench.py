@@ -164,6 +164,8 @@ EXTRA = [
     "order_ship_latency",
     "dau_new_vs_returning",
     "dedup_cluster_sizes",
+    "events_hourly_profile",
+    "ann_hubness_report",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
