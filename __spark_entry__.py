@@ -122,13 +122,14 @@ _GATE_PRIORITY: list[str] = [
 # rows-only-by-design entries last so driver slots never go to a
 # query without a value-hash oracle.
 #
-# r8 rotation note: the r7 session-3/4 additions (everything between
-# `bm25_search` and this defer list in the emitted order — 32 oracle
-# queries from part_copurchase_triangles through borderline_docs)
-# have NEVER had a driver row; they should lead r8's window ahead of
-# the r5-stale block below, alongside the four session-2 deferrals at
-# the head of this list and the two kernel-pinned dedup-verify
-# entries.
+# r8 rotation note: 52 oracle queries have NEVER had a driver row —
+# the r7 session-2 deferrals at the head of this list plus every
+# session-3/4/5 addition between `bm25_search` and this defer list in
+# the emitted order (part_copurchase_triangles ... simhash_hamming_
+# curve).  50 of them fill the ENTIRE r8 window (registry order keeps
+# it deterministic); the 2 overflow plus the two kernel-pinned
+# dedup-verify entries (dedup_edit_verify, dedup_edit_banded) lead
+# r9, then the r5-stale block below rotates back in.
 _GATE_DEFER: list[str] = [
     # r7-session-2 additions that did not fit the 50-slot window (both
     # with the simplest, most parity-covered shapes of the batch) plus

@@ -166,6 +166,11 @@ EXTRA = [
     "dedup_cluster_sizes",
     "events_hourly_profile",
     "ann_hubness_report",
+    # round 7 session-5 additions
+    "customer_survival_curve",
+    "order_backlog_daily",
+    "dedup_incremental_cohort",
+    "simhash_hamming_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

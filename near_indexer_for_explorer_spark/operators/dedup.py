@@ -587,10 +587,12 @@ ORACLES["lsh_candidates_serve"] = f"""
 """
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB replica of the SimHash pipeline (same md5-only hashing
-    discipline as _minhash_oracle_sql: identical token hashes, bit
-    sums, signatures, band buckets, candidates, hamming distances)."""
+def _simhash_sig_ctes() -> str:
+    """``stoks``/``sweighted``/``shashed``/``ssums``/``ssig`` CTE
+    bodies — the DuckDB replica of :func:`simhash_signatures`, shared
+    by the B4 oracle and the B97 hamming operating curve.  CTE names
+    carry an ``s`` prefix so the chain composes next to the MinHash
+    ``toks``/``sh`` CTEs without collisions."""
     powers8 = [16 ** (7 - i) for i in range(0, 8)]
     powers_list = ",".join(str(p) for p in powers8)
     hex8 = (
@@ -606,34 +608,41 @@ def _simhash_oracle_sql() -> str:
         f"(CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(_SIMHASH_BITS)
     )
+    return rf"""stoks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    sweighted AS (
+      SELECT doc_id, tok, COUNT(*) AS w FROM stoks GROUP BY doc_id, tok
+    ),
+    shashed AS (
+      SELECT doc_id, w, {hex8} AS h32
+      FROM (SELECT doc_id, w, md5(tok) AS h FROM sweighted)
+    ),
+    ssums AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM shashed GROUP BY doc_id
+    ),
+    ssig AS (
+      SELECT doc_id, {sim_terms} AS simhash FROM ssums
+    )"""
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of the SimHash pipeline (same md5-only hashing
+    discipline as _minhash_oracle_sql: identical token hashes, bit
+    sums, signatures, band buckets, candidates, hamming distances)."""
     band_mask = (1 << _SIMHASH_BAND_BITS) - 1
     band_structs = ",\n        ".join(
         f"{{'band_id': {k}, 'bucket': (simhash >> {_SIMHASH_BAND_BITS * k}) & {band_mask}}}"
         for k in range(_SIMHASH_BANDS)
     )
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
-      FROM documents
-    ),
-    weighted AS (
-      SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY doc_id, tok
-    ),
-    hashed AS (
-      SELECT doc_id, w, {hex8} AS h32
-      FROM (SELECT doc_id, w, md5(tok) AS h FROM weighted)
-    ),
-    sums AS (
-      SELECT doc_id,
-        {bit_sums}
-      FROM hashed GROUP BY doc_id
-    ),
-    sig AS (
-      SELECT doc_id, {sim_terms} AS simhash FROM sums
-    ),
+    return f"""
+    WITH {_simhash_sig_ctes()},
     bands AS (
       SELECT doc_id, simhash, u.band_id AS band_id, u.bucket AS bucket
-      FROM sig, UNNEST([
+      FROM ssig, UNNEST([
         {band_structs}
       ]) AS t(u)
     )
@@ -2780,3 +2789,302 @@ def _cluster_sizes_oracle_sql() -> str:
 
 
 ORACLES["dedup_cluster_sizes"] = _cluster_sizes_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B96 incremental-ingest dedup (the batch audit of the production
+# shape C11 streams): a NEW cohort of documents screened against the
+# EXISTING base corpus.  Real pipelines never re-dedup the whole lake
+# per ingest — they ask "does this incoming doc near-dup anything we
+# already keep?", an ASYMMETRIC question over exactly the base x
+# incoming candidate pairs.  Base/incoming reuse B18's deterministic
+# md5 split (base == the train buckets), so the cohort boundary is a
+# pure function of doc_id, identical in both engines.
+#
+# Scale shape: the candidate pairs come from the session-frozen
+# MinHash/LSH leg (the r7 dedup-verify discipline — at 100 TB the
+# base corpus's signatures are a standing lake artifact and each
+# ingest only signs + probes its own docs); the straddle filter and
+# side-labeling are map-side md5 arithmetic; the exact-Jaccard verify
+# touches only straddling candidates; one doc-grain aggregate + a
+# left join back onto the incoming cohort (docs with no candidate are
+# kept outright, the common case).
+# ---------------------------------------------------------------------------
+_INCR_SPLIT_MOD = 40  # B18's split constants: buckets 0-31 = base (80%)
+_INCR_BASE_BUCKETS = 32
+
+
+def dedup_incremental_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_base_candidates, max_base_jaccard, is_dup, kept):
+    every incoming-cohort document with its LSH candidate count
+    against the base corpus, the max verified Jaccard to any base
+    doc (NULL when no candidate shares a shingle), and the keep/drop
+    verdict at the pipeline threshold."""
+    cand = frozen_lsh_candidates(spark, sf_dir)
+    b1 = _hash_bucket(F.col("doc_id_1"), "split:", _INCR_SPLIT_MOD) < _INCR_BASE_BUCKETS
+    b2 = _hash_bucket(F.col("doc_id_2"), "split:", _INCR_SPLIT_MOD) < _INCR_BASE_BUCKETS
+    straddle = cand.where(b1 != b2).select(
+        F.when(b1, F.col("doc_id_2")).otherwise(F.col("doc_id_1")).alias("doc_id"),
+        F.when(b1, F.col("doc_id_1")).otherwise(F.col("doc_id_2")).alias("base_id"),
+    )
+    sh = _distinct_shingles(spark, sf_dir)
+    sizes = _shingle_set_sizes(spark, sf_dir)
+    st = straddle.alias("st")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        st.join(a, F.col("st.doc_id") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("st.base_id") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(
+            F.col("st.doc_id").alias("doc_id"),
+            F.col("st.base_id").alias("base_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    cm = common.alias("cm")
+    verified = (
+        cm.join(F.broadcast(s1), F.col("cm.doc_id") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("cm.base_id") == F.col("s2.doc_id"))
+        .select(F.col("cm.doc_id").alias("doc_id"), jac.alias("jaccard"))
+    )
+    n_cand = straddle.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_base_candidates")
+    )
+    mx = verified.groupBy("doc_id").agg(F.max("jaccard").alias("max_base_jaccard"))
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            _hash_bucket(F.col("doc_id"), "split:", _INCR_SPLIT_MOD)
+            >= _INCR_BASE_BUCKETS
+        )
+        .select("doc_id")
+    )
+    is_dup = F.coalesce(
+        F.col("max_base_jaccard") >= F.lit(JACCARD_THRESHOLD), F.lit(False)
+    )
+    return (
+        incoming.join(n_cand, "doc_id", "left")
+        .join(mx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_base_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_base_candidates"),
+            "max_base_jaccard",
+            is_dup.alias("is_dup"),
+            (~is_dup).alias("kept"),
+        )
+    )
+
+
+QUERIES["dedup_incremental_cohort"] = dedup_incremental_cohort
+
+
+def _incremental_cohort_oracle_sql() -> str:
+    base1 = f"({_hash_bucket_sql('d1', 'split:', _INCR_SPLIT_MOD)} < {_INCR_BASE_BUCKETS})"
+    base2 = f"({_hash_bucket_sql('d2', 'split:', _INCR_SPLIT_MOD)} < {_INCR_BASE_BUCKETS})"
+    return f"""
+    {_minhash_cand_ctes()},
+    straddle AS (
+      SELECT CASE WHEN {base1} THEN d2 ELSE d1 END AS doc_id,
+             CASE WHEN {base1} THEN d1 ELSE d2 END AS base_id
+      FROM cand
+      WHERE {base1} <> {base2}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT st.doc_id, st.base_id, COUNT(*) AS c
+      FROM straddle st
+      JOIN sh s1 ON s1.doc_id = st.doc_id
+      JOIN sh s2 ON s2.doc_id = st.base_id AND s1.sh = s2.sh
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.doc_id, CAST(c.c AS DOUBLE) / (z1.n + z2.n - c.c) AS jaccard
+      FROM common c
+      JOIN sizes z1 ON c.doc_id = z1.doc_id
+      JOIN sizes z2 ON c.base_id = z2.doc_id
+    ),
+    ncand AS (
+      SELECT doc_id, COUNT(*) AS n_base_candidates FROM straddle GROUP BY 1
+    ),
+    mx AS (
+      SELECT doc_id, MAX(jaccard) AS max_base_jaccard FROM verified GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n.n_base_candidates, 0) AS BIGINT)
+             AS n_base_candidates,
+           m.max_base_jaccard,
+           COALESCE(m.max_base_jaccard >= {JACCARD_THRESHOLD}, FALSE) AS is_dup,
+           NOT COALESCE(m.max_base_jaccard >= {JACCARD_THRESHOLD}, FALSE)
+             AS kept
+    FROM documents d
+    LEFT JOIN ncand n ON d.doc_id = n.doc_id
+    LEFT JOIN mx m ON d.doc_id = m.doc_id
+    WHERE {_hash_bucket_sql('d.doc_id', 'split:', _INCR_SPLIT_MOD)}
+          >= {_INCR_BASE_BUCKETS}
+    """
+
+
+ORACLES["dedup_incremental_cohort"] = _incremental_cohort_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B97 SimHash hamming operating curve — the tuning-curve family's
+# missing member (B51 verify threshold / B63 MinHash banding / B65
+# signature bits / B69 nprobe / B71 hashes-per-signature): B4's
+# _HAMMING_MAX = 7 decision measured against ground truth instead of
+# assumed.  For each hamming cutoff, empirical catch rates over the
+# df-pruned pair universe (the SAME linear-sized universe B63
+# evaluates on) split by exact-Jaccard truth — the precision/recall
+# evidence behind the 8x4-band blocking choice.
+#
+# Scale shape: the heavy leg (pair universe x both 32-bit signatures
+# reduced to one skinny (is_dup, hamming) row per pair) is a
+# session-frozen artifact (r7 dedup-verify discipline; deterministic,
+# so the fresh-chain oracle stays valid verbatim); the whole cutoff
+# grid then evaluates map-side (one explode of integer comparisons)
+# into a grid-sized aggregate.
+# ---------------------------------------------------------------------------
+_HAMMING_CURVE_CUTOFFS = [0, 1, 2, 4, 7, 10]
+
+
+def simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h_max, n_dup_pairs, n_dup_caught, recall, n_nondup_pairs,
+    n_nondup_caught, nondup_catch_rate): per hamming cutoff, how many
+    true near-dups (exact pruned-space Jaccard >= threshold) and how
+    many non-dups a `hamming <= h_max` decision would catch."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    def _build_pair_hamming() -> tuple[DataFrame, ...]:
+        kept = _df_pruned_shingles(spark, sf_dir)
+        sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        pairs = _exact_jaccard_pairs(kept, sizes, 0.0)
+        sig = simhash_signatures(spark, sf_dir)
+        s1 = sig.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1")
+        )
+        s2 = sig.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2")
+        )
+        return (
+            pairs.join(s1, "doc_id_1")
+            .join(s2, "doc_id_2")
+            .select(
+                (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_dup"),
+                F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+                .cast("long")
+                .alias("hamming"),
+            ),
+        )
+
+    (ph,) = frozen("simhash_pair_hamming", spark, sf_dir, _build_pair_hamming)
+    ex = ph.select(
+        "is_dup",
+        "hamming",
+        F.explode(
+            F.array(*[F.lit(h).cast("long") for h in _HAMMING_CURVE_CUTOFFS])
+        ).alias("h_max"),
+    )
+    caught = F.col("hamming") <= F.col("h_max")
+    return (
+        ex.groupBy("h_max")
+        .agg(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.sum(F.when(F.col("is_dup") & caught, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_caught"),
+            F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nondup_pairs"),
+            F.sum(F.when((~F.col("is_dup")) & caught, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nondup_caught"),
+        )
+        .select(
+            "h_max",
+            "n_dup_pairs",
+            "n_dup_caught",
+            (
+                F.col("n_dup_caught").cast("double")
+                / F.nullif(F.col("n_dup_pairs"), F.lit(0))
+            ).alias("recall"),
+            "n_nondup_pairs",
+            "n_nondup_caught",
+            (
+                F.col("n_nondup_caught").cast("double")
+                / F.nullif(F.col("n_nondup_pairs"), F.lit(0))
+            ).alias("nondup_catch_rate"),
+        )
+    )
+
+
+QUERIES["simhash_hamming_curve"] = simhash_hamming_curve
+
+
+def _hamming_curve_oracle_sql() -> str:
+    cutoffs = ", ".join(str(h) for h in _HAMMING_CURVE_CUTOFFS)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    keptsh AS (
+      SELECT sh FROM sh CROSS JOIN nd
+      GROUP BY sh, nd.n_docs
+      HAVING COUNT(*) <= greatest({_MIN_DF_CAP},
+                                  CAST(ceil({_MAX_DF_FRAC} * nd.n_docs) AS BIGINT))
+    ),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keptsh k ON s.sh = k.sh),
+    psizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pcommon AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairsj AS (
+      SELECT doc_id_1, doc_id_2,
+             CAST(c AS DOUBLE) / (z1.n + z2.n - c) AS jaccard
+      FROM pcommon
+      JOIN psizes z1 ON doc_id_1 = z1.doc_id
+      JOIN psizes z2 ON doc_id_2 = z2.doc_id
+    ),
+    {_simhash_sig_ctes()},
+    evalp AS (
+      SELECT p.jaccard >= {JACCARD_THRESHOLD} AS is_dup,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM pairsj p
+      JOIN ssig sa ON p.doc_id_1 = sa.doc_id
+      JOIN ssig sb ON p.doc_id_2 = sb.doc_id
+    ),
+    grid AS (
+      SELECT is_dup, hamming, CAST(h AS BIGINT) AS h_max
+      FROM evalp, UNNEST([{cutoffs}]) AS t(h)
+    )
+    SELECT h_max,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_pairs,
+           CAST(SUM(CASE WHEN is_dup AND hamming <= h_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_caught,
+           CAST(SUM(CASE WHEN is_dup AND hamming <= h_max THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS recall,
+           CAST(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nondup_pairs,
+           CAST(SUM(CASE WHEN NOT is_dup AND hamming <= h_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nondup_caught,
+           CAST(SUM(CASE WHEN NOT is_dup AND hamming <= h_max THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END), 0)
+             AS nondup_catch_rate
+    FROM grid
+    GROUP BY h_max
+    """
+
+
+ORACLES["simhash_hamming_curve"] = _hamming_curve_oracle_sql()

@@ -6132,3 +6132,236 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         (F.col("n_events") == F.max("n_events").over(w)).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A97 Kaplan-Meier inter-purchase survival (reference analog: the
+# "will this account transact again, and when" retention question the
+# explorer's lifecycle dashboards circle around — accounts.rs
+# created/last-active lifecycle over the time indexes).  A57 answers
+# cohort retention at month grain; THIS estimates the full
+# time-to-next-order distribution, and does it correctly under
+# censoring: every customer's time-since-last-order is an open
+# (right-censored) observation that plain gap averages silently drop
+# — the textbook bias the product-limit estimator exists to fix
+# (Kaplan-Meier 1958).
+#
+# Estimator: at each observed gap length t with d_t uncensored events
+# and n_t observations still at risk (gap-or-censor >= t),
+# S(t) = prod_{u<=t} (1 - d_u/n_u).
+#
+# Engine-stable float discipline: d/n is one IEEE division of exact
+# BIGINTs; ln(1 - d/n) rounds at 8 decimals into DECIMAL(24,8) sums
+# (the B33/B76 order-free log-sum discipline); survival = round-6 of
+# exp over the VARCHAR-hopped cumulative sum.  A day where d = n
+# (everyone at risk converts) sends the product to exactly 0 from
+# that day on, handled as a flag, never as ln(0).
+#
+# Scale shape: one custkey-keyed window pass (lag on the (date,
+# orderkey) total order) + one custkey aggregate for the censored
+# tail, then EVERYTHING else runs on the bounded gap-day grain
+# (<= date-range days): the at-risk suffix count, the cumulative
+# log-sum, and the zero flag are windows over grain-sized data — the
+# A88/A89 bounded-grain window pattern, never a fact-sized sort.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_survival_curve",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+    ),
+    gaps AS (
+      SELECT t, 1 AS ev FROM (
+        SELECT CAST(d - LAG(d) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey) AS BIGINT) AS t
+        FROM o
+      ) WHERE t IS NOT NULL
+    ),
+    cens AS (
+      SELECT CAST((SELECT MAX(d) FROM o) - MAX(d) AS BIGINT) AS t, 0 AS ev
+      FROM o GROUP BY o_custkey
+    ),
+    obs AS (SELECT * FROM gaps UNION ALL SELECT * FROM cens),
+    grain AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, COUNT(*) AS c_obs
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_events,
+             CAST((SELECT COUNT(*) FROM obs)
+                  - COALESCE(SUM(c_obs) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM grain
+    ),
+    steps AS (
+      SELECT t, n_at_risk, d_events,
+             CASE WHEN d_events < n_at_risk THEN
+               CAST(ROUND(ln(1.0 - CAST(d_events AS DOUBLE)
+                                   / CAST(n_at_risk AS DOUBLE)), 8)
+                    AS DECIMAL(24,8))
+             END AS lnf,
+             CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END AS hz
+      FROM risk WHERE d_events > 0
+    )
+    SELECT t AS gap_days, n_at_risk, d_events AS n_events,
+           CASE WHEN MAX(hz) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(lnf) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE)), 6)
+           END AS survival
+    FROM steps
+    """,
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gap_days, n_at_risk, n_events, survival): the Kaplan-Meier
+    product-limit estimate of the inter-purchase time distribution,
+    right-censoring every customer's open time-since-last-order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.select(F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("t"))
+        .where(F.col("t").isNotNull())
+        .select("t", F.lit(1).alias("ev"))
+    )
+    maxd = o.agg(F.max("d").alias("maxd"))
+    cens = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("maxd", "last_d").cast("long").alias("t"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    obs = gaps.unionByName(cens)
+    grain = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.count(F.lit(1)).alias("c_obs"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grain.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d_events",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("c_obs").over(w_prev), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_at_risk"),
+        )
+        .where(F.col("d_events") > 0)
+    )
+    frac = F.col("d_events").cast("double") / F.col("n_at_risk").cast("double")
+    steps = risk.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        F.when(
+            F.col("d_events") < F.col("n_at_risk"),
+            F.round(F.log(F.lit(1.0) - frac), 8).cast("decimal(24,8)"),
+        ).alias("lnf"),
+        F.when(F.col("d_events") >= F.col("n_at_risk"), 1).otherwise(0).alias("hz"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("t").alias("gap_days"),
+        "n_at_risk",
+        F.col("d_events").alias("n_events"),
+        F.when(F.max("hz").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lnf").over(w_cum).cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A98 point-in-time open-order backlog (reference analog: the
+# "transactions submitted but not yet finalized" in-flight panel —
+# receipts outstanding between a transaction's block and its last
+# execution outcome, execution_outcomes.rs over the time indexes).
+# Counting how many intervals cover each day is the classic
+# interval-concurrency question; the naive day x interval range join
+# is quadratic.  The scalable decomposition: each order contributes
+# +1 on its open day and -1 on the day AFTER its last shipment, and
+# the backlog is the running sum over the bounded day grain — one
+# pass, no interval join at any scale (the A85 covering-day
+# discipline's sparse twin).
+#
+# Open = o_orderdate; closed through = max(l_shipdate) per order
+# (orders with no lineitem rows never close and simply stay in the
+# backlog — a LEFT-semantics property the delta form gives for free).
+# All outputs are exact integers.
+# ---------------------------------------------------------------------------
+@_register(
+    "order_backlog_daily",
+    """
+    WITH opened AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_opened,
+             0 AS n_leaving
+      FROM orders GROUP BY 1
+    ),
+    closes AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+      FROM lineitem GROUP BY 1
+    ),
+    leaving AS (
+      SELECT close_d + 1 AS day, 0 AS n_opened, COUNT(*) AS n_leaving
+      FROM closes GROUP BY 1
+    ),
+    deltas AS (
+      SELECT day, CAST(SUM(n_opened) AS BIGINT) AS n_opened,
+             CAST(SUM(n_leaving) AS BIGINT) AS n_leaving
+      FROM (SELECT * FROM opened UNION ALL SELECT * FROM leaving)
+      GROUP BY day
+    )
+    SELECT day AS event_date, n_opened, n_leaving,
+           CAST(SUM(n_opened - n_leaving) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM deltas
+    """,
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_opened, n_leaving, backlog): orders opened that
+    day, orders whose last shipment was the previous day (leaving the
+    backlog), and the running count of orders still open."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_opened"))
+        .select("day", "n_opened", F.lit(0).cast("long").alias("n_leaving"))
+    )
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    leaving = (
+        closes.groupBy(F.date_add("close_d", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_leaving"))
+        .select("day", F.lit(0).cast("long").alias("n_opened"), "n_leaving")
+    )
+    deltas = (
+        opened.unionByName(leaving)
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").cast("long").alias("n_opened"),
+            F.sum("n_leaving").cast("long").alias("n_leaving"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("day").alias("event_date"),
+        "n_opened",
+        "n_leaving",
+        F.sum(F.col("n_opened") - F.col("n_leaving"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )

@@ -2069,3 +2069,143 @@ def read_stream_hhi(spark: SparkSession, out_dir: str) -> DataFrame:
         "p_type", "l_suppkey", F.col("micros").cast("decimal(19,0)").alias("micros")
     )
     return hhi_from_cells(cells)
+
+
+# ---------------------------------------------------------------------------
+# C32 additive count maintenance via batch-id-keyed deltas — the
+# delta-log write path for aggregations whose merge is NOT idempotent.
+# C22/C28 survive replay because OR/register-max absorb duplicates;
+# SUM does not, so the sink derives idempotency from the TRANSACTION
+# ID instead: each micro-batch OVERWRITES its own
+# ``deltas/batch=<batch_id>`` directory (foreachBatch batch ids are
+# stable across restarts within a checkpoint lineage), making a
+# crash-replayed batch rewrite the identical delta rather than
+# double-count.  This is the reference's ON-CONFLICT idempotency
+# transplanted to an algebra Postgres upserts cannot give for SUM —
+# and the write path is PURE APPEND: unlike the C7 read-modify-write
+# snapshot merge, a batch never reads existing state, so per-batch
+# cost is O(batch) regardless of state size (the LSM/delta-log shape
+# real lakehouse formats use).
+#
+# Read = fold (SUM over base + uncovered deltas); compaction folds
+# into a versioned ``base/upto=<B>`` snapshot and prunes deltas <= B.
+# Crash safety: the reader picks the HIGHEST base version and ignores
+# deltas at-or-below its coverage, so a crash between base write and
+# prune double-counts nothing, and a replayed batch <= B is ignored
+# outright.  Counts are BIGINTs and value sums exact DECIMALs, so the
+# fold is merge-order free (the C7/C29 discipline).
+# ---------------------------------------------------------------------------
+def foreach_batch_count_deltas(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # sum_value is pinned to the log's one decimal type at write:
+        # SUM(decimal(12,2)) plans as decimal(22,2) and would give the
+        # delta files a different parquet physical type than the
+        # compacted base (schema drift across the fold's file set)
+        deltas = batch_df.groupBy(
+            "event_type", F.to_date("ts").alias("event_date")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(14,2)")
+            .alias("sum_value"),
+        )
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def _count_delta_sources(out_dir: str) -> tuple[list[str], int]:
+    """(paths to fold, covered-through batch id): the newest base
+    snapshot plus every delta ABOVE its coverage.  Deltas at-or-below
+    the coverage are replay ghosts or compaction leftovers — ignored
+    by construction."""
+    import glob
+
+    bases = glob.glob(os.path.join(out_dir, "base", "upto=*"))
+    covered = max((int(d.rsplit("=", 1)[1]) for d in bases), default=-1)
+    srcs = [os.path.join(out_dir, "base", f"upto={covered}")] if covered >= 0 else []
+    srcs += [
+        d
+        for d in sorted(glob.glob(os.path.join(out_dir, "deltas", "batch=*")))
+        if int(d.rsplit("=", 1)[1]) > covered
+    ]
+    return srcs, covered
+
+
+def count_rollup_read(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(event_type, event_date, n_events, sum_value): the fold of the
+    newest base snapshot + uncovered deltas — exactly the batch
+    rollup over everything ingested."""
+    srcs, _ = _count_delta_sources(out_dir)
+    return (
+        spark.read.parquet(*srcs)
+        .groupBy("event_type", "event_date")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("decimal(14,2)").alias("sum_value"),
+        )
+    )
+
+
+def compact_count_deltas(
+    spark: SparkSession, out_dir: str, _fail_before_prune: bool = False
+) -> tuple[int, int]:
+    """Fold-and-replace compaction: write the fold of (base + deltas)
+    as ``base/upto=<max folded batch>``, then prune covered deltas and
+    stale bases.  Write-before-delete: a crash between the two steps
+    leaves a state every read still folds correctly (the new base
+    wins, covered deltas are ignored)."""
+    import glob
+    import shutil
+
+    srcs, covered = _count_delta_sources(out_dir)
+    delta_ids = [
+        int(d.rsplit("=", 1)[1]) for d in srcs if "/deltas/" in d
+    ]
+    n_folded = 0
+    new_covered = covered
+    if delta_ids:
+        n_folded = len(srcs)
+        new_covered = max(delta_ids)
+        folded = (
+            spark.read.parquet(*srcs)
+            .groupBy("event_type", "event_date")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").cast("decimal(14,2)").alias("sum_value"),
+            )
+        )
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "base", f"upto={new_covered}")
+        )
+        if _fail_before_prune:
+            raise RuntimeError("injected crash between base write and prune")
+    # the prune doubles as the ghost sweep: covered deltas (replay
+    # leftovers, crashed-compaction remnants) and stale bases go even
+    # when there was nothing new to fold
+    for d in glob.glob(os.path.join(out_dir, "deltas", "batch=*")):
+        if int(d.rsplit("=", 1)[1]) <= new_covered:
+            shutil.rmtree(d)
+    for d in glob.glob(os.path.join(out_dir, "base", "upto=*")):
+        if int(d.rsplit("=", 1)[1]) < new_covered:
+            shutil.rmtree(d)
+    remaining = glob.glob(os.path.join(out_dir, "deltas", "batch=*")) + glob.glob(
+        os.path.join(out_dir, "base", "upto=*")
+    )
+    return (n_folded, len(remaining))
+
+
+def count_delta_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C32 driver: event stream -> per-(type, day) additive counts
+    maintained as batch-id-keyed append-only deltas."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_count_deltas(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

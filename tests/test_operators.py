@@ -2662,3 +2662,137 @@ def test_hubness_report_degree_conservation(spark, tmp_path):
     degs = Counter(r["neighbor_id"] for r in topk)
     hubs = {v for v, d in degs.items() if d == max_deg}
     assert out[0]["max_hub_id"] == min(hubs)
+
+
+def test_survival_curve_planted_km(spark, tmp_path):
+    """A97 semantics: hand-computed Kaplan-Meier with censoring.
+    Events {2,2,5,10}, censors {6,5,0,0} (8 obs): S(2) = 1-2/6,
+    S(5) = (2/3)(3/4) = 0.5, and at t=10 the last at-risk obs is the
+    event itself (d = n) so the curve drops to exactly 0."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        customer_survival_curve,
+    )
+
+    base = datetime.datetime(1995, 1, 1)
+
+    def d(n):
+        return base + datetime.timedelta(days=n)
+
+    rows = [
+        (1, d(0), 1), (1, d(2), 2), (1, d(4), 3),   # gaps 2,2; censor 6
+        (2, d(0), 4), (2, d(5), 5),                  # gap 5; censor 5
+        (3, d(10), 6),                               # censor 0 (fixes max)
+        (4, d(0), 7), (4, d(10), 8),                 # gap 10; censor 0
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_orderkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r["gap_days"]: r for r in customer_survival_curve(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 5, 10}
+    assert out[2]["n_at_risk"] == 6 and out[2]["n_events"] == 2
+    assert out[2]["survival"] == 0.666667
+    assert out[5]["n_at_risk"] == 4 and out[5]["n_events"] == 1
+    assert out[5]["survival"] == 0.5
+    assert out[10]["n_at_risk"] == 1 and out[10]["n_events"] == 1
+    assert out[10]["survival"] == 0.0
+
+
+def test_order_backlog_planted_intervals(spark, tmp_path):
+    """A98 semantics: two orders open day 0, one more day 2; closes at
+    ship-max 1 and 3 leave on days 2 and 4; the unshipped order never
+    leaves — backlog 2, 2, 1."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        order_backlog_daily,
+    )
+
+    base = datetime.datetime(1995, 1, 1)
+
+    def d(n):
+        return base + datetime.timedelta(days=n)
+
+    orders = [(1, d(0)), (2, d(0)), (3, d(2))]
+    lines = [(1, d(1)), (2, d(3)), (2, d(1))]  # order 3 never ships
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {str(r["event_date"]): r for r in order_backlog_daily(spark, str(tmp_path)).collect()}
+    assert set(out) == {"1995-01-01", "1995-01-03", "1995-01-05"}
+    assert out["1995-01-01"]["n_opened"] == 2 and out["1995-01-01"]["backlog"] == 2
+    assert out["1995-01-03"]["n_opened"] == 1 and out["1995-01-03"]["n_leaving"] == 1
+    assert out["1995-01-03"]["backlog"] == 2
+    assert out["1995-01-05"]["n_leaving"] == 1 and out["1995-01-05"]["backlog"] == 1
+
+
+def test_incremental_cohort_planted_base_dup(spark, tmp_path):
+    """B96 semantics: an incoming doc identical to a BASE doc is
+    dropped (max_base_jaccard 1.0); an incoming doc with no base
+    candidate is kept outright; two identical INCOMING docs are both
+    kept — the screen is asymmetric by contract (within-cohort dedup
+    is the ordinary pipeline's job).  Split buckets: md5-split ids
+    0/3 are base, 1/2/8/9 incoming."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_incremental_cohort,
+    )
+
+    t_shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, t_shared),                                   # base
+        (3, "lorem ipsum dolor sit amet consectetur"),   # base filler
+        (1, t_shared),                                   # incoming dup of base
+        (2, "one two three four five six"),              # incoming unique
+        (8, "red green blue purple orange yellow"),      # incoming twins
+        (9, "red green blue purple orange yellow"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in dedup_incremental_cohort(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 8, 9}  # incoming cohort only
+    assert out[1]["is_dup"] and not out[1]["kept"]
+    assert out[1]["max_base_jaccard"] == 1.0
+    assert out[1]["n_base_candidates"] >= 1
+    assert out[2]["kept"] and out[2]["n_base_candidates"] == 0
+    assert out[2]["max_base_jaccard"] is None
+    assert out[8]["kept"] and out[9]["kept"]  # incoming-incoming not screened
+
+
+def test_simhash_hamming_curve_planted_monotone(spark, tmp_path):
+    """B97 semantics: identical docs (hamming 0, jaccard 1) are caught
+    at every cutoff including 0; catch counts are monotone in the
+    cutoff (nesting); the pair universe is constant across rows."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        _HAMMING_CURVE_CUTOFFS,
+        simhash_hamming_curve,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),     # dup pair, hamming 0
+        (2, "shared tri gram aaa bbb ccc"),
+        (3, "shared tri gram xxx yyy zzz"),             # 1 common shingle
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["h_max"]: r for r in simhash_hamming_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == sorted(_HAMMING_CURVE_CUTOFFS)
+    universe = {
+        (r["n_dup_pairs"], r["n_nondup_pairs"]) for r in out.values()
+    }
+    assert len(universe) == 1  # same pair universe in every row
+    assert out[0]["n_dup_caught"] >= 1  # the identical pair at cutoff 0
+    cuts = sorted(_HAMMING_CURVE_CUTOFFS)
+    for lo, hi in zip(cuts, cuts[1:]):
+        assert out[lo]["n_dup_caught"] <= out[hi]["n_dup_caught"]
+        assert out[lo]["n_nondup_caught"] <= out[hi]["n_nondup_caught"]

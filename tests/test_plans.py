@@ -109,6 +109,7 @@ _BNLJ_EXEMPT = {
     "parts_abc_pareto",         # broadcast 1-row total/max-cents scalar
     "centroid_assign_confusion",  # broadcast per-lang centroid codebook (B32 shape)
     "term_burstiness",          # broadcast corpus-total scalar (B27 shape)
+    "customer_survival_curve",  # broadcast 1-row max-date + total-obs scalars
     "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline

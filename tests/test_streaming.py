@@ -1714,3 +1714,121 @@ def test_hhi_stream_matches_batch_kernel(spark, sf_dir, tmp_path):
         for r in supplier_market_hhi(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_count_delta_stream_exact_and_replay_safe(spark, sf_dir, tmp_path):
+    """C32: the batch-id-keyed delta log equals the batch rollup
+    EXACTLY (counts + exact decimal sums), a manually re-run
+    micro-batch overwrites its own delta (no double count), an
+    injected crash between compaction's base write and prune changes
+    nothing, and a checkpoint-wipe full replay AFTER compaction is
+    absorbed because replayed ids land at-or-below the base's
+    coverage."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        compact_count_deltas,
+        count_delta_stream,
+        count_rollup_read,
+        foreach_batch_count_deltas,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "cnt_src")
+    _os.makedirs(src)
+    parts = []
+    for i in range(3):
+        stage = tmp_path / f"cb{i}"
+        part_df = ev.where(F.col("event_id") % 3 == i)
+        parts.append(part_df)
+        part_df.coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "cnt_out"), str(tmp_path / "cnt_ckpt")
+    _await(count_delta_stream(spark, src, out, ckpt))
+
+    def snap():
+        return {
+            (r["event_type"], str(r["event_date"])): (r["n_events"], r["sum_value"])
+            for r in count_rollup_read(spark, out).collect()
+        }
+
+    want = {
+        (r["event_type"], str(r["event_date"])): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(14,2)")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    parts0_rollup = {
+        (r["event_type"], str(r["event_date"])): (r["n_events"], r["sum_value"])
+        for r in parts[0]
+        .groupBy("event_type", F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(14,2)")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert snap() == want  # fold == one-shot batch rollup, exactly
+
+    # a crash-replayed micro-batch rewrites its own delta: no double count
+    foreach_batch_count_deltas(out)(parts[1], 1)
+    assert snap() == want
+
+    # real compaction: 3 deltas folded into one base, fold identical
+    n_folded, n_after = compact_count_deltas(spark, out)
+    assert n_folded == 3 and n_after == 1
+    assert snap() == want
+    # compacting an already-compacted log folds nothing
+    assert compact_count_deltas(spark, out)[0] == 0
+
+    # a LATER micro-batch appends delta 3 (data counted again — the
+    # expectation shifts with it)
+    foreach_batch_count_deltas(out)(parts[0], 3)
+    want2 = {
+        k: (
+            n + (parts0_rollup[k][0] if k in parts0_rollup else 0),
+            v + (parts0_rollup[k][1] if k in parts0_rollup else 0),
+        )
+        for k, (n, v) in want.items()
+    }
+    assert snap() == want2
+
+    # injected crash between base write and prune: the new base
+    # (upto=3) already wins and the covered delta is ignored
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        compact_count_deltas(spark, out, _fail_before_prune=True)
+    assert snap() == want2
+    # the next compaction sweeps the crash leftovers: one base remains
+    n_folded, n_after = compact_count_deltas(spark, out)
+    assert n_folded == 0 and n_after == 1
+    assert snap() == want2
+
+    # checkpoint-wipe full replay AFTER compaction: replayed batch ids
+    # (0..2) land at-or-below the base coverage, so the reader ignores
+    # their rewritten deltas — still exact
+    _shutil.rmtree(ckpt)
+    _await(count_delta_stream(spark, src, out, str(tmp_path / "cnt_ckpt2")))
+    assert snap() == want2
+    # and the final compaction sweeps those ghost deltas away
+    assert compact_count_deltas(spark, out)[1] == 1
+    assert snap() == want2
