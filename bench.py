@@ -171,6 +171,13 @@ EXTRA = [
     "order_backlog_daily",
     "dedup_incremental_cohort",
     "simhash_hamming_curve",
+    "user_interarrival_stats",
+    "bpe_merge_curve",
+    "vocab_oov_curve",
+    "trending_users_decayed",
+    "contamination_ngram_curve",
+    "events_weekly_mix_drift",
+    "lsh_probe_budget_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

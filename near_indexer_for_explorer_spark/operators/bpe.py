@@ -348,3 +348,128 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_encode_corpus"] = bpe_encode_corpus
+
+
+# ---------------------------------------------------------------------------
+# B98 merge-depth operating curve — the BPE family's tuning-curve row
+# (B51/B63/B65/B69/B71/B97 discipline): corpus fertility and
+# compression at EVERY merge depth 0.._BPE_ROUNDS, not just the final
+# one.  Real tokenizer pipelines pick vocabulary size (= merge count)
+# from exactly this curve; depth 0 is the character baseline
+# (fertility = chars/word), each row shows what the next merge buys.
+#
+# Scale shape: the dictionary carries all depths as COLUMNS (enc0..
+# encR built by the same cumulative replace chain the trainer applies
+# — shared _merge_rounds, no drift possible), so the token stream is
+# priced by ONE dictionary equi-join and one aggregate; the depth
+# grid then explodes map-side from a 1-row frame.
+# ---------------------------------------------------------------------------
+def bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_merges, n_words, n_chars, n_symbols, fertility,
+    compression_ratio): corpus-level encoding cost after each merge
+    depth 0..3 under the shared trained chain."""
+    words = _word_freq(spark, sf_dir)
+    rounds = _merge_rounds(words)
+    dict_df = words.select("w", F.col("w").alias("enc0"))
+    for k, (_stage, _stats, best) in enumerate(rounds):
+        keep = ["w"] + [f"enc{i}" for i in range(k + 1)]
+        dict_df = dict_df.crossJoin(F.broadcast(best)).select(
+            *keep,
+            F.replace(
+                F.col(f"enc{k}"),
+                F.concat(F.col(f"bl{k}"), F.col(f"br{k}")),
+                F.lit(_SENTINELS[k]),
+            ).alias(f"enc{k + 1}"),
+        )
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    dtoks = docs.select(F.explode("t").alias("w"))
+    base = dtoks.join(dict_df, "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        *[
+            F.sum(F.length(f"enc{k}")).cast("long").alias(f"sym{k}")
+            for k in range(_BPE_ROUNDS + 1)
+        ],
+    )
+    ex = base.select(
+        "n_words",
+        "n_chars",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("n_merges"),
+                        F.col(f"sym{k}").alias("n_symbols"),
+                    )
+                    for k in range(_BPE_ROUNDS + 1)
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.n_merges").alias("n_merges"),
+        "n_words",
+        "n_chars",
+        F.col("row.n_symbols").alias("n_symbols"),
+        (F.col("row.n_symbols").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        (
+            F.col("row.n_symbols").cast("double")
+            / F.nullif(F.col("n_chars"), F.lit(0))
+        ).alias("compression_ratio"),
+    )
+
+
+QUERIES["bpe_merge_curve"] = bpe_merge_curve
+
+
+def _bpe_curve_oracle_sql() -> str:
+    ctes, bests = _chain_ctes()
+    dict_ctes = ["""
+    dict0 AS (SELECT enc AS w, enc FROM words0)"""]
+    for k in range(_BPE_ROUNDS):
+        best_l, best_r = bests[k]
+        dict_ctes.append(
+            f"""
+    dict{k + 1} AS (
+      SELECT w, replace(enc, {best_l} || {best_r}, chr({1 + k})) AS enc
+      FROM dict{k}
+    )"""
+        )
+    dict_joins = " ".join(
+        f"JOIN dict{k} d{k} ON d{k}.w = dt.w" for k in range(_BPE_ROUNDS + 1)
+    )
+    sym_cols = ",\n             ".join(
+        f"CAST(SUM(length(d{k}.enc)) AS BIGINT) AS sym{k}"
+        for k in range(_BPE_ROUNDS + 1)
+    )
+    depth_rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS n_merges, n_words, n_chars,"
+        f" sym{k} AS n_symbols FROM base"
+        for k in range(_BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes + dict_ctes)
+        + f""",
+    dtoks AS (SELECT UNNEST(t) AS w FROM toks),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(dt.w)) AS BIGINT) AS n_chars,
+             {sym_cols}
+      FROM dtoks dt {dict_joins}
+    ),
+    grid AS (
+      {depth_rows}
+    )
+    SELECT n_merges, n_words, n_chars, n_symbols,
+           CAST(n_symbols AS DOUBLE) / n_words AS fertility,
+           CAST(n_symbols AS DOUBLE) / NULLIF(n_chars, 0)
+             AS compression_ratio
+    FROM grid
+    """
+    )
+
+
+ORACLES["bpe_merge_curve"] = _bpe_curve_oracle_sql()

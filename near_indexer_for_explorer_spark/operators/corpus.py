@@ -2919,3 +2919,150 @@ def _shard_skew_oracle_sql() -> str:
 
 
 ORACLES["shard_skew_report"] = _shard_skew_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B100 decontamination n-gram-size operating curve — the knob B16
+# fixes at 8 measured across the published range (4 = aggressive,
+# 8 = common, 13 = GPT-3's decontamination window): per n, the corpus
+# leakage summary over the SAME deterministic train/eval split.
+# Shorter grams catch paraphrase-adjacent leakage but inflate false
+# positives from common phrases; the curve is the evidence a data
+# lead picks n from (the B51/B63/B97/B98/B99 tuning-curve
+# discipline).
+#
+# Scale shape: one leg per grid n (gram tables for different n share
+# nothing), each leg the proven B16 shape — distinct per-doc grams,
+# DISTINCT train gram set, one sh-keyed equi-join bounded by eval
+# posting lists — reduced to a 1-row summary; the union is 3 rows.
+# ---------------------------------------------------------------------------
+_DECON_CURVE_NS = [4, 8, 13]
+
+
+def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ngram_n, n_eval_docs, n_eval_grams, n_overlap, overlap_rate,
+    n_contaminated): corpus-level train->eval n-gram leakage per
+    candidate decontamination window size."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    split = docs.withColumn(
+        "is_train", _hash_bucket(F.col("doc_id"), "decon:", _DECON_MOD) < 8
+    )
+    out = None
+    for n in _DECON_CURVE_NS:
+        grams = split.select(
+            "doc_id",
+            "is_train",
+            F.explode(F.array_distinct(word_shingles(F.col("t"), n))).alias("sh"),
+        )
+        train_grams = grams.where("is_train").select("sh").distinct()
+        eval_grams = grams.where(~F.col("is_train")).select("doc_id", "sh")
+        hits = (
+            eval_grams.join(train_grams, "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        eval_docs = split.where(~F.col("is_train")).select(
+            "doc_id",
+            F.size(F.array_distinct(word_shingles(F.col("t"), n)))
+            .cast("long")
+            .alias("n_grams"),
+        )
+        n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+        frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+            n_overlap.cast("double") / F.col("n_grams")
+        )
+        per_doc = eval_docs.join(hits, "doc_id", "left").select(
+            "n_grams",
+            n_overlap.alias("n_overlap"),
+            F.when(F.col("n_grams") == 0, F.lit(False))
+            .otherwise(frac >= _DECON_FRAC)
+            .alias("contaminated"),
+        )
+        summary = per_doc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum("n_grams").cast("long").alias("n_eval_grams"),
+            F.sum("n_overlap").cast("long").alias("n_overlap"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        ).select(
+            F.lit(n).cast("long").alias("ngram_n"),
+            "n_eval_docs",
+            "n_eval_grams",
+            "n_overlap",
+            F.when(F.col("n_eval_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_overlap").cast("double") / F.col("n_eval_grams")
+            )
+            .alias("overlap_rate"),
+            "n_contaminated",
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+QUERIES["contamination_ngram_curve"] = contamination_ngram_curve
+
+
+def _decon_curve_leg_sql(n: int) -> str:
+    gram_terms = " || ' ' || ".join(
+        f"t[i+{k}]" if k else "t[i]" for k in range(n)
+    )
+    return f"""
+    SELECT * FROM (
+      WITH {_TOKS_CTE},
+      split AS (
+        SELECT doc_id, t,
+               {_hash_bucket_sql("doc_id", "decon:", _DECON_MOD)} < 8 AS is_train
+        FROM toks
+      ),
+      grams AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          {_gram_sql(n).replace("FROM toks", "FROM split")}
+        )
+      ),
+      train_grams AS (
+        SELECT DISTINCT g.sh FROM grams g JOIN split s ON g.doc_id = s.doc_id
+        WHERE s.is_train
+      ),
+      eval_docs AS (
+        SELECT s.doc_id,
+               len(list_distinct(
+                 CASE WHEN len(t) >= {n}
+                   THEN list_transform(range(1, len(t) - {n - 2}),
+                          i -> {gram_terms})
+                   ELSE [] END)) AS n_grams
+        FROM split s WHERE NOT s.is_train
+      ),
+      hits AS (
+        SELECT g.doc_id, COUNT(*) AS n_overlap
+        FROM grams g
+        JOIN split s ON g.doc_id = s.doc_id AND NOT s.is_train
+        JOIN train_grams tg ON g.sh = tg.sh
+        GROUP BY g.doc_id
+      ),
+      per_doc AS (
+        SELECT e.n_grams,
+               COALESCE(h.n_overlap, 0) AS n_overlap,
+               CASE WHEN e.n_grams = 0 THEN FALSE
+                    ELSE CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / e.n_grams
+                         >= {_DECON_FRAC}
+               END AS contaminated
+        FROM eval_docs e LEFT JOIN hits h ON e.doc_id = h.doc_id
+      )
+      SELECT CAST({n} AS BIGINT) AS ngram_n,
+             CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+             CAST(SUM(n_grams) AS BIGINT) AS n_eval_grams,
+             CAST(SUM(n_overlap) AS BIGINT) AS n_overlap,
+             CASE WHEN SUM(n_grams) = 0 THEN 0.0
+                  ELSE CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_grams)
+             END AS overlap_rate,
+             CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM per_doc
+    )"""
+
+
+ORACLES["contamination_ngram_curve"] = "\n    UNION ALL".join(
+    _decon_curve_leg_sql(n) for n in _DECON_CURVE_NS
+)

@@ -4109,3 +4109,175 @@ ORACLES["ann_hubness_report"] = f"""
     SELECT h.in_degree, h.n_vectors, b.max_hub_id
     FROM hist h CROSS JOIN hub b
 """
+
+
+# ---------------------------------------------------------------------------
+# B101 LSH probe-budget operating curve — B6's multi-probe radius is
+# its latency/recall dial, measured here instead of assumed: per probe
+# radius, candidate volume and exact-top-k recall against the B5
+# brute-force baseline.  Completes the operating-curve coverage of
+# every ANN path (B69 IVF nprobe, B92 rerank depth, THIS for
+# hyperplane LSH).
+#
+# The grid never re-probes: a pair meets through exactly ONE xor mask,
+# whose popcount (= bucket hamming distance) is the MINIMAL radius
+# that reaches it — so one radius-2 probe join + a radius_needed
+# column serves every grid row (the B69 ranked-probe trick), and
+# recall@k needs no candidate-side window at all: candidates score by
+# exact cosine, so any exact-top-k member in the candidate set makes
+# the candidate top-k (the B92 intersection argument) — hits are one
+# conditional-sum aggregate over exact_topk LEFT JOIN candidates.
+# Recall is an exact-integer ratio (micro-averaged), round-6.
+# ---------------------------------------------------------------------------
+_LSH_CURVE_RADII = [0, 1, 2]
+
+
+def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(radius, n_candidates, n_hits, n_queries, recall_at_k): per
+    multi-probe radius, how many candidate pairs the probe budget
+    admits and what fraction of the exact top-k it recovers."""
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
+    )
+    masks = F.array(*[F.lit(m) for m in _probe_masks()])
+    probes = q.select(
+        "q_id",
+        "q_bucket",
+        F.explode(
+            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+        ).alias("probe_bucket"),
+    )
+    pairs = e.join(
+        F.broadcast(probes),
+        (F.col("probe_bucket") == F.col("bucket"))
+        & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.bit_count(F.col("q_bucket").bitwiseXOR(F.col("bucket")))
+        .cast("long")
+        .alias("radius_needed"),
+    )
+    cand = pairs.agg(
+        *[
+            F.sum(F.when(F.col("radius_needed") <= r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cand{r}")
+            for r in _LSH_CURVE_RADII
+        ]
+    )
+    exact = ann_cosine_topk(spark, sf_dir).alias("x")
+    pr = pairs.alias("pr")
+    hits = exact.join(
+        pr,
+        (F.col("x.q_id") == F.col("pr.q_id"))
+        & (F.col("x.neighbor_id") == F.col("pr.vec_id")),
+        "left",
+    ).agg(
+        *[
+            F.sum(F.when(F.col("pr.radius_needed") <= r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"hit{r}")
+            for r in _LSH_CURVE_RADII
+        ]
+    )
+    nq = ann_cosine_topk(spark, sf_dir).agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries")
+    )
+    one = cand.crossJoin(hits).crossJoin(F.broadcast(nq))
+    ex = one.select(
+        "n_queries",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("radius"),
+                        F.col(f"cand{r}").alias("n_candidates"),
+                        F.col(f"hit{r}").alias("n_hits"),
+                    )
+                    for r in _LSH_CURVE_RADII
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.radius").alias("radius"),
+        F.col("row.n_candidates").alias("n_candidates"),
+        F.col("row.n_hits").alias("n_hits"),
+        "n_queries",
+        F.round(
+            F.col("row.n_hits").cast("double")
+            / (F.lit(TOP_K) * F.col("n_queries")),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+QUERIES["lsh_probe_budget_curve"] = lsh_probe_budget_curve
+
+
+def _lsh_curve_oracle_sql() -> str:
+    plane_cases = []
+    for p, comp in enumerate(_hyperplanes()):
+        w_list = ",".join(str(c) for c in comp)
+        plane_cases.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+            f"i -> emb[i] * ([{w_list}])[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(plane_cases)
+    masks_list = ",".join(str(m) for m in _probe_masks())
+    cand_sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN radius_needed <= {r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS cand{r}"
+        for r in _LSH_CURVE_RADII
+    )
+    hit_sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN pr.radius_needed <= {r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS hit{r}"
+        for r in _LSH_CURVE_RADII
+    )
+    grid = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS radius, cand{r} AS n_candidates,"
+        f" hit{r} AS n_hits FROM cand CROSS JOIN hits"
+        for r in _LSH_CURVE_RADII
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (SELECT vec_id, {bucket_expr} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, bucket AS q_bucket
+          FROM b WHERE vec_id % {QUERY_MOD} = 0),
+    probes AS (
+      SELECT q_id, q_bucket, xor(q_bucket, CAST(t.m AS BIGINT)) AS probe_bucket
+      FROM q, UNNEST([{masks_list}]) AS t(m)
+    ),
+    pairs AS (
+      SELECT p.q_id, b.vec_id,
+             CAST(bit_count(xor(p.q_bucket, b.bucket)) AS BIGINT)
+               AS radius_needed
+      FROM probes p JOIN b ON p.probe_bucket = b.bucket
+                          AND p.q_id <> b.vec_id
+    ),
+    cand AS (
+      SELECT {cand_sums}
+      FROM pairs
+    ),
+    exact AS ({ORACLES["ann_cosine_topk"]}),
+    nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+           FROM exact),
+    hits AS (
+      SELECT {hit_sums}
+      FROM exact x LEFT JOIN pairs pr
+        ON x.q_id = pr.q_id AND x.neighbor_id = pr.vec_id
+    ),
+    grid AS (
+      {grid}
+    )
+    SELECT radius, n_candidates, n_hits, nq.n_queries,
+           ROUND(CAST(n_hits AS DOUBLE) / ({TOP_K} * nq.n_queries), 6)
+             AS recall_at_k
+    FROM grid CROSS JOIN nq
+    """
+
+
+ORACLES["lsh_probe_budget_curve"] = _lsh_curve_oracle_sql()

@@ -1115,3 +1115,128 @@ def _borderline_oracle_sql() -> str:
 
 
 ORACLES["borderline_docs"] = _borderline_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B99 vocabulary-size OOV operating curve — the sizing knob behind
+# B26's fixed-V coverage (the tuning-curve discipline: B51/B63/B65/
+# B69/B71/B97/B98): per candidate vocabulary size V, how much of the
+# corpus token mass the top-V frequency vocabulary covers.  Tokenizer
+# and hash-space sizing reads exactly this curve (diminishing OOV
+# returns per 4x vocabulary growth).
+#
+# Scale shape: one map-combined token aggregate; the ranked relation
+# is TakeOrdered-bounded at the LARGEST grid V (the rank window runs
+# over <= max(V) rows, never the vocabulary); the whole V grid is
+# conditional sums over that bounded relation + one 1-row totals
+# broadcast.
+# ---------------------------------------------------------------------------
+_OOV_CURVE_SIZES = [16, 64, 256, 1024]
+
+
+def vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vocab_size, n_vocab_types, covered_tokens, total_tokens,
+    oov_rate): corpus token coverage of the top-V frequency
+    vocabulary, per candidate V."""
+    from pyspark.sql import Window
+
+    vmax = max(_OOV_CURVE_SIZES)
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = docs.select(F.explode("t").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vmax)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            ),
+        )
+    )
+    base = top.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= v, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"cov{v}")
+            for v in _OOV_CURVE_SIZES
+        ],
+        *[
+            F.sum(F.when(F.col("rk") <= v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"nt{v}")
+            for v in _OOV_CURVE_SIZES
+        ],
+    )
+    ex = base.crossJoin(F.broadcast(totals)).select(
+        "total_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).cast("long").alias("vocab_size"),
+                        F.col(f"nt{v}").alias("n_vocab_types"),
+                        F.col(f"cov{v}").alias("covered_tokens"),
+                    )
+                    for v in _OOV_CURVE_SIZES
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.vocab_size").alias("vocab_size"),
+        F.col("row.n_vocab_types").alias("n_vocab_types"),
+        F.col("row.covered_tokens").alias("covered_tokens"),
+        "total_tokens",
+        (
+            (F.col("total_tokens") - F.col("row.covered_tokens")).cast("double")
+            / F.col("total_tokens")
+        ).alias("oov_rate"),
+    )
+
+
+QUERIES["vocab_oov_curve"] = vocab_oov_curve
+
+
+def _oov_curve_oracle_sql() -> str:
+    vmax = max(_OOV_CURVE_SIZES)
+    cov_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN rk <= {v} THEN cnt ELSE 0 END) AS BIGINT) AS cov{v},"
+        f" CAST(SUM(CASE WHEN rk <= {v} THEN 1 ELSE 0 END) AS BIGINT) AS nt{v}"
+        for v in _OOV_CURVE_SIZES
+    )
+    grid = "\n      UNION ALL ".join(
+        f"SELECT CAST({v} AS BIGINT) AS vocab_size, nt{v} AS n_vocab_types,"
+        f" cov{v} AS covered_tokens FROM base"
+        for v in _OOV_CURVE_SIZES
+    )
+    return rf"""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+    ),
+    tok AS (SELECT UNNEST(tk) AS token FROM t),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {vmax}),
+    totals AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+    base AS (
+      SELECT {cov_cols}
+      FROM top
+    ),
+    grid AS (
+      {grid}
+    )
+    SELECT vocab_size, n_vocab_types, covered_tokens, t.total_tokens,
+           CAST(t.total_tokens - covered_tokens AS DOUBLE) / t.total_tokens
+             AS oov_rate
+    FROM grid CROSS JOIN totals t
+    """
+
+
+ORACLES["vocab_oov_curve"] = _oov_curve_oracle_sql()

@@ -6299,6 +6299,43 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backlog — a LEFT-semantics property the delta form gives for free).
 # All outputs are exact integers.
 # ---------------------------------------------------------------------------
+def backlog_from_deltas(opened: DataFrame, closes: DataFrame) -> DataFrame:
+    """The A98 kernel over its two sufficient relations — `opened`
+    (day, n_opened) and `closes` (l_orderkey, close_d) — shared
+    verbatim with the C33 incremental twin (both relations are
+    mergeable: opened counts are additive, per-order close maxes are
+    register-max), so stream == batch is a kernel invariant."""
+    opened = opened.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.lit(0).cast("long").alias("n_leaving"),
+    )
+    leaving = (
+        closes.groupBy(F.date_add("close_d", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_leaving"))
+        .select("day", F.lit(0).cast("long").alias("n_opened"), "n_leaving")
+    )
+    deltas = (
+        opened.unionByName(leaving)
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").cast("long").alias("n_opened"),
+            F.sum("n_leaving").cast("long").alias("n_leaving"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("day").alias("event_date"),
+        "n_opened",
+        "n_leaving",
+        F.sum(F.col("n_opened") - F.col("n_leaving"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+
 @_register(
     "order_backlog_daily",
     """
@@ -6328,40 +6365,296 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deltas
     """,
 )
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_date, n_opened, n_leaving, backlog): orders opened that
     day, orders whose last shipment was the previous day (leaving the
     backlog), and the running count of orders still open."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    opened = (
-        orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_opened"))
-        .select("day", "n_opened", F.lit(0).cast("long").alias("n_leaving"))
+    opened = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
     )
     closes = li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("close_d")
     )
-    leaving = (
-        closes.groupBy(F.date_add("close_d", 1).alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_leaving"))
-        .select("day", F.lit(0).cast("long").alias("n_opened"), "n_leaving")
+    return backlog_from_deltas(opened, closes)
+
+
+# ---------------------------------------------------------------------------
+# A99 inter-arrival timing regularity (reference analog: bot/script
+# detection on the transaction surface — a scripted account fires on a
+# timer, an organic one is bursty; the TIMING twin of A93's
+# event-type-mix entropy).  Per user: exact integer-second gaps on the
+# (ts, event_id) total order, coefficient of variation from two exact
+# sums (the A67 s1/s2 variance discipline — stddev_samp accumulates in
+# engine-specific float order, exact decimal sums do not), and the
+# low-CV regular-cadence flag on the round-6 value so no raw float
+# decides it.
+#
+# Scale shape: ONE user-keyed window pass for the lags + one user
+# aggregate on the same key (exchange reused); gap seconds square
+# inside BIGINT (safe to ~95-year gaps), sums exact DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+@_register(
+    "user_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM seq
+      GROUP BY user_id
+      HAVING COUNT(gap_s) >= 2
     )
-    deltas = (
-        opened.unionByName(leaving)
-        .groupBy("day")
+    SELECT user_id, n_gaps,
+           ROUND(s1 / n_gaps, 6) AS mean_gap_s,
+           ROUND(sqrt(greatest(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps),
+                               0.0))
+                 / NULLIF(s1 / n_gaps, 0.0), 6) AS cv,
+           COALESCE(ROUND(sqrt(greatest(s2 / n_gaps
+                                        - (s1 / n_gaps) * (s1 / n_gaps),
+                                        0.0))
+                          / NULLIF(s1 / n_gaps, 0.0), 6) < 0.2
+                    AND n_gaps >= 20, FALSE) AS is_regular
+    FROM agg
+    """,
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_gaps, mean_gap_s, cv, is_regular): per-user
+    inter-event-gap mean and coefficient of variation with the
+    regular-cadence (bot) flag."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_s = ((us - F.lag(us).over(w)) / F.lit(1000000)).cast("long")
+    seq = ev.select("user_id", gap_s.alias("gap_s"))
+    agg = (
+        seq.groupBy("user_id")
         .agg(
-            F.sum("n_opened").cast("long").alias("n_opened"),
-            F.sum("n_leaving").cast("long").alias("n_leaving"),
+            F.count("gap_s").alias("n_gaps"),
+            F.sum(F.col("gap_s").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    cv = F.round(F.sqrt(var) / F.nullif(mean, F.lit(0.0)), 6)
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        cv.alias("cv"),
+        F.coalesce(
+            (cv < 0.2) & (F.col("n_gaps") >= 20), F.lit(False)
+        ).alias("is_regular"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A100 exponentially-decayed trending leaderboard (reference analog:
+# the "trending contracts / most active accounts" explorer panel — a
+# plain all-time sum never rotates, a fixed window forgets cliff-style;
+# the standard production answer is recency-weighted volume with a
+# half-life).  score(u) = sum value * 2^(-age_days / 30).
+#
+# Engine-stable float discipline: the decay constant ln2/30 enters
+# BOTH engines as the identical parsed double literal (bare
+# high-precision literals type DECIMAL in DuckDB and re-round — the
+# B63 CAST('..' AS DOUBLE) lesson); each per-event term value *
+# exp(-c * age) is ROUND-8 into a DECIMAL(24,8) sum (the B33
+# order-free log-sum discipline), so no engine's float accumulation
+# order decides the ranking; the final score is round-6.
+#
+# Scale shape: age from one broadcast 1-row max-date scalar; ONE
+# user-keyed aggregate with map-side combine; the leaderboard is
+# TakeOrdered-bounded and the rank window runs over k rows only (B58
+# shape) — never a global sort.
+# ---------------------------------------------------------------------------
+_TREND_HALF_LIFE_DAYS = 30
+_TREND_DECAY = 0.023104906018664842  # ln(2) / 30, one parsed literal
+_TREND_TOPK = 20
+
+
+@_register(
+    "trending_users_decayed",
+    f"""
+    WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+    terms AS (
+      SELECT user_id,
+             CAST(ROUND(value * exp(-CAST('{_TREND_DECAY!r}' AS DOUBLE)
+                                    * (md - CAST(ts AS DATE))), 8)
+                  AS DECIMAL(24,8)) AS term,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events CROSS JOIN maxd
+    ),
+    scores AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed_score,
+             CAST(SUM(v) AS DOUBLE) AS raw_sum
+      FROM terms GROUP BY user_id
+    ),
+    top AS (
+      SELECT * FROM scores
+      ORDER BY decayed_score DESC, user_id ASC LIMIT {_TREND_TOPK}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY decayed_score DESC, user_id ASC)
+                AS BIGINT) AS rank,
+           user_id, n_events, decayed_score, raw_sum
+    FROM top
+    """,
+)
+def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, user_id, n_events, decayed_score, raw_sum): top-k users
+    by half-life-decayed value volume (30-day half-life)."""
+    ev = load_table(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
+    age = F.datediff(F.col("md"), F.to_date("ts"))
+    term = F.round(
+        F.col("value") * F.exp(-F.lit(_TREND_DECAY) * age), 8
+    ).cast("decimal(24,8)")
+    scores = (
+        ev.crossJoin(F.broadcast(maxd))
+        .select("user_id", term.alias("term"), dec_money("value").alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("decayed_score"),
+            F.sum("v").cast("double").alias("raw_sum"),
         )
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return deltas.select(
-        F.col("day").alias("event_date"),
-        "n_opened",
-        "n_leaving",
-        F.sum(F.col("n_opened") - F.col("n_leaving"))
-        .over(w)
-        .cast("long")
-        .alias("backlog"),
+    top = scores.orderBy(
+        F.col("decayed_score").desc(), F.col("user_id").asc()
+    ).limit(_TREND_TOPK)
+    w = Window.orderBy(F.col("decayed_score").desc(), F.col("user_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "user_id",
+        "n_events",
+        "decayed_score",
+        "raw_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A101 weekly action-mix drift (reference analog: "did the chain's
+# action-kind mix change this week" — the composition drift monitor
+# over action_receipt_actions that pages an operator before any
+# volume alarm fires; the TIME-axis twin of B82's cross-source
+# chi-square dispersion).  Per Monday-aligned week, Pearson's
+# chi-square of the week's event-type mix against the all-time mix —
+# INCLUDING zero cells (a type that vanished for a week is exactly
+# the drift this exists to catch), via a dims-only week x type spine.
+#
+# Float discipline: expected counts are one pinned IEEE expression of
+# exact BIGINTs; per-cell contributions ROUND-8 into DECIMAL sums
+# (B82's chi-square discipline), chi2 round-6.  Week index from pure
+# integer epoch-day arithmetic (A83: (epoch_day + 3) // 7, Monday-
+# aligned — no engine week() convention trusted).
+#
+# Scale shape: ONE fact shuffle to the (week, type) grain; weeks/
+# types/total are grain-sized dims (types broadcast, the spine is a
+# dims-only crossJoin — the A88 month-spine family); everything after
+# the first aggregate runs on bounded data.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_weekly_mix_drift",
+    """
+    WITH base AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) // 7
+               AS w,
+             event_type, COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    weeks AS (SELECT w, CAST(SUM(obs) AS BIGINT) AS wt FROM base GROUP BY w),
+    types AS (
+      SELECT event_type, CAST(SUM(obs) AS BIGINT) AS cf FROM base
+      GROUP BY event_type
+    ),
+    total AS (SELECT CAST(SUM(obs) AS BIGINT) AS tt FROM base),
+    cells AS (
+      SELECT wk.w, wk.wt,
+             CAST(ROUND((COALESCE(b.obs, 0)
+                         - CAST(wk.wt AS DOUBLE) * CAST(ty.cf AS DOUBLE)
+                           / CAST(t.tt AS DOUBLE))
+                        * (COALESCE(b.obs, 0)
+                           - CAST(wk.wt AS DOUBLE) * CAST(ty.cf AS DOUBLE)
+                             / CAST(t.tt AS DOUBLE))
+                        / (CAST(wk.wt AS DOUBLE) * CAST(ty.cf AS DOUBLE)
+                           / CAST(t.tt AS DOUBLE)), 8)
+                  AS DECIMAL(24,8)) AS chi_term
+      FROM weeks wk CROSS JOIN types ty CROSS JOIN total t
+      LEFT JOIN base b ON b.w = wk.w AND b.event_type = ty.event_type
+    )
+    SELECT DATE '1970-01-01' + CAST(w * 7 - 3 AS INTEGER) AS week_start,
+           wt AS n_events,
+           ROUND(CAST(CAST(SUM(chi_term) AS DECIMAL(30,8)) AS DOUBLE), 6)
+             AS chi2
+    FROM cells
+    GROUP BY w, wt
+    """,
+)
+def events_weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week_start, n_events, chi2): per Monday-aligned week, the
+    chi-square of the week's event-type mix against the all-time mix
+    (zero cells included)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = ev.groupBy(
+        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    weeks = base.groupBy("w").agg(F.sum("obs").cast("long").alias("wt"))
+    types = base.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("cf")
+    )
+    total = base.agg(F.sum("obs").cast("long").alias("tt"))
+    exp = (
+        F.col("wt").cast("double")
+        * F.col("cf").cast("double")
+        / F.col("tt").cast("double")
+    )
+    obs = F.coalesce(F.col("obs"), F.lit(0))
+    cells = (
+        weeks.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(total))
+        .join(base, ["w", "event_type"], "left")
+        .select(
+            "w",
+            "wt",
+            F.round((obs - exp) * (obs - exp) / exp, 8)
+            .cast("decimal(24,8)")
+            .alias("chi_term"),
+        )
+    )
+    return (
+        cells.groupBy("w", "wt")
+        .agg(F.sum("chi_term").cast("decimal(30,8)").alias("chi8"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("w") * 7 - 3).cast("int"),
+            ).alias("week_start"),
+            F.col("wt").alias("n_events"),
+            F.round(F.col("chi8").cast("string").cast("double"), 6).alias(
+                "chi2"
+            ),
+        )
     )

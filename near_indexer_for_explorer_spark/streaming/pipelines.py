@@ -2209,3 +2209,182 @@ def count_delta_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C33 incremental backlog maintenance — A98's two sufficient relations
+# are each MERGEABLE under one of the proven delta algebras, so the
+# stream composes them: per-day open counts are additive (the C32
+# batch-id-keyed delta log — replays overwrite their own delta), and
+# per-order close dates are a register-MAX (the C22/C28 idempotent
+# append log — a replayed or late-arriving shipment max-merges away).
+# The read path feeds both folds to the SAME backlog_from_deltas
+# kernel as the A98 batch query, so stream == batch is a kernel
+# invariant, not a re-implementation.  A late lineitem file that
+# pushes an order's close date forward is handled by the max fold
+# with no retraction bookkeeping — the kernel re-derives the leaving
+# deltas from state, never from history.
+# ---------------------------------------------------------------------------
+def foreach_batch_backlog_opens(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = batch_df.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_opened")
+        )
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "opens", "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def foreach_batch_backlog_closes(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = batch_df.groupBy("l_orderkey").agg(
+            F.max(F.to_date("l_shipdate")).alias("close_d")
+        )
+        deltas.coalesce(1).write.mode("append").parquet(
+            os.path.join(out_dir, "closes")
+        )
+
+    return sink
+
+
+def backlog_stream(
+    spark: SparkSession,
+    orders_src: str,
+    lineitem_src: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """C33 driver: orders + lineitem streams -> the two mergeable
+    backlog relations.  Returns both streaming queries."""
+    q_opens = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(orders_src)
+        .writeStream.foreachBatch(foreach_batch_backlog_opens(out_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "opens"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_closes = (
+        spark.readStream.schema(LINEITEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lineitem_src)
+        .writeStream.foreachBatch(foreach_batch_backlog_closes(out_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "closes"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q_opens, q_closes
+
+
+def read_stream_backlog(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C33 read path: fold both delta logs (additive opens,
+    register-max closes) and run the SAME backlog_from_deltas kernel
+    as the A98 batch query."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        backlog_from_deltas,
+    )
+
+    srcs, _ = _count_delta_sources(os.path.join(out_dir, "opens"))
+    opened = (
+        spark.read.parquet(*srcs)
+        .groupBy("day")
+        .agg(F.sum("n_opened").cast("long").alias("n_opened"))
+    )
+    closes = (
+        spark.read.parquet(os.path.join(out_dir, "closes"))
+        .groupBy("l_orderkey")
+        .agg(F.max("close_d").alias("close_d"))
+    )
+    return backlog_from_deltas(opened, closes)
+
+
+# ---------------------------------------------------------------------------
+# C34: streaming inter-arrival regularity — the stateful twin of
+# A99's batch kernel.  The gap sequence is a sequential fold (each
+# gap needs the PREVIOUS event's timestamp, across micro-batch
+# boundaries), so the sufficient state per user is exactly four
+# integers: (last_us, n_gaps, s1, s2) — the same two-exact-sums
+# moment state A99 aggregates, carried forever in O(1) per user (the
+# C16/C24 discipline; like C24 this assumes the lake stream is
+# time-ordered per key across batches, the NEAR Lake block-order
+# property).  Gap seconds and both moment sums are EXACT python ints,
+# so the streamed statistics are pure functions of the event sequence
+# — bit-stable across replays and equal to the batch aggregate, not
+# approximately equal.  The emitted cv is rounded HALF_UP at 6
+# decimals via Decimal (matching Spark's F.round on doubles) so the
+# regular-cadence flag agrees with A99 row-for-row.
+# ---------------------------------------------------------------------------
+INTERARRIVAL_OUTPUT_SCHEMA = (
+    "user_id long, n_gaps long, mean_gap_s double, cv double, "
+    "is_regular boolean"
+)
+INTERARRIVAL_STATE_SCHEMA = "last_us long, n long, s1 long, s2 long"
+
+
+def make_interarrival_kernel():
+    def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        (user_id,) = key
+        last_us, n, s1, s2 = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            us = int(ts.value) // 1000  # pandas ns -> integer micros
+            if last_us is not None:
+                gap = (us - last_us) // 1000000
+                n += 1
+                s1 += gap
+                s2 += gap * gap
+            last_us = us
+        state.update((last_us, n, s1, s2))
+        if n >= 2:
+            def r6(x: float) -> float:
+                return float(
+                    Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+                )
+
+            mean = s1 / n
+            var = max(s2 / n - mean * mean, 0.0)
+            cv = r6(var**0.5 / mean) if mean != 0.0 else None
+            yield pd.DataFrame(
+                [
+                    (
+                        int(user_id),
+                        int(n),
+                        r6(mean),
+                        cv,
+                        bool(cv is not None and cv < 0.2 and n >= 20),
+                    )
+                ],
+                columns=["user_id", "n_gaps", "mean_gap_s", "cv", "is_regular"],
+            )
+
+    return update
+
+
+def interarrival_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C34 driver: file-source events -> per-user exact gap-moment
+    state, emitting the A99 statistics per touched user per batch."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        make_interarrival_kernel(),
+        INTERARRIVAL_OUTPUT_SCHEMA,
+        INTERARRIVAL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2796,3 +2796,200 @@ def test_simhash_hamming_curve_planted_monotone(spark, tmp_path):
     for lo, hi in zip(cuts, cuts[1:]):
         assert out[lo]["n_dup_caught"] <= out[hi]["n_dup_caught"]
         assert out[lo]["n_nondup_caught"] <= out[hi]["n_nondup_caught"]
+
+
+def test_interarrival_planted_bot_vs_organic(spark, tmp_path):
+    """A99 semantics: a metronome user (25 events, exactly 60 s apart)
+    scores cv = 0 and trips the regular-cadence flag; a bursty user
+    does not (and misses the volume floor)."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        user_interarrival_stats,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=60 * i), 1, "x", 1.0)
+        for i in range(25)
+    ]
+    bursty_offsets = [0, 10, 1010, 1020]
+    rows += [
+        (100 + i, base + datetime.timedelta(seconds=s), 2, "x", 1.0)
+        for i, s in enumerate(bursty_offsets)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r for r in user_interarrival_stats(spark, str(tmp_path)).collect()}
+    assert out[1]["n_gaps"] == 24 and out[1]["mean_gap_s"] == 60.0
+    assert out[1]["cv"] == 0.0 and out[1]["is_regular"]
+    assert out[2]["n_gaps"] == 3 and not out[2]["is_regular"]
+    assert out[2]["cv"] > 0.2
+
+
+def test_bpe_merge_curve_monotone_and_baseline(spark, tmp_path):
+    """B98 semantics: depth 0 is the character baseline (n_symbols ==
+    n_chars), each merge can only shrink the encoding, and the grid
+    has one row per depth 0..3."""
+    from near_indexer_for_explorer_spark.operators.bpe import (
+        _BPE_ROUNDS,
+        bpe_merge_curve,
+    )
+
+    rows = [
+        (0, "banana banana bandana"),
+        (1, "banana bandana cabana"),
+        (2, "an ban nan banana"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["n_merges"]: r for r in bpe_merge_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(_BPE_ROUNDS + 1))
+    assert out[0]["n_symbols"] == out[0]["n_chars"]
+    assert out[0]["fertility"] == out[0]["n_chars"] / out[0]["n_words"]
+    for k in range(_BPE_ROUNDS):
+        assert out[k + 1]["n_symbols"] < out[k]["n_symbols"]  # 'an' is everywhere
+        assert out[k + 1]["n_words"] == out[k]["n_words"]
+
+
+def test_vocab_oov_curve_planted_coverage(spark, tmp_path):
+    """B99 semantics: 2 hot types + 20 singleton types; V=16 covers the
+    hot mass plus 14 tie-broken singletons (oov 6/100), V>=64 covers
+    everything."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        vocab_oov_curve,
+    )
+
+    text_hot = " ".join(["aa"] * 50 + ["bb"] * 30)
+    text_tail = " ".join(f"c{i:02d}" for i in range(20))
+    rows = [(0, text_hot), (1, text_tail)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["vocab_size"]: r for r in vocab_oov_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [16, 64, 256, 1024]
+    assert out[16]["total_tokens"] == 100
+    assert out[16]["n_vocab_types"] == 16
+    assert out[16]["covered_tokens"] == 94  # aa+bb + 14 singletons (token asc)
+    assert out[16]["oov_rate"] == 0.06
+    for v in (64, 256, 1024):
+        assert out[v]["n_vocab_types"] == 22
+        assert out[v]["oov_rate"] == 0.0
+
+
+def test_trending_decayed_planted_recency_beats_volume(spark, tmp_path):
+    """A100 semantics: a recent moderate spender outranks a bigger
+    all-time spender whose activity is 10 half-lives old; rank 1's
+    decayed score ~ its raw sum (age 0)."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        trending_users_decayed,
+    )
+
+    now = datetime.datetime(2024, 6, 1)
+    old = now - datetime.timedelta(days=300)  # 10 half-lives: x ~2^-10
+    rows = [(0, now, 1, "x", 100.0), (1, old, 2, "x", 1000.0)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["rank"]: r for r in trending_users_decayed(spark, str(tmp_path)).collect()}
+    assert out[1]["user_id"] == 1 and out[2]["user_id"] == 2
+    assert out[1]["decayed_score"] == 100.0  # age 0: weight exactly 1
+    assert out[2]["decayed_score"] < 1.0     # 1000 * 2^-10 < 1
+    assert out[2]["raw_sum"] == 1000.0
+
+
+def test_contamination_curve_planted_span(spark, tmp_path):
+    """B100 semantics: an eval doc containing an exact 8-token span
+    from a train doc is contaminated at n = 4 and n = 8 but clean at
+    n = 13; leakage rate is non-increasing in n.  (md5 decon split:
+    ids 1, 2 are train; 0, 7 are eval.)"""
+    import hashlib
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        contamination_ngram_curve,
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(f"decon:{i}".encode()).hexdigest()[:8], 16) % 10
+
+    train_ids = [i for i in range(20) if bucket(i) < 8][:2]
+    eval_ids = [i for i in range(20) if bucket(i) >= 8][:2]
+    span = "one two three four five six seven eight"
+    rows = [
+        (train_ids[0], f"{span} tail words here"),
+        (train_ids[1], "totally unrelated training text body"),
+        (eval_ids[0], f"prefix {span} suffix"),          # leaked span
+        (eval_ids[1], "clean evaluation document nothing shared"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["ngram_n"]: r for r in contamination_ngram_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [4, 8, 13]
+    assert out[4]["n_contaminated"] == 1
+    assert out[8]["n_contaminated"] == 1
+    assert out[13]["n_contaminated"] == 0  # the span is only 8 tokens
+    assert out[4]["overlap_rate"] >= out[8]["overlap_rate"] >= out[13]["overlap_rate"]
+    assert out[13]["n_overlap"] == 0
+
+
+def test_weekly_mix_drift_planted_shift(spark, tmp_path):
+    """A101 semantics: week 1 matches the overall mix (chi2 near 0 is
+    impossible since week 2 skews the overall — but week 2's chi2 must
+    be strictly larger); a type missing for a week still contributes
+    (zero-cell inclusion)."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_weekly_mix_drift,
+    )
+
+    # week A (Mon 2024-01-01..): 10 click + 10 view (balanced)
+    # week B (Mon 2024-01-08..): 20 click + 0 view (skewed, view vanishes)
+    wa = datetime.datetime(2024, 1, 1, 12)
+    wb = datetime.datetime(2024, 1, 8, 12)
+    rows = [(i, wa, 1, "click", 1.0) for i in range(10)]
+    rows += [(100 + i, wa, 1, "view", 1.0) for i in range(10)]
+    rows += [(200 + i, wb, 1, "click", 1.0) for i in range(20)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {str(r["week_start"]): r for r in events_weekly_mix_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-08"}
+    assert out["2024-01-01"]["n_events"] == 20
+    assert out["2024-01-08"]["n_events"] == 20
+    # overall mix: 30 click / 10 view.  Week A expected (15, 5) vs obs
+    # (10, 10): chi2 = 25/15 + 25/5 = 6.6667.  Week B expected (15, 5)
+    # vs obs (20, 0): same cells mirrored -> equal chi2 by symmetry.
+    assert abs(out["2024-01-01"]["chi2"] - (25 / 15 + 25 / 5)) < 1e-4
+    assert abs(out["2024-01-08"]["chi2"] - (25 / 15 + 25 / 5)) < 1e-4
+
+
+def test_lsh_probe_curve_monotone_and_saturates(spark, sf_dir):
+    """B101 semantics: candidates and hits are monotone in the probe
+    radius (mask nesting), recall at radius 2 matches B6's configured
+    operating point, and the pair universe at radius 2 equals the full
+    probe set."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        lsh_probe_budget_curve,
+    )
+
+    out = {r["radius"]: r for r in lsh_probe_budget_curve(spark, sf_dir).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_candidates"] <= out[1]["n_candidates"] <= out[2]["n_candidates"]
+    assert out[0]["n_hits"] <= out[1]["n_hits"] <= out[2]["n_hits"]
+    assert out[0]["recall_at_k"] <= out[2]["recall_at_k"]
+    assert out[2]["n_queries"] > 0 and out[2]["recall_at_k"] > 0.0

@@ -91,6 +91,8 @@ _BNLJ_EXEMPT = {
     "bm25_search",              # broadcast (n_docs, avgdl) corpus-stats scalar
     "bpe_train_merges",         # broadcast 1-row best-pair per round
     "bpe_encode_corpus",        # broadcast 1-row best-pair per round
+    "bpe_merge_curve",          # broadcast 1-row best-pair per round (shared chain)
+    "vocab_oov_curve",          # broadcast 1-row corpus-totals scalar
     "topic_cluster_terms",      # broadcast centroids + doc-count scalar
     "source_overlap_matrix",    # broadcast #sources-row signature matrix pair stage
     "orders_zorder_layout",     # broadcast 1-row key-domain scalar aggregate
@@ -110,6 +112,8 @@ _BNLJ_EXEMPT = {
     "centroid_assign_confusion",  # broadcast per-lang centroid codebook (B32 shape)
     "term_burstiness",          # broadcast corpus-total scalar (B27 shape)
     "customer_survival_curve",  # broadcast 1-row max-date + total-obs scalars
+    "trending_users_decayed",   # broadcast 1-row max-date scalar
+    "events_weekly_mix_drift",  # dims-only week x type spine + totals scalar
     "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
@@ -120,6 +124,7 @@ _BNLJ_EXEMPT = {
     "ts_user_similarity_topk",  # exact top-k over bounded profiles
     "ann_recall_matrix",        # composes the brute-force baseline leg
     "ivf_nprobe_recall_curve",  # composes the brute-force baseline + IVF legs
+    "lsh_probe_budget_curve",   # composes the brute-force baseline + probe scalars
 }
 
 

@@ -1832,3 +1832,118 @@ def test_count_delta_stream_exact_and_replay_safe(spark, sf_dir, tmp_path):
     # and the final compaction sweeps those ghost deltas away
     assert compact_count_deltas(spark, out)[1] == 1
     assert snap() == want2
+
+
+def test_backlog_stream_matches_batch_kernel(spark, sf_dir, tmp_path):
+    """C33: both mergeable relations (additive opens, register-max
+    closes) fold to the A98 batch output row-for-row through the
+    shared backlog_from_deltas kernel; a replayed opens batch
+    overwrites its own delta and a duplicated closes batch max-merges
+    away; a LATE shipment that pushes an order's close forward moves
+    the backlog with no retraction bookkeeping."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        order_backlog_daily,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        backlog_stream,
+        foreach_batch_backlog_closes,
+        foreach_batch_backlog_opens,
+        read_stream_backlog,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stage_batches(df, key, src_name, n=3):
+        src = str(tmp_path / src_name)
+        _os.makedirs(src)
+        parts = []
+        for i in range(n):
+            stage = tmp_path / f"{src_name}_b{i}"
+            part_df = df.where(F.col(key) % n == i)
+            parts.append(part_df)
+            part_df.coalesce(1).write.parquet(str(stage))
+            part = _glob.glob(str(stage / "part-*.parquet"))[0]
+            dst = _os.path.join(src, f"batch_{i}.parquet")
+            _shutil.copy(part, dst)
+            mt = _time.time() - 10 + i
+            _os.utime(dst, (mt, mt))
+        return src, parts
+
+    o_src, o_parts = stage_batches(orders, "o_orderkey", "bl_orders")
+    l_src, l_parts = stage_batches(li, "l_orderkey", "bl_lines")
+
+    out, ckpt = str(tmp_path / "bl_out"), str(tmp_path / "bl_ckpt")
+    for q in backlog_stream(spark, o_src, l_src, out, ckpt):
+        _await(q)
+
+    def snap():
+        return sorted(
+            (str(r["event_date"]), r["n_opened"], r["n_leaving"], r["backlog"])
+            for r in read_stream_backlog(spark, out).collect()
+        )
+
+    want = sorted(
+        (str(r["event_date"]), r["n_opened"], r["n_leaving"], r["backlog"])
+        for r in order_backlog_daily(spark, sf_dir).collect()
+    )
+    assert snap() == want  # fold == batch kernel, row-for-row
+
+    # replayed opens batch overwrites its own delta; duplicated closes
+    # batch max-merges away
+    foreach_batch_backlog_opens(out)(o_parts[1], 1)
+    foreach_batch_backlog_closes(out)(l_parts[2], 99)
+    assert snap() == want
+
+    # a LATE shipment pushing one order's close date forward: the max
+    # fold moves that order's leaving delta with no retractions
+    first = li.select("l_orderkey").limit(1).collect()[0]["l_orderkey"]
+    far = _dt.datetime(2031, 1, 1)
+    late = spark.createDataFrame(
+        [(first, far)], "l_orderkey long, l_shipdate timestamp"
+    )
+    foreach_batch_backlog_closes(out)(late, 100)
+    got = {r["event_date"]: r for r in read_stream_backlog(spark, out).collect()}
+    assert str(_dt.date(2031, 1, 2)) in {str(d) for d in got}
+    # total leaving is conserved (every closed order leaves exactly once)
+    assert sum(r["n_leaving"] for r in got.values()) == sum(
+        r[2] for r in want
+    )
+
+
+def test_interarrival_stream_matches_batch_stats(spark, sf_dir, event_batches):
+    """C34: the final streamed per-user gap statistics equal A99's
+    batch aggregate ROW-FOR-ROW (exact integer moment state + HALF_UP
+    round-6 makes equality exact, not approximate), with the fold
+    carried across the micro-batch boundary."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        user_interarrival_stats,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        interarrival_stream,
+    )
+
+    q = interarrival_stream(spark, event_batches, "interarrival_out")
+    _await(q, timeout=180)
+    rows = spark.sql("SELECT * FROM interarrival_out").collect()
+    latest = {}
+    for r in rows:  # update mode: keep the most-advanced row per user
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_gaps"] > cur["n_gaps"]:
+            latest[r["user_id"]] = r
+    got = {
+        u: (r["n_gaps"], r["mean_gap_s"], r["cv"], r["is_regular"])
+        for u, r in latest.items()
+    }
+    want = {
+        r["user_id"]: (r["n_gaps"], r["mean_gap_s"], r["cv"], r["is_regular"])
+        for r in user_interarrival_stats(spark, sf_dir).collect()
+    }
+    assert got == want
