@@ -178,6 +178,10 @@ EXTRA = [
     "contamination_ngram_curve",
     "events_weekly_mix_drift",
     "lsh_probe_budget_curve",
+    "orders_duplicate_payments",
+    "ivf_list_balance",
+    "dedup_chain_gap_report",
+    "events_daily_decomposition",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3088,3 +3088,192 @@ def _hamming_curve_oracle_sql() -> str:
 
 
 ORACLES["simhash_hamming_curve"] = _hamming_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B103 transitivity-gap report — the error model behind B20's cluster
+# dedup, measured: near-duplication is NOT transitive (a~b and b~c at
+# jaccard >= t do not imply a~c), yet component-based dedup keeps one
+# representative per CONNECTED COMPONENT, silently treating every
+# chained pair as a duplicate.  This reports how often the chain
+# assumption holds on the real pair graph: for every wedge a-m-c in
+# the verified near-dup graph, is (a, c) itself a verified pair, and
+# when it is not, what IS its exact Jaccard (the severity of the
+# chaining error).
+#
+# Scale shape: the verified pair relation is the session-frozen B3
+# output (bounded by true-dup density); wedges are an equi-join of
+# the symmetrized edges on the shared endpoint (bounded by per-node
+# degree squared — dup components are tiny by construction); the
+# open-pair Jaccard leg joins shingles only for the open wedge
+# endpoints.  One 1-row report.
+# ---------------------------------------------------------------------------
+def dedup_chain_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_dup_pairs, n_wedges, n_wedge_pairs, n_closed, n_open,
+    closure_rate, avg_open_jaccard): how transitive the near-dup
+    relation actually is, and how similar the non-transitive
+    endpoint pairs really are."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    (pairs,) = frozen(
+        "b3_verified_pairs",
+        spark,
+        sf_dir,
+        lambda: (dedup_minhash_lsh(spark, sf_dir),),
+    )
+    sym = pairs.select(
+        F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("m")
+    ).unionByName(
+        pairs.select(F.col("doc_id_2").alias("a"), F.col("doc_id_1").alias("m"))
+    )
+    x, y = sym.alias("x"), sym.alias("y")
+    wedge_rows = x.join(
+        y, (F.col("x.m") == F.col("y.m")) & (F.col("x.a") < F.col("y.a"))
+    ).select(F.col("x.a").alias("wa"), F.col("y.a").alias("wc"))
+    n_wedges = wedge_rows.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    wp = wedge_rows.distinct()
+    p = pairs.alias("p")
+    flagged = wp.join(
+        p,
+        (F.col("wa") == F.col("p.doc_id_1")) & (F.col("wc") == F.col("p.doc_id_2")),
+        "left",
+    ).select("wa", "wc", F.col("p.jaccard").isNotNull().alias("closed"))
+    open_pairs = flagged.where(~F.col("closed")).select("wa", "wc")
+    sh = _distinct_shingles(spark, sf_dir)
+    sizes = _shingle_set_sizes(spark, sf_dir)
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    oc = (
+        open_pairs.join(s1, F.col("wa") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("wc") == F.col("s2.doc_id"))
+            & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("wa", "wc")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    z1, z2 = sizes.alias("z1"), sizes.alias("z2")
+    oj = (
+        open_pairs.join(oc, ["wa", "wc"], "left")
+        .join(F.broadcast(z1), F.col("wa") == F.col("z1.doc_id"))
+        .join(F.broadcast(z2), F.col("wc") == F.col("z2.doc_id"))
+        .select(
+            F.round(
+                F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+                / (F.col("z1.n") + F.col("z2.n") - F.coalesce(F.col("cc"), F.lit(0))),
+                6,
+            )
+            .cast("decimal(10,6)")
+            .alias("j6")
+        )
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedge_pairs"),
+        F.sum(F.when(F.col("closed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+    )
+    ostats = oj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        F.sum("j6").cast("decimal(20,6)").alias("sj"),
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    return (
+        npairs.crossJoin(n_wedges)
+        .crossJoin(stats)
+        .crossJoin(ostats)
+        .select(
+            "n_dup_pairs",
+            "n_wedges",
+            "n_wedge_pairs",
+            "n_closed",
+            "n_open",
+            F.round(
+                F.col("n_closed").cast("double")
+                / F.nullif(F.col("n_wedge_pairs"), F.lit(0)),
+                6,
+            ).alias("closure_rate"),
+            F.round(
+                F.col("sj").cast("string").cast("double")
+                / F.nullif(F.col("n_open"), F.lit(0)),
+                6,
+            ).alias("avg_open_jaccard"),
+        )
+    )
+
+
+QUERIES["dedup_chain_gap_report"] = dedup_chain_gap_report
+
+
+def _chain_gap_oracle_sql() -> str:
+    return f"""
+    {_minhash_cand_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    vcommon AS (
+      SELECT c.d1, c.d2, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.sh = s2.sh
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2, CAST(cnt AS DOUBLE) / (z1.n + z2.n - cnt) AS jaccard
+      FROM vcommon
+      JOIN sizes z1 ON d1 = z1.doc_id
+      JOIN sizes z2 ON d2 = z2.doc_id
+      WHERE CAST(cnt AS DOUBLE) / (z1.n + z2.n - cnt) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+      SELECT d1 AS a, d2 AS m FROM pairs
+      UNION ALL SELECT d2 AS a, d1 AS m FROM pairs
+    ),
+    wedge_rows AS (
+      SELECT x.a AS wa, y.a AS wc FROM sym x
+      JOIN sym y ON x.m = y.m AND x.a < y.a
+    ),
+    nwedge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedge_rows),
+    wp AS (SELECT DISTINCT wa, wc FROM wedge_rows),
+    flagged AS (
+      SELECT w.wa, w.wc, p.d1 IS NOT NULL AS closed
+      FROM wp w LEFT JOIN pairs p ON w.wa = p.d1 AND w.wc = p.d2
+    ),
+    openp AS (SELECT wa, wc FROM flagged WHERE NOT closed),
+    oc AS (
+      SELECT o.wa, o.wc, COUNT(*) AS cc
+      FROM openp o
+      JOIN sh s1 ON s1.doc_id = o.wa
+      JOIN sh s2 ON s2.doc_id = o.wc AND s1.sh = s2.sh
+      GROUP BY 1, 2
+    ),
+    oj AS (
+      SELECT CAST(ROUND(CAST(COALESCE(c.cc, 0) AS DOUBLE)
+                        / (z1.n + z2.n - COALESCE(c.cc, 0)), 6)
+                  AS DECIMAL(10,6)) AS j6
+      FROM openp o
+      LEFT JOIN oc c ON o.wa = c.wa AND o.wc = c.wc
+      JOIN sizes z1 ON o.wa = z1.doc_id
+      JOIN sizes z2 ON o.wc = z2.doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs,
+             CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed
+      FROM flagged
+    ),
+    ostats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_open,
+             CAST(SUM(j6) AS DECIMAL(20,6)) AS sj
+      FROM oj
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM pairs)
+    SELECT np.n_dup_pairs, nwedge.n_wedges, stats.n_wedge_pairs,
+           stats.n_closed, ostats.n_open,
+           ROUND(CAST(stats.n_closed AS DOUBLE)
+                 / NULLIF(stats.n_wedge_pairs, 0), 6) AS closure_rate,
+           ROUND(CAST(CAST(ostats.sj AS VARCHAR) AS DOUBLE)
+                 / NULLIF(ostats.n_open, 0), 6) AS avg_open_jaccard
+    FROM np CROSS JOIN nwedge CROSS JOIN stats CROSS JOIN ostats
+    """
+
+
+ORACLES["dedup_chain_gap_report"] = _chain_gap_oracle_sql()

@@ -4281,3 +4281,59 @@ def _lsh_curve_oracle_sql() -> str:
 
 
 ORACLES["lsh_probe_budget_curve"] = _lsh_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B102 inverted-list balance report — the IVF deployment's straggler
+# diagnostic (FAISS ops: a skewed coarse quantizer makes probe
+# latency bimodal and nprobe tuning meaningless; list-size balance is
+# THE health metric checked after every (re)train).  Composes the
+# SHARED deterministic quantizer verbatim (B13's `_kmeans_centroids`
+# + `ivf_assignments`, so what this audits IS what serves), reduced
+# to one bounded k-row report.
+#
+# imbalance = list_size / (n/k); the hot flag compares exact integers
+# (size * k > 2n), so no float decides it.
+# ---------------------------------------------------------------------------
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(centroid_id, list_size, share, imbalance, is_hot): per
+    inverted list, its corpus share and deviation from perfect
+    balance under the shared IVF quantizer."""
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    centroids = _kmeans_centroids(
+        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+    )
+    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    total = lists.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("list_size")
+    )
+    return sizes.crossJoin(F.broadcast(total)).select(
+        "centroid_id",
+        "list_size",
+        F.round(F.col("list_size").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("list_size").cast("double") * _IVF_K / F.col("n"), 6
+        ).alias("imbalance"),
+        (F.col("list_size") * _IVF_K > 2 * F.col("n")).alias("is_hot"),
+    )
+
+
+QUERIES["ivf_list_balance"] = ivf_list_balance
+
+ORACLES["ivf_list_balance"] = f"""
+    {_ivf_pairs_ctes()},
+    sizes AS (
+      SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS list_size
+      FROM lists GROUP BY centroid_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lists)
+    SELECT centroid_id, list_size,
+           ROUND(CAST(list_size AS DOUBLE) / t.n, 6) AS share,
+           ROUND(CAST(list_size AS DOUBLE) * {_IVF_K} / t.n, 6) AS imbalance,
+           list_size * {_IVF_K} > 2 * t.n AS is_hot
+    FROM sizes CROSS JOIN tot t
+"""

@@ -6658,3 +6658,201 @@ def events_weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A102 duplicate-payment detection (reference analog: the double-spend
+# / duplicate-submission audit on the transactions surface — the same
+# signer moving the identical amount twice within days is either a
+# retry bug or fraud; the accounts-payable "duplicate invoice" check).
+# The dedup family (B1..) finds identical TEXT; this is its
+# relational twin: near-duplicate FACTS keyed by exact business
+# attributes with a time-proximity residual.
+#
+# Scale shape: a self-equi-join on the (custkey, exact decimal
+# amount) composite key — the pair space is bounded by per-key
+# multiplicity (amounts are near-unique per customer), never n²; the
+# ±3-day window is a residual predicate on the joined rows.  Exact
+# decimal equality for the join key; the emitted amount is the RAW
+# parquet double (no decimal->double recast, which is the one
+# engine-divergent cast).
+# ---------------------------------------------------------------------------
+_DUP_PAY_WINDOW_DAYS = 3
+
+
+@_register(
+    "orders_duplicate_payments",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS amt,
+             o_totalprice AS raw_amt,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_1,
+           b.o_orderkey AS orderkey_2,
+           a.raw_amt AS amount,
+           CAST(abs(b.d - a.d) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.amt = b.amt
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(b.d - a.d) <= {_DUP_PAY_WINDOW_DAYS}
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, orderkey_1, orderkey_2, amount, days_apart): order
+    pairs by the same customer for the identical amount within the
+    duplicate-payment window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        dec_money("o_totalprice").alias("amt"),
+        F.col("o_totalprice").alias("raw_amt"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap = F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.amt") == F.col("b.amt"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(gap <= _DUP_PAY_WINDOW_DAYS)
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("orderkey_1"),
+            F.col("b.o_orderkey").alias("orderkey_2"),
+            F.col("a.raw_amt").alias("amount"),
+            gap.cast("long").alias("days_apart"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A103 additive daily decomposition (reference analog: the
+# "observed = trend + weekly shape + residual" view every capacity /
+# anomaly dashboard ultimately draws — aggregations/*.sql daily
+# series).  Composes the two verified pieces: the A90 closed-form OLS
+# trend (the SHARED trend_from_daily kernel, no drift) and A83's
+# integer-epoch weekday grouping, leaving a residual whose per-type
+# 2-sigma flag uses the A67 two-exact-sums variance.
+#
+# Float discipline: the fit evaluates round-6 coefficients against
+# exact integer days (pinned IEEE); detrended values ROUND-8 into
+# DECIMAL sums for the weekday means; residual round-6; the sigma
+# threshold derives from VARCHAR-hopped exact sums — every comparison
+# runs on deterministic doubles.
+#
+# Scale shape: ONE fact shuffle to the (type, day) grain; the trend
+# dim (types rows) broadcasts back; weekday means, residuals, and the
+# flag all run on the bounded grain.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_daily_decomposition",
+    _TREND_STATS_SQL
+    + f""", trend AS ({_TREND_SELECT_SQL}),
+    scored AS (
+      SELECT d.event_type, d.d,
+             CAST(CAST(d.y AS VARCHAR) AS DOUBLE) AS observed,
+             ROUND(t.intercept
+                   + t.slope * CAST(d.d - DATE '1970-01-01' AS BIGINT), 6)
+               AS trend_fit
+      FROM daily d JOIN trend t ON d.event_type = t.event_type
+    ),
+    dowm AS (
+      SELECT event_type,
+             (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+             ROUND(CAST(CAST(SUM(CAST(ROUND(observed - trend_fit, 8)
+                                      AS DECIMAL(24,8))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS dow_adj
+      FROM scored GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT s.event_type, s.d, s.observed, s.trend_fit, m.dow_adj,
+             ROUND(s.observed - s.trend_fit - m.dow_adj, 6) AS residual
+      FROM scored s JOIN dowm m
+        ON s.event_type = m.event_type
+       AND (CAST(s.d - DATE '1970-01-01' AS BIGINT) + 3) % 7 = m.dow
+    ),
+    rstats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(CAST(SUM(CAST(ROUND(residual, 8) AS DECIMAL(24,8)))
+                       AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(ROUND(residual * residual, 8)
+                                AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS s2
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.d AS event_date, r.observed, r.trend_fit,
+           r.dow_adj, r.residual,
+           abs(r.residual) > 2.0 * sqrt(greatest(
+             rs.s2 / rs.nd - (rs.s1 / rs.nd) * (rs.s1 / rs.nd), 0.0))
+             AS is_anomaly
+    FROM resid r JOIN rstats rs ON r.event_type = rs.event_type
+    """,
+)
+def events_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, event_date, observed, trend_fit, dow_adj,
+    residual, is_anomaly): each type's daily value decomposed into
+    OLS trend + weekday shape + residual, with the 2-sigma flag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_value_rollup(ev)
+    trend = trend_from_daily(daily).select("event_type", "slope", "intercept")
+    x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    scored = daily.join(F.broadcast(trend), "event_type").select(
+        "event_type",
+        "d",
+        F.col("y").cast("double").alias("observed"),
+        F.round(F.col("intercept") + F.col("slope") * x, 6).alias("trend_fit"),
+    )
+    dow = ((x + 3) % 7).alias("dow")
+    detr = F.round(F.col("observed") - F.col("trend_fit"), 8).cast(
+        "decimal(24,8)"
+    )
+    dowm = (
+        scored.groupBy("event_type", dow)
+        .agg(
+            F.round(
+                F.sum(detr).cast("string").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("dow_adj")
+        )
+    )
+    resid = (
+        scored.withColumn("dow", (x + 3) % 7)
+        .join(dowm, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            "observed",
+            "trend_fit",
+            "dow_adj",
+            F.round(
+                F.col("observed") - F.col("trend_fit") - F.col("dow_adj"), 6
+            ).alias("residual"),
+        )
+    )
+    r8 = F.round(F.col("residual"), 8).cast("decimal(24,8)")
+    rr8 = F.round(F.col("residual") * F.col("residual"), 8).cast(
+        "decimal(30,8)"
+    )
+    rstats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(r8).cast("string").cast("double").alias("s1"),
+        F.sum(rr8).cast("string").cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("nd")
+    sd = F.sqrt(F.greatest(F.col("s2") / F.col("nd") - mean * mean, F.lit(0.0)))
+    return resid.join(F.broadcast(rstats), "event_type").select(
+        "event_type",
+        F.col("d").alias("event_date"),
+        "observed",
+        "trend_fit",
+        "dow_adj",
+        "residual",
+        (F.abs(F.col("residual")) > 2.0 * sd).alias("is_anomaly"),
+    )

@@ -2388,3 +2388,104 @@ def interarrival_stream(spark: SparkSession, src_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C35: online duplicate-payment alerts — the streaming twin of A102.
+# The batch audit self-joins history; the operational need is an
+# alert AS the duplicate lands, which is keyed state: per (custkey,
+# exact decimal amount), the orders seen inside the trailing window.
+# State is bounded by construction (entries older than the window
+# prune on every update — the same-key stream is time-ordered, the
+# C24/C34 lake-order assumption), alerts are emitted exactly once per
+# pair (when the LATER order arrives), and the pair columns match
+# A102's batch relation row-for-row: the alert key is (min, max)
+# orderkey and the amount is the RAW double of the lower-key side
+# (A102's a.raw_amt), carried through state.  Downstream delivery is
+# at-least-once under replay — alerting semantics, like the
+# reference's notification paths.
+# ---------------------------------------------------------------------------
+DUPPAY_OUTPUT_SCHEMA = (
+    "o_custkey long, orderkey_1 long, orderkey_2 long, amount double, "
+    "days_apart long"
+)
+DUPPAY_STATE_SCHEMA = "ks array<long>, ds array<long>, raws array<double>"
+_DUPPAY_WINDOW = 3
+
+
+def make_duppay_kernel():
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        custkey = int(key[0])
+        ks, ds, raws = state.get if state.exists else ([], [], [])
+        ks, ds, raws = list(ks), list(ds), list(raws)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["day", "o_orderkey"])
+        out = []
+        for okey, day, raw in zip(
+            rows["o_orderkey"], rows["day"], rows["o_totalprice"]
+        ):
+            okey, day, raw = int(okey), int(day), float(raw)
+            for pk, pdy, praw in zip(ks, ds, raws):
+                if abs(day - pdy) <= _DUPPAY_WINDOW:
+                    k1, k2 = (pk, okey) if pk < okey else (okey, pk)
+                    a_raw = praw if pk < okey else raw
+                    out.append(
+                        (custkey, k1, k2, a_raw, abs(day - pdy))
+                    )
+            ks.append(okey)
+            ds.append(day)
+            raws.append(raw)
+            keep = [i for i, dd in enumerate(ds) if dd >= day - _DUPPAY_WINDOW]
+            ks = [ks[i] for i in keep]
+            ds = [ds[i] for i in keep]
+            raws = [raws[i] for i in keep]
+        state.update((ks, ds, raws))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "o_custkey",
+                    "orderkey_1",
+                    "orderkey_2",
+                    "amount",
+                    "days_apart",
+                ],
+            )
+
+    return update
+
+
+def duppay_stream(spark: SparkSession, src_dir: str, query_name: str):
+    """C35 driver: orders stream -> online duplicate-payment alerts."""
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("amt"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+    )
+    out = stream.groupBy("o_custkey", "amt").applyInPandasWithState(
+        make_duppay_kernel(),
+        DUPPAY_OUTPUT_SCHEMA,
+        DUPPAY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

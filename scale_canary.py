@@ -93,6 +93,7 @@ def measure(spark, sf_dir: str) -> dict:
         skipgram_cooc_pmi,
     )
     from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_incremental_cohort,
         dedup_pair_features,
     )
     from near_indexer_for_explorer_spark.operators.similarity import (
@@ -116,6 +117,10 @@ def measure(spark, sf_dir: str) -> dict:
         # includes the frozen-leg build, i.e. the full B3 shape)
         ("skipgram_cooc_pmi", skipgram_cooc_pmi),
         ("dedup_pair_features", dedup_pair_features),
+        # r7 session-5 addition: the production incremental-ingest
+        # shape (base x incoming straddle over the frozen LSH leg +
+        # candidate-bounded verify; output = whole incoming cohort)
+        ("dedup_incremental_cohort", dedup_incremental_cohort),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()

@@ -2993,3 +2993,123 @@ def test_lsh_probe_curve_monotone_and_saturates(spark, sf_dir):
     assert out[0]["n_hits"] <= out[1]["n_hits"] <= out[2]["n_hits"]
     assert out[0]["recall_at_k"] <= out[2]["recall_at_k"]
     assert out[2]["n_queries"] > 0 and out[2]["recall_at_k"] > 0.0
+
+
+def test_duplicate_payments_planted_pair(spark, tmp_path):
+    """A102 semantics: same customer + identical amount within 3 days
+    is flagged; the same amount 10 days apart, a different amount, and
+    a different customer are not."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_duplicate_payments,
+    )
+
+    base = datetime.datetime(1995, 1, 1)
+
+    def d(n):
+        return base + datetime.timedelta(days=n)
+
+    rows = [
+        (1, 7, 100.00, d(0)),
+        (2, 7, 100.00, d(2)),    # dup of 1 (2 days apart)
+        (3, 7, 100.00, d(12)),   # same amount, too far from both
+        (4, 7, 250.00, d(1)),    # different amount
+        (5, 8, 100.00, d(1)),    # different customer
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = orders_duplicate_payments(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["orderkey_1"], r["orderkey_2"]) == (1, 2)
+    assert r["amount"] == 100.0 and r["days_apart"] == 2
+
+
+def test_ivf_list_balance_conservation(spark, sf_dir):
+    """B102 semantics: list sizes partition the corpus (sizes sum to
+    n, shares to 1), imbalance is share*k, and a hot flag fires iff
+    the exact-integer rule does."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _IVF_K,
+        ivf_list_balance,
+    )
+
+    rows = ivf_list_balance(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _IVF_K
+    n = sum(r["list_size"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["imbalance"] - r["share"] * _IVF_K) < 1e-4
+        assert r["is_hot"] == (r["list_size"] * _IVF_K > 2 * n)
+
+
+def test_chain_gap_planted_open_and_closed_wedges(spark, tmp_path):
+    """B103 semantics: a~b~c with different halves replaced is an OPEN
+    wedge (jaccard(a,c) = 10/26 < t), an identical triple is a CLOSED
+    triangle — closure_rate 3/4 and the open pair's exact severity
+    reported."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_chain_gap_report,
+    )
+
+    toks = [f"t{i:02d}" for i in range(20)]
+    b = " ".join(toks)
+    a = " ".join([f"x{i}" for i in range(4)] + toks[4:])
+    c = " ".join(toks[:16] + [f"y{i}" for i in range(4)])
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, a), (1, b), (2, c),
+        (3, "unrelated filler words entirely different"),
+        (4, same), (5, same), (6, same),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_chain_gap_report(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_dup_pairs"] == 5          # a-b, b-c + the 3 triangle edges
+    assert r["n_wedge_pairs"] == 4        # (a,c) + the 3 triangle closures
+    assert r["n_closed"] == 3 and r["n_open"] == 1
+    assert r["closure_rate"] == 0.75
+    assert r["avg_open_jaccard"] == 0.384615  # 10 / 26 exactly
+
+
+def test_daily_decomposition_planted_line_and_spike(spark, tmp_path):
+    """A103 semantics: a perfect line decomposes to zero residuals and
+    no flags; a single mid-series spike is the one flagged day; and
+    observed == trend_fit + dow_adj + residual holds on every row."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_daily_decomposition,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(28):
+        ts = base + datetime.timedelta(days=i, hours=9)
+        rows.append((eid, ts, 1, "line", 100.0 + 2.0 * i))
+        eid += 1
+        rows.append((eid, ts, 1, "spike", 5000.0 if i == 13 else 50.0))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_daily_decomposition(spark, str(tmp_path)).collect()
+    assert len(out) == 56
+    line = [r for r in out if r["event_type"] == "line"]
+    assert max(abs(r["residual"]) for r in line) == 0.0
+    assert not any(r["is_anomaly"] for r in line)
+    flagged = [r for r in out if r["event_type"] == "spike" and r["is_anomaly"]]
+    assert [str(r["event_date"]) for r in flagged] == ["2024-01-14"]
+    for r in out:  # the additive identity is exact up to float eps
+        assert abs(
+            r["observed"] - (r["trend_fit"] + r["dow_adj"] + r["residual"])
+        ) < 1e-9

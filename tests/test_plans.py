@@ -83,6 +83,7 @@ _BNLJ_EXEMPT = {
     "bigram_backoff_xent",      # broadcast (n_train, v_train) scalar (B33 shape)
     "ann_ivf_topk",             # broadcast trained centroids
     "ann_hard_negatives",       # same IVF search leg (broadcast centroids)
+    "ivf_list_balance",         # same quantizer leg (broadcast centroids + totals)
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "ivfpq_ann_serve",          # same search leg vs the frozen broadcast index
     "topic_terms_serve",        # same scoring leg vs frozen broadcast centroids
@@ -104,6 +105,7 @@ _BNLJ_EXEMPT = {
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
     "part_copurchase_triangles",  # broadcast 1-row census scalars
+    "dedup_chain_gap_report",   # 1-row report-component crossJoins
     "vocab_growth_heaps",       # broadcast 1-row OLS-fit scalars
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
     "embedding_top_component",  # broadcast 1-row norm/total-variance scalars per iteration

@@ -1947,3 +1947,102 @@ def test_interarrival_stream_matches_batch_stats(spark, sf_dir, event_batches):
         for r in user_interarrival_stats(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_duppay_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """C35: the online alert set equals A102's batch pair relation
+    row-for-row (keys, raw lower-side amount, day gap) across a
+    time-ordered two-batch split, with state carrying the window over
+    the batch boundary."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_duplicate_payments,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        duppay_stream,
+    )
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.selectExpr(
+        "percentile(CAST(CAST(o_orderdate AS TIMESTAMP_LTZ) AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    es = F.col("o_orderdate").cast("timestamp_ltz").cast("double")
+    src = str(tmp_path / "dp_src")
+    _os.makedirs(src)
+    for i, part_df in enumerate(
+        [orders.where(es <= med), orders.where(es > med)]
+    ):
+        stage = tmp_path / f"dp{i}"
+        part_df.coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    q = duppay_stream(spark, src, "duppay_out")
+    _await(q, timeout=180)
+    got = sorted(
+        (
+            r["o_custkey"],
+            r["orderkey_1"],
+            r["orderkey_2"],
+            r["amount"],
+            r["days_apart"],
+        )
+        for r in spark.sql("SELECT * FROM duppay_out").collect()
+    )
+    want = sorted(
+        (
+            r["o_custkey"],
+            r["orderkey_1"],
+            r["orderkey_2"],
+            r["amount"],
+            r["days_apart"],
+        )
+        for r in orders_duplicate_payments(spark, sf_dir).collect()
+    )
+    # the synthetic corpus has near-unique amounts (0 pairs at test
+    # SFs) — this leg proves NO FALSE ALERTS on real data
+    assert got == want
+
+    # planted leg: a dup pair STRADDLING the batch boundary proves the
+    # state carries the window across micro-batches
+    import datetime as _dt
+
+    base = _dt.datetime(1995, 6, 1)
+    p_src = str(tmp_path / "dp_planted")
+    _os.makedirs(p_src)
+    batches = [
+        [(9001, 77, 123.45, base)],
+        [
+            (9002, 77, 123.45, base + _dt.timedelta(days=2)),  # cross-batch dup
+            (9003, 77, 500.00, base + _dt.timedelta(days=2)),  # other amount
+            (9004, 78, 123.45, base + _dt.timedelta(days=2)),  # other customer
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"dpp{i}"
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate timestamp_ntz",
+        ).coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(p_src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+    q2 = duppay_stream(spark, p_src, "duppay_planted_out")
+    _await(q2, timeout=180)
+    alerts = [
+        (r["o_custkey"], r["orderkey_1"], r["orderkey_2"], r["amount"], r["days_apart"])
+        for r in spark.sql("SELECT * FROM duppay_planted_out").collect()
+    ]
+    assert alerts == [(77, 9001, 9002, 123.45, 2)]
