@@ -182,6 +182,9 @@ EXTRA = [
     "ivf_list_balance",
     "dedup_chain_gap_report",
     "events_daily_decomposition",
+    "shingle_df_cap_curve",
+    "weekly_top_movers",
+    "retention_curve_fit",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3277,3 +3277,159 @@ def _chain_gap_oracle_sql() -> str:
 
 
 ORACLES["dedup_chain_gap_report"] = _chain_gap_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B104 df-cap operating curve — the COST side of the posting-list
+# prune that every shingle-join leg stands on (_df_pruned_shingles:
+# shingles with df above max(4, frac*n_docs) leave the inverted
+# index, bounding the pair space by sum over kept shingles of
+# df*(df-1)/2).  B63 measures the banding knob's recall; THIS
+# measures the prune knob's cost: per candidate cap fraction, how
+# many shingles and postings survive and what the candidate-pair
+# BOUND becomes vs the unpruned quadratic bound — the evidence for
+# the configured 0.10.
+#
+# Scale shape: everything derives from ONE map-combined df aggregate
+# (shingle -> df); the whole fraction grid is conditional sums over
+# that relation + one 1-row corpus scalar.  Exact integers end to
+# end (pair bounds in DECIMAL(38,0) — df² sums overflow BIGINT at
+# corpus scale); one IEEE division per ratio.
+# ---------------------------------------------------------------------------
+_DF_CAP_FRACS = ["0.02", "0.05", "0.10", "0.20"]
+
+
+def shingle_df_cap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cap_frac, cap_df, n_shingles, n_kept, postings_kept,
+    pairs_bound_kept, pairs_bound_total, bound_reduction): the
+    candidate-pair cost of each df-cap choice."""
+    sh = _distinct_shingles(spark, sf_dir)
+    dfrel = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pair_w = (
+        (F.col("df").cast("decimal(19,0)") * (F.col("df") - 1)) / 2
+    ).cast("decimal(38,0)")
+    per_cap = []
+    for frac in _DF_CAP_FRACS:
+        cap = F.greatest(
+            F.lit(_MIN_DF_CAP).cast("long"),
+            F.ceil(F.lit(float(frac)) * F.col("n_docs")),
+        )
+        kept = F.col("df") <= cap
+        tag = frac.replace(".", "_")
+        per_cap += [
+            F.max(cap).alias(f"cap_{tag}"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(f"nk_{tag}"),
+            F.sum(F.when(kept, F.col("df")).otherwise(0))
+            .cast("long")
+            .alias(f"pk_{tag}"),
+            F.sum(F.when(kept, pair_w).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias(f"pb_{tag}"),
+        ]
+    base = dfrel.crossJoin(F.broadcast(n_docs)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(pair_w).cast("decimal(38,0)").alias("pairs_bound_total"),
+        *per_cap,
+    )
+    ex = base.select(
+        "n_shingles",
+        "pairs_bound_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(frac)).alias("cap_frac"),
+                        F.col(f"cap_{frac.replace('.', '_')}")
+                        .cast("long")
+                        .alias("cap_df"),
+                        F.col(f"nk_{frac.replace('.', '_')}").alias("n_kept"),
+                        F.col(f"pk_{frac.replace('.', '_')}").alias(
+                            "postings_kept"
+                        ),
+                        F.col(f"pb_{frac.replace('.', '_')}").alias(
+                            "pairs_bound_kept"
+                        ),
+                    )
+                    for frac in _DF_CAP_FRACS
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.cap_frac").alias("cap_frac"),
+        F.col("row.cap_df").alias("cap_df"),
+        "n_shingles",
+        F.col("row.n_kept").alias("n_kept"),
+        F.col("row.postings_kept").alias("postings_kept"),
+        F.col("row.pairs_bound_kept").cast("double").alias("pairs_bound_kept"),
+        F.col("pairs_bound_total").cast("double").alias("pairs_bound_total"),
+        F.round(
+            F.col("row.pairs_bound_kept").cast("double")
+            / F.nullif(F.col("pairs_bound_total").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("bound_reduction"),
+    )
+
+
+QUERIES["shingle_df_cap_curve"] = shingle_df_cap_curve
+
+
+def _df_cap_curve_oracle_sql() -> str:
+    per_cap = []
+    for frac in _DF_CAP_FRACS:
+        cap = (
+            f"greatest({_MIN_DF_CAP}, CAST(ceil({float(frac)} * n_docs)"
+            f" AS BIGINT))"
+        )
+        per_cap.append(
+            f"MAX({cap}) AS cap_{frac.replace('.', '_')},"
+            f" CAST(SUM(CASE WHEN df <= {cap} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nk_{frac.replace('.', '_')},"
+            f" CAST(SUM(CASE WHEN df <= {cap} THEN df ELSE 0 END) AS BIGINT)"
+            f" AS pk_{frac.replace('.', '_')},"
+            f" CAST(SUM(CASE WHEN df <= {cap} THEN pw ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            f" AS DECIMAL(38,0)) AS pb_{frac.replace('.', '_')}"
+        )
+    cols = ",\n             ".join(per_cap)
+    grid = "\n      UNION ALL ".join(
+        f"SELECT CAST({float(frac)} AS DOUBLE) AS cap_frac,"
+        f" CAST(cap_{frac.replace('.', '_')} AS BIGINT) AS cap_df,"
+        f" n_shingles, nk_{frac.replace('.', '_')} AS n_kept,"
+        f" pk_{frac.replace('.', '_')} AS postings_kept,"
+        f" CAST(pb_{frac.replace('.', '_')} AS DOUBLE) AS pairs_bound_kept,"
+        f" CAST(pairs_bound_total AS DOUBLE) AS pairs_bound_total"
+        f" FROM base"
+        for frac in _DF_CAP_FRACS
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    dfrel AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    weighted AS (
+      SELECT df,
+             CAST(CAST(df AS DECIMAL(19,0)) * (df - 1) / 2 AS DECIMAL(38,0))
+               AS pw,
+             nd.n_docs
+      FROM dfrel CROSS JOIN nd
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(pw) AS DECIMAL(38,0)) AS pairs_bound_total,
+             {cols}
+      FROM weighted
+    ),
+    grid AS (
+      {grid}
+    )
+    SELECT cap_frac, cap_df, n_shingles, n_kept, postings_kept,
+           pairs_bound_kept, pairs_bound_total,
+           ROUND(pairs_bound_kept / NULLIF(pairs_bound_total, 0.0), 6)
+             AS bound_reduction
+    FROM grid
+    """
+
+
+ORACLES["shingle_df_cap_curve"] = _df_cap_curve_oracle_sql()

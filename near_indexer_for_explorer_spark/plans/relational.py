@@ -6856,3 +6856,178 @@ def events_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         (F.abs(F.col("residual")) > 2.0 * sd).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A104 weekly top movers (reference analog: the "biggest movers this
+# week" explorer panel — which action kinds / contracts gained or
+# lost rank week over week; A101 detects that the mix changed, THIS
+# names the movers).  Rank by weekly volume inside each Monday-aligned
+# week (A83/A101's integer epoch-week), delta vs the type's previous
+# ACTIVE week via one lag on the (type) axis.
+#
+# Scale shape: ONE fact shuffle to the (week, type) grain; both
+# windows (per-week rank, per-type lag) run on the bounded grain.
+# Rank ties break on event_type ASC so both engines rank one
+# identical order; a type's first week has NULL prev_rank/delta.
+# ---------------------------------------------------------------------------
+@_register(
+    "weekly_top_movers",
+    """
+    WITH base AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) // 7
+               AS w,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT w, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w
+                    ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rk
+      FROM base
+    )
+    SELECT DATE '1970-01-01' + CAST(w * 7 - 3 AS INTEGER) AS week_start,
+           event_type, n_events, rk AS rank,
+           LAG(rk) OVER (PARTITION BY event_type ORDER BY w) AS prev_rank,
+           LAG(rk) OVER (PARTITION BY event_type ORDER BY w) - rk
+             AS rank_gain
+    FROM ranked
+    """,
+)
+def weekly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week_start, event_type, n_events, rank, prev_rank, rank_gain):
+    weekly volume ranks per type with the week-over-week rank change
+    (positive = climbed)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = ev.groupBy(
+        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w_rank = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    ranked = base.withColumn(
+        "rk", F.row_number().over(w_rank).cast("long")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("w")
+    prev = F.lag("rk").over(w_lag)
+    return ranked.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), (F.col("w") * 7 - 3).cast("int")
+        ).alias("week_start"),
+        "event_type",
+        "n_events",
+        F.col("rk").alias("rank"),
+        prev.alias("prev_rank"),
+        (prev - F.col("rk")).alias("rank_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A105 retention curve fit (reference analog: the growth team's "what
+# is our retention half-life" number — A57 produces the matrix, this
+# compresses it into the power-law every retention deck quotes:
+# ln(retention) ~ a + b*ln(months_since), pooled across cohorts, with
+# the 12-month projection).  Composes the VERIFIED A57 query (B42/B68
+# composition discipline: the oracle stitches A57's oracle text, so
+# the composed fit is itself hash-checked).
+#
+# Float discipline: x = ln(offset) and y = ln(retention) ROUND-8 into
+# decimals, so all five OLS sums are sums/products of EXACT decimals
+# (decimal x decimal multiplication is exact — stronger than the
+# float-product path); slope/intercept/r2 are pinned IEEE expressions
+# over VARCHAR-hopped sums (B49); ln(12) enters both engines as one
+# parsed literal; the projection is round-6.
+#
+# Scale shape: everything beyond A57's own two shuffles runs on the
+# bounded cohort x offset grain.
+# ---------------------------------------------------------------------------
+_LN12 = "2.4849066497880004"
+
+
+@_register(
+    "retention_curve_fit",
+    f"""
+    WITH ret AS ({{RETENTION_ORACLE}}),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(months_since AS DOUBLE)), 8)
+                  AS DECIMAL(20,8)) AS x8,
+             CAST(ROUND(ln(retention), 8) AS DECIMAL(20,8)) AS y8
+      FROM ret WHERE months_since >= 1 AND retention > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(CAST(SUM(x8) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y8) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x8 * x8) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x8 * y8) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y8 * y8) AS VARCHAR) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT n_points,
+           ROUND((n_points * sxy - sx * sy)
+                 / (n_points * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n_points * sxy - sx * sy)
+                        / (n_points * sxx - sx * sx)) * sx)
+                 / n_points, 6) AS intercept,
+           ROUND(((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+                 / ((n_points * sxx - sx * sx)
+                    * (n_points * syy - sy * sy)), 6) AS r2,
+           ROUND(exp(ROUND((sy - ((n_points * sxy - sx * sy)
+                                  / (n_points * sxx - sx * sx)) * sx)
+                           / n_points, 6)
+                     + ROUND((n_points * sxy - sx * sy)
+                             / (n_points * sxx - sx * sx), 6)
+                       * CAST('{_LN12}' AS DOUBLE)), 6)
+             AS projected_retention_m12
+    FROM s
+    """,
+)
+def retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_points, slope, intercept, r2, projected_retention_m12): the
+    pooled power-law fit of the A57 retention matrix and its 12-month
+    projection."""
+    ret = orders_retention_cohorts(spark, sf_dir)
+    pts = ret.where(
+        (F.col("months_since") >= 1) & (F.col("retention") > 0)
+    ).select(
+        F.round(F.log(F.col("months_since").cast("double")), 8)
+        .cast("decimal(20,8)")
+        .alias("x8"),
+        F.round(F.log("retention"), 8).cast("decimal(20,8)").alias("y8"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x8").cast("string").cast("double").alias("sx"),
+        F.sum("y8").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("x8") * F.col("x8")).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("x8") * F.col("y8")).cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("y8") * F.col("y8")).cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return s.select(
+        "n_points",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(
+            (num * num) / (den * (n * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+        F.round(
+            F.exp(
+                F.round(intercept, 6) + F.round(slope, 6) * F.lit(float(_LN12))
+            ),
+            6,
+        ).alias("projected_retention_m12"),
+    )
+
+
+# the A105 oracle stitches A57's (already-stabilized) oracle text —
+# resolved here because the decorator registered the template above
+ORACLES["retention_curve_fit"] = ORACLES["retention_curve_fit"].replace(
+    "{RETENTION_ORACLE}", ORACLES["orders_retention_cohorts"]
+)

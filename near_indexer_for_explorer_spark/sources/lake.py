@@ -85,3 +85,17 @@ def read_csv_lake(
         .option("header", "false")
         .csv(path)
     )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution parquet scan: a lake table whose files were
+    written under DIFFERENT schema versions (columns added over time —
+    the reference's migration story, database/migrations/*, replayed
+    as lake files) reads as ONE unified schema; files written before a
+    column existed surface NULL for it.
+
+    ``mergeSchema`` pays a footer scan per file, so production tables
+    should pin the latest schema explicitly once known — this reader
+    is the discovery path (and the pinned-schema read is the ordinary
+    ``spark.read.schema(...)``, already exercised everywhere else)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -3113,3 +3113,106 @@ def test_daily_decomposition_planted_line_and_spike(spark, tmp_path):
         assert abs(
             r["observed"] - (r["trend_fit"] + r["dow_adj"] + r["residual"])
         ) < 1e-9
+
+
+def test_df_cap_curve_planted_hot_shingle(spark, tmp_path):
+    """B104 semantics: 20 docs sharing one boilerplate shingle + one
+    rare pair-shingle — the hot shingle's 190-pair bound survives only
+    caps >= its df; monotone bounds in the cap; total bound constant."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        shingle_df_cap_curve,
+    )
+
+    rows = []
+    for i in range(20):  # every doc carries the same "hot one two" shingle
+        rows.append((i, f"hot one two filler{i} alpha{i} beta{i}"))
+    rows.append((100, "rare gram pair unique tail words"))
+    rows.append((101, "rare gram pair other tail words"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["cap_frac"]: r for r in shingle_df_cap_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0.02, 0.05, 0.1, 0.2]
+    n_docs = 22
+    totals = {r["pairs_bound_total"] for r in out.values()}
+    assert len(totals) == 1  # constant across grid rows
+    # the hot shingle (df=20) contributes 190 pairs; floor cap is
+    # max(4, ceil(frac*22)) = 4 or 5 -> hot dropped at every tested cap
+    for frac, r in out.items():
+        assert r["cap_df"] == max(4, -(-int(frac * 100) * n_docs // 100))
+        assert r["pairs_bound_kept"] < r["pairs_bound_total"]
+    caps = sorted(out)
+    for lo, hi in zip(caps, caps[1:]):
+        assert out[lo]["n_kept"] <= out[hi]["n_kept"]
+        assert out[lo]["pairs_bound_kept"] <= out[hi]["pairs_bound_kept"]
+    # the rare pair-shingles (df=2, one pair each) always survive
+    assert all(r["pairs_bound_kept"] >= 1.0 for r in out.values())
+
+
+def test_weekly_movers_planted_rank_swap(spark, tmp_path):
+    """A104 semantics: clicks lead week 1, views lead week 2 — the
+    rank_gain columns show the swap exactly (+1 for views, -1 for
+    clicks), first week NULL."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        weekly_top_movers,
+    )
+
+    wa = datetime.datetime(2024, 1, 1, 12)
+    wb = datetime.datetime(2024, 1, 8, 12)
+    rows = [(i, wa, 1, "click", 1.0) for i in range(10)]
+    rows += [(100 + i, wa, 1, "view", 1.0) for i in range(5)]
+    rows += [(200 + i, wb, 1, "click", 1.0) for i in range(5)]
+    rows += [(300 + i, wb, 1, "view", 1.0) for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        (str(r["week_start"]), r["event_type"]): r
+        for r in weekly_top_movers(spark, str(tmp_path)).collect()
+    }
+    assert out[("2024-01-01", "click")]["rank"] == 1
+    assert out[("2024-01-01", "click")]["prev_rank"] is None
+    assert out[("2024-01-08", "view")]["rank"] == 1
+    assert out[("2024-01-08", "view")]["rank_gain"] == 1
+    assert out[("2024-01-08", "click")]["rank_gain"] == -1
+
+
+def test_retention_fit_planted_power_law(spark, tmp_path):
+    """A105 semantics: a cohort engineered to retain at exactly
+    offset^-1 (100 customers at m0; 100/k active at offset k) fits
+    slope -1, r2 1, and projects 1/12 at month 12."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        retention_curve_fit,
+    )
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    kid = 0
+    # cohort of 100 customers, all first-order in Jan 2020
+    for c in range(100):
+        rows.append((kid, c, base))
+        kid += 1
+    # at offset k (1..4), exactly 100/k of them order again
+    for k in (1, 2, 4):
+        m = datetime.datetime(2020, 1 + k, 1)
+        for c in range(100 // k):
+            rows.append((kid, c, m))
+            kid += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = retention_curve_fit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 3
+    assert r["slope"] == -1.0 and r["r2"] == 1.0
+    assert abs(r["intercept"]) < 1e-5
+    assert abs(r["projected_retention_m12"] - 1 / 12) < 1e-4

@@ -75,6 +75,7 @@ _BNLJ_EXEMPT = {
     "monthly_unlocked_supply",  # broadcast vesting snapshot
     "lockup_locked_supply",     # broadcast lockup snapshot
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
+    "shingle_df_cap_curve",     # broadcast 1-row n_docs scalar (B2's prune shape)
     "dedup_winnowing",          # broadcast df-cap scalar (B2's prune shape)
     "lsh_s_curve",              # broadcast df-cap scalar (B2's pair universe)
     "dsir_importance_weights",  # broadcast (nt, nr) totals scalar

@@ -222,3 +222,36 @@ def test_orc_roundtrip_value_identical(spark, sf_dir, tmp_path):
     a = sorted([tuple(r) for r in pq.select(*cols).collect()], key=repr)
     b = sorted([tuple(r) for r in orc.select(*cols).collect()], key=repr)
     assert a == b
+
+
+def test_parquet_schema_evolution_union_and_nulls(spark, tmp_path):
+    """read_parquet_evolved: v1 files (a, b) and v2 files (a, b, c)
+    read as one (a, b, c) schema with NULL c on v1 rows — and the
+    evolved scan still prunes columns (ReadSchema carries only the
+    selected column)."""
+    from near_indexer_for_explorer_spark.sources.lake import (
+        read_parquet_evolved,
+    )
+
+    tbl = str(tmp_path / "evolved_tbl")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a long, b string"
+    ).coalesce(1).write.mode("append").parquet(tbl)
+    spark.createDataFrame(
+        [(3, "z", 30.5)], "a long, b string, c double"
+    ).coalesce(1).write.mode("append").parquet(tbl)
+
+    df = read_parquet_evolved(spark, tbl)
+    assert sorted(df.columns) == ["a", "b", "c"]
+    rows = {r["a"]: (r["b"], r["c"]) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30.5)}
+
+    plan = df.select("a")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "a" in read_schema and "c:" not in read_schema
