@@ -45,3 +45,42 @@ def frozen(
     if key not in _FROZEN:
         _FROZEN[key] = tuple(df.localCheckpoint(eager=True) for df in build())
     return _FROZEN[key]
+
+
+def persist_artifacts(dfs: tuple[DataFrame, ...], path: str) -> None:
+    """Write a frozen-artifact tuple to the lake — the production form
+    of the in-session memo (the module docstring's 'written once,
+    served many times').  Plain parquet, one subdirectory per tuple
+    member: artifacts are small relational outputs (signatures,
+    candidate pairs, codebooks), so an overwrite per member is the
+    whole protocol."""
+    import os
+
+    for i, df in enumerate(dfs):
+        df.write.mode("overwrite").parquet(os.path.join(path, f"part{i}"))
+
+
+def load_artifacts(
+    name: str, spark: SparkSession, sf_dir: str, path: str, arity: int
+) -> tuple[DataFrame, ...]:
+    """Register a persisted artifact tuple under the session memo key,
+    so every consumer that calls frozen(name, ...) serves from the
+    DISK artifact instead of rebuilding.  Returns the registered
+    tuple.
+
+    Because builds are deterministic, a reloaded artifact is
+    bit-identical to a rebuilt one — pinned by
+    tests/test_operators.py::test_frozen_artifact_roundtrip — so
+    composed queries and their oracles are unaffected by WHERE the
+    artifact came from."""
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    key = (name, sf_dir, app_id)
+    _FROZEN[key] = tuple(
+        spark.read.parquet(os.path.join(path, f"part{i}")).localCheckpoint(
+            eager=True
+        )
+        for i in range(arity)
+    )
+    return _FROZEN[key]

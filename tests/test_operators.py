@@ -3216,3 +3216,32 @@ def test_retention_fit_planted_power_law(spark, tmp_path):
     assert r["slope"] == -1.0 and r["r2"] == 1.0
     assert abs(r["intercept"]) < 1e-5
     assert abs(r["projected_retention_m12"] - 1 / 12) < 1e-4
+
+
+def test_frozen_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """The frozen-memo's production path: persist the MinHash index
+    artifacts to the lake, wipe the in-session memo, reload from disk
+    — and the served candidate relation (and a composed verify query)
+    are ROW-FOR-ROW identical to the rebuilt ones, because builds are
+    deterministic."""
+    from near_indexer_for_explorer_spark.operators import frozen as fz
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_pair_features,
+        frozen_minhash_index,
+        lsh_candidates_serve,
+    )
+
+    built = frozen_minhash_index(spark, sf_dir)
+    want_cand = sorted(map(tuple, lsh_candidates_serve(spark, sf_dir).collect()))
+    want_feat = sorted(map(tuple, dedup_pair_features(spark, sf_dir).collect()))
+
+    path = str(tmp_path / "minhash_artifact")
+    fz.persist_artifacts(built, path)
+    app_id = spark.sparkContext.applicationId
+    del fz._FROZEN[("minhash_index", sf_dir, app_id)]
+    fz.load_artifacts("minhash_index", spark, sf_dir, path, arity=2)
+
+    got_cand = sorted(map(tuple, lsh_candidates_serve(spark, sf_dir).collect()))
+    got_feat = sorted(map(tuple, dedup_pair_features(spark, sf_dir).collect()))
+    assert got_cand == want_cand and len(want_cand) > 0
+    assert got_feat == want_feat
