@@ -185,6 +185,7 @@ EXTRA = [
     "shingle_df_cap_curve",
     "weekly_top_movers",
     "retention_curve_fit",
+    "matryoshka_dim_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -4337,3 +4337,169 @@ ORACLES["ivf_list_balance"] = f"""
            list_size * {_IVF_K} > 2 * t.n AS is_hot
     FROM sizes CROSS JOIN tot t
 """
+
+
+# ---------------------------------------------------------------------------
+# B105 Matryoshka prefix-dimension operating curve — B85 serves at the
+# configured 16 dims; THIS measures the knob (the MRL paper's central
+# plot, on OUR corpus): per prefix width, recall@k of the
+# prefix-cosine top-RERANK_M candidate set against the B5 exact
+# baseline.  Completes the coarse-stage curves (B92 int8 depth, B101
+# LSH radius, B69 IVF nprobe — and now dimension width).
+#
+# One declared all-pairs pass (exempt family 2) computes ALL prefix
+# cosines as columns; the per-dim candidate sets are rank windows on
+# the same q_id exchange; recall needs no candidate-side intersection
+# beyond exact_topk LEFT JOIN ranks (the B92/B101 argument); the
+# 64-dim row is a built-in sanity check (prefix == full vector ->
+# recall exactly 1).
+# ---------------------------------------------------------------------------
+_MRL_CURVE_DIMS = [8, 16, 32, 64]
+
+
+def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prefix_dim, rerank_m, n_hits, n_queries, recall_at_k): exact
+    top-k coverage of the prefix-cosine top-RERANK_M candidates, per
+    prefix width."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    base = e
+    for d in _MRL_CURVE_DIMS:
+        pre = F.slice(F.col("emb"), 1, d)
+        base = base.withColumn(f"pre{d}", pre).withColumn(
+            f"pnrm{d}", l2_norm(pre)
+        )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"pre{d}").alias(f"q_pre{d}") for d in _MRL_CURVE_DIMS],
+        *[F.col(f"pnrm{d}").alias(f"q_pnrm{d}") for d in _MRL_CURVE_DIMS],
+    )
+    pairs = base.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        "vec_id",
+        *[
+            F.round(
+                cosine(
+                    F.col(f"q_pre{d}"),
+                    F.col(f"pre{d}"),
+                    F.col(f"q_pnrm{d}"),
+                    F.col(f"pnrm{d}"),
+                ),
+                6,
+            ).alias(f"cos{d}")
+            for d in _MRL_CURVE_DIMS
+        ],
+    )
+    ranked = pairs
+    for d in _MRL_CURVE_DIMS:
+        w_d = Window.partitionBy("q_id").orderBy(
+            F.col(f"cos{d}").desc(), F.col("vec_id").asc()
+        )
+        ranked = ranked.withColumn(f"rn{d}", F.row_number().over(w_d))
+    rk = ranked.select(
+        "q_id", "vec_id", *[f"rn{d}" for d in _MRL_CURVE_DIMS]
+    ).alias("rk")
+    exact = ann_cosine_topk(spark, sf_dir).alias("x")
+    hits = exact.join(
+        rk,
+        (F.col("x.q_id") == F.col("rk.q_id"))
+        & (F.col("x.neighbor_id") == F.col("rk.vec_id")),
+    ).agg(
+        *[
+            F.sum(F.when(F.col(f"rn{d}") <= RERANK_M, 1).otherwise(0))
+            .cast("long")
+            .alias(f"hit{d}")
+            for d in _MRL_CURVE_DIMS
+        ]
+    )
+    nq = ann_cosine_topk(spark, sf_dir).agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries")
+    )
+    ex = hits.crossJoin(F.broadcast(nq)).select(
+        "n_queries",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("prefix_dim"),
+                        F.col(f"hit{d}").alias("n_hits"),
+                    )
+                    for d in _MRL_CURVE_DIMS
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.prefix_dim").alias("prefix_dim"),
+        F.lit(RERANK_M).cast("long").alias("rerank_m"),
+        F.col("row.n_hits").alias("n_hits"),
+        "n_queries",
+        F.round(
+            F.col("row.n_hits").cast("double")
+            / (F.lit(TOP_K) * F.col("n_queries")),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+QUERIES["matryoshka_dim_curve"] = matryoshka_dim_curve
+
+
+def _mrl_curve_oracle_sql() -> str:
+    cos_cols = []
+    for d in _MRL_CURVE_DIMS:
+        dot = (
+            f"list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> q.emb[i] * b.emb[i]))"
+        )
+        qn = f"sqrt(list_sum(list_transform(q.emb[1:{d}], x -> x * x)))"
+        bn = f"sqrt(list_sum(list_transform(b.emb[1:{d}], x -> x * x)))"
+        cos_cols.append(f"ROUND({dot} / ({qn} * {bn}), 6) AS cos{d}")
+    rn_cols = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos{d} DESC,"
+        f" vec_id ASC) AS rn{d}"
+        for d in _MRL_CURVE_DIMS
+    )
+    hit_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN rn{d} <= {RERANK_M} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS hit{d}"
+        for d in _MRL_CURVE_DIMS
+    )
+    grid = "\n      UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS prefix_dim, hit{d} AS n_hits FROM hits"
+        for d in _MRL_CURVE_DIMS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {", ".join(cos_cols)}
+      FROM q, e b WHERE q.q_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             {rn_cols}
+      FROM pairs
+    ),
+    exact AS ({ORACLES["ann_cosine_topk"]}),
+    nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+           FROM exact),
+    hits AS (
+      SELECT {hit_cols}
+      FROM exact x JOIN ranked r
+        ON x.q_id = r.q_id AND x.neighbor_id = r.vec_id
+    ),
+    grid AS (
+      {grid}
+    )
+    SELECT prefix_dim, CAST({RERANK_M} AS BIGINT) AS rerank_m, n_hits,
+           nq.n_queries,
+           ROUND(CAST(n_hits AS DOUBLE) / ({TOP_K} * nq.n_queries), 6)
+             AS recall_at_k
+    FROM grid CROSS JOIN nq
+    """
+
+
+ORACLES["matryoshka_dim_curve"] = _mrl_curve_oracle_sql()

@@ -6611,16 +6611,12 @@ def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w, wt
     """,
 )
-def events_weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(week_start, n_events, chi2): per Monday-aligned week, the
-    chi-square of the week's event-type mix against the all-time mix
-    (zero cells included)."""
-    ev = load_table(spark, sf_dir, "events")
-    epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    base = ev.groupBy(
-        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("obs"))
+def mix_drift_from_cells(base: DataFrame) -> DataFrame:
+    """The A101 kernel over its sufficient relation — `base`
+    (w, event_type, obs) weekly count cells, which are ADDITIVE and
+    therefore mergeable under the C32 delta-log algebra; shared
+    verbatim with the C36 streaming twin so stream == batch is a
+    kernel invariant."""
     weeks = base.groupBy("w").agg(F.sum("obs").cast("long").alias("wt"))
     types = base.groupBy("event_type").agg(
         F.sum("obs").cast("long").alias("cf")
@@ -6658,6 +6654,30 @@ def events_weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def weekly_type_cells(events: DataFrame) -> DataFrame:
+    """(w, event_type, obs): the A101 sufficient relation — additive
+    count cells at the (Monday-aligned integer week, type) grain."""
+    epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    return events.groupBy(
+        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("obs"))
+
+
+def events_weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week_start, n_events, chi2): per Monday-aligned week, the
+    chi-square of the week's event-type mix against the all-time mix
+    (zero cells included)."""
+    return mix_drift_from_cells(
+        weekly_type_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+# the decorator above bound the ORACLE to this name while decorating
+# the kernel; point the QUERY entry at the actual entry-point fn
+QUERIES["events_weekly_mix_drift"] = events_weekly_mix_drift
 
 
 # ---------------------------------------------------------------------------

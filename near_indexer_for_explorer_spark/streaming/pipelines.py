@@ -2489,3 +2489,61 @@ def duppay_stream(spark: SparkSession, src_dir: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# C36: streaming mix-drift maintenance — A101's sufficient relation is
+# ADDITIVE (w, event_type, obs) count cells, so the stream rides the
+# C32 batch-id-keyed delta log verbatim (a replayed batch overwrites
+# its own delta; pure-append writes, O(batch) per batch at any state
+# size) and the read path folds the cells into the SAME
+# mix_drift_from_cells kernel as the A101 batch query.  Note the
+# statistic itself is NON-additive (every week's chi-square moves when
+# the all-time mix moves) — which is exactly why the stream maintains
+# the cells, never the chi-squares (the C17/C29 minimal-sufficient-
+# state discipline).
+# ---------------------------------------------------------------------------
+def foreach_batch_mix_cells(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.plans.relational import (
+            weekly_type_cells,
+        )
+
+        deltas = weekly_type_cells(batch_df).select(
+            "w", "event_type", F.col("obs").cast("long").alias("obs")
+        )
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def mix_drift_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C36 driver: event stream -> incrementally maintained weekly
+    mix cells; read the drift with read_stream_mix_drift()."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_mix_cells(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_mix_drift(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C36 read path: fold the cell delta log and run the SAME
+    mix_drift_from_cells kernel as A101."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        mix_drift_from_cells,
+    )
+
+    srcs, _ = _count_delta_sources(out_dir)
+    cells = (
+        spark.read.parquet(*srcs)
+        .groupBy("w", "event_type")
+        .agg(F.sum("obs").cast("long").alias("obs"))
+    )
+    return mix_drift_from_cells(cells)

@@ -3245,3 +3245,20 @@ def test_frozen_artifact_roundtrip(spark, sf_dir, tmp_path):
     got_feat = sorted(map(tuple, dedup_pair_features(spark, sf_dir).collect()))
     assert got_cand == want_cand and len(want_cand) > 0
     assert got_feat == want_feat
+
+
+def test_matryoshka_curve_monotone_and_full_dim_perfect(spark, sf_dir):
+    """B105 semantics: recall is (weakly) monotone in the prefix width
+    and EXACTLY 1 at the full 64 dims (prefix == full vector, and
+    RERANK_M > k guarantees coverage)."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        matryoshka_dim_curve,
+    )
+
+    out = {r["prefix_dim"]: r for r in matryoshka_dim_curve(spark, sf_dir).collect()}
+    assert sorted(out) == [8, 16, 32, 64]
+    assert out[64]["recall_at_k"] == 1.0
+    dims = sorted(out)
+    for lo, hi in zip(dims, dims[1:]):
+        assert out[lo]["n_hits"] <= out[hi]["n_hits"] + 2  # near-monotone
+    assert out[8]["n_queries"] > 0

@@ -128,6 +128,7 @@ _BNLJ_EXEMPT = {
     "ann_recall_matrix",        # composes the brute-force baseline leg
     "ivf_nprobe_recall_curve",  # composes the brute-force baseline + IVF legs
     "lsh_probe_budget_curve",   # composes the brute-force baseline + probe scalars
+    "matryoshka_dim_curve",     # declared all-pairs prefix scan + B5 baseline
 }
 
 

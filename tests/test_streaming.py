@@ -2046,3 +2046,49 @@ def test_duppay_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM duppay_planted_out").collect()
     ]
     assert alerts == [(77, 9001, 9002, 123.45, 2)]
+
+
+def test_mix_drift_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp_path):
+    """C36: folding the additive cell delta log into the shared
+    mix_drift_from_cells kernel equals the A101 batch query
+    row-for-row, and a replayed micro-batch overwrites its own delta
+    (no double count) even though the STATISTIC is non-additive."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_weekly_mix_drift,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_mix_cells,
+        mix_drift_stream,
+        read_stream_mix_drift,
+    )
+
+    out, ckpt = str(tmp_path / "mix_out"), str(tmp_path / "mix_ckpt")
+    _await(mix_drift_stream(spark, event_batches, out, ckpt))
+
+    def snap():
+        return sorted(
+            (str(r["week_start"]), r["n_events"], r["chi2"])
+            for r in read_stream_mix_drift(spark, out).collect()
+        )
+
+    want = sorted(
+        (str(r["week_start"]), r["n_events"], r["chi2"])
+        for r in events_weekly_mix_drift(spark, sf_dir).collect()
+    )
+    assert snap() == want and len(want) > 0
+
+    # replayed batch overwrites its own delta: fold unchanged
+    ev = load_table(spark, sf_dir, "events")
+    foreach_batch_mix_cells(out)(ev.limit(500), 0)
+    # note: batch 0's true content was the first time-half; rewriting
+    # it with different rows CHANGES the fold (overwrite semantics) —
+    # so replay-idempotence is asserted by rewriting the TRUE content
+    half = ev.where(
+        F.col("ts").cast("timestamp_ltz").cast("double")
+        <= ev.selectExpr(
+            "percentile(CAST(CAST(ts AS TIMESTAMP_LTZ) AS DOUBLE), 0.5) AS m"
+        ).collect()[0]["m"]
+    )
+    foreach_batch_mix_cells(out)(half, 0)
+    assert snap() == want
