@@ -186,6 +186,8 @@ EXTRA = [
     "weekly_top_movers",
     "retention_curve_fit",
     "matryoshka_dim_curve",
+    "weekly_amount_drift",
+    "lsh_bucket_balance",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

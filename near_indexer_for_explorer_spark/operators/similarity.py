@@ -4503,3 +4503,69 @@ def _mrl_curve_oracle_sql() -> str:
 
 
 ORACLES["matryoshka_dim_curve"] = _mrl_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B106 hyperplane-bucket balance report — B102's twin for the OTHER
+# index family: hyperplane LSH assumes sign buckets split the corpus
+# roughly evenly (the multi-probe budget math in B101 prices every
+# bucket alike); a mean-offset embedding distribution silently
+# concentrates signs and turns probes into scans.  Per 6-plane sign
+# bucket: corpus share and deviation from the uniform 1/64, with the
+# exact-integer hot flag (size * 64 > 2n).  One map-side bucket pass
+# + one bounded 64-row aggregate.
+# ---------------------------------------------------------------------------
+def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, bucket_size, share, imbalance, is_hot): per hyperplane
+    sign bucket, its corpus share and deviation from perfect
+    balance."""
+    n_buckets = 1 << _N_PLANES
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size")
+    )
+    return sizes.crossJoin(F.broadcast(total)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "bucket_size",
+        F.round(F.col("bucket_size").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("bucket_size").cast("double") * n_buckets / F.col("n"), 6
+        ).alias("imbalance"),
+        (F.col("bucket_size") * n_buckets > 2 * F.col("n")).alias("is_hot"),
+    )
+
+
+QUERIES["lsh_bucket_balance"] = lsh_bucket_balance
+
+
+def _lsh_bucket_balance_oracle_sql() -> str:
+    plane_cases = []
+    for p, comp in enumerate(_hyperplanes()):
+        w_list = ",".join(str(c) for c in comp)
+        plane_cases.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+            f"i -> emb[i] * ([{w_list}])[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(plane_cases)
+    n_buckets = 1 << _N_PLANES
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (SELECT CAST({bucket_expr} AS BIGINT) AS bucket FROM e),
+    sizes AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_size
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+    SELECT bucket, bucket_size,
+           ROUND(CAST(bucket_size AS DOUBLE) / t.n, 6) AS share,
+           ROUND(CAST(bucket_size AS DOUBLE) * {n_buckets} / t.n, 6)
+             AS imbalance,
+           bucket_size * {n_buckets} > 2 * t.n AS is_hot
+    FROM sizes CROSS JOIN tot t
+    """
+
+
+ORACLES["lsh_bucket_balance"] = _lsh_bucket_balance_oracle_sql()

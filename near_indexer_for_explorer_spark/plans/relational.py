@@ -7051,3 +7051,155 @@ def retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["retention_curve_fit"] = ORACLES["retention_curve_fit"].replace(
     "{RETENTION_ORACLE}", ORACLES["orders_retention_cohorts"]
 )
+
+
+# ---------------------------------------------------------------------------
+# A106 weekly amount-distribution drift (reference analog: "are this
+# week's transaction VALUES shaped differently" — fee-market or
+# tampering shifts that A101's composition test cannot see because
+# the type mix is unchanged).  A discretized two-sample KS statistic:
+# the all-time decile boundaries (A51/A56's exact-percentile parity,
+# round-6) discretize every amount map-side; each week's ECDF is
+# compared to the global ECDF at those nine boundaries and the max
+# gap is the drift score.
+#
+# Everything after the one-row boundary aggregate is exact-integer
+# counting: ECDF values are exact-count ratios (one IEEE division
+# each), the KS max compares identical doubles in both engines, and
+# the final statistic is round-6.  Scale shape: one boundary
+# aggregate (broadcast), ONE fact shuffle to the (week, bucket)
+# grain, a dims-only week x bucket spine for zero cells, and windows
+# over 10-row partitions.
+# ---------------------------------------------------------------------------
+_KS_DECILES = 10
+_KS_DRIFT_THRESHOLD = 0.1
+
+
+@_register(
+    "weekly_amount_drift",
+    f"""
+    WITH bounds AS (
+      SELECT {", ".join(f"ROUND(percentile_cont({i}/10.0) WITHIN GROUP (ORDER BY o_totalprice), 6) AS b{i}" for i in range(1, 10))}
+      FROM orders
+    ),
+    tagged AS (
+      SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              + 3) // 7 AS w,
+             ({" + ".join(f"(CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))}) AS bucket
+      FROM orders CROSS JOIN bounds
+    ),
+    wcells AS (
+      SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY w, bucket
+    ),
+    weeks AS (SELECT w, CAST(SUM(n) AS BIGINT) AS wt FROM wcells GROUP BY w),
+    gcells AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS g FROM wcells GROUP BY bucket
+    ),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gcells),
+    spine AS (
+      SELECT wk.w, wk.wt, t.b AS bucket
+      FROM weeks wk, UNNEST(range(0, {_KS_DECILES})) AS t(b)
+    ),
+    cum AS (
+      SELECT s.w, s.wt, s.bucket,
+             CAST(SUM(COALESCE(c.n, 0)) OVER (PARTITION BY s.w
+                  ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS cw,
+             CAST(SUM(COALESCE(g.g, 0)) OVER (PARTITION BY s.w
+                  ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS cg
+      FROM spine s
+      LEFT JOIN wcells c ON s.w = c.w AND s.bucket = c.bucket
+      LEFT JOIN gcells g ON s.bucket = g.bucket
+    )
+    SELECT DATE '1970-01-01' + CAST(w * 7 - 3 AS INTEGER) AS week_start,
+           wt AS n_orders,
+           ROUND(MAX(abs(CAST(cw AS DOUBLE) / wt
+                         - CAST(cg AS DOUBLE) / t.gt)), 6) AS ks_stat,
+           ROUND(MAX(abs(CAST(cw AS DOUBLE) / wt
+                         - CAST(cg AS DOUBLE) / t.gt)), 6)
+             > {_KS_DRIFT_THRESHOLD} AS drifted
+    FROM cum CROSS JOIN gt t
+    WHERE bucket < {_KS_DECILES - 1}
+    GROUP BY w, wt, t.gt
+    """,
+)
+def weekly_amount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week_start, n_orders, ks_stat, drifted): per Monday-aligned
+    week, the discretized KS distance between the week's order-amount
+    distribution and the all-time one at the global decile
+    boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        *[
+            F.round(
+                F.percentile("o_totalprice", F.lit(i / _KS_DECILES)), 6
+            ).alias(f"b{i}")
+            for i in range(1, _KS_DECILES)
+        ]
+    )
+    bucket = None
+    for i in range(1, _KS_DECILES):
+        term = F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    epoch = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+        bucket.cast("long").alias("bucket"),
+    )
+    wcells = tagged.groupBy("w", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    weeks = wcells.groupBy("w").agg(F.sum("n").cast("long").alias("wt"))
+    gcells = wcells.groupBy("bucket").agg(F.sum("n").cast("long").alias("g"))
+    gt = gcells.agg(F.sum("g").cast("long").alias("gt"))
+    spine = weeks.crossJoin(
+        F.broadcast(
+            wcells.sparkSession.range(_KS_DECILES).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    cw_w = (
+        Window.partitionBy("w")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        spine.join(wcells, ["w", "bucket"], "left")
+        .join(F.broadcast(gcells), "bucket", "left")
+        .select(
+            "w",
+            "wt",
+            "bucket",
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .over(cw_w)
+            .cast("long")
+            .alias("cw"),
+            F.sum(F.coalesce(F.col("g"), F.lit(0)))
+            .over(cw_w)
+            .cast("long")
+            .alias("cg"),
+        )
+    )
+    gap = F.abs(
+        F.col("cw").cast("double") / F.col("wt")
+        - F.col("cg").cast("double") / F.col("gt")
+    )
+    ks = F.round(F.max(gap), 6)
+    return (
+        cum.where(F.col("bucket") < _KS_DECILES - 1)
+        .crossJoin(F.broadcast(gt))
+        .groupBy("w", "wt", "gt")
+        .agg(ks.alias("ks_stat"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("w") * 7 - 3).cast("int"),
+            ).alias("week_start"),
+            F.col("wt").alias("n_orders"),
+            "ks_stat",
+            (F.col("ks_stat") > _KS_DRIFT_THRESHOLD).alias("drifted"),
+        )
+    )

@@ -2547,3 +2547,131 @@ def read_stream_mix_drift(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.sum("obs").cast("long").alias("obs"))
     )
     return mix_drift_from_cells(cells)
+
+
+# ---------------------------------------------------------------------------
+# C37: streaming amount-distribution drift — A106 against a FROZEN
+# reference, which is the operationally right monitor: the batch
+# query compares each week to the pooled history (boundaries move as
+# data arrives — fine for an audit, wrong for an alert); the online
+# monitor freezes the decile boundaries from a calibration batch
+# (C25's static-baseline pattern) and scores each week's ECDF against
+# the frozen reference ECDF (exactly 1/10 per bucket by construction)
+# as orders stream in.  The (week, bucket) cells are additive, so the
+# write path is C32's batch-id-keyed delta log verbatim; read folds
+# the cells and evaluates the KS gap against the uniform reference —
+# state O(weeks x 10) at any volume.
+# ---------------------------------------------------------------------------
+def amount_drift_baseline(orders: DataFrame) -> DataFrame:
+    """1-row frozen decile boundaries (b1..b9, round-6) — the
+    calibration artifact the streaming monitor scores against."""
+    return orders.agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(i / 10)), 6).alias(
+                f"b{i}"
+            )
+            for i in range(1, 10)
+        ]
+    )
+
+
+def foreach_batch_amount_cells(
+    out_dir: str, baseline: DataFrame
+) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bucket = None
+        for i in range(1, 10):
+            term = F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0)
+            bucket = term if bucket is None else bucket + term
+        epoch = F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        deltas = (
+            batch_df.crossJoin(F.broadcast(baseline))
+            .select(
+                ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+                bucket.cast("long").alias("bucket"),
+            )
+            .groupBy("w", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def amount_drift_stream(
+    spark: SparkSession,
+    src_dir: str,
+    baseline: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """C37 driver: orders stream + frozen boundary artifact ->
+    incrementally maintained weekly bucket cells."""
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            foreach_batch_amount_cells(out_dir, baseline)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_amount_drift(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(week_start, n_orders, ks_stat, drifted): each week's ECDF vs
+    the frozen reference's uniform 1/10-per-bucket ECDF, from the
+    folded cells."""
+    srcs, _ = _count_delta_sources(out_dir)
+    cells = (
+        spark.read.parquet(*srcs)
+        .groupBy("w", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    weeks = cells.groupBy("w").agg(F.sum("n").cast("long").alias("wt"))
+    spine = weeks.crossJoin(
+        F.broadcast(
+            spark.range(10).select(F.col("id").alias("bucket"))
+        )
+    )
+    cw_w = (
+        Window.partitionBy("w")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = spine.join(cells, ["w", "bucket"], "left").select(
+        "w",
+        "wt",
+        "bucket",
+        F.sum(F.coalesce(F.col("n"), F.lit(0)))
+        .over(cw_w)
+        .cast("long")
+        .alias("cw"),
+    )
+    # reference ECDF at boundary j is exactly (j+1)/10 by construction
+    gap = F.abs(
+        F.col("cw").cast("double") / F.col("wt")
+        - (F.col("bucket") + 1).cast("double") / 10.0
+    )
+    return (
+        cum.where(F.col("bucket") < 9)
+        .groupBy("w", "wt")
+        .agg(F.round(F.max(gap), 6).alias("ks_stat"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("w") * 7 - 3).cast("int"),
+            ).alias("week_start"),
+            F.col("wt").alias("n_orders"),
+            "ks_stat",
+            (F.col("ks_stat") > 0.1).alias("drifted"),
+        )
+    )

@@ -3262,3 +3262,52 @@ def test_matryoshka_curve_monotone_and_full_dim_perfect(spark, sf_dir):
     for lo, hi in zip(dims, dims[1:]):
         assert out[lo]["n_hits"] <= out[hi]["n_hits"] + 2  # near-monotone
     assert out[8]["n_queries"] > 0
+
+
+def test_amount_drift_planted_shift(spark, tmp_path):
+    """A106 semantics: week A draws from the low half, week B from the
+    high half of a two-point amount distribution — both weeks' ECDFs
+    sit 0.5 away from the pooled one at the median boundary; a third
+    balanced week scores ~0."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        weekly_amount_drift,
+    )
+
+    wa = datetime.datetime(2024, 1, 1, 12)
+    wb = datetime.datetime(2024, 1, 8, 12)
+    wc = datetime.datetime(2024, 1, 15, 12)
+    rows = [(i, 1, 10.0, wa) for i in range(20)]
+    rows += [(100 + i, 1, 1000.0, wb) for i in range(20)]
+    rows += [(200 + i, 1, 10.0 if i % 2 == 0 else 1000.0, wc) for i in range(20)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {str(r["week_start"]): r for r in weekly_amount_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-08", "2024-01-15"}
+    # pooled mix is 30 low / 30 high: low-only week's ECDF at the
+    # median boundary is 1.0 vs pooled 0.5 -> ks 0.5 and drifted
+    assert out["2024-01-01"]["ks_stat"] == 0.5 and out["2024-01-01"]["drifted"]
+    assert out["2024-01-08"]["ks_stat"] == 0.5 and out["2024-01-08"]["drifted"]
+    assert out["2024-01-15"]["ks_stat"] == 0.0
+    assert not out["2024-01-15"]["drifted"]
+
+
+def test_lsh_bucket_balance_conservation(spark, sf_dir):
+    """B106 semantics: bucket sizes partition the corpus, shares sum
+    to 1, imbalance is share*64, hot flag matches the integer rule."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _N_PLANES,
+        lsh_bucket_balance,
+    )
+
+    rows = lsh_bucket_balance(spark, sf_dir).collect()
+    nb = 1 << _N_PLANES
+    assert 0 < len(rows) <= nb
+    n = sum(r["bucket_size"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["imbalance"] - r["share"] * nb) < 1e-3
+        assert r["is_hot"] == (r["bucket_size"] * nb > 2 * n)

@@ -117,6 +117,8 @@ _BNLJ_EXEMPT = {
     "customer_survival_curve",  # broadcast 1-row max-date + total-obs scalars
     "trending_users_decayed",   # broadcast 1-row max-date scalar
     "events_weekly_mix_drift",  # dims-only week x type spine + totals scalar
+    "weekly_amount_drift",      # broadcast decile-boundary + totals scalars + bucket spine
+    "lsh_bucket_balance",       # broadcast 1-row corpus-total scalar
     "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline

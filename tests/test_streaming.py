@@ -2092,3 +2092,80 @@ def test_mix_drift_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp
     )
     foreach_batch_mix_cells(out)(half, 0)
     assert snap() == want
+
+
+def test_amount_drift_stream_frozen_baseline(spark, sf_dir, tmp_path):
+    """C37: with the baseline frozen from the FULL corpus, every
+    week's cells fold exactly (replay overwrites its own delta) and a
+    planted shifted week alarms while a baseline-shaped week does
+    not; the all-data pooled week scores near 0 by construction."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        amount_drift_baseline,
+        amount_drift_stream,
+        foreach_batch_amount_cells,
+        read_stream_amount_drift,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    baseline = amount_drift_baseline(orders).localCheckpoint(eager=True)
+
+    # source: two time-halves of the real orders
+    med = orders.selectExpr(
+        "percentile(CAST(CAST(o_orderdate AS TIMESTAMP_LTZ) AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    es = F.col("o_orderdate").cast("timestamp_ltz").cast("double")
+    src = str(tmp_path / "ad_src")
+    _os.makedirs(src)
+    for i, part_df in enumerate(
+        [orders.where(es <= med), orders.where(es > med)]
+    ):
+        stage = tmp_path / f"ad{i}"
+        part_df.coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "ad_out"), str(tmp_path / "ad_ckpt")
+    _await(amount_drift_stream(spark, src, baseline, out, ckpt))
+
+    def snap():
+        return {
+            str(r["week_start"]): r
+            for r in read_stream_amount_drift(spark, out).collect()
+        }
+
+    got = snap()
+    assert sum(r["n_orders"] for r in got.values()) == orders.count()
+
+    # replayed batch overwrites its own delta: fold unchanged
+    half = orders.where(es <= med)
+    foreach_batch_amount_cells(out, baseline)(half, 0)
+    assert snap() == got
+
+    # planted weeks: one drawn from the global LOW decile (alarms),
+    # one drawn uniformly across deciles (does not)
+    lows = [r["o_totalprice"] for r in orders.orderBy("o_totalprice").limit(20).collect()]
+    spread = [
+        r["o_totalprice"]
+        for r in orders.orderBy("o_totalprice").collect()[:: max(1, orders.count() // 20)]
+    ][:20]
+    far_a = _dt.datetime(2031, 1, 1, 12)
+    far_b = _dt.datetime(2031, 1, 8, 12)
+    planted = spark.createDataFrame(
+        [(10000 + i, 1, v, far_a) for i, v in enumerate(lows)]
+        + [(20000 + i, 1, v, far_b) for i, v in enumerate(spread)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp_ntz",
+    )
+    foreach_batch_amount_cells(out, baseline)(planted, 99)
+    got2 = snap()
+    assert got2[str(_dt.date(2030, 12, 30))]["drifted"]  # the low-only week
+    assert not got2[str(_dt.date(2031, 1, 6))]["drifted"]  # the spread week
