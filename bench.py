@@ -188,6 +188,8 @@ EXTRA = [
     "matryoshka_dim_curve",
     "weekly_amount_drift",
     "lsh_bucket_balance",
+    "nation_trade_reciprocity",
+    "keep_best_quality_lift",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3433,3 +3433,112 @@ def _df_cap_curve_oracle_sql() -> str:
 
 
 ORACLES["shingle_df_cap_curve"] = _df_cap_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B107 keep-best quality lift — what the B73 curation rule actually
+# BUYS over the naive min-id representative (the default every ON
+# CONFLICT-style dedup ships): over multi-doc clusters only, the mean
+# kept quality under each rule and the lift.  Evaluation-as-data for
+# the curation action itself (the B40/B51 discipline applied to B73):
+# a near-zero lift says the smarter rule isn't paying for its window
+# pass.
+#
+# Composes B73's relation verbatim (the min-id pick derives from the
+# same rows); means are round-6 quality scores summed as DECIMALs
+# (order-free) with one IEEE division each; the lift subtracts two
+# deterministic doubles.  One bounded aggregate beyond B73.
+# ---------------------------------------------------------------------------
+def keep_best_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_clustered_docs, n_clusters, mean_quality_keep_best,
+    mean_quality_min_id, mean_quality_dropped, quality_lift): the
+    measured benefit of quality-aware cluster representatives."""
+    from pyspark.sql.window import Window
+
+    kb = dedup_keep_best(spark, sf_dir).where(F.col("n_cluster") >= 2)
+    w_min = Window.partitionBy("component_id")
+    flagged = kb.select(
+        "component_id",
+        "quality_r",
+        F.col("keep").alias("keep_best"),
+        (F.col("doc_id") == F.min("doc_id").over(w_min)).alias("keep_min_id"),
+    )
+    q6 = F.col("quality_r").cast("decimal(12,6)")
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+        F.countDistinct("component_id").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("keep_best"), q6)).cast("decimal(24,6)").alias("skb"),
+        F.sum(F.when(F.col("keep_min_id"), q6))
+        .cast("decimal(24,6)")
+        .alias("smi"),
+        F.sum(F.when(~F.col("keep_best"), q6))
+        .cast("decimal(24,6)")
+        .alias("sdr"),
+        F.sum(F.when(~F.col("keep_best"), 1).otherwise(0))
+        .cast("long")
+        .alias("ndr"),
+    )
+    mkb = F.round(
+        F.col("skb").cast("string").cast("double") / F.col("n_clusters"), 6
+    )
+    mmi = F.round(
+        F.col("smi").cast("string").cast("double") / F.col("n_clusters"), 6
+    )
+    return agg.select(
+        "n_clustered_docs",
+        "n_clusters",
+        mkb.alias("mean_quality_keep_best"),
+        mmi.alias("mean_quality_min_id"),
+        F.round(
+            F.col("sdr").cast("string").cast("double")
+            / F.nullif(F.col("ndr"), F.lit(0)),
+            6,
+        ).alias("mean_quality_dropped"),
+        F.round(mkb - mmi, 6).alias("quality_lift"),
+    )
+
+
+QUERIES["keep_best_quality_lift"] = keep_best_quality_lift
+
+
+def _keep_best_lift_oracle_sql() -> str:
+    return f"""
+    WITH kb AS ({_keep_best_oracle_sql()}),
+    flagged AS (
+      SELECT component_id, quality_r,
+             keep AS keep_best,
+             doc_id = MIN(doc_id) OVER (PARTITION BY component_id)
+               AS keep_min_id
+      FROM kb WHERE n_cluster >= 2
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+             CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+             CAST(SUM(CASE WHEN keep_best
+                      THEN CAST(quality_r AS DECIMAL(12,6)) END)
+                  AS DECIMAL(24,6)) AS skb,
+             CAST(SUM(CASE WHEN keep_min_id
+                      THEN CAST(quality_r AS DECIMAL(12,6)) END)
+                  AS DECIMAL(24,6)) AS smi,
+             CAST(SUM(CASE WHEN NOT keep_best
+                      THEN CAST(quality_r AS DECIMAL(12,6)) END)
+                  AS DECIMAL(24,6)) AS sdr,
+             CAST(SUM(CASE WHEN NOT keep_best THEN 1 ELSE 0 END) AS BIGINT)
+               AS ndr
+      FROM flagged
+    )
+    SELECT n_clustered_docs, n_clusters,
+           ROUND(CAST(CAST(skb AS VARCHAR) AS DOUBLE) / n_clusters, 6)
+             AS mean_quality_keep_best,
+           ROUND(CAST(CAST(smi AS VARCHAR) AS DOUBLE) / n_clusters, 6)
+             AS mean_quality_min_id,
+           ROUND(CAST(CAST(sdr AS VARCHAR) AS DOUBLE) / NULLIF(ndr, 0), 6)
+             AS mean_quality_dropped,
+           ROUND(ROUND(CAST(CAST(skb AS VARCHAR) AS DOUBLE) / n_clusters, 6)
+                 - ROUND(CAST(CAST(smi AS VARCHAR) AS DOUBLE) / n_clusters, 6),
+                 6) AS quality_lift
+    FROM agg
+    """
+
+
+ORACLES["keep_best_quality_lift"] = _keep_best_lift_oracle_sql()

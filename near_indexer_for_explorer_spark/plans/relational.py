@@ -7203,3 +7203,109 @@ def weekly_amount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_stat") > _KS_DRIFT_THRESHOLD).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A107 trade reciprocity matrix (reference analog: bilateral netting
+# over the signer->receiver flow graph — q7 ranks pair volumes, A63
+# ranks node importance; THIS answers "is the a->b flow matched by
+# b->a, and what nets out", the settlement/imbalance panel).  Per
+# unordered nation pair: both directed flows (exact decimal sums),
+# the net position from a's perspective, and the reciprocity ratio
+# min/max (1 = perfectly mutual, 0 = one-way) — an exact-count-free
+# but deterministic single IEEE division of VARCHAR-hopped sums.
+#
+# Scale shape: the q7 edge build verbatim (ONE fact-fact shuffle,
+# dims broadcast) reduced to the 25x25-bounded directed-pair grain;
+# the reciprocity pairing canonicalizes each directed flow onto the
+# unordered (least, greatest) key — one aggregate over the bounded
+# relation, one-way pairs included with a zero reverse flow.
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_trade_reciprocity",
+    """
+    WITH flows AS (
+      SELECT sn.n_name AS a, cn.n_name AS b,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(7,4))
+                         - CAST(l_discount AS DECIMAL(7,4))))
+                  AS DECIMAL(30,6)) AS flow
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name < cn.n_name OR sn.n_name > cn.n_name
+      GROUP BY 1, 2
+    )
+    , pairs AS (
+      SELECT least(a, b) AS nation_a, greatest(a, b) AS nation_b,
+             CAST(SUM(CASE WHEN a < b THEN flow
+                           ELSE CAST(0 AS DECIMAL(30,6)) END)
+                  AS DECIMAL(30,6)) AS fab,
+             CAST(SUM(CASE WHEN a > b THEN flow
+                           ELSE CAST(0 AS DECIMAL(30,6)) END)
+                  AS DECIMAL(30,6)) AS fba
+      FROM flows GROUP BY 1, 2
+    )
+    SELECT nation_a, nation_b,
+           CAST(CAST(fab AS VARCHAR) AS DOUBLE) AS flow_ab,
+           CAST(CAST(fba AS VARCHAR) AS DOUBLE) AS flow_ba,
+           CAST(CAST(fab - fba AS VARCHAR) AS DOUBLE) AS net_ab,
+           ROUND(CAST(CAST(least(fab, fba) AS VARCHAR) AS DOUBLE)
+                 / NULLIF(CAST(CAST(greatest(fab, fba) AS VARCHAR)
+                               AS DOUBLE), 0.0), 6) AS reciprocity
+    FROM pairs
+    """,
+)
+def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation_a, nation_b, flow_ab, flow_ba, net_ab, reciprocity):
+    bilateral supplier->customer trade flows netted per unordered
+    nation pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("a")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("b")
+    )
+    volume = dec_money("l_extendedprice") * _one_minus("l_discount")
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(volume).cast("decimal(30,6)").alias("flow"))
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    pairs = flows.groupBy(
+        F.least("a", "b").alias("nation_a"),
+        F.greatest("a", "b").alias("nation_b"),
+    ).agg(
+        F.sum(F.when(F.col("a") < F.col("b"), F.col("flow")).otherwise(zero))
+        .cast("decimal(30,6)")
+        .alias("fab"),
+        F.sum(F.when(F.col("a") > F.col("b"), F.col("flow")).otherwise(zero))
+        .cast("decimal(30,6)")
+        .alias("fba"),
+    )
+    return pairs.select(
+        "nation_a",
+        "nation_b",
+        F.col("fab").cast("double").alias("flow_ab"),
+        F.col("fba").cast("double").alias("flow_ba"),
+        (F.col("fab") - F.col("fba")).cast("double").alias("net_ab"),
+        F.round(
+            F.least("fab", "fba").cast("double")
+            / F.nullif(F.greatest("fab", "fba").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("reciprocity"),
+    )

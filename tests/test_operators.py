@@ -3311,3 +3311,83 @@ def test_lsh_bucket_balance_conservation(spark, sf_dir):
     for r in rows:
         assert abs(r["imbalance"] - r["share"] * nb) < 1e-3
         assert r["is_hot"] == (r["bucket_size"] * nb > 2 * n)
+
+
+def test_reciprocity_planted_flows(spark, tmp_path):
+    """A107 semantics: A->B flow 100, B->A flow 25 nets +75 with
+    reciprocity 0.25; a one-way pair scores 0."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        nation_trade_reciprocity,
+    )
+
+    ts = datetime.datetime(1996, 6, 1)
+    spark.createDataFrame(
+        [(1, "NA"), (2, "NB"), (3, "NC")], "n_nationkey long, n_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "s_suppkey long, s_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(20, 1), (21, 2)], "c_custkey long, c_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    # orders: o1 by cust of NB (receives from NA), o2 by cust of NA
+    spark.createDataFrame(
+        [(100, 21), (101, 20)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines = [
+        (100, 10, 100.0, 0.0, ts),  # NA supplier -> NB customer: 100
+        (101, 11, 25.0, 0.0, ts),   # NB supplier -> NA customer: 25
+        (100, 12, 40.0, 0.0, ts),   # NC supplier -> NB customer: one-way
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        (r["nation_a"], r["nation_b"]): r
+        for r in nation_trade_reciprocity(spark, str(tmp_path)).collect()
+    }
+    ab = out[("NA", "NB")]
+    assert ab["flow_ab"] == 100.0 and ab["flow_ba"] == 25.0
+    assert ab["net_ab"] == 75.0 and ab["reciprocity"] == 0.25
+    cb = out[("NB", "NC")]
+    assert cb["reciprocity"] == 0.0
+    assert (cb["flow_ab"], cb["flow_ba"]) in {(0.0, 40.0), (40.0, 0.0)}
+
+
+def test_keep_best_lift_planted_quality_order(spark, tmp_path):
+    """B107 semantics: in a 2-doc cluster where the HIGHER-quality doc
+    has the HIGHER doc_id, keep-best beats min-id by exactly their
+    round-6 quality gap; singletons are excluded."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        keep_best_quality_lift,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import text_quality
+
+    # identical token multisets => jaccard 1 (a near-dup pair), but
+    # different punctuation/length => different quality scores
+    good = "the quick brown fox jumps over the lazy dog today"
+    bad = good + " !!! ??? !!! ??? !!! ???"
+    rows = [(1, bad), (2, good), (9, "completely unrelated singleton text")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    q = {
+        r["doc_id"]: round(r["quality_score"], 6)
+        for r in text_quality(spark, str(tmp_path)).collect()
+    }
+    out = keep_best_quality_lift(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    if r["n_clusters"] == 1 and q[2] != q[1]:
+        assert r["n_clustered_docs"] == 2
+        hi, lo = max(q[1], q[2]), min(q[1], q[2])
+        assert abs(r["mean_quality_keep_best"] - hi) < 1e-6
+        assert abs(r["mean_quality_min_id"] - q[1]) < 1e-6
+        expected_lift = round(hi - q[1], 6)
+        assert abs(r["quality_lift"] - expected_lift) < 1e-6
