@@ -190,6 +190,7 @@ EXTRA = [
     "lsh_bucket_balance",
     "nation_trade_reciprocity",
     "keep_best_quality_lift",
+    "embedding_bitwidth_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -4569,3 +4569,139 @@ def _lsh_bucket_balance_oracle_sql() -> str:
 
 
 ORACLES["lsh_bucket_balance"] = _lsh_bucket_balance_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B108 quantization bit-width operating curve — the storage knob B28
+# fixes at 8 bits, measured across the ladder real serving stacks
+# pick from (int8 / int4 / ternary): per width, the per-vector
+# relative reconstruction error's mean and max.  B65 measured what
+# fewer SIGNATURE bits cost the dedup estimator; this is the same
+# question for the VECTORS themselves — completing the storage-width
+# curves (signature bits / vector bits / prefix dims / code bytes).
+#
+# One map-side pass computes every width's squared error as a column
+# (shared abs-max scale, B28's exact round/clamp kernel per level
+# count); per-vector relative errors ROUND-8 into DECIMAL sums for
+# the mean (order-free), max over round-6 values; one bounded
+# aggregate + a grid explode.  Zero shuffles before the 1-row
+# aggregate at any scale.
+# ---------------------------------------------------------------------------
+_BITWIDTHS = [2, 4, 8]
+
+
+def embedding_bitwidth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bits, levels, n_vectors, mean_rel_err, max_rel_err): symmetric
+    per-vector quantization error per storage bit width."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
+    nrm = l2_norm(F.col("emb"))
+    base = e.withColumn("absmax", absmax).withColumn("nrm", nrm)
+    def _quant(scale, lv):
+        return lambda x: F.greatest(
+            F.lit(-lv), F.least(F.lit(lv), F.round(x / scale))
+        ).cast("long")
+
+    def _sqerr(scale):
+        return lambda qi, x: (qi * scale - x) * (qi * scale - x)
+
+    for b in _BITWIDTHS:
+        lv = (1 << (b - 1)) - 1
+        scale = F.col("absmax") / F.lit(float(lv))
+        base = base.withColumn(
+            f"q{b}", F.transform(F.col("emb"), _quant(scale, lv))
+        )
+        err2 = F.aggregate(
+            F.zip_with(F.col(f"q{b}"), F.col("emb"), _sqerr(scale)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        base = base.withColumn(
+            f"rel{b}",
+            F.round(F.sqrt(err2) / F.nullif(F.col("nrm"), F.lit(0.0)), 6),
+        )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        *[
+            F.sum(F.round(F.col(f"rel{b}"), 8).cast("decimal(20,8)"))
+            .cast("decimal(24,8)")
+            .alias(f"s{b}")
+            for b in _BITWIDTHS
+        ],
+        *[F.max(F.col(f"rel{b}")).alias(f"m{b}") for b in _BITWIDTHS],
+    )
+    ex = agg.select(
+        "n_vectors",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bits"),
+                        F.lit((1 << (b - 1)) - 1).cast("long").alias("levels"),
+                        F.col(f"s{b}").alias("s"),
+                        F.col(f"m{b}").alias("max_rel_err"),
+                    )
+                    for b in _BITWIDTHS
+                ]
+            )
+        ).alias("row"),
+    )
+    return ex.select(
+        F.col("row.bits").alias("bits"),
+        F.col("row.levels").alias("levels"),
+        "n_vectors",
+        F.round(
+            F.col("row.s").cast("string").cast("double") / F.col("n_vectors"),
+            6,
+        ).alias("mean_rel_err"),
+        F.col("row.max_rel_err").alias("max_rel_err"),
+    )
+
+
+QUERIES["embedding_bitwidth_curve"] = embedding_bitwidth_curve
+
+
+def _bitwidth_oracle_sql() -> str:
+    legs = []
+    for b in _BITWIDTHS:
+        lv = (1 << (b - 1)) - 1
+        q = (
+            f"greatest(-{lv}, least({lv}, round(x / (absmax / {float(lv)}))))"
+        )
+        err2 = (
+            f"list_sum(list_transform(emb, x -> "
+            f"({q} * (absmax / {float(lv)}) - x)"
+            f" * ({q} * (absmax / {float(lv)}) - x)))"
+        )
+        legs.append(
+            f"SELECT CAST({b} AS BIGINT) AS bits,"
+            f" CAST({lv} AS BIGINT) AS levels,"
+            f" ROUND(sqrt({err2}) / NULLIF(nrm, 0.0), 6) AS rel"
+            f" FROM base"
+        )
+    union = "\n      UNION ALL ".join(legs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    base AS (
+      SELECT emb,
+             list_max(list_transform(emb, x -> abs(x))) AS absmax,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    rels AS (
+      {union}
+    )
+    SELECT bits, levels,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(rel, 8) AS DECIMAL(20,8)))
+                           AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS mean_rel_err,
+           MAX(rel) AS max_rel_err
+    FROM rels
+    GROUP BY bits, levels
+    """
+
+
+ORACLES["embedding_bitwidth_curve"] = _bitwidth_oracle_sql()

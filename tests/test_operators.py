@@ -3391,3 +3391,21 @@ def test_keep_best_lift_planted_quality_order(spark, tmp_path):
         assert abs(r["mean_quality_min_id"] - q[1]) < 1e-6
         expected_lift = round(hi - q[1], 6)
         assert abs(r["quality_lift"] - expected_lift) < 1e-6
+
+
+def test_bitwidth_curve_monotone_and_ternary_worst(spark, sf_dir):
+    """B108 semantics: more bits can only shrink the error (nested
+    level grids at these widths), int8 is tight (<2% mean relative
+    error on 64-dim vectors) and ternary is the worst row."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_bitwidth_curve,
+    )
+
+    out = {r["bits"]: r for r in embedding_bitwidth_curve(spark, sf_dir).collect()}
+    assert sorted(out) == [2, 4, 8]
+    assert out[2]["levels"] == 1 and out[8]["levels"] == 127
+    assert out[2]["mean_rel_err"] >= out[4]["mean_rel_err"] >= out[8]["mean_rel_err"]
+    assert out[8]["mean_rel_err"] < 0.02
+    assert out[2]["max_rel_err"] >= out[8]["max_rel_err"]
+    n = {r["n_vectors"] for r in out.values()}
+    assert len(n) == 1  # same corpus every row
