@@ -191,6 +191,7 @@ EXTRA = [
     "nation_trade_reciprocity",
     "keep_best_quality_lift",
     "embedding_bitwidth_curve",
+    "winnowing_window_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

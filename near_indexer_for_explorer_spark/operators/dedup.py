@@ -3542,3 +3542,128 @@ def _keep_best_lift_oracle_sql() -> str:
 
 
 ORACLES["keep_best_quality_lift"] = _keep_best_lift_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B109 winnowing window-size operating curve — the last un-measured
+# knob (B72 fixes w = 4): per window width, the REALIZED fingerprint
+# density against the Schleimer-Wilkerson-Aiken expectation 2/(w+1)
+# and the match-guarantee length w + k - 1 it buys.  Bigger windows
+# mean smaller indexes but longer minimum detectable matches — the
+# storage/recall dial of the fingerprint family.
+#
+# One posexplode + ONE doc_id exchange shared by every width's
+# window-min pass (frames differ, partitioning doesn't); per width,
+# one distinct + a 1-row census; theory densities enter both engines
+# as parsed literals (B63 discipline).
+# ---------------------------------------------------------------------------
+_WINNOW_CURVE_WS = [4, 8, 16]
+_WINNOW_GRAM_K = 3  # word_shingles default: 3-token grams
+
+
+def winnowing_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_w, guarantee_len, n_gram_positions, n_fingerprints,
+    density, theory_density): realized vs expected fingerprint density
+    per candidate window width."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    grams = docs.select(
+        "doc_id", F.posexplode(word_shingles(F.col("t"))).alias("p0", "sh")
+    )
+    h32 = _hash_bucket(F.col("sh"), "wfp", 1 << 32)
+    pos = F.col("p0") + 1
+    hk = grams.select(
+        "doc_id",
+        pos.alias("pos"),
+        (h32 * F.lit(_POS_MOD) + (F.lit(_POS_MOD - 1) - pos)).alias("key"),
+    ).localCheckpoint(eager=True)
+    total = hk.agg(F.count(F.lit(1)).cast("long").alias("n_gram_positions"))
+    out = None
+    bydoc = W.partitionBy("doc_id")
+    theory = {4: "0.4", 8: "0.2222222222222222", 16: "0.11764705882352941"}
+    for w in _WINNOW_CURVE_WS:
+        fwd = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+        wins = hk.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(bydoc).alias("n_grams"),
+            F.min("key").over(fwd).alias("wmin"),
+        )
+        sel = (
+            wins.where(F.col("pos") <= F.col("n_grams") - (w - 1))
+            .select("doc_id", F.expr(f"wmin DIV {_POS_MOD}").alias("fp_h"))
+            .distinct()
+        )
+        leg = sel.agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+        ).crossJoin(F.broadcast(total)).select(
+            F.lit(w).cast("long").alias("window_w"),
+            F.lit(w + _WINNOW_GRAM_K - 1).cast("long").alias("guarantee_len"),
+            "n_gram_positions",
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double")
+                / F.nullif(F.col("n_gram_positions"), F.lit(0)),
+                6,
+            ).alias("density"),
+            F.lit(float(theory[w])).alias("theory_density"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+QUERIES["winnowing_window_curve"] = winnowing_window_curve
+
+
+def _winnow_curve_oracle_sql() -> str:
+    theory = {4: "0.4", 8: "0.2222222222222222", 16: "0.11764705882352941"}
+    hk = rf"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+      ),
+      grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      ),
+      hk AS (
+        SELECT doc_id, pos,
+               {_hash_bucket_sql("sh", "wfp", 1 << 32)} * {_POS_MOD}
+                 + ({_POS_MOD - 1} - pos) AS key
+        FROM grams
+      ),
+      total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gram_positions FROM hk)"""
+    legs = []
+    for w in _WINNOW_CURVE_WS:
+        legs.append(
+            f"""
+    SELECT * FROM (
+      {hk},
+      wins AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
+        FROM hk
+      ),
+      sel AS (
+        SELECT DISTINCT doc_id, wmin // {_POS_MOD} AS fp_h
+        FROM wins WHERE pos <= n_grams - {w - 1}
+      )
+      SELECT CAST({w} AS BIGINT) AS window_w,
+             CAST({w + _WINNOW_GRAM_K - 1} AS BIGINT) AS guarantee_len,
+             t.n_gram_positions,
+             CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / NULLIF(t.n_gram_positions, 0), 6) AS density,
+             CAST('{theory[w]}' AS DOUBLE) AS theory_density
+      FROM sel CROSS JOIN total t
+      GROUP BY t.n_gram_positions
+    )"""
+        )
+    return "\n    UNION ALL".join(legs)
+
+
+ORACLES["winnowing_window_curve"] = _winnow_curve_oracle_sql()

@@ -3409,3 +3409,31 @@ def test_bitwidth_curve_monotone_and_ternary_worst(spark, sf_dir):
     assert out[2]["max_rel_err"] >= out[8]["max_rel_err"]
     n = {r["n_vectors"] for r in out.values()}
     assert len(n) == 1  # same corpus every row
+
+
+def test_winnowing_curve_density_and_guarantee(spark, tmp_path):
+    """B109 semantics: density falls with the window (near the
+    2/(w+1) expectation on random-ish text, within 2x), the guarantee
+    length is w + k - 1, and the gram-position census is constant
+    across rows."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        winnowing_window_curve,
+    )
+
+    import hashlib
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(400)]
+    rows = [(d, " ".join(words[d * 40:(d + 1) * 40] * 3)) for d in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["window_w"]: r for r in winnowing_window_curve(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [4, 8, 16]
+    assert {r["n_gram_positions"] for r in out.values()} == {
+        out[4]["n_gram_positions"]
+    }
+    for w, r in out.items():
+        assert r["guarantee_len"] == w + 2
+        assert 0 < r["density"] <= 1.0
+        assert r["density"] < 2.0 * r["theory_density"] + 0.05
+    assert out[4]["density"] > out[8]["density"] > out[16]["density"]

@@ -77,6 +77,7 @@ _BNLJ_EXEMPT = {
     "dedup_ngram_jaccard",      # broadcast df-cap scalar
     "shingle_df_cap_curve",     # broadcast 1-row n_docs scalar (B2's prune shape)
     "dedup_winnowing",          # broadcast df-cap scalar (B2's prune shape)
+    "winnowing_window_curve",   # 1-row gram-census scalar per width leg
     "lsh_s_curve",              # broadcast df-cap scalar (B2's pair universe)
     "dsir_importance_weights",  # broadcast (nt, nr) totals scalar
     "kneser_ney_bigram_xent",   # broadcast (T, V) totals scalar (B33 shape)
