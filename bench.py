@@ -192,6 +192,7 @@ EXTRA = [
     "keep_best_quality_lift",
     "embedding_bitwidth_curve",
     "winnowing_window_curve",
+    "session_duration_stats",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

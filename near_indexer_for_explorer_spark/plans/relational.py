@@ -7309,3 +7309,84 @@ def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A108 session distribution panel (reference analog: the product-
+# analytics fundamentals over receipt-chain "visits" — A12 builds the
+# sessions, A91 mines their paths, A72 their co-occurrence; NOBODY
+# yet answered "how long is a session and how deep", the first chart
+# every session report opens with).  One row: session count, bounce
+# rate (single-event sessions), duration percentiles, depth p90, and
+# mean depth.
+#
+# Composes the VERIFIED A12 query (oracle stitches its text); counts
+# and the bounce rate are exact integers with one IEEE division;
+# percentiles use the A51 parity (Spark percentile == DuckDB
+# percentile_cont) rounded 6 — duration multisets are identical in
+# both engines because es is the same epoch_us/1e6 double.  Scale:
+# one global reduce over the session grain (the A94 shape; t-digest
+# swap at 100 TB, no plan change).
+# ---------------------------------------------------------------------------
+@_register(
+    "session_duration_stats",
+    """
+    WITH sess AS ({SESSIONIZE_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_s), 6)
+             AS p50_duration_s,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_s), 6)
+             AS p90_duration_s,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY duration_s), 6)
+             AS p99_duration_s,
+           ROUND(percentile_cont(0.9) WITHIN GROUP
+                 (ORDER BY CAST(n_events AS DOUBLE)), 6) AS p90_events,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS mean_events
+    FROM sess
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_sessions, n_users, n_bounces, bounce_rate, p50/p90/p99
+    duration, p90_events, mean_events): the session-length and
+    session-depth distribution over A12's sessions."""
+    sess = events_sessionize(spark, sf_dir)
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 6).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.percentile("duration_s", F.lit(0.9)), 6).alias(
+            "p90_duration_s"
+        ),
+        F.round(F.percentile("duration_s", F.lit(0.99)), 6).alias(
+            "p99_duration_s"
+        ),
+        F.round(
+            F.percentile(F.col("n_events").cast("double"), F.lit(0.9)), 6
+        ).alias("p90_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_events"),
+    )
+
+
+ORACLES["session_duration_stats"] = ORACLES["session_duration_stats"].replace(
+    "{SESSIONIZE_ORACLE}", ORACLES["events_sessionize"]
+)

@@ -3437,3 +3437,41 @@ def test_winnowing_curve_density_and_guarantee(spark, tmp_path):
         assert 0 < r["density"] <= 1.0
         assert r["density"] < 2.0 * r["theory_density"] + 0.05
     assert out[4]["density"] > out[8]["density"] > out[16]["density"]
+
+
+def test_session_stats_planted_distribution(spark, tmp_path):
+    """A108 semantics: 3 planted sessions — a bounce, a 2-event
+    10-minute visit, a 3-event 40-minute visit (split by the 30-min
+    gap? no: consecutive gaps < 30 min keep it one session) — counts,
+    bounce rate 1/3, and exact interpolated percentiles."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        session_duration_stats,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9)
+
+    def at(minute):
+        return base + datetime.timedelta(minutes=minute)
+
+    rows = [
+        (0, at(0), 1, "x", 1.0),                       # user 1: bounce
+        (1, at(0), 2, "x", 1.0), (2, at(10), 2, "x", 1.0),  # 600 s
+        (3, at(0), 3, "x", 1.0), (4, at(20), 3, "x", 1.0),
+        (5, at(40), 3, "x", 1.0),                      # 2400 s (gaps 20,20)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = session_duration_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sessions"] == 3 and r["n_users"] == 3
+    assert r["n_bounces"] == 1 and abs(r["bounce_rate"] - 1 / 3) < 1e-6
+    # durations {0, 600, 2400}: p50 interpolates to 600
+    assert r["p50_duration_s"] == 600.0
+    assert r["p99_duration_s"] > r["p90_duration_s"] > r["p50_duration_s"]
+    assert r["mean_events"] == 2.0
