@@ -2678,10 +2678,13 @@ def dedup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / F.greatest(F.col("l1.n_chars"), F.col("l2.n_chars"))
     return (
-        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
-        .join(F.broadcast(l1), F.col("doc_id_1") == F.col("l1.doc_id"))
-        .join(F.broadcast(l2), F.col("doc_id_2") == F.col("l2.doc_id"))
+        # sizes/lens are O(corpus) per-doc relations -- NEVER broadcast
+        # them (r7 advice): the candidate-bounded pair side drives four
+        # ordinary co-partitioned shuffle equi-joins on doc_id instead.
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
+        .join(l1, F.col("doc_id_1") == F.col("l1.doc_id"))
+        .join(l2, F.col("doc_id_2") == F.col("l2.doc_id"))
         .select(
             "doc_id_1",
             "doc_id_2",
@@ -2848,8 +2851,10 @@ def dedup_incremental_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     cm = common.alias("cm")
     verified = (
-        cm.join(F.broadcast(s1), F.col("cm.doc_id") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("cm.base_id") == F.col("s2.doc_id"))
+        # O(corpus) size relations join as plain shuffles (r7 advice) --
+        # the candidate-bounded cm side drives.
+        cm.join(s1, F.col("cm.doc_id") == F.col("s1.doc_id"))
+        .join(s2, F.col("cm.base_id") == F.col("s2.doc_id"))
         .select(F.col("cm.doc_id").alias("doc_id"), jac.alias("jaccard"))
     )
     n_cand = straddle.groupBy("doc_id").agg(
@@ -3154,9 +3159,11 @@ def dedup_chain_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z1, z2 = sizes.alias("z1"), sizes.alias("z2")
     oj = (
+        # O(corpus) size relations join as plain shuffles (r7 advice) --
+        # the chain-bounded open_pairs side drives.
         open_pairs.join(oc, ["wa", "wc"], "left")
-        .join(F.broadcast(z1), F.col("wa") == F.col("z1.doc_id"))
-        .join(F.broadcast(z2), F.col("wc") == F.col("z2.doc_id"))
+        .join(z1, F.col("wa") == F.col("z1.doc_id"))
+        .join(z2, F.col("wc") == F.col("z2.doc_id"))
         .select(
             F.round(
                 F.coalesce(F.col("cc"), F.lit(0)).cast("double")

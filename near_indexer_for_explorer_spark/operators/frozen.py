@@ -19,15 +19,25 @@ artifact.  Entries belonging to a dead SparkSession (applicationId
 no longer active) are evicted on the next call so a long-lived
 process that restarts its session doesn't pin dead checkpoint
 blocks forever.
+
+Persisted artifacts carry a MANIFEST (name, sf_dir, arity, member
+schemas) written beside the parts; ``load_artifacts`` validates it
+before registering, so a mismatched or stale directory fails loudly
+instead of silently poisoning every ``frozen(name, ...)`` consumer
+in the session (r7 advice).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _FROZEN: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
+
+_MANIFEST = "manifest.json"
 
 
 def frozen(
@@ -47,17 +57,28 @@ def frozen(
     return _FROZEN[key]
 
 
-def persist_artifacts(dfs: tuple[DataFrame, ...], path: str) -> None:
+def persist_artifacts(
+    dfs: tuple[DataFrame, ...],
+    path: str,
+    name: str = "",
+    sf_dir: str = "",
+) -> None:
     """Write a frozen-artifact tuple to the lake — the production form
     of the in-session memo (the module docstring's 'written once,
     served many times').  Plain parquet, one subdirectory per tuple
-    member: artifacts are small relational outputs (signatures,
-    candidate pairs, codebooks), so an overwrite per member is the
-    whole protocol."""
-    import os
-
+    member, plus a provenance manifest: artifacts are small relational
+    outputs (signatures, candidate pairs, codebooks), so an overwrite
+    per member is the whole protocol."""
     for i, df in enumerate(dfs):
         df.write.mode("overwrite").parquet(os.path.join(path, f"part{i}"))
+    manifest = {
+        "name": name,
+        "sf_dir": sf_dir,
+        "arity": len(dfs),
+        "schemas": [df.schema.jsonValue() for df in dfs],
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
 
 
 def load_artifacts(
@@ -68,13 +89,39 @@ def load_artifacts(
     DISK artifact instead of rebuilding.  Returns the registered
     tuple.
 
+    The directory's manifest must agree on (name, sf_dir, arity) —
+    a mismatch raises instead of registering a poisoned memo entry.
+    A manifest-less directory (pre-manifest writer, or hand-assembled
+    parts) is accepted for compatibility but still arity-checked
+    against the part directories on disk.
+
     Because builds are deterministic, a reloaded artifact is
     bit-identical to a rebuilt one — pinned by
     tests/test_operators.py::test_frozen_artifact_roundtrip — so
     composed queries and their oracles are unaffected by WHERE the
     artifact came from."""
-    import os
-
+    mpath = os.path.join(path, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        for field, want in (("name", name), ("sf_dir", sf_dir), ("arity", arity)):
+            got = manifest.get(field)
+            # a writer that didn't stamp provenance leaves "" — only a
+            # CONFLICTING stamp is a poisoning hazard
+            if got not in ("", None) and got != want:
+                raise ValueError(
+                    f"frozen artifact at {path}: manifest {field}={got!r} "
+                    f"does not match requested {want!r}"
+                )
+    else:
+        on_disk = sum(
+            os.path.isdir(os.path.join(path, f"part{i}")) for i in range(arity)
+        )
+        if on_disk != arity:
+            raise ValueError(
+                f"frozen artifact at {path}: expected {arity} part dirs, "
+                f"found {on_disk} (and no manifest)"
+            )
     app_id = spark.sparkContext.applicationId
     key = (name, sf_dir, app_id)
     _FROZEN[key] = tuple(

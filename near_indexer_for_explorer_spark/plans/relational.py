@@ -24,6 +24,10 @@ from near_indexer_for_explorer_spark.functions.numeric import (
     dsum_money,
     epoch_seconds,
 )
+from near_indexer_for_explorer_spark.functions.percentiles import (
+    exact_percentiles_fit,
+    gated_percentile,
+)
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2324,13 +2328,15 @@ def receipt_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_events, p50, p90, p99, v_min, v_max) — exact
-    interpolated percentiles per type."""
+    interpolated percentiles per type under the size gate, GK-sketch
+    percentiles above it (functions/percentiles.py)."""
     ev = load_table(spark, sf_dir, "events")
+    exact = exact_percentiles_fit(sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(gated_percentile("value", 0.5, exact), 6).alias("p50"),
+        F.round(gated_percentile("value", 0.9, exact), 6).alias("p90"),
+        F.round(gated_percentile("value", 0.99, exact), 6).alias("p99"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
@@ -2602,11 +2608,15 @@ def _eqd_boundary_sql() -> str:
 )
 def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, bucket, n, v_min, v_max, v_sum): ~equal-count value
-    buckets per event type from exact decile boundaries."""
+    buckets per event type from decile boundaries (exact under the
+    size gate, GK-sketch above — the standard equi-depth scale path)."""
     ev = load_table(spark, sf_dir, "events")
+    exact = exact_percentiles_fit(sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
         *[
-            F.round(F.percentile("value", F.lit(i / _EQD_K)), 6).alias(f"b{i}")
+            F.round(
+                gated_percentile("value", i / _EQD_K, exact), 6
+            ).alias(f"b{i}")
             for i in range(1, _EQD_K)
         ]
     )
@@ -4641,15 +4651,16 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_s")
         )
     )
+    exact = exact_percentiles_fit(sf_dir, "events")
     return conv.agg(
         F.count(F.lit(1)).alias("n_signup_users"),
         F.sum(F.when(F.col("dur_s").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_converted"),
-        F.round(F.percentile("dur_s", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("dur_s", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("dur_s", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.percentile("dur_s", F.lit(0.90)), 6).alias("p90"),
+        F.round(gated_percentile("dur_s", 0.25, exact), 6).alias("p25"),
+        F.round(gated_percentile("dur_s", 0.50, exact), 6).alias("p50"),
+        F.round(gated_percentile("dur_s", 0.75, exact), 6).alias("p75"),
+        F.round(gated_percentile("dur_s", 0.90, exact), 6).alias("p90"),
     )
 
 
@@ -6019,11 +6030,12 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days"
         ),
     )
+    exact = exact_percentiles_fit(sf_dir, "lineitem")
     return lat.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.percentile("days", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("days", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("days", F.lit(0.99)), 6).alias("p99"),
+        F.round(gated_percentile("days", 0.5, exact), 6).alias("p50"),
+        F.round(gated_percentile("days", 0.9, exact), 6).alias("p90"),
+        F.round(gated_percentile("days", 0.99, exact), 6).alias("p99"),
         F.round(
             F.sum("days").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_days"),
@@ -6661,7 +6673,7 @@ def weekly_type_cells(events: DataFrame) -> DataFrame:
     count cells at the (Monday-aligned integer week, type) grain."""
     epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     return events.groupBy(
-        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+        F.floor((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("obs"))
 
@@ -6921,7 +6933,7 @@ def weekly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     epoch = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     base = ev.groupBy(
-        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"), "event_type"
+        F.floor((epoch.cast("long") + 3) / 7).cast("long").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     w_rank = Window.partitionBy("w").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
@@ -7131,10 +7143,11 @@ def weekly_amount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution and the all-time one at the global decile
     boundaries."""
     orders = load_table(spark, sf_dir, "orders")
+    exact = exact_percentiles_fit(sf_dir, "orders")
     bounds = orders.agg(
         *[
             F.round(
-                F.percentile("o_totalprice", F.lit(i / _KS_DECILES)), 6
+                gated_percentile("o_totalprice", i / _KS_DECILES, exact), 6
             ).alias(f"b{i}")
             for i in range(1, _KS_DECILES)
         ]
@@ -7145,7 +7158,7 @@ def weekly_amount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = term if bucket is None else bucket + term
     epoch = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
     tagged = orders.crossJoin(F.broadcast(bounds)).select(
-        ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+        F.floor((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
         bucket.cast("long").alias("bucket"),
     )
     wcells = tagged.groupBy("w", "bucket").agg(
@@ -7356,6 +7369,7 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration, p90_events, mean_events): the session-length and
     session-depth distribution over A12's sessions."""
     sess = events_sessionize(spark, sf_dir)
+    exact = exact_percentiles_fit(sf_dir, "events")
     return sess.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
@@ -7369,17 +7383,17 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("bounce_rate"),
-        F.round(F.percentile("duration_s", F.lit(0.5)), 6).alias(
+        F.round(gated_percentile("duration_s", 0.5, exact), 6).alias(
             "p50_duration_s"
         ),
-        F.round(F.percentile("duration_s", F.lit(0.9)), 6).alias(
+        F.round(gated_percentile("duration_s", 0.9, exact), 6).alias(
             "p90_duration_s"
         ),
-        F.round(F.percentile("duration_s", F.lit(0.99)), 6).alias(
+        F.round(gated_percentile("duration_s", 0.99, exact), 6).alias(
             "p99_duration_s"
         ),
         F.round(
-            F.percentile(F.col("n_events").cast("double"), F.lit(0.9)), 6
+            gated_percentile(F.col("n_events").cast("double"), 0.9, exact), 6
         ).alias("p90_events"),
         F.round(
             F.sum("n_events").cast("double") / F.count(F.lit(1)), 6

@@ -1875,6 +1875,15 @@ def hll_distinct_stream(
 # each micro-batch merges only the days it touches via dynamic
 # partition overwrite (the C7 discipline, composite (type, day) key
 # partitioned by day).
+#
+# Delivery caveat (shared by C29/C30/C31): these additive rollups
+# merge via read-modify-overwrite, so a micro-batch that REPLAYS after
+# a crash between the snapshot write and the checkpoint commit is
+# double-counted — at-most-once-per-batch state, exactly the SUM
+# non-idempotence the C32 delta log exists for.  Deployments that need
+# exactly-once under crash-replay should route these cells through the
+# batch-id-keyed delta log (foreach_batch_delta_log / C32, C36): the
+# batch_id key makes the replayed write an overwrite, not an add.
 # ---------------------------------------------------------------------------
 def foreach_batch_trend_rollup(out_dir: str) -> Callable[[DataFrame, int], None]:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1941,6 +1950,8 @@ def read_stream_trend(spark: SparkSession, out_dir: str) -> DataFrame:
 # (bounded state: the snapshot is <= 9 rows forever).  The digit
 # expression is SHARED with the A86 batch audit (benford_digit_counts)
 # so stream == batch is a kernel invariant, not a coincidence.
+# Crash-replay delivery: see the C29 caveat above (same delta-log
+# upgrade path applies).
 # ---------------------------------------------------------------------------
 def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1988,6 +1999,8 @@ def benford_stream(
 # hhi_from_cells kernel as the batch query.  State is
 # O(types x suppliers) regardless of fact volume; each micro-batch
 # merges only the types it touches via dynamic partition overwrite.
+# Crash-replay delivery: see the C29 caveat (the same delta-log
+# upgrade path applies to these additive cells).
 # ---------------------------------------------------------------------------
 LINEITEM_SCHEMA = (
     "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
@@ -2589,7 +2602,7 @@ def foreach_batch_amount_cells(
         deltas = (
             batch_df.crossJoin(F.broadcast(baseline))
             .select(
-                ((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
+                F.floor((epoch.cast("long") + 3) / 7).cast("long").alias("w"),
                 bucket.cast("long").alias("bucket"),
             )
             .groupBy("w", "bucket")

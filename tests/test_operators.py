@@ -3236,7 +3236,7 @@ def test_frozen_artifact_roundtrip(spark, sf_dir, tmp_path):
     want_feat = sorted(map(tuple, dedup_pair_features(spark, sf_dir).collect()))
 
     path = str(tmp_path / "minhash_artifact")
-    fz.persist_artifacts(built, path)
+    fz.persist_artifacts(built, path, name="minhash_index", sf_dir=sf_dir)
     app_id = spark.sparkContext.applicationId
     del fz._FROZEN[("minhash_index", sf_dir, app_id)]
     fz.load_artifacts("minhash_index", spark, sf_dir, path, arity=2)
@@ -3245,6 +3245,37 @@ def test_frozen_artifact_roundtrip(spark, sf_dir, tmp_path):
     got_feat = sorted(map(tuple, dedup_pair_features(spark, sf_dir).collect()))
     assert got_cand == want_cand and len(want_cand) > 0
     assert got_feat == want_feat
+
+
+def test_frozen_artifact_manifest_rejects_mismatch(spark, sf_dir, tmp_path):
+    """A persisted artifact's manifest is provenance: loading it under
+    a different name, sf_dir, or arity must raise instead of silently
+    poisoning every frozen(name, ...) consumer in the session."""
+    import pytest
+
+    from near_indexer_for_explorer_spark.operators import frozen as fz
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        frozen_minhash_index,
+    )
+
+    built = frozen_minhash_index(spark, sf_dir)
+    path = str(tmp_path / "artifact")
+    fz.persist_artifacts(built, path, name="minhash_index", sf_dir=sf_dir)
+
+    with pytest.raises(ValueError, match="name"):
+        fz.load_artifacts("b11_pairs", spark, sf_dir, path, arity=2)
+    with pytest.raises(ValueError, match="sf_dir"):
+        fz.load_artifacts("minhash_index", spark, "/elsewhere", path, arity=2)
+    with pytest.raises(ValueError, match="arity"):
+        fz.load_artifacts("minhash_index", spark, sf_dir, path, arity=3)
+    # manifest-less dir: arity checked against the part dirs on disk
+    import os
+
+    os.remove(os.path.join(path, "manifest.json"))
+    with pytest.raises(ValueError, match="part dirs"):
+        fz.load_artifacts("minhash_index", spark, sf_dir, path, arity=3)
+    got = fz.load_artifacts("minhash_index", spark, sf_dir, path, arity=2)
+    assert len(got) == 2
 
 
 def test_matryoshka_curve_monotone_and_full_dim_perfect(spark, sf_dir):

@@ -30,7 +30,7 @@ def sorted_rows(rows, cols):
 # smoke: entry()
 df = e.entry(spark)
 rows = df.collect()
-assert df.columns[0] == "l_returnflag" and len(rows) >= 0
+assert df.columns[0] == "l_returnflag" and len(rows) > 0
 print("entry() smoke OK:", len(rows), "rows")
 
 qs, osql = e.queries(), e.oracle_sql()
