@@ -138,9 +138,10 @@ _GATE_PRIORITY: list[str] = [
 # in the r7 window (freshest greens -- least information in a repeat
 # row), then the rows-only-by-design entries (no value-hash oracle) so
 # driver slots never go to a query without one.  Everything not listed
-# here or above sits in the middle in registry order -- that middle
-# includes the 24 never-gated overflow, so they are next in line after
-# the priority block if the window ever widens.
+# here or above sits in the middle in registry order.  The r9 window
+# head is: the 24 never-gated overflow (commented above) + queries NEW
+# in r8 (receipt_data_edges, receipt_data_readiness) + the
+# kernel-pinned dedup_edit_verify / dedup_edit_banded re-proofs.
 _GATE_DEFER: list[str] = [
     # --- r7 driver window (all green r7) ---
     "opq_quantize_serve",

@@ -193,6 +193,8 @@ EXTRA = [
     "embedding_bitwidth_curve",
     "winnowing_window_curve",
     "session_duration_stats",
+    "receipt_data_edges",
+    "receipt_data_readiness",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

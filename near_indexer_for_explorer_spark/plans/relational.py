@@ -2305,12 +2305,12 @@ def receipt_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Spark's `percentile` is the EXACT linear-interpolation estimator —
 # the same definition DuckDB's percentile_cont implements, over
-# identical doubles, so round-6 values hash-match.  Scale note: exact
-# percentiles materialize each group's values; at 100 TB swap in
-# approx_percentile (t-digest) per group — same plan shape, bounded
-# memory — or pre-bucket into a fixed histogram.  Groups here are
-# event types (bounded cardinality), so the per-group state is the
-# day's values, not the corpus.
+# identical doubles, so round-6 values hash-match.  Scale: SIZE-GATED
+# via functions/percentiles.py — exact under the footer-rowcount
+# threshold (the oracle-parity branch), GK approx_percentile above it
+# (fixed-size partials, map-side combinable); both branches are
+# plan-pinned by tests/test_percentile_gate.py and the sketch branch
+# carries an A61-style rank-error contract.
 # ---------------------------------------------------------------------------
 @_register(
     "events_value_percentiles",
@@ -7404,3 +7404,163 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["session_duration_stats"] = ORACLES["session_duration_stats"].replace(
     "{SESSIONIZE_ORACLE}", ORACLES["events_sessionize"]
 )
+
+
+# ---------------------------------------------------------------------------
+# A109/A110 data-receipt dependency DAG (reference analog: the
+# action-receipt data-dependency tables — adapters/receipts.rs:76-130
+# caches each Action receipt's output_data_receivers as DataId ->
+# parent rows, and the initial schema normalizes them into
+# action_receipt_output_data(output_data_id, output_from_receipt_id,
+# receiver_account_id) / action_receipt_input_data(input_data_id,
+# input_to_receipt_id), up.sql:122-199.  A receipt EXECUTES only when
+# every one of its input data ids has been produced — the protocol's
+# data-availability join.)
+#
+# The synthetic derivation is pure integer arithmetic on o_orderkey so
+# both engines build bit-identical edge tables: receipt k produces
+# outputs {k*8+j : 1 <= j <= k%3} addressed to its customer, and
+# consumes inputs {(k+j)*8+1 : 1 <= j <= k%4}.  TPC-H orderkeys are
+# deliberately sparse (3 of every 4 keys absent), so missing producers
+# arise naturally — exactly the "data receipt not yet indexed" case
+# the reference's warn-and-skip path handles.
+#
+# Scale shape: A109 is ONE scan of orders with a map-side explode of a
+# single combined struct array (no shuffle, no union-of-scans — one
+# pass emits both edge kinds).  A110 keys the produced⋈inputs join on
+# data_id (one fact shuffle; produced ids are unique by construction
+# so the join never fans out), folds per-receipt readiness as an
+# ALL-satisfied aggregate (min over the produced flags — an
+# anti-join-shaped agg, never a per-input loop), and rides the partial
+# agg into the bounded priority rollup.
+# ---------------------------------------------------------------------------
+@_register(
+    "receipt_data_edges",
+    """
+    SELECT 'output' AS kind,
+           CAST(o_orderkey * 8 + j AS BIGINT) AS data_id,
+           CAST(o_orderkey AS BIGINT) AS receipt_id,
+           CAST(o_custkey AS BIGINT) AS receiver_id
+    FROM orders, unnest(generate_series(1, o_orderkey % 3)) AS t(j)
+    UNION ALL
+    SELECT 'input' AS kind,
+           CAST((o_orderkey + j) * 8 + 1 AS BIGINT) AS data_id,
+           CAST(o_orderkey AS BIGINT) AS receipt_id,
+           CAST(NULL AS BIGINT) AS receiver_id
+    FROM orders, unnest(generate_series(1, o_orderkey % 4)) AS t(j)
+    """,
+)
+def receipt_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(kind, data_id, receipt_id, receiver_id): both normalized
+    data-dependency edge tables (outputs carry the receiver account,
+    inputs a NULL) from one pass over the fact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    k = F.col("o_orderkey")
+
+    def upto(n):  # [1..n], EMPTY when n == 0 (sequence(1,0) descends!)
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    out_edges = F.transform(
+        upto((k % 3).cast("int")),
+        lambda j: F.struct(
+            F.lit("output").alias("kind"),
+            (k * 8 + j).cast("long").alias("data_id"),
+            k.cast("long").alias("receipt_id"),
+            F.col("o_custkey").cast("long").alias("receiver_id"),
+        ),
+    )
+    in_edges = F.transform(
+        upto((k % 4).cast("int")),
+        lambda j: F.struct(
+            F.lit("input").alias("kind"),
+            ((k + j) * 8 + 1).cast("long").alias("data_id"),
+            k.cast("long").alias("receipt_id"),
+            F.lit(None).cast("long").alias("receiver_id"),
+        ),
+    )
+    return orders.select(
+        F.explode(F.concat(out_edges, in_edges)).alias("e")
+    ).select("e.kind", "e.data_id", "e.receipt_id", "e.receiver_id")
+
+
+@_register(
+    "receipt_data_readiness",
+    """
+    WITH produced AS (
+      SELECT o_orderkey * 8 + j AS data_id
+      FROM orders, unnest(generate_series(1, o_orderkey % 3)) AS t(j)
+    ), inputs AS (
+      SELECT o_orderkey AS receipt_id, o_orderpriority,
+             (o_orderkey + j) * 8 + 1 AS data_id
+      FROM orders, unnest(generate_series(1, o_orderkey % 4)) AS t(j)
+    ), per_receipt AS (
+      SELECT i.receipt_id, i.o_orderpriority,
+             COUNT(*) AS n_inputs,
+             SUM(CASE WHEN p.data_id IS NOT NULL THEN 1 ELSE 0 END) AS n_sat
+      FROM inputs i LEFT JOIN produced p ON i.data_id = p.data_id
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_receipts,
+           CAST(SUM(CASE WHEN n_sat = n_inputs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ready,
+           CAST(SUM(CASE WHEN n_sat < n_inputs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(n_inputs - n_sat) AS BIGINT) AS n_missing_inputs
+    FROM per_receipt GROUP BY 1
+    """,
+)
+def receipt_data_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_receipts, n_ready, n_blocked,
+    n_missing_inputs): per priority class, how many data-dependent
+    receipts have ALL inputs produced vs are still blocked, and the
+    total count of unproduced inputs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+
+    def upto(n):
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    produced = orders.select(
+        F.explode(
+            F.transform(
+                upto((k % 3).cast("int")),
+                lambda j: (k * 8 + j).cast("long"),
+            )
+        ).alias("data_id")
+    ).withColumn("produced", F.lit(1))
+    inputs = orders.select(
+        k.cast("long").alias("receipt_id"),
+        "o_orderpriority",
+        F.explode(
+            F.transform(
+                upto((k % 4).cast("int")),
+                lambda j: ((k + j) * 8 + 1).cast("long"),
+            )
+        ).alias("data_id"),
+    )
+    per_receipt = (
+        inputs.join(produced, "data_id", "left")
+        .groupBy("receipt_id", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_inputs"),
+            F.sum(F.coalesce(F.col("produced"), F.lit(0))).alias("n_sat"),
+        )
+    )
+    ready = F.col("n_sat") == F.col("n_inputs")
+    return per_receipt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_receipts"),
+        F.sum(ready.cast("long")).cast("long").alias("n_ready"),
+        F.sum((~ready).cast("long")).cast("long").alias("n_blocked"),
+        F.sum(F.col("n_inputs") - F.col("n_sat"))
+        .cast("long")
+        .alias("n_missing_inputs"),
+    )

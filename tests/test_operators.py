@@ -3506,3 +3506,44 @@ def test_session_stats_planted_distribution(spark, tmp_path):
     assert r["p50_duration_s"] == 600.0
     assert r["p99_duration_s"] > r["p90_duration_s"] > r["p50_duration_s"]
     assert r["mean_events"] == 2.0
+
+
+def test_receipt_data_dag_planted(spark, tmp_path):
+    """A109/A110 semantics on a hand-built DAG: receipt k produces
+    {k*8+j : j<=k%3} and consumes {(k+j)*8+1 : j<=k%4}; with orders
+    {3,4,5,8,9,10}, receipt 9 is the only one whose inputs are all
+    produced, 3/5/10 are blocked (1,1,2 missing), 4 and 8 have no
+    inputs so don't appear in the readiness relation at all."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        receipt_data_edges,
+        receipt_data_readiness,
+    )
+
+    rows = [
+        (3, 103, "A"),
+        (4, 104, "A"),
+        (5, 105, "B"),
+        (8, 108, "B"),
+        (9, 109, "B"),
+        (10, 110, "B"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    edges = receipt_data_edges(spark, str(tmp_path)).collect()
+    outs = {(r["data_id"], r["receipt_id"], r["receiver_id"])
+            for r in edges if r["kind"] == "output"}
+    ins = {(r["data_id"], r["receipt_id"]) for r in edges if r["kind"] == "input"}
+    assert outs == {(33, 4, 104), (41, 5, 105), (42, 5, 105),
+                    (65, 8, 108), (66, 8, 108), (81, 10, 110)}
+    assert ins == {(33, 3), (41, 3), (49, 3), (49, 5), (81, 9), (89, 10), (97, 10)}
+    assert all(r["receiver_id"] is None for r in edges if r["kind"] == "input")
+    assert len(edges) == 13
+
+    ready = {r["o_orderpriority"]: r
+             for r in receipt_data_readiness(spark, str(tmp_path)).collect()}
+    assert set(ready) == {"A", "B"}
+    a, b = ready["A"], ready["B"]
+    assert (a["n_receipts"], a["n_ready"], a["n_blocked"], a["n_missing_inputs"]) == (1, 0, 1, 1)
+    assert (b["n_receipts"], b["n_ready"], b["n_blocked"], b["n_missing_inputs"]) == (3, 1, 2, 3)
