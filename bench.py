@@ -195,6 +195,7 @@ EXTRA = [
     "session_duration_stats",
     "receipt_data_edges",
     "receipt_data_readiness",
+    "account_changes_by_reason",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -2839,6 +2839,81 @@ def events_debounce_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension-sized or shuffle on the key when not.
 # ---------------------------------------------------------------------------
 _EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+# state_change_reason_kind closed vocabulary (models/enums.rs:99-110,
+# SCREAMING_SNAKE_CASE) INCLUDING the two values added mid-stream by
+# ALTER TYPE ADD VALUE (MIGRATION, migrations/2021-06-02-173100;
+# RESHARDING, migrations/2021-10-14-180948).  The lake side mirrors
+# that enum EVOLUTION by time-gating the derivation: before the
+# cutoff, error-cause changes carry the pre-migration catch-all
+# (RECEIPT_PROCESSING); at/after it the two new values appear --
+# exactly how an ALTER TYPE ADD VALUE shows up in historical data.
+_REASON_KIND_DOMAIN = (
+    "TRANSACTION_PROCESSING",
+    "ACTION_RECEIPT_PROCESSING_STARTED",
+    "ACTION_RECEIPT_GAS_REWARD",
+    "RECEIPT_PROCESSING",
+    "POSTPONED_RECEIPT",
+    "UPDATED_DELAYED_RECEIPTS",
+    "VALIDATOR_ACCOUNTS_UPDATE",
+    "MIGRATION",
+    "RESHARDING",
+)
+_REASON_EVOLUTION_CUTOFF = "2024-01-15"
+
+# The SQL rendering of the kernel below -- ONE string shared by the
+# A60 domain check and the A111 rollup so the two oracles cannot
+# drift from each other (the C13 shared-constants lesson).
+_REASON_KIND_SQL = f"""CASE event_type
+      WHEN 'purchase' THEN CASE WHEN event_id % 2 = 0
+           THEN 'TRANSACTION_PROCESSING' ELSE 'ACTION_RECEIPT_GAS_REWARD' END
+      WHEN 'click' THEN CASE WHEN event_id % 2 = 0
+           THEN 'RECEIPT_PROCESSING' ELSE 'ACTION_RECEIPT_PROCESSING_STARTED' END
+      WHEN 'view' THEN CASE WHEN event_id % 2 = 0
+           THEN 'POSTPONED_RECEIPT' ELSE 'UPDATED_DELAYED_RECEIPTS' END
+      WHEN 'signup' THEN 'VALIDATOR_ACCOUNTS_UPDATE'
+      WHEN 'error' THEN CASE
+           WHEN CAST(ts AS DATE) < DATE '{_REASON_EVOLUTION_CUTOFF}'
+           THEN 'RECEIPT_PROCESSING'
+           WHEN event_id % 2 = 0 THEN 'MIGRATION' ELSE 'RESHARDING' END
+      ELSE NULL END"""
+
+
+def state_change_reason_kind() -> Column:
+    """The event -> state_change_reason_kind derivation (the From<
+    StateChangeCauseView> mapping at models/enums.rs:112-130 as a
+    deterministic column expression; an unmapped cause yields NULL --
+    the lake analog of the reference's panic on unexpected variants).
+    Kept ABOVE the A60 decorator so both A60 and A111 share it."""
+    even = F.col("event_id") % 2 == 0
+    pre = F.to_date("ts") < F.lit(_REASON_EVOLUTION_CUTOFF).cast("date")
+    return (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.when(even, "TRANSACTION_PROCESSING").otherwise(
+                "ACTION_RECEIPT_GAS_REWARD"
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.when(even, "RECEIPT_PROCESSING").otherwise(
+                "ACTION_RECEIPT_PROCESSING_STARTED"
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.when(even, "POSTPONED_RECEIPT").otherwise(
+                "UPDATED_DELAYED_RECEIPTS"
+            ),
+        )
+        .when(F.col("event_type") == "signup", F.lit("VALIDATOR_ACCOUNTS_UPDATE"))
+        .when(
+            F.col("event_type") == "error",
+            F.when(pre, F.lit("RECEIPT_PROCESSING")).otherwise(
+                F.when(even, "MIGRATION").otherwise("RESHARDING")
+            ),
+        )
+    )
 _ORDER_STATUS_DOMAIN = ("O", "F", "P")
 _RETURNFLAG_DOMAIN = ("R", "A", "N")
 _LINESTATUS_DOMAIN = ("O", "F")
@@ -2883,6 +2958,16 @@ _LINESTATUS_DOMAIN = ("O", "F")
              (SELECT COUNT(*) FROM events WHERE event_type IS NULL
               OR event_type NOT IN
                  ('click','error','purchase','signup','view'))
+      UNION ALL
+      SELECT 'domain_events_reason_kind',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM (
+                SELECT {_REASON_KIND_SQL} AS rk FROM events)
+              WHERE rk IS NULL OR rk NOT IN
+                ('TRANSACTION_PROCESSING','ACTION_RECEIPT_PROCESSING_STARTED',
+                 'ACTION_RECEIPT_GAS_REWARD','RECEIPT_PROCESSING',
+                 'POSTPONED_RECEIPT','UPDATED_DELAYED_RECEIPTS',
+                 'VALIDATOR_ACCOUNTS_UPDATE','MIGRATION','RESHARDING'))
       UNION ALL
       SELECT 'domain_orders_status',
              (SELECT COUNT(*) FROM orders),
@@ -2968,6 +3053,14 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         report(
+            "domain_events_reason_kind",
+            events,
+            events.withColumn("rk", state_change_reason_kind()).where(
+                F.col("rk").isNull()
+                | ~F.col("rk").isin(*_REASON_KIND_DOMAIN)
+            ),
+        ),
+        report(
             "domain_orders_status",
             orders,
             orders.where(
@@ -2990,6 +3083,11 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+ORACLES["data_quality_report"] = ORACLES["data_quality_report"].replace(
+    "{_REASON_KIND_SQL}", _REASON_KIND_SQL
+)
 
 
 # ---------------------------------------------------------------------------
@@ -7564,3 +7662,62 @@ def receipt_data_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing_inputs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A111 per-reason account-change rollup (reference analog: the
+# account_changes table keyed by update_reason state_change_reason_kind
+# — migrations/2021-05-13-121630_account_changes; enum values at
+# models/enums.rs:99-110 with the MIGRATION / RESHARDING values added
+# mid-stream by ALTER TYPE ADD VALUE, migrations/2021-06-02-173100 and
+# 2021-10-14-180948).  The A60 kernel derives the reason; this is the
+# "changes per cause" dashboard over it, and the first_day column
+# EVIDENCES the enum evolution: the two added values' first appearance
+# is at/after the cutoff, the original seven span the whole range.
+#
+# Scale shape: one (reason, user) pre-aggregate then the 9-row reason
+# grain (COUNT DISTINCT expands to exactly that two-level agg); all
+# sums decimal-exact; NULL reasons (unmapped causes) are excluded the
+# way the reference's From<> panics them out of the table.
+# ---------------------------------------------------------------------------
+@_register(
+    "account_changes_by_reason",
+    """
+    WITH tagged AS (
+      SELECT {_REASON_KIND_SQL} AS reason_kind,
+             user_id, value, CAST(ts AS DATE) AS d
+      FROM events
+    )
+    SELECT reason_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_accounts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(d) AS first_day,
+           MAX(d) AS last_day
+    FROM tagged
+    WHERE reason_kind IS NOT NULL
+    GROUP BY reason_kind
+    """,
+)
+def account_changes_by_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(reason_kind, n_changes, n_accounts, total_value, first_day,
+    last_day): account-change volume per state-change cause, with the
+    added-mid-stream enum values' first appearance visible."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("reason_kind", state_change_reason_kind())
+        .where(F.col("reason_kind").isNotNull())
+        .groupBy("reason_kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.countDistinct("user_id").cast("long").alias("n_accounts"),
+            F.sum(dec_money("value")).cast("double").alias("total_value"),
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+    )
+
+
+ORACLES["account_changes_by_reason"] = ORACLES["account_changes_by_reason"].replace(
+    "{_REASON_KIND_SQL}", _REASON_KIND_SQL
+)

@@ -3547,3 +3547,57 @@ def test_receipt_data_dag_planted(spark, tmp_path):
     a, b = ready["A"], ready["B"]
     assert (a["n_receipts"], a["n_ready"], a["n_blocked"], a["n_missing_inputs"]) == (1, 0, 1, 1)
     assert (b["n_receipts"], b["n_ready"], b["n_blocked"], b["n_missing_inputs"]) == (3, 1, 2, 3)
+
+
+def test_reason_kind_planted_violation_and_evolution(spark, tmp_path):
+    """A60/A111 semantics: an unmapped cause ('bogus' event_type) is a
+    domain_events_reason_kind violation (the enum-cast-failure case);
+    error-cause changes BEFORE the evolution cutoff carry the
+    pre-migration catch-all, and the ALTER-TYPE-added values
+    (MIGRATION/RESHARDING) first appear at/after the cutoff."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        account_changes_by_reason,
+        data_quality_report,
+    )
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    spark.createDataFrame([(1,)], "c_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "O")], "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1.0, "N", "O")],
+        "l_orderkey long, l_quantity double, l_returnflag string, l_linestatus string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    events = [
+        (2, 10, "error", d(10), 5.0),     # pre-cutoff -> RECEIPT_PROCESSING
+        (4, 10, "error", d(20), 5.0),     # post, even -> MIGRATION
+        (5, 11, "error", d(21), 5.0),     # post, odd  -> RESHARDING
+        (6, 11, "purchase", d(5), 7.0),   # even -> TRANSACTION_PROCESSING
+        (7, 12, "bogus", d(5), 1.0),      # unmapped -> NULL reason
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    dq = {r["constraint_name"]: r
+          for r in data_quality_report(spark, str(tmp_path)).collect()}
+    rk = dq["domain_events_reason_kind"]
+    assert rk["n_checked"] == 5 and rk["n_violations"] == 1 and not rk["ok"]
+
+    roll = {r["reason_kind"]: r
+            for r in account_changes_by_reason(spark, str(tmp_path)).collect()}
+    assert set(roll) == {"RECEIPT_PROCESSING", "MIGRATION", "RESHARDING",
+                         "TRANSACTION_PROCESSING"}
+    assert roll["RECEIPT_PROCESSING"]["first_day"] == dt.date(2024, 1, 10)
+    assert roll["MIGRATION"]["first_day"] == dt.date(2024, 1, 20)
+    assert roll["RESHARDING"]["first_day"] == dt.date(2024, 1, 21)
+    assert roll["MIGRATION"]["n_changes"] == 1
+    assert roll["TRANSACTION_PROCESSING"]["total_value"] == 7.0
