@@ -236,6 +236,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # The last QUIESCENT canonical min-of-3 subtotal recorded in
+        # BENCH_BASELINE.md (sf0.1 local[32]) — emitted so the driver's
+        # artifact self-documents its load-window factor: driver-run
+        # totals measured 1.3-1.5x the canonical under concurrent load
+        # (BENCH_r07 analysis), inflating scan-only rows uniformly.
+        # Update when a new canonical table is recorded.
+        "canonical_subtotal_ref": {"sec": 114.19, "n_queries": 121,
+                                   "sf": 0.1, "round": "r7"},
     }
     # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
     # workflow read this).  NOT the driver's line — see below.

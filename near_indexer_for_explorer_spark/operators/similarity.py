@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from near_indexer_for_explorer_spark.functions.vectors import (
@@ -27,8 +27,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 TOP_K = 10
-QUERY_MOD = 100  # vec_id % 100 == 0 -> query set scales with the table
+QUERY_MOD = 100  # queries live on the vec_id % 100 == 0 lattice ...
+ANN_MAX_QUERIES = 16  # ... capped to a FIXED ID RANGE (r7 advice):
+# evaluation legs must cost O(n * |Q|), not O(n^2 / QUERY_MOD) -- an
+# all-pairs eval whose query set scales with the corpus re-grows
+# quadratically at 100 TB.  The set {0, 100, ..., 1500} is defined by
+# ID, so it is IDENTICAL at every corpus size (the bm25_search
+# fixed-query-dim discipline); below the cap (test SFs 0.001/0.01)
+# nothing changes, above it |Q| pins at ANN_MAX_QUERIES.  A real
+# deployment swaps in a held-out query TABLE; the cap expresses the
+# same O(n * |Q|) scale shape.
+Q_MAX_ID = QUERY_MOD * ANN_MAX_QUERIES
+Q_PRED_SQL = f"vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}"
 DUP_COSINE_THRESHOLD = 0.85
+
+
+def is_query_vec(col: Column) -> Column:
+    """The fixed evaluation query-set predicate (Spark side of
+    Q_PRED_SQL -- shared so the two renderings cannot drift)."""
+    return (col % QUERY_MOD == 0) & (col < Q_MAX_ID)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +67,7 @@ ORACLES["ann_cosine_topk"] = f"""
       FROM e
     ),
     q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE {Q_PRED_SQL}),
     pairs AS (
       SELECT q.q_id, n.vec_id,
              ROUND(list_sum(list_transform(range(1, len(n.emb) + 1),
@@ -76,7 +93,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query top-k reduction, which moves only k rows per query per
     partition."""
     e = _vectors(spark, sf_dir)
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -165,7 +182,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline instead.  The probe radius is the
     recall/throughput dial at 100 TB (radius 0 -> n/64 candidates)."""
     e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -619,7 +636,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
     corpus = e.join(lists, "vec_id")
 
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -706,7 +723,7 @@ def _ann_lsh_oracle_sql() -> str:
           FROM e),
     b AS (SELECT vec_id, emb, nrm, {bucket_expr} AS bucket FROM n),
     q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
-          FROM b WHERE vec_id % {QUERY_MOD} = 0),
+          FROM b WHERE {Q_PRED_SQL}),
     probes AS (
       SELECT q_id, q_emb, q_nrm, xor(q_bucket, CAST(t.m AS BIGINT)) AS probe_bucket
       FROM q, UNNEST([{masks_list}]) AS t(m)
@@ -777,7 +794,7 @@ def _ivf_pairs_ctes() -> str:
     corpus AS (SELECT l.vec_id, l.centroid_id, n.emb, n.nrm
                FROM lists l JOIN n ON l.vec_id = n.vec_id),
     q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE {Q_PRED_SQL}),
     qprobe AS (
       SELECT q_id, q_emb, q_nrm, centroid_id AS probe_centroid,
              CAST(rk AS INTEGER) AS probe_rank FROM (
@@ -1471,7 +1488,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") == 1)
         .select("vec_id", "s", F.col("centroid_id").alias("code"))
     )
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("emb")
     )
     luts = (
@@ -1583,7 +1600,7 @@ def _pq_oracle_sql() -> str:
               FROM e, books b) v) t
       WHERE rk = 1
     ),
-    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE {Q_PRED_SQL}),
     luts AS (
       SELECT v.q_id, v.s, v.centroid_id AS code, {sdist} AS d
       FROM (SELECT q.q_id, q.emb, b.s, b.centroid_id, b.c_emb
@@ -1940,7 +1957,7 @@ def _ivfpq_search(
     )
     # queries probe the nprobe nearest lists, then build a residual
     # LUT per (query, probed list)
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), "emb"
     )
     qprobe = (
@@ -2152,7 +2169,7 @@ def _ivfpq_oracle_sql() -> str:
               FROM resid r, rbooks b) v) t
       WHERE rk = 1
     ),
-    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE {Q_PRED_SQL}),
     qprobe AS (
       SELECT q_id, list_id,
              {residual.format(x="q_emb", c="c_emb")} AS remb
@@ -3451,7 +3468,7 @@ def _int8_coarse_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qv", qv)
         .withColumn("nrm", l2_norm(F.col("emb")))
     )
-    q = quant.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = quant.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("qv").alias("q_qv"),
         F.col("scale").alias("q_scale"),
@@ -3528,7 +3545,7 @@ ORACLES["ann_rerank_int8"] = f"""
     ),
     q AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale,
                  emb AS q_emb, nrm AS q_nrm
-          FROM qz WHERE vec_id % {QUERY_MOD} = 0),
+          FROM qz WHERE {Q_PRED_SQL}),
     coarse AS (
       SELECT q.q_id, z.vec_id, z.emb, z.nrm, q.q_emb, q.q_nrm,
              ROUND(CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
@@ -3585,7 +3602,7 @@ def matryoshka_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pnrm", l2_norm(F.col("pre")))
         .withColumn("nrm", l2_norm(F.col("emb")))
     )
-    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = base.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("pre").alias("q_pre"),
         F.col("pnrm").alias("q_pnrm"),
@@ -3644,7 +3661,7 @@ ORACLES["matryoshka_ann_topk"] = f"""
     ),
     q AS (SELECT vec_id AS q_id, pre AS q_pre, pnrm AS q_pnrm,
                  emb AS q_emb, nrm AS q_nrm
-          FROM base WHERE vec_id % {QUERY_MOD} = 0),
+          FROM base WHERE {Q_PRED_SQL}),
     coarse AS (
       SELECT q.q_id, b.vec_id, b.emb, b.nrm, q.q_emb, q.q_nrm,
              ROUND(list_sum(list_transform(range(1, {_MRL_DIM} + 1),
@@ -4018,7 +4035,7 @@ def _rerank_curve_oracle_sql() -> str:
       FROM quant
     ),
     q AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale
-          FROM qz WHERE vec_id % {QUERY_MOD} = 0),
+          FROM qz WHERE {Q_PRED_SQL}),
     coarse AS (
       SELECT q.q_id, z.vec_id,
              ROUND(CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
@@ -4137,7 +4154,7 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe radius, how many candidate pairs the probe budget
     admits and what fraction of the exact top-k it recovers."""
     e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
     )
     masks = F.array(*[F.lit(m) for m in _probe_masks()])
@@ -4246,7 +4263,7 @@ def _lsh_curve_oracle_sql() -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     b AS (SELECT vec_id, {bucket_expr} AS bucket FROM e),
     q AS (SELECT vec_id AS q_id, bucket AS q_bucket
-          FROM b WHERE vec_id % {QUERY_MOD} = 0),
+          FROM b WHERE {Q_PRED_SQL}),
     probes AS (
       SELECT q_id, q_bucket, xor(q_bucket, CAST(t.m AS BIGINT)) AS probe_bucket
       FROM q, UNNEST([{masks_list}]) AS t(m)
@@ -4370,7 +4387,7 @@ def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = base.withColumn(f"pre{d}", pre).withColumn(
             f"pnrm{d}", l2_norm(pre)
         )
-    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = base.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         *[F.col(f"pre{d}").alias(f"q_pre{d}") for d in _MRL_CURVE_DIMS],
         *[F.col(f"pnrm{d}").alias(f"q_pnrm{d}") for d in _MRL_CURVE_DIMS],
@@ -4472,7 +4489,7 @@ def _mrl_curve_oracle_sql() -> str:
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE {Q_PRED_SQL}),
     pairs AS (
       SELECT q.q_id, b.vec_id,
              {", ".join(cos_cols)}

@@ -97,6 +97,7 @@ def measure(spark, sf_dir: str) -> dict:
         dedup_pair_features,
     )
     from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_cosine_topk,
         embedding_dedup_cosine,
         ivfpq_ann_topk,
     )
@@ -112,6 +113,9 @@ def measure(spark, sf_dir: str) -> dict:
         ("dedup_minhash_lsh", dedup_minhash_lsh),
         ("embedding_dedup_cosine", embedding_dedup_cosine),
         ("ivfpq_ann_topk", ivfpq_ann_topk),
+        # r8: the B5 exact baseline under the FIXED query set — result
+        # rows must now grow ~1x (|Q| pinned), only scan cost grows
+        ("ann_cosine_topk", ann_cosine_topk),
         # r7 session-4 additions: the map-side pair explode (linear in
         # tokens) and the candidate-bounded feature pass (first call
         # includes the frozen-leg build, i.e. the full B3 shape)

@@ -255,3 +255,59 @@ def test_parquet_schema_evolution_union_and_nulls(spark, tmp_path):
         line for line in plan.splitlines() if "ReadSchema" in line
     )
     assert "a" in read_schema and "c:" not in read_schema
+
+
+def test_deprecated_namespace_aliases_resolve_to_one_relation(spark, sf_dir):
+    """The deprecated_namespace rename replay: the old names are views
+    OVER the canonical one -- identical semantics, not a second scan
+    source -- and register_views returns both name sets."""
+    from near_indexer_for_explorer_spark.sources.catalog import (
+        DEPRECATED_ALIASES,
+        register_views,
+    )
+
+    names = register_views(spark, sf_dir)
+    for old, canonical in DEPRECATED_ALIASES.items():
+        assert old in names and canonical in names
+        assert spark.table(old).sameSemantics(spark.table(canonical))
+    n_events = spark.table("events").count()
+    assert spark.table("account_changes").count() == n_events > 0
+
+
+def test_renamed_lake_table_spans_schema_versions(spark, tmp_path):
+    """ALTER TABLE SET SCHEMA lake-side: files written under two schema
+    versions read as one evolved relation addressable by the canonical
+    AND the deprecated name, with pre-evolution files NULL-filled."""
+    from near_indexer_for_explorer_spark.sources.catalog import (
+        register_renamed_lake_table,
+    )
+
+    path = str(tmp_path / "acct_changes")
+    spark.createDataFrame(
+        [(1, "alice")], "change_id long, account string"
+    ).write.parquet(path + "/v1")
+    spark.createDataFrame(
+        [(2, "bob", "MIGRATION")],
+        "change_id long, account string, reason_kind string",
+    ).write.parquet(path + "/v2")
+    # one directory of mixed-version files
+    import shutil
+
+    for sub in ("v1", "v2"):
+        for fn in __import__("os").listdir(f"{path}/{sub}"):
+            if fn.endswith(".parquet"):
+                shutil.move(f"{path}/{sub}/{fn}", f"{path}/{sub}_{fn}")
+        shutil.rmtree(f"{path}/{sub}")
+
+    register_renamed_lake_table(
+        spark, path, "account_changes_v2",
+        deprecated_names=("deprecated__account_changes",),
+    )
+    new = spark.table("account_changes_v2")
+    old = spark.table("deprecated__account_changes")
+    assert old.sameSemantics(new) or (
+        sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    )
+    rows = {r["change_id"]: r for r in new.collect()}
+    assert rows[1]["reason_kind"] is None          # pre-evolution file
+    assert rows[2]["reason_kind"] == "MIGRATION"   # post-evolution file
