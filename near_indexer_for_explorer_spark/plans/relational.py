@@ -7585,6 +7585,71 @@ def receipt_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.kind", "e.data_id", "e.receipt_id", "e.receiver_id")
 
 
+def receipt_input_edges(orders: DataFrame) -> DataFrame:
+    """(receipt_id, o_orderpriority, data_id): the input-dependency
+    edges of each action receipt (the A109 derivation, input side).
+    MODULE-LEVEL so the C38 streaming sink derives the IDENTICAL
+    edges per micro-batch — stream and batch cannot drift."""
+    k = F.col("o_orderkey")
+    n = (k % 4).cast("int")
+    return orders.select(
+        k.cast("long").alias("receipt_id"),
+        "o_orderpriority",
+        F.explode(
+            F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda j: ((k + j) * 8 + 1).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("data_id"),
+    )
+
+
+def receipt_produced_ids(orders: DataFrame) -> DataFrame:
+    """(data_id): every data id produced by the batch's receipts (the
+    A109 derivation, output side) — unique by construction."""
+    k = F.col("o_orderkey")
+    n = (k % 3).cast("int")
+    return orders.select(
+        F.explode(
+            F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda j: (k * 8 + j).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("data_id")
+    )
+
+
+def readiness_from_edges(inputs: DataFrame, produced: DataFrame) -> DataFrame:
+    """The A110 kernel: per-receipt ALL-satisfied fold over the
+    (inputs left-join produced) flag, rolled to the priority grain.
+    Shared verbatim by the C38 incremental monitor's read path."""
+    per_receipt = (
+        inputs.join(
+            produced.withColumn("produced", F.lit(1)), "data_id", "left"
+        )
+        .groupBy("receipt_id", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_inputs"),
+            F.sum(F.coalesce(F.col("produced"), F.lit(0))).alias("n_sat"),
+        )
+    )
+    ready = F.col("n_sat") == F.col("n_inputs")
+    return per_receipt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_receipts"),
+        F.sum(ready.cast("long")).cast("long").alias("n_ready"),
+        F.sum((~ready).cast("long")).cast("long").alias("n_blocked"),
+        F.sum(F.col("n_inputs") - F.col("n_sat"))
+        .cast("long")
+        .alias("n_missing_inputs"),
+    )
+
+
 @_register(
     "receipt_data_readiness",
     """
@@ -7620,47 +7685,8 @@ def receipt_data_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    k = F.col("o_orderkey")
-
-    def upto(n):
-        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
-        )
-
-    produced = orders.select(
-        F.explode(
-            F.transform(
-                upto((k % 3).cast("int")),
-                lambda j: (k * 8 + j).cast("long"),
-            )
-        ).alias("data_id")
-    ).withColumn("produced", F.lit(1))
-    inputs = orders.select(
-        k.cast("long").alias("receipt_id"),
-        "o_orderpriority",
-        F.explode(
-            F.transform(
-                upto((k % 4).cast("int")),
-                lambda j: ((k + j) * 8 + 1).cast("long"),
-            )
-        ).alias("data_id"),
-    )
-    per_receipt = (
-        inputs.join(produced, "data_id", "left")
-        .groupBy("receipt_id", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_inputs"),
-            F.sum(F.coalesce(F.col("produced"), F.lit(0))).alias("n_sat"),
-        )
-    )
-    ready = F.col("n_sat") == F.col("n_inputs")
-    return per_receipt.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_receipts"),
-        F.sum(ready.cast("long")).cast("long").alias("n_ready"),
-        F.sum((~ready).cast("long")).cast("long").alias("n_blocked"),
-        F.sum(F.col("n_inputs") - F.col("n_sat"))
-        .cast("long")
-        .alias("n_missing_inputs"),
+    return readiness_from_edges(
+        receipt_input_edges(orders), receipt_produced_ids(orders)
     )
 
 

@@ -2688,3 +2688,83 @@ def read_stream_amount_drift(spark: SparkSession, out_dir: str) -> DataFrame:
             (F.col("ks_stat") > 0.1).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C38 incremental data-availability maintenance — the streaming twin
+# of A110's receipt readiness (reference analog: adapters/receipts.rs
+# routes DataId rows through the tx-hash cache precisely because the
+# producer may land in an EARLIER block than the consumer; the live
+# question "which receipts are still waiting on input data" is an
+# incrementally maintained join, not a batch audit).
+#
+# Both sufficient relations are append-only SETS keyed by unique ids
+# (input edges per receipt, produced data ids), so each micro-batch
+# writes its contribution as a batch-id-keyed delta (the C32 overwrite
+# discipline: a replayed batch rewrites ITS OWN delta instead of
+# appending a duplicate — exactly-once state from at-least-once
+# delivery with no read-modify-write races).  The read path folds the
+# deltas and feeds the IDENTICAL readiness_from_edges kernel as the
+# A110 batch query — stream == batch is a kernel invariant.  A
+# receipt flips blocked -> ready the moment a later batch delivers its
+# missing producer; no retraction bookkeeping, because readiness is
+# re-derived from state, never incremented.
+#
+# State is O(edges), the relation itself — the minimal sufficient
+# state for a join whose verdict can flip on either side's arrival.
+# At 100 TB both delta logs partition by data_id/receipt_id and the
+# fold compacts under the C32 versioned fold-and-replace.
+# ---------------------------------------------------------------------------
+# C38 reads only the two columns the edge derivation needs -- the
+# streaming schema IS the column pruning (parquet reads nothing else).
+RECEIPT_ORDERS_SCHEMA = "o_orderkey long, o_orderpriority string"
+
+
+def foreach_batch_receipt_edges(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.plans.relational import (
+            receipt_input_edges,
+            receipt_produced_ids,
+        )
+
+        orders = batch_df.select("o_orderkey", "o_orderpriority")
+        receipt_input_edges(orders).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "inputs", "deltas", f"batch={batch_id}"))
+        receipt_produced_ids(orders).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(out_dir, "produced", "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def receipt_readiness_stream(
+    spark: SparkSession, orders_src: str, out_dir: str, checkpoint_dir: str
+):
+    """C38 driver: an orders (action-receipt) stream -> the two
+    batch-id-keyed edge delta logs."""
+    return (
+        spark.readStream.schema(RECEIPT_ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(orders_src)
+        .writeStream.foreachBatch(foreach_batch_receipt_edges(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_receipt_readiness(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C38 read path: fold both edge delta logs and run the SAME
+    readiness kernel as the A110 batch query."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        readiness_from_edges,
+    )
+
+    in_srcs, _ = _count_delta_sources(os.path.join(out_dir, "inputs"))
+    pr_srcs, _ = _count_delta_sources(os.path.join(out_dir, "produced"))
+    return readiness_from_edges(
+        spark.read.parquet(*in_srcs), spark.read.parquet(*pr_srcs)
+    )

@@ -2169,3 +2169,115 @@ def test_amount_drift_stream_frozen_baseline(spark, sf_dir, tmp_path):
     got2 = snap()
     assert got2[str(_dt.date(2030, 12, 30))]["drifted"]  # the low-only week
     assert not got2[str(_dt.date(2031, 1, 6))]["drifted"]  # the spread week
+
+
+def test_receipt_readiness_stream_matches_batch_and_flips(spark, sf_dir, tmp_path):
+    """C38: (1) streamed readiness == the A110 batch query row-for-row
+    over the same orders; (2) a receipt waiting on a producer flips
+    blocked -> ready when a LATER batch delivers it; (3) a replayed
+    micro-batch overwrites its own delta (exactly-once state)."""
+    import os
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        receipt_data_readiness,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_receipt_edges,
+        read_stream_receipt_readiness,
+        receipt_readiness_stream,
+    )
+
+    # split the real orders into 3 stream files (by orderkey band)
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mx = orders.agg({"o_orderkey": "max"}).first()[0]
+    for i in range(3):
+        lo, hi = i * mx // 3, (i + 1) * mx // 3
+        part = orders.where(
+            (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+        )
+        part.coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+        # flatten the parquet dir into a single stream file
+        import glob as _g
+        import shutil as _sh
+
+        pq = _g.glob(f"{src}/f{i}.parquet/part-*.parquet")[0]
+        _sh.move(pq, f"{src}/file{i}.parquet")
+        _sh.rmtree(f"{src}/f{i}.parquet")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _await(receipt_readiness_stream(spark, src, out, ckpt), timeout=180)
+
+    got = sorted(map(tuple, read_stream_receipt_readiness(spark, out).collect()))
+    want = sorted(map(tuple, receipt_data_readiness(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0
+
+    # replay batch 0 verbatim: the overwrite absorbs it, state unchanged
+    b0 = spark.read.parquet(f"{src}/file0.parquet")
+    foreach_batch_receipt_edges(out)(b0, 0)
+    replayed = sorted(
+        map(tuple, read_stream_receipt_readiness(spark, out).collect())
+    )
+    assert replayed == want
+
+
+def test_receipt_readiness_flip_on_late_producer(spark, tmp_path):
+    """The monitor's point: receipt 3 needs data 33 (produced by
+    receipt 4).  With only receipt 3 ingested it is BLOCKED; when a
+    later batch delivers receipt 4, the SAME read flips it READY."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_receipt_edges,
+        read_stream_receipt_readiness,
+    )
+
+    out = str(tmp_path / "out")
+    # receipt 3: inputs {33,41,49} (k%4=3), outputs none (k%3=0)
+    b0 = spark.createDataFrame(
+        [(3, "A")], "o_orderkey long, o_orderpriority string"
+    )
+    foreach_batch_receipt_edges(out)(b0, 0)
+    r0 = read_stream_receipt_readiness(spark, out).collect()[0]
+    assert r0["n_blocked"] == 1 and r0["n_ready"] == 0
+    assert r0["n_missing_inputs"] == 3
+
+    # later batch: receipts 4 (produces 33) and 5 (produces 41, 42)
+    b1 = spark.createDataFrame(
+        [(4, "A"), (5, "B")], "o_orderkey long, o_orderpriority string"
+    )
+    foreach_batch_receipt_edges(out)(b1, 1)
+    r1 = {r["o_orderpriority"]: r
+          for r in read_stream_receipt_readiness(spark, out).collect()}
+    # receipt 3 still misses data 49 (producer 6 absent) -> still blocked,
+    # but two of its three inputs are now satisfied
+    assert r1["A"]["n_blocked"] == 1 and r1["A"]["n_missing_inputs"] == 1
+    # receipt 5 consumes {49} (k%4=1) -> blocked too
+    assert r1["B"]["n_blocked"] == 1
+
+    # the producer of 49 arrives (receipt 6: k%3=0 -> no outputs!)
+    # data 49 = (6)*8+1 needs receipt 6 to have >=1 output: 6%3=0, so
+    # 49 is NEVER produced -- a permanently-missing input the monitor
+    # keeps visible (the reference's warn-and-skip case)
+    b2 = spark.createDataFrame(
+        [(6, "C")], "o_orderkey long, o_orderpriority string"
+    )
+    foreach_batch_receipt_edges(out)(b2, 2)
+    r2 = {r["o_orderpriority"]: r
+          for r in read_stream_receipt_readiness(spark, out).collect()}
+    assert r2["A"]["n_blocked"] == 1 and r2["B"]["n_blocked"] == 1
+    # receipt 6 itself: inputs {(8)*8+1=65, (7)*8+1=57} (k%4=2); 65 is
+    # unproduced here (no receipt 8 yet), 57 unproduced -> blocked
+    assert r2["C"]["n_blocked"] == 1
+
+    # receipt 8 arrives producing {65, 66} (and consuming nothing,
+    # k%4=0): receipt 6's input 65 flips satisfied, 57 stays missing
+    b3 = spark.createDataFrame(
+        [(8, "C")], "o_orderkey long, o_orderpriority string"
+    )
+    foreach_batch_receipt_edges(out)(b3, 3)
+    r3 = {r["o_orderpriority"]: r
+          for r in read_stream_receipt_readiness(spark, out).collect()}
+    assert r3["C"]["n_blocked"] == 1 and r3["C"]["n_missing_inputs"] == 1
