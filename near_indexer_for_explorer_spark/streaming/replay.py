@@ -53,7 +53,11 @@ ORACLES: dict[str, str] = {}
 # registry re-exports this set (operators/registry.py) and the plan
 # sweep consumes it (tests/test_plans.py).
 REPLAY_QUERIES: frozenset[str] = frozenset(
-    {"scd2_stream_replay", "cohort_stream_replay"}
+    {
+        "scd2_stream_replay",
+        "cohort_stream_replay",
+        "receipt_readiness_stream_replay",
+    }
 )
 
 _N_BATCHES = 3
@@ -213,4 +217,79 @@ ORACLES["cohort_stream_replay"] = """
            CAST(CAST(CAST(c.n_active AS DECIMAL(20,14)) / s.cohort_size
                      AS DECIMAL(24,6)) AS DOUBLE) AS retention
     FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+"""
+
+
+def receipt_readiness_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_receipts, n_ready, n_blocked,
+    n_missing_inputs): the C38 data-availability monitor's state after
+    replaying the orders table as three id-sliced micro-batches — the
+    slicing puts many producers in DIFFERENT batches than their
+    consumers, so the blocked->ready flip path is exercised throughout
+    ingestion, and the converged state must equal the A110 batch
+    readiness row-for-row (oracle = A110's SQL verbatim)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        read_stream_receipt_readiness,
+        receipt_readiness_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="readiness_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            orders.where(F.col("o_orderkey") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = receipt_readiness_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "readiness replay stream did not finish in 300s"
+            )
+        return read_stream_receipt_readiness(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["receipt_readiness_stream_replay"] = receipt_readiness_stream_replay
+
+# A110's SQL verbatim: the incrementally maintained join must converge
+# to the declarative readiness rollup.
+ORACLES["receipt_readiness_stream_replay"] = """
+    WITH produced AS (
+      SELECT o_orderkey * 8 + j AS data_id
+      FROM orders, unnest(generate_series(1, o_orderkey % 3)) AS t(j)
+    ), inputs AS (
+      SELECT o_orderkey AS receipt_id, o_orderpriority,
+             (o_orderkey + j) * 8 + 1 AS data_id
+      FROM orders, unnest(generate_series(1, o_orderkey % 4)) AS t(j)
+    ), per_receipt AS (
+      SELECT i.receipt_id, i.o_orderpriority,
+             COUNT(*) AS n_inputs,
+             SUM(CASE WHEN p.data_id IS NOT NULL THEN 1 ELSE 0 END) AS n_sat
+      FROM inputs i LEFT JOIN produced p ON i.data_id = p.data_id
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_receipts,
+           CAST(SUM(CASE WHEN n_sat = n_inputs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ready,
+           CAST(SUM(CASE WHEN n_sat < n_inputs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(n_inputs - n_sat) AS BIGINT) AS n_missing_inputs
+    FROM per_receipt GROUP BY 1
 """
