@@ -140,7 +140,8 @@ _GATE_PRIORITY: list[str] = [
 # driver slots never go to a query without one.  Everything not listed
 # here or above sits in the middle in registry order.  The r9 window
 # head is: the 24 never-gated overflow (commented above) + queries NEW
-# in r8 (receipt_data_edges, receipt_data_readiness) + the
+# in r8 (receipt_data_edges, receipt_data_readiness,
+# account_changes_by_reason, receipt_readiness_stream_replay) + the
 # kernel-pinned dedup_edit_verify / dedup_edit_banded re-proofs.
 _GATE_DEFER: list[str] = [
     # --- r7 driver window (all green r7) ---
