@@ -515,3 +515,38 @@ def test_bloom_sized_build_matches_ratio(spark, sf_dir):
     assert all(r.member for r in rows if r.user_id in truly), (
         "sized bloom produced a false negative"
     )
+
+
+def test_receipt_data_edges_is_one_map_side_pass(spark, sf_dir):
+    """A109's claim is structural: BOTH edge tables come out of one
+    scan + one combined explode — the executed plan must contain zero
+    Exchange (no shuffle, no union-of-scans)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        receipt_data_edges,
+    )
+
+    plan = (
+        receipt_data_edges(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_receipt_readiness_join_is_unhinted(spark, sf_dir):
+    """A110 must NOT force a broadcast of the produced side (it is
+    O(corpus)); the optimized logical plan carries no join hint, so
+    AQE stays free to pick SMJ at scale."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        receipt_data_readiness,
+    )
+
+    logical = (
+        receipt_data_readiness(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "broadcast" not in logical.lower()
