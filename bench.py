@@ -196,6 +196,7 @@ EXTRA = [
     "receipt_data_edges",
     "receipt_data_readiness",
     "account_changes_by_reason",
+    "boilerplate_segments",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3066,3 +3066,111 @@ def _decon_curve_leg_sql(n: int) -> str:
 ORACLES["contamination_ngram_curve"] = "\n    UNION ALL".join(
     _decon_curve_leg_sql(n) for n in _DECON_CURVE_NS
 )
+
+
+# ---------------------------------------------------------------------------
+# B110 line-level boilerplate removal (the CCNet / RefinedWeb "drop
+# lines duplicated across documents" stage — navigation chrome, cookie
+# banners, license footers repeat VERBATIM across pages while real
+# prose does not).  The corpus here is single-line synthetic text, so
+# the "line" unit is a fixed-width non-overlapping token segment
+# (_BLP_W tokens); on a real corpus the splitter swaps to newline
+# segmentation with the SAME df-threshold machinery.
+#
+# A segment is boilerplate when it appears in >= _BLP_MIN_DF DISTINCT
+# documents (absolute threshold, the CCNet shard discipline — at 100 TB
+# this runs per shard, where real boilerplate still repeats and the
+# segment-df relation stays shard-bounded).
+#
+# Scale shape: segments derive from the token array with pure
+# higher-order functions (NO explode until the pairs aggregate, no
+# Python UDF); one (doc, segment) pre-aggregate (the explode's only
+# shuffle), a segment-grain df aggregate that REUSES the same
+# partitioning, a map-side-combined segment-df aggregate joined back
+# on seg (skew-safe by construction -- see the inline note), and the
+# doc-grain rollup.  Output is one row per document.
+# ---------------------------------------------------------------------------
+_BLP_W = 4  # tokens per segment ("line" stand-in for 1-line synthetic docs)
+_BLP_MIN_DF = 3  # distinct-doc threshold for boilerplate
+
+
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_segments, n_boiler_segments, n_tokens,
+    n_tokens_kept, keep_ratio): per document, how much survives
+    cross-document segment dedup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(lower(trim(text)), '\\\\s+')) / {_BLP_W}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(lower(trim(text)), '\\\\s+'), i * {_BLP_W} + 1, {_BLP_W}), ' '))"
+            )
+        ).alias("seg"),
+    )
+    pairs = segs.groupBy("doc_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.size(F.split(F.col("seg"), " "))).alias("n_tok"),
+    )
+    # df as an AGGREGATE + join-back, deliberately NOT a
+    # seg-partitioned window: real boilerplate is viral (one segment
+    # in millions of docs), and a window puts all df rows of a hot
+    # segment in ONE partition with no partial aggregation and no AQE
+    # skew handling.  The aggregate map-side-combines df per segment,
+    # and the join back on seg is AQE-skew-splittable -- two more
+    # exchanges bought as skew immunity.
+    df_rel = pairs.groupBy("seg").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        pairs.join(df_rel, "seg")
+        .withColumn("boiler", F.col("df") >= _BLP_MIN_DF)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("boiler"), F.col("n_occ")).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_segments"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(~F.col("boiler"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+    return per_doc.withColumn(
+        "keep_ratio",
+        F.round(
+            F.col("n_tokens_kept").cast("double") / F.col("n_tokens"), 6
+        ),
+    )
+
+
+QUERIES["boilerplate_segments"] = boilerplate_segments
+
+ORACLES["boilerplate_segments"] = f"""
+    WITH {_TOKS_CTE},
+    segarr AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(t) / {_BLP_W}.0) AS INT)),
+                            i -> array_to_string(t[i * {_BLP_W} + 1 : i * {_BLP_W} + {_BLP_W}], ' '))
+               AS segs
+      FROM toks
+    ),
+    segs AS (SELECT doc_id, UNNEST(segs) AS seg FROM segarr),
+    pairs AS (
+      SELECT doc_id, seg, COUNT(*) AS n_occ,
+             SUM(len(string_split(seg, ' '))) AS n_tok
+      FROM segs GROUP BY doc_id, seg
+    ),
+    dfrel AS (SELECT seg, COUNT(*) AS df FROM pairs GROUP BY seg)
+    SELECT p.doc_id,
+           CAST(SUM(p.n_occ) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.df >= {_BLP_MIN_DF} THEN p.n_occ ELSE 0 END)
+                AS BIGINT) AS n_boiler_segments,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d.df < {_BLP_MIN_DF} THEN p.n_tok ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept,
+           ROUND(CAST(SUM(CASE WHEN d.df < {_BLP_MIN_DF} THEN p.n_tok ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(p.n_tok), 6) AS keep_ratio
+    FROM pairs p JOIN dfrel d ON p.seg = d.seg
+    GROUP BY p.doc_id
+"""

@@ -3601,3 +3601,42 @@ def test_reason_kind_planted_violation_and_evolution(spark, tmp_path):
     assert roll["RESHARDING"]["first_day"] == dt.date(2024, 1, 21)
     assert roll["MIGRATION"]["n_changes"] == 1
     assert roll["TRANSACTION_PROCESSING"]["total_value"] == 7.0
+
+
+def test_boilerplate_segments_planted(spark, tmp_path):
+    """B110 semantics: a 4-token segment shared VERBATIM by 3 docs
+    (df >= _BLP_MIN_DF) is boilerplate and its tokens drop; a segment
+    in only 2 docs survives; a short tail segment counts its real
+    token count."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        boilerplate_segments,
+    )
+
+    banner = "all rights reserved worldwide"      # planted boilerplate
+    pair = "only two docs share"                  # df=2 -> kept
+    rows = [
+        (1, f"{banner} unique alpha words here tail"),
+        (2, f"{banner} other beta tokens going by"),
+        (3, f"{banner} third gamma phrasing entirely new"),
+        (4, f"{pair} something else entirely for four"),
+        (5, f"{pair} yet another distinct tail five"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r
+           for r in boilerplate_segments(spark, str(tmp_path)).collect()}
+    # doc 1: 9 tokens -> segments [banner][unique alpha words here][tail]
+    d1 = out[1]
+    assert d1["n_segments"] == 3 and d1["n_tokens"] == 9
+    assert d1["n_boiler_segments"] == 1           # only the banner
+    assert d1["n_tokens_kept"] == 5               # 4 + 1-token tail
+    assert d1["keep_ratio"] == round(5 / 9, 6)
+    # docs 4/5: the pair segment has df=2 < 3 -> everything kept
+    for d in (4, 5):
+        assert out[d]["n_boiler_segments"] == 0
+        assert out[d]["keep_ratio"] == 1.0
+    # every doc sharing the banner lost exactly 4 tokens
+    for d in (2, 3):
+        assert out[d]["n_tokens"] - out[d]["n_tokens_kept"] == 4
