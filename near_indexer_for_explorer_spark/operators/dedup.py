@@ -96,8 +96,9 @@ def _exact_jaccard_pairs(
     The join on `sh` is the posting-list self-join: only documents that
     share at least one shingle ever form a pair, so the candidate set is
     sum(posting_len^2), not n^2.  The two sides shuffle on the same key
-    from identical subplans, so AQE reuses one exchange; the size dims
-    broadcast."""
+    from identical subplans, so AQE reuses one exchange; the per-doc
+    size relations join as plain shuffles (O(corpus), never
+    broadcast)."""
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -117,8 +118,10 @@ def _exact_jaccard_pairs(
         F.col("s1.n") + F.col("s2.n") - F.col("c")
     )
     return (
-        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        # per-doc size relations are O(corpus) -- plain shuffled
+        # equi-joins, never broadcast (r8 discipline sweep)
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -396,8 +399,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     return (
-        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        # per-doc size relations are O(corpus) -- plain shuffled
+        # equi-joins, never broadcast (r8 discipline sweep)
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -816,8 +821,10 @@ def _jaccard_estimate_core(
     z1, z2 = sizes.alias("s1"), sizes.alias("s2")
     jac = F.col("c").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     exact = (
-        common.join(F.broadcast(z1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(z2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        # per-doc size relations are O(corpus) -- plain shuffled
+        # equi-joins, never broadcast (r8 discipline sweep)
+        common.join(z1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(z2, F.col("doc_id_2") == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
     )
     # LSH candidates always share >=1 band -> >=1 shingle, so the
@@ -1648,8 +1655,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = F.greatest(c12, c21)
     jac = c / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
     return (
-        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        # per-doc size relations are O(corpus) -- plain shuffled
+        # equi-joins, never broadcast (r8 discipline sweep)
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
         .select(
             "doc_id_1",
             "doc_id_2",
@@ -2286,8 +2295,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     return (
-        common.join(F.broadcast(s1), F.col("doc_id_1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id_2") == F.col("s2.doc_id"))
+        # per-doc kept-fingerprint sizes are O(corpus) -- plain
+        # shuffled equi-joins (r8 discipline sweep)
+        common.join(s1, F.col("doc_id_1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id_2") == F.col("s2.doc_id"))
         .select(
             "doc_id_1",
             "doc_id_2",
