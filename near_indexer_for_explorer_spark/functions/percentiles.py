@@ -85,3 +85,19 @@ def gated_percentile(value, frac: float, exact: bool) -> Column:
     if exact:
         return F.percentile(value, F.lit(frac))
     return F.percentile_approx(value, F.lit(frac), F.lit(APPROX_ACCURACY))
+
+
+def gated_percentiles(value, fracs: list[float], exact: bool) -> Column:
+    """All requested percentiles from ONE aggregation buffer.
+
+    ``percentile(col, array(...))`` evaluates every fraction against a
+    single buffered multiset (and ``percentile_approx`` against a
+    single GK sketch) — N separate ``gated_percentile`` calls in one
+    agg each buffer the group's values independently, so a 9-decile
+    boundary fit costs 9x the memory and sort work for bit-identical
+    answers.  Returns an array column; callers project elements with
+    ``element_at`` (1-indexed)."""
+    arr = F.array(*[F.lit(f) for f in fracs])
+    if exact:
+        return F.percentile(value, arr)
+    return F.percentile_approx(value, arr, F.lit(APPROX_ACCURACY))

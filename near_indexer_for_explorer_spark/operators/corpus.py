@@ -2670,14 +2670,24 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs on the LATER split's side (the eval docs to quarantine;
     within-split rows report 0 by definition).
 
-    Scale shape: the B3 pair relation joined twice to the map-side
-    split projection on doc_id — pairs are the small side, splits are
-    a pure expression; one pair-grain aggregate."""
+    Scale shape: the B3 pair relation (session-frozen — the
+    `b3_verified_pairs` artifact shared with B84/B103; the fresh chain
+    stays benched and driver-gated under `dedup_minhash_lsh`) joined
+    twice to the map-side split projection on doc_id — pairs are the
+    small side, splits are a pure expression; one pair-grain
+    aggregate."""
     from near_indexer_for_explorer_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    (vp,) = frozen(
+        "b3_verified_pairs",
+        spark,
+        sf_dir,
+        lambda: (dedup_minhash_lsh(spark, sf_dir),),
+    )
+    pairs = vp.select("doc_id_1", "doc_id_2")
     sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
     split = (
         F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")

@@ -2386,15 +2386,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     its near-dup cluster, doc_id-tie-broken.
 
     Scale notes: cluster labels come from the bounded label propagation
-    (B20); quality is a map-side expression (B7); the decision itself is
-    ONE window pass partitioned on component_id — a high-cardinality key
-    (mostly singletons), so the shuffle is balanced.  Scores are rounded
-    to 6 decimals before ranking (the tfidf_top_terms discipline) so the
-    keep flag is stable across engines."""
+    (B20), read from the session-frozen labeling (the B94 discipline —
+    the fresh build stays benched and driver-gated under
+    `dedup_components` itself); quality is a map-side expression (B7);
+    the decision itself is ONE window pass partitioned on component_id —
+    a high-cardinality key (mostly singletons), so the shuffle is
+    balanced.  Scores are rounded to 6 decimals before ranking (the
+    tfidf_top_terms discipline) so the keep flag is stable across
+    engines."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
     from near_indexer_for_explorer_spark.operators.textops import text_quality
     from pyspark.sql.window import Window
 
-    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    (comp_all,) = frozen(
+        "b20_components",
+        spark,
+        sf_dir,
+        lambda: (dedup_components(spark, sf_dir),),
+    )
+    comp = comp_all.select("doc_id", "component_id")
     q = text_quality(spark, sf_dir).select(
         "doc_id", F.round("quality_score", 6).alias("quality_r")
     )

@@ -4312,16 +4312,33 @@ ORACLES["lsh_probe_budget_curve"] = _lsh_curve_oracle_sql()
 # imbalance = list_size / (n/k); the hot flag compares exact integers
 # (size * k > 2n), so no float decides it.
 # ---------------------------------------------------------------------------
+def frozen_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF assignment relation, session-frozen (the B94
+    `b20_components` discipline): a list-balance report audits the
+    STANDING index, so it reads the same frozen assignments a deployed
+    probe path would, not a fresh retrain.  The fresh build stays
+    benched and driver-gated under `ann_ivf_topk` (B13 composes the
+    identical `_kmeans_centroids` + `ivf_assignments` chain); the
+    trainer is deterministic, so composed oracles are unchanged."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    def _build() -> tuple[DataFrame, ...]:
+        e = _vectors(spark, sf_dir)
+        train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+        centroids = _kmeans_centroids(
+            train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+        )
+        return (ivf_assignments(e.select("vec_id", "emb"), centroids),)
+
+    (lists,) = frozen("ivf_lists", spark, sf_dir, _build)
+    return lists
+
+
 def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(centroid_id, list_size, share, imbalance, is_hot): per
     inverted list, its corpus share and deviation from perfect
     balance under the shared IVF quantizer."""
-    e = _vectors(spark, sf_dir)
-    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
-    centroids = _kmeans_centroids(
-        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
-    )
-    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    lists = frozen_ivf_lists(spark, sf_dir)
     total = lists.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sizes = lists.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("list_size")

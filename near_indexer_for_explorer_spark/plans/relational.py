@@ -27,6 +27,7 @@ from near_indexer_for_explorer_spark.functions.numeric import (
 from near_indexer_for_explorer_spark.functions.percentiles import (
     exact_percentiles_fit,
     gated_percentile,
+    gated_percentiles,
 )
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
@@ -2334,11 +2335,17 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_percentiles_fit(sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(gated_percentile("value", 0.5, exact), 6).alias("p50"),
-        F.round(gated_percentile("value", 0.9, exact), 6).alias("p90"),
-        F.round(gated_percentile("value", 0.99, exact), 6).alias("p99"),
+        gated_percentiles("value", [0.5, 0.9, 0.99], exact).alias("ps"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.round(F.element_at("ps", 1), 6).alias("p50"),
+        F.round(F.element_at("ps", 2), 6).alias("p90"),
+        F.round(F.element_at("ps", 3), 6).alias("p99"),
+        "v_min",
+        "v_max",
     )
 
 
@@ -2613,12 +2620,15 @@ def events_value_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     exact = exact_percentiles_fit(sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
+        gated_percentiles(
+            "value", [i / _EQD_K for i in range(1, _EQD_K)], exact
+        ).alias("bs")
+    ).select(
+        "event_type",
         *[
-            F.round(
-                gated_percentile("value", i / _EQD_K, exact), 6
-            ).alias(f"b{i}")
+            F.round(F.element_at("bs", i), 6).alias(f"b{i}")
             for i in range(1, _EQD_K)
-        ]
+        ],
     )
     bucket = None
     for i in range(1, _EQD_K):
@@ -4755,10 +4765,16 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dur_s").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_converted"),
-        F.round(gated_percentile("dur_s", 0.25, exact), 6).alias("p25"),
-        F.round(gated_percentile("dur_s", 0.50, exact), 6).alias("p50"),
-        F.round(gated_percentile("dur_s", 0.75, exact), 6).alias("p75"),
-        F.round(gated_percentile("dur_s", 0.90, exact), 6).alias("p90"),
+        gated_percentiles("dur_s", [0.25, 0.50, 0.75, 0.90], exact).alias(
+            "ps"
+        ),
+    ).select(
+        "n_signup_users",
+        "n_converted",
+        F.round(F.element_at("ps", 1), 6).alias("p25"),
+        F.round(F.element_at("ps", 2), 6).alias("p50"),
+        F.round(F.element_at("ps", 3), 6).alias("p75"),
+        F.round(F.element_at("ps", 4), 6).alias("p90"),
     )
 
 
@@ -6131,12 +6147,17 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_percentiles_fit(sf_dir, "lineitem")
     return lat.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(gated_percentile("days", 0.5, exact), 6).alias("p50"),
-        F.round(gated_percentile("days", 0.9, exact), 6).alias("p90"),
-        F.round(gated_percentile("days", 0.99, exact), 6).alias("p99"),
+        gated_percentiles("days", [0.5, 0.9, 0.99], exact).alias("ps"),
         F.round(
             F.sum("days").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_days"),
+    ).select(
+        "o_orderpriority",
+        "n_lines",
+        F.round(F.element_at("ps", 1), 6).alias("p50"),
+        F.round(F.element_at("ps", 2), 6).alias("p90"),
+        F.round(F.element_at("ps", 3), 6).alias("p99"),
+        "mean_days",
     )
 
 
@@ -7243,10 +7264,14 @@ def weekly_amount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     exact = exact_percentiles_fit(sf_dir, "orders")
     bounds = orders.agg(
+        gated_percentiles(
+            "o_totalprice",
+            [i / _KS_DECILES for i in range(1, _KS_DECILES)],
+            exact,
+        ).alias("bs")
+    ).select(
         *[
-            F.round(
-                gated_percentile("o_totalprice", i / _KS_DECILES, exact), 6
-            ).alias(f"b{i}")
+            F.round(F.element_at("bs", i), 6).alias(f"b{i}")
             for i in range(1, _KS_DECILES)
         ]
     )
@@ -7481,21 +7506,23 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("bounce_rate"),
-        F.round(gated_percentile("duration_s", 0.5, exact), 6).alias(
-            "p50_duration_s"
-        ),
-        F.round(gated_percentile("duration_s", 0.9, exact), 6).alias(
-            "p90_duration_s"
-        ),
-        F.round(gated_percentile("duration_s", 0.99, exact), 6).alias(
-            "p99_duration_s"
-        ),
+        gated_percentiles("duration_s", [0.5, 0.9, 0.99], exact).alias("ps"),
         F.round(
             gated_percentile(F.col("n_events").cast("double"), 0.9, exact), 6
         ).alias("p90_events"),
         F.round(
             F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_events"),
+    ).select(
+        "n_sessions",
+        "n_users",
+        "n_bounces",
+        "bounce_rate",
+        F.round(F.element_at("ps", 1), 6).alias("p50_duration_s"),
+        F.round(F.element_at("ps", 2), 6).alias("p90_duration_s"),
+        F.round(F.element_at("ps", 3), 6).alias("p99_duration_s"),
+        "p90_events",
+        "mean_events",
     )
 
 
