@@ -132,6 +132,9 @@ _GATE_PRIORITY: list[str] = [
     "lsh_probe_budget_curve",
     "ivf_list_balance",
     "matryoshka_dim_curve",
+    # --- new in r8 session 2 (overflow into the r9 window head) ---
+    "quality_filter_gopher",
+    "lang_id_margin",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

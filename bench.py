@@ -197,6 +197,9 @@ EXTRA = [
     "receipt_data_readiness",
     "account_changes_by_reason",
     "boilerplate_segments",
+    # round 8 session-2 additions
+    "quality_filter_gopher",
+    "lang_id_margin",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1266,3 +1266,238 @@ def _oov_curve_oracle_sql() -> str:
 
 
 ORACLES["vocab_oov_curve"] = _oov_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B111 Gopher-rules quality filter (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1) — the OTHER canonical curation
+# rule family next to B25's C4 rules: word-count bounds, mean-word-
+# length bounds, an alphabetic-word floor, a symbol-to-word ceiling
+# (hash marks + ellipses), and a distinct-stopword floor.  Deliberately
+# a different rule set and different thresholds from B25 so the two
+# filters disagree on real documents (their intersection/difference is
+# what corpus curation actually tunes).
+#
+# Scale shape: map-only per-row expressions over one scan — no joins,
+# no shuffle, linear at any corpus size (the B25 shape).  Every rule
+# flag compares EXACT INTEGERS (3n <= sum_len <= 10n; 5*alpha >= 4*n;
+# 10*symbols <= n; distinct-stops >= 2), so no float threshold can
+# flip a boolean between engines; the reported ratio columns are
+# single integer/integer divisions (bit-identical IEEE in both).
+# Reference analog: the explorer validates rows with DB constraints
+# (migrations/2020-12-07-153402_initial_schema/up.sql); a corpus
+# engine must run its row-level rules in the scan.
+# ---------------------------------------------------------------------------
+_GP_MIN_WORDS = 10
+_GP_MAX_WORDS = 80
+_GP_MIN_MWL = 3  # mean word length lower bound (exact: 3n <= sum_len)
+_GP_MAX_MWL = 10  # upper bound (exact: sum_len <= 10n)
+_GP_ALPHA_NUM = 4  # alpha-word floor 4/5 (exact: 5*alpha >= 4*n)
+_GP_ALPHA_DEN = 5
+_GP_SYMBOL_DEN = 10  # symbol ceiling 1/10 (exact: 10*sym <= n)
+_GP_MIN_DISTINCT_STOPS = 2
+
+
+def gopher_filter_columns(docs: DataFrame) -> DataFrame:
+    """The B111 rule columns over any (doc_id, text, lang) frame —
+    per-row arithmetic only (the B25 `quality_filter_columns`
+    discipline), so the same kernel lifts to a stream unchanged."""
+    toked = docs.withColumn("t", tokens("text"))
+    tok = F.col("t")
+    n_words = F.size(tok).cast("long")
+    sum_len = F.aggregate(
+        F.transform(tok, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_sym = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("long")
+    n_stops = F.lit(None).cast("long")
+    for code, words in _QF_LANG_LISTS.items():
+        n_stops = F.when(
+            F.col("lang") == code,
+            F.size(
+                F.array_distinct(F.filter(tok, lambda x: x.isin(*words)))
+            ).cast("long"),
+        ).otherwise(n_stops)
+    m = toked.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_sym.alias("n_symbols"),
+        n_stops.alias("n_distinct_stops"),
+    )
+    ok_nw = F.col("n_words").between(_GP_MIN_WORDS, _GP_MAX_WORDS)
+    ok_mwl = (
+        F.col("sum_word_len") >= _GP_MIN_MWL * F.col("n_words")
+    ) & (F.col("sum_word_len") <= _GP_MAX_MWL * F.col("n_words"))
+    ok_alpha = (
+        _GP_ALPHA_DEN * F.col("n_alpha_words")
+        >= _GP_ALPHA_NUM * F.col("n_words")
+    )
+    ok_sym = _GP_SYMBOL_DEN * F.col("n_symbols") <= F.col("n_words")
+    ok_stop = F.coalesce(
+        F.col("n_distinct_stops") >= _GP_MIN_DISTINCT_STOPS, F.lit(True)
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (F.col("sum_word_len").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        (F.col("n_alpha_words").cast("double") / F.col("n_words")).alias(
+            "alpha_word_frac"
+        ),
+        (F.col("n_symbols").cast("double") / F.col("n_words")).alias(
+            "symbol_ratio"
+        ),
+        "n_distinct_stops",
+        ok_nw.alias("ok_n_words"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_distinct_stops"),
+        (ok_nw & ok_mwl & ok_alpha & ok_sym & ok_stop).alias("kept"),
+    )
+
+
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_words, mean_word_len, alpha_word_frac,
+    symbol_ratio, n_distinct_stops, ok_* x5, kept): the Gopher rule
+    family as an audit-friendly per-rule report."""
+    return gopher_filter_columns(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_filter_gopher"] = quality_filter_gopher
+
+
+def _gopher_oracle_sql() -> str:
+    stop_case = " ".join(
+        f"WHEN '{code}' THEN len(list_distinct(list_filter(tk, "
+        f"x -> x IN ({_sql_list(words)}))))"
+        for code, words in _QF_LANG_LISTS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+             CAST(CASE lang {stop_case} ELSE NULL END AS BIGINT)
+               AS n_distinct_stops
+      FROM t
+    )
+    SELECT doc_id, lang, n_words,
+           CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+           CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+           n_distinct_stops,
+           n_words BETWEEN {_GP_MIN_WORDS} AND {_GP_MAX_WORDS} AS ok_n_words,
+           sum_word_len >= {_GP_MIN_MWL} * n_words
+             AND sum_word_len <= {_GP_MAX_MWL} * n_words AS ok_mean_word_len,
+           {_GP_ALPHA_DEN} * n_alpha_words >= {_GP_ALPHA_NUM} * n_words
+             AS ok_alpha_words,
+           {_GP_SYMBOL_DEN} * n_symbols <= n_words AS ok_symbol_ratio,
+           COALESCE(n_distinct_stops >= {_GP_MIN_DISTINCT_STOPS}, TRUE)
+             AS ok_distinct_stops,
+           (n_words BETWEEN {_GP_MIN_WORDS} AND {_GP_MAX_WORDS})
+             AND sum_word_len >= {_GP_MIN_MWL} * n_words
+             AND sum_word_len <= {_GP_MAX_MWL} * n_words
+             AND {_GP_ALPHA_DEN} * n_alpha_words >= {_GP_ALPHA_NUM} * n_words
+             AND {_GP_SYMBOL_DEN} * n_symbols <= n_words
+             AND COALESCE(n_distinct_stops >= {_GP_MIN_DISTINCT_STOPS}, TRUE)
+             AS kept
+    FROM m
+    """
+
+
+ORACLES["quality_filter_gopher"] = _gopher_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B112 language-ID confidence margin — the routing signal on top of
+# B8's argmax: how far ahead is the winning language's stopword score?
+# Production LID pipelines (CCNet, fastText-based curation) act on the
+# CONFIDENCE, not the label: low-margin docs go to a heavier model or
+# get dropped; zero-score docs are 'none' (no evidence at all).
+#
+# Scale shape: B8's map-only scoring plus a 4-element sort_array —
+# still zero joins / zero shuffle.  Buckets compare exact integers
+# (top == 0; top == second; 2*(top-second) < top i.e. margin-ratio
+# < 1/2), so the label can never flip between engines; margin_ratio
+# is one integer/integer division.
+# ---------------------------------------------------------------------------
+def lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, top_score, second_score, margin,
+    margin_ratio, confidence): B8's prediction with its evidence
+    margin and a deterministic confidence bucket."""
+    scored = text_lang_id(spark, sf_dir)
+    srt = F.sort_array(
+        F.array(
+            F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es")
+        ),
+        asc=False,
+    )
+    with_rank = scored.select(
+        "doc_id",
+        "lang_pred",
+        F.element_at(srt, 1).cast("long").alias("top_score"),
+        F.element_at(srt, 2).cast("long").alias("second_score"),
+    )
+    top, second = F.col("top_score"), F.col("second_score")
+    confidence = (
+        F.when(top == 0, "none")
+        .when(top == second, "ambiguous")
+        .when(2 * (top - second) < top, "weak")
+        .otherwise("strong")
+    )
+    return with_rank.select(
+        "doc_id",
+        "lang_pred",
+        "top_score",
+        "second_score",
+        (top - second).alias("margin"),
+        F.when(top > 0, (top - second).cast("double") / top).alias(
+            "margin_ratio"
+        ),
+        confidence.alias("confidence"),
+    )
+
+
+QUERIES["lang_id_margin"] = lang_id_margin
+
+ORACLES["lang_id_margin"] = f"""
+    WITH b8 AS ({ORACLES["text_lang_id"]}),
+    r AS (
+      SELECT doc_id, lang_pred,
+             CAST(list_sort([s_en, s_de, s_fr, s_es], 'DESC')[1] AS BIGINT)
+               AS top_score,
+             CAST(list_sort([s_en, s_de, s_fr, s_es], 'DESC')[2] AS BIGINT)
+               AS second_score
+      FROM b8
+    )
+    SELECT doc_id, lang_pred, top_score, second_score,
+           top_score - second_score AS margin,
+           CASE WHEN top_score > 0
+                THEN CAST(top_score - second_score AS DOUBLE) / top_score
+                ELSE NULL END AS margin_ratio,
+           CASE WHEN top_score = 0 THEN 'none'
+                WHEN top_score = second_score THEN 'ambiguous'
+                WHEN 2 * (top_score - second_score) < top_score THEN 'weak'
+                ELSE 'strong' END AS confidence
+    FROM r
+"""

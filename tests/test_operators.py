@@ -3640,3 +3640,90 @@ def test_boilerplate_segments_planted(spark, tmp_path):
     # every doc sharing the banner lost exactly 4 tokens
     for d in (2, 3):
         assert out[d]["n_tokens"] - out[d]["n_tokens_kept"] == 4
+
+
+def test_gopher_filter_planted_rule_isolation(spark, tmp_path):
+    """B111 semantics: each planted doc violates exactly the targeted
+    Gopher rule; the unknown-lang doc passes the stopword floor by
+    definition (no vocabulary to check against)."""
+    import itertools
+    import string
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_filter_gopher,
+    )
+
+    four = [
+        a + b + "xy"
+        for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    two = [a + b for a, b in itertools.product(string.ascii_lowercase, repeat=2)]
+    nums = [str(1000 + i) for i in range(15)]
+    docs = [
+        (0, " ".join(four[:18] + ["the", "and"]), "s", "en"),  # clean
+        (1, " ".join(four[:3] + ["the", "and"]), "s", "en"),   # too few words
+        (2, " ".join(four[:18] + ["the", "and", "#", "#", "#"]), "s", "en"),
+        (3, " ".join(nums + four[:3] + ["the", "and"]), "s", "en"),  # numeric
+        (4, " ".join(four[:20]), "s", "en"),                   # no stopwords
+        (5, " ".join(four[:20]), "s", "xx"),                   # unknown lang
+        (6, " ".join(two[:12]), "s", "xx"),                    # short words
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter_gopher(spark, str(tmp_path)).collect()
+    }
+    flags = [
+        "ok_n_words",
+        "ok_mean_word_len",
+        "ok_alpha_words",
+        "ok_symbol_ratio",
+        "ok_distinct_stops",
+    ]
+
+    def failed(doc_id):
+        return [f for f in flags if not out[doc_id][f]]
+
+    assert out[0]["kept"] and failed(0) == []
+    assert failed(1) == ["ok_n_words"]
+    assert failed(2) == ["ok_symbol_ratio"]
+    assert failed(3) == ["ok_alpha_words"]
+    assert failed(4) == ["ok_distinct_stops"]
+    assert out[5]["kept"] and out[5]["n_distinct_stops"] is None
+    assert failed(6) == ["ok_mean_word_len"]
+    assert abs(out[6]["mean_word_len"] - 2.0) < 1e-12
+
+
+def test_lang_id_margin_planted_buckets(spark, tmp_path):
+    """B112 semantics: the four confidence buckets are pinned by
+    exact stopword-score arithmetic — unambiguous evidence is
+    'strong', a tie is 'ambiguous', a sub-half margin is 'weak', and
+    zero evidence is 'none' with an 'unknown' prediction."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        lang_id_margin,
+    )
+
+    docs = [
+        (0, "the of and wxyz qrst", "s", "en"),   # en 3-0: strong
+        (1, "wxyz qrst mnop", "s", "en"),          # 0-0: none
+        (2, "the der wxyz", "s", "en"),            # en 1 = de 1: ambiguous
+        (3, "the of and der und", "s", "en"),      # en 3, de 2: weak
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r for r in lang_id_margin(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["confidence"] == "strong" and out[0]["lang_pred"] == "en"
+    assert abs(out[0]["margin_ratio"] - 1.0) < 1e-12
+    assert out[1]["confidence"] == "none" and out[1]["lang_pred"] == "unknown"
+    assert out[1]["margin_ratio"] is None
+    assert out[2]["confidence"] == "ambiguous" and out[2]["lang_pred"] == "en"
+    assert out[2]["margin"] == 0
+    assert out[3]["confidence"] == "weak" and out[3]["margin"] == 1
+    assert abs(out[3]["margin_ratio"] - 1.0 / 3.0) < 1e-12
