@@ -135,6 +135,8 @@ _GATE_PRIORITY: list[str] = [
     # --- new in r8 session 2 (overflow into the r9 window head) ---
     "quality_filter_gopher",
     "lang_id_margin",
+    "pii_incidence_by_source",
+    "token_fertility_by_lang",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

@@ -200,6 +200,8 @@ EXTRA = [
     # round 8 session-2 additions
     "quality_filter_gopher",
     "lang_id_margin",
+    "pii_incidence_by_source",
+    "token_fertility_by_lang",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

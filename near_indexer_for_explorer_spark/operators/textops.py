@@ -1501,3 +1501,190 @@ ORACLES["lang_id_margin"] = f"""
                 ELSE 'strong' END AS confidence
     FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# B113 PII incidence by source — the curation decision B15 only
+# enables: scrubbing redacts per document, but the KEEP/DROP/re-crawl
+# decision is made per SOURCE from its exposure profile (how many docs
+# carry emails/URLs/IPs/phones, and how dense).  Extends B15's pattern
+# set with IPv4 and two phone shapes, all RE2-and-Java-compatible so
+# both engines count identical matches.
+#
+# Scale shape: one scan, map-side regexp counts, ONE map-combinable
+# aggregate to the bounded source grain — linear at any corpus size.
+# Rates are integer/integer divisions (bit-identical IEEE).
+# ---------------------------------------------------------------------------
+_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+# international (+NNNNNNN..) and dashed (NNN-NNN(N)-NNNN) shapes only:
+# unambiguous under both RE2 and Java leftmost matching.
+_PHONE_RE = r"\+[0-9]{7,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, docs_with_pii, pii_doc_rate, n_emails, n_urls,
+    n_ipv4, n_phones, docs_with_email, docs_with_url, docs_with_ipv4,
+    docs_with_phone): per-source PII exposure profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("e"),
+        F.regexp_count("text", F.lit(_URL_RE)).cast("long").alias("u"),
+        F.regexp_count("text", F.lit(_IPV4_RE)).cast("long").alias("i"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("p"),
+    )
+    hit = (
+        (F.col("e") > 0) | (F.col("u") > 0) | (F.col("i") > 0)
+        | (F.col("p") > 0)
+    ).cast("long")
+    agg = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hit).cast("long").alias("docs_with_pii"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("u").cast("long").alias("n_urls"),
+        F.sum("i").cast("long").alias("n_ipv4"),
+        F.sum("p").cast("long").alias("n_phones"),
+        F.sum((F.col("e") > 0).cast("long")).cast("long").alias(
+            "docs_with_email"
+        ),
+        F.sum((F.col("u") > 0).cast("long")).cast("long").alias(
+            "docs_with_url"
+        ),
+        F.sum((F.col("i") > 0).cast("long")).cast("long").alias(
+            "docs_with_ipv4"
+        ),
+        F.sum((F.col("p") > 0).cast("long")).cast("long").alias(
+            "docs_with_phone"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_with_pii",
+        (F.col("docs_with_pii").cast("double") / F.col("n_docs")).alias(
+            "pii_doc_rate"
+        ),
+        "n_emails",
+        "n_urls",
+        "n_ipv4",
+        "n_phones",
+        "docs_with_email",
+        "docs_with_url",
+        "docs_with_ipv4",
+        "docs_with_phone",
+    )
+
+
+QUERIES["pii_incidence_by_source"] = pii_incidence_by_source
+
+ORACLES["pii_incidence_by_source"] = f"""
+    WITH c AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS e,
+             len(regexp_extract_all(text, '{_URL_RE}')) AS u,
+             len(regexp_extract_all(text, '{_IPV4_RE}')) AS i,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS p
+      FROM documents
+    ),
+    a AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN e > 0 OR u > 0 OR i > 0 OR p > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(SUM(e) AS BIGINT) AS n_emails,
+             CAST(SUM(u) AS BIGINT) AS n_urls,
+             CAST(SUM(i) AS BIGINT) AS n_ipv4,
+             CAST(SUM(p) AS BIGINT) AS n_phones,
+             CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+             CAST(SUM(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_url,
+             CAST(SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_ipv4,
+             CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_phone
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, docs_with_pii,
+           CAST(docs_with_pii AS DOUBLE) / n_docs AS pii_doc_rate,
+           n_emails, n_urls, n_ipv4, n_phones,
+           docs_with_email, docs_with_url, docs_with_ipv4, docs_with_phone
+    FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# B114 tokenizer fertility by (lang, source) — the tokenizer-COST
+# plan: fertility (BPE-ish subword tokens per whitespace word) is the
+# per-language multiplier between corpus word counts and the token
+# budget a training run actually pays; high-fertility slices argue for
+# vocabulary or data-mix changes.  Composes B9's two counters at the
+# (lang, source) grain.
+#
+# Scale shape: one scan, map-side counts, ONE map-combinable aggregate
+# to the bounded (lang, source) grain.  All ratios are exact-integer-
+# sum divisions, so parity cannot drift with partitioning.
+# ---------------------------------------------------------------------------
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source, n_docs, ws_tokens, bpe_ish_tokens, n_chars,
+    fertility, chars_per_word, chars_per_token): corpus-exact token
+    accounting per language x source slice."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t", tokens("text")
+    )
+    per = docs.select(
+        "lang",
+        "source",
+        F.size("t").cast("long").alias("ws"),
+        F.regexp_count("text", F.lit(BPE_ISH_RE)).cast("long").alias("bp"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bp").cast("long").alias("bpe_ish_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_ish_tokens",
+        "n_chars",
+        (F.col("bpe_ish_tokens").cast("double") / F.col("ws_tokens")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("ws_tokens")).alias(
+            "chars_per_word"
+        ),
+        (
+            F.col("n_chars").cast("double") / F.col("bpe_ish_tokens")
+        ).alias("chars_per_token"),
+    )
+
+
+QUERIES["token_fertility_by_lang"] = token_fertility_by_lang
+
+ORACLES["token_fertility_by_lang"] = rf"""
+    WITH c AS (
+      SELECT lang, source,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS ws,
+             len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bp,
+             length(text) AS ch
+      FROM documents
+    ),
+    a AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+             CAST(SUM(bp) AS BIGINT) AS bpe_ish_tokens,
+             CAST(SUM(ch) AS BIGINT) AS n_chars
+      FROM c GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, ws_tokens, bpe_ish_tokens, n_chars,
+           CAST(bpe_ish_tokens AS DOUBLE) / ws_tokens AS fertility,
+           CAST(n_chars AS DOUBLE) / ws_tokens AS chars_per_word,
+           CAST(n_chars AS DOUBLE) / bpe_ish_tokens AS chars_per_token
+    FROM a
+"""

@@ -3727,3 +3727,67 @@ def test_lang_id_margin_planted_buckets(spark, tmp_path):
     assert out[2]["margin"] == 0
     assert out[3]["confidence"] == "weak" and out[3]["margin"] == 1
     assert abs(out[3]["margin_ratio"] - 1.0 / 3.0) < 1e-12
+
+
+def test_pii_incidence_planted_per_source(spark, tmp_path):
+    """B113 semantics: each PII family is counted independently per
+    source; a clean source reports zero exposure."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        pii_incidence_by_source,
+    )
+
+    docs = [
+        (0, "contact bob@example.com and sue@example.com today", "web", "en"),
+        (1, "see https://example.com/page for details", "web", "en"),
+        (2, "server at 10.0.0.1 and 192.168.1.1 plus +4915123456", "web", "en"),
+        (3, "call 555-123-4567 now", "web", "en"),
+        (4, "perfectly clean prose with no identifiers", "web", "en"),
+        (5, "also clean text here", "book", "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in pii_incidence_by_source(spark, str(tmp_path)).collect()
+    }
+    web = out["web"]
+    assert web["n_docs"] == 5 and web["docs_with_pii"] == 4
+    assert web["n_emails"] == 2 and web["docs_with_email"] == 1
+    assert web["n_urls"] == 1 and web["docs_with_url"] == 1
+    assert web["n_ipv4"] == 2 and web["docs_with_ipv4"] == 1
+    assert web["n_phones"] == 2 and web["docs_with_phone"] == 2
+    assert abs(web["pii_doc_rate"] - 0.8) < 1e-12
+    book = out["book"]
+    assert book["docs_with_pii"] == 0 and book["pii_doc_rate"] == 0.0
+
+
+def test_token_fertility_planted_exact_ratios(spark, tmp_path):
+    """B114 semantics: fertility is the exact corpus-sum ratio of
+    BPE-ish lexer tokens to whitespace words per (lang, source)."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        token_fertility_by_lang,
+    )
+
+    docs = [
+        (0, "ab cd", "web", "en"),      # ws 2, bpe 2, chars 5
+        (1, "a1 b2", "web", "en"),      # ws 2, bpe 4, chars 5
+        (2, "hello world", "web", "de"),  # ws 2, bpe 2, chars 11
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r["lang"], r["source"]): r
+        for r in token_fertility_by_lang(spark, str(tmp_path)).collect()
+    }
+    en = out[("en", "web")]
+    assert en["n_docs"] == 2
+    assert en["ws_tokens"] == 4 and en["bpe_ish_tokens"] == 6
+    assert en["n_chars"] == 10
+    assert abs(en["fertility"] - 1.5) < 1e-12
+    assert abs(en["chars_per_word"] - 2.5) < 1e-12
+    de = out[("de", "web")]
+    assert de["ws_tokens"] == 2 and abs(de["fertility"] - 1.0) < 1e-12
