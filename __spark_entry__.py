@@ -137,6 +137,7 @@ _GATE_PRIORITY: list[str] = [
     "lang_id_margin",
     "pii_incidence_by_source",
     "token_fertility_by_lang",
+    "kmeans_elbow_curve",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

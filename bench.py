@@ -202,6 +202,7 @@ EXTRA = [
     "lang_id_margin",
     "pii_incidence_by_source",
     "token_fertility_by_lang",
+    "kmeans_elbow_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -4739,3 +4739,156 @@ def _bitwidth_oracle_sql() -> str:
 
 
 ORACLES["embedding_bitwidth_curve"] = _bitwidth_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B115 k-means elbow curve — the LAST un-measured index knob: B102
+# audits list balance at the configured k, B69 prices nprobe, B105
+# prefix dims, B108 bit width; nothing measured K itself.  The elbow
+# (within-cluster inertia vs k, with the realized list balance per k)
+# is the standard (re)train-time diagnostic for sizing the coarse
+# quantizer.  Trains AND evaluates on the deterministic training
+# sample (vec_id % _IVF_TRAIN_MOD == 0) — the statistically correct
+# procedure (k is tuned on the sample the trainer sees) and the scale
+# path: cost is O(|sample| x k x iters) regardless of corpus size.
+#
+# Parity: per-vector squared distances round-6 then sum as exact
+# DECIMAL (the money-sum discipline), so inertia is independent of
+# partitioning and engine; shares the unrolled-Lloyd oracle replica
+# machinery with B13 (same seeds, same exact-decimal recentering).
+# ---------------------------------------------------------------------------
+_ELBOW_KS = [2, 4, 8, 16]
+
+
+def _assignments_with_dist(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec_id -> (nearest centroid, squared distance) — B13's
+    assignment argmin, keeping the distance for the inertia sum."""
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", dist)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "centroid_id", "__d")
+    )
+
+
+def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_vectors, n_lists_used, inertia, mean_sq_dist, max_share):
+    the inertia elbow and realized balance across candidate coarse-
+    quantizer sizes, on the deterministic training sample."""
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0).select(
+        "vec_id", "emb"
+    )
+    legs = []
+    for k in _ELBOW_KS:
+        cents = _kmeans_centroids(train, k, _IVF_ITERS)
+        assigned = _assignments_with_dist(train, cents)
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.round(F.col("__d"), 6).cast("decimal(24,6)")).alias(
+                "d_sum"
+            ),
+        )
+        legs.append(
+            sizes.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("cnt").cast("long").alias("n_vectors"),
+                F.count(F.lit(1)).cast("long").alias("n_lists_used"),
+                F.round(
+                    F.sum("d_sum").cast("string").cast("double"), 6
+                ).alias("inertia"),
+                F.round(
+                    F.sum("d_sum").cast("string").cast("double")
+                    / F.sum("cnt"),
+                    6,
+                ).alias("mean_sq_dist"),
+                F.round(
+                    F.max("cnt").cast("double") / F.sum("cnt"), 6
+                ).alias("max_share"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["kmeans_elbow_curve"] = kmeans_elbow_curve
+
+
+def _elbow_oracle_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, len(v.emb) + 1), "
+        "i -> (v.emb[i] - c.c_emb[i]) * (v.emb[i] - c.c_emb[i])))"
+    )
+    assign = (
+        "SELECT vec_id, centroid_id, d FROM ("
+        "SELECT v.vec_id, c.centroid_id, " + dist + " AS d, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, "
+        "c.centroid_id ASC) AS rk "
+        "FROM es v, {cents} c) WHERE rk = 1"
+    )
+    recenter = (
+        "SELECT centroid_id, list(m ORDER BY i) AS c_emb FROM ("
+        "SELECT centroid_id, i, "
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(20,14))) AS VARCHAR) AS DOUBLE) "
+        "/ COUNT(*) AS m "
+        "FROM (SELECT a.centroid_id, UNNEST(e2.emb) AS x, "
+        "generate_subscripts(e2.emb, 1) AS i "
+        "FROM {assigned} a JOIN es e2 ON a.vec_id = e2.vec_id) "
+        "GROUP BY centroid_id, i) GROUP BY centroid_id"
+    )
+    legs = []
+    ctes = []
+    for k in _ELBOW_KS:
+        prev = f"k{k}c0"
+        ctes.append(
+            f"{prev} AS (SELECT vec_id AS centroid_id, emb AS c_emb "
+            f"FROM es ORDER BY vec_id LIMIT {k})"
+        )
+        for it in range(1, _IVF_ITERS + 1):
+            a, c = f"k{k}a{it}", f"k{k}c{it}"
+            ctes.append(f"{a} AS ({assign.format(cents=prev)})")
+            ctes.append(f"{c} AS ({recenter.format(assigned=a)})")
+            prev = c
+        ctes.append(f"k{k}fin AS ({assign.format(cents=prev)})")
+        ctes.append(
+            f"k{k}sz AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            f"SUM(CAST(ROUND(d, 6) AS DECIMAL(24,6))) AS d_sum "
+            f"FROM k{k}fin GROUP BY centroid_id)"
+        )
+        legs.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, "
+            f"CAST(SUM(cnt) AS BIGINT) AS n_vectors, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_lists_used, "
+            f"ROUND(CAST(CAST(SUM(d_sum) AS VARCHAR) AS DOUBLE), 6) "
+            f"AS inertia, "
+            f"ROUND(CAST(CAST(SUM(d_sum) AS VARCHAR) AS DOUBLE) / SUM(cnt), 6) "
+            f"AS mean_sq_dist, "
+            f"ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS max_share "
+            f"FROM k{k}sz"
+        )
+    ctes_sql = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(legs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    es AS (SELECT vec_id, emb FROM e WHERE vec_id % {_IVF_TRAIN_MOD} = 0),
+    {ctes_sql}
+    {union}
+    """
+
+
+ORACLES["kmeans_elbow_curve"] = _elbow_oracle_sql()

@@ -3791,3 +3791,44 @@ def test_token_fertility_planted_exact_ratios(spark, tmp_path):
     assert abs(en["chars_per_word"] - 2.5) < 1e-12
     de = out[("de", "web")]
     assert de["ws_tokens"] == 2 and abs(de["fertility"] - 1.0) < 1e-12
+
+
+def test_kmeans_elbow_planted_clusters(spark, tmp_path):
+    """B115 semantics: on four well-separated planted clusters the
+    elbow is at k=4 — inertia collapses from k=2 to k=4, k=4 uses all
+    four lists at perfect balance, and larger k cannot make the fit
+    worse on this geometry."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        kmeans_elbow_curve,
+    )
+
+    # 4 clusters x 5 vectors in 8-D; ids multiples of 5 so every vector
+    # is in the deterministic train sample; ids interleave clusters so
+    # the first-k seeds at k=4 start one-per-cluster.
+    rows = []
+    for i in range(20):
+        c = i % 4
+        base = [10.0 * (1 if j == 2 * c else 0) for j in range(8)]
+        jit = [
+            (_h.md5(f"e{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 0.2
+            for j in range(8)
+        ]
+        rows.append((5 * i, [float(b + g) for b, g in zip(base, jit)], c))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["k"]: r for r in kmeans_elbow_curve(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 4, 8, 16}
+    assert all(r["n_vectors"] == 20 for r in out.values())
+    assert out[4]["n_lists_used"] == 4
+    assert abs(out[4]["max_share"] - 0.25) < 1e-12
+    assert out[4]["inertia"] < out[2]["inertia"] / 10
+    assert out[16]["inertia"] <= out[4]["inertia"] + 1e-9
+    for r in out.values():
+        assert r["n_lists_used"] <= r["k"]
+        assert abs(
+            r["mean_sq_dist"] - round(r["inertia"] / r["n_vectors"], 6)
+        ) < 1e-6
