@@ -138,6 +138,7 @@ _GATE_PRIORITY: list[str] = [
     "pii_incidence_by_source",
     "token_fertility_by_lang",
     "kmeans_elbow_curve",
+    "pii_exposure_stream_replay",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

@@ -1521,11 +1521,25 @@ _IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 _PHONE_RE = r"\+[0-9]{7,12}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 
 
-def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, n_docs, docs_with_pii, pii_doc_rate, n_emails, n_urls,
-    n_ipv4, n_phones, docs_with_email, docs_with_url, docs_with_ipv4,
-    docs_with_phone): per-source PII exposure profile."""
-    docs = load_table(spark, sf_dir, "documents")
+_PII_CELL_COLS = [
+    "n_docs",
+    "docs_with_pii",
+    "n_emails",
+    "n_urls",
+    "n_ipv4",
+    "n_phones",
+    "docs_with_email",
+    "docs_with_url",
+    "docs_with_ipv4",
+    "docs_with_phone",
+]
+
+
+def pii_source_cells(docs: DataFrame) -> DataFrame:
+    """Per-source ADDITIVE exposure cells over any (source, text)
+    frame — the C32-style delta grain: cells from disjoint batches SUM
+    to the corpus cells, so the batch report and the C39 streaming
+    monitor share this kernel verbatim."""
     counts = docs.select(
         "source",
         F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("e"),
@@ -1537,7 +1551,7 @@ def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e") > 0) | (F.col("u") > 0) | (F.col("i") > 0)
         | (F.col("p") > 0)
     ).cast("long")
-    agg = counts.groupBy("source").agg(
+    return counts.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(hit).cast("long").alias("docs_with_pii"),
         F.sum("e").cast("long").alias("n_emails"),
@@ -1557,6 +1571,15 @@ def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_with_phone"
         ),
     )
+
+
+def pii_report_from_cells(cells: DataFrame) -> DataFrame:
+    """Fold additive cells to the source grain and project the rate —
+    shared verbatim by B113 and the C39 read path (a fold of one cell
+    set is the identity, so the batch report is unchanged)."""
+    agg = cells.groupBy("source").agg(
+        *[F.sum(c).cast("long").alias(c) for c in _PII_CELL_COLS]
+    )
     return agg.select(
         "source",
         "n_docs",
@@ -1572,6 +1595,16 @@ def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs_with_url",
         "docs_with_ipv4",
         "docs_with_phone",
+    )
+
+
+def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, docs_with_pii, pii_doc_rate, n_emails, n_urls,
+    n_ipv4, n_phones, docs_with_email, docs_with_url, docs_with_ipv4,
+    docs_with_phone): per-source PII exposure profile (cells kernel +
+    rate projection, shared with the C39 streaming monitor)."""
+    return pii_report_from_cells(
+        pii_source_cells(load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -2768,3 +2768,51 @@ def read_stream_receipt_readiness(spark: SparkSession, out_dir: str) -> DataFram
     return readiness_from_edges(
         spark.read.parquet(*in_srcs), spark.read.parquet(*pr_srcs)
     )
+
+
+# ---------------------------------------------------------------------------
+# C39: streaming PII-exposure monitor — B113 as a LIVE intake signal.
+# The per-source exposure profile is the quantity a crawl operator
+# watches DURING ingestion (a source whose PII rate spikes gets cut
+# off before the corpus absorbs it), and every B113 cell is additive,
+# so the state is the C32 batch-id-keyed delta log verbatim: each
+# micro-batch writes its own per-source cell delta (replays overwrite
+# their own file — idempotent), the read path folds cells through the
+# IDENTICAL pii_report_from_cells kernel as the batch report.  State
+# is O(sources x batches) before compaction, never O(corpus).
+# ---------------------------------------------------------------------------
+def foreach_batch_pii_cells(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.operators.textops import (
+            pii_source_cells,
+        )
+
+        pii_source_cells(batch_df).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+
+    return sink
+
+
+def pii_exposure_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C39 driver: document shards -> per-batch additive PII cells."""
+    stream = read_document_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_pii_cells(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_pii_exposure(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C39 read path: fold the cell delta log through the SAME
+    rate projection as the B113 batch report."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        pii_report_from_cells,
+    )
+
+    srcs, _ = _count_delta_sources(out_dir)
+    return pii_report_from_cells(spark.read.parquet(*srcs))

@@ -57,6 +57,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "scd2_stream_replay",
         "cohort_stream_replay",
         "receipt_readiness_stream_replay",
+        "pii_exposure_stream_replay",
     }
 )
 
@@ -293,3 +294,58 @@ ORACLES["receipt_readiness_stream_replay"] = """
            CAST(SUM(n_inputs - n_sat) AS BIGINT) AS n_missing_inputs
     FROM per_receipt GROUP BY 1
 """
+
+
+def pii_exposure_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, docs_with_pii, pii_doc_rate, ...): the C39
+    PII-exposure monitor's folded state after replaying the documents
+    table as three id-sliced micro-batches — additive cells from
+    disjoint shards must converge to the B113 batch report row-for-row
+    (oracle = B113's SQL verbatim)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        pii_exposure_stream,
+        read_stream_pii_exposure,
+    )
+
+    base = tempfile.mkdtemp(prefix="pii_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            docs.where(F.col("doc_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = pii_exposure_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("pii replay stream did not finish in 300s")
+        return read_stream_pii_exposure(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["pii_exposure_stream_replay"] = pii_exposure_stream_replay
+
+
+def _pii_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.operators.textops import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    return _TEXT_ORACLES["pii_incidence_by_source"]
+
+
+ORACLES["pii_exposure_stream_replay"] = _pii_replay_oracle()

@@ -86,6 +86,7 @@ _BNLJ_EXEMPT = {
     "ann_ivf_topk",             # broadcast trained centroids
     "ann_hard_negatives",       # same IVF search leg (broadcast centroids)
     "ivf_list_balance",         # same quantizer leg (broadcast centroids + totals)
+    "kmeans_elbow_curve",       # same quantizer leg per candidate k (broadcast centroids)
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
     "ivfpq_ann_serve",          # same search leg vs the frozen broadcast index
     "topic_terms_serve",        # same scoring leg vs frozen broadcast centroids

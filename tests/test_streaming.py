@@ -2281,3 +2281,61 @@ def test_receipt_readiness_flip_on_late_producer(spark, tmp_path):
     r3 = {r["o_orderpriority"]: r
           for r in read_stream_receipt_readiness(spark, out).collect()}
     assert r3["C"]["n_blocked"] == 1 and r3["C"]["n_missing_inputs"] == 1
+
+
+def test_pii_exposure_stream_matches_batch_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """C39: folding the additive PII cell delta log through the shared
+    pii_report_from_cells kernel equals the B113 batch report
+    row-for-row, and a replayed micro-batch overwrites its own delta
+    (no double count)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        pii_incidence_by_source,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_pii_cells,
+        pii_exposure_stream,
+        read_stream_pii_exposure,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "pii_src")
+    _os.makedirs(src)
+    slices = []
+    for i in range(3):
+        stage = tmp_path / f"pb{i}"
+        part_df = docs.where(F.col("doc_id") % 3 == i)
+        slices.append(part_df)
+        part_df.coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "pii_out"), str(tmp_path / "pii_ckpt")
+    _await(pii_exposure_stream(spark, src, out, ckpt))
+
+    def snap():
+        return sorted(
+            tuple(r) for r in read_stream_pii_exposure(spark, out).collect()
+        )
+
+    want = sorted(
+        tuple(r) for r in pii_incidence_by_source(spark, sf_dir).collect()
+    )
+    assert snap() == want and len(want) > 0
+
+    # a crash-replay of micro-batch 0 rewrites its own delta file:
+    # the fold is unchanged (batch-id-keyed overwrite semantics)
+    foreach_batch_pii_cells(out)(slices[0], 0)
+    assert snap() == want
