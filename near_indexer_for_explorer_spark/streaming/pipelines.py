@@ -1871,19 +1871,16 @@ def hll_distinct_stream(
 # partials are exact decimals — so the streaming side maintains ONLY
 # that rollup (the minimal sufficient state, merge-order free) and the
 # read path calls the SAME trend_from_daily kernel as the batch query.
-# Scale design: state is O(types x days) regardless of event volume;
-# each micro-batch merges only the days it touches via dynamic
-# partition overwrite (the C7 discipline, composite (type, day) key
-# partitioned by day).
+# Scale design: state is O(types x days) regardless of event volume.
 #
-# Delivery caveat (shared by C29/C30/C31): these additive rollups
-# merge via read-modify-overwrite, so a micro-batch that REPLAYS after
-# a crash between the snapshot write and the checkpoint commit is
-# double-counted — at-most-once-per-batch state, exactly the SUM
-# non-idempotence the C32 delta log exists for.  Deployments that need
-# exactly-once under crash-replay should route these cells through the
-# batch-id-keyed delta log (foreach_batch_delta_log / C32, C36): the
-# batch_id key makes the replayed write an overwrite, not an add.
+# Delivery (C29/C30/C31, upgraded r8): these additive rollups ride the
+# C32 batch-id-keyed delta log — each micro-batch writes ITS OWN delta
+# file, so a replay after a crash between the state write and the
+# checkpoint commit OVERWRITES the same delta instead of adding to a
+# merged snapshot (exactly-once under crash-replay, the SUM
+# non-idempotence the earlier read-modify-overwrite sinks documented
+# as an at-most-once caveat).  The fold is O(deltas) at read; the C32
+# compaction protocol applies verbatim when the log grows.
 # ---------------------------------------------------------------------------
 def foreach_batch_trend_rollup(out_dir: str) -> Callable[[DataFrame, int], None]:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1891,28 +1888,9 @@ def foreach_batch_trend_rollup(out_dir: str) -> Callable[[DataFrame, int], None]
             daily_value_rollup,
         )
 
-        spark = batch_df.sparkSession
-        snapshot = os.path.join(out_dir, "trend_rollup")
-        partial = daily_value_rollup(batch_df)
-        if os.path.exists(snapshot):
-            touched = [
-                r["d"] for r in partial.select("d").distinct().collect()
-            ]
-            existing = spark.read.parquet(snapshot).where(
-                F.col("d").isin(touched)
-            )
-            partial = (
-                existing.unionByName(partial)
-                .groupBy("event_type", "d")
-                .agg(F.sum("y").cast("decimal(14,2)").alias("y"))
-            )
-        partial = partial.localCheckpoint(eager=True)
-        (
-            partial.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d")
-            .parquet(snapshot)
-        )
+        daily_value_rollup(batch_df).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
 
     return sink
 
@@ -1932,26 +1910,30 @@ def trend_stream(
 
 
 def read_stream_trend(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The C29 read path: the SAME closed-form kernel as A90, over the
-    incrementally maintained rollup."""
+    """The C29 read path: fold the daily-rollup delta log (exact
+    decimal partials — merge-order free) into the SAME closed-form
+    kernel as A90."""
     from near_indexer_for_explorer_spark.plans.relational import (
         trend_from_daily,
     )
 
-    snapshot = os.path.join(out_dir, "trend_rollup")
-    daily = spark.read.parquet(snapshot).select("event_type", "d", "y")
+    srcs, _ = _count_delta_sources(out_dir)
+    daily = (
+        spark.read.parquet(*srcs)
+        .groupBy("event_type", "d")
+        .agg(F.sum("y").cast("decimal(14,2)").alias("y"))
+    )
     return trend_from_daily(daily)
 
 
 # ---------------------------------------------------------------------------
 # C30 streaming Benford monitor.  Digit counts are additive longs —
-# the canonical mergeable sketch — so the incremental state is the
-# 9-row (digit, n) relation itself, maintained by read-merge-overwrite
-# (bounded state: the snapshot is <= 9 rows forever).  The digit
-# expression is SHARED with the A86 batch audit (benford_digit_counts)
-# so stream == batch is a kernel invariant, not a coincidence.
-# Crash-replay delivery: see the C29 caveat above (same delta-log
-# upgrade path applies).
+# the canonical mergeable sketch — riding the C32 batch-id-keyed
+# delta log (each delta is <= 9 rows; replays overwrite their own
+# file, exactly-once under crash-replay — the r8 upgrade from the
+# earlier read-merge-overwrite snapshot).  The digit expression is
+# SHARED with the A86 batch audit (benford_digit_counts) so stream ==
+# batch is a kernel invariant, not a coincidence.
 # ---------------------------------------------------------------------------
 def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1959,20 +1941,22 @@ def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
             benford_digit_counts,
         )
 
-        spark = batch_df.sparkSession
-        snapshot = os.path.join(out_dir, "benford")
-        partial = benford_digit_counts(batch_df, "value")
-        if os.path.exists(snapshot):
-            existing = spark.read.parquet(snapshot)
-            partial = (
-                existing.unionByName(partial)
-                .groupBy("digit")
-                .agg(F.sum("n").alias("n"))
-            )
-        partial = partial.localCheckpoint(eager=True)
-        partial.coalesce(1).write.mode("overwrite").parquet(snapshot)
+        benford_digit_counts(batch_df, "value").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
 
     return sink
+
+
+def read_stream_benford(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C30 read path: fold the digit-count delta log to the
+    9-row-bounded (digit, n) state."""
+    srcs, _ = _count_delta_sources(out_dir)
+    return (
+        spark.read.parquet(*srcs)
+        .groupBy("digit")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
 
 
 def benford_stream(
@@ -1997,10 +1981,10 @@ def benford_stream(
 # a LINEITEM stream with the part dim broadcast per batch, the C6
 # stream-static pattern) and the read path calls the SAME
 # hhi_from_cells kernel as the batch query.  State is
-# O(types x suppliers) regardless of fact volume; each micro-batch
-# merges only the types it touches via dynamic partition overwrite.
-# Crash-replay delivery: see the C29 caveat (the same delta-log
-# upgrade path applies to these additive cells).
+# O(types x suppliers) regardless of fact volume; the cells ride the
+# C32 batch-id-keyed delta log (replays overwrite their own delta —
+# exactly-once under crash-replay, the r8 upgrade from dynamic
+# partition overwrite).
 # ---------------------------------------------------------------------------
 LINEITEM_SCHEMA = (
     "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
@@ -2018,29 +2002,9 @@ def foreach_batch_hhi_cells(
             market_cells,
         )
 
-        spark = batch_df.sparkSession
-        snapshot = os.path.join(out_dir, "hhi_cells")
-        partial = market_cells(batch_df, part_df)
-        if os.path.exists(snapshot):
-            touched = [
-                r["p_type"]
-                for r in partial.select("p_type").distinct().collect()
-            ]
-            existing = spark.read.parquet(snapshot).where(
-                F.col("p_type").isin(touched)
-            )
-            partial = (
-                existing.unionByName(partial)
-                .groupBy("p_type", "l_suppkey")
-                .agg(F.sum("micros").cast("decimal(19,0)").alias("micros"))
-            )
-        partial = partial.localCheckpoint(eager=True)
-        (
-            partial.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("p_type")
-            .parquet(snapshot)
-        )
+        market_cells(batch_df, part_df).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
 
     return sink
 
@@ -2071,15 +2035,18 @@ def hhi_stream(
 
 
 def read_stream_hhi(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The C31 read path: the SAME concentration kernel as A87, over
-    the incrementally maintained cells."""
+    """The C31 read path: fold the concentration-cell delta log
+    (exact integer micro-units — merge-order free) into the SAME
+    kernel as A87."""
     from near_indexer_for_explorer_spark.plans.relational import (
         hhi_from_cells,
     )
 
-    snapshot = os.path.join(out_dir, "hhi_cells")
-    cells = spark.read.parquet(snapshot).select(
-        "p_type", "l_suppkey", F.col("micros").cast("decimal(19,0)").alias("micros")
+    srcs, _ = _count_delta_sources(out_dir)
+    cells = (
+        spark.read.parquet(*srcs)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("micros").cast("decimal(19,0)").alias("micros"))
     )
     return hhi_from_cells(cells)
 

@@ -1627,15 +1627,32 @@ def test_trend_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp_pat
     out = str(tmp_path / "trend_out")
     q = trend_stream(spark, event_batches, out, str(tmp_path / "ckpt"))
     _await(q)
-    got = {
-        r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
-        for r in read_stream_trend(spark, out).collect()
-    }
+
+    def snap():
+        return {
+            r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
+            for r in read_stream_trend(spark, out).collect()
+        }
+
     want = {
         r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
         for r in events_daily_trend(spark, sf_dir).collect()
     }
-    assert got == want
+    assert snap() == want
+
+    # crash-replay of micro-batch 0 (its true content = the first
+    # time-half) overwrites its own delta: the fold is unchanged
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        EVENT_SCHEMA,
+        foreach_batch_trend_rollup,
+    )
+
+    batch0 = spark.read.schema(EVENT_SCHEMA).parquet(
+        event_batches + "/batch_0.parquet"
+    )
+    foreach_batch_trend_rollup(out)(batch0, 0)
+    assert snap() == want
 
 
 def test_benford_stream_matches_batch_counts(spark, sf_dir, event_batches, tmp_path):
@@ -1648,21 +1665,33 @@ def test_benford_stream_matches_batch_counts(spark, sf_dir, event_batches, tmp_p
     from near_indexer_for_explorer_spark.streaming.pipelines import (
         EVENT_SCHEMA,
         benford_stream,
+        foreach_batch_benford,
+        read_stream_benford,
     )
 
     out = str(tmp_path / "benford_out")
     q = benford_stream(spark, event_batches, out, str(tmp_path / "ckpt"))
     _await(q)
-    got = {
-        r["digit"]: r["n"]
-        for r in spark.read.parquet(out + "/benford").collect()
-    }
+
+    def snap():
+        return {
+            r["digit"]: r["n"]
+            for r in read_stream_benford(spark, out).collect()
+        }
+
     batch_src = spark.read.schema(EVENT_SCHEMA).parquet(event_batches)
     want = {
         r["digit"]: r["n"]
         for r in benford_digit_counts(batch_src, "value").collect()
     }
-    assert got == want and got
+    assert snap() == want and want
+
+    # crash-replay of micro-batch 0 overwrites its own delta
+    batch0 = spark.read.schema(EVENT_SCHEMA).parquet(
+        event_batches + "/batch_0.parquet"
+    )
+    foreach_batch_benford(out)(batch0, 0)
+    assert snap() == want
 
 
 def test_hhi_stream_matches_batch_kernel(spark, sf_dir, tmp_path):
@@ -1705,15 +1734,28 @@ def test_hhi_stream_matches_batch_kernel(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
 
-    got = {
-        r["p_type"]: (r["n_suppliers"], r["total_revenue"], r["hhi"], r["top_share"])
-        for r in read_stream_hhi(spark, out).collect()
-    }
+    def snap():
+        return {
+            r["p_type"]: (
+                r["n_suppliers"], r["total_revenue"], r["hhi"], r["top_share"]
+            )
+            for r in read_stream_hhi(spark, out).collect()
+        }
+
     want = {
         r["p_type"]: (r["n_suppliers"], r["total_revenue"], r["hhi"], r["top_share"])
         for r in supplier_market_hhi(spark, sf_dir).collect()
     }
-    assert got == want and got
+    assert snap() == want and want
+
+    # crash-replay of micro-batch 0 (its true content = the even-key
+    # half) overwrites its own delta: the fold is unchanged
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        foreach_batch_hhi_cells,
+    )
+
+    foreach_batch_hhi_cells(out, part_df)(half, 0)
+    assert snap() == want
 
 
 def test_count_delta_stream_exact_and_replay_safe(spark, sf_dir, tmp_path):
