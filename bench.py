@@ -197,7 +197,10 @@ EXTRA = [
     "receipt_data_readiness",
     "account_changes_by_reason",
     "boilerplate_segments",
-    # round 8 session-2 additions
+    # round 8 session-2 additions (dedup_components added so the B20
+    # label-propagation BUILD stays benched now that keep_best and its
+    # reports serve from the frozen labeling)
+    "dedup_components",
     "quality_filter_gopher",
     "lang_id_margin",
     "pii_incidence_by_source",
@@ -249,8 +252,8 @@ def main() -> None:
         # totals measured 1.3-1.5x the canonical under concurrent load
         # (BENCH_r07 analysis), inflating scan-only rows uniformly.
         # Update when a new canonical table is recorded.
-        "canonical_subtotal_ref": {"sec": 114.19, "n_queries": 121,
-                                   "sf": 0.1, "round": "r7"},
+        "canonical_subtotal_ref": {"sec": 139.8449, "n_queries": 161,
+                                   "sf": 0.1, "round": "r8"},
     }
     # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
     # workflow read this).  NOT the driver's line — see below.

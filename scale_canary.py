@@ -101,6 +101,15 @@ def measure(spark, sf_dir: str) -> dict:
         embedding_dedup_cosine,
         ivfpq_ann_topk,
     )
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        kmeans_elbow_curve as _elbow,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        pii_incidence_by_source as _pii,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_filter_gopher as _gopher,
+    )
 
     out: dict = {}
     t0 = time.perf_counter()
@@ -125,6 +134,13 @@ def measure(spark, sf_dir: str) -> dict:
         # shape (base x incoming straddle over the frozen LSH leg +
         # candidate-bounded verify; output = whole incoming cohort)
         ("dedup_incremental_cohort", dedup_incremental_cohort),
+        # r8 session-2 additions: map-only scans (rows grow with the
+        # bounded source/lang grain ~1x, time ~linear in corpus) and
+        # the sample-bounded elbow (result fixed at |Ks| rows; time
+        # grows with the train sample = corpus/_IVF_TRAIN_MOD)
+        ("pii_incidence_by_source", _pii),
+        ("quality_filter_gopher", _gopher),
+        ("kmeans_elbow_curve", _elbow),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
