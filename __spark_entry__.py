@@ -138,6 +138,7 @@ _GATE_PRIORITY: list[str] = [
     "pii_incidence_by_source",
     "token_fertility_by_lang",
     "kmeans_elbow_curve",
+    "quality_rules_agreement",
     "pii_exposure_stream_replay",
 ]
 

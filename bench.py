@@ -206,6 +206,7 @@ EXTRA = [
     "pii_incidence_by_source",
     "token_fertility_by_lang",
     "kmeans_elbow_curve",
+    "quality_rules_agreement",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1721,3 +1721,106 @@ ORACLES["token_fertility_by_lang"] = rf"""
            CAST(n_chars AS DOUBLE) / bpe_ish_tokens AS chars_per_token
     FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# B116 rule-family agreement — B25 (C4 rules) x B111 (Gopher rules) as
+# a per-source confusion matrix.  Two filters that agree everywhere
+# are redundant; the off-diagonal cells (kept by one, dropped by the
+# other) are precisely the documents a curation pass reviews when
+# tuning thresholds, and their per-source mix shows WHICH sources the
+# two philosophies disagree about.  Jaccard-of-kept-sets summarizes
+# the overlap in one number per source.
+#
+# Scale shape: composes two map-only rule kernels on ONE scan (the
+# flags are columns of the same projection), one map-combinable
+# aggregate to the bounded source grain.  All cells exact integers;
+# the agreement ratios are int/int divisions.
+# ---------------------------------------------------------------------------
+def quality_rules_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, kept_both, kept_c4_only, kept_gopher_only,
+    dropped_both, agree_rate, kept_jaccard): per source, the confusion
+    matrix between the C4 and Gopher rule families."""
+    docs = load_table(spark, sf_dir, "documents")
+    c4 = quality_filter_columns(docs).select(
+        "doc_id", F.col("kept").alias("kept_c4")
+    )
+    gp = gopher_filter_columns(docs).select(
+        "doc_id", F.col("kept").alias("kept_gp")
+    )
+    src = docs.select("doc_id", "source")
+    joined = src.join(c4, "doc_id").join(gp, "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("kept_c4") & F.col("kept_gp")).cast("long"))
+        .cast("long")
+        .alias("kept_both"),
+        F.sum((F.col("kept_c4") & ~F.col("kept_gp")).cast("long"))
+        .cast("long")
+        .alias("kept_c4_only"),
+        F.sum((~F.col("kept_c4") & F.col("kept_gp")).cast("long"))
+        .cast("long")
+        .alias("kept_gopher_only"),
+        F.sum((~F.col("kept_c4") & ~F.col("kept_gp")).cast("long"))
+        .cast("long")
+        .alias("dropped_both"),
+    )
+    kept_union = (
+        F.col("kept_both") + F.col("kept_c4_only") + F.col("kept_gopher_only")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "kept_both",
+        "kept_c4_only",
+        "kept_gopher_only",
+        "dropped_both",
+        (
+            (F.col("kept_both") + F.col("dropped_both")).cast("double")
+            / F.col("n_docs")
+        ).alias("agree_rate"),
+        F.when(
+            kept_union > 0,
+            F.col("kept_both").cast("double") / kept_union,
+        ).alias("kept_jaccard"),
+    )
+
+
+QUERIES["quality_rules_agreement"] = quality_rules_agreement
+
+ORACLES["quality_rules_agreement"] = f"""
+    WITH c4 AS (
+      SELECT doc_id, kept AS kept_c4 FROM ({ORACLES["quality_filter_c4"]})
+    ),
+    gp AS (
+      SELECT doc_id, kept AS kept_gp
+      FROM ({ORACLES["quality_filter_gopher"]})
+    ),
+    j AS (
+      SELECT d.source, c4.kept_c4, gp.kept_gp
+      FROM documents d
+      JOIN c4 ON d.doc_id = c4.doc_id
+      JOIN gp ON d.doc_id = gp.doc_id
+    ),
+    a AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN kept_c4 AND kept_gp THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept_both,
+             CAST(SUM(CASE WHEN kept_c4 AND NOT kept_gp THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept_c4_only,
+             CAST(SUM(CASE WHEN NOT kept_c4 AND kept_gp THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept_gopher_only,
+             CAST(SUM(CASE WHEN NOT kept_c4 AND NOT kept_gp THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_both
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, kept_both, kept_c4_only, kept_gopher_only,
+           dropped_both,
+           CAST(kept_both + dropped_both AS DOUBLE) / n_docs AS agree_rate,
+           CASE WHEN kept_both + kept_c4_only + kept_gopher_only > 0
+                THEN CAST(kept_both AS DOUBLE)
+                     / (kept_both + kept_c4_only + kept_gopher_only)
+                ELSE NULL END AS kept_jaccard
+    FROM a
+"""

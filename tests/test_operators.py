@@ -3832,3 +3832,50 @@ def test_kmeans_elbow_planted_clusters(spark, tmp_path):
         assert abs(
             r["mean_sq_dist"] - round(r["inertia"] / r["n_vectors"], 6)
         ) < 1e-6
+
+
+def test_quality_rules_agreement_planted_cells(spark, tmp_path):
+    """B116 semantics: each confusion cell is pinned by a planted doc
+    engineered to pass/fail exactly one family's rules."""
+    import itertools
+    import string
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_rules_agreement,
+    )
+
+    four = [
+        a + b + "xy"
+        for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    # C4 kept needs 25..95 words, mean 3..10, stop_frac >= 0.05, low
+    # 2-gram repetition; Gopher kept needs 10..80 words, mean 3..10,
+    # alpha >= 0.8, symbols <= 1/10 words, >= 2 distinct stops.
+    both = " ".join(four[:28] + ["the", "and"])              # 30 words
+    c4_only = " ".join(
+        four[:84] + ["the", "and", "of", "to", "is", "in"]
+    )  # 90 words (>80 fails gopher; stop_frac 6/90 passes c4)
+    gp_only = " ".join(four[28:40] + ["the", "and"])         # 14 words (<25 c4)
+    neither = " ".join(four[:5])                              # 5 words, no stops
+    docs = [
+        (0, both, "web", "en"),
+        (1, c4_only, "web", "en"),
+        (2, gp_only, "web", "en"),
+        (3, neither, "web", "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in quality_rules_agreement(spark, str(tmp_path)).collect()
+    }
+    web = out["web"]
+    assert web["n_docs"] == 4
+    assert web["kept_both"] == 1
+    assert web["kept_c4_only"] == 1
+    assert web["kept_gopher_only"] == 1
+    assert web["dropped_both"] == 1
+    assert abs(web["agree_rate"] - 0.5) < 1e-12
+    assert abs(web["kept_jaccard"] - 1.0 / 3.0) < 1e-12
