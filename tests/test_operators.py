@@ -3879,3 +3879,103 @@ def test_quality_rules_agreement_planted_cells(spark, tmp_path):
     assert web["dropped_both"] == 1
     assert abs(web["agree_rate"] - 0.5) < 1e-12
     assert abs(web["kept_jaccard"] - 1.0 / 3.0) < 1e-12
+
+
+def test_frozen_reports_match_fresh_computation(spark, sf_dir):
+    """The r8 frozen-serving claim, pinned: every report that reads a
+    session-frozen artifact is bit-identical to computing the same
+    relation fresh (the builds are deterministic, so serving from the
+    memo can never change a result — the invariant that keeps the
+    composed oracles valid verbatim)."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _IVF_ITERS,
+        _IVF_K,
+        _IVF_TRAIN_MOD,
+        _kmeans_centroids,
+        _vectors,
+        ivf_assignments,
+        ivf_list_balance,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        borderline_docs,
+        quality_filter_columns,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    # borderline_docs (frozen B25 metrics) vs the fresh projection
+    frozen_rows = sorted(
+        tuple(r) for r in borderline_docs(spark, sf_dir).collect()
+    )
+    cols = quality_filter_columns(load_table(spark, sf_dir, "documents"))
+    n_failed = (
+        (~F.col("ok_n_words")).cast("int")
+        + (~F.col("ok_mean_word_len")).cast("int")
+        + (~F.col("ok_stopwords")).cast("int")
+        + (~F.col("ok_repetition")).cast("int")
+    )
+    failed_rule = (
+        F.when(~F.col("ok_n_words"), "n_words")
+        .when(~F.col("ok_mean_word_len"), "mean_word_len")
+        .when(~F.col("ok_stopwords"), "stopwords")
+        .otherwise("repetition")
+    )
+    fresh = cols.where(n_failed == 1).select(
+        "doc_id",
+        "lang",
+        failed_rule.alias("failed_rule"),
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stop_frac", 6).alias("stop_frac"),
+        F.round("dup_frac_2gram", 6).alias("dup_frac_2gram"),
+    )
+    assert frozen_rows == sorted(tuple(r) for r in fresh.collect())
+    assert len(frozen_rows) > 0
+
+    # ivf_list_balance (frozen assignments) vs a fresh train+assign
+    frozen_sizes = sorted(
+        (r["centroid_id"], r["list_size"])
+        for r in ivf_list_balance(spark, sf_dir).collect()
+    )
+    e = _vectors(spark, sf_dir)
+    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    cents = _kmeans_centroids(
+        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+    )
+    fresh_sizes = sorted(
+        (r["centroid_id"], r["n"])
+        for r in ivf_assignments(e.select("vec_id", "emb"), cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    assert frozen_sizes == fresh_sizes and len(frozen_sizes) > 0
+
+
+def test_gated_percentiles_array_equals_scalars(spark, sf_dir):
+    """gated_percentiles(col, fracs) must return exactly the values of
+    the per-fraction gated_percentile calls on BOTH gate branches —
+    the single-buffer rewrite is a physical change only."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from near_indexer_for_explorer_spark.functions.percentiles import (
+        gated_percentile,
+        gated_percentiles,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fracs = [0.1, 0.5, 0.9, 0.99]
+    for exact in (True, False):
+        row = ev.groupBy("event_type").agg(
+            gated_percentiles("value", fracs, exact).alias("arr"),
+            *[
+                gated_percentile("value", f, exact).alias(f"s{i}")
+                for i, f in enumerate(fracs)
+            ],
+        ).collect()
+        assert row
+        for r in row:
+            for i in range(len(fracs)):
+                assert r["arr"][i] == r[f"s{i}"], (r["arr"][i], r[f"s{i}"])
