@@ -139,6 +139,7 @@ _GATE_PRIORITY: list[str] = [
     "token_fertility_by_lang",
     "kmeans_elbow_curve",
     "quality_rules_agreement",
+    "mixture_epoch_plan",
     "pii_exposure_stream_replay",
 ]
 

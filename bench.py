@@ -207,6 +207,7 @@ EXTRA = [
     "token_fertility_by_lang",
     "kmeans_elbow_curve",
     "quality_rules_agreement",
+    "mixture_epoch_plan",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3190,3 +3190,85 @@ ORACLES["boilerplate_segments"] = f"""
     FROM pairs p JOIN dfrel d ON p.seg = d.seg
     GROUP BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B117 mixture epoch plan — the artifact a data-mix recipe actually
+# ships: given the B41 temperature-reweighted sampling distribution
+# and each source's REAL token supply, how many epochs does every
+# source repeat at a given training-token budget?  (The central table
+# of data-mixing analyses: up-weighted tail sources repeat; >1 epoch
+# is the memorization/diversity trade the recipe owner signs off on.)
+# Budgets are a grid of multiples of the corpus's own token count, so
+# the plan is scale-free and self-calibrating.
+#
+# Scale shape: composes B41 (source grain) with the per-source token
+# supply (ONE map-combined aggregate); the grid explodes map-side from
+# the bounded source grain.  allocated = floor(p * (m * total)) with
+# identical parenthesization in both engines; epochs is one
+# long/long division, round-6.
+# ---------------------------------------------------------------------------
+_EPOCH_BUDGET_MULTIPLES = [0.5, 1.0, 2.0, 4.0]
+
+
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(budget_x, source, source_tokens, p_sampled, budget_tokens,
+    allocated_tokens, epochs, repeated): per training-token budget
+    (as a multiple of the corpus token count) and source, the token
+    allocation under the B41 sampling distribution and the implied
+    epoch count over that source's supply."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.size(tokens("text")).cast("long").alias("ws")
+    ).groupBy("source").agg(F.sum("ws").cast("long").alias("source_tokens"))
+    total = tok.agg(F.sum("source_tokens").cast("long").alias("total_ws"))
+    w = corpus_temperature_weights(spark, sf_dir).select(
+        "source", "p_sampled"
+    )
+    grid = F.explode(
+        F.array(*[F.lit(m) for m in _EPOCH_BUDGET_MULTIPLES])
+    ).alias("budget_x")
+    base = (
+        tok.join(w, "source")
+        .crossJoin(F.broadcast(total))
+        .select("source", "source_tokens", "p_sampled", "total_ws", grid)
+    )
+    budget = (F.col("budget_x") * F.col("total_ws")).alias("budget_tokens")
+    alloc = F.floor(F.col("p_sampled") * (F.col("budget_x") * F.col("total_ws")))
+    return base.select(
+        "budget_x",
+        "source",
+        "source_tokens",
+        "p_sampled",
+        F.floor(budget).cast("long").alias("budget_tokens"),
+        alloc.cast("long").alias("allocated_tokens"),
+        F.round(
+            alloc.cast("double") / F.col("source_tokens"), 6
+        ).alias("epochs"),
+        (alloc > F.col("source_tokens")).alias("repeated"),
+    )
+
+
+QUERIES["mixture_epoch_plan"] = mixture_epoch_plan
+
+ORACLES["mixture_epoch_plan"] = f"""
+    WITH b41 AS ({ORACLES["corpus_temperature_weights"]}),
+    tok AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+               AS BIGINT) AS source_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_ws FROM tok),
+    grid AS (SELECT * FROM (VALUES (0.5), (1.0), (2.0), (4.0)) g(budget_x))
+    SELECT g.budget_x, t.source, t.source_tokens, b.p_sampled,
+           CAST(FLOOR(g.budget_x * tot.total_ws) AS BIGINT) AS budget_tokens,
+           CAST(FLOOR(b.p_sampled * (g.budget_x * tot.total_ws)) AS BIGINT)
+             AS allocated_tokens,
+           ROUND(CAST(FLOOR(b.p_sampled * (g.budget_x * tot.total_ws))
+                      AS DOUBLE) / t.source_tokens, 6) AS epochs,
+           FLOOR(b.p_sampled * (g.budget_x * tot.total_ws))
+             > t.source_tokens AS repeated
+    FROM tok t JOIN b41 b ON t.source = b.source
+    CROSS JOIN tot CROSS JOIN grid g
+"""

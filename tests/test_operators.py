@@ -3979,3 +3979,39 @@ def test_gated_percentiles_array_equals_scalars(spark, sf_dir):
         for r in row:
             for i in range(len(fracs)):
                 assert r["arr"][i] == r[f"s{i}"], (r["arr"][i], r[f"s{i}"])
+
+
+def test_mixture_epoch_plan_planted_tail_repeats(spark, tmp_path):
+    """B117 semantics: with a 90/10 char split and alpha=0.5 the tail
+    source samples at p~=0.75/0.25, so at a 1x-corpus budget the tail
+    repeats ~2.5 epochs while the head stays under one epoch; at 4x
+    both repeat."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        mixture_epoch_plan,
+    )
+
+    words = [f"w{i:03d}" for i in range(100)]
+    docs = []
+    for d in range(9):  # head: 9 docs x 10 four-char tokens
+        docs.append((d, " ".join(words[d * 10:(d + 1) * 10]), "head", "en"))
+    docs.append((9, " ".join(words[90:100]), "tail", "en"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r["budget_x"], r["source"]): r
+        for r in mixture_epoch_plan(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 8  # 2 sources x 4 budget multiples
+    one_tail = out[(1.0, "tail")]
+    one_head = out[(1.0, "head")]
+    assert one_tail["budget_tokens"] == 100
+    assert one_tail["source_tokens"] == 10
+    assert abs(one_tail["p_sampled"] - 0.25) < 1e-3
+    assert 2.4 <= one_tail["epochs"] <= 2.6 and one_tail["repeated"]
+    assert abs(one_head["p_sampled"] - 0.75) < 1e-3
+    assert 0.80 <= one_head["epochs"] <= 0.85 and not one_head["repeated"]
+    four_head = out[(4.0, "head")]
+    # head alloc at 4x = 0.75 * 400 = 300 tokens over a 90-token supply
+    assert four_head["repeated"] and 3.2 <= four_head["epochs"] <= 3.5
