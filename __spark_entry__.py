@@ -140,6 +140,7 @@ _GATE_PRIORITY: list[str] = [
     "kmeans_elbow_curve",
     "quality_rules_agreement",
     "mixture_epoch_plan",
+    "doc_length_lognormal_fit",
     "pii_exposure_stream_replay",
 ]
 

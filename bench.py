@@ -208,6 +208,7 @@ EXTRA = [
     "kmeans_elbow_curve",
     "quality_rules_agreement",
     "mixture_epoch_plan",
+    "doc_length_lognormal_fit",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1824,3 +1824,112 @@ ORACLES["quality_rules_agreement"] = f"""
                 ELSE NULL END AS kept_jaccard
     FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# B118 per-source document-length lognormal fit — the corpus-QA
+# distribution check: web-scale document lengths are approximately
+# lognormal, and a source whose empirical tail departs from its own
+# fitted tail (crawler truncation caps, concatenation bugs, template
+# stuffing) shows up as a fitted-vs-empirical p90 gap long before a
+# mean shift would.  Moment fit in log space (mu, sigma), fitted
+# median/p90 from the lognormal quantile form (z_0.9 as a parsed
+# literal, the B63 discipline), empirical p90 via the A51 gated
+# percentile.
+#
+# Parity: per-row ln() rounds to 6dp then sums as exact DECIMAL (the
+# A67 two-exact-sums variance discipline), so the moments are
+# partitioning- and engine-independent; downstream double arithmetic
+# uses identical expression order in both engines.
+# ---------------------------------------------------------------------------
+_Z90 = 1.281552  # Phi^-1(0.9), parsed literal
+
+
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, mu_log, sigma_log, fitted_p90_log, emp_p90,
+    emp_p90_log, p90_log_gap): per source, the log-space moment fit
+    and the fitted-vs-empirical tail agreement.  All fitted outputs
+    stay in LOG SPACE: exp() is not correctly-rounded libm and a JVM
+    vs libc 1-ULP disagreement was measured flipping a round-6 digit
+    at sf0.01 — mu + z*sigma is pure arithmetic, so the log-space form
+    is engine-exact (the gap reads as a relative gap)."""
+    from near_indexer_for_explorer_spark.functions.percentiles import (
+        exact_percentiles_fit,
+        gated_percentile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    x6 = F.round(F.log(F.col("n_chars").cast("double")), 6).cast(
+        "decimal(20,6)"
+    )
+    exact = exact_percentiles_fit(sf_dir, "documents")
+    agg = docs.select("source", x6.alias("x"), "n_chars").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        gated_percentile(F.col("n_chars").cast("double"), 0.9, exact).alias(
+            "emp_p90_raw"
+        ),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_docs")
+    var = (
+        F.col("s2").cast("double") - F.col("n_docs") * mu * mu
+    ) / F.col("n_docs")
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    fitted_p90_log = F.round(mu + _Z90 * sigma, 6)
+    emp_p90 = F.round(F.col("emp_p90_raw"), 6)
+    emp_p90_log = F.round(F.log(F.col("emp_p90_raw")), 6)
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(mu, 6).alias("mu_log"),
+        F.round(sigma, 6).alias("sigma_log"),
+        fitted_p90_log.alias("fitted_p90_log"),
+        emp_p90.alias("emp_p90"),
+        emp_p90_log.alias("emp_p90_log"),
+        F.round(fitted_p90_log - emp_p90_log, 6).alias("p90_log_gap"),
+    )
+
+
+QUERIES["doc_length_lognormal_fit"] = doc_length_lognormal_fit
+
+ORACLES["doc_length_lognormal_fit"] = f"""
+    WITH x AS (
+      SELECT source,
+             CAST(ROUND(ln(CAST(n_chars AS DOUBLE)), 6) AS DECIMAL(20,6))
+               AS x,
+             n_chars
+      FROM documents
+    ),
+    a AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(x) AS s1,
+             SUM(x * x) AS s2,
+             percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(n_chars AS DOUBLE))
+               AS emp_p90_raw
+      FROM x GROUP BY source
+    ),
+    m AS (
+      SELECT source, n_docs,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_docs AS mu,
+             (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+              - n_docs * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_docs)
+                       * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_docs))
+             / n_docs AS var,
+             emp_p90_raw
+      FROM a
+    )
+    SELECT source, n_docs,
+           ROUND(mu, 6) AS mu_log,
+           ROUND(sqrt(GREATEST(var, 0.0)), 6) AS sigma_log,
+           ROUND(mu + {_Z90} * sqrt(GREATEST(var, 0.0)), 6)
+             AS fitted_p90_log,
+           ROUND(emp_p90_raw, 6) AS emp_p90,
+           ROUND(ln(emp_p90_raw), 6) AS emp_p90_log,
+           ROUND(ROUND(mu + {_Z90} * sqrt(GREATEST(var, 0.0)), 6)
+                 - ROUND(ln(emp_p90_raw), 6), 6) AS p90_log_gap
+    FROM m
+"""

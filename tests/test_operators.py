@@ -4015,3 +4015,51 @@ def test_mixture_epoch_plan_planted_tail_repeats(spark, tmp_path):
     four_head = out[(4.0, "head")]
     # head alloc at 4x = 0.75 * 400 = 300 tokens over a 90-token supply
     assert four_head["repeated"] and 3.2 <= four_head["epochs"] <= 3.5
+
+
+def test_lognormal_fit_planted_uniform_and_spread(spark, tmp_path):
+    """B118 semantics: a constant-length source fits exactly (sigma 0,
+    zero tail gap); a two-point spread source reproduces the moment
+    fit computed by hand in log space."""
+    import math
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        doc_length_lognormal_fit,
+    )
+
+    docs = [(i, "x", "uniform", "en", 500) for i in range(10)]
+    docs += [
+        (100 + i, "x", "spread", "en", 100 if i < 10 else 10000)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in doc_length_lognormal_fit(spark, str(tmp_path)).collect()
+    }
+    uni = out["uniform"]
+    # sigma carries ~1e-5 catastrophic-cancellation residue from the
+    # two-sums variance (identical in both engines — the oracle hashes
+    # it); the semantic claim is "no spread", not bitwise zero
+    assert uni["sigma_log"] < 1e-4
+    assert abs(uni["mu_log"] - round(math.log(500), 6)) < 1e-9
+    assert abs(uni["fitted_p90_log"] - uni["mu_log"]) < 1e-4
+    assert uni["emp_p90"] == 500.0
+    assert abs(uni["p90_log_gap"]) < 1e-4
+
+    sp = out["spread"]
+    lo, hi = round(math.log(100), 6), round(math.log(10000), 6)
+    mu = (lo + hi) / 2
+    sigma = (hi - lo) / 2
+    assert abs(sp["mu_log"] - round(mu, 6)) < 1e-6
+    assert abs(sp["sigma_log"] - round(sigma, 6)) < 1e-6
+    assert abs(sp["fitted_p90_log"] - round(mu + 1.281552 * sigma, 6)) < 1e-6
+    assert sp["emp_p90"] == 10000.0
+    assert abs(
+        sp["p90_log_gap"]
+        - round(round(mu + 1.281552 * sigma, 6) - hi, 6)
+    ) < 1e-6
