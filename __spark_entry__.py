@@ -141,6 +141,7 @@ _GATE_PRIORITY: list[str] = [
     "quality_rules_agreement",
     "mixture_epoch_plan",
     "doc_length_lognormal_fit",
+    "embedding_dim_stats",
     "pii_exposure_stream_replay",
 ]
 

@@ -209,6 +209,7 @@ EXTRA = [
     "quality_rules_agreement",
     "mixture_epoch_plan",
     "doc_length_lognormal_fit",
+    "embedding_dim_stats",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

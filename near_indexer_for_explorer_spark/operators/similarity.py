@@ -4892,3 +4892,112 @@ def _elbow_oracle_sql() -> str:
 
 
 ORACLES["kmeans_elbow_curve"] = _elbow_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B119 per-dimension embedding stats — the debug view behind B74's one
+# isotropy number: WHICH dimensions are dead (zero variance — an
+# upstream projection bug or a padded field), which carry outsized
+# variance share (the anisotropy B87 whitens away), and which have a
+# mean offset big enough to bias cosine (the common "uncentered
+# output layer" defect).  64 rows regardless of corpus size.
+#
+# Scale shape: one (dim) shuffle with map-side combine (exact decimal
+# two-sums + min/max), a 1-row variance-total broadcast for the share
+# column (family-1 exempt scalar).  Engine stability: the B74
+# round-then-decimal discipline throughout.
+# ---------------------------------------------------------------------------
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n_vecs, mean, variance, v_min, v_max, var_share,
+    mean_bias, is_dead): per-dimension moment/extreme report over the
+    whole embedding corpus."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array("embedding").alias("emb")
+    )
+    comp = (
+        e.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x").cast("decimal(20,14)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(22,14)")).alias(
+                "s2"
+            ),
+            F.min("x").alias("v_min"),
+            F.max("x").alias("v_max"),
+        )
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    var6 = F.round(m2 - m1 * m1, 6)
+    dims = comp.select(
+        F.col("i").cast("long").alias("dim"),
+        F.col("n").alias("n_vecs"),
+        F.round(m1, 6).alias("mean"),
+        var6.cast("decimal(18,6)").alias("v6"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+    )
+    tot = dims.agg(F.sum("v6").alias("tv"))
+    share = (
+        (F.col("v6").cast("decimal(20,14)") / F.col("tv"))
+        .cast("decimal(24,6)")
+        .cast("double")
+    )
+    bias = F.when(
+        F.col("v6").cast("double") > 0,
+        F.round(
+            F.abs(F.col("mean")) / F.sqrt(F.col("v6").cast("double")), 6
+        ),
+    )
+    return dims.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_vecs",
+        "mean",
+        F.col("v6").cast("double").alias("variance"),
+        "v_min",
+        "v_max",
+        share.alias("var_share"),
+        bias.alias("mean_bias"),
+        (F.col("v6").cast("double") <= 0.0).alias("is_dead"),
+    )
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+
+ORACLES["embedding_dim_stats"] = """
+    WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+    x AS (SELECT UNNEST(emb) AS x, generate_subscripts(emb, 1) AS i
+          FROM e),
+    comp AS (
+      SELECT i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(20,14))) AS s1,
+             SUM(CAST(x * x AS DECIMAL(22,14))) AS s2,
+             MIN(x) AS v_min,
+             MAX(x) AS v_max
+      FROM x GROUP BY i
+    ),
+    dims AS (
+      -- generate_subscripts is 1-based, posexplode 0-based
+      SELECT CAST(i - 1 AS BIGINT) AS dim, n AS n_vecs,
+             ROUND(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n, 6) AS mean,
+             CAST(ROUND(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                        - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                          * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n), 6)
+               AS DECIMAL(18,6)) AS v6,
+             ROUND(v_min, 6) AS v_min,
+             ROUND(v_max, 6) AS v_max
+      FROM comp
+    ),
+    tot AS (SELECT SUM(v6) AS tv FROM dims)
+    SELECT dim, n_vecs, mean,
+           CAST(v6 AS DOUBLE) AS variance, v_min, v_max,
+           CAST(CAST(CAST(v6 AS DECIMAL(20,14)) / tv AS DECIMAL(24,6))
+                AS DOUBLE) AS var_share,
+           CASE WHEN CAST(v6 AS DOUBLE) > 0
+                THEN ROUND(ABS(mean) / sqrt(CAST(v6 AS DOUBLE)), 6)
+                ELSE NULL END AS mean_bias,
+           CAST(v6 AS DOUBLE) <= 0.0 AS is_dead
+    FROM dims CROSS JOIN tot
+"""

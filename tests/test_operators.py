@@ -4063,3 +4063,40 @@ def test_lognormal_fit_planted_uniform_and_spread(spark, tmp_path):
         sp["p90_log_gap"]
         - round(round(mu + 1.281552 * sigma, 6) - hi, 6)
     ) < 1e-6
+
+
+def test_embedding_dim_stats_planted_dead_and_biased(spark, tmp_path):
+    """B119 semantics: a planted all-zero dimension reads is_dead with
+    zero variance share; a planted constant-offset dimension reads a
+    large mean_bias; healthy dimensions read neither."""
+    import hashlib as _h
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    rows = []
+    for i in range(50):
+        v = [
+            (_h.md5(f"d{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 0.4
+            for j in range(8)
+        ]
+        v[3] = 0.0                      # dead dim
+        v[5] = 2.0 + v[5] * 0.01        # huge offset, tiny spread
+        rows.append((i, [float(x) for x in v], i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["dim"]: r for r in embedding_dim_stats(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(8))
+    assert all(r["n_vecs"] == 50 for r in out.values())
+    dead = out[3]
+    assert dead["is_dead"] and dead["variance"] == 0.0
+    assert dead["var_share"] == 0.0 and dead["mean_bias"] is None
+    biased = out[5]
+    assert not biased["is_dead"]
+    assert biased["mean_bias"] > 100  # ~2.0 offset over ~0.002 sd
+    healthy = out[0]
+    assert not healthy["is_dead"] and healthy["mean_bias"] < 1
+    assert abs(sum(r["var_share"] for r in out.values()) - 1.0) < 1e-3

@@ -71,6 +71,7 @@ _BNLJ_EXEMPT = {
     "corpus_source_mix",        # broadcast corpus totals scalar
     "corpus_temperature_weights",  # broadcast char-total + weight-total scalars
     "mixture_epoch_plan",       # composes B41's scalars + broadcast token-total
+    "embedding_dim_stats",      # broadcast 1-row variance-total scalar
     "data_quality_report",      # crossJoins of 1-row count aggregates per constraint
     "q11_important_stock",      # broadcast threshold scalar (TPC-H Q11)
     "monthly_unlocked_supply",  # broadcast vesting snapshot
