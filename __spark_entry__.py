@@ -143,6 +143,7 @@ _GATE_PRIORITY: list[str] = [
     "doc_length_lognormal_fit",
     "embedding_dim_stats",
     "pii_exposure_stream_replay",
+    "benford_stream_replay",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

@@ -58,6 +58,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "cohort_stream_replay",
         "receipt_readiness_stream_replay",
         "pii_exposure_stream_replay",
+        "benford_stream_replay",
     }
 )
 
@@ -349,3 +350,58 @@ def _pii_replay_oracle() -> str:
 
 
 ORACLES["pii_exposure_stream_replay"] = _pii_replay_oracle()
+
+
+def benford_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n): the C30 Benford monitor's folded digit counts after
+    replaying the events table as three id-sliced micro-batches over
+    the r8 batch-id-keyed delta log — additive deltas from disjoint
+    slices must converge to the shared benford_digit_counts kernel run
+    in batch (the oracle replicates that kernel over events.value)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        benford_stream,
+        read_stream_benford,
+    )
+
+    base = tempfile.mkdtemp(prefix="benford_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = benford_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("benford replay stream did not finish in 300s")
+        return read_stream_benford(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["benford_stream_replay"] = benford_stream_replay
+
+# the shared benford_digit_counts kernel over events.value, verbatim
+ORACLES["benford_stream_replay"] = """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+      FROM events
+      WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+    )
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM digits GROUP BY digit
+"""
