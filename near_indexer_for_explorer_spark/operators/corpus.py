@@ -3260,7 +3260,8 @@ ORACLES["mixture_epoch_plan"] = f"""
       FROM documents GROUP BY source
     ),
     tot AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_ws FROM tok),
-    grid AS (SELECT * FROM (VALUES (0.5), (1.0), (2.0), (4.0)) g(budget_x))
+    grid AS (SELECT CAST(budget_x AS DOUBLE) AS budget_x
+             FROM (VALUES (0.5), (1.0), (2.0), (4.0)) g(budget_x))
     SELECT g.budget_x, t.source, t.source_tokens, b.p_sampled,
            CAST(FLOOR(g.budget_x * tot.total_ws) AS BIGINT) AS budget_tokens,
            CAST(FLOOR(b.p_sampled * (g.budget_x * tot.total_ws)) AS BIGINT)
