@@ -2129,14 +2129,22 @@ def count_rollup_read(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def compact_count_deltas(
-    spark: SparkSession, out_dir: str, _fail_before_prune: bool = False
+def compact_cell_deltas(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+    _fail_before_prune: bool = False,
 ) -> tuple[int, int]:
-    """Fold-and-replace compaction: write the fold of (base + deltas)
-    as ``base/upto=<max folded batch>``, then prune covered deltas and
-    stale bases.  Write-before-delete: a crash between the two steps
-    leaves a state every read still folds correctly (the new base
-    wins, covered deltas are ignored)."""
+    """Generic C32 fold-and-replace compaction for ANY additive cell
+    delta log (count rollup, trend daily cells, Benford digits, HHI
+    micro-units, PII source cells): fold (base + deltas) grouped on
+    ``key_cols`` with SUM over ``sum_cols`` (each cast back to its
+    declared type), write ``base/upto=<max folded batch>``, then prune
+    covered deltas and stale bases.  Write-before-delete: a crash
+    between the two steps leaves a state every read still folds
+    correctly (the new base wins, covered deltas are ignored), and the
+    prune doubles as the replay-ghost sweep."""
     import glob
     import shutil
 
@@ -2149,13 +2157,11 @@ def compact_count_deltas(
     if delta_ids:
         n_folded = len(srcs)
         new_covered = max(delta_ids)
-        folded = (
-            spark.read.parquet(*srcs)
-            .groupBy("event_type", "event_date")
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.sum("sum_value").cast("decimal(14,2)").alias("sum_value"),
-            )
+        folded = spark.read.parquet(*srcs).groupBy(*key_cols).agg(
+            *[
+                F.sum(c).cast(t).alias(c)
+                for c, t in sum_cols.items()
+            ]
         )
         folded.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "base", f"upto={new_covered}")
@@ -2175,6 +2181,21 @@ def compact_count_deltas(
         os.path.join(out_dir, "base", "upto=*")
     )
     return (n_folded, len(remaining))
+
+
+def compact_count_deltas(
+    spark: SparkSession, out_dir: str, _fail_before_prune: bool = False
+) -> tuple[int, int]:
+    """C32's compaction — the count-rollup instance of
+    :func:`compact_cell_deltas` (kept as a named entry point; the
+    crash-protocol pytest drives it)."""
+    return compact_cell_deltas(
+        spark,
+        out_dir,
+        ["event_type", "event_date"],
+        {"n_events": "long", "sum_value": "decimal(14,2)"},
+        _fail_before_prune=_fail_before_prune,
+    )
 
 
 def count_delta_stream(

@@ -2381,3 +2381,87 @@ def test_pii_exposure_stream_matches_batch_and_replay_safe(
     # the fold is unchanged (batch-id-keyed overwrite semantics)
     foreach_batch_pii_cells(out)(slices[0], 0)
     assert snap() == want
+
+
+def test_cell_delta_compaction_benford_and_pii(spark, sf_dir, tmp_path):
+    """The generic fold-and-replace compaction preserves the fold for
+    the r8 delta-log sinks (Benford digits, PII source cells), and a
+    post-compaction replay ghost (a delta at-or-below the base's
+    coverage) is ignored by construction."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        _PII_CELL_COLS,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        benford_stream,
+        compact_cell_deltas,
+        foreach_batch_benford,
+        foreach_batch_pii_cells,
+        pii_exposure_stream,
+        read_stream_benford,
+        read_stream_pii_exposure,
+    )
+
+    def stage_batches(df, key, src):
+        _os.makedirs(src)
+        slices = []
+        for i in range(3):
+            stage = str(tmp_path / f"{key}_b{i}")
+            part_df = df.where(F.col(df.columns[0]) % 3 == i)
+            slices.append(part_df)
+            part_df.coalesce(1).write.parquet(stage)
+            part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+            dst = _os.path.join(src, f"batch_{i}.parquet")
+            _shutil.copy(part, dst)
+            mt = _time.time() - 10 + i
+            _os.utime(dst, (mt, mt))
+        return slices
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bsrc = str(tmp_path / "bsrc")
+    bslices = stage_batches(ev, "bf", bsrc)
+    bout, bckpt = str(tmp_path / "bout"), str(tmp_path / "bckpt")
+    _await(benford_stream(spark, bsrc, bout, bckpt))
+    want_b = sorted(
+        tuple(r) for r in read_stream_benford(spark, bout).collect()
+    )
+    n_folded, n_left = compact_cell_deltas(
+        spark, bout, ["digit"], {"n": "long"}
+    )
+    assert n_folded == 3 and n_left == 1  # one base, zero live deltas
+    assert sorted(
+        tuple(r) for r in read_stream_benford(spark, bout).collect()
+    ) == want_b
+    # replay ghost at batch 0 (below coverage) is ignored on read
+    foreach_batch_benford(bout)(bslices[0], 0)
+    assert sorted(
+        tuple(r) for r in read_stream_benford(spark, bout).collect()
+    ) == want_b
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    psrc = str(tmp_path / "psrc")
+    pslices = stage_batches(docs, "pi", psrc)
+    pout, pckpt = str(tmp_path / "pout"), str(tmp_path / "pckpt")
+    _await(pii_exposure_stream(spark, psrc, pout, pckpt))
+    want_p = sorted(
+        tuple(r) for r in read_stream_pii_exposure(spark, pout).collect()
+    )
+    compact_cell_deltas(
+        spark, pout, ["source"], {c: "long" for c in _PII_CELL_COLS}
+    )
+    assert sorted(
+        tuple(r) for r in read_stream_pii_exposure(spark, pout).collect()
+    ) == want_p
+    foreach_batch_pii_cells(pout)(pslices[0], 0)
+    assert sorted(
+        tuple(r) for r in read_stream_pii_exposure(spark, pout).collect()
+    ) == want_p
