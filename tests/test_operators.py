@@ -3892,8 +3892,8 @@ def test_frozen_reports_match_fresh_computation(spark, sf_dir):
     from near_indexer_for_explorer_spark.operators.similarity import (
         _IVF_ITERS,
         _IVF_K,
-        _IVF_TRAIN_MOD,
         _kmeans_centroids,
+        _train_mod,
         _vectors,
         ivf_assignments,
         ivf_list_balance,
@@ -3939,7 +3939,7 @@ def test_frozen_reports_match_fresh_computation(spark, sf_dir):
         for r in ivf_list_balance(spark, sf_dir).collect()
     )
     e = _vectors(spark, sf_dir)
-    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
     cents = _kmeans_centroids(
         train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
     )
@@ -4100,3 +4100,44 @@ def test_embedding_dim_stats_planted_dead_and_biased(spark, tmp_path):
     healthy = out[0]
     assert not healthy["is_dead"] and healthy["mean_bias"] < 1
     assert abs(sum(r["var_share"] for r in out.values()) - 1.0) < 1e-3
+
+
+def test_ivf_train_mod_caps_training_sample(spark, sf_dir, monkeypatch):
+    """r9 scale fix (r8 verdict #2): the k-means training-sample
+    modulus is derived from the corpus rowcount, so the training set
+    plateaus at ~_IVF_TRAIN_CAP rows instead of staying a constant
+    fraction of the corpus.  Pure-function bounds first, then the
+    capped branch end-to-end: with the cap monkeypatched down, the
+    registered quantizer chain must train on the LARGER modulus (the
+    plan picks up the derived value, not a baked constant)."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators import similarity as sim
+
+    # floor at test scale: every historical oracle value is unchanged
+    assert sim.ivf_train_mod(500) == 5
+    assert sim.ivf_train_mod(5 * sim._IVF_TRAIN_CAP) == 5
+    # the cap binds past the floor: training rows ~= _IVF_TRAIN_CAP
+    assert sim.ivf_train_mod(10**9) == 10**9 // sim._IVF_TRAIN_CAP
+    rows = 10**9
+    mod = sim.ivf_train_mod(rows)
+    assert rows // mod <= sim._IVF_TRAIN_CAP
+    assert rows // mod >= sim._IVF_TRAIN_CAP // 2
+
+    # capped branch e2e: 500 vectors, cap 50 -> mod 10 (not the floor 5)
+    monkeypatch.setattr(sim, "_IVF_TRAIN_CAP", 50)
+    assert sim._train_mod(sf_dir) == 10
+    e = sim._vectors(spark, sf_dir)
+    expected = sim._kmeans_centroids(
+        e.where(F.col("vec_id") % 10 == 0).select("vec_id", "emb"),
+        sim._IVF_K,
+        sim._IVF_ITERS,
+    )
+    got = sim._topic_centroids(spark, sf_dir)
+    exp_rows = sorted(
+        (r["centroid_id"], tuple(r["c_emb"])) for r in expected.collect()
+    )
+    got_rows = sorted(
+        (r["centroid_id"], tuple(r["c_emb"])) for r in got.collect()
+    )
+    assert got_rows == exp_rows and len(got_rows) == sim._IVF_K

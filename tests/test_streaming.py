@@ -711,8 +711,8 @@ def test_stream_ivf_ingest_matches_batch(spark, sf_dir, tmp_path):
     from near_indexer_for_explorer_spark.operators.similarity import (
         _IVF_ITERS,
         _IVF_K,
-        _IVF_TRAIN_MOD,
         _kmeans_centroids,
+        _train_mod,
         _vectors,
         ivf_assignments,
     )
@@ -722,7 +722,7 @@ def test_stream_ivf_ingest_matches_batch(spark, sf_dir, tmp_path):
     )
 
     e = _vectors(spark, sf_dir)
-    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
     cents_df = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
     centroids = [(r["centroid_id"], list(r["c_emb"])) for r in cents_df.collect()]
 
@@ -951,8 +951,8 @@ def test_stream_recall_monitor_matches_batch(spark, sf_dir, tmp_path):
     from near_indexer_for_explorer_spark.operators.similarity import (
         _IVF_ITERS,
         _IVF_K,
-        _IVF_TRAIN_MOD,
         _kmeans_centroids,
+        _train_mod,
         _vectors,
     )
     from near_indexer_for_explorer_spark.sources.tables import load_table
@@ -963,7 +963,7 @@ def test_stream_recall_monitor_matches_batch(spark, sf_dir, tmp_path):
     )
 
     e = _vectors(spark, sf_dir)
-    train = e.where(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
     cents_df = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
     centroids = [(r["centroid_id"], list(r["c_emb"])) for r in cents_df.collect()]
 
