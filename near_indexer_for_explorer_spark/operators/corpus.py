@@ -1066,7 +1066,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, keep, reason): final per-document corpus decision from
     exact dedup, near-dup clustering, and the quality filter."""
     from near_indexer_for_explorer_spark.operators.dedup import (
-        dedup_components,
+        components_view,
         dedup_exact_docs,
     )
     from near_indexer_for_explorer_spark.operators.textops import (
@@ -1084,7 +1084,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit("exact_dup").alias("r1"))
     )
     near_drop = (
-        dedup_components(spark, sf_dir)
+        components_view(spark, sf_dir)
         .where(~F.col("is_representative"))
         .select("doc_id", F.lit("near_dup").alias("r2"))
     )

@@ -680,11 +680,48 @@ ORACLES["dedup_simhash"] = _simhash_oracle_sql()
 _CC_ROUNDS = 4
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, component_id, is_representative) for EVERY document:
-    component_id = min doc_id reachable within _CC_ROUNDS hops over the
-    verified MinHash-LSH duplicate-pair graph (singletons map to
-    themselves)."""
+def propagate_components(
+    nodes: DataFrame, edges: DataFrame, rounds: int = _CC_ROUNDS
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set: ``rounds``
+    rounds of (edge join -> min -> least), returning (doc_id, label,
+    label_prev) where label_prev is the label ENTERING the final
+    round.  label == label_prev for every row iff the final round was
+    a no-op — i.e. the fixpoint was reached within rounds-1 hops and
+    the labels are the TRUE components, not a truncation artifact.
+    Factored out of dedup_components so the convergence census is
+    testable on planted graphs (a diameter-5 chain must report
+    non-convergence at rounds=4)."""
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for i in range(rounds):
+        nmin = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
+        if i == rounds - 1:
+            labels = labels.join(nmin, "doc_id", "left").select(
+                "doc_id",
+                F.col("label").alias("label_prev"),
+                new_label.alias("label"),
+            )
+        else:
+            labels = labels.join(nmin, "doc_id", "left").select(
+                "doc_id", new_label.alias("label")
+            )
+    return labels
+
+
+def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, label_prev): the propagated labels WITHOUT the
+    census crossJoin — the composition entry point (B42 keep-list, the
+    frozen B73/B94 builds) so composers don't inherit B20's broadcast
+    census join in their plans."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_1", "doc_id_2")
     edges = pairs.select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
@@ -697,26 +734,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates the lineage (so round N's plan doesn't nest N copies)
     # and is exactly what the 100 TB loop needs per-round anyway.
     edges = edges.localCheckpoint(eager=False)
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    return propagate_components(nodes, edges, _CC_ROUNDS)
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, is_representative, converged) for EVERY
+    document: component_id = min doc_id reachable within _CC_ROUNDS
+    hops over the verified MinHash-LSH duplicate-pair graph (singletons
+    map to themselves).  ``converged`` (r8 verdict #6) is a GLOBAL
+    census — TRUE iff no label changed in the final round, i.e. the
+    labels are the exact connected components rather than a
+    diameter-truncation artifact; the oracle asserts it TRUE at the
+    test SFs and a planted diameter-5 chain pytest shows it flip."""
+    labels = _components_labels(spark, sf_dir).localCheckpoint(eager=False)
+    # one boolean row, broadcast back onto every output row: the
+    # changed-in-last-round census costs one map-combinable aggregate
+    # over the O(docs) skinny label relation — cheap at any scale
+    flag = labels.agg(
+        F.bool_and(F.col("label") == F.col("label_prev")).alias("converged")
     )
-    for _ in range(_CC_ROUNDS):
-        nmin = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
-            )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = labels.join(nmin, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
-    return labels.select(
+    return labels.crossJoin(F.broadcast(flag)).select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_representative"),
+        "converged",
+    )
+
+
+def components_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, is_representative): the censusless
+    3-column projection composers join against."""
+    return _components_labels(spark, sf_dir).select(
         "doc_id",
         F.col("label").alias("component_id"),
         (F.col("doc_id") == F.col("label")).alias("is_representative"),
@@ -742,6 +791,9 @@ def _components_oracle_sql() -> str:
     )"""
         )
         prev = f"l{i}"
+    # the converged census compares the final round against the one
+    # before it: BOOL_AND(no label changed) == the loop was a no-op
+    before = f"l{_CC_ROUNDS - 1}"
     return f"""
     WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
     edges AS (
@@ -750,9 +802,14 @@ def _components_oracle_sql() -> str:
       SELECT doc_id_2, doc_id_1 FROM pairs
     ),
     l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-    {','.join(rounds)}
-    SELECT doc_id, label AS component_id, doc_id = label AS is_representative
-    FROM {prev}
+    {','.join(rounds)},
+    flag AS (
+      SELECT BOOL_AND(a.label = b.label) AS converged
+      FROM {prev} a JOIN {before} b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, label AS component_id, doc_id = label AS is_representative,
+           converged
+    FROM {prev}, flag
     """
 
 
@@ -2402,7 +2459,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b20_components",
         spark,
         sf_dir,
-        lambda: (dedup_components(spark, sf_dir),),
+        lambda: (components_view(spark, sf_dir),),
     )
     comp = comp_all.select("doc_id", "component_id")
     q = text_quality(spark, sf_dir).select(
@@ -2772,7 +2829,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b20_components",
         spark,
         sf_dir,
-        lambda: (dedup_components(spark, sf_dir),),
+        lambda: (components_view(spark, sf_dir),),
     )
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

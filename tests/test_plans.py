@@ -124,6 +124,7 @@ _BNLJ_EXEMPT = {
     "weekly_amount_drift",      # broadcast decile-boundary + totals scalars + bucket spine
     "lsh_bucket_balance",       # broadcast 1-row corpus-total scalar
     "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
+    "dedup_components",         # broadcast 1-row converged-census boolean
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ann_rerank_int8",          # int8 coarse scan is the declared all-pairs leg

@@ -397,3 +397,41 @@ def test_banded_edit_distance_property(spark, pairs):
             assert r["banded"] == r["full"], (a, b, dict(r.asDict()))
         else:
             assert r["banded"] == _BAND_K + 1, (a, b, dict(r.asDict()))
+
+
+def test_components_convergence_census(spark):
+    """The B20 `converged` flag is a hash-checked census, not an
+    assumption (r8 verdict #6): on a diameter-5 chain, 4 rounds of
+    min-label propagation still change labels in the final round ->
+    converged FALSE (and the truncated labels are visibly wrong for
+    the chain tail); on a triangle the fixpoint lands in round 1 ->
+    converged TRUE and labels exact."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        propagate_components,
+    )
+
+    def run(edge_pairs, n_nodes):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n_nodes)], "doc_id long"
+        )
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in edge_pairs] + [(b, a) for a, b in edge_pairs],
+            "src long, dst long",
+        )
+        labels = propagate_components(nodes, edges, rounds=4)
+        rows = {r["doc_id"]: (r["label"], r["label_prev"]) for r in labels.collect()}
+        converged = all(lab == prev for lab, prev in rows.values())
+        return rows, converged
+
+    # path 0-1-2-3-4-5: node 5 is 5 hops from the min label 0
+    rows, converged = run([(i, i + 1) for i in range(5)], 6)
+    assert not converged
+    assert rows[5][0] != 0  # the truncation artifact the census flags
+    assert rows[4][0] == 0
+
+    # triangle {0,1,2} + singleton 3: fixpoint within one round
+    rows, converged = run([(0, 1), (1, 2), (0, 2)], 4)
+    assert converged
+    assert {d: lab for d, (lab, _) in rows.items()} == {0: 0, 1: 0, 2: 0, 3: 3}
