@@ -24,6 +24,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from near_indexer_for_explorer_spark.functions.dims import (
+    dim_join,
+    vocab_dims_fit,
+)
 from near_indexer_for_explorer_spark.functions.text import tokens, word_shingles
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
@@ -546,9 +550,10 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    fits = vocab_dims_fit(sf_dir)
     return (
-        sp.join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        sp.join(dim_join(a, fits), "w1")
+        .join(dim_join(b, fits), "w2")
         .crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(n2))
         .select(
@@ -692,7 +697,7 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        tok.join(F.broadcast(train_counts), "token", "left")
+        tok.join(dim_join(train_counts, vocab_dims_fit(sf_dir)), "token", "left")
         .crossJoin(F.broadcast(totals))
         .select("doc_id", "split", lp.alias("lp"))
         .groupBy("doc_id", "split")
@@ -1557,10 +1562,11 @@ def bigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.log(F.lit(_BACKOFF_ALPHA) * p_uni)),
         6,
     )
+    fits = vocab_dims_fit(sf_dir)
     return (
         pairs.join(bc, ["prev", "cur"], "left")
-        .join(F.broadcast(tprev), "prev", "left")
-        .join(F.broadcast(tcur), "cur", "left")
+        .join(dim_join(tprev, fits), "prev", "left")
+        .join(dim_join(tcur, fits), "cur", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
@@ -2082,10 +2088,11 @@ def kneser_ney_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen_ctx = F.col("prev").isNotNull() & F.col("cpm").isNotNull()
     lp = F.round(F.log(F.when(seen_ctx, pkn).otherwise(pcont)), 6)
     hit = (F.col("prev").isNotNull() & F.col("cb").isNotNull()).cast("int")
+    fits = vocab_dims_fit(sf_dir)
     return (
         pairs.join(train_bi, ["prev", "cur"], "left")
-        .join(F.broadcast(prev_marg), "prev", "left")
-        .join(F.broadcast(cont), "cur", "left")
+        .join(dim_join(prev_marg, fits), "prev", "left")
+        .join(dim_join(cont, fits), "cur", "left")
         .crossJoin(F.broadcast(totals))
         .select("doc_id", "split", lp.alias("lp"), hit.alias("hit"))
         .groupBy("doc_id", "split")
@@ -2826,10 +2833,11 @@ def skipgram_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    fits = vocab_dims_fit(sf_dir)
     return (
         cp.where(F.col("c_pair") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        .join(dim_join(a, fits), "w1")
+        .join(dim_join(b, fits), "w2")
         .crossJoin(F.broadcast(n))
         .select("w1", "w2", "c_pair", "marg_w1", "marg_w2", pmi.alias("pmi"))
     )

@@ -248,9 +248,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast back) -> window top-k.
 
     Scale notes: two aggregations on naturally-partitioned keys; the
-    document-frequency table is vocabulary-sized and broadcasts.  The
-    tf*idf product is a per-row double op (identical across engines);
-    ROUND(,6) before ranking keeps the top-k stable."""
+    document-frequency table is VOCABULARY-sized, so its join is
+    size-gated (functions/dims.py): broadcast while the corpus is
+    under the gate, plain shuffle equi-join on term above it — an
+    unconditional broadcast of a 100 TB corpus's vocabulary would be
+    a multi-GB relation on every executor.  The tf*idf product is a
+    per-row double op (identical across engines); ROUND(,6) before
+    ranking keeps the top-k stable."""
+    from near_indexer_for_explorer_spark.functions.dims import (
+        dim_join,
+        vocab_dims_fit,
+    )
+
+    fits = vocab_dims_fit(sf_dir)
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     tok = docs.select("doc_id", F.explode(F.col("t")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -259,7 +269,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no driver-side action, the whole query stays one self-contained plan.
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(dim_join(df, fits), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -554,3 +554,51 @@ def test_receipt_readiness_join_is_unhinted(spark, sf_dir):
         .toString()
     )
     assert "broadcast" not in logical.lower()
+
+
+def test_vocab_dim_broadcast_gate_both_branches(spark, sf_dir, monkeypatch):
+    """r9 scale fix (r8 verdict #1): vocabulary-keyed dims broadcast
+    only under the corpus-size gate; above it the SAME query plans the
+    dim join as a shuffle equi-join (no executor ever has to hold a
+    100 TB corpus's vocabulary whole).  Pin both physical branches per
+    family and prove result parity between them."""
+    from near_indexer_for_explorer_spark.functions import dims
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        kneser_ney_bigram_xent,
+        token_bigram_pmi,
+        unigram_xent,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    families = [tfidf_top_terms, token_bigram_pmi, unigram_xent,
+                kneser_ney_bigram_xent]
+
+    # small branch: the dim join must be a BroadcastHashJoin
+    assert dims.vocab_dims_fit(sf_dir)
+    small_plans = {}
+    small_rows = {}
+    for fn in families:
+        df = fn(spark, sf_dir)
+        small_plans[fn.__name__] = _formatted_plan(spark, df)
+        small_rows[fn.__name__] = sorted(map(tuple, df.collect()), key=repr)
+        assert "BroadcastHashJoin" in small_plans[fn.__name__], fn.__name__
+
+    # large branch: gate forced shut; disable auto-broadcast so the
+    # compile-time plan shows the strategy the hint no longer forces
+    monkeypatch.setattr(dims, "VOCAB_BROADCAST_MAX_DOCS", 0)
+    assert not dims.vocab_dims_fit(sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in families:
+            df = fn(spark, sf_dir)
+            plan = _formatted_plan(spark, df)
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+                fn.__name__
+            )
+            rows = sorted(map(tuple, df.collect()), key=repr)
+            assert rows == small_rows[fn.__name__], fn.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
