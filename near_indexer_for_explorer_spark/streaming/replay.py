@@ -59,6 +59,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "receipt_readiness_stream_replay",
         "pii_exposure_stream_replay",
         "benford_stream_replay",
+        "hll_distinct_stream_replay",
     }
 )
 
@@ -404,4 +405,101 @@ ORACLES["benford_stream_replay"] = """
     )
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
     FROM digits GROUP BY digit
+"""
+
+
+# Spark hll_sketch_agg default lgConfigK = 12 -> relative standard
+# error ~= 1.04 / sqrt(2^12); the contract verdict allows 3x (the A54
+# approx_distinct_contract discipline).
+_HLL_SKETCH_RSE = 1.04 / (2 ** (12 / 2))
+
+
+def hll_distinct_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_exact, stream_within_3rse, stream_equals_batch):
+    the C28 idempotent-merge HLL sink's folded state after replaying
+    the events table as three id-sliced micro-batches, projected onto
+    its accuracy contract (r8 verdict #4 — the first driver gate for
+    the register-max streaming family; C20/C38's replay-twin
+    discipline applied to an algebra whose values DuckDB cannot
+    reproduce).
+
+    Two verdict columns, both deterministic facts of this dataset:
+    `stream_equals_batch` asserts the union-fold of per-batch sketch
+    deltas equals the ONE-SHOT batch sketch estimate exactly (HLL
+    register state is a pure function of the key SET — register-wise
+    max over any partition of it is the one-shot state, so replayed or
+    re-sharded deltas merge away); `stream_within_3rse` asserts the
+    folded estimate sits within 3x the sketch's relative standard
+    error of the exact distinct count.  The oracle recomputes n_exact
+    and asserts both verdicts literally TRUE, so a hash match
+    certifies the exact leg AND both contracts."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        hll_distinct_read,
+        hll_distinct_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="hll_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = hll_distinct_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("hll replay stream did not finish in 300s")
+        folded = hll_distinct_read(spark, out)
+        batch = ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "batch_est"
+            ),
+            F.count_distinct("user_id").cast("long").alias("n_exact"),
+        )
+        rel_err = (
+            F.abs(F.col("approx_distinct_users") - F.col("n_exact")).cast(
+                "double"
+            )
+            / F.col("n_exact")
+        )
+        return (
+            folded.join(batch, "event_type")
+            .select(
+                "event_type",
+                "n_exact",
+                (rel_err <= F.lit(3 * _HLL_SKETCH_RSE)).alias(
+                    "stream_within_3rse"
+                ),
+                (F.col("approx_distinct_users") == F.col("batch_est")).alias(
+                    "stream_equals_batch"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["hll_distinct_stream_replay"] = hll_distinct_stream_replay
+
+# the contract projection over the same events table: the exact leg
+# plus both verdicts asserted literally TRUE
+ORACLES["hll_distinct_stream_replay"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS stream_within_3rse,
+           TRUE AS stream_equals_batch
+    FROM events GROUP BY 1
 """
