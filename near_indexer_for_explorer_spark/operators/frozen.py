@@ -10,8 +10,16 @@ valid verbatim.
 
 Production shape at 100 TB: these artifacts are written once to the
 lake (parquet) and served many times; the in-session memo is the
-local[*] stand-in for that persisted-artifact read, sized by the
-artifact (signatures/codebooks), never by the corpus.
+local[*] stand-in for that persisted-artifact read.  Most artifacts
+are sized by the MODEL (signatures/codebooks); four are CORPUS-GRAIN
+skinny relations (frozen quality metrics, B20 component labels, B3
+verified pairs, IVF list assignments — a handful of narrow columns
+per document/vector, the same relations a deployment would persist to
+the lake).  localCheckpoint stores them MEMORY_AND_DISK, so an
+artifact that outgrows executor storage spills rather than OOMs; at
+true 100 TB scale the persist_artifacts/load_artifacts path below is
+the intended home for the corpus-grain four, with the memo holding
+only the parquet-backed reads.
 
 Contract: the data under ``sf_dir`` is immutable within a session —
 a rewrite mid-session would serve results from a stale frozen

@@ -1862,7 +1862,15 @@ def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in LOG SPACE: exp() is not correctly-rounded libm and a JVM
     vs libc 1-ULP disagreement was measured flipping a round-6 digit
     at sf0.01 — mu + z*sigma is pure arithmetic, so the log-space form
-    is engine-exact (the gap reads as a relative gap)."""
+    is engine-exact (the gap reads as a relative gap).
+
+    Residual exposure (r8 advice): ln() itself carries the same 1-ULP
+    libm freedom — the per-row x6 and the emp_p90 log still evaluate
+    ln() in both engines, so a value landing within one ULP of a 5e-7
+    rounding boundary could in principle flip a round-6 digit
+    cross-engine.  Never observed across all SFs/seeds tested; if it
+    ever flakes, coarsen the pre-decimal rounding to 5 digits (widens
+    the boundary margin ~10x) rather than chasing libm."""
     from near_indexer_for_explorer_spark.functions.percentiles import (
         exact_percentiles_fit,
         gated_percentile,

@@ -1891,6 +1891,10 @@ def foreach_batch_trend_rollup(out_dir: str) -> Callable[[DataFrame, int], None]
         daily_value_rollup(batch_df).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["event_type", "d"],
+            {"y": "decimal(14,2)"},
+        )
 
     return sink
 
@@ -1917,9 +1921,8 @@ def read_stream_trend(spark: SparkSession, out_dir: str) -> DataFrame:
         trend_from_daily,
     )
 
-    srcs, _ = _count_delta_sources(out_dir)
     daily = (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, TREND_CELL_SCHEMA)
         .groupBy("event_type", "d")
         .agg(F.sum("y").cast("decimal(14,2)").alias("y"))
     )
@@ -1944,6 +1947,9 @@ def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
         benford_digit_counts(batch_df, "value").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["digit"], {"n": "long"}
+        )
 
     return sink
 
@@ -1951,9 +1957,8 @@ def foreach_batch_benford(out_dir: str) -> Callable[[DataFrame, int], None]:
 def read_stream_benford(spark: SparkSession, out_dir: str) -> DataFrame:
     """The C30 read path: fold the digit-count delta log to the
     9-row-bounded (digit, n) state."""
-    srcs, _ = _count_delta_sources(out_dir)
     return (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, BENFORD_CELL_SCHEMA)
         .groupBy("digit")
         .agg(F.sum("n").cast("long").alias("n"))
     )
@@ -2005,6 +2010,10 @@ def foreach_batch_hhi_cells(
         market_cells(batch_df, part_df).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["p_type", "l_suppkey"],
+            {"micros": "decimal(19,0)"},
+        )
 
     return sink
 
@@ -2042,9 +2051,8 @@ def read_stream_hhi(spark: SparkSession, out_dir: str) -> DataFrame:
         hhi_from_cells,
     )
 
-    srcs, _ = _count_delta_sources(out_dir)
     cells = (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, HHI_CELL_SCHEMA)
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum("micros").cast("decimal(19,0)").alias("micros"))
     )
@@ -2092,6 +2100,10 @@ def foreach_batch_count_deltas(out_dir: str) -> Callable[[DataFrame, int], None]
         deltas.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "deltas", f"batch={batch_id}")
         )
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["event_type", "event_date"],
+            {"n_events": "long", "sum_value": "decimal(14,2)"},
+        )
 
     return sink
 
@@ -2114,13 +2126,71 @@ def _count_delta_sources(out_dir: str) -> tuple[list[str], int]:
     return srcs, covered
 
 
+# Sink-driven compaction cadence (r8 advice): without it the delta log
+# grows one parquet directory per micro-batch FOREVER in an unattended
+# deployment — read cost and small-file count unbounded.  Each additive
+# sink calls _maybe_auto_compact after writing its delta; when the
+# uncovered-delta count crosses the threshold, the C32 fold-and-replace
+# runs inline.  Safe inside foreachBatch: the protocol tolerates a
+# crash at any point (write-before-delete; the reader prefers the
+# newest base and ignores covered deltas), and a crash-replayed batch
+# rewrites an already-covered delta that the next prune sweeps.
+_AUTO_COMPACT_EVERY = 64
+
+
+def _maybe_auto_compact(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+) -> None:
+    srcs, _ = _count_delta_sources(out_dir)
+    n_deltas = sum(1 for s in srcs if f"{os.sep}deltas{os.sep}" in s)
+    if n_deltas >= _AUTO_COMPACT_EVERY:
+        compact_cell_deltas(spark, out_dir, key_cols, sum_cols)
+
+
+def _read_delta_log(
+    spark: SparkSession, out_dir: str, empty_schema: str
+) -> DataFrame:
+    """Fold sources of a delta log, or an EMPTY frame with the log's
+    schema when no batch has committed yet (r8 advice: a fresh out_dir
+    used to hand spark.read.parquet an empty path list and surface a
+    confusing reader error instead of empty state)."""
+    srcs, _ = _count_delta_sources(out_dir)
+    if not srcs:
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(*srcs)
+
+
+# one declared schema per additive cell log: the empty-read frame and
+# the compaction spec must match what the sink actually writes
+TREND_CELL_SCHEMA = "event_type string, d date, y decimal(14,2)"
+BENFORD_CELL_SCHEMA = "digit int, n long"
+HHI_CELL_SCHEMA = "p_type string, l_suppkey bigint, micros decimal(19,0)"
+COUNT_CELL_SCHEMA = (
+    "event_type string, event_date date, n_events long, "
+    "sum_value decimal(14,2)"
+)
+PII_CELL_SCHEMA = (
+    "source string, n_docs long, docs_with_pii long, n_emails long, "
+    "n_urls long, n_ipv4 long, n_phones long, docs_with_email long, "
+    "docs_with_url long, docs_with_ipv4 long, docs_with_phone long"
+)
+READINESS_INPUT_SCHEMA = "receipt_id long, o_orderpriority string, data_id long"
+READINESS_PRODUCED_SCHEMA = "data_id long"
+OPENS_CELL_SCHEMA = "day date, n_opened long"
+CLOSES_CELL_SCHEMA = "l_orderkey long, close_d date"
+MIX_CELL_SCHEMA = "w long, event_type string, obs long"
+AMOUNT_CELL_SCHEMA = "w long, bucket long, n long"
+
+
 def count_rollup_read(spark: SparkSession, out_dir: str) -> DataFrame:
     """(event_type, event_date, n_events, sum_value): the fold of the
     newest base snapshot + uncovered deltas — exactly the batch
     rollup over everything ingested."""
-    srcs, _ = _count_delta_sources(out_dir)
     return (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, COUNT_CELL_SCHEMA)
         .groupBy("event_type", "event_date")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
@@ -2234,6 +2304,10 @@ def foreach_batch_backlog_opens(out_dir: str) -> Callable[[DataFrame, int], None
         deltas.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "opens", "deltas", f"batch={batch_id}")
         )
+        _maybe_auto_compact(
+            batch_df.sparkSession, os.path.join(out_dir, "opens"),
+            ["day"], {"n_opened": "long"},
+        )
 
     return sink
 
@@ -2288,14 +2362,19 @@ def read_stream_backlog(spark: SparkSession, out_dir: str) -> DataFrame:
         backlog_from_deltas,
     )
 
-    srcs, _ = _count_delta_sources(os.path.join(out_dir, "opens"))
     opened = (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, os.path.join(out_dir, "opens"), OPENS_CELL_SCHEMA)
         .groupBy("day")
         .agg(F.sum("n_opened").cast("long").alias("n_opened"))
     )
+    closes_dir = os.path.join(out_dir, "closes")
+    closes_raw = (
+        spark.read.parquet(closes_dir)
+        if os.path.isdir(closes_dir)
+        else spark.createDataFrame([], CLOSES_CELL_SCHEMA)
+    )
     closes = (
-        spark.read.parquet(os.path.join(out_dir, "closes"))
+        closes_raw
         .groupBy("l_orderkey")
         .agg(F.max("close_d").alias("close_d"))
     )
@@ -2516,6 +2595,10 @@ def foreach_batch_mix_cells(out_dir: str) -> Callable[[DataFrame, int], None]:
         deltas.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "deltas", f"batch={batch_id}")
         )
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["w", "event_type"],
+            {"obs": "long"},
+        )
 
     return sink
 
@@ -2541,9 +2624,8 @@ def read_stream_mix_drift(spark: SparkSession, out_dir: str) -> DataFrame:
         mix_drift_from_cells,
     )
 
-    srcs, _ = _count_delta_sources(out_dir)
     cells = (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, MIX_CELL_SCHEMA)
         .groupBy("w", "event_type")
         .agg(F.sum("obs").cast("long").alias("obs"))
     )
@@ -2599,6 +2681,9 @@ def foreach_batch_amount_cells(
         deltas.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "deltas", f"batch={batch_id}")
         )
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["w", "bucket"], {"n": "long"}
+        )
 
     return sink
 
@@ -2631,9 +2716,8 @@ def read_stream_amount_drift(spark: SparkSession, out_dir: str) -> DataFrame:
     """(week_start, n_orders, ks_stat, drifted): each week's ECDF vs
     the frozen reference's uniform 1/10-per-bucket ECDF, from the
     folded cells."""
-    srcs, _ = _count_delta_sources(out_dir)
     cells = (
-        spark.read.parquet(*srcs)
+        _read_delta_log(spark, out_dir, AMOUNT_CELL_SCHEMA)
         .groupBy("w", "bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
@@ -2751,10 +2835,14 @@ def read_stream_receipt_readiness(spark: SparkSession, out_dir: str) -> DataFram
         readiness_from_edges,
     )
 
-    in_srcs, _ = _count_delta_sources(os.path.join(out_dir, "inputs"))
-    pr_srcs, _ = _count_delta_sources(os.path.join(out_dir, "produced"))
     return readiness_from_edges(
-        spark.read.parquet(*in_srcs), spark.read.parquet(*pr_srcs)
+        _read_delta_log(
+            spark, os.path.join(out_dir, "inputs"), READINESS_INPUT_SCHEMA
+        ),
+        _read_delta_log(
+            spark, os.path.join(out_dir, "produced"),
+            READINESS_PRODUCED_SCHEMA,
+        ),
     )
 
 
@@ -2778,6 +2866,16 @@ def foreach_batch_pii_cells(out_dir: str) -> Callable[[DataFrame, int], None]:
         pii_source_cells(batch_df).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            batch_df.sparkSession,
+            out_dir,
+            ["source"],
+            {c: "long" for c in (
+                "n_docs", "docs_with_pii", "n_emails", "n_urls", "n_ipv4",
+                "n_phones", "docs_with_email", "docs_with_url",
+                "docs_with_ipv4", "docs_with_phone",
+            )},
+        )
 
     return sink
 
@@ -2802,5 +2900,6 @@ def read_stream_pii_exposure(spark: SparkSession, out_dir: str) -> DataFrame:
         pii_report_from_cells,
     )
 
-    srcs, _ = _count_delta_sources(out_dir)
-    return pii_report_from_cells(spark.read.parquet(*srcs))
+    return pii_report_from_cells(
+        _read_delta_log(spark, out_dir, PII_CELL_SCHEMA)
+    )

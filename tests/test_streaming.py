@@ -2465,3 +2465,53 @@ def test_cell_delta_compaction_benford_and_pii(spark, sf_dir, tmp_path):
     assert sorted(
         tuple(r) for r in read_stream_pii_exposure(spark, pout).collect()
     ) == want_p
+
+
+def test_delta_log_auto_compaction_and_empty_reads(
+    spark, sf_dir, event_batches, tmp_path, monkeypatch
+):
+    """r8 advice: (1) the additive-cell sinks trigger the C32
+    fold-and-replace THEMSELVES once the uncovered-delta count crosses
+    the cadence knob — an unattended deployment's log stays bounded
+    without an operator runbook hook; (2) a read of a FRESH out_dir
+    (no batch committed yet) returns an empty frame with the log's
+    schema instead of a reader error."""
+    import glob as _glob
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_daily_trend,
+    )
+    from near_indexer_for_explorer_spark.streaming import pipelines as pl
+
+    # (2) fresh-dir reads: empty, correctly-shaped, no error
+    fresh = str(tmp_path / "fresh")
+    assert pl.read_stream_trend(spark, fresh).count() == 0
+    benford_empty = pl.read_stream_benford(spark, fresh)
+    assert benford_empty.columns == ["digit", "n"]
+    assert benford_empty.count() == 0
+    assert pl.read_stream_hhi(spark, fresh).count() == 0
+    pii_empty = pl.read_stream_pii_exposure(spark, fresh)
+    assert pii_empty.count() == 0 and "pii_doc_rate" in pii_empty.columns
+    assert pl.read_stream_mix_drift(spark, fresh).count() == 0
+    assert pl.read_stream_amount_drift(spark, fresh).count() == 0
+    assert pl.read_stream_backlog(spark, fresh).count() == 0
+    assert pl.count_rollup_read(spark, fresh).count() == 0
+    assert pl.read_stream_receipt_readiness(spark, fresh).count() == 0
+
+    # (1) cadence 1: every batch write folds the log into a base
+    monkeypatch.setattr(pl, "_AUTO_COMPACT_EVERY", 1)
+    out = str(tmp_path / "trend_out")
+    _await(pl.trend_stream(spark, event_batches, out, str(tmp_path / "ck")))
+    bases = _glob.glob(out + "/base/upto=*")
+    deltas = _glob.glob(out + "/deltas/batch=*")
+    assert len(bases) == 1  # stale bases pruned, newest kept
+    assert len(deltas) <= 1  # covered deltas pruned as they fold
+    got = {
+        r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
+        for r in pl.read_stream_trend(spark, out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_days"], r["slope"], r["intercept"], r["r2"])
+        for r in events_daily_trend(spark, sf_dir).collect()
+    }
+    assert got == want
