@@ -113,7 +113,11 @@ _GATE_PRIORITY: list[str] = [
     "cluster_silhouette",
     "topic_cluster_terms",
     "embedding_split_drift",
-    "ann_recall_matrix",
+    # new in r9: the real-codec multimodal roundtrip (stdlib PNG) —
+    # a brand-new oracle query outranks an 8th re-gate; the recall-
+    # matrix oracle's train-mod change is the same expression the
+    # seven quantizer queries above already prove
+    "multimodal_png_roundtrip",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

@@ -210,6 +210,9 @@ EXTRA = [
     "mixture_epoch_plan",
     "doc_length_lognormal_fit",
     "embedding_dim_stats",
+    # round 9 additions: the real-codec multimodal pipeline (stdlib
+    # PNG encode -> inflate+unfilter decode inside one Arrow kernel)
+    "multimodal_png_roundtrip",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -46,9 +46,15 @@ def make_decode_kernel(backend: str = "stub") -> Callable[[Iterator], Iterator]:
         (the C15 live-PostgreSQL precedent).
       - ``"auto"``  — ``"pil"`` when importable, else ``"stub"``
         (the opportunistic production default).
+      - ``"png"``   — REAL pixel decode of PNG payloads on stdlib only
+        (zlib inflate + per-scanline unfilter; see _png_codec below) —
+        the real-media branch that runs in ANY environment, including
+        this network-blocked sandbox.  Raises on non-PNG payloads by
+        design (a media pipeline routes by mime type).
     """
-    if backend not in ("stub", "pil", "auto"):
+    if backend not in ("stub", "pil", "auto", "png"):
         raise ValueError(f"unknown decode backend {backend!r}")
+    png_decode = _png_codec()[1] if backend == "png" else None
 
     def decode_binary_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -90,12 +96,26 @@ def make_decode_kernel(backend: str = "stub") -> Callable[[Iterator], Iterator]:
                 "decode_backend": "stub",
             }
 
+        def decode_png(payload: bytes) -> dict:
+            # Real decode (stdlib): pixel mean over every decoded
+            # sample after inflate + unfilter — same columns, 'png' tag
+            head = payload[:4].ljust(4, b"\0")
+            _, _, px = png_decode(payload)
+            return {
+                "byte_len": len(payload),
+                "header_u32": int.from_bytes(head, "big"),
+                "fake_mean_byte": (sum(px) / len(px)) if px else 0.0,
+                "decode_backend": "png",
+            }
+
         if backend == "pil" and not have_pil:
             raise ImportError(
                 "decode backend 'pil' requested but Pillow is not installed"
             )
         use_real = backend == "pil" or (backend == "auto" and have_pil)
         decode = decode_real if use_real else decode_stub
+        if backend == "png":
+            decode = decode_png
         for pdf in batches:
             feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
@@ -557,3 +577,209 @@ def _feature_stats_oracle_sql() -> str:
 
 
 ORACLES["multimodal_feature_stats"] = _feature_stats_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec on stdlib only (r8 verdict #5: close the real-decode
+# gap without pip).  The PNG format is public (RFC 2083 / W3C PNG
+# spec): chunks are (len, type, data, crc32), pixels are zlib-deflated
+# scanlines each prefixed by a filter byte (0 none, 1 sub, 2 up,
+# 3 average, 4 paeth).  The decoder below is a complete 8-bit
+# grayscale/RGB/RGBA reader — parse IHDR, concatenate IDAT, inflate,
+# undo per-scanline filters — so the "real pixel decode" branch of the
+# multimodal family finally RUNS in this sandbox (Pillow installs are
+# network-blocked; the pil backend stays env-gated for machines that
+# have it).  Codec functions are built by a factory so the Arrow
+# kernels capture them as NESTED functions (cloudpickle serializes
+# those by value — executors need no package on their PYTHONPATH,
+# the module's standing discipline).
+# ---------------------------------------------------------------------------
+_PNG_W = 32  # roundtrip grid width (one scanline = 32 gray pixels)
+
+
+def _png_codec():
+    """(encode_gray, decode_pixels): stdlib-only PNG writer/reader.
+
+    encode_gray(data, width) -> PNG bytes of an 8-bit grayscale image,
+    width columns, ceil(len/width) rows, zero-padded, filter 0 rows.
+    decode_pixels(png) -> (width, height, flat pixel-sample list) for
+    8-bit gray / RGB / RGBA, any mix of filters 0-4, non-interlaced.
+    """
+    import struct
+    import zlib
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def encode_gray(data: bytes, width: int) -> bytes:
+        h = max(1, -(-len(data) // width))
+        padded = data.ljust(width * h, b"\0")
+        raw = b"".join(
+            b"\0" + padded[r * width : (r + 1) * width] for r in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_pixels(png: bytes) -> tuple[int, int, list[int]]:
+        if png[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, w, h, depth, ctype, idat = 8, 0, 0, 0, 0, b""
+        while pos < len(png):
+            (ln,) = struct.unpack(">I", png[pos : pos + 4])
+            tag = png[pos + 4 : pos + 8]
+            data = png[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                w, h, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace != 0:
+                    raise ValueError("png backend: 8-bit non-interlaced only")
+                if ctype not in (0, 2, 6):
+                    raise ValueError("png backend: gray/RGB/RGBA only")
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        stride = w * nch
+        raw = zlib.decompress(idat)
+        out: list[int] = []
+        prev = bytes(stride)
+        for r in range(h):
+            ftype = raw[r * (stride + 1)]
+            line = bytearray(
+                raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            )
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0  # left (recon)
+                b = prev[i]  # up
+                c = prev[i - nch] if i >= nch else 0  # up-left
+                if ftype == 0:
+                    pass
+                elif ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 2:
+                    line[i] = (line[i] + b) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"unknown filter {ftype}")
+            prev = bytes(line)
+            out.extend(line)
+        return w, h, out
+
+    return encode_gray, decode_pixels
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width long, height long, n_px long, px_sum long, "
+    "px_mean double, decode_backend string"
+)
+
+
+def make_png_roundtrip_kernel(width: int = _PNG_W) -> Callable[[Iterator], Iterator]:
+    """Encode each payload as a REAL grayscale PNG and decode it back
+    through the full inflate-and-unfilter path, emitting exact-integer
+    pixel sums (the B30 hash-proof discipline: integer sums + one IEEE
+    division).  Because the roundtrip is lossless, px_sum equals the
+    byte sum of the original payload — a fact DuckDB replicates from
+    the text column, so the whole REAL codec hop is value-hash-gated,
+    not rows-only."""
+    encode_gray, decode_pixels = _png_codec()
+
+    def roundtrip_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            png = encode_gray(payload, width)
+            w, h, px = decode_pixels(png)
+            s = sum(px)
+            return {
+                "doc_id": doc_id,
+                "width": w,
+                "height": h,
+                "n_px": w * h,
+                "px_sum": s,
+                "px_mean": s / (w * h),
+                "decode_backend": "png",
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "px_sum",
+                    "px_mean",
+                    "decode_backend",
+                ],
+            )
+
+    return roundtrip_batches
+
+
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal pipeline: documents.text -> real PNG bytes
+    -> stdlib inflate + unfilter decode -> exact pixel stats, all in
+    one Arrow-batched kernel per partition.  The first registered
+    multimodal query whose PIXEL path is real (the stub family proves
+    the plumbing; this proves a genuine binary media codec runs inside
+    the same mapInPandas shape at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_png_roundtrip_kernel(), schema=PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+QUERIES["multimodal_png_roundtrip"] = multimodal_png_roundtrip
+
+# Lossless roundtrip => decoded pixels are the payload bytes plus the
+# zero pad to a full 32-wide grid; the test corpus is printable ASCII,
+# so unicode(substr()) is the byte (the B30/multimodal_decode oracle
+# precedent).
+ORACLES["multimodal_png_roundtrip"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n,
+             greatest(1, CAST(ceil(n / {_PNG_W}.0) AS BIGINT)) AS h,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0)
+               AS bsum
+      FROM b
+    )
+    SELECT doc_id,
+           CAST({_PNG_W} AS BIGINT) AS width,
+           h AS height,
+           {_PNG_W} * h AS n_px,
+           CAST(bsum AS BIGINT) AS px_sum,
+           CAST(bsum AS DOUBLE) / ({_PNG_W} * h) AS px_mean,
+           'png' AS decode_backend
+    FROM g
+"""
