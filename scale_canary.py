@@ -93,6 +93,7 @@ def measure(spark, sf_dir: str) -> dict:
         skipgram_cooc_pmi,
     )
     from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_components,
         dedup_incremental_cohort,
         dedup_pair_features,
     )
@@ -110,6 +111,11 @@ def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.textops import (
         quality_filter_gopher as _gopher,
     )
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        boilerplate_segments as _boiler,
+    )
+    from near_indexer_for_explorer_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
 
     out: dict = {}
     t0 = time.perf_counter()
@@ -137,14 +143,38 @@ def measure(spark, sf_dir: str) -> dict:
         # r8 session-2 additions: map-only scans (rows grow with the
         # bounded source/lang grain ~1x, time ~linear in corpus) and
         # the sample-bounded elbow (result fixed at |Ks| rows; time
-        # grows with the train sample = corpus/_IVF_TRAIN_MOD)
+        # grows with the rowcount-capped train sample — r9)
         ("pii_incidence_by_source", _pii),
         ("quality_filter_gopher", _gopher),
         ("kmeans_elbow_curve", _elbow),
+        # r9 additions (r8 verdict #8): the B20 fresh label-propagation
+        # build (edge join + 4 bounded rounds, linear in pairs) and the
+        # line-frequency boilerplate pass (two token-keyed aggregates,
+        # linear in lines)
+        ("dedup_components", dedup_components),
+        ("boilerplate_segments", _boiler),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
         out[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
+
+    # r9 (r8 verdict #3): the k-means training sample is capped by the
+    # rowcount-derived modulus.  Pin the cap LOW enough to bind at both
+    # corpus sizes (the shipped 100k cap binds only past 500k vectors)
+    # and measure the training-set size: the capped leg must land ~1x
+    # at 10x corpus, while the uncapped floor (mod 5) grows 10x.
+    e = sim._vectors(spark, sf_dir)
+    out["ivf_train_rows_floor"] = e.where(
+        F.col("vec_id") % sim._IVF_TRAIN_MOD_MIN == 0
+    ).count()
+    old_cap = sim._IVF_TRAIN_CAP
+    sim._IVF_TRAIN_CAP = 400
+    try:
+        out["ivf_train_rows_capped"] = e.where(
+            F.col("vec_id") % sim._train_mod(sf_dir) == 0
+        ).count()
+    finally:
+        sim._IVF_TRAIN_CAP = old_cap
     return out
 
 
