@@ -112,12 +112,13 @@ _GATE_PRIORITY: list[str] = [
     "opq_rotate_quantize",
     "cluster_silhouette",
     "topic_cluster_terms",
-    "embedding_split_drift",
-    # new in r9: the real-codec multimodal roundtrip (stdlib PNG) —
-    # a brand-new oracle query outranks an 8th re-gate; the recall-
-    # matrix oracle's train-mod change is the same expression the
-    # seven quantizer queries above already prove
+    # new in r9: the real-codec multimodal roundtrips (stdlib PNG +
+    # RIFF/PCM WAV) — brand-new oracle queries outrank the 7th/8th
+    # re-gate; the split-drift / recall-matrix oracles' train-mod
+    # change is the same GREATEST expression the six quantizer
+    # queries above already prove
     "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
 ]
 
 # Deferred to the dict tail: the 50 queries the driver just re-proved

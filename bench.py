@@ -213,6 +213,7 @@ EXTRA = [
     # round 9 additions: the real-codec multimodal pipeline (stdlib
     # PNG encode -> inflate+unfilter decode inside one Arrow kernel)
     "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

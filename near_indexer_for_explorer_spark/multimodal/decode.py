@@ -783,3 +783,159 @@ ORACLES["multimodal_png_roundtrip"] = f"""
            'png' AS decode_backend
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF/PCM) codec on stdlib only — the audio counterpart of
+# the PNG path above.  The format is public (RIFF-1991 / WAVE PCM):
+# little-endian chunks ('RIFF' size 'WAVE', then 'fmt ' with
+# format/channels/rate/bits and 'data' with raw PCM).  encode writes
+# 16-bit mono PCM; decode reads 8-bit unsigned and 16-bit signed PCM,
+# any channel count, walking the chunk list (extra chunks skipped) —
+# so the decoder handles real-world files, not just its own output.
+# Same factory-closure discipline as _png_codec.
+# ---------------------------------------------------------------------------
+_WAV_RATE = 8000
+
+
+def _wav_codec():
+    """(encode_pcm16, decode_samples): stdlib-only WAV writer/reader.
+
+    encode_pcm16(data, rate) -> WAV bytes: each payload byte b becomes
+    the 16-bit sample (b - 128) << 8 (the standard u8->s16 PCM
+    widening), mono.  decode_samples(wav) -> (rate, n_channels, bits,
+    flat sample list) for PCM u8/s16.
+    """
+    import struct
+
+    def encode_pcm16(data: bytes, rate: int = _WAV_RATE) -> bytes:
+        samples = b"".join(
+            struct.pack("<h", (b - 128) << 8) for b in data
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_samples(wav: bytes) -> tuple[int, int, int, list[int]]:
+        if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, rate, nch, bits, data = 12, 0, 0, 0, b""
+        while pos + 8 <= len(wav):
+            tag = wav[pos : pos + 4]
+            (ln,) = struct.unpack("<I", wav[pos + 4 : pos + 8])
+            chunk = wav[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if tag == b"fmt ":
+                fmt_code, nch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", chunk[:16]
+                )
+                if fmt_code != 1:
+                    raise ValueError("wav backend: PCM only")
+                if bits not in (8, 16):
+                    raise ValueError("wav backend: 8/16-bit PCM only")
+            elif tag == b"data":
+                data = chunk
+        if bits == 8:
+            samples = list(data)
+        else:
+            n = len(data) // 2
+            samples = list(
+                struct.unpack(f"<{n}h", data[: n * 2])
+            )
+        return rate, nch, bits, samples
+
+    return encode_pcm16, decode_samples
+
+
+WAV_ROUNDTRIP_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, bits long, "
+    "n_samples long, samples_sum long, sample_mean double, "
+    "decode_backend string"
+)
+
+
+def make_wav_roundtrip_kernel(rate: int = _WAV_RATE) -> Callable[[Iterator], Iterator]:
+    """Encode each payload as REAL 16-bit mono PCM WAV and decode it
+    back through the full RIFF chunk walk, emitting exact-integer
+    sample sums (B30 discipline).  The u8->s16 widening is exact, so
+    samples_sum = (byte_sum - 128 * n) * 256 — a pure byte-math fact
+    the DuckDB oracle replicates, value-hash-gating the REAL audio
+    codec hop."""
+    encode_pcm16, decode_samples = _wav_codec()
+
+    def roundtrip_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            sr, nch, bits, samples = decode_samples(
+                encode_pcm16(payload, rate)
+            )
+            s = sum(samples)
+            n = len(samples)
+            return {
+                "doc_id": doc_id,
+                "sample_rate": sr,
+                "n_channels": nch,
+                "bits": bits,
+                "n_samples": n,
+                "samples_sum": s,
+                "sample_mean": (s / n) if n else 0.0,
+                "decode_backend": "wav",
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "bits",
+                    "n_samples",
+                    "samples_sum",
+                    "sample_mean",
+                    "decode_backend",
+                ],
+            )
+
+    return roundtrip_batches
+
+
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec AUDIO pipeline: documents.text bytes -> real 16-bit
+    PCM WAV -> stdlib RIFF chunk-walk decode -> exact sample stats,
+    one Arrow kernel per partition (the PNG roundtrip's discipline on
+    the second media family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_wav_roundtrip_kernel(), schema=WAV_ROUNDTRIP_SCHEMA
+    )
+
+
+QUERIES["multimodal_wav_roundtrip"] = multimodal_wav_roundtrip
+
+ORACLES["multimodal_wav_roundtrip"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             COALESCE(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0)
+               AS bsum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((bsum - 128 * n) * 256 AS BIGINT) AS samples_sum,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST((bsum - 128 * n) * 256 AS DOUBLE) / n
+           END AS sample_mean,
+           'wav' AS decode_backend
+    FROM b
+"""

@@ -4223,3 +4223,46 @@ def test_png_codec_real_decode_filters_and_kernel(spark):
         [10, 15, 20, 11, 16, 21, 13, 18, 23]
     ) / 9
     assert got[1]["header_u32"] == int.from_bytes(b"\x89PNG", "big")
+
+
+def test_wav_codec_real_decode_and_roundtrip(spark):
+    """The audio twin of the PNG test: stdlib RIFF/PCM decode pinned
+    against hand-built WAV bytes (8-bit and 16-bit branches, extra
+    chunk skipped, word-aligned odd chunk), then the roundtrip kernel
+    through Spark."""
+    import struct
+
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        WAV_ROUNDTRIP_SCHEMA,
+        _wav_codec,
+        make_wav_roundtrip_kernel,
+    )
+
+    encode_pcm16, decode_samples = _wav_codec()
+
+    # roundtrip: u8 -> s16 widening is exact
+    sr, nch, bits, samples = decode_samples(encode_pcm16(bytes([0, 128, 255])))
+    assert (sr, nch, bits) == (8000, 1, 16)
+    assert samples == [(-128) << 8, 0, 127 << 8]
+
+    # hand-built 8-bit stereo WAV with a skipped odd-length LIST chunk
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2, 2, 8)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\0"  # word-aligned
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes([10, 20, 30, 40])
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_samples(wav) == (44100, 2, 8, [10, 20, 30, 40])
+
+    # the kernel through Spark: exact sums per the u8->s16 identity
+    df = spark.createDataFrame(
+        [(7, bytes([1, 2, 3, 4]))], "doc_id long, payload binary"
+    )
+    (row,) = df.mapInPandas(
+        make_wav_roundtrip_kernel(), schema=WAV_ROUNDTRIP_SCHEMA
+    ).collect()
+    assert row["n_samples"] == 4
+    assert row["samples_sum"] == (1 + 2 + 3 + 4 - 128 * 4) * 256
+    assert row["decode_backend"] == "wav" and row["bits"] == 16
