@@ -121,6 +121,12 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_wav_roundtrip",
 ]
 
+# r10 window head (registered after the r9 window filled): the
+# perceptual image-dedup pair over real decoded pixels —
+# multimodal_image_dhash + multimodal_image_dhash_pairs — plus
+# whatever r10 adds; both are in-repo parity-green and hostile-swept
+# at sf0.01 meanwhile.
+
 # Deferred to the dict tail: the 50 queries the driver just re-proved
 # in the r8 window (freshest greens -- least information in a repeat
 # row), then the rows-only-by-design entries (no value-hash oracle) so

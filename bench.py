@@ -214,6 +214,8 @@ EXTRA = [
     # PNG encode -> inflate+unfilter decode inside one Arrow kernel)
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
+    "multimodal_image_dhash",
+    "multimodal_image_dhash_pairs",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

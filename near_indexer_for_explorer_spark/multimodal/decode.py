@@ -939,3 +939,192 @@ ORACLES["multimodal_wav_roundtrip"] = f"""
            'wav' AS decode_backend
     FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprinting over REAL decoded pixels (dHash,
+# Krawetz 2013 "kind of like that"): the image-dedup primitive a
+# multimodal training pipeline runs at intake — near-duplicate frames
+# and re-encoded copies of one image land in the same hash buckets.
+# Composes B120's real codec (payload -> real PNG -> real decode) with
+# the B4 SimHash banding discipline: map-side hash, band-bucket
+# equi-join, bit_count(xor) hamming verify — linear at any corpus
+# size, never all-pairs.
+#
+# The hash is 56 bits (7 sample rows x 8 gradient comparisons over a
+# 9-column sample grid): 56 keeps every shiftleft/sum inside a SIGNED
+# 64-bit long in BOTH engines (a 64th bit would be the sign bit and
+# SUM would overflow where bitwise OR would not).  Sample positions
+# are exact integer strides over the decoded W x H grid, so the DuckDB
+# oracle replicates the whole pipeline — codec roundtrip included —
+# from the text bytes.
+# ---------------------------------------------------------------------------
+_DHASH_SAMPLE_ROWS = 7
+_DHASH_SAMPLE_COLS = 9  # 8 gradient comparisons per sample row
+_DHASH_BAND_BITS = 14
+_DHASH_BANDS = 4  # 4 x 14 = 56
+_DHASH_HAMMING_MAX = 10
+
+IMAGE_DHASH_SCHEMA = "doc_id long, dhash long, bits_set long"
+
+
+def make_image_dhash_kernel(width: int = _PNG_W) -> Callable[[Iterator], Iterator]:
+    """payload -> real PNG -> real decode -> 9x7 strided sample grid ->
+    56-bit horizontal-gradient dHash.  Exact integer math end to end."""
+    encode_gray, decode_pixels = _png_codec()
+    n_rows, n_cols = _DHASH_SAMPLE_ROWS, _DHASH_SAMPLE_COLS
+
+    def dhash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            w, h, px = decode_pixels(encode_gray(payload, width))
+            bits = 0
+            for r in range(n_rows):
+                ri = (r * h) // n_rows
+                sample = [
+                    px[ri * w + (c * w) // n_cols] for c in range(n_cols)
+                ]
+                for c in range(n_cols - 1):
+                    if sample[c] > sample[c + 1]:
+                        bits |= 1 << (r * (n_cols - 1) + c)
+            return {
+                "doc_id": doc_id,
+                "dhash": bits,
+                "bits_set": bin(bits).count("1"),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=["doc_id", "dhash", "bits_set"],
+            )
+
+    return dhash_batches
+
+
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash, bits_set): the 56-bit perceptual fingerprint of
+    each document's real-PNG-roundtripped image.  Map-only plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_image_dhash_kernel(), schema=IMAGE_DHASH_SCHEMA
+    )
+
+
+QUERIES["multimodal_image_dhash"] = multimodal_image_dhash
+
+
+def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_1, doc_id_2, hamming): near-duplicate IMAGE candidates —
+    band-bucket blocking (4 x 14-bit bands; a pair within hamming 10
+    of 56 bits collides on >= 1 band with good probability) verified
+    by exact bit_count(xor).  The B4 shape over real decoded pixels:
+    every join is an equi-join on (band, bucket), linear at scale."""
+    hashes = multimodal_image_dhash(spark, sf_dir).select("doc_id", "dhash")
+    mask = (1 << _DHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        (
+                            F.shiftright(F.col("dhash"), _DHASH_BAND_BITS * k)
+                            % F.lit(mask + 1)
+                        ).alias("bucket"),
+                    )
+                    for k in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.bucket")
+    a = bands.select(
+        F.col("band_id"),
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("dhash").alias("h1"),
+    )
+    b = bands.select(
+        F.col("band_id"),
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("dhash").alias("h2"),
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2"))
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= _DHASH_HAMMING_MAX)
+    )
+
+
+QUERIES["multimodal_image_dhash_pairs"] = multimodal_image_dhash_pairs
+
+
+def _dhash_oracle_ctes() -> str:
+    """SQL replica of the WHOLE pipeline from text bytes: the PNG
+    roundtrip is lossless, so pixel(idx) = byte(idx) if idx < n else 0
+    (zero pad to the 32-wide grid)."""
+    w, nr, nc = _PNG_W, _DHASH_SAMPLE_ROWS, _DHASH_SAMPLE_COLS
+    terms = []
+    for r in range(nr):
+        for c in range(nc - 1):
+            def px(col):
+                idx = f"(((({r} * h) // {nr}) * {w}) + (({col} * {w}) // {nc}))"
+                return (
+                    f"(CASE WHEN {idx} < n THEN "
+                    f"unicode(substr(text, CAST({idx} + 1 AS INTEGER), 1)) "
+                    f"ELSE 0 END)"
+                )
+            bit = 1 << (r * (nc - 1) + c)
+            terms.append(
+                f"(CASE WHEN {px(c)} > {px(c + 1)} THEN CAST({bit} AS BIGINT)"
+                f" ELSE 0 END)"
+            )
+    hash_sum = "\n             + ".join(terms)
+    return f"""dh_b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             greatest(1, CAST(ceil(octet_length(encode(text)) / {w}.0)
+                              AS BIGINT)) AS h
+      FROM documents
+    ),
+    dh AS (
+      SELECT doc_id,
+             {hash_sum} AS dhash
+      FROM dh_b
+    )"""
+
+
+ORACLES["multimodal_image_dhash"] = f"""
+    WITH {_dhash_oracle_ctes()}
+    SELECT doc_id, dhash, CAST(bit_count(dhash) AS BIGINT) AS bits_set
+    FROM dh
+"""
+
+_DHASH_BAND_STRUCTS = ",\n        ".join(
+    f"{{'band_id': {k}, 'bucket': (dhash >> {_DHASH_BAND_BITS * k}) "
+    f"& {(1 << _DHASH_BAND_BITS) - 1}}}"
+    for k in range(_DHASH_BANDS)
+)
+
+ORACLES["multimodal_image_dhash_pairs"] = f"""
+    WITH {_dhash_oracle_ctes()},
+    dbands AS (
+      SELECT doc_id, dhash, u.band_id AS band_id, u.bucket AS bucket
+      FROM dh, UNNEST([
+        {_DHASH_BAND_STRUCTS}
+      ]) AS t(u)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM dbands a JOIN dbands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_HAMMING_MAX}
+"""

@@ -4266,3 +4266,40 @@ def test_wav_codec_real_decode_and_roundtrip(spark):
     assert row["n_samples"] == 4
     assert row["samples_sum"] == (1 + 2 + 3 + 4 - 128 * 4) * 256
     assert row["decode_backend"] == "wav" and row["bits"] == 16
+
+
+def test_image_dhash_hand_computed_and_pairs(spark, tmp_path):
+    """dHash over REAL decoded pixels, pinned by hand: a monotone
+    non-increasing byte ramp sets every gradient bit (all 7 sample
+    rows read the single 32-wide scanline), a non-decreasing ramp sets
+    none, and the banded pair query finds exactly the identical pair
+    at hamming 0 while the opposite ramp stays out (hamming 56 > 10)."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_image_dhash,
+        multimodal_image_dhash_pairs,
+    )
+
+    down = "".join(chr(0x7A - i) for i in range(32))   # strictly decreasing
+    up = "".join(chr(0x20 + i) for i in range(32))     # strictly increasing
+    rows = [
+        (1, down, "en", "web", 32),
+        (2, down, "en", "web", 32),   # identical image -> hamming 0
+        (3, up, "en", "web", 32),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["dhash"], r["bits_set"])
+        for r in multimodal_image_dhash(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ((1 << 56) - 1, 56)   # every comparison fires
+    assert got[2] == got[1]
+    assert got[3] == (0, 0)                # no gradient ever decreases
+
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in multimodal_image_dhash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert pairs == {(1, 2): 0}
