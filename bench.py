@@ -216,6 +216,7 @@ EXTRA = [
     "multimodal_wav_roundtrip",
     "multimodal_image_dhash",
     "multimodal_image_dhash_pairs",
+    "multimodal_audio_energy",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1128,3 +1128,112 @@ ORACLES["multimodal_image_dhash_pairs"] = f"""
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_HAMMING_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction over REAL decoded samples — the WAV twin of
+# the dHash pipeline: per-quarter signal energy + zero-crossing count,
+# the two classic cheap audio descriptors (silence/speech/noise
+# routing at intake).  Exact integer math end to end: samples are the
+# exact u8->s16 widening, energies are integer sums of squares (each
+# sample^2 <= 2^30, corpus docs are KBs -> sums far inside int64), one
+# IEEE division for the mean; zero crossings are adjacent sign
+# disagreements.  The DuckDB oracle replicates everything from the
+# text bytes (sample_i < 0  <=>  byte_i < 128).
+# ---------------------------------------------------------------------------
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id long, n_samples long, zero_crossings long, "
+    "e0 long, e1 long, e2 long, e3 long, mean_energy double"
+)
+_AUDIO_QUARTERS = 4
+
+
+def make_audio_energy_kernel(rate: int = _WAV_RATE) -> Callable[[Iterator], Iterator]:
+    encode_pcm16, decode_samples = _wav_codec()
+    nq = _AUDIO_QUARTERS
+
+    def energy_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            _, _, _, s = decode_samples(encode_pcm16(payload, rate))
+            n = len(s)
+            out = {"doc_id": doc_id, "n_samples": n}
+            out["zero_crossings"] = sum(
+                1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0)
+            )
+            total = 0
+            for k in range(nq):
+                lo, hi = k * n // nq, (k + 1) * n // nq
+                e = sum(v * v for v in s[lo:hi])
+                out[f"e{k}"] = e
+                total += e
+            out["mean_energy"] = (total / n) if n else 0.0
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "zero_crossings",
+                    "e0",
+                    "e1",
+                    "e2",
+                    "e3",
+                    "mean_energy",
+                ],
+            )
+
+    return energy_batches
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_samples, zero_crossings, e0..e3, mean_energy): real
+    WAV roundtrip -> per-quarter exact signal energy + zero-crossing
+    count.  Map-only plan, linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_audio_energy_kernel(), schema=AUDIO_ENERGY_SCHEMA
+    )
+
+
+QUERIES["multimodal_audio_energy"] = multimodal_audio_energy
+
+
+def _audio_energy_oracle_sql() -> str:
+    nq = _AUDIO_QUARTERS
+    sq = "CAST((unicode(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS BIGINT)"
+    quarter_cols = ",\n             ".join(
+        f"COALESCE(list_sum(list_transform("
+        f"range(({k} * n) // {nq} + 1, (({k} + 1) * n) // {nq} + 1), "
+        f"i -> {sq} * {sq})), 0) AS e{k}"
+        for k in range(nq)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n,
+             COALESCE(list_sum(list_transform(range(2, n + 1),
+               i -> CASE WHEN (unicode(substr(text, CAST(i - 1 AS INTEGER), 1)) < 128)
+                         <> (unicode(substr(text, CAST(i AS INTEGER), 1)) < 128)
+                    THEN 1 ELSE 0 END)), 0) AS zc,
+             {quarter_cols}
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
+           CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(e0 + e1 + e2 + e3 AS DOUBLE) / n END AS mean_energy
+    FROM f
+"""
+
+
+ORACLES["multimodal_audio_energy"] = _audio_energy_oracle_sql()

@@ -4303,3 +4303,34 @@ def test_image_dhash_hand_computed_and_pairs(spark, tmp_path):
         for r in multimodal_image_dhash_pairs(spark, str(tmp_path)).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_audio_energy_hand_computed(spark):
+    """Real WAV roundtrip -> energy/ZC features pinned by hand, driven
+    straight through the Arrow kernel with binary payloads (bytes 128
+    are 2-byte UTF-8, so text cannot express them): a constant-128
+    payload decodes to all-zero samples (zero energy, no crossings);
+    an alternating 127/129 payload crosses zero at every step with
+    per-sample energy 256^2."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        AUDIO_ENERGY_SCHEMA,
+        make_audio_energy_kernel,
+    )
+
+    rows = [(1, bytes([128] * 8)), (2, bytes([127, 129] * 4))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            make_audio_energy_kernel(), schema=AUDIO_ENERGY_SCHEMA
+        ).collect()
+    }
+    s = got[1]
+    assert s["n_samples"] == 8 and s["zero_crossings"] == 0
+    assert (s["e0"], s["e1"], s["e2"], s["e3"]) == (0, 0, 0, 0)
+    assert s["mean_energy"] == 0.0
+    a = got[2]
+    # samples alternate -256, +256: every adjacent pair crosses
+    assert a["zero_crossings"] == 7
+    assert (a["e0"], a["e1"], a["e2"], a["e3"]) == (2 * 256**2,) * 4
+    assert a["mean_energy"] == 256.0**2
