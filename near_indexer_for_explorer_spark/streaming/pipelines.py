@@ -2903,3 +2903,126 @@ def read_stream_pii_exposure(spark: SparkSession, out_dir: str) -> DataFrame:
     return pii_report_from_cells(
         _read_delta_log(spark, out_dir, PII_CELL_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# C40: streaming IMAGE-intake dedup monitor — the real-codec dHash
+# (B122/B123) as a LIVE signal.  A multimodal crawl flags incoming
+# images whose perceptual fingerprint collides with anything already
+# ingested; the state is an append-only (doc_id, dhash, band, bucket)
+# fingerprint log whose rows are PURE FUNCTIONS of the document, so a
+# crash-replayed batch appends byte-identical rows that DISTINCT-on-
+# read absorbs — the C22/C28 idempotent-merge algebra with set-union
+# instead of OR/max, no batch-id bookkeeping needed.  Per-batch cost
+# is O(batch) (map-only hash + append); the read path's band-bucket
+# join is the B123 blocking shape, linear at any corpus size.  At
+# 100 TB the log partitions by bucket and compacts by plain
+# DISTINCT-rewrite (idempotent, crash-safe like compact_hll_deltas).
+# ---------------------------------------------------------------------------
+IMAGE_HASH_LOG_SCHEMA = (
+    "doc_id long, dhash long, band_id int, bucket long"
+)
+
+
+def image_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash, band_id, bucket): the banded fingerprint rows of
+    any (doc_id, text) frame — MODULE-LEVEL and shared by the C40 sink
+    and the batch derivation so stream == batch is a kernel invariant
+    (the C13 shared-constants lesson)."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _DHASH_BAND_BITS,
+        _DHASH_BANDS,
+        IMAGE_DHASH_SCHEMA,
+        make_image_dhash_kernel,
+    )
+
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    hashes = payloads.mapInPandas(
+        make_image_dhash_kernel(), schema=IMAGE_DHASH_SCHEMA
+    ).select("doc_id", "dhash")
+    mask = (1 << _DHASH_BAND_BITS) - 1
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("band_id"),
+                        (
+                            F.shiftright(F.col("dhash"), _DHASH_BAND_BITS * k)
+                            % F.lit(mask + 1)
+                        ).alias("bucket"),
+                    )
+                    for k in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.bucket")
+
+
+def foreach_batch_image_fingerprints(
+    out_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        image_fingerprint_rows(batch_df).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "fingerprints"))
+
+    return sink
+
+
+def image_intake_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C40 driver: document shards -> append-only banded fingerprint
+    log (idempotent under replay: rows are pure functions of the doc)."""
+    stream = read_document_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_image_fingerprints(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_image_dups(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C40 read path: (doc_id, dup_of_earlier) for every ingested
+    document — TRUE iff some EARLIER doc (smaller doc_id, the intake
+    order key) sits within the B123 hamming radius.  DISTINCT absorbs
+    replay-appended duplicate rows before the band join."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _DHASH_HAMMING_MAX,
+    )
+
+    fp_dir = os.path.join(out_dir, "fingerprints")
+    raw = (
+        spark.read.parquet(fp_dir)
+        if os.path.isdir(fp_dir)
+        else spark.createDataFrame([], IMAGE_HASH_LOG_SCHEMA)
+    )
+    rows = raw.distinct()
+    earlier = rows.select(
+        "band_id",
+        "bucket",
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("dhash").alias("h1"),
+    )
+    later = rows.select(
+        "band_id",
+        "bucket",
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("dhash").alias("h2"),
+    )
+    dup_ids = (
+        earlier.join(later, ["band_id", "bucket"])
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .where(F.bit_count(F.expr("h1 ^ h2")) <= _DHASH_HAMMING_MAX)
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_of_earlier", F.lit(True))
+    )
+    docs = rows.select("doc_id").distinct()
+    return docs.join(dup_ids, "doc_id", "left").select(
+        "doc_id", F.coalesce("dup_of_earlier", F.lit(False)).alias("dup_of_earlier")
+    )

@@ -2515,3 +2515,67 @@ def test_delta_log_auto_compaction_and_empty_reads(
         for r in events_daily_trend(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_image_intake_stream_matches_batch_and_absorbs_replay(
+    spark, sf_dir, tmp_path
+):
+    """C40: the streamed fingerprint log's dup verdicts equal the
+    batch derivation (doc is dup iff an EARLIER doc sits within the
+    B123 hamming radius), a checkpoint-wipe full replay appends
+    byte-identical rows that DISTINCT absorbs, and a fresh out_dir
+    reads as empty."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_image_dhash_pairs,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        image_intake_stream,
+        read_stream_image_dups,
+    )
+
+    assert read_stream_image_dups(spark, str(tmp_path / "fresh")).count() == 0
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "img_src")
+    _os.makedirs(src)
+    for i in range(3):
+        stage = tmp_path / f"ib{i}"
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i}.parquet")
+        _shutil.copy(part, dst)
+        mt = _time.time() - 10 + i
+        _os.utime(dst, (mt, mt))
+
+    out, ckpt = str(tmp_path / "img_out"), str(tmp_path / "img_ckpt")
+    _await(image_intake_stream(spark, src, out, ckpt))
+
+    def snap():
+        return {
+            r["doc_id"]: r["dup_of_earlier"]
+            for r in read_stream_image_dups(spark, out).collect()
+        }
+
+    got = snap()
+    # batch twin: doc is dup iff it appears as doc_id_2 in the pair set
+    dup2 = {
+        r["doc_id_2"]
+        for r in multimodal_image_dhash_pairs(spark, sf_dir).collect()
+    }
+    want = {r["doc_id"]: (r["doc_id"] in dup2) for r in docs.select("doc_id").collect()}
+    assert got == want
+    assert any(got.values())  # the corpus's planted near-dups are seen
+
+    # checkpoint-wipe full replay: identical rows distinct away
+    n_files_before = len(_glob.glob(out + "/fingerprints/*.parquet"))
+    _await(image_intake_stream(spark, src, out, str(tmp_path / "img_ckpt2")))
+    assert len(_glob.glob(out + "/fingerprints/*.parquet")) > n_files_before
+    assert snap() == want
