@@ -60,6 +60,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "pii_exposure_stream_replay",
         "benford_stream_replay",
         "hll_distinct_stream_replay",
+        "image_intake_stream_replay",
     }
 )
 
@@ -503,3 +504,64 @@ ORACLES["hll_distinct_stream_replay"] = """
            TRUE AS stream_equals_batch
     FROM events GROUP BY 1
 """
+
+
+def image_intake_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of_earlier): the C40 image-intake monitor's
+    verdicts after replaying the documents table as three id-sliced
+    micro-batches — the replicas of one document land in DIFFERENT
+    batches than their originals, so the collides-with-earlier path is
+    exercised across batch boundaries; the converged verdicts must
+    equal the batch derivation from the B123 pair set (oracle =
+    B123's SQL composed into per-doc flags)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        image_intake_stream,
+        read_stream_image_dups,
+    )
+
+    base = tempfile.mkdtemp(prefix="img_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            docs.where(F.col("doc_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = image_intake_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("image intake replay did not finish in 300s")
+        return read_stream_image_dups(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["image_intake_stream_replay"] = image_intake_stream_replay
+
+
+def _image_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        ORACLES as _MM_ORACLES,
+    )
+
+    return f"""
+    WITH dpairs AS ({_MM_ORACLES["multimodal_image_dhash_pairs"]})
+    SELECT d.doc_id,
+           (EXISTS (SELECT 1 FROM dpairs p WHERE p.doc_id_2 = d.doc_id))
+             AS dup_of_earlier
+    FROM documents d
+    """
+
+
+ORACLES["image_intake_stream_replay"] = _image_replay_oracle()
