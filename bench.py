@@ -217,6 +217,7 @@ EXTRA = [
     "multimodal_image_dhash",
     "multimodal_image_dhash_pairs",
     "multimodal_audio_energy",
+    "dedup_modality_agreement",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -3752,3 +3752,113 @@ def _winnow_curve_oracle_sql() -> str:
 
 
 ORACLES["winnowing_window_curve"] = _winnow_curve_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B125 cross-MODALITY dedup agreement (oracle-checked).  B84 compares
+# two TEXT-side methods; this compares modalities: the B3 verified
+# text pairs against the B123 perceptual-image pairs (real-codec
+# dHash).  The off-diagonal classes are the curation review queue a
+# multimodal pipeline actually reads: text_only pairs are re-worded
+# copies of the same image-bytes-diverged doc, image_only pairs are
+# byte-near documents whose tokens drifted (boilerplate, templating).
+# Scale shape: both inputs are candidate-bounded pair relations; the
+# agreement join is an equi-join on the pair key.
+# ---------------------------------------------------------------------------
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(agreement, n_pairs, avg_jaccard, avg_hamming): 'both',
+    'text_only', or 'image_only' over B3's verified text pairs vs
+    B123's banded image-dHash pairs.  B84's exact-decimal averaging
+    conventions verbatim (hamming is an exact integer, jaccard rides
+    the decimal(10,6) quantization both engines share)."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_image_dhash_pairs,
+    )
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    (text_pairs,) = frozen(
+        "b3_verified_pairs",
+        spark,
+        sf_dir,
+        lambda: (dedup_minhash_lsh(spark, sf_dir),),
+    )
+    text = text_pairs.select("doc_id_1", "doc_id_2", "jaccard")
+    img = multimodal_image_dhash_pairs(spark, sf_dir).select(
+        F.col("doc_id_1").alias("i_1"),
+        F.col("doc_id_2").alias("i_2"),
+        "hamming",
+    )
+    joined = text.join(
+        img,
+        (F.col("doc_id_1") == F.col("i_1")) & (F.col("doc_id_2") == F.col("i_2")),
+        "full_outer",
+    )
+    classed = joined.select(
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("hamming").isNotNull(), "both"
+        )
+        .when(F.col("jaccard").isNotNull(), "text_only")
+        .otherwise("image_only")
+        .alias("agreement"),
+        F.col("jaccard").cast("decimal(10,6)").alias("j6"),
+        F.col("hamming").alias("hm"),
+    )
+    agg = classed.groupBy("agreement").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("j6").cast("decimal(20,6)").alias("sj"),
+        F.count("j6").alias("nj"),
+        F.sum("hm").cast("long").alias("sh"),
+        F.count("hm").alias("nh"),
+    )
+    return agg.select(
+        "agreement",
+        "n_pairs",
+        F.round(
+            F.col("sj").cast("string").cast("double") / F.col("nj"), 6
+        ).alias("avg_jaccard"),
+        F.round(F.col("sh").cast("double") / F.col("nh"), 6).alias(
+            "avg_hamming"
+        ),
+    )
+
+
+QUERIES["dedup_modality_agreement"] = dedup_modality_agreement
+
+
+def _modality_agreement_oracle_sql() -> str:
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        ORACLES as _MM_ORACLES,
+    )
+
+    return f"""
+    WITH text_pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    img_pairs AS ({_MM_ORACLES["multimodal_image_dhash_pairs"]}),
+    mjoined AS (
+      SELECT t.jaccard, i.hamming
+      FROM text_pairs t FULL OUTER JOIN img_pairs i
+        ON t.doc_id_1 = i.doc_id_1 AND t.doc_id_2 = i.doc_id_2
+    ),
+    mclassed AS (
+      SELECT CASE WHEN jaccard IS NOT NULL AND hamming IS NOT NULL
+                    THEN 'both'
+                  WHEN jaccard IS NOT NULL THEN 'text_only'
+                  ELSE 'image_only' END AS agreement,
+             CAST(jaccard AS DECIMAL(10,6)) AS j6,
+             hamming AS hm
+      FROM mjoined
+    ),
+    magg AS (
+      SELECT agreement,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(j6) AS DECIMAL(20,6)) AS sj, COUNT(j6) AS nj,
+             CAST(SUM(hm) AS BIGINT) AS sh, COUNT(hm) AS nh
+      FROM mclassed GROUP BY agreement
+    )
+    SELECT agreement, n_pairs,
+           ROUND(CAST(CAST(sj AS VARCHAR) AS DOUBLE) / nj, 6) AS avg_jaccard,
+           ROUND(CAST(sh AS DOUBLE) / nh, 6) AS avg_hamming
+    FROM magg
+    """
+
+
+ORACLES["dedup_modality_agreement"] = _modality_agreement_oracle_sql()

@@ -149,8 +149,13 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         REPLAY_QUERIES,
     )
 
+    # queries outside the multimodal_ namespace that legitimately
+    # compose the sanctioned Arrow kernels (their Python stage IS the
+    # multimodal family's, not a smuggled row-at-a-time UDF)
+    arrow_composers = {"dedup_modality_agreement"}  # B125: composes B123
+
     for name, fn in e.queries().items():
-        if name.startswith("multimodal_"):
+        if name.startswith("multimodal_") or name in arrow_composers:
             continue  # the sanctioned Arrow-UDF family
         if name in REPLAY_QUERIES:
             # eager-contract entries (streaming/replay.py): fn() RUNS a
