@@ -115,6 +115,9 @@ def measure(spark, sf_dir: str) -> dict:
         boilerplate_segments as _boiler,
     )
     from near_indexer_for_explorer_spark.operators import similarity as sim
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_image_dhash_pairs as _img_pairs,
+    )
     from pyspark.sql import functions as F
 
     out: dict = {}
@@ -153,6 +156,11 @@ def measure(spark, sf_dir: str) -> dict:
         # linear in lines)
         ("dedup_components", dedup_components),
         ("boilerplate_segments", _boiler),
+        # r9 late addition: perceptual image pairs — replica families
+        # reproduce the originals' near-dup structure byte-wise, so
+        # candidate pairs must land ~10x while the band join stays
+        # bucket-local
+        ("multimodal_image_dhash_pairs", _img_pairs),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
