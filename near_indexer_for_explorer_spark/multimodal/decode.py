@@ -25,6 +25,14 @@ from near_indexer_for_explorer_spark.sources.tables import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# NOTE on the column name `fake_mean_byte` (r9 advice): the column is
+# the decode's pixel/sample mean whatever the backend — the name dates
+# from when only the stub byte-math kernel existed.  With the real
+# backends ('pil', 'png') it carries a GENUINE decoded pixel mean; the
+# legacy name is kept because the schema is a cross-round driver
+# contract (a rename would hash-break every recorded correctness row),
+# and `decode_backend` is the authoritative provenance tag downstream
+# consumers must read instead of inferring realness from the name.
 DECODE_SCHEMA = (
     "doc_id long, byte_len long, header_u32 long, "
     "fake_mean_byte double, decode_backend string"
@@ -651,9 +659,26 @@ def _png_codec():
                 idat += data
             elif tag == b"IEND":
                 break
+        if w <= 0 or h <= 0:
+            raise ValueError("png backend: non-positive IHDR dimensions")
         nch = {0: 1, 2: 3, 6: 4}[ctype]
         stride = w * nch
-        raw = zlib.decompress(idat)
+        # Bounded inflate (r9 advice): the backend routes arbitrary
+        # media payloads, and a crafted small PNG can deflate-amplify
+        # ~1000x.  Cap the inflate at the exact size the IHDR promises
+        # (h scanlines of stride pixels + 1 filter byte each) and fail
+        # on any mismatch in either direction — executor memory is
+        # never asked for more than the declared image.
+        expected = h * (stride + 1)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected)
+        if len(raw) != expected:
+            raise ValueError(
+                f"png backend: inflated {len(raw)} bytes, IHDR "
+                f"{w}x{h}x{nch} promises {expected}"
+            )
+        if (dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1)) or dec.flush(1):
+            raise ValueError("png backend: inflate output exceeds IHDR dims")
         out: list[int] = []
         prev = bytes(stride)
         for r in range(h):
@@ -757,6 +782,22 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_png_roundtrip"] = multimodal_png_roundtrip
+
+# ---------------------------------------------------------------------------
+# ASCII-CORPUS PRECONDITION (r9 advice — stated once, for EVERY
+# real-codec oracle in this module: PNG/WAV roundtrips, dHash, audio
+# energy, and the stub byte-math family).  These oracles equate
+# unicode(substr(text, i, 1)) with byte i of encode(text) and
+# octet_length with length — identities that hold ONLY while every
+# character is single-byte (< U+0080).  Spark's kernels consume real
+# UTF-8 bytes while DuckDB's replicas index codepoints, so one
+# non-ASCII document would make the two sides silently diverge.  The
+# precondition is ASSERTED, not assumed:
+# tests/test_operators.py::test_documents_corpus_is_ascii checks
+# byte_len == char_len over every document at every shipped SF, and a
+# production corpus that fails it must switch these oracles to blob
+# indexing.
+# ---------------------------------------------------------------------------
 
 # Lossless roundtrip => decoded pixels are the payload bytes plus the
 # zero pad to a full 32-wide grid; the test corpus is printable ASCII,

@@ -2143,11 +2143,12 @@ def _maybe_auto_compact(
     out_dir: str,
     key_cols: list[str],
     sum_cols: dict[str, str],
+    agg_fn: str = "sum",
 ) -> None:
     srcs, _ = _count_delta_sources(out_dir)
     n_deltas = sum(1 for s in srcs if f"{os.sep}deltas{os.sep}" in s)
     if n_deltas >= _AUTO_COMPACT_EVERY:
-        compact_cell_deltas(spark, out_dir, key_cols, sum_cols)
+        compact_cell_deltas(spark, out_dir, key_cols, sum_cols, agg_fn=agg_fn)
 
 
 def _read_delta_log(
@@ -2205,13 +2206,17 @@ def compact_cell_deltas(
     key_cols: list[str],
     sum_cols: dict[str, str],
     _fail_before_prune: bool = False,
+    agg_fn: str = "sum",
 ) -> tuple[int, int]:
-    """Generic C32 fold-and-replace compaction for ANY additive cell
-    delta log (count rollup, trend daily cells, Benford digits, HHI
-    micro-units, PII source cells): fold (base + deltas) grouped on
-    ``key_cols`` with SUM over ``sum_cols`` (each cast back to its
-    declared type), write ``base/upto=<max folded batch>``, then prune
-    covered deltas and stale bases.  Write-before-delete: a crash
+    """Generic C32 fold-and-replace compaction for ANY mergeable cell
+    delta log: fold (base + deltas) grouped on ``key_cols`` with
+    ``agg_fn`` over ``sum_cols`` (each cast back to its declared
+    type), write ``base/upto=<max folded batch>``, then prune covered
+    deltas and stale bases.  ``agg_fn="sum"`` is the additive family
+    (count rollup, trend daily cells, Benford digits, HHI micro-units,
+    PII source cells); ``agg_fn="max"`` is the register-max family
+    (the C33 closes log), whose fold is idempotent so replay ghosts
+    merge away even before the prune.  Write-before-delete: a crash
     between the two steps leaves a state every read still folds
     correctly (the new base wins, covered deltas are ignored), and the
     prune doubles as the replay-ghost sweep."""
@@ -2227,9 +2232,10 @@ def compact_cell_deltas(
     if delta_ids:
         n_folded = len(srcs)
         new_covered = max(delta_ids)
+        fold = {"sum": F.sum, "max": F.max}[agg_fn]
         folded = spark.read.parquet(*srcs).groupBy(*key_cols).agg(
             *[
-                F.sum(c).cast(t).alias(c)
+                fold(c).cast(t).alias(c)
                 for c, t in sum_cols.items()
             ]
         )
@@ -2287,8 +2293,10 @@ def count_delta_stream(
 # are each MERGEABLE under one of the proven delta algebras, so the
 # stream composes them: per-day open counts are additive (the C32
 # batch-id-keyed delta log — replays overwrite their own delta), and
-# per-order close dates are a register-MAX (the C22/C28 idempotent
-# append log — a replayed or late-arriving shipment max-merges away).
+# per-order close dates are a register-MAX delta log (batch-id-keyed
+# like C32 but folded with MAX — a replayed batch overwrites its own
+# delta and a late-arriving shipment max-merges away; compacted on
+# the same cadence knob as the additive logs, r9 advice).
 # The read path feeds both folds to the SAME backlog_from_deltas
 # kernel as the A98 batch query, so stream == batch is a kernel
 # invariant, not a re-implementation.  A late lineitem file that
@@ -2313,12 +2321,23 @@ def foreach_batch_backlog_opens(out_dir: str) -> Callable[[DataFrame, int], None
 
 
 def foreach_batch_backlog_closes(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Register-max delta log: one batch-id-keyed delta per
+    micro-batch (a replay overwrites its own delta) compacted on the
+    same cadence knob as the additive logs but with a MAX fold — the
+    r9 advice's missing compaction for the closes leg, which used to
+    append one parquet dir per micro-batch forever."""
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        closes_dir = os.path.join(out_dir, "closes")
         deltas = batch_df.groupBy("l_orderkey").agg(
             F.max(F.to_date("l_shipdate")).alias("close_d")
         )
-        deltas.coalesce(1).write.mode("append").parquet(
-            os.path.join(out_dir, "closes")
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(closes_dir, "deltas", f"batch={batch_id}")
+        )
+        _maybe_auto_compact(
+            batch_df.sparkSession, closes_dir,
+            ["l_orderkey"], {"close_d": "date"}, agg_fn="max",
         )
 
     return sink
@@ -2367,14 +2386,8 @@ def read_stream_backlog(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("n_opened").cast("long").alias("n_opened"))
     )
-    closes_dir = os.path.join(out_dir, "closes")
-    closes_raw = (
-        spark.read.parquet(closes_dir)
-        if os.path.isdir(closes_dir)
-        else spark.createDataFrame([], CLOSES_CELL_SCHEMA)
-    )
     closes = (
-        closes_raw
+        _read_delta_log(spark, os.path.join(out_dir, "closes"), CLOSES_CELL_SCHEMA)
         .groupBy("l_orderkey")
         .agg(F.max("close_d").alias("close_d"))
     )

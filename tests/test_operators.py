@@ -4334,3 +4334,70 @@ def test_audio_energy_hand_computed(spark):
     assert a["zero_crossings"] == 7
     assert (a["e0"], a["e1"], a["e2"], a["e3"]) == (2 * 256**2,) * 4
     assert a["mean_energy"] == 256.0**2
+
+
+def test_documents_corpus_is_ascii():
+    """r9 advice: the real-codec oracles (PNG/WAV roundtrip, dHash,
+    audio energy) equate unicode(substr(text, i, 1)) with byte i of
+    encode(text) — valid only while every document character is
+    single-byte.  Assert the precondition over EVERY shipped SF so a
+    non-ASCII regeneration fails loudly here instead of silently
+    hash-diverging Spark (UTF-8 bytes) from DuckDB (codepoints)."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (n_bad,) = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()
+        assert n_bad == 0, f"{sf}: {n_bad} non-single-byte documents"
+
+
+def test_png_decode_bounded_inflate():
+    """r9 advice: decode_pixels inflates at most the byte count the
+    IHDR promises — a crafted deflate bomb (tiny payload, ~1000x
+    expansion) and a truncated IDAT both fail with a ValueError
+    instead of allocating unbounded executor memory."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.multimodal.decode import _png_codec
+
+    encode_gray, decode_pixels = _png_codec()
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def png_of(w, h, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # bomb: IHDR says 2x2 gray (expects 6 raw bytes) but the IDAT
+    # inflates to 1 MB
+    with pytest.raises(ValueError, match="exceeds IHDR"):
+        decode_pixels(png_of(2, 2, b"\0" * 1_000_000))
+    # truncated: IHDR promises 100x100 but only 10 raw bytes exist
+    with pytest.raises(ValueError, match="promises"):
+        decode_pixels(png_of(100, 100, b"\0" * 10))
+    # zero dims rejected before any allocation
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_pixels(png_of(0, 4, b""))
+    # the happy path is unchanged: exact roundtrip
+    w, h, px = decode_pixels(encode_gray(bytes(range(64)), 32))
+    assert (w, h) == (32, 2) and bytes(px) == bytes(range(64))

@@ -2579,3 +2579,107 @@ def test_image_intake_stream_matches_batch_and_absorbs_replay(
     _await(image_intake_stream(spark, src, out, str(tmp_path / "img_ckpt2")))
     assert len(_glob.glob(out + "/fingerprints/*.parquet")) > n_files_before
     assert snap() == want
+
+
+def test_cell_log_declared_schemas_match_written(spark, sf_dir, tmp_path):
+    """r9 advice: the *_CELL_SCHEMA constants used by _read_delta_log
+    empty reads are hand-maintained duplicates of what each sink
+    writes.  Drive EVERY declared cell log's sink once with a real
+    batch and assert the written parquet's (name, type) signature
+    equals the declared constant's — a type drift (digit int vs long)
+    now fails here instead of surfacing as a subtly different schema
+    on a fresh out_dir."""
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming import pipelines as pl
+
+    events = load_table(spark, sf_dir, "events").limit(50)
+    orders = load_table(spark, sf_dir, "orders").limit(50)
+    lineitem = load_table(spark, sf_dir, "lineitem").limit(50)
+    part = load_table(spark, sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    baseline = pl.amount_drift_baseline(orders)
+
+    def run(name, sink, batch_df, declared, sub=""):
+        out = str(tmp_path / name)
+        sink(out)(batch_df, 0) if sub == "" else sink(out)(batch_df, 0)
+        path = os.path.join(out, *([sub] if sub else []), "deltas", "batch=0")
+        return path, declared
+
+    cases = [
+        ("trend", pl.foreach_batch_trend_rollup, events,
+         pl.TREND_CELL_SCHEMA, ""),
+        ("benford", pl.foreach_batch_benford, events,
+         pl.BENFORD_CELL_SCHEMA, ""),
+        ("hhi", lambda o: pl.foreach_batch_hhi_cells(o, part), lineitem,
+         pl.HHI_CELL_SCHEMA, ""),
+        ("count", pl.foreach_batch_count_deltas, events,
+         pl.COUNT_CELL_SCHEMA, ""),
+        ("pii", pl.foreach_batch_pii_cells, docs,
+         pl.PII_CELL_SCHEMA, ""),
+        ("mix", pl.foreach_batch_mix_cells, events,
+         pl.MIX_CELL_SCHEMA, ""),
+        ("amount", lambda o: pl.foreach_batch_amount_cells(o, baseline),
+         orders, pl.AMOUNT_CELL_SCHEMA, ""),
+        ("backlog", pl.foreach_batch_backlog_opens, orders,
+         pl.OPENS_CELL_SCHEMA, "opens"),
+        ("backlog", pl.foreach_batch_backlog_closes, lineitem,
+         pl.CLOSES_CELL_SCHEMA, "closes"),
+        ("receipts", pl.foreach_batch_receipt_edges, orders,
+         pl.READINESS_INPUT_SCHEMA, "inputs"),
+        ("receipts", pl.foreach_batch_receipt_edges, orders,
+         pl.READINESS_PRODUCED_SCHEMA, "produced"),
+    ]
+    for name, sink, batch_df, declared, sub in cases:
+        path, decl = run(name, sink, batch_df, declared, sub)
+        written = spark.read.parquet(path).schema
+        want = spark.createDataFrame([], decl).schema
+        assert [(f.name, f.dataType) for f in written] == [
+            (f.name, f.dataType) for f in want
+        ], f"{name}/{sub or 'deltas'}: written {written} != declared {want}"
+
+
+def test_backlog_closes_log_auto_compacts(spark, sf_dir, tmp_path, monkeypatch):
+    """r9 advice: the closes (register-MAX) log now rides the same
+    cadence knob as the additive logs — at cadence 1 every batch folds
+    into a single base, replays overwrite their own delta, and the
+    max-merge keeps late shipments."""
+    import glob as _glob
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming import pipelines as pl
+
+    monkeypatch.setattr(pl, "_AUTO_COMPACT_EVERY", 1)
+    out = str(tmp_path / "backlog")
+    lineitem = load_table(spark, sf_dir, "lineitem").limit(300)
+    parts = [
+        lineitem.filter(F.col("l_orderkey") % 3 == i).cache() for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        pl.foreach_batch_backlog_closes(out)(p, i)
+    closes_dir = out + "/closes"
+    assert len(_glob.glob(closes_dir + "/base/upto=*")) == 1
+    assert len(_glob.glob(closes_dir + "/deltas/batch=*")) <= 1
+    # replayed batch: overwrites its own (already covered) delta; the
+    # fold result is unchanged
+    want = sorted(
+        (r["l_orderkey"], str(r["close_d"]))
+        for r in pl._read_delta_log(spark, closes_dir, pl.CLOSES_CELL_SCHEMA)
+        .groupBy("l_orderkey").agg(F.max("close_d").alias("close_d"))
+        .collect()
+    )
+    pl.foreach_batch_backlog_closes(out)(parts[1], 1)
+    got = sorted(
+        (r["l_orderkey"], str(r["close_d"]))
+        for r in pl._read_delta_log(spark, closes_dir, pl.CLOSES_CELL_SCHEMA)
+        .groupBy("l_orderkey").agg(F.max("close_d").alias("close_d"))
+        .collect()
+    )
+    assert got == want
+    # exact per-order max against the batch source
+    batch_max = {
+        r["l_orderkey"]: str(r["close_d"])
+        for r in lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_d"))
+        .collect()
+    }
+    assert dict(got) == batch_max
