@@ -61,8 +61,32 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     (similarity.ivf_train_mod, r8 verdict #3), so their oracle SQL
 #     computes the same GREATEST(...) gate — values identical at test
 #     SFs, but the driver must prove the NEW expression.
+# Round-10 rotation policy: the r9 window retired all 40 of the r8
+# debt — CORRECTNESS_r09 is 50/50 green — so only the 5 late-r9
+# additions (the real-codec image/audio family + its intake twin +
+# the cross-modality confusion) have never had a driver row.  They
+# lead the r10 window, followed by the 8 new r10 oracle queries
+# (forecast backtest, SRM check + its C41 replay twin, winsorized
+# stats, scrub audit, char entropy, image histogram, audio
+# downsample).  Everything else has a driver-green row within r5-r9.
 _GATE_PRIORITY: list[str] = [
-    # --- the 40 never-driver-gated oracle queries (registry order) ---
+    # --- never driver-gated: the late-r9 batch (registry order) ---
+    "multimodal_image_dhash",
+    "multimodal_image_dhash_pairs",
+    "multimodal_audio_energy",
+    "image_intake_stream_replay",
+    "dedup_modality_agreement",
+    # --- new in r10: first driver exposure ---
+    "events_forecast_backtest",
+    "events_srm_check",
+    "srm_stream_replay",
+    "events_value_winsorized",
+    "scrub_effectiveness",
+    "doc_char_entropy",
+    "multimodal_image_histogram",
+    "multimodal_audio_downsample",
+    # --- r9 window (driver-green r9; kept near the front as the
+    # freshest re-gate candidates after the new exposures) ---
     "quality_filter_gopher",
     "lang_id_margin",
     "pii_incidence_by_source",

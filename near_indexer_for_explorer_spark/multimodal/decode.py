@@ -1278,3 +1278,198 @@ def _audio_energy_oracle_sql() -> str:
 
 
 ORACLES["multimodal_audio_energy"] = _audio_energy_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B128 pixel-intensity histogram over REAL decoded pixels — the
+# exposure/contrast profile an image-curation pass computes per asset
+# (all-dark, all-blown, and low-contrast images are drop candidates
+# before any model sees them).  Composes B120's real codec: payload ->
+# real PNG -> real inflate+unfilter decode -> 16 intensity bins,
+# emitted as 16 exact-integer rows per image FROM INSIDE the Arrow
+# kernel, so the operator stays MAP-ONLY (the histogram never rides a
+# groupBy shuffle; output is a fixed 16x fan-out like B22's frames).
+# ASCII-corpus precondition applies (see the module note above
+# multimodal_png_roundtrip).
+# ---------------------------------------------------------------------------
+IMAGE_HIST_SCHEMA = (
+    "doc_id long, bin long, n_px long, frac double"
+)
+_HIST_BINS = 16
+
+
+def make_image_histogram_kernel(
+    width: int = _PNG_W, bins: int = _HIST_BINS
+) -> Callable[[Iterator], Iterator]:
+    encode_gray, decode_pixels = _png_codec()
+    step = 256 // bins
+
+    def hist_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def rows(doc_id: int, payload: bytes) -> list[dict]:
+            _, _, px = decode_pixels(encode_gray(payload, width))
+            counts = [0] * bins
+            for v in px:
+                counts[v // step] += 1
+            total = len(px)
+            return [
+                {
+                    "doc_id": doc_id,
+                    "bin": k,
+                    "n_px": counts[k],
+                    "frac": counts[k] / total if total else 0.0,
+                }
+                for k in range(bins)
+            ]
+
+        for pdf in batches:
+            out = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                out.extend(rows(int(d), p))
+            yield pd.DataFrame(out, columns=["doc_id", "bin", "n_px", "frac"])
+
+    return hist_batches
+
+
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bin, n_px, frac): 16-bin intensity histogram of the
+    REAL decoded pixels, 16 rows per image, exact integer counts plus
+    one IEEE division each."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_image_histogram_kernel(), schema=IMAGE_HIST_SCHEMA
+    )
+
+
+QUERIES["multimodal_image_histogram"] = multimodal_image_histogram
+
+# Lossless roundtrip => pixels are the payload bytes plus (32*h - n)
+# zero-pad pixels, which all land in bin 0.  The oracle rebuilds each
+# bin count from the text bytes (ASCII precondition) + the pad term.
+ORACLES["multimodal_image_histogram"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, n,
+             {_PNG_W} * greatest(1, CAST(ceil(n / {_PNG_W}.0) AS BIGINT))
+               AS total
+      FROM b
+    ),
+    h AS (
+      SELECT doc_id, total, t.k,
+             COALESCE(len(list_filter(range(1, n + 1),
+               i -> unicode(substr(text, CAST(i AS INTEGER), 1))
+                    // {256 // _HIST_BINS} = k)), 0)
+             + CASE WHEN t.k = 0 THEN total - n ELSE 0 END AS n_px
+      FROM g, UNNEST(range({_HIST_BINS})) AS t(k)
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS bin,
+           CAST(n_px AS BIGINT) AS n_px,
+           CAST(n_px AS DOUBLE) / total AS frac
+    FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# B129 audio downsampling over REAL decoded samples — the 2:1
+# rate-reduction an audio intake runs to normalize heterogeneous
+# sample rates before feature extraction.  Composes B121's real WAV
+# codec: payload -> real RIFF/PCM encode -> real chunk-walk decode ->
+# pairwise sample averaging.  Every decoded sample is (b - 128) * 256
+# (exact u8->s16 widening), so each output sample
+# (s[2i] + s[2i+1]) / 2 = 128 * (b1 + b2 - 256) is EXACT integer math
+# the DuckDB oracle replicates from the text bytes; sums/energies stay
+# far inside int64.  Map-only, linear at any corpus size.  ASCII
+# precondition per the module note.
+# ---------------------------------------------------------------------------
+AUDIO_DOWNSAMPLE_SCHEMA = (
+    "doc_id long, n_in long, n_out long, sum_out long, energy_out long, "
+    "peak_abs long, mean_out double"
+)
+
+
+def make_audio_downsample_kernel(
+    rate: int = _WAV_RATE,
+) -> Callable[[Iterator], Iterator]:
+    encode_pcm16, decode_samples = _wav_codec()
+
+    def down_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            _, _, _, s = decode_samples(encode_pcm16(payload, rate))
+            n = len(s)
+            out = [(s[2 * i] + s[2 * i + 1]) // 2 for i in range(n // 2)]
+            total = sum(out)
+            return {
+                "doc_id": doc_id,
+                "n_in": n,
+                "n_out": len(out),
+                "sum_out": total,
+                "energy_out": sum(v * v for v in out),
+                "peak_abs": max((abs(v) for v in out), default=0),
+                "mean_out": (total / len(out)) if out else 0.0,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_in",
+                    "n_out",
+                    "sum_out",
+                    "energy_out",
+                    "peak_abs",
+                    "mean_out",
+                ],
+            )
+
+    return down_batches
+
+
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_in, n_out, sum_out, energy_out, peak_abs, mean_out):
+    2:1 downsample of the REAL decoded 16-bit samples by exact pairwise
+    averaging — integer sums/energy/peak plus one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_audio_downsample_kernel(), schema=AUDIO_DOWNSAMPLE_SCHEMA
+    )
+
+
+QUERIES["multimodal_audio_downsample"] = multimodal_audio_downsample
+
+# Output sample i (1-based pairs): 128 * (u(2i-1) + u(2i) - 256); the
+# (b1 + b2 - 256) term can be negative, but 128*(even sum) is exact in
+# both engines (no division, no flooring ambiguity).
+ORACLES["multimodal_audio_downsample"] = """
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n, n // 2 AS n_out,
+             list_transform(range(1, n // 2 + 1),
+               i -> 128 * (unicode(substr(text, CAST(2*i - 1 AS INTEGER), 1))
+                           + unicode(substr(text, CAST(2*i AS INTEGER), 1))
+                           - 256)) AS o
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(COALESCE(list_sum(o), 0) AS BIGINT) AS sum_out,
+           CAST(COALESCE(list_sum(list_transform(o, v -> v * v)), 0)
+                AS BIGINT) AS energy_out,
+           CAST(COALESCE(list_max(list_transform(o, v -> abs(v))), 0)
+                AS BIGINT) AS peak_abs,
+           CASE WHEN n_out = 0 THEN 0.0
+                ELSE CAST(COALESCE(list_sum(o), 0) AS DOUBLE) / n_out
+           END AS mean_out
+    FROM d
+"""

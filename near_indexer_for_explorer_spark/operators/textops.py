@@ -1951,3 +1951,220 @@ ORACLES["doc_length_lognormal_fit"] = f"""
                  - ROUND(ln(emp_p90_raw), 6), 6) AS p90_log_gap
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# B126 scrub effectiveness audit — the closed loop between B15 (the
+# redaction pass) and B113 (the detectors): re-run EVERY detector on
+# the SCRUBBED text and report, per source, what survived.  This is
+# the audit a privacy reviewer actually signs off on — the scrub
+# handles emails/URLs, so nonzero residual ipv4/phone counts are the
+# actionable gap, and a nonzero residual email count would mean the
+# replacement regex and the detection regex disagree (they are the
+# same constant here, so that column doubles as a self-check).
+# Scale shape: per-row regex arithmetic then ONE source-grain
+# aggregate with map-side partials — no joins, linear in corpus
+# bytes, source-grain output.
+# ---------------------------------------------------------------------------
+ORACLES["scrub_effectiveness"] = f"""
+    WITH s AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS pre_e,
+             len(regexp_extract_all(text, '{_URL_RE}')) AS pre_u,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_URL_RE}', '<URL>', 'g'),
+                       '\\s+', ' ', 'g')) AS scrubbed
+      FROM documents
+    ),
+    r AS (
+      SELECT source, pre_e, pre_u,
+             len(regexp_extract_all(scrubbed, '{_EMAIL_RE}')) AS res_e,
+             len(regexp_extract_all(scrubbed, '{_URL_RE}')) AS res_u,
+             len(regexp_extract_all(scrubbed, '{_IPV4_RE}')) AS res_i,
+             len(regexp_extract_all(scrubbed, '{_PHONE_RE}')) AS res_p
+      FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pre_e) AS BIGINT) AS n_pre_emails,
+           CAST(SUM(pre_u) AS BIGINT) AS n_pre_urls,
+           CAST(SUM(res_e) AS BIGINT) AS n_res_emails,
+           CAST(SUM(res_u) AS BIGINT) AS n_res_urls,
+           CAST(SUM(res_i) AS BIGINT) AS n_res_ipv4,
+           CAST(SUM(res_p) AS BIGINT) AS n_res_phones,
+           CAST(SUM(CASE WHEN res_e + res_u + res_i + res_p > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_residual,
+           CASE WHEN SUM(pre_e) = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(SUM(res_e) AS DOUBLE)
+                           / SUM(pre_e), 6) END AS email_removal_rate,
+           CASE WHEN SUM(pre_u) = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(SUM(res_u) AS DOUBLE)
+                           / SUM(pre_u), 6) END AS url_removal_rate
+    FROM r GROUP BY source
+"""
+
+
+def scrub_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_pre_emails, n_pre_urls, n_res_emails,
+    n_res_urls, n_res_ipv4, n_res_phones, docs_with_residual,
+    email_removal_rate, url_removal_rate): B15's scrub re-audited by
+    B113's detectors — residual PII per source after redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _URL_RE,
+                "<URL>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("pre_e"),
+        F.regexp_count("text", F.lit(_URL_RE)).cast("long").alias("pre_u"),
+        scrubbed.alias("scrubbed"),
+    ).select(
+        "source",
+        "pre_e",
+        "pre_u",
+        F.regexp_count("scrubbed", F.lit(_EMAIL_RE)).cast("long").alias("res_e"),
+        F.regexp_count("scrubbed", F.lit(_URL_RE)).cast("long").alias("res_u"),
+        F.regexp_count("scrubbed", F.lit(_IPV4_RE)).cast("long").alias("res_i"),
+        F.regexp_count("scrubbed", F.lit(_PHONE_RE)).cast("long").alias("res_p"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pre_e").cast("long").alias("n_pre_emails"),
+        F.sum("pre_u").cast("long").alias("n_pre_urls"),
+        F.sum("res_e").cast("long").alias("n_res_emails"),
+        F.sum("res_u").cast("long").alias("n_res_urls"),
+        F.sum("res_i").cast("long").alias("n_res_ipv4"),
+        F.sum("res_p").cast("long").alias("n_res_phones"),
+        F.sum(
+            (
+                (F.col("res_e") + F.col("res_u") + F.col("res_i") + F.col("res_p"))
+                > 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("docs_with_residual"),
+    )
+    def rate(pre: str, res: str):
+        return F.when(F.col(pre) == 0, F.lit(None).cast("double")).otherwise(
+            F.round(1.0 - F.col(res).cast("double") / F.col(pre), 6)
+        )
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pre_emails",
+        "n_pre_urls",
+        "n_res_emails",
+        "n_res_urls",
+        "n_res_ipv4",
+        "n_res_phones",
+        "docs_with_residual",
+        rate("n_pre_emails", "n_res_emails").alias("email_removal_rate"),
+        rate("n_pre_urls", "n_res_urls").alias("url_removal_rate"),
+    )
+
+
+QUERIES["scrub_effectiveness"] = scrub_effectiveness
+
+
+# ---------------------------------------------------------------------------
+# B127 per-document character entropy — the gibberish/encoded-blob
+# detector quality pipelines run BEFORE tokenization (base64 dumps,
+# minified code, and key mashing all sit far from natural-language
+# character distributions; cf. the entropy rule in CCNet/Gopher-style
+# filter stacks).  Engine-stability: each -p*ln(p) term is rounded to
+# 8 decimals and cast DECIMAL(20,8) BEFORE summation, and both sides
+# sum decimals exactly, so the fold order never matters (the
+# user_event_entropy discipline applied inside a higher-order
+# function).  Scale shape: MAP-ONLY — the character histogram is
+# per-row array arithmetic (O(n_chars x n_distinct) inside codegen),
+# no shuffle at all; at 100 TB this is the ideal embarrassingly
+# parallel scan shape.
+# ---------------------------------------------------------------------------
+_ENTROPY_GIBBERISH_NATS = 2.0
+_ENTROPY_MIN_CHARS = 50
+
+ORACLES["doc_char_entropy"] = f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> substr(text, CAST(i AS INTEGER), 1)) AS chs
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n,
+             len(list_distinct(chs)) AS n_distinct,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(chs),
+               c -> CAST(ROUND(
+                      -(CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) / n)
+                      * ln(CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) / n),
+                      8) AS DECIMAL(20,8)))), 0) AS DECIMAL(24,8)) AS h8
+      FROM c WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+           ROUND(CAST(CAST(h8 AS VARCHAR) AS DOUBLE), 6) AS char_entropy,
+           n >= {_ENTROPY_MIN_CHARS}
+             AND CAST(CAST(h8 AS VARCHAR) AS DOUBLE)
+                 < {_ENTROPY_GIBBERISH_NATS} AS is_low_entropy
+    FROM h
+"""
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, char_entropy,
+    is_low_entropy): Shannon character entropy (nats) per document,
+    flagging long low-entropy docs (repetitive filler / mashing) the
+    way a pre-tokenization quality gate does."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    chs = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring("text", i, 1)
+    )
+    per = docs.where(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chs)).cast("long").alias("n_distinct_chars"),
+        F.aggregate(
+            F.transform(
+                F.array_distinct(chs),
+                lambda c: F.round(
+                    -(
+                        F.size(F.filter(chs, lambda x: x == c)).cast("double")
+                        / n
+                    )
+                    * F.log(
+                        F.size(F.filter(chs, lambda x: x == c)).cast("double")
+                        / n
+                    ),
+                    8,
+                ).cast("decimal(20,8)"),
+            ),
+            F.lit(0).cast("decimal(24,8)"),
+            lambda acc, x: (acc + x).cast("decimal(24,8)"),
+        ).alias("h8"),
+    )
+    h_d = F.col("h8").cast("string").cast("double")
+    return per.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(h_d, 6).alias("char_entropy"),
+        (
+            (F.col("n_chars") >= _ENTROPY_MIN_CHARS)
+            & (h_d < _ENTROPY_GIBBERISH_NATS)
+        ).alias("is_low_entropy"),
+    )
+
+
+QUERIES["doc_char_entropy"] = doc_char_entropy

@@ -7774,3 +7774,268 @@ def account_changes_by_reason(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["account_changes_by_reason"] = ORACLES["account_changes_by_reason"].replace(
     "{_REASON_KIND_SQL}", _REASON_KIND_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# A112 seasonal-naive forecast backtest (reference analog: the
+# explorer's daily-transactions chart, frontend/src/components/stats —
+# turned into the capacity question a real operator asks of it: "how
+# predictable is tomorrow's load?").  Per event type: daily counts,
+# a seasonal-naive forecast (same weekday last week) and a naive-1
+# forecast (yesterday) backtested against each other — MAE on exact
+# integer counts, MAPE via the decimal-term discipline, and a skill
+# score saying whether weekly seasonality beats persistence.
+# Scale shape: ONE (type, day) count aggregate (map-side partials),
+# then two equi-joins at type-day grain — thousands of rows per year
+# regardless of corpus size, so everything after the first shuffle is
+# dimension-sized.  Gap-safe: forecasts join on d-7 / d-1 EXACT date
+# arithmetic, so a missing day yields no row rather than a misaligned
+# lag (LAG over sparse days would silently compare non-adjacent days).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT a.event_type, a.d, a.n,
+             s.n AS f_seasonal, p.n AS f_naive
+      FROM daily a
+      JOIN daily s ON s.event_type = a.event_type AND a.d = s.d + 7
+      JOIN daily p ON p.event_type = a.event_type AND a.d = p.d + 1
+    ),
+    terms AS (
+      SELECT event_type,
+             abs(n - f_seasonal) AS ae_s,
+             abs(n - f_naive) AS ae_n,
+             CAST(ROUND(CAST(abs(n - f_seasonal) AS DOUBLE) / n, 8)
+                  AS DECIMAL(20,8)) AS ape_s
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ae_s) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+           ROUND(CAST(SUM(ae_n) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+           ROUND(CAST(CAST(SUM(ape_s) AS DECIMAL(24,8)) AS VARCHAR)::DOUBLE
+                 / COUNT(*), 6) AS mape_seasonal,
+           CASE WHEN SUM(ae_n) = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(SUM(ae_s) AS DOUBLE)
+                           / CAST(SUM(ae_n) AS DOUBLE), 6) END AS skill,
+           SUM(ae_s) < SUM(ae_n) AS seasonal_wins
+    FROM terms GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, mae_seasonal, mae_naive, mape_seasonal,
+    skill, seasonal_wins): backtest of the two zero-parameter
+    forecasters every capacity dashboard starts from.  Absolute errors
+    are exact integer sums (hash-stable); MAPE rides the round-8
+    decimal-term discipline; skill = 1 - MAE_s/MAE_n on the exact
+    sums (NULL when persistence is perfect)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seas = daily.select(
+        "event_type", F.date_add("d", 7).alias("d"), F.col("n").alias("f_seasonal")
+    )
+    naive = daily.select(
+        "event_type", F.date_add("d", 1).alias("d"), F.col("n").alias("f_naive")
+    )
+    scored = daily.join(seas, ["event_type", "d"]).join(
+        naive, ["event_type", "d"]
+    )
+    ae_s = F.abs(F.col("n") - F.col("f_seasonal"))
+    ae_n = F.abs(F.col("n") - F.col("f_naive"))
+    ape_s = F.round(ae_s.cast("double") / F.col("n"), 8).cast("decimal(20,8)")
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(ae_s).alias("s_ae_s"),
+        F.sum(ae_n).alias("s_ae_n"),
+        F.sum(ape_s).cast("decimal(24,8)").alias("s_ape"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s_ae_s").cast("double") / F.col("n_days"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.col("s_ae_n").cast("double") / F.col("n_days"), 6).alias(
+            "mae_naive"
+        ),
+        F.round(
+            F.col("s_ape").cast("string").cast("double") / F.col("n_days"), 6
+        ).alias("mape_seasonal"),
+        F.when(F.col("s_ae_n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                1.0 - F.col("s_ae_s").cast("double") / F.col("s_ae_n").cast("double"),
+                6,
+            )
+        )
+        .alias("skill"),
+        (F.col("s_ae_s") < F.col("s_ae_n")).alias("seasonal_wins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A113 sample-ratio-mismatch (SRM) check (the experimentation-platform
+# guardrail: users hash into arms, and a daily arm-split that drifts
+# from 50/50 means the assignment or logging pipeline is broken —
+# Fabijan et al. 2019's "most useful A/B health check").  Arm =
+# user_id % 2 (the deterministic hash split both engines share); the
+# 2-cell chi-square against expected 50/50 collapses to
+# (n_a - n_b)^2 / n, one IEEE division over exact integer counts.
+# Scale shape: one day-grain conditional aggregate — map-side
+# partials, output rows = days, independent of corpus size.
+# ---------------------------------------------------------------------------
+_SRM_CHI2_95 = 3.841459  # chi-square 0.95 quantile, 1 dof
+
+
+@_register(
+    "events_srm_check",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT event_date, n_a, n_b,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+             AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             > {_SRM_CHI2_95} AS srm_flag
+    FROM daily
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_a, n_b, chi2, srm_flag): daily sample-ratio-
+    mismatch health check for a user_id%2 A/B split — chi-square vs
+    the expected 50/50 with the 95% flag.  The C41 streaming twin
+    maintains the same (day, arm) additive cells incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return srm_from_daily(daily)
+
+
+def srm_from_daily(daily: DataFrame) -> DataFrame:
+    """The SRM scoring kernel over (event_date, n_a, n_b) — shared by
+    the A113 batch query and the C41 streaming fold so stream == batch
+    is a kernel invariant."""
+    d = (F.col("n_a") - F.col("n_b")).cast("double")
+    chi2 = d * d / (F.col("n_a") + F.col("n_b"))
+    return daily.select(
+        "event_date",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > _SRM_CHI2_95).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A114 winsorized robust statistics per event type (the
+# heavy-tail-safe mean every metrics platform reports next to the raw
+# one: clamp to [p05, p95], then average — outliers stop dominating
+# without being dropped).  Engine-stability: the clamp bounds are the
+# A51 exact interpolated percentiles ROUNDED TO 6 DECIMALS FIRST so
+# both engines clamp against identical thresholds; clamped terms then
+# ride the round-8 decimal-sum discipline (distributed double
+# summation is order-sensitive, decimals are not).  Scale shape: two
+# passes over events (bounds, then clamp+sum), both type-keyed
+# aggregates with map-side partials; the bounds relation is
+# type-grain, broadcast back.  The percentile leg is size-gated like
+# A51 (exact under the footer-rowcount bound, GK sketch above).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_value_winsorized",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             ROUND(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6)
+               AS lo,
+             ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6)
+               AS hi
+      FROM events GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT e.event_type, b.lo, b.hi,
+             CAST(ROUND(least(greatest(e.value, b.lo), b.hi), 8)
+                  AS DECIMAL(20,8)) AS wv,
+             CAST(ROUND(e.value, 8) AS DECIMAL(20,8)) AS rv,
+             CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+             CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi
+      FROM events e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           any_value(lo) AS lo, any_value(hi) AS hi,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(CAST(SUM(rv) AS DECIMAL(27,8)) AS VARCHAR)::DOUBLE
+                 / COUNT(*), 6) AS raw_mean,
+           ROUND(CAST(CAST(SUM(wv) AS DECIMAL(27,8)) AS VARCHAR)::DOUBLE
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM clamped GROUP BY event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, lo, hi, n_clipped_low, n_clipped_high,
+    raw_mean, winsorized_mean): the p05/p95-winsorized mean next to
+    the raw one, plus how many observations each tail clamp touched
+    (the auditability column a metrics reviewer asks for)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = exact_percentiles_fit(sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        gated_percentiles("value", [0.05, 0.95], exact).alias("ps")
+    ).select(
+        "event_type",
+        F.round(F.element_at("ps", 1), 6).alias("lo"),
+        F.round(F.element_at("ps", 2), 6).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 8)
+        .cast("decimal(20,8)")
+        .alias("wv"),
+        F.round("value", 8).cast("decimal(20,8)").alias("rv"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("clip_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("clip_hi"),
+    )
+    agg = clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum("clip_lo").cast("long").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("long").alias("n_clipped_high"),
+        F.sum("rv").cast("decimal(27,8)").alias("s_rv"),
+        F.sum("wv").cast("decimal(27,8)").alias("s_wv"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "lo",
+        "hi",
+        "n_clipped_low",
+        "n_clipped_high",
+        F.round(
+            F.col("s_rv").cast("string").cast("double") / F.col("n_events"), 6
+        ).alias("raw_mean"),
+        F.round(
+            F.col("s_wv").cast("string").cast("double") / F.col("n_events"), 6
+        ).alias("winsorized_mean"),
+    )

@@ -3039,3 +3039,69 @@ def read_stream_image_dups(spark: SparkSession, out_dir: str) -> DataFrame:
     return docs.join(dup_ids, "doc_id", "left").select(
         "doc_id", F.coalesce("dup_of_earlier", F.lit(False)).alias("dup_of_earlier")
     )
+
+
+# ---------------------------------------------------------------------------
+# C41: streaming sample-ratio-mismatch monitor — A113 as a LIVE
+# experimentation guardrail (an arm-assignment bug shows up in the
+# daily split within hours; waiting for the batch job is how broken
+# experiments burn a week).  Every (day, arm) cell is an additive
+# count, so the state is the C32 batch-id-keyed delta log verbatim;
+# the read path folds cells through the IDENTICAL srm_from_daily
+# kernel as the A113 batch query, so stream == batch is a kernel
+# invariant.  State is O(days x batches) before compaction, never
+# O(events).
+# ---------------------------------------------------------------------------
+SRM_CELL_SCHEMA = "event_date date, n_a long, n_b long"
+
+
+def foreach_batch_srm_cells(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = batch_df.groupBy(F.to_date("ts").alias("event_date")).agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        deltas.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "deltas", f"batch={batch_id}")
+        )
+        _maybe_auto_compact(
+            batch_df.sparkSession, out_dir, ["event_date"],
+            {"n_a": "long", "n_b": "long"},
+        )
+
+    return sink
+
+
+def srm_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C41 driver: event stream -> per-(day, arm) additive count cells."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_srm_cells(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_srm(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C41 read path: fold the arm-count cells and score with the
+    SAME srm_from_daily kernel as the A113 batch check."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        srm_from_daily,
+    )
+
+    daily = (
+        _read_delta_log(spark, out_dir, SRM_CELL_SCHEMA)
+        .groupBy("event_date")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+        )
+    )
+    return srm_from_daily(daily)

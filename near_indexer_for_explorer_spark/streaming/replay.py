@@ -61,6 +61,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "benford_stream_replay",
         "hll_distinct_stream_replay",
         "image_intake_stream_replay",
+        "srm_stream_replay",
     }
 )
 
@@ -565,3 +566,63 @@ def _image_replay_oracle() -> str:
 
 
 ORACLES["image_intake_stream_replay"] = _image_replay_oracle()
+
+
+def srm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_a, n_b, chi2, srm_flag): the C41 SRM monitor's
+    folded arm cells after replaying the events table as three
+    id-sliced micro-batches — additive deltas from disjoint slices
+    must converge to the shared srm_from_daily kernel run in batch
+    (the oracle replicates the A113 batch check verbatim)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        read_stream_srm,
+        srm_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="srm_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = srm_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("srm replay stream did not finish in 300s")
+        return read_stream_srm(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["srm_stream_replay"] = srm_stream_replay
+
+# the A113 batch SRM check, verbatim
+ORACLES["srm_stream_replay"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT event_date, n_a, n_b,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+             AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             > 3.841459 AS srm_flag
+    FROM daily
+"""

@@ -4401,3 +4401,212 @@ def test_png_decode_bounded_inflate():
     # the happy path is unchanged: exact roundtrip
     w, h, px = decode_pixels(encode_gray(bytes(range(64)), 32))
     assert (w, h) == (32, 2) and bytes(px) == bytes(range(64))
+
+
+def test_forecast_backtest_planted_series(spark, tmp_path):
+    """A112 semantics on a hand-built series: type 'w' repeats weekly
+    exactly (seasonal MAE 0, skill 1, seasonal wins); type 'c' is
+    constant (both MAEs 0, skill NULL, seasonal does NOT win)."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_forecast_backtest,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(1995, 1, 2)
+    for day in range(21):
+        d = base + dt.timedelta(days=day)
+        # weekly pattern: count = 1 + (weekday index), repeats exactly
+        for _ in range(1 + day % 7):
+            rows.append((eid, d, 1, "w", 1.0, "{}"))
+            eid += 1
+        # constant: 2 events every day
+        for _ in range(2):
+            rows.append((eid, d, 2, "c", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in events_forecast_backtest(spark, str(tmp_path)).collect()
+    }
+    w = got["w"]
+    assert w["n_days"] == 14  # days 7..20 have both d-7 and d-1
+    assert w["mae_seasonal"] == 0.0 and w["mape_seasonal"] == 0.0
+    assert w["skill"] == 1.0 and w["seasonal_wins"]
+    assert w["mae_naive"] > 0.0
+    c = got["c"]
+    assert c["mae_seasonal"] == 0.0 and c["mae_naive"] == 0.0
+    assert c["skill"] is None and not c["seasonal_wins"]
+
+
+def test_srm_check_planted_mismatch(spark, tmp_path):
+    """A113 semantics: a balanced day passes (chi2 0), a 90/10 day
+    flags; chi2 equals the closed form (n_a-n_b)^2/n."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_srm_check,
+    )
+
+    rows = []
+    eid = 0
+    d1, d2 = dt.datetime(1995, 1, 1), dt.datetime(1995, 1, 2)
+    for i in range(100):  # day 1: 50 even / 50 odd users
+        rows.append((eid, d1, i, "t", 1.0, "{}")); eid += 1
+    for i in range(100):  # day 2: 90 even / 10 odd
+        uid = 2 * i if i < 90 else 2 * i + 1
+        rows.append((eid, d2, uid, "t", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        str(r["event_date"]): r
+        for r in events_srm_check(spark, str(tmp_path)).collect()
+    }
+    ok = got["1995-01-01"]
+    assert (ok["n_a"], ok["n_b"], ok["chi2"], ok["srm_flag"]) == (
+        50, 50, 0.0, False,
+    )
+    bad = got["1995-01-02"]
+    assert (bad["n_a"], bad["n_b"]) == (90, 10)
+    assert bad["chi2"] == 64.0  # (90-10)^2 / 200
+    assert bad["srm_flag"]
+
+
+def test_winsorized_clamps_planted_outlier(spark, tmp_path):
+    """A114 semantics: one huge outlier among 100 values moves the raw
+    mean but barely moves the winsorized mean, and is counted in
+    n_clipped_high."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_value_winsorized,
+    )
+
+    base = dt.datetime(1995, 1, 1)
+    rows = [(i, base, i, "t", 10.0, "{}") for i in range(99)]
+    rows.append((99, base, 99, "t", 1_000_000.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    (r,) = events_value_winsorized(spark, str(tmp_path)).collect()
+    assert r["n_events"] == 100
+    assert r["n_clipped_high"] == 1 and r["n_clipped_low"] == 0
+    assert r["raw_mean"] > 10_000
+    # clamp bound hi = p95 interpolated within the 10.0 mass = 10.0
+    assert r["winsorized_mean"] == 10.0
+
+
+def test_scrub_effectiveness_planted_residuals(spark, tmp_path):
+    """B126 semantics: emails/URLs are fully removed (rates 1.0),
+    phones/IPv4 survive the scrub and are reported as residuals."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        scrub_effectiveness,
+    )
+
+    docs = [
+        (0, "contact me at bob@example.com or https://ex.org/x now", "en", "s0", 50),
+        (1, "call 555-123-4567 or ping 10.0.0.1 today", "en", "s0", 40),
+        (2, "clean text with nothing sensitive at all", "en", "s1", 40),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in scrub_effectiveness(spark, str(tmp_path)).collect()
+    }
+    s0 = got["s0"]
+    assert s0["n_pre_emails"] == 1 and s0["n_res_emails"] == 0
+    assert s0["n_pre_urls"] == 1 and s0["n_res_urls"] == 0
+    assert s0["email_removal_rate"] == 1.0 and s0["url_removal_rate"] == 1.0
+    assert s0["n_res_phones"] == 1 and s0["n_res_ipv4"] == 1
+    assert s0["docs_with_residual"] == 1
+    s1 = got["s1"]
+    assert s1["docs_with_residual"] == 0
+    assert s1["email_removal_rate"] is None  # no PII to remove
+
+
+def test_char_entropy_planted_extremes(spark, tmp_path):
+    """B127 semantics: a single-character run has entropy 0 and a
+    4-char cycle ln(4) — both repetitive enough to flag at length >=
+    50; a 16-char uniform cycle (ln 16 > 2 nats) passes, and short
+    docs never flag regardless of entropy."""
+    import math
+    import string
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        doc_char_entropy,
+    )
+
+    docs = [
+        (0, "a" * 100, "en", "s0", 100),
+        (1, "abcd" * 25, "en", "s0", 100),
+        (2, "ab", "en", "s0", 2),
+        (3, string.ascii_lowercase[:16] * 8, "en", "s0", 128),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in doc_char_entropy(spark, str(tmp_path)).collect()}
+    assert got[0]["char_entropy"] == 0.0 and got[0]["is_low_entropy"]
+    assert abs(got[1]["char_entropy"] - math.log(4)) < 1e-6
+    assert got[1]["is_low_entropy"]  # ln(4) ~ 1.386 < 2 nats
+    assert got[2]["n_chars"] == 2 and not got[2]["is_low_entropy"]  # short
+    assert abs(got[3]["char_entropy"] - math.log(16)) < 1e-6
+    assert not got[3]["is_low_entropy"]
+
+
+def test_image_histogram_hand_pinned(spark):
+    """B128: histogram of a hand-built payload through the REAL PNG
+    roundtrip — 3 bytes + 29 pad zeros on the 32-wide grid."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        IMAGE_HIST_SCHEMA,
+        make_image_histogram_kernel,
+    )
+
+    # bytes: 0 (bin 0), 17 (bin 1), 255 (bin 15); pad 29 zeros -> bin 0
+    df = spark.createDataFrame(
+        [(1, bytes([0, 17, 255]))], "doc_id long, payload binary"
+    )
+    got = {
+        r["bin"]: r
+        for r in df.mapInPandas(
+            make_image_histogram_kernel(), schema=IMAGE_HIST_SCHEMA
+        ).collect()
+    }
+    assert len(got) == 16
+    assert got[0]["n_px"] == 30  # the 0 byte + 29 pad pixels
+    assert got[1]["n_px"] == 1 and got[15]["n_px"] == 1
+    assert sum(r["n_px"] for r in got.values()) == 32
+    assert got[0]["frac"] == 30 / 32
+
+
+def test_audio_downsample_hand_pinned(spark):
+    """B129: pairwise-average downsample of hand-built bytes through
+    the REAL WAV roundtrip — exact integer outputs, odd tail dropped."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        AUDIO_DOWNSAMPLE_SCHEMA,
+        make_audio_downsample_kernel,
+    )
+
+    # bytes 128,130 -> samples 0,512 -> avg 256; bytes 0,255 ->
+    # samples -32768,32512 -> avg -128; byte 200 dropped (odd tail)
+    df = spark.createDataFrame(
+        [(1, bytes([128, 130, 0, 255, 200]))], "doc_id long, payload binary"
+    )
+    (r,) = df.mapInPandas(
+        make_audio_downsample_kernel(), schema=AUDIO_DOWNSAMPLE_SCHEMA
+    ).collect()
+    assert (r["n_in"], r["n_out"]) == (5, 2)
+    assert r["sum_out"] == 256 - 128
+    assert r["energy_out"] == 256 * 256 + 128 * 128
+    assert r["peak_abs"] == 256
+    assert r["mean_out"] == (256 - 128) / 2

@@ -2628,6 +2628,8 @@ def test_cell_log_declared_schemas_match_written(spark, sf_dir, tmp_path):
          pl.READINESS_INPUT_SCHEMA, "inputs"),
         ("receipts", pl.foreach_batch_receipt_edges, orders,
          pl.READINESS_PRODUCED_SCHEMA, "produced"),
+        ("srm", pl.foreach_batch_srm_cells, events,
+         pl.SRM_CELL_SCHEMA, ""),
     ]
     for name, sink, batch_df, declared, sub in cases:
         path, decl = run(name, sink, batch_df, declared, sub)
@@ -2683,3 +2685,44 @@ def test_backlog_closes_log_auto_compacts(spark, sf_dir, tmp_path, monkeypatch):
         .collect()
     }
     assert dict(got) == batch_max
+
+
+def test_srm_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp_path):
+    """C41: the streamed (day, arm) cells fold to the A113 batch
+    output row-for-row through the shared srm_from_daily kernel; a
+    replayed batch overwrites its own delta; a fresh out_dir reads
+    empty."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_srm_check,
+    )
+    from near_indexer_for_explorer_spark.streaming import pipelines as pl
+
+    assert pl.read_stream_srm(spark, str(tmp_path / "fresh")).count() == 0
+
+    out = str(tmp_path / "srm_out")
+    _await(pl.srm_stream(spark, event_batches, out, str(tmp_path / "ck")))
+
+    def snap(df):
+        return sorted(
+            (str(r["event_date"]), r["n_a"], r["n_b"], r["chi2"], r["srm_flag"])
+            for r in df.collect()
+        )
+
+    want = snap(events_srm_check(spark, sf_dir))
+    assert snap(pl.read_stream_srm(spark, out)) == want
+
+    # crash-replay: batch 0 (the first source file) re-runs and
+    # overwrites its own delta with identical content — fold unchanged
+    batch0 = spark.read.parquet(os.path.join(event_batches, "batch_0.parquet"))
+    ts = F.col("ts")
+    if dict(batch0.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    batch0 = batch0.withColumn("ts", ts.cast("timestamp_ntz"))
+    pl.foreach_batch_srm_cells(out)(batch0, 0)
+    assert snap(pl.read_stream_srm(spark, out)) == want
+
+    # compaction folds to one base and the read is still exact
+    pl.compact_cell_deltas(
+        spark, out, ["event_date"], {"n_a": "long", "n_b": "long"}
+    )
+    assert snap(pl.read_stream_srm(spark, out)) == want
