@@ -85,6 +85,11 @@ _GATE_PRIORITY: list[str] = [
     "doc_char_entropy",
     "multimodal_image_histogram",
     "multimodal_audio_downsample",
+    "events_changepoint_binseg",
+    "forecast_backtest_stream_replay",
+    "lang_id_confusion",
+    "dedup_normalization_lift",
+    "multimodal_gif_roundtrip",
     # --- r9 window (driver-green r9; kept near the front as the
     # freshest re-gate candidates after the new exposures) ---
     "quality_filter_gopher",

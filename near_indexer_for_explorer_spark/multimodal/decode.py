@@ -1473,3 +1473,249 @@ ORACLES["multimodal_audio_downsample"] = """
            END AS mean_out
     FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# B132 REAL GIF (87a/LZW) codec on stdlib only — the third real media
+# codec (after B120's PNG/zlib and B121's WAV/PCM), and the first with
+# a NON-library compression algorithm: the decoder is a complete
+# variable-width LZW (GIF flavor: LSB-first bit packing inside 255-byte
+# sub-blocks, clear/EOI codes, width growth at table-size crossings,
+# 12-bit cap, the KwKwK corner case), written from the public GIF87a
+# specification (CompuServe 1987; Welch 1984 for LZW).  The encoder
+# emits a deliberately simple but CONFORMANT stream (a clear code
+# after every literal pins the width at min+1) — decoder correctness
+# against a stream it did NOT write is pinned by a hand-packed
+# table-growth/KwKwK pytest.  ASCII-corpus precondition per the
+# module note (the oracle replicates byte sums from text).
+# ---------------------------------------------------------------------------
+_GIF_W = 32
+
+
+def _gif_codec():
+    """(encode_gray_gif, decode_gif_pixels): stdlib-only GIF87a
+    writer/reader.
+
+    encode_gray_gif(data, width) -> GIF bytes: an 8-bit image over the
+    identity grayscale palette (index i -> (i,i,i)), width columns,
+    ceil(len/width) rows, zero-padded.
+    decode_gif_pixels(gif) -> (width, height, flat gray pixel list)
+    for any conformant non-interlaced 8-bit-palette GIF (full LZW).
+    """
+    import struct
+
+    CLEAR, EOI, MIN_CODE = 256, 257, 8
+
+    def _pack_codes(codes: list[int], width_bits: int) -> bytes:
+        acc = n_bits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << n_bits
+            n_bits += width_bits
+            while n_bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n_bits -= 8
+        if n_bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def encode_gray_gif(data: bytes, width: int = _GIF_W) -> bytes:
+        h = max(1, -(-len(data) // width))
+        padded = data.ljust(width * h, b"\0")
+        # clear-after-every-literal keeps the decoder table empty, so
+        # every code fits in MIN_CODE+1 bits — conformant, just not
+        # compressed (the roundtrip is about the DECODER being real)
+        codes: list[int] = [CLEAR]
+        for b in padded:
+            codes.append(b)
+            codes.append(CLEAR)
+        codes[-1] = EOI  # final clear is pointless; end the stream
+        packed = _pack_codes(codes, MIN_CODE + 1)
+        blocks = b"".join(
+            bytes([len(packed[i : i + 255])]) + packed[i : i + 255]
+            for i in range(0, len(packed), 255)
+        )
+        palette = b"".join(bytes([i, i, i]) for i in range(256))
+        return (
+            b"GIF87a"
+            + struct.pack("<HHBBB", width, h, 0xF7, 0, 0)
+            + palette
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, width, h, 0)
+            + bytes([MIN_CODE])
+            + blocks
+            + b"\x00\x3b"
+        )
+
+    def _lzw_decode(data: bytes, min_code: int, n_px: int) -> list[int]:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        table += [b"", b""]  # clear/eoi placeholders
+        base = len(table)
+        out: list[int] = []
+        prev: bytes | None = None
+        acc = n_bits = pos = 0
+        while len(out) < n_px:
+            while n_bits < width:
+                if pos >= len(data):
+                    raise ValueError("gif backend: truncated LZW stream")
+                acc |= data[pos] << n_bits
+                pos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = table[:base]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"gif backend: bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        return out[:n_px]
+
+    def decode_gif_pixels(gif: bytes) -> tuple[int, int, list[int]]:
+        if gif[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        sw, sh, packed, _, _ = struct.unpack("<HHBBB", gif[6:13])
+        pos = 13
+        palette: bytes = b""
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            palette = gif[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(gif):
+            block = gif[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks, skip
+                pos += 1
+                while gif[pos]:
+                    pos += 1 + gif[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif backend: unknown block 0x{block:02x}")
+            _, _, w, h, ipacked = struct.unpack("<HHHHB", gif[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x40:
+                raise ValueError("gif backend: interlaced GIFs unsupported")
+            pal = palette
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = gif[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = gif[pos]
+            pos += 1
+            lzw = bytearray()
+            while gif[pos]:
+                ln = gif[pos]
+                lzw += gif[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if len(idx) != w * h:
+                raise ValueError("gif backend: pixel count mismatch")
+            # gray value = the palette's red channel (identity table
+            # for our own encodes; honest for any grayscale palette)
+            return w, h, [pal[3 * i] for i in idx]
+        raise ValueError("gif backend: no image block")
+
+    return encode_gray_gif, decode_gif_pixels
+
+
+GIF_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width long, height long, n_px long, px_sum long, "
+    "px_mean double, decode_backend string"
+)
+
+
+def make_gif_roundtrip_kernel(width: int = _GIF_W) -> Callable[[Iterator], Iterator]:
+    """Encode each payload as a REAL GIF and decode it back through
+    the full LZW path; losslessness makes px_sum the exact byte sum
+    of the payload (plus zero pad), which the DuckDB oracle replicates
+    from the text column."""
+    encode_gray_gif, decode_gif_pixels = _gif_codec()
+
+    def roundtrip_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            w, h, px = decode_gif_pixels(encode_gray_gif(payload, width))
+            s = sum(px)
+            return {
+                "doc_id": doc_id,
+                "width": w,
+                "height": h,
+                "n_px": w * h,
+                "px_sum": s,
+                "px_mean": s / (w * h),
+                "decode_backend": "gif",
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "px_sum",
+                    "px_mean",
+                    "decode_backend",
+                ],
+            )
+
+    return roundtrip_batches
+
+
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal pipeline #3: documents.text -> real GIF
+    bytes -> full variable-width LZW decode -> exact pixel stats, one
+    Arrow-batched kernel per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_gif_roundtrip_kernel(), schema=GIF_ROUNDTRIP_SCHEMA
+    )
+
+
+QUERIES["multimodal_gif_roundtrip"] = multimodal_gif_roundtrip
+
+ORACLES["multimodal_gif_roundtrip"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n,
+             greatest(1, CAST(ceil(n / {_GIF_W}.0) AS BIGINT)) AS h,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0)
+               AS bsum
+      FROM b
+    )
+    SELECT doc_id,
+           CAST({_GIF_W} AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST({_GIF_W} * h AS BIGINT) AS n_px,
+           CAST(bsum AS BIGINT) AS px_sum,
+           CAST(bsum AS DOUBLE) / ({_GIF_W} * h) AS px_mean,
+           'gif' AS decode_backend
+    FROM g
+"""

@@ -3862,3 +3862,102 @@ def _modality_agreement_oracle_sql() -> str:
 
 
 ORACLES["dedup_modality_agreement"] = _modality_agreement_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# B131 normalization lift for exact dedup — how many duplicate
+# documents does canonicalization (lowercase, strip punctuation,
+# collapse whitespace) find that raw byte-equality misses?  This is
+# the standard first knob of an exact-dedup pipeline (CCNet/C4 both
+# dedup on normalized text), and the lift column is the evidence for
+# turning it on.  Scale shape: two sha2-keyed aggregates (raw and
+# normalized hash — hash keys are uniform, skew-free) joined back to
+# the doc grain, then ONE source-grain rollup; linear, never
+# all-pairs (the B1 discipline twice).
+# ---------------------------------------------------------------------------
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+ORACLES["dedup_normalization_lift"] = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(text) AS raw_h,
+             md5({_NORM_SQL}) AS norm_h
+      FROM documents
+    ),
+    rc AS (SELECT raw_h, COUNT(*) AS c FROM h GROUP BY raw_h),
+    nc AS (SELECT norm_h, COUNT(*) AS c FROM h GROUP BY norm_h),
+    j AS (
+      SELECT h.source,
+             CASE WHEN rc.c > 1 THEN 1 ELSE 0 END AS raw_dup,
+             CASE WHEN nc.c > 1 THEN 1 ELSE 0 END AS norm_dup
+      FROM h JOIN rc ON h.raw_h = rc.raw_h
+             JOIN nc ON h.norm_h = nc.norm_h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(raw_dup) AS BIGINT) AS n_raw_dup,
+           CAST(SUM(norm_dup) AS BIGINT) AS n_norm_dup,
+           CAST(SUM(CASE WHEN norm_dup = 1 AND raw_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_only,
+           ROUND(CAST(SUM(CASE WHEN norm_dup = 1 AND raw_dup = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS norm_lift_rate
+    FROM j GROUP BY source
+"""
+
+
+def dedup_normalization_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_raw_dup, n_norm_dup, n_norm_only,
+    norm_lift_rate): exact-duplicate membership under raw md5 vs
+    canonical-form md5 — n_norm_only is the lift canonicalization
+    buys."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("raw_h"),
+        F.md5(norm).alias("norm_h"),
+    )
+    rc = h.groupBy("raw_h").agg(F.count(F.lit(1)).alias("rc"))
+    nc = h.groupBy("norm_h").agg(F.count(F.lit(1)).alias("nc"))
+    j = (
+        h.join(rc, "raw_h")
+        .join(nc, "norm_h")
+        .select(
+            "source",
+            (F.col("rc") > 1).cast("long").alias("raw_dup"),
+            (F.col("nc") > 1).cast("long").alias("norm_dup"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("raw_dup").cast("long").alias("n_raw_dup"),
+        F.sum("norm_dup").cast("long").alias("n_norm_dup"),
+        F.sum(
+            ((F.col("norm_dup") == 1) & (F.col("raw_dup") == 0)).cast("long")
+        )
+        .cast("long")
+        .alias("n_norm_only"),
+        F.round(
+            F.sum(
+                ((F.col("norm_dup") == 1) & (F.col("raw_dup") == 0)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("norm_lift_rate"),
+    )
+
+
+QUERIES["dedup_normalization_lift"] = dedup_normalization_lift

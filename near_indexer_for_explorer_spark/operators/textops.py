@@ -2168,3 +2168,92 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_char_entropy"] = doc_char_entropy
+
+
+# ---------------------------------------------------------------------------
+# B130 language-ID confusion matrix — B8's predictions evaluated
+# against the corpus's labeled lang column: the per-pair confusion
+# counts plus row-recall and column-precision, which is the eval
+# artifact that decides whether a lang-ID model is good enough to
+# route documents (B112 gives the per-doc margin; this gives the
+# aggregate quality).  Scale shape: B8's per-row scoring (map-only)
+# then ONE (true, pred) aggregate + two grain-sized re-aggregates —
+# output is at most |langs|^2 rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+ORACLES["lang_id_confusion"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS tok
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_EN)}))) AS s_en,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_DE)}))) AS s_de,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_FR)}))) AS s_fr,
+             len(list_filter(tok, x -> x IN ({_sql_list(STOPWORDS_ES)}))) AS s_es
+      FROM t
+    ), p AS (
+      SELECT lang AS lang_true,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS lang_pred
+      FROM s
+    ), cm AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY lang_true, lang_pred
+    )
+    SELECT lang_true, lang_pred, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY lang_true), 6) AS recall,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY lang_pred), 6) AS precision,
+           lang_true = lang_pred AS is_correct
+    FROM cm
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_true, lang_pred, n_docs, recall, precision, is_correct):
+    B8's stopword-argmax predictions cross-tabulated against the
+    labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
+    scored = docs.select(
+        F.col("lang").alias("lang_true"),
+        stopword_hits(tok, STOPWORDS_EN).cast("long").alias("s_en"),
+        stopword_hits(tok, STOPWORDS_DE).cast("long").alias("s_de"),
+        stopword_hits(tok, STOPWORDS_FR).cast("long").alias("s_fr"),
+        stopword_hits(tok, STOPWORDS_ES).cast("long").alias("s_es"),
+    )
+    en, de, fr, es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    from pyspark.sql import Window
+
+    cm = scored.select("lang_true", pred.alias("lang_pred")).groupBy(
+        "lang_true", "lang_pred"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w_true = Window.partitionBy("lang_true")
+    w_pred = Window.partitionBy("lang_pred")
+    return cm.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_true), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_pred), 6
+        ).alias("precision"),
+        (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+QUERIES["lang_id_confusion"] = lang_id_confusion

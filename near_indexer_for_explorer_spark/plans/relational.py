@@ -7838,6 +7838,14 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return forecast_backtest_from_daily(daily)
+
+
+def forecast_backtest_from_daily(daily: DataFrame) -> DataFrame:
+    """The A112 backtest kernel over (event_type, d, n) daily counts —
+    shared verbatim by the batch query and the C42 streaming read path
+    (the C32 count log's fold IS this relation), so stream == batch is
+    a kernel invariant."""
     seas = daily.select(
         "event_type", F.date_add("d", 7).alias("d"), F.col("n").alias("f_seasonal")
     )
@@ -8038,4 +8046,131 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("s_wv").cast("string").cast("double") / F.col("n_events"), 6
         ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A115 single-changepoint detection (binary segmentation, first split)
+# over daily event counts — "WHEN did this type's behavior change",
+# the follow-up question to A67/A78's "did something change" (CUSUM
+# alarms a drift; binseg localizes it; Scott & Knott 1974 / the first
+# step of PELT).  For each candidate split k the gain is the classic
+# between-segment term n1*n2/(n1+n2) * (mu1-mu2)^2, computed from
+# EXACT integer prefix sums, rounded to 8 decimals and cast DECIMAL
+# before the argmax so the winning split (ties -> earliest day) is
+# hash-stable.  Scale shape: one (type, day) count aggregate, then
+# day-grain windows per type — everything after the first shuffle is
+# dimension-sized regardless of corpus size.
+# ---------------------------------------------------------------------------
+_CHANGEPOINT_MIN_DAYS = 14
+_CHANGEPOINT_MIN_REL_SHIFT = 0.25
+
+
+@_register(
+    "events_changepoint_binseg",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, d, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS t,
+             SUM(n) OVER (PARTITION BY event_type) AS tot,
+             LEAD(d) OVER (PARTITION BY event_type ORDER BY d) AS next_d
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, d, next_d, i, t,
+             CAST(s AS DOUBLE) / i AS mu1,
+             CAST(tot - s AS DOUBLE) / (t - i) AS mu2,
+             CAST(ROUND((CAST(i AS DOUBLE) * (t - i) / t)
+                  * (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (t - i))
+                  * (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (t - i)),
+                  8) AS DECIMAL(24,8)) AS gain8
+      FROM pre WHERE i < t
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY gain8 DESC, d ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(t AS BIGINT) AS n_days,
+           next_d AS change_day,
+           ROUND(CAST(CAST(gain8 AS VARCHAR) AS DOUBLE), 6) AS gain,
+           ROUND(mu1, 6) AS mu_before,
+           ROUND(mu2, 6) AS mu_after,
+           ROUND(mu2 - mu1, 6) AS shift,
+           t >= {_CHANGEPOINT_MIN_DAYS} AND mu1 > 0
+             AND abs(mu2 - mu1) / mu1 > {_CHANGEPOINT_MIN_REL_SHIFT}
+             AS is_changepoint
+    FROM best WHERE rn = 1
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, change_day, gain, mu_before, mu_after,
+    shift, is_changepoint): the best single split of each type's daily
+    count series — change_day is the first day of the new regime; the
+    flag requires >= 14 observed days and a > 25% relative mean
+    shift."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("t"),
+        F.sum("n").over(wall).alias("tot"),
+        F.lead("d").over(w).alias("next_d"),
+    ).where(F.col("i") < F.col("t"))
+    mu1 = F.col("s").cast("double") / F.col("i")
+    mu2 = (F.col("tot") - F.col("s")).cast("double") / (F.col("t") - F.col("i"))
+    gain8 = F.round(
+        (F.col("i").cast("double") * (F.col("t") - F.col("i")) / F.col("t"))
+        * (mu1 - mu2)
+        * (mu1 - mu2),
+        8,
+    ).cast("decimal(24,8)")
+    scored = pre.select(
+        "event_type",
+        "d",
+        "next_d",
+        "t",
+        mu1.alias("mu1"),
+        mu2.alias("mu2"),
+        gain8.alias("gain8"),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("gain8").desc(), F.col("d").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    rel_ok = (
+        (F.col("t") >= _CHANGEPOINT_MIN_DAYS)
+        & (F.col("mu1") > 0)
+        & (F.abs(F.col("mu2") - F.col("mu1")) / F.col("mu1")
+           > _CHANGEPOINT_MIN_REL_SHIFT)
+    )
+    return best.select(
+        "event_type",
+        F.col("t").cast("long").alias("n_days"),
+        F.col("next_d").alias("change_day"),
+        F.round(F.col("gain8").cast("string").cast("double"), 6).alias("gain"),
+        F.round("mu1", 6).alias("mu_before"),
+        F.round("mu2", 6).alias("mu_after"),
+        F.round(F.col("mu2") - F.col("mu1"), 6).alias("shift"),
+        rel_ok.alias("is_changepoint"),
     )

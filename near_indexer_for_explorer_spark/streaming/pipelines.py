@@ -3105,3 +3105,26 @@ def read_stream_srm(spark: SparkSession, out_dir: str) -> DataFrame:
         )
     )
     return srm_from_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# C42: streaming forecast backtest — A112 served LIVE off the C32
+# count log with ZERO new state: the (type, day, n_events) cells the
+# count-rollup sink already maintains are exactly the daily relation
+# the backtest kernel consumes, so this is a read path over an
+# existing log, not another sink (the strongest form of the
+# stream == batch discipline: one state, many derived monitors).
+# ---------------------------------------------------------------------------
+def read_stream_forecast_backtest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the C32 count cells and run the SAME
+    forecast_backtest_from_daily kernel as the A112 batch query."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        forecast_backtest_from_daily,
+    )
+
+    daily = (
+        _read_delta_log(spark, out_dir, COUNT_CELL_SCHEMA)
+        .groupBy("event_type", F.col("event_date").alias("d"))
+        .agg(F.sum("n_events").cast("long").alias("n"))
+    )
+    return forecast_backtest_from_daily(daily)

@@ -62,6 +62,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "hll_distinct_stream_replay",
         "image_intake_stream_replay",
         "srm_stream_replay",
+        "forecast_backtest_stream_replay",
     }
 )
 
@@ -625,4 +626,84 @@ ORACLES["srm_stream_replay"] = """
            CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
              > 3.841459 AS srm_flag
     FROM daily
+"""
+
+
+def forecast_backtest_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, mae_seasonal, mae_naive, mape_seasonal,
+    skill, seasonal_wins): the C42 live backtest after replaying the
+    events table as three id-sliced micro-batches through the C32
+    count-delta sink — the fold of the additive count cells must feed
+    the shared forecast_backtest_from_daily kernel to the A112 batch
+    answer exactly (the oracle replicates A112 verbatim).  No new
+    state: C42 is a READ PATH over the count log C32 already keeps."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        count_delta_stream,
+        read_stream_forecast_backtest,
+    )
+
+    base = tempfile.mkdtemp(prefix="forecast_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = count_delta_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("forecast replay stream did not finish in 300s")
+        return read_stream_forecast_backtest(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["forecast_backtest_stream_replay"] = forecast_backtest_stream_replay
+
+# the A112 batch backtest, verbatim
+ORACLES["forecast_backtest_stream_replay"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT a.event_type, a.d, a.n,
+             s.n AS f_seasonal, p.n AS f_naive
+      FROM daily a
+      JOIN daily s ON s.event_type = a.event_type AND a.d = s.d + 7
+      JOIN daily p ON p.event_type = a.event_type AND a.d = p.d + 1
+    ),
+    terms AS (
+      SELECT event_type,
+             abs(n - f_seasonal) AS ae_s,
+             abs(n - f_naive) AS ae_n,
+             CAST(ROUND(CAST(abs(n - f_seasonal) AS DOUBLE) / n, 8)
+                  AS DECIMAL(20,8)) AS ape_s
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ae_s) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+           ROUND(CAST(SUM(ae_n) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+           ROUND(CAST(CAST(SUM(ape_s) AS DECIMAL(24,8)) AS VARCHAR)::DOUBLE
+                 / COUNT(*), 6) AS mape_seasonal,
+           CASE WHEN SUM(ae_n) = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(SUM(ae_s) AS DOUBLE)
+                           / CAST(SUM(ae_n) AS DOUBLE), 6) END AS skill,
+           SUM(ae_s) < SUM(ae_n) AS seasonal_wins
+    FROM terms GROUP BY event_type
 """

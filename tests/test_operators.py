@@ -4610,3 +4610,212 @@ def test_audio_downsample_hand_pinned(spark):
     assert r["energy_out"] == 256 * 256 + 128 * 128
     assert r["peak_abs"] == 256
     assert r["mean_out"] == (256 - 128) / 2
+
+
+def test_gif_lzw_decoder_on_streams_it_did_not_write(spark):
+    """B132: the GIF decoder is a REAL variable-width LZW — pinned
+    against (a) a hand-packed stream exercising the KwKwK corner case,
+    (b) a genuinely COMPRESSING encoder written independently in this
+    test (table growth through 10/11-bit widths and a 4096-entry
+    clear), and (c) the registered kernel end-to-end in Spark."""
+    import struct
+
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        GIF_ROUNDTRIP_SCHEMA,
+        _gif_codec,
+        make_gif_roundtrip_kernel,
+    )
+
+    encode_gray_gif, decode_gif_pixels = _gif_codec()
+
+    def pack(codes, width_bits):
+        acc = n = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << n
+            n += width_bits
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def wrap(lzw, w, h, min_code=8):
+        blocks = b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        palette = b"".join(bytes([i, i, i]) for i in range(256))
+        return (
+            b"GIF87a"
+            + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+            + palette
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code])
+            + blocks
+            + b"\x00\x3b"
+        )
+
+    # (a) hand-derived LZW for pixels [10]*5:
+    #   CLEAR, 10, 258 (KwKwK: not yet in the table), 258, EOI
+    gif = wrap(pack([256, 10, 258, 258, 257], 9), 5, 1)
+    w, h, px = decode_gif_pixels(gif)
+    assert (w, h, px) == (5, 1, [10] * 5)
+
+    # (b) an independent REAL compressing encoder (greedy LZW with
+    # decoder-synchronized width growth and a 4096 clear)
+    def real_lzw_encode(data):
+        CLEAR, EOI = 256, 257
+        codes = [CLEAR]
+        table = {bytes([i]): i for i in range(256)}
+        next_code, size, width = 258, 258, 9
+        widths = []  # width used for each emitted code
+        widths.append(width)  # the CLEAR itself
+        first = True
+        w = b""
+        for b in data:
+            wb = w + bytes([b])
+            if wb in table:
+                w = wb
+                continue
+            codes.append(table[w])
+            widths.append(width)
+            if not first:
+                size += 1
+                if size == (1 << width) and width < 12:
+                    width += 1
+            first = False
+            table[wb] = next_code
+            next_code += 1
+            if next_code > 4096:
+                codes.append(CLEAR)
+                widths.append(width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, size, width, first = 258, 258, 9, True
+            w = bytes([b])
+        if w:
+            codes.append(table[w])
+            widths.append(width)
+        codes.append(EOI)
+        widths.append(width)
+        acc = n = 0
+        out = bytearray()
+        for c, cw in zip(codes, widths):
+            acc |= c << n
+            n += cw
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # repetitive data compresses hard and grows the table past 512
+    # entries (10-bit codes) and 1024 (11-bit)
+    data = (b"abcab" * 400 + bytes(range(256)) * 4)[: 32 * 90]
+    w, h, px = decode_gif_pixels(wrap(real_lzw_encode(data), 32, 90))
+    assert (w, h) == (32, 90)
+    assert bytes(px) == data
+
+    # (c) the registered kernel through Spark: real GIF both ways
+    df = spark.createDataFrame(
+        [(1, bytes([7, 9, 11]))], "doc_id long, payload binary"
+    )
+    (r,) = df.mapInPandas(
+        make_gif_roundtrip_kernel(), schema=GIF_ROUNDTRIP_SCHEMA
+    ).collect()
+    assert r["decode_backend"] == "gif"
+    assert (r["width"], r["height"], r["n_px"]) == (32, 1, 32)
+    assert r["px_sum"] == 7 + 9 + 11
+
+
+def test_changepoint_binseg_planted_shift(spark, tmp_path):
+    """A115 semantics: a clean level shift (5/day -> 15/day at day 11)
+    is localized exactly; a flat series is not flagged."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_changepoint_binseg,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(1995, 1, 1)
+    for day in range(20):
+        d = base + dt.timedelta(days=day)
+        for _ in range(5 if day < 10 else 15):
+            rows.append((eid, d, 1, "shift", 1.0, "{}")); eid += 1
+        for _ in range(7):
+            rows.append((eid, d, 2, "flat", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in events_changepoint_binseg(spark, str(tmp_path)).collect()
+    }
+    s = got["shift"]
+    assert str(s["change_day"]) == "1995-01-11"
+    assert s["mu_before"] == 5.0 and s["mu_after"] == 15.0
+    assert s["shift"] == 10.0 and s["is_changepoint"]
+    f = got["flat"]
+    assert not f["is_changepoint"] and f["gain"] == 0.0
+
+
+def test_normalization_lift_planted_casefold_dups(spark, tmp_path):
+    """B131 semantics: docs equal only after lower/punct/whitespace
+    folding count as norm-only dups; byte-identical docs count under
+    both."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_normalization_lift,
+    )
+
+    docs = [
+        (0, "Hello,   World!", "en", "s0", 15),
+        (1, "hello world", "en", "s0", 11),      # norm-dup of 0 only
+        (2, "exact copy here", "en", "s0", 15),
+        (3, "exact copy here", "en", "s0", 15),  # raw dup of 2
+        (4, "a unique document", "en", "s0", 17),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    (r,) = dedup_normalization_lift(spark, str(tmp_path)).collect()
+    assert r["n_docs"] == 5
+    assert r["n_raw_dup"] == 2      # docs 2, 3
+    assert r["n_norm_dup"] == 4     # docs 0, 1, 2, 3
+    assert r["n_norm_only"] == 2    # docs 0, 1
+    assert r["norm_lift_rate"] == 0.4
+
+
+def test_lang_confusion_planted_labels(spark, tmp_path):
+    """B130 semantics: stopword-rich docs confuse correctly; recall/
+    precision are exact ratios of the planted matrix."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        lang_id_confusion,
+    )
+
+    docs = [
+        (0, "the and of to in is was he for it", "en", "s0", 30),
+        (1, "the and of to in is was she for it", "en", "s0", 30),
+        (2, "der und die das ist von mit sich des auf", "de", "s0", 30),
+        (3, "zz qq xx vv kk jj pp ww", "de", "s0", 20),  # no stopwords
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["lang_true"], r["lang_pred"]): r
+        for r in lang_id_confusion(spark, str(tmp_path)).collect()
+    }
+    en = got[("en", "en")]
+    assert en["n_docs"] == 2 and en["recall"] == 1.0 and en["is_correct"]
+    de = got[("de", "de")]
+    assert de["n_docs"] == 1 and de["recall"] == 0.5
+    unk = got[("de", "unknown")]
+    assert unk["n_docs"] == 1 and not unk["is_correct"]
