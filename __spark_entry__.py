@@ -90,6 +90,9 @@ _GATE_PRIORITY: list[str] = [
     "lang_id_confusion",
     "dedup_normalization_lift",
     "multimodal_gif_roundtrip",
+    "dedup_boundary_stitch",
+    "quality_signal_calibration",
+    "changepoint_stream_replay",
     # --- r9 window (driver-green r9; kept near the front as the
     # freshest re-gate candidates after the new exposures) ---
     "quality_filter_gopher",

@@ -218,6 +218,22 @@ EXTRA = [
     "multimodal_image_dhash_pairs",
     "multimodal_audio_energy",
     "dedup_modality_agreement",
+    # round 10 additions (srm_stream_replay / forecast_backtest_stream_
+    # replay excluded: replay-harness cost, not plan cost — the
+    # scd2/cohort precedent)
+    "events_forecast_backtest",
+    "events_srm_check",
+    "events_value_winsorized",
+    "events_changepoint_binseg",
+    "scrub_effectiveness",
+    "doc_char_entropy",
+    "lang_id_confusion",
+    "dedup_normalization_lift",
+    "multimodal_image_histogram",
+    "multimodal_audio_downsample",
+    "multimodal_gif_roundtrip",
+    "dedup_boundary_stitch",
+    "quality_signal_calibration",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

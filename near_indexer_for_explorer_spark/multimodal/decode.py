@@ -4,9 +4,12 @@ Media (image/audio/video) is modeled as an opaque ``binary`` payload
 column plus a typed metadata struct — the layout a 100 TB multimodal
 training pipeline uses.  The Spark-side plumbing (schema, Arrow
 batching via mapInPandas, partition-parallel decode) is real and
-tested; the actual pixel/sample decode is STUBBED because no media
-libraries exist in this container: with Pillow/torchaudio installed,
-the real branch replaces the stub with no plan changes.
+tested, and THREE real codecs run on stdlib alone (PNG: zlib inflate +
+scanline unfilter; WAV: RIFF/PCM chunk walk; GIF: full variable-width
+LZW) — so the pixel/sample paths are genuine in any environment.  The
+byte-math stub kernel remains for the library-backed branches
+(Pillow/torchaudio are absent in this container); with them installed
+the ``pil`` backend replaces the stub with no plan changes.
 
 The mapInPandas kernel is built as a closure (pickled by value) so
 executor Python workers need no access to this package on their

@@ -3961,3 +3961,107 @@ def dedup_normalization_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_normalization_lift"] = dedup_normalization_lift
+
+
+# ---------------------------------------------------------------------------
+# B133 boundary-stitch detection — find documents that are SPLIT
+# HALVES of one original (a sharded crawl or a chunking pass that cut
+# documents at fixed offsets leaves doc A whose last k tokens equal
+# doc B's first k): per doc, hash the k-token head and tail, join
+# tails to heads, and report who continues into whom.  Near-dup
+# methods miss these by construction (the halves share almost no
+# shingle mass), which is why production pipelines run a boundary
+# pass next to MinHash.  Scale shape: map-side head/tail hashing, a
+# df-capped equi-join on the boundary hash (the B2 cap discipline —
+# a boilerplate opener shared by thousands of docs must not fan out),
+# one min-aggregate back to doc grain.  Output is doc-grain so the
+# relation hashes non-trivially even on a corpus with zero stitches.
+# ---------------------------------------------------------------------------
+_STITCH_K = 8
+_STITCH_DF_CAP = 64
+
+ORACLES["dedup_boundary_stitch"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(tk) AS n_words,
+             CASE WHEN len(tk) >= {2 * _STITCH_K}
+                  THEN md5(array_to_string(tk[1:{_STITCH_K}], ' '))
+                  END AS head_h,
+             CASE WHEN len(tk) >= {2 * _STITCH_K}
+                  THEN md5(array_to_string(
+                         tk[len(tk) - {_STITCH_K - 1}:len(tk)], ' '))
+                  END AS tail_h
+      FROM t
+    ),
+    hd AS (
+      SELECT head_h, COUNT(*) AS c FROM g
+      WHERE head_h IS NOT NULL GROUP BY head_h
+    ),
+    nxt AS (
+      SELECT g.doc_id, MIN(h.doc_id) AS continues_doc_id
+      FROM g
+      JOIN hd ON g.tail_h = hd.head_h AND hd.c <= {_STITCH_DF_CAP}
+      JOIN g h ON h.head_h = g.tail_h AND h.doc_id <> g.doc_id
+      GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.n_words AS BIGINT) AS n_words,
+           g.head_h, g.tail_h,
+           n.continues_doc_id,
+           n.continues_doc_id IS NOT NULL AS is_stitch_head
+    FROM g LEFT JOIN nxt n ON g.doc_id = n.doc_id
+"""
+
+
+def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, head_h, tail_h, continues_doc_id,
+    is_stitch_head): k-token boundary hashes per document plus the
+    lowest-id document whose head continues this document's tail —
+    the split-document detector near-dup methods structurally miss."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    tk = F.col("tk")
+    n = F.size(tk)
+    long_enough = n >= 2 * _STITCH_K
+    g = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.when(
+            long_enough,
+            F.md5(F.concat_ws(" ", F.slice(tk, 1, _STITCH_K))),
+        ).alias("head_h"),
+        F.when(
+            long_enough,
+            F.md5(F.concat_ws(" ", F.slice(tk, -_STITCH_K, _STITCH_K))),
+        ).alias("tail_h"),
+    )
+    hd = (
+        g.where(F.col("head_h").isNotNull())
+        .groupBy("head_h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= _STITCH_DF_CAP)
+        .select(F.col("head_h").alias("cap_h"))
+    )
+    heads = g.select(F.col("doc_id").alias("h_doc"), F.col("head_h").alias("hh"))
+    nxt = (
+        g.select("doc_id", "tail_h")
+        .join(hd, F.col("tail_h") == F.col("cap_h"))
+        .join(heads, F.col("tail_h") == F.col("hh"))
+        .where(F.col("h_doc") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("h_doc").alias("continues_doc_id"))
+    )
+    return g.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "head_h",
+        "tail_h",
+        "continues_doc_id",
+        F.col("continues_doc_id").isNotNull().alias("is_stitch_head"),
+    )
+
+
+QUERIES["dedup_boundary_stitch"] = dedup_boundary_stitch

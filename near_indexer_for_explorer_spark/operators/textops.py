@@ -2257,3 +2257,114 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["lang_id_confusion"] = lang_id_confusion
+
+
+# ---------------------------------------------------------------------------
+# B134 quality-signal calibration — do the independent curation
+# signals AGREE?  Bucket documents by the B7 quality score and report,
+# per bucket, the exact-duplicate rate, the PII-exposure rate, and the
+# mean length: a well-calibrated score should show dup/PII rates
+# falling as quality rises, and this one table is how a curation
+# reviewer checks that before trusting a single-number threshold.
+# Engine-stability: the score is ROUNDED TO 6 DECIMALS before the
+# fixed-edge bucketing (floor(score*10), clamped to [0,9]) so a 1-ulp
+# score difference can never flip a bucket; char sums are exact
+# integers.  Scale shape: B7's map-only scoring + one md5-keyed dup
+# aggregate joined back + ONE bucket-grain rollup — linear, output 10
+# rows.
+# ---------------------------------------------------------------------------
+ORACLES["quality_signal_calibration"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, source,
+             length(text) AS n_chars_raw,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x IN ({_sql_list(STOPWORDS_EN)}))) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, n_chars_raw,
+             ROUND(LEAST(1.0, n_tokens / 200.0) * 0.5
+                   + (CAST(n_alpha AS DOUBLE) / n_chars_raw) * 0.3
+                   + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2, 6) AS q
+      FROM t
+    ),
+    hc AS (
+      SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY md5(text)
+    ),
+    b AS (
+      SELECT s.doc_id, s.n_chars_raw,
+             LEAST(9, GREATEST(0, CAST(floor(s.q * 10) AS BIGINT))) AS bucket,
+             CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN len(regexp_extract_all(s.text, '{_EMAIL_RE}')) > 0
+                    OR len(regexp_extract_all(s.text, '{_URL_RE}')) > 0
+                    OR len(regexp_extract_all(s.text, '{_IPV4_RE}')) > 0
+                    OR len(regexp_extract_all(s.text, '{_PHONE_RE}')) > 0
+                  THEN 1 ELSE 0 END AS has_pii
+      FROM s JOIN hc ON md5(s.text) = hc.h
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           ROUND(CAST(SUM(has_pii) AS DOUBLE) / COUNT(*), 6) AS pii_rate,
+           ROUND(CAST(SUM(n_chars_raw) AS DOUBLE) / COUNT(*), 6)
+             AS mean_chars
+    FROM b GROUP BY bucket
+"""
+
+
+def quality_signal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_docs, dup_rate, pii_rate, mean_chars): the B7
+    quality score bucketed on fixed decile edges, cross-tabulated with
+    exact-dup membership and PII exposure — the calibration table that
+    justifies (or kills) a single-score curation threshold."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
+    tok = F.col("t")
+    n_chars = F.length("text")
+    n_tokens = F.size(tok)
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_stop = stopword_hits(tok, STOPWORDS_EN)
+    q = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
+        + (n_alpha.cast("double") / n_chars) * 0.3
+        + (n_stop.cast("double") / n_tokens) * 0.2,
+        6,
+    )
+    pii = (
+        (F.regexp_count("text", F.lit(_EMAIL_RE)) > 0)
+        | (F.regexp_count("text", F.lit(_URL_RE)) > 0)
+        | (F.regexp_count("text", F.lit(_IPV4_RE)) > 0)
+        | (F.regexp_count("text", F.lit(_PHONE_RE)) > 0)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n_chars.cast("long").alias("n_chars_raw"),
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(q * 10)))
+        .cast("long")
+        .alias("bucket"),
+        pii.cast("long").alias("has_pii"),
+    )
+    hc = scored.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    b = scored.join(hc, "h").select(
+        "bucket",
+        "n_chars_raw",
+        (F.col("c") > 1).cast("long").alias("is_dup"),
+        "has_pii",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.sum("has_pii").cast("double") / F.count(F.lit(1)), 6).alias(
+            "pii_rate"
+        ),
+        F.round(
+            F.sum("n_chars_raw").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+    )
+
+
+QUERIES["quality_signal_calibration"] = quality_signal_calibration

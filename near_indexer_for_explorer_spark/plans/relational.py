@@ -8121,6 +8121,13 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The A115 binseg kernel over (event_type, d, n) daily counts —
+    shared verbatim by the batch query and the C43 streaming read path
+    (like A112/C42, the C32 count log's fold IS this relation)."""
     w = Window.partitionBy("event_type").orderBy("d")
     wall = Window.partitionBy("event_type")
     pre = daily.select(

@@ -3128,3 +3128,24 @@ def read_stream_forecast_backtest(spark: SparkSession, out_dir: str) -> DataFram
         .agg(F.sum("n_events").cast("long").alias("n"))
     )
     return forecast_backtest_from_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# C43: streaming changepoint localization — A115 served LIVE off the
+# C32 count log, the second zero-new-state read path (C42's
+# discipline): the count cells already hold the daily series, so
+# "where did the level shift" is a fold + the shared binseg kernel.
+# ---------------------------------------------------------------------------
+def read_stream_changepoint(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the C32 count cells and run the SAME changepoint_from_daily
+    kernel as the A115 batch query."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        changepoint_from_daily,
+    )
+
+    daily = (
+        _read_delta_log(spark, out_dir, COUNT_CELL_SCHEMA)
+        .groupBy("event_type", F.col("event_date").alias("d"))
+        .agg(F.sum("n_events").cast("long").alias("n"))
+    )
+    return changepoint_from_daily(daily)

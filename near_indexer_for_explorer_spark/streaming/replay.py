@@ -63,6 +63,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "image_intake_stream_replay",
         "srm_stream_replay",
         "forecast_backtest_stream_replay",
+        "changepoint_stream_replay",
     }
 )
 
@@ -706,4 +707,90 @@ ORACLES["forecast_backtest_stream_replay"] = """
                            / CAST(SUM(ae_n) AS DOUBLE), 6) END AS skill,
            SUM(ae_s) < SUM(ae_n) AS seasonal_wins
     FROM terms GROUP BY event_type
+"""
+
+
+def changepoint_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, change_day, gain, mu_before, mu_after,
+    shift, is_changepoint): the C43 live changepoint monitor after
+    replaying the events table as three id-sliced micro-batches
+    through the C32 count-delta sink — like C42, a READ PATH over the
+    count log with zero new state (oracle = A115 verbatim)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        count_delta_stream,
+        read_stream_changepoint,
+    )
+
+    base = tempfile.mkdtemp(prefix="changepoint_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = count_delta_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("changepoint replay stream did not finish in 300s")
+        return read_stream_changepoint(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["changepoint_stream_replay"] = changepoint_stream_replay
+
+# the A115 batch binseg, verbatim
+ORACLES["changepoint_stream_replay"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, d, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS t,
+             SUM(n) OVER (PARTITION BY event_type) AS tot,
+             LEAD(d) OVER (PARTITION BY event_type ORDER BY d) AS next_d
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, d, next_d, i, t,
+             CAST(s AS DOUBLE) / i AS mu1,
+             CAST(tot - s AS DOUBLE) / (t - i) AS mu2,
+             CAST(ROUND((CAST(i AS DOUBLE) * (t - i) / t)
+                  * (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (t - i))
+                  * (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (t - i)),
+                  8) AS DECIMAL(24,8)) AS gain8
+      FROM pre WHERE i < t
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY gain8 DESC, d ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(t AS BIGINT) AS n_days,
+           next_d AS change_day,
+           ROUND(CAST(CAST(gain8 AS VARCHAR) AS DOUBLE), 6) AS gain,
+           ROUND(mu1, 6) AS mu_before,
+           ROUND(mu2, 6) AS mu_after,
+           ROUND(mu2 - mu1, 6) AS shift,
+           t >= 14 AND mu1 > 0
+             AND abs(mu2 - mu1) / mu1 > 0.25
+             AS is_changepoint
+    FROM best WHERE rn = 1
 """

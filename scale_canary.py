@@ -118,6 +118,15 @@ def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.multimodal.decode import (
         multimodal_image_dhash_pairs as _img_pairs,
     )
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_gif_roundtrip as _gif,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        doc_char_entropy as _chent,
+    )
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_normalization_lift as _normlift,
+    )
     from pyspark.sql import functions as F
 
     out: dict = {}
@@ -161,6 +170,14 @@ def measure(spark, sf_dir: str) -> dict:
         # candidate pairs must land ~10x while the band join stays
         # bucket-local
         ("multimodal_image_dhash_pairs", _img_pairs),
+        # r10 additions: the heaviest new legs — the per-char HOF
+        # entropy scan (map-only, rows 10x, time ~linear in bytes),
+        # the Python-LZW GIF roundtrip (map-only Arrow kernel, the
+        # priciest per-byte codec), and the double-hash normalization
+        # lift (two hash-keyed aggregates, source-grain output ~1x)
+        ("doc_char_entropy", _chent),
+        ("multimodal_gif_roundtrip", _gif),
+        ("dedup_normalization_lift", _normlift),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()

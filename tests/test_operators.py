@@ -4819,3 +4819,67 @@ def test_lang_confusion_planted_labels(spark, tmp_path):
     assert de["n_docs"] == 1 and de["recall"] == 0.5
     unk = got[("de", "unknown")]
     assert unk["n_docs"] == 1 and not unk["is_correct"]
+
+
+def test_boundary_stitch_planted_split_doc(spark, tmp_path):
+    """B133 semantics: a document split into two halves with an
+    8-token overlap is stitched (tail of A == head of B); unrelated
+    docs and short docs are not."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_boundary_stitch,
+    )
+
+    boundary = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    left = "one two three four five six seven eight " + boundary
+    right = boundary + " nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    docs = [
+        (0, left, "en", "s0", len(left)),
+        (1, right, "en", "s0", len(right)),
+        (2, "an unrelated document with plenty of words to pass the "
+            "length gate easily for this test case here", "en", "s0", 100),
+        (3, "too short", "en", "s0", 9),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in dedup_boundary_stitch(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["is_stitch_head"] and got[0]["continues_doc_id"] == 1
+    assert got[0]["tail_h"] == got[1]["head_h"]
+    assert not got[1]["is_stitch_head"]
+    assert not got[2]["is_stitch_head"]
+    assert got[3]["head_h"] is None and not got[3]["is_stitch_head"]
+
+
+def test_quality_calibration_planted_buckets(spark, tmp_path):
+    """B134 semantics: a duplicated low-quality pair and a PII doc
+    land in their buckets with exact rates."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        quality_signal_calibration,
+    )
+
+    junk = "zzz qqq xxx"  # low score: 3 tokens, no stopwords
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away into the woods with great speed") 
+    docs = [
+        (0, junk, "en", "s0", len(junk)),
+        (1, junk, "en", "s0", len(junk)),        # exact dup of 0
+        (2, good + " mail bob@x.com", "en", "s0", 120),  # PII doc
+        (3, good, "en", "s0", 110),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = quality_signal_calibration(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in rows) == 4
+    by_bucket = {r["bucket"]: r for r in rows}
+    junk_bucket = min(by_bucket)   # the two junk docs share the lowest
+    assert by_bucket[junk_bucket]["n_docs"] == 2
+    assert by_bucket[junk_bucket]["dup_rate"] == 1.0
+    assert by_bucket[junk_bucket]["pii_rate"] == 0.0
+    hi = [r for b, r in by_bucket.items() if b != junk_bucket]
+    assert sum(r["n_docs"] for r in hi) == 2
+    # exactly one of the two good docs carries PII
+    assert sum(r["n_docs"] * r["pii_rate"] for r in hi) == 1.0
