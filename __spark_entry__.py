@@ -93,6 +93,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_boundary_stitch",
     "quality_signal_calibration",
     "changepoint_stream_replay",
+    "orders_weekday_anova",
+    "event_type_user_overlap",
+    "dedup_growth_curve",
     # --- r9 window (driver-green r9; kept near the front as the
     # freshest re-gate candidates after the new exposures) ---
     "quality_filter_gopher",

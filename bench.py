@@ -234,6 +234,9 @@ EXTRA = [
     "multimodal_gif_roundtrip",
     "dedup_boundary_stitch",
     "quality_signal_calibration",
+    "orders_weekday_anova",
+    "event_type_user_overlap",
+    "dedup_growth_curve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

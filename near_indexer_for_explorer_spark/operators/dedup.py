@@ -4065,3 +4065,93 @@ def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_boundary_stitch"] = dedup_boundary_stitch
+
+
+# ---------------------------------------------------------------------------
+# B135 dedup growth curve — the ECONOMICS of dedup at scale: as the
+# corpus doubles, what fraction is duplicate?  Measured on nested
+# doc_id-ordered prefixes (1/8, 1/4, 1/2, full), where a doc counts as
+# duplicate iff an EARLIER doc in the same prefix has the same hash —
+# so each prefix is exactly "the corpus as it stood at that size" for
+# an append-ordered ingest, and the curve is what a capacity planner
+# extrapolates before buying the next crawl batch.  Scale shape: one
+# hash-keyed window (min doc_id per hash), then ONE pass with 4
+# conditional sums — never re-scans per prefix.
+# ---------------------------------------------------------------------------
+_GROWTH_FRACS = (8, 4, 2, 1)  # denominators: 1/8, 1/4, 1/2, 1/1
+
+ORACLES["dedup_growth_curve"] = f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    h AS (
+      SELECT doc_id, md5(text) AS h,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+      FROM documents
+    ),
+    marks AS (
+      SELECT doc_id, first_id < doc_id AS is_dup FROM h
+    ),
+    cuts AS (
+      SELECT t.k, CAST(mx.mid // t.k AS BIGINT) AS cutoff
+      FROM mx, UNNEST([{", ".join(str(k) for k in _GROWTH_FRACS)}]) AS t(k)
+    )
+    SELECT CAST(c.k AS BIGINT) AS denom, c.cutoff,
+           CAST(SUM(CASE WHEN m.doc_id <= c.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.doc_id <= c.cutoff AND m.is_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN m.doc_id <= c.cutoff AND m.is_dup
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN m.doc_id <= c.cutoff THEN 1 ELSE 0 END), 6)
+             AS dup_rate
+    FROM marks m, cuts c
+    GROUP BY c.k, c.cutoff
+"""
+
+
+def dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(denom, cutoff, n_docs, n_dup, dup_rate): exact-duplicate rate
+    at nested id-ordered corpus prefixes — the dedup-economics curve a
+    capacity planner extrapolates.
+
+    Note: a doc is dup iff an earlier SAME-PREFIX doc shares its hash;
+    because prefixes are nested and "earlier" is global, the one
+    min-per-hash window answers every prefix at once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id").alias("mid"))
+    h = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("first_id"),
+    ).select("doc_id", (F.col("first_id") < F.col("doc_id")).alias("is_dup"))
+    cuts = (
+        mid.crossJoin(
+            F.broadcast(
+                docs.sparkSession.range(1).select(
+                    F.explode(
+                        F.array(*[F.lit(k) for k in _GROWTH_FRACS])
+                    ).alias("k")
+                )
+            )
+        )
+        .select(
+            F.col("k").cast("long").alias("denom"),
+            F.floor(F.col("mid") / F.col("k")).cast("long").alias("cutoff"),
+        )
+    )
+    joined = h.crossJoin(F.broadcast(cuts))
+    within = F.col("doc_id") <= F.col("cutoff")
+    return joined.groupBy("denom", "cutoff").agg(
+        F.sum(within.cast("long")).cast("long").alias("n_docs"),
+        F.sum((within & F.col("is_dup")).cast("long")).cast("long").alias("n_dup"),
+        F.round(
+            F.sum((within & F.col("is_dup")).cast("long")).cast("double")
+            / F.sum(within.cast("long")),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+QUERIES["dedup_growth_curve"] = dedup_growth_curve

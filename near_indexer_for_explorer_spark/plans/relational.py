@@ -8181,3 +8181,190 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
         F.round(F.col("mu2") - F.col("mu1"), 6).alias("shift"),
         rel_ok.alias("is_changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A116 one-way ANOVA for the weekday effect (reference analog: the
+# explorer's weekly activity rhythm panels, asked as the statistician
+# asks it): does the day-of-week explain daily order volume, or is
+# the weekly pattern noise?  F = (SSB/(k-1)) / (SSW/(n-k)) over daily
+# counts grouped by weekday.  Engine-stability: daily counts and the
+# raw sums are EXACT integers; each group's s^2/m term is ONE IEEE
+# division of exact integers (identical both engines), rounded to 8
+# decimals and summed as DECIMAL so the cross-group sum is order-free
+# (the B76/user_event_entropy discipline).  Scale shape: one day-grain
+# count aggregate, one 7-row weekday aggregate — output is one row.
+# Weekday keys: Spark dayofweek is 1-7, DuckDB 0-6 — a bijection, and
+# the key itself is never projected, so the grouping is equivalent.
+# ---------------------------------------------------------------------------
+_ANOVA_F_95_6_INF = 2.099070  # F(6, inf) 0.95 quantile
+
+@_register(
+    "orders_weekday_anova",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    grp AS (
+      SELECT dayofweek(d) AS dow, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM daily GROUP BY dayofweek(d)
+    ),
+    tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n_days,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(ss) AS BIGINT) AS sst,
+             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / m, 8)
+                           AS DECIMAL(28,8))) AS DECIMAL(32,8)) AS sb8
+      FROM grp
+    ),
+    m AS (
+      SELECT n_days, k, sst,
+             CAST(CAST(sb8 AS VARCHAR) AS DOUBLE)
+               - CAST(st AS DOUBLE) * st / n_days AS ssb,
+             sst - CAST(CAST(sb8 AS VARCHAR) AS DOUBLE) AS ssw
+      FROM tot
+    )
+    SELECT n_days, k,
+           ROUND(ssb, 6) AS ss_between,
+           ROUND(ssw, 6) AS ss_within,
+           CASE WHEN ssw = 0 THEN NULL
+                ELSE ROUND((ssb / (k - 1)) / (ssw / (n_days - k)), 6)
+           END AS f_stat,
+           CASE WHEN ssw = 0 THEN ssb > 0
+                ELSE (ssb / (k - 1)) / (ssw / (n_days - k))
+                     > {_ANOVA_F_95_6_INF} END AS weekday_effect
+    FROM m
+    """,
+)
+def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_days, k, ss_between, ss_within, f_stat, weekday_effect):
+    one-way ANOVA of daily order counts grouped by weekday — the
+    is-there-a-weekly-rhythm hypothesis test behind A83/A96's
+    descriptive profiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grp = daily.select(F.dayofweek("d").alias("dow"), "n").groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    tot = grp.agg(
+        F.sum("m").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("m"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("decimal(32,8)")
+        .alias("sb8"),
+    )
+    sb_d = F.col("sb8").cast("string").cast("double")
+    ssb = sb_d - F.col("st").cast("double") * F.col("st") / F.col("n_days")
+    ssw = F.col("sst") - sb_d
+    # a zero SSW (identical counts within every weekday) makes F
+    # undefined; report NULL and call the effect by SSB alone.  CASE
+    # branches evaluate lazily per row, so the division never runs on
+    # the degenerate branch (ANSI divide-by-zero discipline).
+    f_expr = (ssb / (F.col("k") - 1)) / (
+        ssw / (F.col("n_days") - F.col("k"))
+    )
+    degenerate = ssw == 0
+    return tot.select(
+        "n_days",
+        "k",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(f_expr, 6))
+        .alias("f_stat"),
+        F.when(degenerate, ssb > 0)
+        .otherwise(f_expr > _ANOVA_F_95_6_INF)
+        .alias("weekday_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A117 event-type co-usage overlap (the product-analytics "feature
+# adjacency" matrix: which behaviors share users?) — Jaccard of the
+# distinct-user sets for every type pair.  Scale shape: ONE distinct
+# (user, type) aggregate, a per-user type-pair explode (bounded by
+# |types|^2 per user, |types| is a small closed vocabulary), one pair
+# aggregate, and a broadcast of the |types|-row per-type counts back
+# onto the pair grain — output <= |types|^2 rows.  Exact integer
+# intersections/unions; one IEEE division.
+# ---------------------------------------------------------------------------
+@_register(
+    "event_type_user_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           pa.n_users AS n_a, pb.n_users AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE)
+                 / (pa.n_users + pb.n_users - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN per pa ON p.type_a = pa.event_type
+    JOIN per pb ON p.type_b = pb.event_type
+    """,
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_both, n_a, n_b, jaccard): distinct-user
+    Jaccard for every event-type pair — the behavior-adjacency matrix
+    A58's transitions and A72's session lift complement."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    per = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

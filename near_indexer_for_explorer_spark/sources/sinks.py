@@ -236,3 +236,65 @@ def convert_parquet_to_orc(
     df = spark.read.parquet(src_dir)
     df.write.mode("overwrite").orc(out_dir)
     return spark.read.orc(out_dir).count()
+
+
+def publish_atomic(
+    df: DataFrame,
+    out_dir: str,
+    audit=None,
+) -> str:
+    """Write-audit-publish (WAP): write the frame to a staging
+    directory, run the audit callback against the STAGED files, and
+    only then atomically rename it into place as a new immutable
+    version — readers (``read_published``) never see a half-written
+    or audit-failed snapshot.  This is the lakehouse publication
+    discipline (Iceberg/Delta's WAP pattern) on plain parquet:
+    versioned dirs ``v=<n>`` + a ``_PUBLISHED`` marker written AFTER
+    the rename, so a crash at any point leaves either the old version
+    readable or the new one fully live, never a torn state.
+
+    ``audit``: optional callable(staged_df) -> bool; a False/raise
+    rejects the publish and removes the staging dir.  Returns the
+    published version directory path (or raises).
+    """
+    import glob
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    # number past EVERY existing version dir, marked or not: a crash
+    # between rename and marker leaves an unmarked v=<n> that readers
+    # ignore but the next publish must not collide with
+    versions = [
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(out_dir, "v=*"))
+    ]
+    next_v = max(versions, default=-1) + 1
+    staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        if audit is not None and not audit(spark.read.parquet(staging)):
+            raise ValueError("publish_atomic: audit rejected the snapshot")
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    final = os.path.join(out_dir, f"v={next_v}")
+    os.rename(staging, final)  # atomic on one filesystem
+    with open(os.path.join(final, "_PUBLISHED"), "w") as fh:
+        fh.write("ok\n")
+    return final
+
+
+def read_published(spark, out_dir: str) -> DataFrame:
+    """Read the newest fully-published WAP version; raises if nothing
+    has ever been published (staged/torn versions are invisible)."""
+    import glob
+
+    versions = [
+        (int(p.rsplit("=", 1)[1]), p)
+        for p in glob.glob(os.path.join(out_dir, "v=*"))
+        if os.path.exists(os.path.join(p, "_PUBLISHED"))
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no published version under {out_dir}")
+    return spark.read.parquet(max(versions)[1])

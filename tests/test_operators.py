@@ -4883,3 +4883,148 @@ def test_quality_calibration_planted_buckets(spark, tmp_path):
     assert sum(r["n_docs"] for r in hi) == 2
     # exactly one of the two good docs carries PII
     assert sum(r["n_docs"] * r["pii_rate"] for r in hi) == 1.0
+
+
+def test_weekday_anova_planted_effect(spark, tmp_path):
+    """A116 semantics: a strong Monday spike over 4 weeks flags the
+    weekday effect; day-to-day jitter uncorrelated with weekday does
+    not."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_weekday_anova,
+    )
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, "
+            "o_orderpriority string"
+        ).write.parquet(str(path / "orders.parquet"))
+
+    base = dt.datetime(1995, 1, 2)  # a Monday
+    rows, k = [], 0
+    for day in range(28):
+        d = base + dt.timedelta(days=day)
+        n = 30 if day % 7 == 0 else 10  # Mondays triple
+        for _ in range(n):
+            rows.append((k, 1, "O", 100.0, d, "1-URGENT")); k += 1
+    p1 = tmp_path / "effect"; p1.mkdir(); write(rows, p1)
+    (r,) = orders_weekday_anova(spark, str(p1)).collect()
+    assert r["n_days"] == 28 and r["k"] == 7
+    # identical counts within every weekday: SSW exactly 0, F
+    # undefined (NULL), effect called by SSB alone
+    assert r["ss_within"] == 0.0 and r["f_stat"] is None
+    assert r["weekday_effect"] and r["ss_between"] > 0
+
+    rows2, k = [], 0
+    for day in range(28):
+        d = base + dt.timedelta(days=day)
+        n = 10 + (day % 2)  # jitter orthogonal to weekday
+        for _ in range(n):
+            rows2.append((k, 1, "O", 100.0, d, "1-URGENT")); k += 1
+    p2 = tmp_path / "flat"; p2.mkdir(); write(rows2, p2)
+    (r2,) = orders_weekday_anova(spark, str(p2)).collect()
+    assert not r2["weekday_effect"]
+
+
+def test_type_overlap_planted_jaccard(spark, tmp_path):
+    """A117 semantics: hand-built user sets give exact Jaccards."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        event_type_user_overlap,
+    )
+
+    ts = dt.datetime(1995, 1, 1)
+    # users 1,2,3 do 'a'; users 2,3 do 'b'; user 9 does 'c'
+    rows = [(i, ts, u, t, 1.0, "{}") for i, (u, t) in enumerate(
+        [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (9, "c"),
+         (2, "a"), (3, "b")]  # repeats must not double-count
+    )]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in event_type_user_overlap(spark, str(tmp_path)).collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    assert ("a", "c") not in got  # zero intersection -> no pair row
+
+
+def test_dedup_growth_curve_planted_prefixes(spark, tmp_path):
+    """B135 semantics: nested prefixes count only dups whose FIRST
+    occurrence is also inside the prefix."""
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_growth_curve,
+    )
+
+    texts = {i: f"unique text number {i}" for i in range(1, 9)}
+    texts[4] = texts[2]  # dup inside prefix <=4
+    texts[8] = texts[2]  # dup only in the full corpus
+    docs = [(i, texts[i], "en", "s0", len(texts[i])) for i in range(1, 9)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["denom"]: r for r in dedup_growth_curve(spark, str(tmp_path)).collect()}
+    assert got[8]["cutoff"] == 1 and got[8]["n_docs"] == 1 and got[8]["n_dup"] == 0
+    assert got[4]["cutoff"] == 2 and got[4]["n_dup"] == 0
+    assert got[2]["cutoff"] == 4 and got[2]["n_dup"] == 1
+    assert got[2]["dup_rate"] == 0.25
+    assert got[1]["cutoff"] == 8 and got[1]["n_dup"] == 2
+    assert got[1]["dup_rate"] == 0.25
+
+
+def test_publish_atomic_wap_protocol(spark, tmp_path):
+    """sinks.publish_atomic: versioned write-audit-publish — readers
+    only ever see fully-published snapshots; audit failures and torn
+    stages are invisible."""
+    import glob
+    import os
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        publish_atomic,
+        read_published,
+    )
+
+    out = str(tmp_path / "wap")
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, out)
+    v0 = publish_atomic(df1, out)
+    assert v0.endswith("v=0")
+    assert read_published(spark, out).count() == 10
+
+    # audit rejection: nothing published, old version still served
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_atomic(
+            spark.range(3).withColumnRenamed("id", "x"), out,
+            audit=lambda d: d.count() > 5,
+        )
+    assert read_published(spark, out).count() == 10
+    assert not glob.glob(os.path.join(out, "_staging_*"))  # cleaned up
+
+    # torn stage (crash before rename): invisible to readers
+    torn = os.path.join(out, "_staging_deadbeef")
+    spark.range(2).write.parquet(torn)
+    assert read_published(spark, out).count() == 10
+
+    # v=1 dir without the marker (crash between rename and marker):
+    # still invisible; the NEXT publish must not collide with it
+    spark.range(4).withColumnRenamed("id", "x").write.parquet(
+        os.path.join(out, "v=1")
+    )
+    assert read_published(spark, out).count() == 10
+
+    v2 = publish_atomic(
+        spark.range(20).withColumnRenamed("id", "x"), out,
+        audit=lambda d: d.count() == 20,
+    )
+    assert read_published(spark, out).count() == 20
+    assert v2.endswith("v=2")

@@ -125,6 +125,7 @@ _BNLJ_EXEMPT = {
     "lsh_bucket_balance",       # broadcast 1-row corpus-total scalar
     "skipgram_cooc_pmi",        # broadcast pair-total scalar (B27 shape)
     "dedup_components",         # broadcast 1-row converged-census boolean
+    "dedup_growth_curve",       # broadcast 4-row prefix-cutoff dim crossJoin
     # family 2: declared all-pairs semantics (exact, oracle-mirrored)
     "ann_cosine_topk",          # brute-force ANN correctness baseline
     "ann_rerank_int8",          # int8 coarse scan is the declared all-pairs leg
