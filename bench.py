@@ -237,6 +237,7 @@ EXTRA = [
     "orders_weekday_anova",
     "event_type_user_overlap",
     "dedup_growth_curve",
+    "multimodal_media_router",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

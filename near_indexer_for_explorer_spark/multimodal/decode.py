@@ -1722,3 +1722,134 @@ ORACLES["multimodal_gif_roundtrip"] = f"""
            'gif' AS decode_backend
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# B136 mime-sniffing media router — the PRODUCTION shape of a mixed
+# media column: one Arrow kernel sniffs each payload's magic bytes
+# (PNG \\x89PNG, GIF87a/89a, RIFF/WAVE) and routes it to the matching
+# REAL decoder, emitting a uniform (mime, n_units, unit_sum) feature
+# row per asset; unknown payloads are tagged, never dropped or raised
+# (a crawl column always carries garbage).  The registered query
+# builds a deterministic mixed column (doc_id % 3 chooses the
+# encoder), so the router exercises every branch and the DuckDB
+# oracle replicates each branch's byte math.  Map-only, linear.
+# ---------------------------------------------------------------------------
+MEDIA_ROUTER_SCHEMA = (
+    "doc_id long, mime string, n_units long, unit_sum long, "
+    "unit_mean double"
+)
+
+
+def make_media_router_kernel() -> Callable[[Iterator], Iterator]:
+    """Sniff-and-decode: PNG -> gray pixels, GIF -> palette pixels,
+    WAV -> PCM samples, anything else -> 'unknown' with byte stats.
+    All three decode paths are the REAL codecs above."""
+    _, png_decode = _png_codec()
+    _, gif_decode = _gif_codec()
+    _, wav_decode = _wav_codec()
+
+    def route_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                mime, (_, _, units) = "image/png", png_decode(payload)
+            elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                mime, (_, _, units) = "image/gif", gif_decode(payload)
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                _, _, _, units = wav_decode(payload)
+                mime = "audio/wav"
+            else:
+                mime, units = "unknown", list(payload)
+            s = sum(units)
+            return {
+                "doc_id": doc_id,
+                "mime": mime,
+                "n_units": len(units),
+                "unit_sum": s,
+                "unit_mean": (s / len(units)) if units else 0.0,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=["doc_id", "mime", "n_units", "unit_sum", "unit_mean"],
+            )
+
+    return route_batches
+
+
+def multimodal_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, n_units, unit_sum, unit_mean): a deterministic
+    MIXED media column (doc_id % 3 -> PNG / GIF / WAV encode of the
+    text bytes) routed through the sniffing kernel — every branch is
+    a real codec, every output exact byte math."""
+    encode_png, _ = _png_codec()
+    encode_gif, _ = _gif_codec()
+    encode_wav, _ = _wav_codec()
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def enc(doc_id: int, payload: bytes) -> bytes:
+            k = doc_id % 3
+            if k == 0:
+                return encode_png(payload, _PNG_W)
+            if k == 1:
+                return encode_gif(payload, _GIF_W)
+            return encode_wav(payload, _WAV_RATE)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        enc(int(d), p)
+                        for d, p in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    mixed = raw.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+    return mixed.mapInPandas(
+        make_media_router_kernel(), schema=MEDIA_ROUTER_SCHEMA
+    )
+
+
+QUERIES["multimodal_media_router"] = multimodal_media_router
+
+# Branch math from the text bytes (ASCII precondition per the module
+# note): PNG/GIF are lossless gray/palette roundtrips (unit_sum = byte
+# sum, n_units = 32 * ceil(n/32) padded grid); WAV widens u8 -> s16
+# (unit_sum = (byte_sum - 128n) * 256, n_units = n).
+ORACLES["multimodal_media_router"] = f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             COALESCE(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0)
+               AS bsum
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, bsum,
+             {_PNG_W} * greatest(1, CAST(ceil(n / {_PNG_W}.0) AS BIGINT))
+               AS grid
+      FROM b
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/gif'
+                           ELSE 'audio/wav' END AS mime,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN n ELSE grid END AS BIGINT)
+             AS n_units,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN (bsum - 128 * n) * 256
+                     ELSE bsum END AS BIGINT) AS unit_sum,
+           CASE WHEN doc_id % 3 = 2
+                THEN CASE WHEN n = 0 THEN 0.0
+                          ELSE CAST((bsum - 128 * n) * 256 AS DOUBLE) / n END
+                ELSE CAST(bsum AS DOUBLE) / grid END AS unit_mean
+    FROM g
+"""

@@ -5028,3 +5028,40 @@ def test_publish_atomic_wap_protocol(spark, tmp_path):
     )
     assert read_published(spark, out).count() == 20
     assert v2.endswith("v=2")
+
+
+def test_media_router_sniffs_all_branches(spark):
+    """B136: the router sniffs magic bytes and decodes each branch
+    with the REAL codec — hand-built payloads of all four kinds in one
+    mixed column."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        MEDIA_ROUTER_SCHEMA,
+        _gif_codec,
+        _png_codec,
+        _wav_codec,
+        make_media_router_kernel,
+    )
+
+    enc_png, _ = _png_codec()
+    enc_gif, _ = _gif_codec()
+    enc_wav, _ = _wav_codec()
+    data = bytes([10, 20, 30])
+    rows = [
+        (0, enc_png(data, 32)),
+        (1, enc_gif(data, 32)),
+        (2, enc_wav(data)),
+        (3, b"not a media file"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(rows, "doc_id long, payload binary")
+        .mapInPandas(make_media_router_kernel(), schema=MEDIA_ROUTER_SCHEMA)
+        .collect()
+    }
+    assert got[0]["mime"] == "image/png" and got[0]["unit_sum"] == 60
+    assert got[0]["n_units"] == 32  # padded grid
+    assert got[1]["mime"] == "image/gif" and got[1]["unit_sum"] == 60
+    assert got[2]["mime"] == "audio/wav"
+    assert got[2]["unit_sum"] == ((10 - 128) + (20 - 128) + (30 - 128)) * 256
+    assert got[3]["mime"] == "unknown"
+    assert got[3]["unit_sum"] == sum(b"not a media file")
