@@ -97,6 +97,7 @@ _GATE_PRIORITY: list[str] = [
     "event_type_user_overlap",
     "dedup_growth_curve",
     "multimodal_media_router",
+    "text_readability",
     # --- r9 window (driver-green r9; kept near the front as the
     # freshest re-gate candidates after the new exposures) ---
     "quality_filter_gopher",

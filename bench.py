@@ -238,6 +238,7 @@ EXTRA = [
     "event_type_user_overlap",
     "dedup_growth_curve",
     "multimodal_media_router",
+    "text_readability",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

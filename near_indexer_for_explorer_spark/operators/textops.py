@@ -2368,3 +2368,103 @@ def quality_signal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quality_signal_calibration"] = quality_signal_calibration
+
+
+# ---------------------------------------------------------------------------
+# B137 readability scoring (Flesch reading-ease / FK grade with the
+# standard vowel-group syllable approximation) — the classic
+# audience-level curation signal (Kincaid et al. 1975); pipelines use
+# it to balance corpora across difficulty bands and to catch
+# telegraphic/boilerplate text that word-count rules miss.  All three
+# inputs are exact integer counts (words, sentences, vowel-group
+# syllables); the two formula evaluations are IEEE arithmetic over
+# those exact integers, identical cross-engine, round-6.  Map-only per
+# row plus one optional source rollup — here the doc grain is emitted
+# (the band column makes it a filterable gate).  Scale: linear, zero
+# shuffles.
+# ---------------------------------------------------------------------------
+_SYLLABLE_RE = "[aeiouyAEIOUY]+"
+_SENTENCE_RE = "[.!?]+"
+
+ORACLES["text_readability"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk,
+             greatest(1, len(regexp_extract_all(text, '{_SENTENCE_RE}')))
+               AS n_sents
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_sents,
+             len(tk) AS n_words,
+             COALESCE(list_sum(list_transform(tk,
+               w -> greatest(1, len(regexp_extract_all(w, '{_SYLLABLE_RE}'))))),
+               0) AS n_syll
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+             AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                 + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6)
+             AS fk_grade,
+           CASE WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) >= 60
+                THEN 'easy'
+                WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) >= 30
+                THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM m WHERE n_words > 0
+"""
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syllables, flesch_ease, fk_grade,
+    band): Flesch reading-ease + FK grade from exact integer counts
+    (vowel-group syllable approximation, sentences floored at 1)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    tk = F.col("tk")
+    n_words = F.size(tk)
+    n_sents = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(_SENTENCE_RE))
+    )
+    n_syll = F.aggregate(
+        F.transform(
+            tk,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(w, F.lit(_SYLLABLE_RE))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    per = docs.where(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    ease = 206.835 - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - 15.59
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(ease, 6).alias("flesch_ease"),
+        F.round(grade, 6).alias("fk_grade"),
+        F.when(ease >= 60, "easy")
+        .when(ease >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
+
+
+QUERIES["text_readability"] = text_readability

@@ -5065,3 +5065,30 @@ def test_media_router_sniffs_all_branches(spark):
     assert got[2]["unit_sum"] == ((10 - 128) + (20 - 128) + (30 - 128)) * 256
     assert got[3]["mime"] == "unknown"
     assert got[3]["unit_sum"] == sum(b"not a media file")
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """B137: Flesch ease / FK grade pinned on a hand-counted sentence
+    ('the cat sat on the mat.' = 6 words, 1 sentence, 6 syllables) and
+    the band thresholds on planted easy/hard docs."""
+    from near_indexer_for_explorer_spark.operators.textops import (
+        text_readability,
+    )
+
+    hard = ("extraordinarily incomprehensible organizational "
+            "responsibilities necessitate unintelligible documentation")
+    docs = [
+        (0, "the cat sat on the mat.", "en", "s0", 23),
+        (1, hard, "en", "s0", len(hard)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in text_readability(spark, str(tmp_path)).collect()}
+    r = got[0]
+    assert (r["n_words"], r["n_sents"], r["n_syllables"]) == (6, 1, 6)
+    # ease = 206.835 - 1.015*6 - 84.6*1 = 116.145; grade = 0.39*6 + 11.8*1 - 15.59
+    assert r["flesch_ease"] == round(206.835 - 1.015 * 6 - 84.6, 6)
+    assert r["fk_grade"] == round(0.39 * 6 + 11.8 - 15.59, 6)
+    assert r["band"] == "easy"
+    assert got[1]["band"] == "hard" and got[1]["fk_grade"] > 15
