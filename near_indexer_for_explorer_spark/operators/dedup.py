@@ -4099,10 +4099,12 @@ ORACLES["dedup_growth_curve"] = f"""
                 AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN m.doc_id <= c.cutoff AND m.is_dup
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-           ROUND(CAST(SUM(CASE WHEN m.doc_id <= c.cutoff AND m.is_dup
-                              THEN 1 ELSE 0 END) AS DOUBLE)
-                 / SUM(CASE WHEN m.doc_id <= c.cutoff THEN 1 ELSE 0 END), 6)
-             AS dup_rate
+           CASE WHEN SUM(CASE WHEN m.doc_id <= c.cutoff THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE ROUND(CAST(SUM(CASE WHEN m.doc_id <= c.cutoff AND m.is_dup
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN m.doc_id <= c.cutoff THEN 1 ELSE 0 END), 6)
+           END AS dup_rate
     FROM marks m, cuts c
     GROUP BY c.k, c.cutoff
 """
@@ -4143,14 +4145,17 @@ def dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = h.crossJoin(F.broadcast(cuts))
     within = F.col("doc_id") <= F.col("cutoff")
+    n_docs = F.sum(within.cast("long")).cast("long")
+    n_dup = F.sum((within & F.col("is_dup")).cast("long")).cast("long")
+    # Zero guard (r10 advice): a prefix with zero docs must yield NULL
+    # on both engines — Spark's x/0 is NULL but DuckDB's is NaN, a
+    # cross-engine divergence on tiny corpora (max(doc_id) < 8).
     return joined.groupBy("denom", "cutoff").agg(
-        F.sum(within.cast("long")).cast("long").alias("n_docs"),
-        F.sum((within & F.col("is_dup")).cast("long")).cast("long").alias("n_dup"),
-        F.round(
-            F.sum((within & F.col("is_dup")).cast("long")).cast("double")
-            / F.sum(within.cast("long")),
-            6,
-        ).alias("dup_rate"),
+        n_docs.alias("n_docs"),
+        n_dup.alias("n_dup"),
+        F.when(n_docs == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_dup.cast("double") / n_docs, 6))
+        .alias("dup_rate"),
     )
 
 

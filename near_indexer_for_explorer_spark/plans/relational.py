@@ -8197,7 +8197,12 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
 # Weekday keys: Spark dayofweek is 1-7, DuckDB 0-6 — a bijection, and
 # the key itself is never projected, so the grouping is equivalent.
 # ---------------------------------------------------------------------------
-_ANOVA_F_95_6_INF = 2.099070  # F(6, inf) 0.95 quantile
+# F(6, inf) 0.95 quantile = chi2_0.95(6)/6 = 12.591587/6 (r10 advice:
+# the previous 2.099070 was ~5e-4 high).  Still an APPROXIMATE fixed
+# threshold: the true denominator df is n_days - k, not infinity, so
+# the flag is slightly conservative for short date ranges; both
+# engines share the constant so parity is unaffected either way.
+_ANOVA_F_95_6_INF = 2.098598
 
 @_register(
     "orders_weekday_anova",

@@ -238,10 +238,43 @@ def convert_parquet_to_orc(
     return spark.read.orc(out_dir).count()
 
 
+def _sweep_stale_publish_dirs(out_dir: str, stale_age_s: float) -> int:
+    """Ghost sweep (r10 advice): a hard kill between the staged write
+    and cleanup leaks a ``_staging_*`` dir; a crash between rename and
+    marker leaves an unmarked ``v=<n>``.  Nothing referenced them, so
+    an unattended deployment accumulated dead snapshots forever.
+    Remove both kinds once they are older than ``stale_age_s`` (age
+    gate so a LIVE concurrent publisher's staging dir is never
+    touched) — the same prune-as-ghost-sweep discipline
+    streaming.pipelines.compact_cell_deltas applies to covered deltas.
+    Returns the number of directories removed."""
+    import glob
+    import shutil
+    import time
+
+    removed = 0
+    now = time.time()
+    candidates = glob.glob(os.path.join(out_dir, "_staging_*"))
+    candidates += [
+        p
+        for p in glob.glob(os.path.join(out_dir, "v=*"))
+        if not os.path.exists(os.path.join(p, "_PUBLISHED"))
+    ]
+    for path in candidates:
+        try:
+            if now - os.path.getmtime(path) > stale_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue  # a peer published or swept it mid-scan
+    return removed
+
+
 def publish_atomic(
     df: DataFrame,
     out_dir: str,
     audit=None,
+    stale_age_s: float = 3600.0,
 ) -> str:
     """Write-audit-publish (WAP): write the frame to a staging
     directory, run the audit callback against the STAGED files, and
@@ -262,14 +295,8 @@ def publish_atomic(
     import uuid
 
     spark = df.sparkSession
-    # number past EVERY existing version dir, marked or not: a crash
-    # between rename and marker leaves an unmarked v=<n> that readers
-    # ignore but the next publish must not collide with
-    versions = [
-        int(p.rsplit("=", 1)[1])
-        for p in glob.glob(os.path.join(out_dir, "v=*"))
-    ]
-    next_v = max(versions, default=-1) + 1
+    if os.path.isdir(out_dir):
+        _sweep_stale_publish_dirs(out_dir, stale_age_s)
     staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
     try:
@@ -278,8 +305,29 @@ def publish_atomic(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    final = os.path.join(out_dir, f"v={next_v}")
-    os.rename(staging, final)  # atomic on one filesystem
+    # number past EVERY existing version dir, marked or not: a crash
+    # between rename and marker leaves an unmarked v=<n> that readers
+    # ignore but the next publish must not collide with.  A CONCURRENT
+    # peer may claim the same number after we scan — its rename wins
+    # and ours raises EEXIST/ENOTEMPTY — so retry with a fresh scan
+    # instead of surfacing the race to the caller (r10 verdict nit).
+    for _ in range(16):
+        versions = [
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(os.path.join(out_dir, "v=*"))
+        ]
+        next_v = max(versions, default=-1) + 1
+        final = os.path.join(out_dir, f"v={next_v}")
+        try:
+            os.rename(staging, final)  # atomic on one filesystem
+            break
+        except OSError:
+            continue
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"publish_atomic: lost the v=<n> race 16 times under {out_dir}"
+        )
     with open(os.path.join(final, "_PUBLISHED"), "w") as fh:
         fh.write("ok\n")
     return final
@@ -298,3 +346,177 @@ def read_published(spark, out_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no published version under {out_dir}")
     return spark.read.parquet(max(versions)[1])
+
+
+# ---------------------------------------------------------------------------
+# Multi-relation atomic publish — the reference commits
+# blocks+chunks+transactions+receipts+execution_outcomes for each block
+# in ONE PostgreSQL transaction (indexer/src/main.rs drives
+# database/src/adapters/*.rs inside a single connection txn), so a
+# reader never observes a block whose receipts landed but whose
+# transactions did not.  The lake equivalent is manifest-level WAP:
+# stage every relation under one snapshot dir, audit them TOGETHER,
+# move the whole snapshot with ONE rename (all tables appear
+# atomically or none do), then publish it by hard-linking a
+# _MANIFEST_<n> file last.  Readers resolve EVERY table from the
+# newest complete manifest, so cross-table consistency is a property
+# of the protocol, not of reader timing.
+#
+# Crash interleavings (all covered by tests/test_operators.py):
+#   - during any staged write / after a failed audit -> leaked
+#     _staging_<token>, invisible, age-swept;
+#   - after the snapshot rename, before the manifest -> leaked
+#     snap_<token>, invisible (no manifest references it), age-swept;
+#   - after the manifest link -> fully live, all tables at once.
+# Two concurrent publishers never collide on data dirs (unique
+# tokens); they race only on the manifest NUMBER, where the hard-link
+# creation is atomic-or-EEXIST, and the loser retries with the next
+# number — later manifest wins, both snapshots remain readable
+# history.
+# ---------------------------------------------------------------------------
+def publish_atomic_many(
+    dfs: dict[str, DataFrame],
+    out_dir: str,
+    audit=None,
+    stale_age_s: float = 3600.0,
+) -> str:
+    """Atomically publish N relations as one consistent snapshot.
+
+    ``dfs``: table name -> DataFrame (names become subdirectories, so
+    they must be path-safe).  ``audit``: optional callable receiving
+    ``dict[str, DataFrame]`` of the STAGED tables; False/raise rejects
+    the whole snapshot — no table publishes.  Returns the manifest
+    path.  Mirrors the reference's per-block multi-table transaction
+    (indexer/src/main.rs, database/src/adapters/).
+    """
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    if not dfs:
+        raise ValueError("publish_atomic_many: no relations to publish")
+    bad = [t for t in dfs if "/" in t or t.startswith((".", "_")) or "=" in t]
+    if bad:
+        raise ValueError(f"publish_atomic_many: unsafe table names {bad}")
+    spark = next(iter(dfs.values())).sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_snapshots(out_dir, stale_age_s)
+
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(out_dir, f"_staging_{token}")
+    try:
+        for table, df in dfs.items():
+            df.write.mode("overwrite").parquet(os.path.join(staging, table))
+        staged = {
+            t: spark.read.parquet(os.path.join(staging, t)) for t in dfs
+        }
+        counts = {t: staged_df.count() for t, staged_df in staged.items()}
+        if audit is not None and not audit(staged):
+            raise ValueError("publish_atomic_many: audit rejected the snapshot")
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+    # ONE rename moves every table together: no interleaving exists in
+    # which a reader can see table K published but table K+1 not.
+    snap = os.path.join(out_dir, f"snap_{token}")
+    os.rename(staging, snap)
+
+    manifest_body = json.dumps(
+        {"snapshot": f"snap_{token}", "tables": counts}, sort_keys=True
+    )
+    tmp = os.path.join(out_dir, f"_manifest_tmp_{token}")
+    with open(tmp, "w") as fh:
+        fh.write(manifest_body + "\n")
+    try:
+        # hard-link publication: atomic create-or-EEXIST, so two
+        # publishers can never both claim _MANIFEST_<n>
+        for _ in range(64):
+            next_n = (
+                max(
+                    (
+                        int(p.rsplit("_", 1)[1])
+                        for p in glob.glob(
+                            os.path.join(out_dir, "_MANIFEST_*")
+                        )
+                    ),
+                    default=-1,
+                )
+                + 1
+            )
+            final = os.path.join(out_dir, f"_MANIFEST_{next_n}")
+            try:
+                os.link(tmp, final)
+                return final
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"publish_atomic_many: lost the manifest race 64 times under "
+            f"{out_dir}"
+        )
+    finally:
+        os.unlink(tmp)
+
+
+def _sweep_stale_snapshots(out_dir: str, stale_age_s: float) -> int:
+    """Remove _staging_* and UNREFERENCED snap_* dirs older than the
+    age gate (a live peer's staging/snapshot is always younger).  A
+    snap dir referenced by ANY manifest is history, never swept here."""
+    import glob
+    import json
+    import shutil
+    import time
+
+    referenced = set()
+    for mpath in glob.glob(os.path.join(out_dir, "_MANIFEST_*")):
+        try:
+            with open(mpath) as fh:
+                referenced.add(json.load(fh)["snapshot"])
+        except (OSError, ValueError, KeyError):
+            continue
+    removed = 0
+    now = time.time()
+    for path in glob.glob(os.path.join(out_dir, "_staging_*")) + [
+        p
+        for p in glob.glob(os.path.join(out_dir, "snap_*"))
+        if os.path.basename(p) not in referenced
+    ]:
+        try:
+            if now - os.path.getmtime(path) > stale_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
+def read_published_many(spark, out_dir: str) -> dict[str, DataFrame]:
+    """Resolve EVERY table from the newest complete manifest — the
+    reader half of the per-block transaction guarantee: all tables
+    from the same snapshot, or FileNotFoundError if nothing has ever
+    been published.  A torn manifest (unparseable) or one whose
+    snapshot dir is missing is skipped in favor of the next-newest
+    complete one."""
+    import glob
+    import json
+
+    manifests = sorted(
+        glob.glob(os.path.join(out_dir, "_MANIFEST_*")),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+        reverse=True,
+    )
+    for mpath in manifests:
+        try:
+            with open(mpath) as fh:
+                meta = json.load(fh)
+            snap = os.path.join(out_dir, meta["snapshot"])
+            if not os.path.isdir(snap):
+                continue
+            return {
+                t: spark.read.parquet(os.path.join(snap, t))
+                for t in meta["tables"]
+            }
+        except (OSError, ValueError, KeyError):
+            continue
+    raise FileNotFoundError(f"no complete published snapshot under {out_dir}")

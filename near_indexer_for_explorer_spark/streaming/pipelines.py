@@ -2157,7 +2157,23 @@ def _read_delta_log(
     """Fold sources of a delta log, or an EMPTY frame with the log's
     schema when no batch has committed yet (r8 advice: a fresh out_dir
     used to hand spark.read.parquet an empty path list and surface a
-    confusing reader error instead of empty state)."""
+    confusing reader error instead of empty state).
+
+    Legacy-layout guard (r10 advice): the pre-r10 closes log appended
+    flat part-*.parquet files directly under the log dir; the
+    base/deltas reader would silently fold such a dir as EMPTY (every
+    order reads as never-closed).  Stale-layout state must fail
+    loudly, not drop rows."""
+    import glob
+
+    legacy = glob.glob(os.path.join(out_dir, "part-*"))
+    if legacy:
+        raise ValueError(
+            f"delta log {out_dir!r} contains {len(legacy)} flat "
+            "part-* files (pre-base/deltas layout); re-ingest from the "
+            "checkpoint or move them under deltas/batch=<n>/ — refusing "
+            "to silently read stale-layout state as empty"
+        )
     srcs, _ = _count_delta_sources(out_dir)
     if not srcs:
         return spark.createDataFrame([], empty_schema)

@@ -5092,3 +5092,177 @@ def test_readability_hand_computed(spark, tmp_path):
     assert r["fk_grade"] == round(0.39 * 6 + 11.8 - 15.59, 6)
     assert r["band"] == "easy"
     assert got[1]["band"] == "hard" and got[1]["fk_grade"] > 15
+
+
+def test_publish_atomic_many_manifest_protocol(spark, tmp_path):
+    """Multi-relation WAP: every crash interleaving leaves readers on
+    a complete consistent snapshot (all tables from the SAME publish),
+    mirroring the reference's one-Postgres-transaction-per-block
+    commit (indexer/src/main.rs, database/src/adapters/)."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        publish_atomic_many,
+        read_published_many,
+    )
+
+    out = str(tmp_path / "wapmany")
+    orders = spark.range(10).withColumnRenamed("id", "o")
+    lines = spark.range(30).withColumnRenamed("id", "l")
+
+    with pytest.raises(FileNotFoundError):
+        read_published_many(spark, out)
+    with pytest.raises(ValueError, match="no relations"):
+        publish_atomic_many({}, out)
+    with pytest.raises(ValueError, match="unsafe table names"):
+        publish_atomic_many({"_bad": orders}, out)
+
+    m0 = publish_atomic_many({"orders": orders, "lineitem": lines}, out)
+    assert m0.endswith("_MANIFEST_0")
+    got = read_published_many(spark, out)
+    assert set(got) == {"orders", "lineitem"}
+    assert got["orders"].count() == 10 and got["lineitem"].count() == 30
+
+    # audit sees ALL staged tables together and can reject the whole
+    # snapshot cross-table — nothing publishes
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_atomic_many(
+            {"orders": spark.range(2).withColumnRenamed("id", "o"),
+             "lineitem": lines},
+            out,
+            audit=lambda staged: staged["orders"].count()
+            >= staged["lineitem"].count() // 10,
+        )
+    assert read_published_many(spark, out)["orders"].count() == 10
+    assert not glob.glob(os.path.join(out, "_staging_*"))
+
+    # crash interleaving 1: mid-stage (writer died) -> torn staging
+    # dir, invisible to readers
+    os.makedirs(os.path.join(out, "_staging_deadbeef"))
+    spark.range(1).write.parquet(
+        os.path.join(out, "_staging_deadbeef", "orders")
+    )
+    assert read_published_many(spark, out)["orders"].count() == 10
+
+    # crash interleaving 2: after the snapshot rename, BEFORE the
+    # manifest -> snap dir exists, readers still on the old snapshot
+    os.makedirs(os.path.join(out, "snap_cafecafe0000"))
+    spark.range(7).withColumnRenamed("id", "o").write.parquet(
+        os.path.join(out, "snap_cafecafe0000", "orders")
+    )
+    assert read_published_many(spark, out)["orders"].count() == 10
+
+    # crash interleaving 3: torn manifest (unparseable) and a manifest
+    # whose snapshot dir is missing — both skipped for the next-newest
+    # complete one
+    with open(os.path.join(out, "_MANIFEST_1"), "w") as fh:
+        fh.write("{half a js")
+    with open(os.path.join(out, "_MANIFEST_2"), "w") as fh:
+        fh.write(json.dumps({"snapshot": "snap_gone", "tables": {"orders": 1}}))
+    assert read_published_many(spark, out)["orders"].count() == 10
+
+    # next publish numbers PAST the dead manifests and goes live with
+    # both tables at once
+    m3 = publish_atomic_many(
+        {"orders": spark.range(5).withColumnRenamed("id", "o"),
+         "lineitem": spark.range(6).withColumnRenamed("id", "l")},
+        out,
+    )
+    assert m3.endswith("_MANIFEST_3")
+    got = read_published_many(spark, out)
+    assert got["orders"].count() == 5 and got["lineitem"].count() == 6
+    # no tmp manifest files leaked
+    assert not glob.glob(os.path.join(out, "_manifest_tmp_*"))
+
+
+def test_publish_atomic_many_two_publisher_collision(spark, tmp_path):
+    """Manifest-number race: two publishers staging concurrently both
+    land — unique snapshot tokens mean no data-dir collision, and the
+    hard-link manifest publication is atomic-or-EEXIST so the loser
+    retries onto the next number.  Simulated by pre-claiming the
+    number the second publisher would otherwise take."""
+    import json
+    import os
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        publish_atomic_many,
+        read_published_many,
+    )
+
+    out = str(tmp_path / "race")
+    publish_atomic_many({"t": spark.range(3).withColumnRenamed("id", "x")}, out)
+
+    # a peer wins _MANIFEST_1 between our scan and link: pre-create it
+    # pointing at its own (valid) snapshot
+    os.makedirs(os.path.join(out, "snap_peer00000000"))
+    spark.range(9).withColumnRenamed("id", "x").write.parquet(
+        os.path.join(out, "snap_peer00000000", "t")
+    )
+    with open(os.path.join(out, "_MANIFEST_1"), "w") as fh:
+        fh.write(
+            json.dumps({"snapshot": "snap_peer00000000", "tables": {"t": 9}})
+        )
+
+    m = publish_atomic_many(
+        {"t": spark.range(4).withColumnRenamed("id", "x")}, out
+    )
+    assert m.endswith("_MANIFEST_2")  # retried past the peer's number
+    assert read_published_many(spark, out)["t"].count() == 4
+
+
+def test_publish_stale_ghost_sweep(spark, tmp_path):
+    """r10 advice: leaked _staging_* dirs (hard kill mid-write) and
+    unmarked v=<n> dirs (crash between rename and marker) are swept by
+    the NEXT publish once older than the age gate; younger ones — a
+    live peer — are never touched."""
+    import glob
+    import os
+    import time
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        publish_atomic,
+        publish_atomic_many,
+        read_published,
+        read_published_many,
+    )
+
+    out = str(tmp_path / "sweep")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    publish_atomic(df, out)
+
+    old_stage = os.path.join(out, "_staging_00000000dead")
+    spark.range(1).write.parquet(old_stage)
+    young_stage = os.path.join(out, "_staging_00000000beef")
+    spark.range(1).write.parquet(young_stage)
+    # planted high so the post-sweep publish (which renumbers from the
+    # surviving v=0) cannot re-create the same path
+    torn_v = os.path.join(out, "v=5")
+    spark.range(2).write.parquet(torn_v)  # no _PUBLISHED marker
+    past = time.time() - 7200
+    os.utime(old_stage, (past, past))
+    os.utime(torn_v, (past, past))
+
+    publish_atomic(df, out, stale_age_s=3600.0)
+    assert not os.path.exists(old_stage)  # stale ghost swept
+    assert not os.path.exists(torn_v)  # stale unmarked version swept
+    assert os.path.exists(young_stage)  # live peer untouched
+    assert read_published(spark, out).count() == 5
+
+    # manifest flavor: stale unreferenced snap dirs swept, referenced
+    # snapshot history retained
+    mout = str(tmp_path / "msweep")
+    publish_atomic_many({"t": df}, mout)
+    ghost = os.path.join(mout, "snap_00000000dead")
+    spark.range(1).write.parquet(os.path.join(ghost, "t"))
+    os.utime(ghost, (past, past))
+    live = glob.glob(os.path.join(mout, "snap_*"))
+    live.remove(ghost)
+    os.utime(live[0], (past, past))  # referenced: old age must NOT matter
+    publish_atomic_many({"t": df}, mout, stale_age_s=3600.0)
+    assert not os.path.exists(ghost)
+    assert os.path.exists(live[0])
+    assert read_published_many(spark, mout)["t"].count() == 5

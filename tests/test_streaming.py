@@ -2726,3 +2726,30 @@ def test_srm_stream_matches_batch_kernel(spark, sf_dir, event_batches, tmp_path)
         spark, out, ["event_date"], {"n_a": "long", "n_b": "long"}
     )
     assert snap(pl.read_stream_srm(spark, out)) == want
+
+
+def test_read_delta_log_rejects_legacy_flat_layout(spark, tmp_path):
+    """r10 advice: a closes log written by the pre-r10 code (flat
+    part-*.parquet appends directly under the log dir) must fail
+    LOUDLY — the base/deltas reader used to fold it as empty, silently
+    reading every order as never-closed."""
+    import pytest
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        CLOSES_CELL_SCHEMA,
+        _read_delta_log,
+    )
+
+    legacy = tmp_path / "closes"
+    spark.createDataFrame(
+        [(1, "2020-01-01")], "l_orderkey long, close_d string"
+    ).selectExpr("l_orderkey", "CAST(close_d AS DATE) AS close_d").coalesce(
+        1
+    ).write.parquet(str(legacy))
+    assert any(p.name.startswith("part-") for p in legacy.iterdir())
+    with pytest.raises(ValueError, match="flat"):
+        _read_delta_log(spark, str(legacy), CLOSES_CELL_SCHEMA)
+
+    # a fresh (never-written) dir still reads as clean empty state
+    empty = _read_delta_log(spark, str(tmp_path / "nothing"), CLOSES_CELL_SCHEMA)
+    assert empty.count() == 0
