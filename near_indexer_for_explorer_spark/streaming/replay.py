@@ -64,6 +64,8 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "srm_stream_replay",
         "forecast_backtest_stream_replay",
         "changepoint_stream_replay",
+        "topk_stream_replay",
+        "weighted_sample_stream_replay",
     }
 )
 
@@ -794,3 +796,180 @@ ORACLES["changepoint_stream_replay"] = """
              AS is_changepoint
     FROM best WHERE rn = 1
 """
+
+
+def topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_events, sum_est, bounds_ok, no_false_negative): the
+    C26 Space-Saving shards' merged summary after replaying the events
+    table as three id-sliced micro-batches, projected onto the sketch's
+    guarantees against EXACT per-user counts (r10 verdict #1 — the C28
+    contract-projection pattern applied to the last-but-one stream
+    family without a hard driver signal).
+
+    Three driver-checkable facts per shard (shard = user_id %
+    TOPK_SHARDS, so an item's entire count lives in one shard):
+    `sum_est` — every Space-Saving arrival increments exactly one
+    counter, so the summary's est-sum equals the shard's EXACT event
+    count (a non-boolean value the oracle recomputes); `bounds_ok` —
+    est >= true >= est - err for every surviving counter; and
+    `no_false_negative` — every user whose true count exceeds
+    n_shard/k appears in the summary (Metwally et al. 2005).  The
+    oracle asserts both verdicts literally TRUE over exact counts."""
+    import uuid
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        TOPK_COUNTERS,
+        TOPK_SHARDS,
+        topk_snapshot,
+        topk_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="topk_replay_")
+    qname = f"topk_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        q = topk_stream(spark, src, qname)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("topk replay stream did not finish in 300s")
+        summary = topk_snapshot(spark, qname)
+
+        true_counts = ev.groupBy(
+            F.pmod(F.col("user_id"), F.lit(TOPK_SHARDS)).cast("int").alias("shard"),
+            F.col("user_id").alias("item"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        shard_n = true_counts.groupBy("shard").agg(
+            F.sum("true_n").cast("long").alias("n_events")
+        )
+
+        # bracketing over every surviving counter (inner join: every
+        # summary item by construction occurred at least once)
+        bounds = (
+            summary.join(true_counts, ["shard", "item"])
+            .groupBy("shard")
+            .agg(
+                F.sum("est").cast("long").alias("sum_est"),
+                F.min(
+                    (F.col("est") >= F.col("true_n"))
+                    & (F.col("true_n") >= F.col("est") - F.col("err"))
+                ).alias("bounds_ok"),
+            )
+        )
+        # no false negatives: any item with true_n * k > n_shard must
+        # be IN the summary (integer-exact form of true > n/k)
+        missing_heavy = (
+            true_counts.join(shard_n, "shard")
+            .where(
+                F.col("true_n") * F.lit(TOPK_COUNTERS) > F.col("n_events")
+            )
+            .join(summary.select("shard", "item"), ["shard", "item"], "left_anti")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_missing"))
+        )
+        return (
+            shard_n.join(bounds, "shard")
+            .join(missing_heavy, "shard", "left")
+            .select(
+                "shard",
+                "n_events",
+                "sum_est",
+                "bounds_ok",
+                F.col("n_missing").isNull().alias("no_false_negative"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["topk_stream_replay"] = topk_stream_replay
+
+
+def _topk_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        TOPK_SHARDS,
+    )
+
+    return f"""
+    SELECT CAST(user_id % {TOPK_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS sum_est,
+           TRUE AS bounds_ok,
+           TRUE AS no_false_negative
+    FROM events GROUP BY 1
+"""
+
+
+ORACLES["topk_stream_replay"] = _topk_replay_oracle()
+
+
+def weighted_sample_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, skey, sample_rank): the C27 online A-ES
+    reservoir's merged global sample after replaying the documents
+    table as three id-sliced micro-batches — byte-identical to B58's
+    batch sample, because A-ES keys are pure functions of the doc and
+    the union of per-shard top-Ks contains the global top-K (oracle =
+    B58 `corpus_weighted_sample`'s SQL verbatim; the reservoir is
+    EXACT, so this is a row-for-row gate, not a contract projection)."""
+    import uuid
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        weighted_sample_snapshot,
+        weighted_sample_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="wsample_replay_")
+    qname = f"wsample_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            docs.where(F.col("doc_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        q = weighted_sample_stream(spark, src, qname)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("wsample replay stream did not finish in 300s")
+        return weighted_sample_snapshot(spark, qname).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["weighted_sample_stream_replay"] = weighted_sample_stream_replay
+
+
+def _wsample_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        ORACLES as _CORPUS_ORACLES,
+    )
+
+    return _CORPUS_ORACLES["corpus_weighted_sample"]
+
+
+ORACLES["weighted_sample_stream_replay"] = _wsample_replay_oracle()
