@@ -488,3 +488,191 @@ ORACLES["nft_token_owners"] = f"""
     FROM keyed
     GROUP BY token_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Pre-migration args_base64 ingest (r10 verdict Missing #2): before
+# 2021-05-07 the reference stored FunctionCall action args as BASE64
+# (database/migrations/2021-05-07-115559_convert_args_base64_to_args_json
+# converted them; database/src/adapters/transactions.rs serializes the
+# post-migration JSON).  Replaying the FULL historical lake therefore
+# needs an unbase64 -> from_json leg with the SAME failure-tolerant
+# quarantine discipline as the post-migration path (A30): nothing
+# raises, every row is classified.
+#
+# The synthetic events table carries no args payload, so the operator
+# CONSTRUCTS the historical corpus deterministically (valid base64 of
+# JSON args across three filler lengths — the long ones exercise
+# Spark's MIME-wrapped base64() output, i.e. genuine \r\n-embedded
+# historical blobs — plus non-base64 garbage and base64-of-non-JSON),
+# then runs the real decode pipeline: whitespace strip -> strict
+# charset/padding regex (rows failing it are quarantined WITHOUT
+# touching a decoder, the reason DuckDB's raising from_base64 is safe
+# in the oracle too) -> unbase64 -> from_json PERMISSIVE with a
+# corrupt-record column -> per-row classification.
+#
+# Scale shape: map-only over one narrow events scan — zero shuffle;
+# the regex/decode/parse all run in JVM codegen.
+# ---------------------------------------------------------------------------
+_B64_RE = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+ARGS_SCHEMA = T.StructType(
+    [
+        T.StructField("method_name", T.StringType()),
+        T.StructField("deposit", T.StringType()),
+        T.StructField("gas", T.LongType()),
+        T.StructField("filler", T.StringType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+def synthesize_args_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (event_id, args_base64): the deterministic
+    pre-migration corpus described above."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    b = F.col("event_id") % 10
+    method = F.concat(F.lit("m_"), _s(F.col("event_id") % 97))
+    deposit = _s(F.round(F.col("value") * 100).cast("long"))
+    gas = (F.col("user_id") + 1) * 1000
+    filler = F.expr("repeat('x', CAST((event_id % 3) * 40 AS INT))")
+    payload = F.to_json(
+        F.struct(
+            method.alias("method_name"),
+            deposit.alias("deposit"),
+            gas.alias("gas"),
+            filler.alias("filler"),
+        )
+    )
+    args = (
+        F.when(b == 8, F.concat(F.lit("!!args:"), _s(F.col("event_id"))))
+        .when(
+            b == 9,
+            F.base64(
+                F.concat(F.lit("raw_args_"), _s(F.col("event_id"))).cast(
+                    "binary"
+                )
+            ),
+        )
+        .otherwise(F.base64(payload.cast("binary")))
+    )
+    return ev.select("event_id", args.alias("args_base64"))
+
+
+def decode_args_base64(args_df: DataFrame) -> DataFrame:
+    """(event_id, args_base64) -> classified typed args rows.
+
+    The real decode pipeline: strip embedded whitespace (historical
+    MIME-wrapped base64 carries \\r\\n every 76 chars), quarantine
+    anything failing the strict charset/padding regex as
+    ``bad_base64``, decode the rest, quarantine non-JSON payloads as
+    ``bad_json`` via the PERMISSIVE corrupt-record column, and emit
+    typed fields for the good rows — the args_base64 analog of A30's
+    failure-tolerant EVENT_JSON parse."""
+    s = F.regexp_replace(F.col("args_base64"), r"\s", "")
+    cleaned = args_df.select(
+        "event_id",
+        s.alias("s"),
+        ((s != "") & s.rlike(_B64_RE)).alias("is_b64"),
+    )
+    parsed = cleaned.select(
+        "event_id",
+        "is_b64",
+        F.when(
+            F.col("is_b64"),
+            F.from_json(
+                F.unbase64(F.col("s")).cast("string"),
+                ARGS_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ),
+        ).alias("a"),
+    )
+    is_json = F.col("is_b64") & F.col("a._corrupt").isNull()
+    null_s = F.lit(None).cast("string")
+    return parsed.select(
+        "event_id",
+        F.when(~F.col("is_b64"), F.lit("bad_base64"))
+        .when(~is_json, F.lit("bad_json"))
+        .otherwise("json")
+        .alias("args_class"),
+        F.when(is_json, F.col("a.method_name")).otherwise(null_s).alias(
+            "method_name"
+        ),
+        F.when(is_json, F.col("a.deposit")).otherwise(null_s).alias("deposit"),
+        F.when(is_json, F.col("a.gas"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("gas"),
+    )
+
+
+def args_base64_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed args from the pre-migration base64 corpus.
+
+    Same localCheckpoint barrier rationale as A30: the corpus is the
+    modeled INPUT (a real deployment reads the historical blobs from
+    storage); without the barrier Catalyst inlines the base64
+    construction into every downstream field reference."""
+    return decode_args_base64(
+        synthesize_args_base64(spark, sf_dir).localCheckpoint(eager=False)
+    )
+
+
+QUERIES["args_base64_extract"] = args_base64_extract
+
+# The oracle replays the FULL encode->decode round trip in DuckDB
+# (to_base64/encode on the construction side, from_base64/decode on
+# the ingest side, json_extract on the parse side) — the CASE guard
+# mirrors the operator's regex quarantine, which is what makes
+# DuckDB's RAISING from_base64 safe to compose.
+ORACLES["args_base64_extract"] = f"""
+    WITH base AS (
+      SELECT event_id, event_id % 10 AS b,
+             'm_' || CAST(event_id % 97 AS VARCHAR) AS method_name,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS deposit,
+             (user_id + 1) * 1000 AS gas,
+             repeat('x', CAST((event_id % 3) * 40 AS INT)) AS filler
+      FROM events
+    ),
+    enc AS (
+      SELECT event_id,
+             CASE
+               WHEN b = 8 THEN '!!args:' || CAST(event_id AS VARCHAR)
+               WHEN b = 9 THEN to_base64(encode('raw_args_' || CAST(event_id AS VARCHAR)))
+               ELSE to_base64(encode(
+                 '{{"method_name":"' || method_name ||
+                 '","deposit":"' || deposit ||
+                 '","gas":' || CAST(gas AS VARCHAR) ||
+                 ',"filler":"' || filler || '"}}'))
+             END AS args_base64
+      FROM base
+    ),
+    cleaned AS (
+      SELECT event_id,
+             regexp_replace(args_base64, '\\s', '', 'g') AS s
+      FROM enc
+    ),
+    classified AS (
+      SELECT event_id, s,
+             CASE
+               WHEN s = '' OR NOT regexp_matches(s, '{_B64_RE}')
+                 THEN 'bad_base64'
+               WHEN NOT json_valid(decode(from_base64(s))) THEN 'bad_json'
+               ELSE 'json'
+             END AS args_class
+      FROM cleaned
+    )
+    SELECT event_id, args_class,
+           CASE WHEN args_class = 'json'
+                THEN json_extract_string(decode(from_base64(s)), '$.method_name')
+           END AS method_name,
+           CASE WHEN args_class = 'json'
+                THEN json_extract_string(decode(from_base64(s)), '$.deposit')
+           END AS deposit,
+           CASE WHEN args_class = 'json'
+                THEN CAST(json_extract_string(decode(from_base64(s)), '$.gas')
+                          AS BIGINT)
+           END AS gas
+    FROM classified
+"""

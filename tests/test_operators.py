@@ -5266,3 +5266,51 @@ def test_publish_stale_ghost_sweep(spark, tmp_path):
     assert not os.path.exists(ghost)
     assert os.path.exists(live[0])
     assert read_published_many(spark, mout)["t"].count() == 5
+
+
+def test_args_base64_decode_quarantine(spark):
+    """Pre-migration args ingest (reference migration
+    2021-05-07-115559_convert_args_base64_to_args_json): planted
+    valid / MIME-wrapped / corrupt-JSON / non-base64 / empty blobs all
+    classify without raising, and good rows decode typed fields."""
+    import base64
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        decode_args_base64,
+    )
+
+    good = base64.b64encode(
+        b'{"method_name":"mint","deposit":"12","gas":300,"filler":""}'
+    ).decode()
+    # historical MIME-wrapped blob: same payload with \r\n line breaks
+    wrapped_payload = (
+        b'{"method_name":"transfer","deposit":"999","gas":5000,'
+        b'"filler":"' + b"y" * 120 + b'"}'
+    )
+    wrapped = base64.encodebytes(wrapped_payload).decode()  # \n every 76
+    assert "\n" in wrapped
+    not_json = base64.b64encode(b"just some bytes").decode()
+    rows = [
+        (1, good),
+        (2, wrapped),
+        (3, not_json),
+        (4, "!!!definitely not base64!!!"),
+        (5, ""),
+        (6, "abc"),  # valid charset, broken padding (len % 4 != 0)
+    ]
+    out = {
+        r["event_id"]: r
+        for r in decode_args_base64(
+            spark.createDataFrame(rows, "event_id long, args_base64 string")
+        ).collect()
+    }
+    assert out[1]["args_class"] == "json"
+    assert out[1]["method_name"] == "mint"
+    assert out[1]["deposit"] == "12" and out[1]["gas"] == 300
+    assert out[2]["args_class"] == "json"
+    assert out[2]["method_name"] == "transfer" and out[2]["gas"] == 5000
+    assert out[3]["args_class"] == "bad_json"
+    assert out[3]["method_name"] is None and out[3]["gas"] is None
+    assert out[4]["args_class"] == "bad_base64"
+    assert out[5]["args_class"] == "bad_base64"
+    assert out[6]["args_class"] == "bad_base64"
