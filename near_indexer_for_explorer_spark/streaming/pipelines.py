@@ -3165,3 +3165,194 @@ def read_stream_changepoint(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.sum("n_events").cast("long").alias("n"))
     )
     return changepoint_from_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# C44: orphan-receipt park-and-redrive — the reference's non-strict
+# mode warn-and-skips receipts whose parent transaction has not landed
+# yet (indexer/src/configs.rs:31-33; database/src/receipts_cache.rs is
+# the two-phase tx-hash lookup that usually prevents it), and
+# TROUBLESHOOTING.md documents re-indexing the skipped ones later.
+# This sink makes that loop a PROTOCOL instead of an ops runbook:
+# receipts (lineitem rows) whose parent tx (order) is not yet in the
+# ingested relation are PARKED in a quarantine state, every subsequent
+# receipt batch re-joins the parked set against the grown parent
+# relation (the redrive), and matched rows are emitted IDENTICALLY to
+# the normal enrichment path — an empty "tick" batch redrives parked
+# rows with no new data.
+#
+# State discipline:
+# - parents: C32 batch-id-keyed set deltas (a replayed orders batch
+#   overwrites its own delta);
+# - parked: a VERSIONED state snapshot parked/upto=<batch>; batch N
+#   reads the newest snapshot with upto < N (never its own crashed
+#   write, so a replay recomputes from exactly the pre-batch state),
+#   writes upto=N, then prunes upto < N-1 (two newest retained: N for
+#   batch N+1's read, and the one N+1 itself needs under replay);
+# - matched: batch-id-keyed deltas; with the strict parked-read rule a
+#   committed row lands in exactly one delta, and the fold dedups by
+#   line key as a belt-and-braces invariant.
+# At 100 TB: the parked relation is the orphan backlog (tiny in a
+# healthy ingest), the parent relation folds under the C32 compaction
+# cadence, and the per-batch join is parked+batch vs parents on the
+# order key — partition-pruned by join key, never a rescan of history.
+# ---------------------------------------------------------------------------
+ORPHAN_ORDERS_SCHEMA = (
+    "o_orderkey long, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+# the receipt identity is the full TPC-H line key: (orderkey,
+# linenumber) alone is NOT unique in this lake (the synthetic corpus
+# reuses linenumbers), so parking/dedup/redrive all key on the 4-tuple
+ORPHAN_LINE_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+ORPHAN_LINE_SCHEMA = (
+    "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long, "
+    "l_extendedprice double"
+)
+ORPHAN_MATCHED_SCHEMA = (
+    "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long, "
+    "l_extendedprice double, o_orderdate date, o_orderpriority string"
+)
+
+
+def orphan_enrich_join(lines: DataFrame, orders: DataFrame) -> DataFrame:
+    """The ONE enrichment kernel both the batch oracle and the
+    streaming redrive emit through: receipts joined to their parent
+    transactions."""
+    return lines.join(
+        orders, lines["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+def foreach_batch_parent_intake(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Parent (orders/tx) stream sink: append the batch's parent set
+    as a C32 batch-id-keyed delta."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ).dropDuplicates(["o_orderkey"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(out_dir, "parents", "deltas", f"batch={batch_id}")
+        )
+
+    return sink
+
+
+def _read_parked(spark: SparkSession, out_dir: str, below: int) -> DataFrame:
+    import glob as _glob
+
+    snaps = [
+        (int(p.rsplit("=", 1)[1]), p)
+        for p in _glob.glob(os.path.join(out_dir, "parked", "upto=*"))
+        if int(p.rsplit("=", 1)[1]) < below
+    ]
+    if not snaps:
+        return spark.createDataFrame([], ORPHAN_LINE_SCHEMA)
+    return spark.read.parquet(max(snaps)[1])
+
+
+def foreach_batch_orphan_redrive(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Receipt (lineitem) stream sink: park-and-redrive per batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil as _shutil
+        import glob as _glob
+
+        spark = batch_df.sparkSession
+        parents = _read_delta_log(
+            spark, os.path.join(out_dir, "parents"), ORPHAN_ORDERS_SCHEMA
+        ).dropDuplicates(["o_orderkey"])
+        pending = (
+            _read_parked(spark, out_dir, below=batch_id)
+            .unionByName(
+                batch_df.select(
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_extendedprice",
+                )
+            )
+            .dropDuplicates(ORPHAN_LINE_KEY)
+            .localCheckpoint(eager=True)
+        )
+        orphan_enrich_join(pending, parents).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(out_dir, "matched", "deltas", f"batch={batch_id}")
+        )
+        still_parked = pending.join(
+            parents, pending["l_orderkey"] == parents["o_orderkey"], "left_anti"
+        )
+        still_parked.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "parked", f"upto={batch_id}")
+        )
+        # write-before-delete: retain the two newest snapshots
+        for p in _glob.glob(os.path.join(out_dir, "parked", "upto=*")):
+            if int(p.rsplit("=", 1)[1]) < batch_id - 1:
+                _shutil.rmtree(p, ignore_errors=True)
+
+    return sink
+
+
+def orphan_parent_stream(
+    spark: SparkSession, orders_src: str, out_dir: str, checkpoint_dir: str
+):
+    """C44 parent leg: orders stream -> parent set deltas."""
+    return (
+        spark.readStream.schema(ORPHAN_ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(orders_src)
+        .writeStream.foreachBatch(foreach_batch_parent_intake(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def orphan_redrive_stream(
+    spark: SparkSession, lineitem_src: str, out_dir: str, checkpoint_dir: str
+):
+    """C44 receipt leg: lineitem stream -> park-and-redrive sink.
+    Single-writer discipline: only THIS stream touches parked/matched;
+    the parent leg only appends its own delta log, so the two streams
+    may run concurrently — a receipt whose parent lands mid-batch is
+    redriven by the next tick at the latest."""
+    return (
+        spark.readStream.schema(ORPHAN_LINE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lineitem_src)
+        .writeStream.foreachBatch(foreach_batch_orphan_redrive(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_orphan_matched(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The emitted enrichment table: fold the matched deltas, dedup by
+    line key (belt-and-braces; the strict parked-read rule already
+    puts each committed row in exactly one delta)."""
+    matched_dir = os.path.join(out_dir, "matched")
+    import glob as _glob
+
+    srcs = sorted(
+        _glob.glob(os.path.join(matched_dir, "deltas", "batch=*"))
+    )
+    if not srcs:
+        return spark.createDataFrame([], ORPHAN_MATCHED_SCHEMA)
+    return spark.read.parquet(*srcs).dropDuplicates(ORPHAN_LINE_KEY)
+
+
+def read_orphan_parked(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The quarantine relation: receipts still waiting on a parent."""
+    return _read_parked(spark, out_dir, below=1 << 62)

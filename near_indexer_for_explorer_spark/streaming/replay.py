@@ -66,6 +66,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "changepoint_stream_replay",
         "topk_stream_replay",
         "weighted_sample_stream_replay",
+        "orphan_redrive_stream_replay",
     }
 )
 
@@ -973,3 +974,119 @@ def _wsample_replay_oracle() -> str:
 
 
 ORACLES["weighted_sample_stream_replay"] = _wsample_replay_oracle()
+
+
+def orphan_redrive_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    l_extendedprice, o_orderdate, o_orderpriority): the C44
+    park-and-redrive sink's emitted
+    enrichment table after an adversarial replay — ALL receipts arrive
+    while only a third of the parent transactions exist (two thirds of
+    the lake quarantines), the remaining parents land afterwards, and
+    an empty tick batch redrives the parked backlog.  The converged
+    table must equal the batch enrichment join VERBATIM (the oracle),
+    proving park-and-redrive loses nothing and invents nothing
+    (reference analog: receipts_cache.rs / configs.rs:31-33
+    non-strict-mode skip, made a protocol)."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        orphan_parent_stream,
+        orphan_redrive_stream,
+        read_orphan_matched,
+    )
+
+    base = tempfile.mkdtemp(prefix="orphan_replay_")
+    try:
+        orders_src = os.path.join(base, "orders_src")
+        lines_src = os.path.join(base, "lines_src")
+        out = os.path.join(base, "out")
+        ck_o = os.path.join(base, "ck_orders")
+        ck_l = os.path.join(base, "ck_lines")
+        os.makedirs(orders_src)
+        os.makedirs(lines_src)
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        lines = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            "l_extendedprice",
+        )
+
+        def stage(df, stage_dir, dst, age):
+            df.coalesce(1).write.parquet(stage_dir)
+            part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + age
+            os.utime(dst, (mt, mt))
+
+        # phase 1: only parent shard 0 exists
+        stage(
+            orders.where(F.col("o_orderkey") % 3 == 0),
+            os.path.join(base, "o0"),
+            os.path.join(orders_src, "batch_0.parquet"),
+            0,
+        )
+        q = orphan_parent_stream(spark, orders_src, out, ck_o)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("orphan parent stream (1) did not finish")
+
+        # phase 2: EVERY receipt arrives -> two thirds park
+        for i in range(_N_BATCHES):
+            stage(
+                lines.where(F.col("l_orderkey") % _N_BATCHES == i),
+                os.path.join(base, f"l{i}"),
+                os.path.join(lines_src, f"batch_{i}.parquet"),
+                i + 1,
+            )
+        q = orphan_redrive_stream(spark, lines_src, out, ck_l)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("orphan redrive stream (1) did not finish")
+
+        # phase 3: the late parents land
+        for i in (1, 2):
+            stage(
+                orders.where(F.col("o_orderkey") % 3 == i),
+                os.path.join(base, f"o{i}"),
+                os.path.join(orders_src, f"batch_{i}.parquet"),
+                i + 4,
+            )
+        q = orphan_parent_stream(spark, orders_src, out, ck_o)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("orphan parent stream (2) did not finish")
+
+        # phase 4: an empty tick batch redrives the parked backlog
+        stage(
+            lines.where(F.lit(False)),
+            os.path.join(base, "ltick"),
+            os.path.join(lines_src, "batch_tick.parquet"),
+            8,
+        )
+        q = orphan_redrive_stream(spark, lines_src, out, ck_l)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("orphan redrive stream (2) did not finish")
+
+        return read_orphan_matched(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["orphan_redrive_stream_replay"] = orphan_redrive_stream_replay
+
+ORACLES["orphan_redrive_stream_replay"] = """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l.l_partkey AS BIGINT) AS l_partkey,
+           CAST(l.l_suppkey AS BIGINT) AS l_suppkey,
+           l.l_extendedprice,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""

@@ -2753,3 +2753,98 @@ def test_read_delta_log_rejects_legacy_flat_layout(spark, tmp_path):
     # a fresh (never-written) dir still reads as clean empty state
     empty = _read_delta_log(spark, str(tmp_path / "nothing"), CLOSES_CELL_SCHEMA)
     assert empty.count() == 0
+
+
+def test_orphan_park_and_redrive(spark, tmp_path):
+    """C44: a receipt whose parent tx lands 2 batches late is PARKED
+    (not dropped, not raised) and redriven to the identical enrichment
+    row once the parent arrives; an empty tick batch redrives with no
+    new data; a checkpoint-wipe full replay leaves the matched table
+    unchanged (reference analog: receipts_cache.rs two-phase lookup +
+    the TROUBLESHOOTING re-index runbook, made a protocol)."""
+    import shutil
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        orphan_enrich_join,
+        orphan_parent_stream,
+        orphan_redrive_stream,
+        read_orphan_matched,
+        read_orphan_parked,
+    )
+
+    orders_src = str(tmp_path / "orders_src")
+    lines_src = str(tmp_path / "lines_src")
+    out = str(tmp_path / "out")
+    ck_o = str(tmp_path / "ck_orders")
+    ck_l = str(tmp_path / "ck_lines")
+
+    def orders_df(keys):
+        return spark.createDataFrame(
+            [(k, f"2020-01-0{k}", f"P{k}") for k in keys],
+            "o_orderkey long, o_orderdate string, o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey",
+            "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+            "o_orderpriority",
+        )
+
+    def lines_df(rows):
+        return spark.createDataFrame(
+            [(o, n, o * 10 + n, o * 100 + n, p) for (o, n, p) in rows],
+            "l_orderkey long, l_linenumber long, l_partkey long, "
+            "l_suppkey long, l_extendedprice double",
+        )
+
+    # parent 1 lands first; parents 2 and 3 land 2 order-batches late
+    orders_df([1]).coalesce(1).write.mode("append").parquet(orders_src)
+    q = orphan_parent_stream(spark, orders_src, out, ck_o)
+    _await(q)
+
+    # receipts for ALL THREE parents arrive before parents 2/3 exist
+    lines_df([(1, 1, 10.0), (3, 1, 30.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(lines_src)
+    lines_df([(2, 1, 20.0), (3, 2, 31.5)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(lines_src)
+    q = orphan_redrive_stream(spark, lines_src, out, ck_l)
+    _await(q)
+    assert sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in read_orphan_matched(spark, out).collect()
+    ) == [(1, 1)]
+    assert read_orphan_parked(spark, out).count() == 3  # quarantined, kept
+
+    # parents 2+3 land (2 batches after their receipts)
+    orders_df([2]).coalesce(1).write.mode("append").parquet(orders_src)
+    orders_df([3]).coalesce(1).write.mode("append").parquet(orders_src)
+    q = orphan_parent_stream(spark, orders_src, out, ck_o)
+    _await(q)
+
+    # an EMPTY tick batch redrives the parked receipts
+    lines_df([]).coalesce(1).write.mode("append").parquet(lines_src)
+    q = orphan_redrive_stream(spark, lines_src, out, ck_l)
+    _await(q)
+
+    want = sorted(
+        tuple(r)
+        for r in orphan_enrich_join(
+            lines_df([(1, 1, 10.0), (3, 1, 30.0), (2, 1, 20.0), (3, 2, 31.5)]),
+            orders_df([1, 2, 3]),
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in read_orphan_matched(spark, out).collect())
+    assert got == want
+    assert read_orphan_parked(spark, out).count() == 0
+
+    # checkpoint-wipe full replay: both legs reprocess everything;
+    # the matched table must be UNCHANGED
+    shutil.rmtree(ck_o)
+    shutil.rmtree(ck_l)
+    q = orphan_parent_stream(spark, orders_src, out, ck_o)
+    _await(q)
+    q = orphan_redrive_stream(spark, lines_src, out, ck_l)
+    _await(q)
+    got2 = sorted(tuple(r) for r in read_orphan_matched(spark, out).collect())
+    assert got2 == want
+    assert read_orphan_parked(spark, out).count() == 0
