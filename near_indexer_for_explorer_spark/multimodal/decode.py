@@ -1740,28 +1740,94 @@ MEDIA_ROUTER_SCHEMA = (
     "unit_mean double"
 )
 
+# default per-payload decode budget: 4M units (pixels/samples) — a
+# 2048x2048 image; raise per deployment via the router knob
+MEDIA_ROUTER_MAX_UNITS = 1 << 22
 
-def make_media_router_kernel() -> Callable[[Iterator], Iterator]:
+
+def _claimed_units(payload: bytes, kind: str) -> int:
+    """What the payload's OWN HEADER promises to decode to — read
+    without running any decoder, so a lying header (the decode-bomb
+    attack: tiny payload, 4-billion-pixel IHDR/descriptor) is priced
+    before any memory is committed.  PNG: IHDR w*h; GIF: the first
+    image descriptor's w*h (light block walk, sub-blocks skipped by
+    length only); WAV: bounded by the actual payload bytes (PCM
+    samples are a reinterpretation of real bytes — a lying data-chunk
+    size can only truncate, never amplify)."""
+    import struct
+
+    if kind == "png":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w * h
+    if kind == "gif":
+        packed = payload[10]
+        pos = 13 + (3 * (2 ** ((packed & 0x07) + 1)) if packed & 0x80 else 0)
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block == 0x2C:  # image descriptor
+                _, _, w, h, _ = struct.unpack("<HHHHB", payload[pos : pos + 9])
+                return w * h
+            break  # trailer or junk: nothing will decode anyway
+        return 0
+    return len(payload)  # wav
+
+
+def make_media_router_kernel(
+    max_units: int = MEDIA_ROUTER_MAX_UNITS,
+) -> Callable[[Iterator], Iterator]:
     """Sniff-and-decode: PNG -> gray pixels, GIF -> palette pixels,
     WAV -> PCM samples, anything else -> 'unknown' with byte stats.
-    All three decode paths are the REAL codecs above."""
+    All three decode paths are the REAL codecs above.
+
+    Bounded-decode discipline for EVERY branch (r10 verdict #5, the
+    PNG leg's r9 bomb fix generalized): a payload whose header
+    promises more than ``max_units`` output units is tagged
+    ``over_budget`` (byte stats, like ``unknown``) without touching a
+    decoder, and a payload that FAILS its decoder (truncated stream,
+    bad LZW code, lying chunk lengths) is tagged ``corrupt`` — a crawl
+    media column never kills an executor, it classifies."""
     _, png_decode = _png_codec()
     _, gif_decode = _gif_codec()
     _, wav_decode = _wav_codec()
+    decoders = {
+        "png": lambda p: png_decode(p)[2],
+        "gif": lambda p: gif_decode(p)[2],
+        "wav": lambda p: wav_decode(p)[3],
+    }
+    mimes = {"png": "image/png", "gif": "image/gif", "wav": "audio/wav"}
 
     def route_batches(batches: Iterator) -> Iterator:
+        import struct
+        import zlib
+
         import pandas as pd
 
         def row(doc_id: int, payload: bytes) -> dict:
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                mime, (_, _, units) = "image/png", png_decode(payload)
+                kind = "png"
             elif payload[:6] in (b"GIF87a", b"GIF89a"):
-                mime, (_, _, units) = "image/gif", gif_decode(payload)
+                kind = "gif"
             elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                _, _, _, units = wav_decode(payload)
-                mime = "audio/wav"
+                kind = "wav"
             else:
+                kind = None
+            if kind is None:
                 mime, units = "unknown", list(payload)
+            else:
+                try:
+                    if _claimed_units(payload, kind) > max_units:
+                        mime, units = "over_budget", list(payload)
+                    else:
+                        mime, units = mimes[kind], decoders[kind](payload)
+                except (ValueError, IndexError, struct.error, zlib.error):
+                    mime, units = "corrupt", list(payload)
             s = sum(units)
             return {
                 "doc_id": doc_id,
@@ -1780,46 +1846,80 @@ def make_media_router_kernel() -> Callable[[Iterator], Iterator]:
     return route_batches
 
 
+def _mixed_media_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic MIXED media column (doc_id % 3 -> PNG / GIF /
+    WAV encode of the text bytes), materialized ONCE per session via
+    the frozen-artifact memo (r10 verdict #6): the encode pass models
+    the LAKE — a deployment reads stored media, it doesn't re-encode
+    per query — so paying it once separates index-build cost from the
+    router's serving cost, the B55 serve-twin discipline."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    def build() -> tuple[DataFrame, ...]:
+        encode_png, _ = _png_codec()
+        encode_gif, _ = _gif_codec()
+        encode_wav, _ = _wav_codec()
+
+        def encode_batches(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            def enc(doc_id: int, payload: bytes) -> bytes:
+                k = doc_id % 3
+                if k == 0:
+                    return encode_png(payload, _PNG_W)
+                if k == 1:
+                    return encode_gif(payload, _GIF_W)
+                return encode_wav(payload, _WAV_RATE)
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [
+                            enc(int(d), p)
+                            for d, p in zip(pdf["doc_id"], pdf["payload"])
+                        ],
+                    }
+                )
+
+        docs = load_table(spark, sf_dir, "documents")
+        raw = docs.select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return (
+            raw.mapInPandas(
+                encode_batches, schema="doc_id long, payload binary"
+            ),
+        )
+
+    (mixed,) = frozen("media_router_mixed", spark, sf_dir, build)
+    return mixed
+
+
 def multimodal_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mime, n_units, unit_sum, unit_mean): a deterministic
-    MIXED media column (doc_id % 3 -> PNG / GIF / WAV encode of the
-    text bytes) routed through the sniffing kernel — every branch is
-    a real codec, every output exact byte math."""
-    encode_png, _ = _png_codec()
-    encode_gif, _ = _gif_codec()
-    encode_wav, _ = _wav_codec()
-
-    def encode_batches(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        def enc(doc_id: int, payload: bytes) -> bytes:
-            k = doc_id % 3
-            if k == 0:
-                return encode_png(payload, _PNG_W)
-            if k == 1:
-                return encode_gif(payload, _GIF_W)
-            return encode_wav(payload, _WAV_RATE)
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "payload": [
-                        enc(int(d), p)
-                        for d, p in zip(pdf["doc_id"], pdf["payload"])
-                    ],
-                }
-            )
-
-    docs = load_table(spark, sf_dir, "documents")
-    raw = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    mixed = raw.mapInPandas(encode_batches, schema="doc_id long, payload binary")
-    return mixed.mapInPandas(
+    """(doc_id, mime, n_units, unit_sum, unit_mean): the mixed media
+    column routed through the sniffing kernel — every branch is a real
+    codec, every output exact byte math.  First call in a session pays
+    the one-time encode materialization (the lake stand-in)."""
+    return _mixed_media_column(spark, sf_dir).mapInPandas(
         make_media_router_kernel(), schema=MEDIA_ROUTER_SCHEMA
     )
 
 
 QUERIES["multimodal_media_router"] = multimodal_media_router
+
+
+def multimodal_media_router_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's STEADY-STATE serving cost: identical plan over the
+    already-frozen mixed column (the bench row that measures
+    sniff+decode alone; same oracle as the build-inclusive row since
+    the artifact is deterministic)."""
+    return _mixed_media_column(spark, sf_dir).mapInPandas(
+        make_media_router_kernel(), schema=MEDIA_ROUTER_SCHEMA
+    )
+
+
+QUERIES["multimodal_media_router_serve"] = multimodal_media_router_serve
 
 # Branch math from the text bytes (ASCII precondition per the module
 # note): PNG/GIF are lossless gray/palette roundtrips (unit_sum = byte
@@ -1853,3 +1953,6 @@ ORACLES["multimodal_media_router"] = f"""
                 ELSE CAST(bsum AS DOUBLE) / grid END AS unit_mean
     FROM g
 """
+
+# identical math: the serve twin reads the same deterministic artifact
+ORACLES["multimodal_media_router_serve"] = ORACLES["multimodal_media_router"]

@@ -3200,10 +3200,18 @@ def read_stream_changepoint(spark: SparkSession, out_dir: str) -> DataFrame:
 ORPHAN_ORDERS_SCHEMA = (
     "o_orderkey long, o_orderdate timestamp_ntz, o_orderpriority string"
 )
-# the receipt identity is the full TPC-H line key: (orderkey,
-# linenumber) alone is NOT unique in this lake (the synthetic corpus
-# reuses linenumbers), so parking/dedup/redrive all key on the 4-tuple
-ORPHAN_LINE_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+# the receipt identity is the full carried column set: neither
+# (orderkey, linenumber) nor the part/supp 4-tuple is unique in this
+# synthetic lake, so parking/dedup/redrive key on all five carried
+# columns (verified unique at every SF) — the stand-in for the
+# reference's unique receipt_id
+ORPHAN_LINE_KEY = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_extendedprice",
+]
 ORPHAN_LINE_SCHEMA = (
     "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long, "
     "l_extendedprice double"

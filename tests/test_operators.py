@@ -5314,3 +5314,98 @@ def test_args_base64_decode_quarantine(spark):
     assert out[4]["args_class"] == "bad_base64"
     assert out[5]["args_class"] == "bad_base64"
     assert out[6]["args_class"] == "bad_base64"
+
+
+def test_media_router_decode_budget_and_corruption(spark):
+    """r10 verdict #5: the router prices every payload's HEADER claim
+    before committing decoder memory — a decode bomb (tiny payload,
+    huge promised output) is tagged over_budget, a structurally broken
+    payload is tagged corrupt, and NOTHING raises out of the kernel."""
+    import struct
+    import zlib
+
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        MEDIA_ROUTER_SCHEMA,
+        _claimed_units,
+        _gif_codec,
+        _png_codec,
+        _wav_codec,
+        make_media_router_kernel,
+    )
+
+    def png_bomb() -> bytes:
+        # valid signature + IHDR claiming 60000x60000 gray8 (~3.6e9 px)
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+        idat_raw = zlib.compress(b"\x00" * 100)
+        idat = struct.pack(">I", len(idat_raw)) + b"IDAT" + idat_raw + b"\0\0\0\0"
+        return b"\x89PNG\r\n\x1a\n" + chunk + idat
+
+    def gif_bomb() -> bytes:
+        # GIF87a whose image descriptor claims 65535x65535 (~4.3e9 px)
+        palette = b"".join(bytes([i, i, i]) for i in range(256))
+        return (
+            b"GIF87a"
+            + struct.pack("<HHBBB", 65535, 65535, 0xF7, 0, 0)
+            + palette
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+            + bytes([8, 1, 0x00, 0x00, 0x3b])
+        )
+
+    encode_png, _ = _png_codec()
+    encode_gif, _ = _gif_codec()
+    encode_wav, _ = _wav_codec()
+    good_png = encode_png(b"hello png", 32)
+    good_gif = encode_gif(b"hello gif", 32)
+    good_wav = encode_wav(b"hello wav", 8000)
+    # sane IHDR (survives the budget precheck) but the IDAT bytes are
+    # torn mid-stream -> the bounded inflate fails -> corrupt
+    corrupt_png = good_png[:41] + b"\xff" * 30
+    corrupt_gif = good_gif[:12]  # truncated before any image block
+    rows = [
+        (1, png_bomb()),
+        (2, gif_bomb()),
+        (3, good_png),
+        (4, good_gif),
+        (5, good_wav),
+        (6, corrupt_png),
+        (7, corrupt_gif),
+        (8, b"plain garbage bytes"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(rows, "doc_id long, payload binary")
+        .mapInPandas(make_media_router_kernel(), schema=MEDIA_ROUTER_SCHEMA)
+        .collect()
+    }
+    assert out[1]["mime"] == "over_budget"
+    assert out[2]["mime"] == "over_budget"
+    # over-budget rows carry byte stats (the 'unknown' discipline)
+    assert out[1]["n_units"] == len(png_bomb())
+    assert out[3]["mime"] == "image/png"
+    assert out[4]["mime"] == "image/gif"
+    assert out[5]["mime"] == "audio/wav"
+    assert out[6]["mime"] == "corrupt"
+    assert out[7]["mime"] == "corrupt"
+    assert out[8]["mime"] == "unknown"
+
+    # the budget is a knob: a small budget flips REAL payloads to
+    # over_budget for every codec (WAV included — its claim is the
+    # payload size itself)
+    tight = {
+        r["doc_id"]: r["mime"]
+        for r in spark.createDataFrame(
+            [(3, good_png), (4, good_gif), (5, good_wav)],
+            "doc_id long, payload binary",
+        )
+        .mapInPandas(make_media_router_kernel(max_units=8), schema=MEDIA_ROUTER_SCHEMA)
+        .collect()
+    }
+    assert tight == {3: "over_budget", 4: "over_budget", 5: "over_budget"}
+
+    # the claim readers never amplify: WAV's claim is bounded by the
+    # actual payload; the image claims match the lying headers
+    assert _claimed_units(png_bomb(), "png") == 60000 * 60000
+    assert _claimed_units(gif_bomb(), "gif") == 65535 * 65535
+    assert _claimed_units(good_wav, "wav") == len(good_wav)
