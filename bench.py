@@ -239,6 +239,12 @@ EXTRA = [
     "dedup_growth_curve",
     "multimodal_media_router",
     "text_readability",
+    # round 11 additions (replay twins stay excluded: harness cost,
+    # not plan cost — BENCH_BASELINE.md protocol)
+    "args_base64_extract",
+    # ordered AFTER the build-inclusive router row so its frozen mixed
+    # column is already materialized: this row is the serving cost
+    "multimodal_media_router_serve",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

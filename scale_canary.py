@@ -80,6 +80,56 @@ def synthesize(spark, out_dir: str) -> None:
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
+    # r11 legs: events (per-user pair fan-out), orders+lineitem (the
+    # orphan-redrive enrichment join).  Replicas live in DISJOINT id
+    # spaces (users, orderkeys), so join/pair structure grows linearly
+    # — the same no-manufactured-quadratics discipline as documents.
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev_off = 10 ** (len(str(ev.agg(F.max("event_id")).first()[0])) + 1)
+    u_off = 10 ** (len(str(ev.agg(F.max("user_id")).first()[0])) + 1)
+    ev_parts = [ev]
+    for r in range(1, REPLICAS):
+        ev_parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(r * ev_off)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * u_off)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    evd = ev_parts[0]
+    for pdf in ev_parts[1:]:
+        evd = evd.unionByName(pdf)
+    evd.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    ok_off = 10 ** (len(str(orders.agg(F.max("o_orderkey")).first()[0])) + 1)
+    o_parts, l_parts = [orders], [li]
+    for r in range(1, REPLICAS):
+        o_parts.append(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(r * ok_off)
+            )
+        )
+        l_parts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(r * ok_off)
+            )
+        )
+    od = o_parts[0]
+    for pdf in o_parts[1:]:
+        od = od.unionByName(pdf)
+    ld = l_parts[0]
+    for pdf in l_parts[1:]:
+        ld = ld.unionByName(pdf)
+    od.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    ld.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
 
 def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.dedup import (
@@ -127,7 +177,15 @@ def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.dedup import (
         dedup_normalization_lift as _normlift,
     )
+    from near_indexer_for_explorer_spark.plans.relational import (
+        QUERIES as _REL_QUERIES,
+    )
+    from near_indexer_for_explorer_spark.operators.dedup import (
+        dedup_boundary_stitch as _stitch,
+    )
     from pyspark.sql import functions as F
+
+    _etuo = _REL_QUERIES["event_type_user_overlap"]
 
     out: dict = {}
     t0 = time.perf_counter()
@@ -178,6 +236,14 @@ def measure(spark, sf_dir: str) -> dict:
         ("doc_char_entropy", _chent),
         ("multimodal_gif_roundtrip", _gif),
         ("dedup_normalization_lift", _normlift),
+        # r11 additions (r10 verdict #8): the newest join legs — the
+        # per-user event-type pair fan-out (disjoint replica users ->
+        # pairs grow ~10x linearly, never quadratically), the
+        # df-capped boundary-stitch join (candidate-bounded), and the
+        # orphan-redrive enrichment join below (the C44 retry join's
+        # full-relation worst case)
+        ("event_type_user_overlap", _etuo),
+        ("dedup_boundary_stitch", _stitch),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
@@ -192,6 +258,29 @@ def measure(spark, sf_dir: str) -> dict:
     out["ivf_train_rows_floor"] = e.where(
         F.col("vec_id") % sim._IVF_TRAIN_MOD_MIN == 0
     ).count()
+    # r11: the C44 retry join kernel over the full relations (each
+    # micro-batch joins parked+batch vs parents; this measures the
+    # degenerate everything-parked bound)
+    from near_indexer_for_explorer_spark.sources.tables import load_table as _lt
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        orphan_enrich_join as _oej,
+    )
+
+    t0 = time.perf_counter()
+    out["orphan_enrich_join_rows"] = _oej(
+        _lt(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            "l_extendedprice",
+        ),
+        _lt(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+    ).count()
+    out["orphan_enrich_join_sec"] = round(time.perf_counter() - t0, 2)
+
     old_cap = sim._IVF_TRAIN_CAP
     sim._IVF_TRAIN_CAP = 400
     try:
