@@ -60,6 +60,7 @@ _GATE_PRIORITY: list[str] = [
     "orphan_redrive_stream_replay",
     "args_base64_extract",
     "multimodal_media_router_serve",
+    "multimodal_bmp_roundtrip",
     # --- oracle SQL changed in r11: fresh hard signal on the new text
     # (growth-curve zero guard; corrected ANOVA F constant) ---
     "dedup_growth_curve",
@@ -109,7 +110,6 @@ _GATE_PRIORITY: list[str] = [
     "embedding_split_drift",
     "vocab_zipf_fit",
     "bpe_encode_corpus",
-    "source_overlap_matrix",
 ]
 
 # r10 window head (registered after the r9 window filled): the

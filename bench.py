@@ -245,6 +245,9 @@ EXTRA = [
     # ordered AFTER the build-inclusive router row so its frozen mixed
     # column is already materialized: this row is the serving cost
     "multimodal_media_router_serve",
+    # the uncompressed real codec: the per-byte floor the LZW row's
+    # native-swap argument is measured against
+    "multimodal_bmp_roundtrip",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

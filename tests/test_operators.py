@@ -5409,3 +5409,86 @@ def test_media_router_decode_budget_and_corruption(spark):
     assert _claimed_units(png_bomb(), "png") == 60000 * 60000
     assert _claimed_units(gif_bomb(), "gif") == 65535 * 65535
     assert _claimed_units(good_wav, "wav") == len(good_wav)
+
+
+def test_bmp_codec_roundtrip_corners():
+    """B139: the stdlib BMP codec proves the format's real quirks —
+    4-byte stride padding (width 30 -> 2 pad bytes/row), BOTTOM-UP row
+    order, and the top-down negative-height variant."""
+    import struct
+
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _BMP_W,
+        _bmp_codec,
+    )
+
+    encode, decode = _bmp_codec()
+    payload = bytes(range(64))  # 64 bytes over width 30 -> 3 rows
+    bmp = encode(payload)
+    w, h, px = decode(bmp)
+    assert (w, h) == (_BMP_W, 3)
+    assert px[: len(payload)] == list(payload)  # logical order restored
+    assert all(p == 0 for p in px[len(payload) :])  # zero pad pixels
+    # the FILE stores rows bottom-up with stride 32: the first stored
+    # row is the LAST logical row
+    (offset,) = struct.unpack("<I", bmp[10:14])
+    stride = (_BMP_W + 3) & ~3
+    assert stride == 32
+    first_stored = bmp[offset : offset + _BMP_W]
+    assert list(first_stored) == px[2 * _BMP_W : 3 * _BMP_W]
+
+    # top-down variant (negative height) decodes to the same pixels
+    neg = bytearray(bmp)
+    neg[22:26] = struct.pack("<i", -3)
+    down_rows = [px[r * _BMP_W : (r + 1) * _BMP_W] for r in range(3)]
+    stored = b"".join(
+        bytes(r) + bytes(stride - _BMP_W) for r in down_rows
+    )
+    neg[offset:] = stored
+    w2, h2, px2 = decode(bytes(neg))
+    assert (w2, h2, px2) == (w, h, px)
+
+    # empty payload still yields one (all-pad) row
+    w3, h3, px3 = decode(encode(b""))
+    assert (w3, h3) == (_BMP_W, 1) and sum(px3) == 0
+
+
+def test_media_router_bmp_branch_and_native_swap(spark):
+    """The router sniffs 'BM' to the real BMP decoder, prices its
+    header claim like every other branch, and the NATIVE_DECODERS
+    seam (the documented Pillow/libgif swap point) overrides the
+    stdlib prover without any plan or schema change."""
+    import struct
+
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
+    encode_bmp, _ = D._bmp_codec()
+    good = encode_bmp(b"hello bmp")
+    bomb = bytearray(encode_bmp(b"x"))
+    bomb[18:26] = struct.pack("<ii", 60000, 60000)  # lying dims
+    rows = [(1, bytes(good)), (2, bytes(bomb))]
+    out = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(rows, "doc_id long, payload binary")
+        .mapInPandas(D.make_media_router_kernel(), schema=D.MEDIA_ROUTER_SCHEMA)
+        .collect()
+    }
+    assert out[1]["mime"] == "image/bmp"
+    assert out[1]["unit_sum"] == sum(b"hello bmp")
+    assert out[1]["n_units"] == D._BMP_W  # one padded row
+    assert out[2]["mime"] == "over_budget"
+
+    # native swap: a registered decoder takes the branch over the
+    # stdlib prover (registry empty by default)
+    assert D.NATIVE_DECODERS == {}
+    D.NATIVE_DECODERS["bmp"] = lambda p: [7, 7, 7]
+    try:
+        swapped = (
+            spark.createDataFrame([(1, bytes(good))], "doc_id long, payload binary")
+            .mapInPandas(D.make_media_router_kernel(), schema=D.MEDIA_ROUTER_SCHEMA)
+            .collect()[0]
+        )
+        assert swapped["mime"] == "image/bmp"
+        assert swapped["n_units"] == 3 and swapped["unit_sum"] == 21
+    finally:
+        del D.NATIVE_DECODERS["bmp"]
