@@ -3255,6 +3255,11 @@ def foreach_batch_parent_intake(out_dir: str) -> Callable[[DataFrame, int], None
     return sink
 
 
+# parked rows carry the batch id that first quarantined them, so a
+# dead-letter TTL is a pure column comparison (no per-row timers)
+ORPHAN_PARKED_SCHEMA = ORPHAN_LINE_SCHEMA + ", parked_since long"
+
+
 def _read_parked(spark: SparkSession, out_dir: str, below: int) -> DataFrame:
     import glob as _glob
 
@@ -3264,12 +3269,23 @@ def _read_parked(spark: SparkSession, out_dir: str, below: int) -> DataFrame:
         if int(p.rsplit("=", 1)[1]) < below
     ]
     if not snaps:
-        return spark.createDataFrame([], ORPHAN_LINE_SCHEMA)
+        return spark.createDataFrame([], ORPHAN_PARKED_SCHEMA)
     return spark.read.parquet(max(snaps)[1])
 
 
-def foreach_batch_orphan_redrive(out_dir: str) -> Callable[[DataFrame, int], None]:
-    """Receipt (lineitem) stream sink: park-and-redrive per batch."""
+def foreach_batch_orphan_redrive(
+    out_dir: str, dead_letter_after: int | None = None
+) -> Callable[[DataFrame, int], None]:
+    """Receipt (lineitem) stream sink: park-and-redrive per batch.
+
+    ``dead_letter_after``: with a value N, a receipt still unmatched N
+    batches after it was first parked moves to a batch-id-keyed
+    dead-letter log instead of riding the parked state forever — the
+    100 TB guard for parents that NEVER arrive (the reference's
+    non-strict warn-and-skip, but kept re-drivable: dead-letter rows
+    are in the stream's own input schema, so the TROUBLESHOOTING
+    re-index is "replay this directory as a new source file").  None
+    (default) parks indefinitely."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         import shutil as _shutil
@@ -3288,9 +3304,13 @@ def foreach_batch_orphan_redrive(out_dir: str) -> Callable[[DataFrame, int], Non
                     "l_partkey",
                     "l_suppkey",
                     "l_extendedprice",
-                )
+                ).withColumn("parked_since", F.lit(batch_id).cast("long"))
             )
-            .dropDuplicates(ORPHAN_LINE_KEY)
+            # a replayed row keeps its ORIGINAL parked_since: the
+            # full carried column set is the key, so min() is the
+            # deterministic dedup (never dropDuplicates' arbitrary row)
+            .groupBy(*ORPHAN_LINE_KEY)
+            .agg(F.min("parked_since").alias("parked_since"))
             .localCheckpoint(eager=True)
         )
         orphan_enrich_join(pending, parents).coalesce(1).write.mode(
@@ -3301,6 +3321,18 @@ def foreach_batch_orphan_redrive(out_dir: str) -> Callable[[DataFrame, int], Non
         still_parked = pending.join(
             parents, pending["l_orderkey"] == parents["o_orderkey"], "left_anti"
         )
+        if dead_letter_after is not None:
+            expired = F.col("parked_since") <= F.lit(
+                batch_id - dead_letter_after
+            )
+            still_parked.where(expired).drop("parked_since").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(
+                    out_dir, "dead_letter", "deltas", f"batch={batch_id}"
+                )
+            )
+            still_parked = still_parked.where(~expired)
         still_parked.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "parked", f"upto={batch_id}")
         )
@@ -3328,7 +3360,11 @@ def orphan_parent_stream(
 
 
 def orphan_redrive_stream(
-    spark: SparkSession, lineitem_src: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    lineitem_src: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dead_letter_after: int | None = None,
 ):
     """C44 receipt leg: lineitem stream -> park-and-redrive sink.
     Single-writer discipline: only THIS stream touches parked/matched;
@@ -3339,7 +3375,9 @@ def orphan_redrive_stream(
         spark.readStream.schema(ORPHAN_LINE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(lineitem_src)
-        .writeStream.foreachBatch(foreach_batch_orphan_redrive(out_dir))
+        .writeStream.foreachBatch(
+            foreach_batch_orphan_redrive(out_dir, dead_letter_after)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -3364,3 +3402,19 @@ def read_orphan_matched(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_orphan_parked(spark: SparkSession, out_dir: str) -> DataFrame:
     """The quarantine relation: receipts still waiting on a parent."""
     return _read_parked(spark, out_dir, below=1 << 62)
+
+
+def read_orphan_dead_letter(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Receipts that aged out of the parked state (parent never
+    arrived within the TTL).  Emitted in the stream's own input
+    schema: re-driving them is copying this directory's rows back in
+    as a new source file — the reference's re-index runbook as a
+    one-liner."""
+    import glob as _glob
+
+    srcs = sorted(
+        _glob.glob(os.path.join(out_dir, "dead_letter", "deltas", "batch=*"))
+    )
+    if not srcs:
+        return spark.createDataFrame([], ORPHAN_LINE_SCHEMA)
+    return spark.read.parquet(*srcs).dropDuplicates(ORPHAN_LINE_KEY)

@@ -2848,3 +2848,85 @@ def test_orphan_park_and_redrive(spark, tmp_path):
     got2 = sorted(tuple(r) for r in read_orphan_matched(spark, out).collect())
     assert got2 == want
     assert read_orphan_parked(spark, out).count() == 0
+
+
+def test_orphan_dead_letter_ttl(spark, tmp_path):
+    """C44 dead-letter TTL: a receipt whose parent NEVER arrives ages
+    out of the parked state after `dead_letter_after` batches into a
+    re-drivable dead-letter log (the 100 TB guard: the orphan backlog
+    is bounded even under a permanently missing parent), and replaying
+    the dead-letter rows as a new source file after the parent finally
+    lands matches them through the normal path."""
+    import glob
+    import shutil
+
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        orphan_parent_stream,
+        orphan_redrive_stream,
+        read_orphan_dead_letter,
+        read_orphan_matched,
+        read_orphan_parked,
+    )
+
+    orders_src = str(tmp_path / "orders_src")
+    lines_src = str(tmp_path / "lines_src")
+    out = str(tmp_path / "out")
+    ck_o = str(tmp_path / "ck_orders")
+    ck_l = str(tmp_path / "ck_lines")
+
+    def orders_df(keys):
+        return spark.createDataFrame(
+            [(k, f"2020-01-0{k}", f"P{k}") for k in keys],
+            "o_orderkey long, o_orderdate string, o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey",
+            "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+            "o_orderpriority",
+        )
+
+    def lines_df(rows):
+        return spark.createDataFrame(
+            [(o, n, o * 10 + n, o * 100 + n, p) for (o, n, p) in rows],
+            "l_orderkey long, l_linenumber long, l_partkey long, "
+            "l_suppkey long, l_extendedprice double",
+        )
+
+    orders_df([1]).coalesce(1).write.mode("append").parquet(orders_src)
+    q = orphan_parent_stream(spark, orders_src, out, ck_o)
+    _await(q)
+
+    # batch 0: receipt for parent 1 (matches) and parent 2 (parks)
+    lines_df([(1, 1, 10.0), (2, 1, 20.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(lines_src)
+    q = orphan_redrive_stream(spark, lines_src, out, ck_l, dead_letter_after=2)
+    _await(q)
+    assert read_orphan_parked(spark, out).count() == 1
+    assert read_orphan_dead_letter(spark, out).count() == 0
+
+    # two empty ticks age the orphan past the TTL
+    for _ in range(2):
+        lines_df([]).coalesce(1).write.mode("append").parquet(lines_src)
+        q = orphan_redrive_stream(
+            spark, lines_src, out, ck_l, dead_letter_after=2
+        )
+        _await(q)
+    assert read_orphan_parked(spark, out).count() == 0  # bounded state
+    dead = read_orphan_dead_letter(spark, out)
+    assert [
+        (r["l_orderkey"], r["l_linenumber"]) for r in dead.collect()
+    ] == [(2, 1)]
+    assert read_orphan_matched(spark, out).count() == 1
+
+    # the re-index runbook: parent 2 finally lands; replay the
+    # dead-letter rows as a fresh source file -> matched normally
+    orders_df([2]).coalesce(1).write.mode("append").parquet(orders_src)
+    q = orphan_parent_stream(spark, orders_src, out, ck_o)
+    _await(q)
+    dead.coalesce(1).write.parquet(str(tmp_path / "redrive_stage"))
+    part = glob.glob(str(tmp_path / "redrive_stage" / "part-*.parquet"))[0]
+    shutil.copy(part, f"{lines_src}/redrive_0.parquet")
+    q = orphan_redrive_stream(spark, lines_src, out, ck_l, dead_letter_after=2)
+    _await(q)
+    assert read_orphan_matched(spark, out).count() == 2
+    assert read_orphan_parked(spark, out).count() == 0
