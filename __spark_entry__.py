@@ -61,6 +61,12 @@ _GATE_PRIORITY: list[str] = [
     "args_base64_extract",
     "multimodal_media_router_serve",
     "multimodal_bmp_roundtrip",
+    # (the late-r11 wave-2 additions — ann_filtered_topk,
+    # ann_filtered_ivf_recall, corpus_stratified_sample,
+    # multimodal_image_downsample2x — landed after this window was
+    # dress-rehearsed; each is parity-green and hostile-swept
+    # individually, and they lead the r12 window per the rotation
+    # policy, the late-r9/r10 precedent)
     # --- oracle SQL changed in r11: fresh hard signal on the new text
     # (growth-curve zero guard; corrected ANOVA F constant) ---
     "dedup_growth_curve",

@@ -248,6 +248,13 @@ EXTRA = [
     # the uncompressed real codec: the per-byte floor the LZW row's
     # native-swap argument is measured against
     "multimodal_bmp_roundtrip",
+    # r11 wave 2: filtered vector search (exact baseline + the
+    # post-filter IVF recall curve), stratified sampling, and the
+    # real-decode 2x box downsample
+    "ann_filtered_topk",
+    "ann_filtered_ivf_recall",
+    "corpus_stratified_sample",
+    "multimodal_image_downsample2x",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

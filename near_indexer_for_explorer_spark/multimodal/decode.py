@@ -2147,3 +2147,133 @@ ORACLES["multimodal_bmp_roundtrip"] = f"""
            'bmp' AS decode_backend
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# B143 REAL image downsample — the operation B23's stub resize models,
+# now run over genuinely DECODED pixels: payload -> real PNG encode ->
+# full inflate+unfilter decode -> 2x2 box downsample, all exact
+# integer math (each cell is the SUM of its 2x2 box, so the cell
+# partition conserves the byte total and the whole chain is value-
+# hash-gateable).  Odd bottom rows keep their 1-row boxes (the
+# standard edge policy for box filters on odd extents).  Map-only
+# Arrow kernel, linear.
+# ---------------------------------------------------------------------------
+DOWNSAMPLE2X_SCHEMA = (
+    "doc_id long, w_out long, h_out long, n_cells long, cells_sum long, "
+    "cells_max long, cell_mean double"
+)
+
+
+def make_image_downsample2x_kernel(
+    width: int = _PNG_W,
+) -> Callable[[Iterator], Iterator]:
+    encode_png, decode_png = _png_codec()
+
+    def downsample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            w, h, px = decode_png(encode_png(payload, width))
+            w_out, h_out = w // 2, -(-h // 2)
+            cells = []
+            for i in range(h_out):
+                r0 = 2 * i
+                for j in range(w_out):
+                    c0 = 2 * j
+                    s = px[r0 * w + c0] + px[r0 * w + c0 + 1]
+                    if r0 + 1 < h:
+                        s += px[(r0 + 1) * w + c0] + px[(r0 + 1) * w + c0 + 1]
+                    cells.append(s)
+            total = sum(cells)
+            return {
+                "doc_id": doc_id,
+                "w_out": w_out,
+                "h_out": h_out,
+                "n_cells": len(cells),
+                "cells_sum": total,
+                "cells_max": max(cells),
+                "cell_mean": total / len(cells),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "w_out",
+                    "h_out",
+                    "n_cells",
+                    "cells_sum",
+                    "cells_max",
+                    "cell_mean",
+                ],
+            )
+
+    return downsample_batches
+
+
+def multimodal_image_downsample2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w_out, h_out, n_cells, cells_sum, cells_max,
+    cell_mean): 2x2 box downsample over REAL decoded PNG pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_image_downsample2x_kernel(), schema=DOWNSAMPLE2X_SCHEMA
+    )
+
+
+QUERIES["multimodal_image_downsample2x"] = multimodal_image_downsample2x
+
+# The oracle recomputes every 2x2 box from the text bytes positioned
+# on the padded W-wide grid (byte k, 1-indexed, sits at row (k-1)//W,
+# col (k-1)%W; pad pixels are 0), so cells_max gates the pixel GEOMETRY
+# of the decode, not just its totals.
+ORACLES["multimodal_image_downsample2x"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n,
+             greatest(1, CAST(ceil(n / {_PNG_W}.0) AS BIGINT)) AS h,
+             list_transform(range(1, n + 1),
+                            k -> unicode(substr(text, CAST(k AS INTEGER), 1)))
+               AS bytes
+      FROM b
+    ),
+    cells AS (
+      SELECT doc_id, n, h,
+             CAST({_PNG_W} // 2 AS BIGINT) AS w_out,
+             CAST((h + 1) // 2 AS BIGINT) AS h_out,
+             list_transform(
+               range(0, CAST((h + 1) // 2 AS BIGINT) * ({_PNG_W} // 2)),
+               c -> (
+                 CASE WHEN (c // ({_PNG_W} // 2)) * 2 * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 1 <= n
+                      THEN bytes[CAST((c // ({_PNG_W} // 2)) * 2 * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 1 AS INTEGER)] ELSE 0 END
+               + CASE WHEN (c // ({_PNG_W} // 2)) * 2 * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 2 <= n
+                      THEN bytes[CAST((c // ({_PNG_W} // 2)) * 2 * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 2 AS INTEGER)] ELSE 0 END
+               + CASE WHEN (c // ({_PNG_W} // 2)) * 2 + 1 < h
+                      AND ((c // ({_PNG_W} // 2)) * 2 + 1) * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 1 <= n
+                      THEN bytes[CAST(((c // ({_PNG_W} // 2)) * 2 + 1) * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 1 AS INTEGER)] ELSE 0 END
+               + CASE WHEN (c // ({_PNG_W} // 2)) * 2 + 1 < h
+                      AND ((c // ({_PNG_W} // 2)) * 2 + 1) * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 2 <= n
+                      THEN bytes[CAST(((c // ({_PNG_W} // 2)) * 2 + 1) * {_PNG_W}
+                           + (c % ({_PNG_W} // 2)) * 2 + 2 AS INTEGER)] ELSE 0 END
+               )) AS box_sums
+      FROM g
+    )
+    SELECT doc_id, w_out, h_out,
+           CAST(w_out * h_out AS BIGINT) AS n_cells,
+           CAST(COALESCE(list_sum(box_sums), 0) AS BIGINT) AS cells_sum,
+           CAST(list_max(box_sums) AS BIGINT) AS cells_max,
+           CAST(COALESCE(list_sum(box_sums), 0) AS DOUBLE) / (w_out * h_out)
+             AS cell_mean
+    FROM cells
+"""

@@ -3281,3 +3281,98 @@ ORACLES["mixture_epoch_plan"] = f"""
     FROM tok t JOIN b41 b ON t.source = b.source
     CROSS JOIN tot CROSS JOIN grid g
 """
+
+
+# ---------------------------------------------------------------------------
+# B142 stratified corpus sampling — the review-set / eval-set builder:
+# "give me N documents with controlled per-source representation".
+# Proportional allocation preserves the corpus mix (QA sampling);
+# equal allocation force-covers the tail sources a proportional draw
+# starves (the audit default).  Both allocations are computed in ONE
+# pass and both are EXACT deterministic functions of the corpus: the
+# per-source rank orders by a salted md5 of the doc id (the B18
+# hash-split discipline — no RNG state, replayable anywhere), and the
+# per-source takes use integer floor division only.  Scale shape: one
+# count aggregate (a few-row broadcast dim) + one per-source window —
+# the window key is `source`, the natural partition of a corpus lake,
+# so the sort is partition-local at any size.
+# ---------------------------------------------------------------------------
+_STRAT_BUDGET = 200  # total sample budget N (shared by both policies)
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_source, stratum_rank, in_proportional,
+    in_equal): the first-ranked docs of each source under both
+    allocation policies (rows appearing in at least one sample)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    totals = counts.agg(
+        F.sum("n_source").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    # integer floor division on BOTH sides (Spark `div` == DuckDB `//`;
+    # a plain `/` would round-trip through double)
+    alloc = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_source",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"({_STRAT_BUDGET} * n_source) div total"),
+        ).alias("n_prop"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"{_STRAT_BUDGET} div n_sources"),
+        ).alias("n_equal"),
+    )
+    skey = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(skey.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .where(
+            F.col("stratum_rank")
+            <= F.greatest(F.col("n_prop"), F.col("n_equal"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            "stratum_rank",
+            (F.col("stratum_rank") <= F.col("n_prop")).alias("in_proportional"),
+            (F.col("stratum_rank") <= F.col("n_equal")).alias("in_equal"),
+        )
+    )
+
+
+QUERIES["corpus_stratified_sample"] = corpus_stratified_sample
+
+ORACLES["corpus_stratified_sample"] = f"""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_source) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources FROM counts),
+    alloc AS (
+      SELECT source, n_source,
+             greatest(1, ({_STRAT_BUDGET} * n_source) // total) AS n_prop,
+             greatest(1, {_STRAT_BUDGET} // n_sources) AS n_equal
+      FROM counts CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS BIGINT) AS stratum_rank
+      FROM d
+    )
+    SELECT r.doc_id, r.source, a.n_source, r.stratum_rank,
+           r.stratum_rank <= a.n_prop AS in_proportional,
+           r.stratum_rank <= a.n_equal AS in_equal
+    FROM ranked r JOIN alloc a ON r.source = a.source
+    WHERE r.stratum_rank <= greatest(a.n_prop, a.n_equal)
+"""

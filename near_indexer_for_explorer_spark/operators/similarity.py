@@ -5060,3 +5060,214 @@ ORACLES["embedding_dim_stats"] = """
            CAST(v6 AS DOUBLE) <= 0.0 AS is_dead
     FROM dims CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# B140/B141 FILTERED vector search — the production ANN problem the
+# plain top-k family skips: real deployments search WITHIN a predicate
+# (tenant, collection, language, license), and the filter changes
+# everything about the index story.  B140 is the exact filtered
+# baseline (the filter rides the join condition, so Catalyst applies
+# it scan-side before any distance math); B141 measures what the
+# standard IVF answer (POST-filtering the probed candidates) costs in
+# recall — with a 1/|labels| selectivity the probe set thins ~10x, and
+# the per-query recall against the filtered-exact truth is the curve
+# that tells an operator when post-filtering stops being enough (the
+# point real systems switch to label-partitioned lists).  Both legs
+# reuse the existing machinery verbatim: B5's broadcast-query scan
+# shape and B13's nprobe-bounded probe join — the filter adds ONE
+# equi-condition, never a new join.
+# ---------------------------------------------------------------------------
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, q_label, neighbor_id, cos_sim): exact top-k cosine among
+    candidates sharing the query's label — the tenant-scoped search
+    baseline every filtered-ANN variant is measured against."""
+    from pyspark.sql import Window as W
+
+    e = _vectors(spark, sf_dir).join(_labels(spark, sf_dir), "vec_id")
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("q_label") == F.col("label")) & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "q_label", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+
+ORACLES["ann_filtered_topk"] = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, CAST(label AS INTEGER) AS label
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb, label,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm,
+                 label AS q_label
+          FROM n WHERE {Q_PRED_SQL}),
+    pairs AS (
+      SELECT q.q_id, q.q_label, n.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(n.emb) + 1),
+                                           i -> q.q_emb[i] * n.emb[i]))
+                   / (q.q_nrm * n.nrm), 6) AS cos_sim
+      FROM q JOIN n ON q.q_label = n.label AND q.q_id <> n.vec_id
+    )
+    SELECT q_id, q_label, vec_id AS neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM pairs) t
+    WHERE rn <= {TOP_K}
+"""
+
+
+def ann_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, q_label, n_exact, n_ivf, n_hits, recall): per query, how
+    much of the filtered-exact top-k the POST-FILTERED IVF probe
+    recovers — the operating signal for when post-filtering stops
+    being enough and label-partitioned lists are warranted."""
+    from pyspark.sql import Window as W
+
+    labels = _labels(spark, sf_dir)
+    # filtered IVF: the B13 probe pairs with the label equi-condition
+    # applied to the candidate set (post-filtering)
+    ivf_pairs = (
+        _ivf_probe_pairs(spark, sf_dir)
+        .join(labels.withColumnRenamed("label", "c_label"), "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "q_id",
+        )
+        .where(F.col("c_label") == F.col("q_label"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    ivf_top = (
+        ivf_pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "q_label", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact_top = ann_filtered_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("x_neighbor")
+    )
+    hits = exact_top.join(
+        ivf_top.select("q_id", F.col("neighbor_id").alias("x_neighbor")),
+        ["q_id", "x_neighbor"],
+        "left_semi",
+    )
+    n_exact = exact_top.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_ivf = ivf_top.groupBy("q_id", "q_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ivf")
+    )
+    n_hits = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        n_ivf.join(n_exact, "q_id")
+        .join(n_hits, "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            "n_exact",
+            "n_ivf",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["ann_filtered_ivf_recall"] = ann_filtered_ivf_recall
+
+
+def _filtered_ivf_recall_oracle() -> str:
+    return f"""
+    {_ivf_pairs_ctes()},
+    lab AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+    fpairs AS (
+      SELECT p.q_id, ql.label AS q_label, p.vec_id, p.cos_sim
+      FROM pairs p
+      JOIN lab cl ON cl.vec_id = p.vec_id
+      JOIN lab ql ON ql.vec_id = p.q_id
+      WHERE cl.label = ql.label
+    ),
+    ivf_top AS (
+      SELECT q_id, q_label, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM fpairs) t
+      WHERE rn <= {TOP_K}
+    ),
+    xpairs AS (
+      SELECT ql.vec_id AS q_id, nn.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(nn.emb) + 1),
+                   i -> qn.emb[i] * nn.emb[i]))
+                   / (qn.nrm * nn.nrm), 6) AS cos_sim
+      FROM lab ql
+      JOIN n qn ON qn.vec_id = ql.vec_id
+      JOIN lab cl ON cl.label = ql.label AND cl.vec_id <> ql.vec_id
+      JOIN n nn ON nn.vec_id = cl.vec_id
+      WHERE {Q_PRED_SQL.replace('vec_id', 'ql.vec_id')}
+    ),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM xpairs) t
+      WHERE rn <= {TOP_K}
+    ),
+    agg AS (
+      SELECT e.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM exact_top e
+      LEFT JOIN ivf_top i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT a.q_id, t.q_label, a.n_exact,
+           CAST(c.n_ivf AS BIGINT) AS n_ivf, a.n_hits,
+           ROUND(CAST(a.n_hits AS DOUBLE) / a.n_exact, 6) AS recall
+    FROM agg a
+    JOIN (SELECT q_id, q_label, COUNT(*) AS n_ivf FROM ivf_top
+          GROUP BY q_id, q_label) c ON c.q_id = a.q_id
+    JOIN (SELECT vec_id AS q_id, CAST(label AS INTEGER) AS q_label
+          FROM embeddings) t ON t.q_id = a.q_id
+    """
+
+
+ORACLES["ann_filtered_ivf_recall"] = _filtered_ivf_recall_oracle()

@@ -5492,3 +5492,109 @@ def test_media_router_bmp_branch_and_native_swap(spark):
         assert swapped["n_units"] == 3 and swapped["unit_sum"] == 21
     finally:
         del D.NATIVE_DECODERS["bmp"]
+
+
+def test_ann_filtered_topk_semantics(spark, sf_dir):
+    """B140/B141: filtered search returns ONLY same-label neighbors,
+    the filter genuinely binds (the filtered top-k differs from the
+    unfiltered one), and post-filtered IVF recall is a well-formed
+    fraction of the filtered-exact truth."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_filtered_ivf_recall,
+        ann_filtered_topk,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filtered = ann_filtered_topk(spark, sf_dir).collect()
+    assert filtered, "query lattice must be non-empty"
+    for r in filtered:
+        assert labels[r["neighbor_id"]] == r["q_label"] == labels[r["q_id"]]
+
+    unfiltered = {
+        (r["q_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    fset = {(r["q_id"], r["neighbor_id"]) for r in filtered}
+    assert fset != unfiltered  # the predicate changes the answer
+
+    rec = ann_filtered_ivf_recall(spark, sf_dir).collect()
+    assert rec
+    for r in rec:
+        assert 0 <= r["n_hits"] <= r["n_exact"] <= TOP_K
+        assert r["n_ivf"] <= TOP_K
+        assert abs(r["recall"] - round(r["n_hits"] / r["n_exact"], 6)) < 1e-9
+
+
+def test_corpus_stratified_sample_allocations(spark, sf_dir):
+    """B142: both allocation policies hold their invariants — per-source
+    takes are the exact integer-floor allocations (>=1), ranks are
+    hash-deterministic and contiguous from 1, and every selected row
+    is in at least one policy's sample."""
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _STRAT_BUDGET,
+        corpus_stratified_sample,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    counts = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    total, n_sources = sum(counts.values()), len(counts)
+    rows = corpus_stratified_sample(spark, sf_dir).collect()
+    assert rows
+    by_source: dict = {}
+    for r in rows:
+        assert r["in_proportional"] or r["in_equal"]
+        assert r["n_source"] == counts[r["source"]]
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        n_prop = max(1, (_STRAT_BUDGET * counts[src]) // total)
+        n_eq = max(1, _STRAT_BUDGET // n_sources)
+        ranks = sorted(r["stratum_rank"] for r in rs)
+        assert ranks == list(range(1, max(n_prop, n_eq) + 1))
+        assert sum(r["in_proportional"] for r in rs) == n_prop
+        assert sum(r["in_equal"] for r in rs) == n_eq
+    # every source is represented (the force-coverage property)
+    assert set(by_source) == set(counts)
+
+    # determinism: a second run returns the identical sample
+    again = corpus_stratified_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_image_downsample2x_pinned(spark):
+    """B143: hand-pinned 2x2 box math over a real PNG roundtrip —
+    cell partition conserves the byte total, the top-left box is the
+    exact sum of its four bytes, and an odd bottom row keeps 1-row
+    boxes."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        DOWNSAMPLE2X_SCHEMA,
+        make_image_downsample2x_kernel,
+    )
+
+    # 3 rows over width 4 (odd h): bytes 0..11
+    payload = bytes(range(12))
+    out = (
+        spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+        .mapInPandas(
+            make_image_downsample2x_kernel(width=4), schema=DOWNSAMPLE2X_SCHEMA
+        )
+        .collect()[0]
+    )
+    assert (out["w_out"], out["h_out"], out["n_cells"]) == (2, 2, 4)
+    assert out["cells_sum"] == sum(range(12))
+    # boxes: rows 0-1 x cols 0-1 -> 0+1+4+5=10; cols 2-3 -> 2+3+6+7=18;
+    # bottom odd row: 8+9=17 and 10+11=21
+    assert out["cells_max"] == 21

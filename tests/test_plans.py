@@ -70,6 +70,7 @@ _BNLJ_EXEMPT = {
     "circulating_supply_daily", # broadcast lockup snapshot
     "corpus_source_mix",        # broadcast corpus totals scalar
     "corpus_temperature_weights",  # broadcast char-total + weight-total scalars
+    "corpus_stratified_sample",  # broadcast (total, n_sources) scalar
     "mixture_epoch_plan",       # composes B41's scalars + broadcast token-total
     "embedding_dim_stats",      # broadcast 1-row variance-total scalar
     "data_quality_report",      # crossJoins of 1-row count aggregates per constraint
@@ -87,6 +88,7 @@ _BNLJ_EXEMPT = {
     "bigram_backoff_xent",      # broadcast (n_train, v_train) scalar (B33 shape)
     "ann_ivf_topk",             # broadcast trained centroids
     "ann_hard_negatives",       # same IVF search leg (broadcast centroids)
+    "ann_filtered_ivf_recall",  # same IVF search leg (broadcast centroids) + label post-filter
     "ivf_list_balance",         # same quantizer leg (broadcast centroids + totals)
     "kmeans_elbow_curve",       # same quantizer leg per candidate k (broadcast centroids)
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
