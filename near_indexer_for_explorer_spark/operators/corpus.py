@@ -3300,23 +3300,21 @@ ORACLES["mixture_epoch_plan"] = f"""
 _STRAT_BUDGET = 200  # total sample budget N (shared by both policies)
 
 
-def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_source, stratum_rank, in_proportional,
-    in_equal): the first-ranked docs of each source under both
-    allocation policies (rows appearing in at least one sample)."""
-    from pyspark.sql import Window as W
+def stratified_skey(doc_id_col: F.Column) -> F.Column:
+    """The deterministic per-doc sampling key (B18 hash-split
+    discipline — no RNG state, replayable anywhere)."""
+    return F.md5(F.concat(F.lit("strat:"), doc_id_col.cast("string")))
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_source")
-    )
+
+def stratified_allocations(counts: DataFrame) -> DataFrame:
+    """(source, n_source) -> (source, n_source, n_prop, n_equal):
+    integer floor division on BOTH sides (Spark `div` == DuckDB `//`;
+    a plain `/` would round-trip through double)."""
     totals = counts.agg(
         F.sum("n_source").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_sources"),
     )
-    # integer floor division on BOTH sides (Spark `div` == DuckDB `//`;
-    # a plain `/` would round-trip through double)
-    alloc = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_source",
         F.greatest(
@@ -3328,9 +3326,12 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{_STRAT_BUDGET} div n_sources"),
         ).alias("n_equal"),
     )
-    skey = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
-    w = W.partitionBy("source").orderBy(skey.asc(), F.col("doc_id").asc())
-    ranked = docs.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+
+
+def stratified_cut(ranked: DataFrame, alloc: DataFrame) -> DataFrame:
+    """(doc_id, source, stratum_rank) x allocations -> the sample
+    rows with both policy flags — the ONE kernel the batch query and
+    the C45 streaming read path share."""
     return (
         ranked.join(F.broadcast(alloc), "source")
         .where(
@@ -3346,6 +3347,23 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("stratum_rank") <= F.col("n_equal")).alias("in_equal"),
         )
     )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_source, stratum_rank, in_proportional,
+    in_equal): the first-ranked docs of each source under both
+    allocation policies (rows appearing in at least one sample)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    w = W.partitionBy("source").orderBy(
+        stratified_skey(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+    return stratified_cut(ranked, stratified_allocations(counts))
 
 
 QUERIES["corpus_stratified_sample"] = corpus_stratified_sample

@@ -520,3 +520,55 @@ def read_published_many(spark, out_dir: str) -> dict[str, DataFrame]:
         except (OSError, ValueError, KeyError):
             continue
     raise FileNotFoundError(f"no complete published snapshot under {out_dir}")
+
+
+def vacuum_manifests(out_dir: str, keep_last: int = 3) -> dict:
+    """Retention for the manifest-level WAP: keep the newest
+    ``keep_last`` COMPLETE manifests (and their snapshots), remove
+    older manifests plus any snapshot no surviving manifest
+    references.  The multi-relation analog of a lakehouse VACUUM:
+    readers resolve only through manifests, so removing an old
+    manifest atomically retires its snapshot from history before the
+    data dirs are swept.  Never touches _staging_* (the age-gated
+    ghost sweep owns those) and never the newest complete manifest —
+    a concurrent reader mid-resolve can at worst fall back one
+    manifest, which vacuum preserves by deleting manifest FILES
+    strictly oldest-first before snapshot dirs.  Returns
+    {"manifests_removed": n, "snapshots_removed": m}.
+    """
+    import glob
+    import json
+    import shutil
+
+    manifests = sorted(
+        glob.glob(os.path.join(out_dir, "_MANIFEST_*")),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+    )
+    complete = []
+    for mpath in manifests:
+        try:
+            with open(mpath) as fh:
+                snap = json.load(fh)["snapshot"]
+            if os.path.isdir(os.path.join(out_dir, snap)):
+                complete.append((mpath, snap))
+        except (OSError, ValueError, KeyError):
+            # torn manifest: no snapshot to retire, the file itself is
+            # droppable once newer complete manifests exist
+            complete.append((mpath, None))
+    if len(complete) <= keep_last:
+        return {"manifests_removed": 0, "snapshots_removed": 0}
+    drop, keep = complete[:-keep_last], complete[-keep_last:]
+    kept_snaps = {s for _, s in keep if s}
+    n_m = 0
+    for mpath, _ in drop:
+        try:
+            os.unlink(mpath)
+            n_m += 1
+        except OSError:
+            pass
+    n_s = 0
+    for _, snap in drop:
+        if snap and snap not in kept_snaps:
+            shutil.rmtree(os.path.join(out_dir, snap), ignore_errors=True)
+            n_s += 1
+    return {"manifests_removed": n_m, "snapshots_removed": n_s}

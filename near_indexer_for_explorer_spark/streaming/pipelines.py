@@ -3418,3 +3418,152 @@ def read_orphan_dead_letter(spark: SparkSession, out_dir: str) -> DataFrame:
     if not srcs:
         return spark.createDataFrame([], ORPHAN_LINE_SCHEMA)
     return spark.read.parquet(*srcs).dropDuplicates(ORPHAN_LINE_KEY)
+
+
+# ---------------------------------------------------------------------------
+# C45: streaming stratified-sample maintenance — B142 kept live as the
+# corpus streams in ("the standing review sample" every QA dashboard
+# reads).  The state algebra is a composition of two proven families:
+# per-source EXACT counts ride the C32 batch-id-keyed additive delta
+# log (replays overwrite their own delta), and per-source candidates
+# ride a bounded top-N delta log — each batch contributes only its own
+# top-_STRAT_BUDGET rows per source, which is sufficient because no
+# allocation can ever take more than _STRAT_BUDGET from one source
+# (n_prop <= N and n_equal <= N by construction), so the union of
+# per-batch top-Ns contains the global top-take (the C26/C27
+# key-space-partition argument applied per source).  Candidate rows
+# are pure functions of the doc (doc_id, salted-md5 skey), so the fold
+# dedups replays by doc_id (C40 idempotent set algebra).  The read
+# path recomputes allocations from the folded counts and cuts ranks
+# through the IDENTICAL stratified_cut kernel as B142 — stream ==
+# batch is a kernel invariant.  Candidate deltas fold-and-replace on
+# the shared cadence knob with a rank-cut compaction (the C32
+# protocol, top-N fold instead of sum).
+# ---------------------------------------------------------------------------
+STRAT_COUNT_SCHEMA = "source string, n_source long"
+STRAT_CAND_SCHEMA = "doc_id long, source string, skey string"
+
+
+def foreach_batch_stratified(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        from near_indexer_for_explorer_spark.operators.corpus import (
+            _STRAT_BUDGET,
+            stratified_skey,
+        )
+
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "source")
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_source")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "counts", "deltas", f"batch={batch_id}")
+        )
+        _maybe_auto_compact(
+            spark, os.path.join(out_dir, "counts"),
+            ["source"], {"n_source": "long"},
+        )
+        w = W.partitionBy("source").orderBy(
+            F.col("skey").asc(), F.col("doc_id").asc()
+        )
+        cands = (
+            docs.withColumn("skey", stratified_skey(F.col("doc_id")))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= _STRAT_BUDGET)
+            .drop("__rk")
+        )
+        cands.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cands", "deltas", f"batch={batch_id}")
+        )
+        _maybe_compact_topk_cands(spark, os.path.join(out_dir, "cands"))
+
+    return sink
+
+
+def _fold_strat_cands(spark: SparkSession, cands_dir: str) -> DataFrame:
+    """Fold the candidate log: doc_id-dedup (replay absorption) then
+    per-source top-_STRAT_BUDGET cut."""
+    from pyspark.sql import Window as W
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _STRAT_BUDGET,
+    )
+
+    w = W.partitionBy("source").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    return (
+        _read_delta_log(spark, cands_dir, STRAT_CAND_SCHEMA)
+        .dropDuplicates(["doc_id"])
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= _STRAT_BUDGET)
+        .drop("__rk")
+    )
+
+
+def _maybe_compact_topk_cands(spark: SparkSession, cands_dir: str) -> None:
+    """The C32 fold-and-replace with a rank-cut fold: when uncovered
+    deltas cross the cadence knob, fold them into base/upto=<max>
+    (write-before-delete; the reader prefers the newest base and
+    ignores covered deltas)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    srcs, _ = _count_delta_sources(cands_dir)
+    deltas = [s for s in srcs if f"{os.sep}deltas{os.sep}" in s]
+    if len(deltas) < _AUTO_COMPACT_EVERY:
+        return
+    covered = max(int(d.rsplit("=", 1)[1]) for d in deltas)
+    folded = _fold_strat_cands(spark, cands_dir).localCheckpoint(eager=True)
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(cands_dir, "base", f"upto={covered}")
+    )
+    for d in _glob.glob(os.path.join(cands_dir, "deltas", "batch=*")):
+        if int(d.rsplit("=", 1)[1]) <= covered:
+            _shutil.rmtree(d, ignore_errors=True)
+    for b in _glob.glob(os.path.join(cands_dir, "base", "upto=*")):
+        if int(b.rsplit("=", 1)[1]) < covered:
+            _shutil.rmtree(b, ignore_errors=True)
+
+
+def stratified_sample_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C45 driver: document shards -> count + bounded-candidate logs."""
+    stream = read_document_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_stratified(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_stratified_sample(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """The C45 read path: folded counts -> allocations, folded
+    candidates -> ranks, cut through the SAME stratified_cut kernel as
+    B142."""
+    from pyspark.sql import Window as W
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        stratified_allocations,
+        stratified_cut,
+    )
+
+    counts = (
+        _read_delta_log(spark, os.path.join(out_dir, "counts"), STRAT_COUNT_SCHEMA)
+        .groupBy("source")
+        .agg(F.sum("n_source").cast("long").alias("n_source"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        _fold_strat_cands(spark, os.path.join(out_dir, "cands"))
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "stratum_rank")
+    )
+    return stratified_cut(ranked, stratified_allocations(counts))

@@ -67,6 +67,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "topk_stream_replay",
         "weighted_sample_stream_replay",
         "orphan_redrive_stream_replay",
+        "stratified_sample_stream_replay",
     }
 )
 
@@ -1090,3 +1091,60 @@ ORACLES["orphan_redrive_stream_replay"] = """
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
+
+
+def stratified_sample_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_source, stratum_rank, in_proportional,
+    in_equal): the C45 incrementally-maintained stratified sample
+    after replaying the documents table as three id-sliced
+    micro-batches — allocations depend on GLOBAL counts, so every
+    batch shifts every source's proportional take (the non-additive
+    interaction the bounded candidate log + exact count log must get
+    right); oracle = B142 `corpus_stratified_sample`'s SQL verbatim."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        read_stream_stratified_sample,
+        stratified_sample_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="strat_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            docs.where(F.col("doc_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = stratified_sample_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stratified replay stream did not finish")
+        return read_stream_stratified_sample(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["stratified_sample_stream_replay"] = stratified_sample_stream_replay
+
+
+def _stratified_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        ORACLES as _CORPUS_ORACLES,
+    )
+
+    return _CORPUS_ORACLES["corpus_stratified_sample"]
+
+
+ORACLES["stratified_sample_stream_replay"] = _stratified_replay_oracle()

@@ -5598,3 +5598,36 @@ def test_image_downsample2x_pinned(spark):
     # boxes: rows 0-1 x cols 0-1 -> 0+1+4+5=10; cols 2-3 -> 2+3+6+7=18;
     # bottom odd row: 8+9=17 and 10+11=21
     assert out["cells_max"] == 21
+
+
+def test_vacuum_manifests_retention(spark, tmp_path):
+    """WAP retention: vacuum keeps the newest keep_last complete
+    manifests + snapshots, removes older history (manifest file before
+    snapshot dir, so a reader never resolves a dangling manifest), and
+    leaves the live read path intact."""
+    import glob
+    import os
+
+    from near_indexer_for_explorer_spark.sources.sinks import (
+        publish_atomic_many,
+        read_published_many,
+        vacuum_manifests,
+    )
+
+    out = str(tmp_path / "vac")
+    for i in range(5):
+        publish_atomic_many(
+            {"t": spark.range(i + 1).withColumnRenamed("id", "x")}, out
+        )
+    assert len(glob.glob(os.path.join(out, "_MANIFEST_*"))) == 5
+    stats = vacuum_manifests(out, keep_last=2)
+    assert stats == {"manifests_removed": 3, "snapshots_removed": 3}
+    assert len(glob.glob(os.path.join(out, "_MANIFEST_*"))) == 2
+    assert len(glob.glob(os.path.join(out, "snap_*"))) == 2
+    # newest snapshot still serves
+    assert read_published_many(spark, out)["t"].count() == 5
+    # idempotent below the threshold
+    assert vacuum_manifests(out, keep_last=2) == {
+        "manifests_removed": 0,
+        "snapshots_removed": 0,
+    }

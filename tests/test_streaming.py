@@ -2930,3 +2930,54 @@ def test_orphan_dead_letter_ttl(spark, tmp_path):
     _await(q)
     assert read_orphan_matched(spark, out).count() == 2
     assert read_orphan_parked(spark, out).count() == 0
+
+
+def test_stratified_sample_stream_equals_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """C45 == B142: after streaming the corpus in shards the read
+    path's sample equals the batch stratified sample row-for-row
+    (kernel-shared), and a checkpoint-wipe full replay leaves it
+    unchanged (candidate rows are pure doc functions; counts are
+    batch-id-keyed)."""
+    import shutil
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        corpus_stratified_sample,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        read_stream_stratified_sample,
+        stratified_sample_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "strat_shards")
+    out = str(tmp_path / "strat_out")
+    ck = str(tmp_path / "strat_ck")
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = stratified_sample_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    want = sorted(
+        tuple(r) for r in corpus_stratified_sample(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_stream_stratified_sample(spark, out).collect()
+    )
+    assert got == want
+
+    # checkpoint-wipe full replay: unchanged
+    shutil.rmtree(ck)
+    q = stratified_sample_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    got2 = sorted(
+        tuple(r) for r in read_stream_stratified_sample(spark, out).collect()
+    )
+    assert got2 == want
