@@ -63,7 +63,8 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_bmp_roundtrip",
     # (the late-r11 wave-2 additions — ann_filtered_topk,
     # ann_filtered_ivf_recall, corpus_stratified_sample,
-    # multimodal_image_downsample2x, stratified_sample_stream_replay —
+    # multimodal_image_downsample2x, stratified_sample_stream_replay,
+    # ann_label_probe_recall —
     # landed after this window was
     # dress-rehearsed; each is parity-green and hostile-swept
     # individually, and they lead the r12 window per the rotation

@@ -255,6 +255,7 @@ EXTRA = [
     "ann_filtered_ivf_recall",
     "corpus_stratified_sample",
     "multimodal_image_downsample2x",
+    "ann_label_probe_recall",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -5271,3 +5271,248 @@ def _filtered_ivf_recall_oracle() -> str:
 
 
 ORACLES["ann_filtered_ivf_recall"] = _filtered_ivf_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# B144 label-aware probing — the FIX B141's curve motivates: rank the
+# query's probe centroids only among lists that actually CONTAIN the
+# query's label, so none of the nprobe budget is spent on lists the
+# post-filter would empty out.  The aware candidate set provably
+# CONTAINS the post-filtered one at equal nprobe (every centroid the
+# plain probe visits that holds label candidates is also visited by
+# the aware probe — it ranks by the same distance, skipping only
+# empties), so per-query recall can only improve; the operator
+# measures by how much, and the dominance is an oracle-asserted
+# verdict, not a claim.  Cost: ONE extra semi-join key on the probe
+# ranking — no new training, no new shuffle family.
+# ---------------------------------------------------------------------------
+def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, q_label, n_exact, hits_post, hits_aware, recall_post,
+    recall_aware, aware_geq_post): filtered-IVF recall under plain
+    probing + post-filter vs label-aware probing, per query."""
+    from pyspark.sql import Window as W
+
+    labels = _labels(spark, sf_dir)
+    e = _vectors(spark, sf_dir).join(labels, "vec_id")
+    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
+    centroids = _kmeans_centroids(
+        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+    )
+    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    corpus = e.join(lists, "vec_id")
+    # which (centroid, label) lists are non-empty
+    occupied = corpus.select("centroid_id", "label").distinct()
+
+    q = e.where(is_query_vec(F.col("vec_id"))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked_cents = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", qdist)
+        .join(
+            F.broadcast(
+                occupied.select(
+                    F.col("centroid_id").alias("occ_cid"),
+                    F.col("label").alias("occ_label"),
+                )
+            ),
+            (F.col("centroid_id") == F.col("occ_cid"))
+            & (F.col("q_label") == F.col("occ_label")),
+            "left_semi",
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("__d").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rk") <= _IVF_NPROBE)
+        .select("q_id", "q_emb", "q_nrm", "q_label",
+                F.col("centroid_id").alias("probe_centroid"))
+    )
+    aware_pairs = corpus.join(
+        F.broadcast(ranked_cents),
+        (F.col("centroid_id") == F.col("probe_centroid"))
+        & (F.col("label") == F.col("q_label"))
+        & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        F.round(
+            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    aware_top = (
+        aware_pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "q_label", F.col("vec_id").alias("neighbor_id"))
+    )
+    # post-filter set: B141's candidates
+    post_pairs = (
+        _ivf_probe_pairs(spark, sf_dir)
+        .join(labels.withColumnRenamed("label", "c_label"), "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "q_id",
+        )
+        .where(F.col("c_label") == F.col("q_label"))
+    )
+    post_top = (
+        post_pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact_top = ann_filtered_topk(spark, sf_dir).select("q_id", "neighbor_id")
+
+    def hits(top: DataFrame, name: str) -> DataFrame:
+        return (
+            exact_top.join(top, ["q_id", "neighbor_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    n_exact = exact_top.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    qmeta = aware_top.select("q_id", "q_label").distinct()
+    out = (
+        n_exact.join(F.broadcast(qmeta), "q_id")
+        .join(hits(post_top, "hits_post"), "q_id", "left")
+        .join(hits(aware_top.select("q_id", "neighbor_id"), "hits_aware"),
+              "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            "n_exact",
+            F.coalesce(F.col("hits_post"), F.lit(0)).cast("long").alias("hits_post"),
+            F.coalesce(F.col("hits_aware"), F.lit(0)).cast("long").alias("hits_aware"),
+        )
+    )
+    return out.select(
+        "q_id",
+        "q_label",
+        "n_exact",
+        "hits_post",
+        "hits_aware",
+        F.round(F.col("hits_post").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_post"
+        ),
+        F.round(F.col("hits_aware").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_aware"
+        ),
+        (F.col("hits_aware") >= F.col("hits_post")).alias("aware_geq_post"),
+    )
+
+
+QUERIES["ann_label_probe_recall"] = ann_label_probe_recall
+
+
+def _label_probe_oracle() -> str:
+    return f"""
+    {_ivf_pairs_ctes()},
+    lab AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+    lcorpus AS (
+      SELECT s.vec_id, s.centroid_id, s.emb, s.nrm, cl.label
+      FROM corpus s JOIN lab cl ON cl.vec_id = s.vec_id
+    ),
+    occupied AS (SELECT DISTINCT centroid_id, label FROM lcorpus),
+    lq AS (SELECT q.q_id, q.q_emb, q.q_nrm, ql.label AS q_label
+           FROM q JOIN lab ql ON ql.vec_id = q.q_id),
+    aware_probe AS (
+      SELECT q_id, q_emb, q_nrm, q_label, centroid_id AS probe_centroid FROM (
+        SELECT v.q_id, v.q_emb, v.q_nrm, v.q_label, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.q_emb) + 1),
+                   i -> (v.q_emb[i] - c.c_emb[i]) * (v.q_emb[i] - c.c_emb[i]))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM lq v, c{_IVF_ITERS} c
+        WHERE EXISTS (SELECT 1 FROM occupied o
+                      WHERE o.centroid_id = c.centroid_id
+                        AND o.label = v.q_label)) t
+      WHERE rk <= {_IVF_NPROBE}
+    ),
+    aware_pairs AS (
+      SELECT p.q_id, p.q_label, s.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(s.emb) + 1),
+                   i -> p.q_emb[i] * s.emb[i])) / (p.q_nrm * s.nrm), 6)
+               AS cos_sim
+      FROM aware_probe p JOIN lcorpus s
+        ON p.probe_centroid = s.centroid_id AND s.label = p.q_label
+       AND p.q_id <> s.vec_id
+    ),
+    aware_top AS (
+      SELECT q_id, q_label, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM aware_pairs) t WHERE rn <= {TOP_K}
+    ),
+    post_pairs AS (
+      SELECT p.q_id, p.vec_id, p.cos_sim
+      FROM pairs p
+      JOIN lab cl ON cl.vec_id = p.vec_id
+      JOIN lab ql ON ql.vec_id = p.q_id
+      WHERE cl.label = ql.label
+    ),
+    post_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM post_pairs) t WHERE rn <= {TOP_K}
+    ),
+    xpairs AS (
+      SELECT ql.vec_id AS q_id, nn.vec_id,
+             ROUND(list_sum(list_transform(range(1, len(nn.emb) + 1),
+                   i -> qn.emb[i] * nn.emb[i]))
+                   / (qn.nrm * nn.nrm), 6) AS cos_sim
+      FROM lab ql
+      JOIN n qn ON qn.vec_id = ql.vec_id
+      JOIN lab cl ON cl.label = ql.label AND cl.vec_id <> ql.vec_id
+      JOIN n nn ON nn.vec_id = cl.vec_id
+      WHERE {Q_PRED_SQL.replace('vec_id', 'ql.vec_id')}
+    ),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM xpairs) t WHERE rn <= {TOP_K}
+    ),
+    agg AS (
+      SELECT e.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_post,
+             CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_aware
+      FROM exact_top e
+      LEFT JOIN post_top p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+      LEFT JOIN aware_top a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT g.q_id, t.q_label, g.n_exact, g.hits_post, g.hits_aware,
+           ROUND(CAST(g.hits_post AS DOUBLE) / g.n_exact, 6) AS recall_post,
+           ROUND(CAST(g.hits_aware AS DOUBLE) / g.n_exact, 6) AS recall_aware,
+           g.hits_aware >= g.hits_post AS aware_geq_post
+    FROM agg g
+    JOIN (SELECT vec_id AS q_id, CAST(label AS INTEGER) AS q_label
+          FROM embeddings) t ON t.q_id = g.q_id
+    """
+
+
+ORACLES["ann_label_probe_recall"] = _label_probe_oracle()

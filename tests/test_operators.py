@@ -5631,3 +5631,19 @@ def test_vacuum_manifests_retention(spark, tmp_path):
         "manifests_removed": 0,
         "snapshots_removed": 0,
     }
+
+
+def test_ann_label_probe_dominance(spark, sf_dir):
+    """B144: label-aware probing can only help — per query the aware
+    hit count >= the post-filter hit count (the candidate-superset
+    argument), and at least the verdict column is TRUE everywhere."""
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        ann_label_probe_recall,
+    )
+
+    rows = ann_label_probe_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["aware_geq_post"] is True
+        assert r["hits_aware"] >= r["hits_post"]
+        assert r["recall_aware"] >= r["recall_post"]

@@ -89,6 +89,7 @@ _BNLJ_EXEMPT = {
     "ann_ivf_topk",             # broadcast trained centroids
     "ann_hard_negatives",       # same IVF search leg (broadcast centroids)
     "ann_filtered_ivf_recall",  # same IVF search leg (broadcast centroids) + label post-filter
+    "ann_label_probe_recall",   # same IVF search leg + occupied-list semi-join on the probe ranking
     "ivf_list_balance",         # same quantizer leg (broadcast centroids + totals)
     "kmeans_elbow_curve",       # same quantizer leg per candidate k (broadcast centroids)
     "ivfpq_ann_topk",           # broadcast centroids + residual codebooks
