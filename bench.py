@@ -256,6 +256,7 @@ EXTRA = [
     "corpus_stratified_sample",
     "multimodal_image_downsample2x",
     "ann_label_probe_recall",
+    "multimodal_gif_frame_sample",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -2277,3 +2277,167 @@ ORACLES["multimodal_image_downsample2x"] = f"""
              AS cell_mean
     FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# B145 REAL video-style frame sampling — the operation B22's stub
+# frame-sample models, now over a genuinely MULTI-FRAME codec: the
+# payload is treated as a tiny "video" (frame j = every n_frames-th
+# byte, the stride decimation shape), encoded as a real multi-image
+# GIF87a (one image block per frame — the animation container), fully
+# decoded frame-by-frame through the real LZW path, and ONE
+# deterministic frame sampled per asset.  The multi-frame decoder
+# composes the proven single-frame decoder: each image block is
+# sliced out of the container and re-wrapped with the global
+# header/palette, so the LZW/unfilter machinery is reused verbatim,
+# not re-implemented.
+# ---------------------------------------------------------------------------
+def _gif_frames_codec():
+    """(encode_gray_gif_frames, decode_gif_all_frames): multi-image
+    GIF87a writer/reader composed over _gif_codec."""
+    encode_one, decode_one = _gif_codec()
+
+    _HDR_LEN = 13 + 3 * 256  # signature+screen descriptor+global palette
+
+    def encode_gray_gif_frames(frames: list, width: int = _GIF_W) -> bytes:
+        if not frames:
+            raise ValueError("gif frames backend: no frames")
+        singles = [encode_one(f, width) for f in frames]
+        head = singles[0][:_HDR_LEN]
+        # image section of each single-frame GIF: everything between
+        # the global palette and the trailer byte
+        sections = b"".join(s[_HDR_LEN:-1] for s in singles)
+        return head + sections + b"\x3b"
+
+    def decode_gif_all_frames(gif: bytes) -> list:
+        if gif[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        packed = gif[10]
+        pos = 13 + (3 * (2 ** ((packed & 0x07) + 1)) if packed & 0x80 else 0)
+        head = gif[:pos]
+        frames = []
+        while pos < len(gif):
+            block = gif[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:  # extension: skip label + sub-blocks
+                pos += 2
+                while gif[pos]:
+                    pos += 1 + gif[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif frames backend: unknown block 0x{block:02x}")
+            start = pos
+            ipacked = gif[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 ** ((ipacked & 0x07) + 1))
+            pos += 1  # LZW min code size
+            while gif[pos]:
+                pos += 1 + gif[pos]
+            pos += 1  # sub-block terminator
+            frames.append(decode_one(head + gif[start:pos] + b"\x3b"))
+        if not frames:
+            raise ValueError("gif frames backend: no image blocks")
+        return frames
+
+    return encode_gray_gif_frames, decode_gif_all_frames
+
+
+GIF_FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, n_frames long, sampled_frame long, frame_h long, "
+    "frame_sum long, frame_mean double, frames_total_sum long"
+)
+
+
+def make_gif_frame_sample_kernel(
+    width: int = _GIF_W,
+) -> Callable[[Iterator], Iterator]:
+    encode_frames, decode_frames = _gif_frames_codec()
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            nf = 1 + doc_id % 3
+            frames = [payload[j::nf] for j in range(nf)]
+            decoded = decode_frames(encode_frames(frames, width))
+            assert len(decoded) == nf
+            k = doc_id % nf
+            w, h, px = decoded[k]
+            s = sum(px)
+            total = sum(sum(p) for _, _, p in decoded)
+            return {
+                "doc_id": doc_id,
+                "n_frames": nf,
+                "sampled_frame": k,
+                "frame_h": h,
+                "frame_sum": s,
+                "frame_mean": s / (w * h),
+                "frames_total_sum": total,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "sampled_frame",
+                    "frame_h",
+                    "frame_sum",
+                    "frame_mean",
+                    "frames_total_sum",
+                ],
+            )
+
+    return sample_batches
+
+
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_frames, sampled_frame, frame_h, frame_sum,
+    frame_mean, frames_total_sum): deterministic frame sampling over a
+    REAL multi-image GIF built from stride-decimated payload frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_gif_frame_sample_kernel(), schema=GIF_FRAME_SAMPLE_SCHEMA
+    )
+
+
+QUERIES["multimodal_gif_frame_sample"] = multimodal_gif_frame_sample
+
+# frame j holds bytes at (1-indexed) positions p with (p-1) % nf == j;
+# the oracle recomputes the sampled frame's byte sum positionally, so
+# the hash gates the container's frame SEGMENTATION, not just totals
+ORACLES["multimodal_gif_frame_sample"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             1 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, nf, doc_id % nf AS k,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+                      p -> CASE WHEN (p - 1) % nf = doc_id % nf
+                                THEN unicode(substr(text, CAST(p AS INTEGER), 1))
+                                ELSE 0 END)), 0) AS fsum,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+                      p -> unicode(substr(text, CAST(p AS INTEGER), 1)))), 0)
+               AS tsum,
+             CASE WHEN n > doc_id % nf
+                  THEN ((n - (doc_id % nf) - 1) // nf) + 1 ELSE 0 END AS flen
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(k AS BIGINT) AS sampled_frame,
+           greatest(1, CAST(ceil(flen / {_GIF_W}.0) AS BIGINT)) AS frame_h,
+           CAST(fsum AS BIGINT) AS frame_sum,
+           CAST(fsum AS DOUBLE)
+             / ({_GIF_W} * greatest(1, CAST(ceil(flen / {_GIF_W}.0) AS BIGINT)))
+             AS frame_mean,
+           CAST(tsum AS BIGINT) AS frames_total_sum
+    FROM g
+"""

@@ -5647,3 +5647,28 @@ def test_ann_label_probe_dominance(spark, sf_dir):
         assert r["aware_geq_post"] is True
         assert r["hits_aware"] >= r["hits_post"]
         assert r["recall_aware"] >= r["recall_post"]
+
+
+def test_gif_frames_codec_multiframe():
+    """B145: the multi-image GIF container round-trips N frames of
+    DIFFERENT heights through the real LZW path, and the decoder's
+    block walk skips extension blocks between frames."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _gif_frames_codec,
+    )
+
+    encode, decode = _gif_frames_codec()
+    frames = [bytes(range(10)), bytes(range(100, 180)), b"xyz"]
+    gif = encode(frames, width=8)
+    decoded = decode(gif)
+    assert len(decoded) == 3
+    for raw, (w, h, px) in zip(frames, decoded):
+        assert w == 8 and h == max(1, -(-len(raw) // 8))
+        assert px[: len(raw)] == list(raw)
+        assert all(p == 0 for p in px[len(raw) :])
+
+    # an extension block between image blocks is skipped, not fatal
+    head_len = 13 + 3 * 256
+    ext = b"\x21\xfe\x05hello\x00"  # comment extension
+    gif2 = gif[:head_len] + ext + gif[head_len:]
+    assert len(decode(gif2)) == 3
