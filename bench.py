@@ -257,6 +257,7 @@ EXTRA = [
     "multimodal_image_downsample2x",
     "ann_label_probe_recall",
     "multimodal_gif_frame_sample",
+    "multimodal_scene_cuts",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

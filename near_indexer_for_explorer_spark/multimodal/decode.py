@@ -2441,3 +2441,139 @@ ORACLES["multimodal_gif_frame_sample"] = f"""
            CAST(tsum AS BIGINT) AS frames_total_sum
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# B146 scene-cut detection — the video-pipeline primitive frame
+# sampling feeds: adjacent-frame mean absolute pixel difference above
+# a threshold marks a cut (shot boundary), the signal video dedup and
+# highlight extraction key on.  Runs over the REAL decoded frames of
+# B145's multi-image container; all arithmetic exact integers (sum of
+# |a-b| over the padded grids, grid-length threshold compare), one
+# IEEE division for the reported mean.  Map-only, linear.
+# ---------------------------------------------------------------------------
+SCENE_CUT_SCHEMA = (
+    "doc_id long, n_frames long, n_cuts long, max_delta long, "
+    "mean_abs_delta double"
+)
+_CUT_MEAN_ABS = 8  # cut iff mean |a-b| per grid position > 8 (exact int form)
+
+
+def make_scene_cut_kernel(width: int = _GIF_W) -> Callable[[Iterator], Iterator]:
+    encode_frames, decode_frames = _gif_frames_codec()
+
+    def cut_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            nf = 1 + doc_id % 3
+            frames = [payload[j::nf] for j in range(nf)]
+            decoded = decode_frames(encode_frames(frames, width))
+            grids = [px for _, _, px in decoded]
+            deltas = []
+            pair_lens = []
+            for j in range(nf - 1):
+                a, b = grids[j], grids[j + 1]
+                m = max(len(a), len(b))
+                a = a + [0] * (m - len(a))
+                b = b + [0] * (m - len(b))
+                deltas.append(sum(abs(x - y) for x, y in zip(a, b)))
+                pair_lens.append(m)
+            n_cuts = sum(
+                1 for d, m in zip(deltas, pair_lens) if d > _CUT_MEAN_ABS * m
+            )
+            total_pairs = sum(pair_lens)
+            return {
+                "doc_id": doc_id,
+                "n_frames": nf,
+                "n_cuts": n_cuts,
+                "max_delta": max(deltas) if deltas else 0,
+                "mean_abs_delta": (
+                    sum(deltas) / total_pairs if total_pairs else 0.0
+                ),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_cuts",
+                    "max_delta",
+                    "mean_abs_delta",
+                ],
+            )
+
+    return cut_batches
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_frames, n_cuts, max_delta, mean_abs_delta):
+    shot-boundary detection over real decoded multi-frame GIFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_scene_cut_kernel(), schema=SCENE_CUT_SCHEMA
+    )
+
+
+QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
+
+
+def _scene_cut_oracle() -> str:
+    """Positional replica: with n_frames <= 3 the adjacent pairs are
+    unrolled (j = 0, 1); frame j's i-th byte sits at 1-indexed
+    position j + i*nf + 1, missing/pad positions read 0."""
+    W = _GIF_W
+
+    def byte_at(expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} <= n THEN "
+            f"unicode(substr(text, CAST({expr} AS INTEGER), 1)) ELSE 0 END"
+        )
+
+    def delta(j: int) -> str:
+        a = byte_at(f"{j} + i * nf + 1")
+        b = byte_at(f"{j + 1} + i * nf + 1")
+        return (
+            f"COALESCE(list_sum(list_transform(range(0, (n // nf) + 1), "
+            f"i -> abs(({a}) - ({b})))), 0)"
+        )
+
+    def flen(j: int) -> str:
+        return f"CASE WHEN n > {j} THEN ((n - {j} - 1) // nf) + 1 ELSE 0 END"
+
+    def grid(j: int) -> str:
+        return f"{W} * greatest(1, CAST(ceil(({flen(j)}) / {W}.0) AS BIGINT))"
+
+    pair0 = f"greatest({grid(0)}, {grid(1)})"
+    pair1 = f"greatest({grid(1)}, {grid(2)})"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             1 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, nf,
+             CASE WHEN nf >= 2 THEN {delta(0)} ELSE 0 END AS d0,
+             CASE WHEN nf >= 3 THEN {delta(1)} ELSE 0 END AS d1,
+             CASE WHEN nf >= 2 THEN {pair0} ELSE 0 END AS m0,
+             CASE WHEN nf >= 3 THEN {pair1} ELSE 0 END AS m1
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((CASE WHEN nf >= 2 AND d0 > {_CUT_MEAN_ABS} * m0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN nf >= 3 AND d1 > {_CUT_MEAN_ABS} * m1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(greatest(d0, d1) AS BIGINT) AS max_delta,
+           CASE WHEN m0 + m1 = 0 THEN 0.0
+                ELSE CAST(d0 + d1 AS DOUBLE) / (m0 + m1) END AS mean_abs_delta
+    FROM d
+"""
+
+
+ORACLES["multimodal_scene_cuts"] = _scene_cut_oracle()

@@ -5672,3 +5672,34 @@ def test_gif_frames_codec_multiframe():
     ext = b"\x21\xfe\x05hello\x00"  # comment extension
     gif2 = gif[:head_len] + ext + gif[head_len:]
     assert len(decode(gif2)) == 3
+
+
+def test_scene_cuts_pinned(spark):
+    """B146: hand-pinned cut math — identical frames yield zero cuts,
+    a flat-vs-bright frame pair crosses the mean-|diff| threshold."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        SCENE_CUT_SCHEMA,
+        make_scene_cut_kernel,
+    )
+
+    # doc 3: nf = 1 + 3%3 = 1 -> no pairs, no cuts
+    # doc 4: nf = 2 -> frames = even-bytes, odd-bytes; payload
+    # alternating 0/255 makes every compared position differ by 255
+    alternating = bytes([0, 255] * 40)
+    out = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(
+            [(3, b"whatever"), (4, alternating)],
+            "doc_id long, payload binary",
+        )
+        .mapInPandas(make_scene_cut_kernel(), schema=SCENE_CUT_SCHEMA)
+        .collect()
+    }
+    assert out[3]["n_frames"] == 1 and out[3]["n_cuts"] == 0
+    assert out[3]["max_delta"] == 0 and out[3]["mean_abs_delta"] == 0.0
+    r = out[4]
+    assert r["n_frames"] == 2
+    # frame0 = 40 zeros, frame1 = 40 times 255 -> delta = 40*255 over a
+    # 64-position pair grid (two 32-wide rows... h=2); mean 159.375 > 8
+    assert r["n_cuts"] == 1
+    assert r["max_delta"] == 40 * 255
