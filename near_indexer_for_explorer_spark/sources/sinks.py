@@ -544,20 +544,38 @@ def vacuum_manifests(out_dir: str, keep_last: int = 3) -> dict:
         glob.glob(os.path.join(out_dir, "_MANIFEST_*")),
         key=lambda p: int(p.rsplit("_", 1)[1]),
     )
+    def _num(p: str) -> int:
+        return int(p.rsplit("_", 1)[1])
+
     complete = []
+    torn = []
     for mpath in manifests:
         try:
             with open(mpath) as fh:
                 snap = json.load(fh)["snapshot"]
             if os.path.isdir(os.path.join(out_dir, snap)):
                 complete.append((mpath, snap))
+                continue
         except (OSError, ValueError, KeyError):
-            # torn manifest: no snapshot to retire, the file itself is
-            # droppable once newer complete manifests exist
-            complete.append((mpath, None))
-    if len(complete) <= keep_last:
+            pass
+        # torn / dangling manifest: the read path skips it, so it must
+        # NOT consume a retention slot (keeping one would silently
+        # shrink usable history below keep_last); droppable whenever
+        # any NEWER complete manifest exists (never the head — a
+        # publisher may be mid-link)
+        torn.append((mpath, None))
+    newest_complete = _num(complete[-1][0]) if complete else None
+    droppable_torn = [
+        t
+        for t in torn
+        if newest_complete is not None and _num(t[0]) < newest_complete
+    ]
+    drop = (
+        complete[:-keep_last] if len(complete) > keep_last else []
+    ) + droppable_torn
+    keep = complete[-keep_last:]
+    if not drop:
         return {"manifests_removed": 0, "snapshots_removed": 0}
-    drop, keep = complete[:-keep_last], complete[-keep_last:]
     kept_snaps = {s for _, s in keep if s}
     n_m = 0
     for mpath, _ in drop:

@@ -5632,6 +5632,18 @@ def test_vacuum_manifests_retention(spark, tmp_path):
         "snapshots_removed": 0,
     }
 
+    # a torn manifest never consumes a retention slot: plant one OLDER
+    # than the newest complete manifest -> vacuum drops it while the
+    # two complete ones survive intact
+    torn = os.path.join(out, "_MANIFEST_2")  # number below the head
+    with open(torn, "w") as fh:
+        fh.write("{not json")
+    stats = vacuum_manifests(out, keep_last=2)
+    assert stats == {"manifests_removed": 1, "snapshots_removed": 0}
+    assert not os.path.exists(torn)
+    assert len(glob.glob(os.path.join(out, "_MANIFEST_*"))) == 2
+    assert read_published_many(spark, out)["t"].count() == 5
+
 
 def test_ann_label_probe_dominance(spark, sf_dir):
     """B144: label-aware probing can only help — per query the aware
