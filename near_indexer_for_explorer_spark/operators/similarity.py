@@ -668,6 +668,32 @@ def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_coarse_frozen(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, lists): the coarse quantizer + inverted-list
+    assignments, built ONCE per session via the frozen-artifact memo
+    (r11): one quantizer artifact serves every consumer — ann_ivf_topk,
+    ann_hard_negatives, and the filtered-search family — exactly the
+    persisted-index shape a deployment runs (train once, probe many).
+    The build is fully deterministic (seeded Lloyd, footer-bounded
+    training sample), so memoizing it is value-invisible; every
+    consumer's oracle replicates the SAME unrolled training."""
+    from near_indexer_for_explorer_spark.operators.frozen import frozen
+
+    def build() -> tuple[DataFrame, ...]:
+        e = _vectors(spark, sf_dir)
+        train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
+        centroids = _kmeans_centroids(
+            train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
+        )
+        lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+        return centroids, lists
+
+    centroids, lists = frozen("ivf_coarse", spark, sf_dir, build)
+    return centroids, lists
+
+
 def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared IVF search leg: (q_id, vec_id, cos_sim) for every
     query x corpus-vector pair inside the query's nprobe nearest
@@ -676,9 +702,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = _vectors(spark, sf_dir)
-    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
-    centroids = _kmeans_centroids(train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS)
-    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    centroids, lists = _ivf_coarse_frozen(spark, sf_dir)
     corpus = e.join(lists, "vec_id")
 
     q = e.where(is_query_vec(F.col("vec_id"))).select(
@@ -5294,11 +5318,7 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = _labels(spark, sf_dir)
     e = _vectors(spark, sf_dir).join(labels, "vec_id")
-    train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
-    centroids = _kmeans_centroids(
-        train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
-    )
-    lists = ivf_assignments(e.select("vec_id", "emb"), centroids)
+    centroids, lists = _ivf_coarse_frozen(spark, sf_dir)
     corpus = e.join(lists, "vec_id")
     # which (centroid, label) lists are non-empty
     occupied = corpus.select("centroid_id", "label").distinct()
