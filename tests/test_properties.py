@@ -435,3 +435,42 @@ def test_components_convergence_census(spark):
     rows, converged = run([(0, 1), (1, 2), (0, 2)], 4)
     assert converged
     assert {d: lab for d, (lab, _) in rows.items()} == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_bmp_roundtrip_property(data, width):
+    """B139: any byte payload at any width round-trips losslessly
+    through the real BMP codec (stride padding + bottom-up rows)."""
+    from near_indexer_for_explorer_spark.multimodal.decode import _bmp_codec
+
+    encode, decode = _bmp_codec()
+    w, h, px = decode(encode(data, width))
+    assert w == width and h == max(1, -(-len(data) // width))
+    assert px[: len(data)] == list(data)
+    assert all(p == 0 for p in px[len(data) :])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=4),
+    width=st.integers(min_value=1, max_value=33),
+)
+def test_gif_multiframe_roundtrip_property(frames, width):
+    """B145: any list of byte frames round-trips losslessly through
+    the multi-image GIF container (per-frame LZW decode, per-frame
+    heights)."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _gif_frames_codec,
+    )
+
+    encode, decode = _gif_frames_codec()
+    decoded = decode(encode(frames, width))
+    assert len(decoded) == len(frames)
+    for raw, (w, h, px) in zip(frames, decoded):
+        assert w == width and h == max(1, -(-len(raw) // width))
+        assert px[: len(raw)] == list(raw)
+        assert all(p == 0 for p in px[len(raw) :])
