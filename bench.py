@@ -258,6 +258,7 @@ EXTRA = [
     "ann_label_probe_recall",
     "multimodal_gif_frame_sample",
     "multimodal_scene_cuts",
+    "multimodal_audio_windows",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

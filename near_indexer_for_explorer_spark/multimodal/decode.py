@@ -2577,3 +2577,126 @@ def _scene_cut_oracle() -> str:
 
 
 ORACLES["multimodal_scene_cuts"] = _scene_cut_oracle()
+
+
+# ---------------------------------------------------------------------------
+# B147 windowed audio energy segmentation — the audio-pipeline
+# primitive next to B124's whole-clip energy: fixed windows of the
+# REAL decoded PCM stream scored by energy, with an exact-integer
+# activity threshold — the speech/silence segmentation shape an audio
+# intake runs before transcription or clip dedup.  All window sums are
+# exact int64 (s = (b-128)<<8, s^2 <= 2^30; a full 256-sample window
+# tops out ~2^38); the threshold compare is integer (energy >
+# _AUDIO_ACT_RMS^2 * window_len, i.e. RMS > _AUDIO_ACT_RMS without a
+# sqrt); one IEEE division for the reported mean.  Map-only, linear.
+# ---------------------------------------------------------------------------
+AUDIO_WINDOWS_SCHEMA = (
+    "doc_id long, n_samples long, n_windows long, n_active long, "
+    "max_window_energy long, mean_window_energy double"
+)
+_AUDIO_WIN = 256  # samples per window (the last window may be short)
+_AUDIO_ACT_RMS = 4096  # activity iff window RMS > this (s16 scale)
+
+
+def make_audio_windows_kernel(
+    rate: int = _WAV_RATE,
+) -> Callable[[Iterator], Iterator]:
+    encode_pcm16, decode_samples = _wav_codec()
+
+    def window_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            _, _, _, samples = decode_samples(encode_pcm16(payload, rate))
+            n = len(samples)
+            nw = -(-n // _AUDIO_WIN) if n else 0
+            energies = []
+            n_active = 0
+            for j in range(nw):
+                win = samples[j * _AUDIO_WIN : (j + 1) * _AUDIO_WIN]
+                e = sum(s * s for s in win)
+                energies.append(e)
+                if e > _AUDIO_ACT_RMS * _AUDIO_ACT_RMS * len(win):
+                    n_active += 1
+            return {
+                "doc_id": doc_id,
+                "n_samples": n,
+                "n_windows": nw,
+                "n_active": n_active,
+                "max_window_energy": max(energies) if energies else 0,
+                "mean_window_energy": (
+                    sum(energies) / nw if nw else 0.0
+                ),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_windows",
+                    "n_active",
+                    "max_window_energy",
+                    "mean_window_energy",
+                ],
+            )
+
+    return window_batches
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_samples, n_windows, n_active, max_window_energy,
+    mean_window_energy): fixed-window energy segmentation over real
+    decoded PCM."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_audio_windows_kernel(), schema=AUDIO_WINDOWS_SCHEMA
+    )
+
+
+QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
+
+# sample i (1-indexed byte p) is ((b_p - 128) << 8); window j covers
+# bytes (j*W, (j+1)*W]; the oracle recomputes every window sum
+# positionally, so the hash gates the stream's segmentation
+ORACLES["multimodal_audio_windows"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(ceil(n / {_AUDIO_WIN}.0) AS BIGINT) END AS nw
+      FROM b
+    ),
+    w AS (
+      SELECT doc_id, n, nw,
+             list_transform(range(0, nw), j ->
+               COALESCE(list_sum(list_transform(
+                 range(CAST(j * {_AUDIO_WIN} + 1 AS BIGINT),
+                       CAST(least((j + 1) * {_AUDIO_WIN}, n) + 1 AS BIGINT)),
+                 p -> CAST((unicode(substr(text, CAST(p AS INTEGER), 1)) - 128)
+                           * 256 AS BIGINT)
+                      * CAST((unicode(substr(text, CAST(p AS INTEGER), 1)) - 128)
+                           * 256 AS BIGINT))), 0)) AS energies,
+             list_transform(range(0, nw), j ->
+               least((j + 1) * {_AUDIO_WIN}, n) - j * {_AUDIO_WIN}) AS wlens
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(nw AS BIGINT) AS n_windows,
+           CAST(COALESCE(list_sum(list_transform(range(1, CAST(nw + 1 AS BIGINT)),
+                 k -> CASE WHEN energies[CAST(k AS INTEGER)]
+                           > {_AUDIO_ACT_RMS * _AUDIO_ACT_RMS}::BIGINT
+                             * wlens[CAST(k AS INTEGER)]
+                           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(list_max(energies), 0) AS BIGINT)
+             AS max_window_energy,
+           CASE WHEN nw = 0 THEN 0.0
+                ELSE CAST(list_sum(energies) AS DOUBLE) / nw END
+             AS mean_window_energy
+    FROM w
+"""

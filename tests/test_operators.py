@@ -5715,3 +5715,33 @@ def test_scene_cuts_pinned(spark):
     # 64-position pair grid (two 32-wide rows... h=2); mean 159.375 > 8
     assert r["n_cuts"] == 1
     assert r["max_delta"] == 40 * 255
+
+
+def test_audio_windows_pinned(spark):
+    """B147: hand-pinned window segmentation — a silent payload (all
+    0x80 -> sample 0) yields zero active windows; a loud payload (all
+    0x00 -> sample -32768) crosses the RMS threshold in every window;
+    the short last window thresholds on ITS length, not the full
+    window size."""
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        _AUDIO_WIN,
+        AUDIO_WINDOWS_SCHEMA,
+        make_audio_windows_kernel,
+    )
+
+    silent = b"\x80" * (_AUDIO_WIN + 10)  # 2 windows, all-zero samples
+    loud = b"\x00" * (_AUDIO_WIN + 10)  # 2 windows, |s| = 32768
+    out = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(
+            [(1, silent), (2, loud), (3, b"")],
+            "doc_id long, payload binary",
+        )
+        .mapInPandas(make_audio_windows_kernel(), schema=AUDIO_WINDOWS_SCHEMA)
+        .collect()
+    }
+    assert out[1]["n_windows"] == 2 and out[1]["n_active"] == 0
+    assert out[1]["max_window_energy"] == 0
+    assert out[2]["n_windows"] == 2 and out[2]["n_active"] == 2
+    assert out[2]["max_window_energy"] == _AUDIO_WIN * 32768 * 32768
+    assert out[3]["n_windows"] == 0 and out[3]["mean_window_energy"] == 0.0
