@@ -259,6 +259,8 @@ EXTRA = [
     "multimodal_gif_frame_sample",
     "multimodal_scene_cuts",
     "multimodal_audio_windows",
+    "orders_basket_rules",
+    "events_power_analysis",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

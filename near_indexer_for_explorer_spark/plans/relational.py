@@ -8373,3 +8373,186 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A119 market-basket association rules — the classic retail analytics
+# the co-purchase triangle census (A82) feeds: per qualifying part
+# pair, support / confidence / lift, the rule strength a recommender
+# or shelf-planner thresholds on.  Scale shape: the pair universe is
+# the SAME df-capped per-order self-join as A82 (an order has <= 7
+# lines, so the per-order fan-out is bounded by construction); item
+# counts are one aggregate; the metrics are exact-integer ratios with
+# one round-6 IEEE division each.
+# ---------------------------------------------------------------------------
+_BASKET_MIN_PAIRS = 3
+
+
+@_register(
+    "orders_basket_rules",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_BASKET_MIN_PAIRS}
+    )
+    SELECT p.part_a, p.part_b, p.n_pairs,
+           ca.c AS n_a, cb.c AS n_b,
+           ROUND(CAST(p.n_pairs AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(p.n_pairs AS DOUBLE) / ca.c, 6) AS confidence_a_b,
+           ROUND(CAST(p.n_pairs AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+             AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, n_pairs, n_a, n_b, support, confidence_a_b,
+    lift): association rules over qualifying co-purchased part pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") >= _BASKET_MIN_PAIRS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"),
+                                   F.col("c").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"),
+                                   F.col("c").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pairs",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pairs").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_pairs").cast("double") / F.col("n_a"), 6)
+            .alias("confidence_a_b"),
+            F.round(
+                F.col("n_pairs").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A120 experiment power analysis — the design-side companion of A113's
+# SRM guardrail: given each event type's OBSERVED value variance, how
+# many samples per arm does a 5%-lift test need at alpha=0.05 /
+# power=0.8?  The question every experimenter asks BEFORE launching;
+# answered from the exact-integer cent moments (the A99 discipline:
+# value -> cents, s1/s2 exact int64 sums, ONE IEEE formula evaluation
+# per row, round-6).  z constants are fixed literals shared by both
+# engines.  Scale shape: one map-combined aggregate per event type.
+# ---------------------------------------------------------------------------
+_Z_ALPHA_2 = 1.959964  # z_{0.975}
+_Z_POWER = 0.841621  # z_{0.80}
+_MDE_REL = 0.05  # minimum detectable effect: 5% of the mean
+
+
+@_register(
+    "events_power_analysis",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+           ROUND((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 10000, 6) AS var_value,
+           CASE WHEN s1 = 0 THEN NULL
+                ELSE ROUND(
+                  2.0 * {(_Z_ALPHA_2 + _Z_POWER) ** 2!r}
+                  * (CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  / (({_MDE_REL!r} * CAST(s1 AS DOUBLE) / n)
+                     * ({_MDE_REL!r} * CAST(s1 AS DOUBLE) / n)), 4)
+           END AS n_per_arm,
+           n >= CASE WHEN s1 = 0 THEN NULL
+                ELSE 2.0 * {(_Z_ALPHA_2 + _Z_POWER) ** 2!r}
+                  * (CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  / (({_MDE_REL!r} * CAST(s1 AS DOUBLE) / n)
+                     * ({_MDE_REL!r} * CAST(s1 AS DOUBLE) / n))
+           END AS observed_n_sufficient
+    FROM m
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, mean_value, var_value, n_per_arm,
+    observed_n_sufficient): per-arm sample size for a 5%-lift test at
+    alpha=0.05 / power=0.8 from observed cent-exact moments."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s1"),
+        F.sum(cents * cents).cast("long").alias("s2"),
+    )
+    mean_c = F.col("s1").cast("double") / F.col("n")
+    var_c = F.col("s2").cast("double") / F.col("n") - mean_c * mean_c
+    n_req = (
+        F.lit(2.0)
+        * F.lit((_Z_ALPHA_2 + _Z_POWER) ** 2)
+        * var_c
+        / ((F.lit(_MDE_REL) * mean_c) * (F.lit(_MDE_REL) * mean_c))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean_c / 100, 6).alias("mean_value"),
+        F.round(var_c / 10000, 6).alias("var_value"),
+        F.when(F.col("s1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_req, 4))
+        .alias("n_per_arm"),
+        F.when(F.col("s1") == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("n") >= n_req)
+        .alias("observed_n_sufficient"),
+    )

@@ -5745,3 +5745,56 @@ def test_audio_windows_pinned(spark):
     assert out[2]["n_windows"] == 2 and out[2]["n_active"] == 2
     assert out[2]["max_window_energy"] == _AUDIO_WIN * 32768 * 32768
     assert out[3]["n_windows"] == 0 and out[3]["mean_window_energy"] == 0.0
+
+
+def test_orders_basket_rules_semantics(spark, sf_dir):
+    """A119: rule metrics are internally consistent — support =
+    pairs/orders, confidence = pairs/n_a, lift symmetric in a<->b up to
+    the confidence direction, and every pair meets min support."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _BASKET_MIN_PAIRS,
+        orders_basket_rules,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    rows = orders_basket_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_pairs"] >= _BASKET_MIN_PAIRS
+        assert r["n_pairs"] <= min(r["n_a"], r["n_b"])
+        assert abs(r["support"] - round(r["n_pairs"] / n_orders, 6)) < 1e-9
+        assert abs(r["confidence_a_b"] - round(r["n_pairs"] / r["n_a"], 6)) < 1e-9
+        want_lift = round(r["n_pairs"] * n_orders / (r["n_a"] * r["n_b"]), 6)
+        assert abs(r["lift"] - want_lift) < 1e-9
+
+
+def test_events_power_analysis_formula(spark, sf_dir):
+    """A120: the per-arm sample size reproduces the two-sample z
+    formula from the exact cent moments, and the sufficiency verdict
+    matches n against it."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _MDE_REL,
+        _Z_ALPHA_2,
+        _Z_POWER,
+        events_power_analysis,
+    )
+
+    rows = events_power_analysis(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        mean_c = r["mean_value"] * 100
+        var_c = r["var_value"] * 10000
+        want = round(
+            2 * (_Z_ALPHA_2 + _Z_POWER) ** 2 * var_c / (_MDE_REL * mean_c) ** 2,
+            4,
+        )
+        assert abs(r["n_per_arm"] - want) < 1e-6 * max(1.0, want)
+        assert r["observed_n_sufficient"] == (r["n"] >= r["n_per_arm"] or
+                                              abs(r["n"] - r["n_per_arm"]) < 1)

@@ -113,6 +113,7 @@ _BNLJ_EXEMPT = {
     "events_session_lift",      # broadcast session-count scalar
     "customer_revenue_gini",    # broadcast max-cents scalar for range buckets
     "part_copurchase_triangles",  # broadcast 1-row census scalars
+    "orders_basket_rules",      # broadcast 1-row n_orders scalar
     "dedup_chain_gap_report",   # 1-row report-component crossJoins
     "vocab_growth_heaps",       # broadcast 1-row OLS-fit scalars
     "embedding_split_drift",    # broadcast 1-row global-centroid snapshot
