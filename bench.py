@@ -261,6 +261,7 @@ EXTRA = [
     "multimodal_audio_windows",
     "orders_basket_rules",
     "events_power_analysis",
+    "events_bootstrap_ci",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -8556,3 +8556,162 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n") >= n_req)
         .alias("observed_n_sufficient"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A121 Poisson-bootstrap confidence intervals — THE distributed
+# bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+# Massive Data Streams"): classical resampling needs global
+# coordination, but giving every row an independent Poisson(1) weight
+# per resample reproduces the bootstrap in ONE scan at any scale.
+# Here the weights are DETERMINISTIC — a salted md5 of the event id
+# mapped through the exact integer inverse-CDF thresholds of
+# Poisson(1) — so both engines draw the identical "randomness" and
+# the whole estimator is value-hash-gateable.  Per-resample means are
+# IEEE divisions of exact cent/weight integer sums; the resample
+# variance rides the round8->DECIMAL order-free summation discipline.
+# Scale shape: B=8 weight columns on one scan, one map-combined
+# aggregate — no data movement beyond the existing group-by.
+# ---------------------------------------------------------------------------
+_BOOT_B = 8  # resamples
+# Poisson(1) inverse-CDF thresholds on md5_u32 mod 1e6 (exact ints):
+# P(0)=.367879 P(1)=.367879 P(2)=.183940 P(3)=.061313 P(4)=.015328
+# P(5)=.003066, remainder -> 6
+_BOOT_CUM = (367879, 735758, 919698, 981011, 996339, 999405)
+_BOOT_MOD = 1_000_000
+
+
+def _boot_weight_spark(b: int):
+    from near_indexer_for_explorer_spark.functions.hashing import md5_u32
+
+    u = md5_u32(F.col("event_id"), f"boot{b}:", _BOOT_MOD)
+    w = F.lit(6)
+    for k in range(len(_BOOT_CUM) - 1, -1, -1):
+        w = F.when(u < _BOOT_CUM[k], F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def _boot_weight_sql(b: int) -> str:
+    from near_indexer_for_explorer_spark.functions.hashing import md5_u32_sql
+
+    u = md5_u32_sql("event_id", f"boot{b}:", _BOOT_MOD)
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+    )
+    return f"CAST(CASE {cases} ELSE 6 END AS BIGINT)"
+
+
+def _boot_oracle() -> str:
+    per_b = ",\n             ".join(
+        f"CAST(SUM({_boot_weight_sql(b)} * cents) AS BIGINT) AS ws{b}, "
+        f"CAST(SUM({_boot_weight_sql(b)}) AS BIGINT) AS wn{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(
+        f"CASE WHEN wn{b} = 0 THEN NULL "
+        f"ELSE CAST(ws{b} AS DOUBLE) / wn{b} / 100 END" for b in range(_BOOT_B)
+    )
+    dec_means = ", ".join(
+        f"CAST(ROUND(CASE WHEN wn{b} = 0 THEN NULL "
+        f"ELSE CAST(ws{b} AS DOUBLE) / wn{b} / 100 END, 8) AS DECIMAL(20,8))"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH src AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             {per_b}
+      FROM src GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+             list_sum([{dec_means}]) AS dsum,
+             list_sum(list_transform([{dec_means}],
+                      x -> CAST(x AS DECIMAL(22,10)) * x)) AS dsq
+      FROM m
+    )
+    SELECT event_type, n, mean_value,
+           ROUND(sqrt(greatest(
+             (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
+             / {_BOOT_B - 1}, 0.0)), 6) AS boot_se,
+           ROUND(mean_value - 1.959964 * ROUND(sqrt(greatest(
+             (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
+             / {_BOOT_B - 1}, 0.0)), 6), 6) AS ci_lo,
+           ROUND(mean_value + 1.959964 * ROUND(sqrt(greatest(
+             (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
+             / {_BOOT_B - 1}, 0.0)), 6), 6) AS ci_hi
+    FROM stats
+"""
+
+
+@_register("events_bootstrap_ci", _boot_oracle())
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, mean_value, boot_se, ci_lo, ci_hi): Poisson-
+    bootstrap standard error and 95% CI of each event type's mean
+    value, from B=8 deterministic hash-weighted resamples."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+    ]
+    for b in range(_BOOT_B):
+        w = _boot_weight_spark(b)
+        aggs.append(F.sum(w * F.col("cents")).cast("long").alias(f"ws{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"wn{b}"))
+    m = ev.groupBy("event_type").agg(*aggs)
+    mean_b = [
+        F.when(F.col(f"wn{b}") == 0, F.lit(None).cast("double")).otherwise(
+            F.col(f"ws{b}").cast("double") / F.col(f"wn{b}") / 100
+        )
+        for b in range(_BOOT_B)
+    ]
+    dec_means = F.array(
+        *[F.round(x, 8).cast("decimal(20,8)") for x in mean_b]
+    )
+    dsum = F.aggregate(
+        dec_means,
+        F.lit(0).cast("decimal(22,10)"),
+        lambda acc, x: (acc + x.cast("decimal(22,10)")).cast("decimal(22,10)"),
+    )
+    dsq = F.aggregate(
+        dec_means,
+        F.lit(0).cast("decimal(30,16)"),
+        lambda acc, x: (
+            acc + (x.cast("decimal(22,10)") * x).cast("decimal(30,16)")
+        ).cast("decimal(30,16)"),
+    )
+    dsum_d = dsum.cast("string").cast("double")
+    dsq_d = dsq.cast("string").cast("double")
+    se = F.round(
+        F.sqrt(
+            F.greatest(
+                (dsq_d - dsum_d * dsum_d / _BOOT_B) / (_BOOT_B - 1),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    mean_v = F.round(F.col("s1").cast("double") / F.col("n") / 100, 6)
+    return m.select(
+        "event_type",
+        "n",
+        mean_v.alias("mean_value"),
+        se.alias("boot_se"),
+        F.round(mean_v - F.lit(1.959964) * se, 6).alias("ci_lo"),
+        F.round(mean_v + F.lit(1.959964) * se, 6).alias("ci_hi"),
+    )

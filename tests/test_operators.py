@@ -5798,3 +5798,27 @@ def test_events_power_analysis_formula(spark, sf_dir):
         assert abs(r["n_per_arm"] - want) < 1e-6 * max(1.0, want)
         assert r["observed_n_sufficient"] == (r["n"] >= r["n_per_arm"] or
                                               abs(r["n"] - r["n_per_arm"]) < 1)
+
+
+def test_events_bootstrap_ci_semantics(spark, sf_dir):
+    """A121: the Poisson-bootstrap CI is well-formed — SE positive on
+    real data, the CI brackets the point estimate symmetrically, and
+    the deterministic weights make the whole estimator replayable
+    (two runs byte-identical)."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_bootstrap_ci,
+    )
+
+    rows = events_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["boot_se"] > 0
+        assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+        lo_gap = r["mean_value"] - r["ci_lo"]
+        hi_gap = r["ci_hi"] - r["mean_value"]
+        assert abs(lo_gap - hi_gap) < 2e-6  # symmetric up to rounding
+        # the SE of a mean of ~n/arms samples shrinks like 1/sqrt(n):
+        # sanity-bound it by the naive sd/sqrt(n) within a loose factor
+        assert r["boot_se"] < 10 * (r["mean_value"] + 1)
+    again = events_bootstrap_ci(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
