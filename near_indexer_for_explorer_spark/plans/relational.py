@@ -8445,15 +8445,28 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .where(F.col("n_pairs") >= _BASKET_MIN_PAIRS)
     )
+    # the part-count dim is PART-CARDINALITY-sized: broadcastable at
+    # test SFs, but a 100 TB catalog has 10^8 parts — size-gate the
+    # hint from the parquet footer (the functions/dims.py discipline;
+    # above the gate the planner's shuffle equi-join on the part key
+    # is exactly as correct)
+    from near_indexer_for_explorer_spark.functions.percentiles import (
+        table_footer_rows,
+    )
+
+    fits = table_footer_rows(sf_dir, "part") <= 1_000_000
+    def _dim(d):
+        return F.broadcast(d) if fits else d
+
     return (
         pairs.join(
-            F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"),
-                                   F.col("c").alias("n_a"))),
+            _dim(cnt.select(F.col("l_partkey").alias("part_a"),
+                            F.col("c").alias("n_a"))),
             "part_a",
         )
         .join(
-            F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"),
-                                   F.col("c").alias("n_b"))),
+            _dim(cnt.select(F.col("l_partkey").alias("part_b"),
+                            F.col("c").alias("n_b"))),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
