@@ -262,6 +262,7 @@ EXTRA = [
     "orders_basket_rules",
     "events_power_analysis",
     "events_bootstrap_ci",
+    "events_mann_whitney",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -8728,3 +8728,105 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_v - F.lit(1.959964) * se, 6).alias("ci_lo"),
         F.round(mean_v + F.lit(1.959964) * se, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A122 Mann-Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC arm
+# comparison next to A113's SRM count check and A120's parametric
+# power math: value distributions in experiments are heavy-tailed, so
+# the rank test is what a careful experimenter actually reads.  Engine
+# stability: ranks are derived from EXACT integer cent-value counts
+# (per-value doubled average rank 2*cum_less + cnt + 1 keeps ties in
+# integers), the tie-corrected variance consumes exact integer sums
+# (T = sum(t^3 - t)), and the z-score is ONE IEEE expression over
+# those integers.  Scale shape: one (type, value) aggregate, one
+# cumulative window per type, one rollup — no per-row ranking shuffle
+# beyond the value-grain aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_mann_whitney",
+    """
+    WITH vals AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1_v
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, cents, cnt, n1_v,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+                    ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_less
+      FROM vals
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(n1_v) AS BIGINT) AS n1,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(n1_v * (2 * cum_less + cnt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties_t
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2,
+           CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+           ROUND(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                    * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))),
+                 6) AS z,
+           abs(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+               / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                  * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))))
+             > 1.959964 AS arms_differ
+    FROM agg
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n1, n2, u2, z, arms_differ): tie-corrected
+    Mann-Whitney rank-sum between the user-parity arms, per event
+    type (u2 = 2*U of arm 1; z against the normal approximation)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm1 = (F.col("user_id") % 2 == 0).cast("long")
+    vals = ev.groupBy(
+        "event_type", cents.alias("cents")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(arm1).cast("long").alias("n1_v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("n1_v").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("n1_v") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).cast("long").alias("r2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("ties_t"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    n2 = n - n1
+    u2_centered = (F.col("r2") - n1 * (n1 + 1) - n1 * n2).cast("double")
+    var = (
+        n1.cast("double") * n2 / 12.0
+        * ((n + 1) - F.col("ties_t").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = u2_centered / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        "event_type",
+        "n1",
+        n2.cast("long").alias("n2"),
+        (F.col("r2") - n1 * (n1 + 1)).cast("long").alias("u2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("arms_differ"),
+    )

@@ -5822,3 +5822,54 @@ def test_events_bootstrap_ci_semantics(spark, sf_dir):
         assert r["boot_se"] < 10 * (r["mean_value"] + 1)
     again = events_bootstrap_ci(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_events_mann_whitney_against_scipyless_reference(spark):
+    """A122: hand-computed rank-sum on a planted frame — known ranks,
+    known ties, known U — and the tie correction actually binds."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_mann_whitney,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    # planted: arm1 (even users) values {1,2,2}, arm2 (odd) {2,4}
+    # ranks: 1 -> 1; the three 2s share (2+3+4)/3 = 3; 4 -> 5
+    # R1 = 1 + 3 + 3 = 7 -> U1 = 7 - 3*4/2 = 1; u2 = 2
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "t", 2, 0.01),
+        (2, "t", 4, 0.02),
+        (3, "t", 6, 0.02),
+        (4, "t", 1, 0.02),
+        (5, "t", 3, 0.04),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "user_id", "value"])
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", F.current_timestamp()).withColumn(
+        "props", F.lit("{}")
+    )
+    import near_indexer_for_explorer_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: df  # noqa: ARG005
+        import near_indexer_for_explorer_spark.plans.relational as rel
+
+        orig_rel = rel.load_table
+        rel.load_table = lambda s, d, n: df
+        try:
+            out = events_mann_whitney(spark, "unused").collect()[0]
+        finally:
+            rel.load_table = orig_rel
+    finally:
+        tables.load_table = orig
+    assert (out["n1"], out["n2"]) == (3, 2)
+    assert out["u2"] == 2
+    # z = (U - n1 n2 / 2) / sqrt(var); var = 3*2/12 * (6 - T/(5*4)),
+    # T = (3^3 - 3) = 24 -> var = 0.5 * 4.8 = 2.4; z = (1-3)/sqrt(2.4)
+    import math
+
+    assert abs(out["z"] - round(-2 / math.sqrt(2.4), 6)) < 1e-9
+    assert out["arms_differ"] == (abs(out["z"]) > 1.959964)
