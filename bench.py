@@ -263,6 +263,7 @@ EXTRA = [
     "events_power_analysis",
     "events_bootstrap_ci",
     "events_mann_whitney",
+    "lineitem_discount_elasticity",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -8830,3 +8830,89 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959964).alias("arms_differ"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A123 discount elasticity — the classic pricing regression: per
+# brand, does a deeper discount actually move quantity?  OLS of
+# quantity on discount, computed entirely from EXACT integer sums
+# (discount -> basis points, quantity -> integer units; Sx, Sy, Sxy,
+# Sxx all int64), with the slope/intercept/r2 each ONE IEEE expression
+# over those integers, round-6.  Scale shape: one broadcast part-dim
+# join (brand lookup), one map-combined aggregate per brand.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_discount_elasticity",
+    """
+    WITH obs AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_discount * 10000, 0) AS BIGINT) AS x,
+             CAST(round(l.l_quantity, 0) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_per_bp,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * sx) / n, 6) AS intercept_qty,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r2,
+           CAST(n * sxy - sx * sy AS DOUBLE) > 0 AS discount_lifts_volume
+    FROM s
+    """,
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, n, slope_per_bp, intercept_qty, r2,
+    discount_lifts_volume): per-brand OLS of quantity on discount
+    basis points from exact integer sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = F.round(F.col("l_discount") * 10000).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    obs = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(F.col("p_brand"), x.alias("x"), y.alias("y"))
+    s = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    deny = (
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    slope = num / denx
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope_per_bp"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_qty"
+        ),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+        (num > 0).alias("discount_lifts_volume"),
+    )

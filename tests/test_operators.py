@@ -5873,3 +5873,39 @@ def test_events_mann_whitney_against_scipyless_reference(spark):
 
     assert abs(out["z"] - round(-2 / math.sqrt(2.4), 6)) < 1e-9
     assert out["arms_differ"] == (abs(out["z"]) > 1.959964)
+
+
+def test_discount_elasticity_ols_identity(spark, sf_dir):
+    """A123: the reported slope/intercept/r2 reproduce the OLS normal
+    equations recomputed from the raw observations in python."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        lineitem_discount_elasticity,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .selectExpr(
+            "p_brand",
+            "CAST(round(l_discount * 10000) AS LONG) AS x",
+            "CAST(round(l_quantity) AS LONG) AS y",
+        )
+        .collect()
+    )
+    by_brand: dict = {}
+    for r in obs:
+        by_brand.setdefault(r["p_brand"], []).append((r["x"], r["y"]))
+    got = {r["p_brand"]: r for r in lineitem_discount_elasticity(spark, sf_dir).collect()}
+    assert set(got) == set(by_brand)
+    for brand, pts in list(by_brand.items())[:5]:
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        assert abs(got[brand]["slope_per_bp"] - want) < 1e-9
+        assert got[brand]["discount_lifts_volume"] == (n * sxy - sx * sy > 0)
+        assert 0 <= got[brand]["r2"] <= 1
