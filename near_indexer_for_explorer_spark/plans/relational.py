@@ -8629,6 +8629,11 @@ def _boot_oracle() -> str:
         f"ELSE CAST(ws{b} AS DOUBLE) / wn{b} / 100 END, 8) AS DECIMAL(20,8))"
         for b in range(_BOOT_B)
     )
+    # A zero-weight resample (wn_b = 0, ~e^-n per group) must NULL the
+    # SE/CI on BOTH engines: DuckDB's list_sum would silently skip the
+    # NULL mean and report a finite SE over fewer than B resamples,
+    # while Spark's fold propagates NULL — guard identically instead.
+    wn_least = ", ".join(f"wn{b}" for b in range(_BOOT_B))
     return f"""
     WITH src AS (
       SELECT event_type, event_id,
@@ -8645,27 +8650,34 @@ def _boot_oracle() -> str:
     stats AS (
       SELECT event_type, n,
              ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+             least({wn_least}) AS wn_min,
              list_sum([{dec_means}]) AS dsum,
              list_sum(list_transform([{dec_means}],
                       x -> CAST(x AS DECIMAL(22,10)) * x)) AS dsq
       FROM m
     )
     SELECT event_type, n, mean_value,
-           ROUND(sqrt(greatest(
+           CASE WHEN wn_min = 0 THEN NULL
+                ELSE ROUND(sqrt(greatest(
              (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
               - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
                 * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
-             / {_BOOT_B - 1}, 0.0)), 6) AS boot_se,
-           ROUND(mean_value - 1.959964 * ROUND(sqrt(greatest(
+             / {_BOOT_B - 1}, 0.0)), 6)
+           END AS boot_se,
+           CASE WHEN wn_min = 0 THEN NULL
+                ELSE ROUND(mean_value - 1.959964 * ROUND(sqrt(greatest(
              (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
               - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
                 * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
-             / {_BOOT_B - 1}, 0.0)), 6), 6) AS ci_lo,
-           ROUND(mean_value + 1.959964 * ROUND(sqrt(greatest(
+             / {_BOOT_B - 1}, 0.0)), 6), 6)
+           END AS ci_lo,
+           CASE WHEN wn_min = 0 THEN NULL
+                ELSE ROUND(mean_value + 1.959964 * ROUND(sqrt(greatest(
              (CAST(CAST(dsq AS VARCHAR) AS DOUBLE)
               - CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
                 * CAST(CAST(dsum AS VARCHAR) AS DOUBLE) / {_BOOT_B})
-             / {_BOOT_B - 1}, 0.0)), 6), 6) AS ci_hi
+             / {_BOOT_B - 1}, 0.0)), 6), 6)
+           END AS ci_hi
     FROM stats
 """
 
@@ -8719,6 +8731,13 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # Explicit zero-weight-resample guard mirroring the oracle's
+    # wn_min CASE: Spark's greatest() SKIPS null arguments, so a NULL
+    # resample mean would otherwise collapse to boot_se=0.0 here while
+    # the raw DuckDB list_sum would report a finite SE — both wrong in
+    # different ways.  Any wn_b = 0 -> NULL SE/CI on both engines.
+    wn_min = F.least(*[F.col(f"wn{b}") for b in range(_BOOT_B)])
+    se = F.when(wn_min == 0, F.lit(None).cast("double")).otherwise(se)
     mean_v = F.round(F.col("s1").cast("double") / F.col("n") / 100, 6)
     return m.select(
         "event_type",
@@ -8772,14 +8791,20 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
-           ROUND(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
-                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
-                    * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))),
-                 6) AS z,
-           abs(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
-               / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
-                  * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))))
-             > 1.959964 AS arms_differ
+           CASE WHEN n < 2 OR n1 = 0 OR n1 = n
+                     OR ties_t = n * n * n - n THEN NULL
+                ELSE ROUND(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+                     / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                        * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))),
+                     6)
+           END AS z,
+           CASE WHEN n < 2 OR n1 = 0 OR n1 = n
+                     OR ties_t = n * n * n - n THEN NULL
+                ELSE abs(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+                     / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                        * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))))
+                   > 1.959964
+           END AS arms_differ
     FROM agg
     """,
 )
@@ -8822,13 +8847,28 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((n + 1) - F.col("ties_t").cast("double") / (n * (n - F.lit(1.0))))
     )
     z = u2_centered / (F.lit(2.0) * F.sqrt(var))
+    # Degenerate-group guard (mirrors the oracle CASE exactly): n<2
+    # makes the ties term 0/0, a single-arm group (n1=0 or n1=n) or a
+    # fully-tied group (ties_t = n^3-n) makes var=0 — Spark NULL vs
+    # DuckDB NaN/Inf would diverge on the arms_differ comparison, the
+    # same cross-engine x/0 class as the r10 dedup_growth_curve fix.
+    degenerate = (
+        (n < 2)
+        | (n1 == 0)
+        | (n1 == n)
+        | (F.col("ties_t") == n * n * n - n)
+    )
     return agg.select(
         "event_type",
         "n1",
         n2.cast("long").alias("n2"),
         (F.col("r2") - n1 * (n1 + 1)).cast("long").alias("u2"),
-        F.round(z, 6).alias("z"),
-        (F.abs(z) > 1.959964).alias("arms_differ"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 1.959964)
+        .alias("arms_differ"),
     )
 
 
@@ -8861,17 +8901,23 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs GROUP BY p_brand
     )
     SELECT p_brand, n,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-             AS slope_per_bp,
-           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
-                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                       * sx) / n, 6) AS intercept_qty,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-                 6) AS r2,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           END AS slope_per_bp,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sx) / n, 6)
+           END AS intercept_qty,
+           CASE WHEN n * sxx - sx * sx = 0
+                     OR n * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                     6)
+           END AS r2,
            CAST(n * sxy - sx * sy AS DOUBLE) > 0 AS discount_lifts_volume
     FROM s
     """,
@@ -8906,13 +8952,24 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sy").cast("double") * F.col("sy")
     )
     slope = num / denx
+    # Degenerate-regression guard (mirrors the oracle CASE exactly,
+    # in exact integer arithmetic): one observation or a constant
+    # discount makes denx=0 (slope/intercept/r2 undefined), constant
+    # quantity makes deny=0 (r2 undefined) — Spark NULL vs DuckDB
+    # NaN/Inf on x/0 would hash-diverge on a tiny corpus.
+    denx_zero = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0
+    deny_zero = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0
     return s.select(
         "p_brand",
         "n",
-        F.round(slope, 6).alias("slope_per_bp"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept_qty"
-        ),
-        F.round(num * num / (denx * deny), 6).alias("r2"),
+        F.when(denx_zero, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope_per_bp"),
+        F.when(denx_zero, F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6))
+        .alias("intercept_qty"),
+        F.when(denx_zero | deny_zero, F.lit(None).cast("double"))
+        .otherwise(F.round(num * num / (denx * deny), 6))
+        .alias("r2"),
         (num > 0).alias("discount_lifts_volume"),
     )

@@ -21,6 +21,7 @@ partitioned/bucketed parquet:
 
 from __future__ import annotations
 
+import errno
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -321,7 +322,16 @@ def publish_atomic(
         try:
             os.rename(staging, final)  # atomic on one filesystem
             break
-        except OSError:
+        except OSError as exc:
+            # Retry ONLY version-number collisions (a concurrent peer
+            # claimed our v=<n> first).  Any other OSError (EACCES,
+            # EXDEV, read-only fs, ...) is persistent: retrying is
+            # futile and the rmtree below would destroy a fully
+            # staged, audited snapshot — surface it instead and leave
+            # the staging dir in place for recovery (it stays
+            # invisible to readers and is age-swept eventually).
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR):
+                raise
             continue
     else:
         shutil.rmtree(staging, ignore_errors=True)

@@ -5030,6 +5030,60 @@ def test_publish_atomic_wap_protocol(spark, tmp_path):
     assert v2.endswith("v=2")
 
 
+def test_publish_atomic_persistent_rename_error_preserves_staging(
+    spark, tmp_path, monkeypatch
+):
+    """publish_atomic retries ONLY collision errnos: a persistent
+    non-collision rename failure (EACCES, read-only fs, ...) must
+    surface the original OSError immediately and leave the fully
+    staged, audited snapshot on disk for recovery — not spin 16
+    futile retries and rmtree the data."""
+    import errno
+    import glob
+    import os
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.sources import sinks
+
+    out = str(tmp_path / "wap_eacces")
+    attempts = []
+    real_rename = os.rename
+
+    def deny(src, dst):
+        attempts.append(dst)
+        raise OSError(errno.EACCES, "permission denied", dst)
+
+    monkeypatch.setattr(sinks.os, "rename", deny)
+    with pytest.raises(OSError) as exc_info:
+        sinks.publish_atomic(
+            spark.range(5).withColumnRenamed("id", "x"), out
+        )
+    assert exc_info.value.errno == errno.EACCES
+    assert len(attempts) == 1  # no futile retry loop
+    staged = glob.glob(os.path.join(out, "_staging_*"))
+    assert len(staged) == 1  # snapshot preserved for recovery
+    assert spark.read.parquet(staged[0]).count() == 5
+
+    # collision errnos still retry: first rename loses the race, the
+    # re-scan picks the next free number and succeeds
+    lost = {"n": 0}
+
+    def collide_once(src, dst):
+        if lost["n"] == 0:
+            lost["n"] += 1
+            raise OSError(errno.ENOTEMPTY, "directory not empty", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", collide_once)
+    out2 = str(tmp_path / "wap_race")
+    v0 = sinks.publish_atomic(
+        spark.range(7).withColumnRenamed("id", "x"), out2
+    )
+    assert lost["n"] == 1 and os.path.isdir(v0)
+    assert sinks.read_published(spark, out2).count() == 7
+
+
 def test_media_router_sniffs_all_branches(spark):
     """B136: the router sniffs magic bytes and decodes each branch
     with the REAL codec — hand-built payloads of all four kinds in one

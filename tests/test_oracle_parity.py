@@ -67,6 +67,152 @@ def test_oracle_parity(spark, duck, sf_dir, name, fn, sql):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def _write_parquet(path, table):
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, str(path))
+
+
+def _duck_on(tmp_path, names):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name in names:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{tmp_path}/{name}.parquet'"
+        )
+    return con
+
+
+def _assert_parity(name, spark, duck, tmp_path, fn, sql):
+    s_cols, s_rows = _spark_result(spark, str(tmp_path), fn)
+    d_cols, d_rows = _duck_result(duck, sql)
+    assert sorted(s_cols) == sorted(d_cols), name
+    assert len(s_rows) == len(d_rows), name
+    s_sorted = _rows_to_sorted(s_rows, s_cols)
+    d_sorted = _rows_to_sorted(d_rows, d_cols)
+    assert s_sorted == d_sorted, (
+        f"{name}: spark={s_sorted} duck={d_sorted}"
+    )
+    return [dict(zip(sorted(s_cols), row)) for row in s_sorted]
+
+
+def test_degenerate_group_guards_cross_engine(spark, tmp_path):
+    """r12 ADVICE: the x/0 guards in events_mann_whitney,
+    events_bootstrap_ci and lineitem_discount_elasticity must fire
+    IDENTICALLY on both engines for planted degenerate groups — n=1,
+    single-arm, fully-tied, zero-weight-resample, constant-regressor —
+    where the unguarded expressions diverge (Spark NULL vs DuckDB
+    NaN/Inf, or finite-over-fewer-resamples)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        ORACLES,
+        events_bootstrap_ci,
+        events_mann_whitney,
+        lineitem_discount_elasticity,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    # event_id 1 has a zero Poisson(1) hash-weight in several of the 8
+    # resamples; event_id 8 has none (verified against _BOOT_CUM).
+    ev_rows = [
+        # (event_id, user_id, event_type, value)
+        (8, 2, "solo", 5.0),          # n=1: MW degenerate, boot defined
+        (1, 3, "zerow", 7.0),         # n=1 AND a zero-weight resample
+        *[(10 + i, 2 * i + 1, "onearm", float(i)) for i in range(4)],
+        *[(20 + i, i, "allsame", 3.25) for i in range(4)],
+        *[(30 + i, i, "ok", float(i * i % 5)) for i in range(6)],
+    ]
+    _write_parquet(
+        tmp_path / "events.parquet",
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev_rows], pa.int64()),
+                "ts": pa.array([ts] * len(ev_rows), pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in ev_rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in ev_rows]),
+                "value": pa.array([r[3] for r in ev_rows], pa.float64()),
+                "props": pa.array(["{}"] * len(ev_rows)),
+            }
+        ),
+    )
+    li_rows = [
+        # (l_partkey, l_quantity, l_discount)
+        (1, 10.0, 0.05),                      # SOLO: one obs -> denx=0
+        *[(2, float(q), 0.05) for q in (5, 9, 14)],   # CONSTD: denx=0
+        *[(3, 8.0, d) for d in (0.01, 0.04, 0.09)],   # CONSTQ: deny=0
+        *[(4, float(3 + 2 * i), 0.01 * (i + 1)) for i in range(4)],  # OK
+    ]
+    _write_parquet(
+        tmp_path / "lineitem.parquet",
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(len(li_rows)), pa.int64()),
+                "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+                "l_quantity": pa.array([r[1] for r in li_rows], pa.float64()),
+                "l_discount": pa.array([r[2] for r in li_rows], pa.float64()),
+            }
+        ),
+    )
+    _write_parquet(
+        tmp_path / "part.parquet",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "p_brand": pa.array(
+                    ["B#SOLO", "B#CONSTD", "B#CONSTQ", "B#OK"]
+                ),
+            }
+        ),
+    )
+
+    duck = _duck_on(tmp_path, ["events", "lineitem", "part"])
+    try:
+        mw = {
+            r["event_type"]: r
+            for r in _assert_parity(
+                "events_mann_whitney", spark, duck, tmp_path,
+                events_mann_whitney, ORACLES["events_mann_whitney"],
+            )
+        }
+        for t in ("solo", "zerow", "onearm", "allsame"):
+            assert mw[t]["z"] is None and mw[t]["arms_differ"] is None, t
+        assert mw["ok"]["z"] is not None
+
+        boot = {
+            r["event_type"]: r
+            for r in _assert_parity(
+                "events_bootstrap_ci", spark, duck, tmp_path,
+                events_bootstrap_ci, ORACLES["events_bootstrap_ci"],
+            )
+        }
+        assert boot["zerow"]["boot_se"] is None
+        assert boot["zerow"]["ci_lo"] is None
+        assert boot["solo"]["boot_se"] == 0.0  # all resamples agree
+
+        ela = {
+            r["p_brand"]: r
+            for r in _assert_parity(
+                "lineitem_discount_elasticity", spark, duck, tmp_path,
+                lineitem_discount_elasticity,
+                ORACLES["lineitem_discount_elasticity"],
+            )
+        }
+        for b in ("B#SOLO", "B#CONSTD"):
+            assert ela[b]["slope_per_bp"] is None, b
+            assert ela[b]["intercept_qty"] is None, b
+            assert ela[b]["r2"] is None, b
+        assert ela["B#CONSTQ"]["slope_per_bp"] == 0.0
+        assert ela["B#CONSTQ"]["r2"] is None  # deny=0
+        assert ela["B#OK"]["r2"] is not None
+    finally:
+        duck.close()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
