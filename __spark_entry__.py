@@ -45,79 +45,87 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-11 rotation policy: zero driver debt remains (every oracle
-# query has a green row within r1-r10), so the window's information
-# value is (a) first exposure for the five r11 additions, (b) fresh
-# hard signals on the two oracles whose TEXT r11 changed, and (c)
-# re-gating the STALEST greens — the r4-green block and the r5-green
-# block (minus the five the r10 judge independently re-verified under
-# the hostile harness: events ... see VERDICT r10).  43 re-gate slots
-# + 7 new/changed = the 50-slot window.
+# Round-12 rotation policy (r11 verdict task #1): the 14 late-r11
+# queries that landed after the r11 window was dress-rehearsed are the
+# only oracle queries with NO driver row ever — they lead.  Three of
+# them (events_bootstrap_ci, events_mann_whitney,
+# lineitem_discount_elasticity) additionally changed oracle TEXT in
+# r12 (degenerate-group zero guards), so their rows double as fresh
+# hard signals on the new text.  Any query ADDED in r12 slots in right
+# after them (first exposure beats re-gating).  The remaining slots
+# re-gate the stalest greens: the r5-green block minus user_state_scd2
+# (judge hostile-verified r11), then the r6-green block minus
+# events_sliding_1h_value (likewise judge-verified r11), in ledger
+# order.  The priority list intentionally exceeds 50 names — the
+# driver cuts at 50, and the overflow just sits mid-dict.
 _GATE_PRIORITY: list[str] = [
-    # --- new in r11: first driver exposure ---
-    "topk_stream_replay",
-    "weighted_sample_stream_replay",
-    "orphan_redrive_stream_replay",
-    "args_base64_extract",
-    "multimodal_media_router_serve",
-    "multimodal_bmp_roundtrip",
-    # (the late-r11 wave-2 additions — ann_filtered_topk,
-    # ann_filtered_ivf_recall, corpus_stratified_sample,
-    # multimodal_image_downsample2x, stratified_sample_stream_replay,
-    # ann_label_probe_recall —
-    # landed after this window was
-    # dress-rehearsed; each is parity-green and hostile-swept
-    # individually, and they lead the r12 window per the rotation
-    # policy, the late-r9/r10 precedent)
-    # --- oracle SQL changed in r11: fresh hard signal on the new text
-    # (growth-curve zero guard; corrected ANOVA F constant) ---
-    "dedup_growth_curve",
-    "orders_weekday_anova",
-    # --- r11 re-gate slate: the STALEST driver greens (r10 verdict
-    # #7) — the r4-green block first, then the r5-green block minus
-    # the five the judge independently re-verified in r10 ---
-    "ft_affected_accounts",
-    "nft_token_owners",
-    "circulating_supply_daily",
-    "decontaminate_overlap",
-    "doc_repetition",
-    "corpus_split_sample",
-    "corpus_ngram_stats",
-    "events_interval_join",
-    "events_value_equidepth",
-    "orders_retention_cohorts",
-    "events_markov_transitions",
-    "events_debounce_1h",
-    "events_activity_streaks",
-    "nation_trade_pagerank",
-    "events_time_weighted_value",
-    "events_value_anomalies",
-    "events_ohlc_hourly",
-    "customer_revenue_gini",
-    "events_session_lift",
-    "lineitem_correlations",
-    "lineitem_orderkey_gaps",
-    "customer_rfm_scores",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "text_quality",
-    "text_lang_id",
-    "embedding_dedup_cosine",
-    "multimodal_frame_sample",
-    "corpus_shard_pack",
-    "multimodal_feature_stats",
-    "dedup_common_spans",
-    "dedup_span_runs",
-    "dedup_edit_verify",
-    "ann_recall_matrix",
-    "corpus_temperature_weights",
-    "corpus_keep_list",
-    "rp_project_embeddings",
-    "embedding_split_drift",
-    "vocab_zipf_fit",
-    "bpe_encode_corpus",
+    # --- never driver-gated (late-r11 additions): first exposure ---
+    "orders_basket_rules",
+    "events_power_analysis",
+    "events_bootstrap_ci",
+    "events_mann_whitney",
+    "lineitem_discount_elasticity",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_recall",
+    "ann_label_probe_recall",
+    "multimodal_image_downsample2x",
+    "multimodal_gif_frame_sample",
+    "multimodal_scene_cuts",
+    "multimodal_audio_windows",
+    "corpus_stratified_sample",
+    "stratified_sample_stream_replay",
+    # --- new in r12: first driver exposure ---
+    "supply_catchup_days",
+    "supply_catchup_replay",
+    "actions_typed_args",
+    # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
+    "orders_zorder_layout",
+    "dedup_minhash_lsh",
+    "bpe_train_merges",
+    "source_overlap_matrix",
+    "orders_daily_rollup",
+    "top_customers_per_nation",
+    "order_index_in_day",
+    "events_json_extract",
+    "events_last_state_per_user",
+    "events_daily_stats",
+    "events_type_pivot",
+    "dedup_exact_orders",
+    "order_lines_enriched",
+    "customer_order_balance",
+    "events_cumulative_value",
+    "order_priority_distribution",
+    "customer_order_gaps",
+    "asof_purchase_attribution",
+    "user_lifecycle",
+    "q13_order_count_distribution",
+    "q22_idle_customers",
+    "events_funnel",
+    "q4_late_shipment_orders",
+    "orders_status_rollup",
+    "events_typed_extract",
+    "receipt_descendants",
+    "events_value_percentiles",
+    "ts_user_similarity_topk",
+    "orders_cube",
+    "events_value_robust_anomalies",
+    "text_token_count",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "text_scrub",
+    "semdedup_embeddings",
+    "quality_filter_c4",
+    "vocab_coverage",
+    "token_bigram_pmi",
+    "embedding_quantize_int8",
+    "embedding_lang_centroids",
+    "unigram_xent",
+    "corpus_weighted_sample",
+    "corpus_chunk_windows",
+    "dedup_containment",
+    "dedup_edit_banded",
+    "scd2_stream_replay",
+    "cohort_stream_replay",
 ]
 
 # r10 window head (registered after the r9 window filled): the
