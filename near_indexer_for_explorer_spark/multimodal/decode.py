@@ -1652,14 +1652,29 @@ def make_gif_roundtrip_kernel(width: int = _GIF_W) -> Callable[[Iterator], Itera
     """Encode each payload as a REAL GIF and decode it back through
     the full LZW path; losslessness makes px_sum the exact byte sum
     of the payload (plus zero pad), which the DuckDB oracle replicates
-    from the text column."""
+    from the text column.
+
+    Consults ``NATIVE_DECODERS['gif']`` FIRST (snapshotted at kernel
+    build so the closure ships a stable reference to executors) — the
+    same swap seam the router uses; a registered native codec reports
+    ``decode_backend='native:gif'`` so the A/B is observable per row.
+    The registry is empty by default, so gated runs always take (and
+    hash-match) the stdlib path."""
     encode_gray_gif, decode_gif_pixels = _gif_codec()
+    native = NATIVE_DECODERS.get("gif")
 
     def roundtrip_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         def row(doc_id: int, payload: bytes) -> dict:
-            w, h, px = decode_gif_pixels(encode_gray_gif(payload, width))
+            gif = encode_gray_gif(payload, width)
+            if native is not None:
+                px = list(native(gif))
+                w, h = width, len(px) // width
+                backend = "native:gif"
+            else:
+                w, h, px = decode_gif_pixels(gif)
+                backend = "gif"
             s = sum(px)
             return {
                 "doc_id": doc_id,
@@ -1668,7 +1683,7 @@ def make_gif_roundtrip_kernel(width: int = _GIF_W) -> Callable[[Iterator], Itera
                 "n_px": w * h,
                 "px_sum": s,
                 "px_mean": s / (w * h),
-                "decode_backend": "gif",
+                "decode_backend": backend,
             }
 
         for pdf in batches:
@@ -1801,8 +1816,147 @@ def _claimed_units(payload: bytes, kind: str) -> int:
 # BMP leg (B139) quantifies the stakes: same Arrow plumbing, no
 # entropy stage — its per-byte cost is the floor a native codec
 # approaches.
+#
+# Keys and contracts (consulted by EVERY GIF decode path, r11 verdict
+# item #2 — the router AND the single/multi-frame kernels):
+#   "png"/"gif"/"wav"/"bmp": payload -> flat list of units (pixels /
+#       samples), identical to the stdlib prover's unit stream;
+#   "gif_frames": whole multi-image container -> [(w, h, pixels), ...]
+#       per image block, identical to the stdlib walk.  Absent
+#       "gif_frames", the walk still routes each re-wrapped
+#       single-frame slice through "gif".
+# Registrations are snapshotted at kernel BUILD time (driver side);
+# register before constructing the kernel/query.
 # ---------------------------------------------------------------------------
 NATIVE_DECODERS: dict[str, Callable[[bytes], list]] = {}
+
+
+def numpy_gif_decoders() -> tuple[Callable[[bytes], list], Callable[[bytes], list]]:
+    """(gif_units, gif_frames) decoder pair suitable for
+    ``NATIVE_DECODERS`` — the in-container stand-in for a Pillow/
+    libgif registration, used by ``tools/ab_gif_native.py`` to record
+    the native-vs-stdlib A/B row.
+
+    The hot path vectorizes the LZW stage with numpy: this engine's
+    own encoder emits clear-after-every-literal streams, so the code
+    table never grows and every code is exactly MIN_CODE+1 = 9 bits —
+    a shape numpy can unpack in one reshape-dot instead of a per-byte
+    Python loop.  The fast path VERIFIES that shape exactly (first
+    code CLEAR, literals/CLEAR alternating, EOI last, pixel count
+    matches) and falls back to the general stdlib LZW for any stream
+    that is not in it, so the decoders are correct on every
+    conformant non-interlaced 8-bit GIF, not just self-encoded ones.
+    """
+    import struct
+
+    import numpy as np
+
+    _, decode_general = _gif_codec()
+    CLEAR, EOI, WIDTH = 256, 257, 9
+
+    def _fast_lzw(lzw: bytes, n_px: int):
+        """9-bit fixed-width unpack; None if not clear-interleaved."""
+        n_codes = 2 * n_px + 1
+        if len(lzw) * 8 < n_codes * WIDTH:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(lzw, dtype=np.uint8), bitorder="little"
+        )[: n_codes * WIDTH]
+        codes = bits.reshape(-1, WIDTH) @ (1 << np.arange(WIDTH))
+        if codes[0] != CLEAR or codes[-1] != EOI:
+            return None
+        lits = codes[1::2]
+        if lits.size != n_px or (lits >= 256).any():
+            return None
+        if (codes[2:-1:2] != CLEAR).any():
+            return None
+        return lits
+
+    def _parse_one(gif: bytes):
+        """(palette_red, min_code, lzw, w, h) of the first image block."""
+        if gif[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        packed = gif[10]
+        pos = 13
+        pal = b""
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            pal = gif[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(gif):
+            block = gif[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                pos += 1
+                while gif[pos]:
+                    pos += 1 + gif[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif backend: unknown block 0x{block:02x}")
+            _, _, w, h, ipacked = struct.unpack("<HHHHB", gif[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = gif[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = gif[pos]
+            pos += 1
+            lzw = bytearray()
+            while gif[pos]:
+                ln = gif[pos]
+                lzw += gif[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            return pal, min_code, bytes(lzw), w, h
+        raise ValueError("gif backend: no image block")
+
+    def gif_units(gif: bytes) -> list:
+        pal, min_code, lzw, w, h = _parse_one(gif)
+        lits = _fast_lzw(lzw, w * h) if min_code == 8 else None
+        if lits is None:  # general stream: stdlib fallback
+            return decode_general(gif)[2]
+        pal_r = np.frombuffer(pal, dtype=np.uint8)[0::3]
+        return pal_r[lits].tolist()
+
+    def gif_frames(gif: bytes) -> list:
+        if gif[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        packed = gif[10]
+        pos = 13 + (3 * (2 ** ((packed & 0x07) + 1)) if packed & 0x80 else 0)
+        head = gif[:pos]
+        out = []
+        while pos < len(gif):
+            block = gif[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                pos += 2
+                while gif[pos]:
+                    pos += 1 + gif[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif frames backend: unknown block 0x{block:02x}")
+            start = pos
+            w, h = struct.unpack("<HH", gif[start + 5 : start + 9])
+            ipacked = gif[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 ** ((ipacked & 0x07) + 1))
+            pos += 1
+            while gif[pos]:
+                pos += 1 + gif[pos]
+            pos += 1
+            out.append(
+                (w, h, gif_units(head + gif[start:pos] + b"\x3b"))
+            )
+        if not out:
+            raise ValueError("gif frames backend: no image blocks")
+        return out
+
+    return gif_units, gif_frames
 
 
 def make_media_router_kernel(
@@ -2294,8 +2448,18 @@ ORACLES["multimodal_image_downsample2x"] = f"""
 # ---------------------------------------------------------------------------
 def _gif_frames_codec():
     """(encode_gray_gif_frames, decode_gif_all_frames): multi-image
-    GIF87a writer/reader composed over _gif_codec."""
+    GIF87a writer/reader composed over _gif_codec.
+
+    Every decode consults the ``NATIVE_DECODERS`` seam (snapshotted
+    here, at kernel-build time on the driver, so closures ship stable
+    references): a ``gif_frames`` entry takes the WHOLE container
+    (payload -> [(w, h, pixels), ...]), else a ``gif`` entry decodes
+    each re-wrapped single-frame slice, else the stdlib LZW prover
+    runs — so registering a native codec accelerates the multi-frame
+    legs (B145/B146), not just the router (r11 verdict item #2)."""
     encode_one, decode_one = _gif_codec()
+    native_frames = NATIVE_DECODERS.get("gif_frames")
+    native_one = NATIVE_DECODERS.get("gif")
 
     _HDR_LEN = 13 + 3 * 256  # signature+screen descriptor+global palette
 
@@ -2310,6 +2474,8 @@ def _gif_frames_codec():
         return head + sections + b"\x3b"
 
     def decode_gif_all_frames(gif: bytes) -> list:
+        if native_frames is not None:  # whole-container native decode
+            return native_frames(gif)
         if gif[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF payload")
         packed = gif[10]
@@ -2337,7 +2503,14 @@ def _gif_frames_codec():
             while gif[pos]:
                 pos += 1 + gif[pos]
             pos += 1  # sub-block terminator
-            frames.append(decode_one(head + gif[start:pos] + b"\x3b"))
+            single = head + gif[start:pos] + b"\x3b"
+            if native_one is not None:  # per-frame native decode
+                import struct as _struct
+
+                w, h = _struct.unpack("<HH", gif[start + 5 : start + 9])
+                frames.append((w, h, list(native_one(single))))
+            else:
+                frames.append(decode_one(single))
         if not frames:
             raise ValueError("gif frames backend: no image blocks")
         return frames

@@ -5548,6 +5548,132 @@ def test_media_router_bmp_branch_and_native_swap(spark):
         del D.NATIVE_DECODERS["bmp"]
 
 
+def test_gif_seam_reaches_every_decode_path():
+    """r11 verdict item #2: the NATIVE_DECODERS seam must be consulted
+    by ALL GIF decode paths — the single-frame roundtrip kernel, the
+    multi-frame container walk (whole-container 'gif_frames' entry),
+    and the per-frame 'gif' fallback inside the walk — with an
+    identical-output contract (a delegating native decoder changes
+    nothing but the consultation count)."""
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
+    encode_one, decode_one = D._gif_codec()
+    assert D.NATIVE_DECODERS == {}
+
+    # Reference outputs through the pure-stdlib path
+    _, stdlib_frames = D._gif_frames_codec()
+    payload = bytes(range(64)) * 3
+    frames_in = [payload[j::3] for j in range(3)]
+    enc_frames, _ = D._gif_frames_codec()
+    container = enc_frames(frames_in, 32)
+    ref_frames = stdlib_frames(container)
+    single = encode_one(payload, 32)
+    ref_single = decode_one(single)
+
+    calls = {"gif": 0}
+
+    def native_gif(p):
+        calls["gif"] += 1
+        return decode_one(p)[2]
+
+    # (a) per-frame 'gif' consultation: only 'gif' registered — the
+    # walk must call it once per image block and match stdlib exactly
+    D.NATIVE_DECODERS["gif"] = native_gif
+    try:
+        _, walk = D._gif_frames_codec()
+        got = walk(container)
+        assert calls["gif"] == 3  # one consultation per frame
+        assert [(w, h, list(px)) for w, h, px in got] == ref_frames
+
+        # single-frame roundtrip kernel consults the same entry
+        import pandas as pd
+
+        kern = D.make_gif_roundtrip_kernel(32)
+        out = list(kern(iter([pd.DataFrame(
+            {"doc_id": [1], "payload": [payload]}
+        )])))[0].iloc[0]
+        assert out["decode_backend"] == "native:gif"
+        assert out["px_sum"] == sum(ref_single[2])
+        assert out["n_px"] == ref_single[0] * ref_single[1]
+    finally:
+        del D.NATIVE_DECODERS["gif"]
+
+    # (b) whole-container 'gif_frames' consultation outranks 'gif'
+    whole = {"n": 0}
+
+    def native_whole(p):
+        whole["n"] += 1
+        return ref_frames
+
+    D.NATIVE_DECODERS["gif_frames"] = native_whole
+    D.NATIVE_DECODERS["gif"] = native_gif
+    try:
+        calls["gif"] = 0
+        _, walk = D._gif_frames_codec()
+        assert walk(container) == ref_frames
+        assert whole["n"] == 1 and calls["gif"] == 0
+    finally:
+        del D.NATIVE_DECODERS["gif_frames"]
+        del D.NATIVE_DECODERS["gif"]
+    assert D.NATIVE_DECODERS == {}
+
+
+def test_numpy_gif_decoders_match_stdlib():
+    """numpy_gif_decoders (the in-container 'native' registration the
+    A/B tool uses) must be byte-identical to the stdlib prover on
+    self-encoded streams AND fall back to the general LZW decoder on
+    streams outside the fixed-9-bit clear-interleaved shape."""
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
+    encode_one, decode_one = D._gif_codec()
+    enc_frames, dec_frames = D._gif_frames_codec()
+    fast_units, fast_frames = D.numpy_gif_decoders()
+
+    for payload in (b"", b"x", bytes(range(256)), b"hello gif" * 41):
+        gif = encode_one(payload, 32)
+        assert fast_units(gif) == decode_one(gif)[2], len(payload)
+
+    container = enc_frames([b"abcdef", b"ghijkl", b"mnopqr"], 32)
+    assert [
+        (w, h, list(px)) for w, h, px in fast_frames(container)
+    ] == dec_frames(container)
+
+    # General (table-growing) LZW stream: codes CLEAR,a,b,EOI with no
+    # interleaved clears — the fast path must REJECT the shape and
+    # fall back, not misdecode.
+    import struct
+
+    def pack9(codes):
+        acc = n = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << n
+            n += 9
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    lzw = pack9([256, 65, 66, 257])  # CLEAR 'A' 'B' EOI
+    palette = b"".join(bytes([i, i, i]) for i in range(256))
+    gif2 = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 2, 1, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes([8])
+        + bytes([len(lzw)])
+        + lzw
+        + b"\x00\x3b"
+    )
+    assert decode_one(gif2)[2] == [65, 66]  # stdlib handles it
+    assert fast_units(gif2) == [65, 66]     # fast path fell back
+
+
 def test_ann_filtered_topk_semantics(spark, sf_dir):
     """B140/B141: filtered search returns ONLY same-label neighbors,
     the filter genuinely binds (the filtered top-k differs from the
