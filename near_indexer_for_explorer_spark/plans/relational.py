@@ -1137,6 +1137,13 @@ def lockup_locked_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against circulating; all other orders are lockup contracts under the
 # A32 locked(t) formula.
 # ---------------------------------------------------------------------------
+def _supply_snapshots(orders: DataFrame) -> DataFrame:
+    """The full snapshot dim of the supply series: one row per month."""
+    return orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("snap_date")
+    ).distinct()
+
+
 @_register(
     "circulating_supply_daily",
     """
@@ -1190,9 +1197,17 @@ def circulating_supply_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain per account per day" loop becomes this one broadcast-join
     aggregate."""
     orders = load_table(spark, sf_dir, "orders")
-    snapshots = orders.select(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("snap_date")
-    ).distinct()
+    return _supply_kernel(orders, _supply_snapshots(orders))
+
+
+def _supply_kernel(orders: DataFrame, snapshots: DataFrame) -> DataFrame:
+    """A37's aggregate for an ARBITRARY snapshot dim — the whole
+    series when given `_supply_snapshots`, or exactly the missing days
+    when the catch-up leg (`supply_catchup`) passes the published-
+    aggregate anti-join.  Day-independence is what makes the
+    reference's per-day restart protocol (circulating-supply/src/
+    main.rs:59-104, one check-and-collect per missing day) expressible
+    as one broadcast-dim pass here."""
     lock_d = dec_money("o_totalprice").cast("double")
     d = F.datediff(F.col("snap_date"), F.to_date("o_orderdate")).cast("double")
     base = (
@@ -1247,6 +1262,75 @@ def circulating_supply_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rsum(foundation_d, "foundation_amount"),
         _rsum(F.col("lock_d") - F.col("locked_d") - foundation_d, "circulating_supply"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A124 circulating-supply CATCH-UP — the reference's restart protocol:
+# the aggregate binary walks every day from TRANSFERS_ENABLED and
+# recomputes exactly the days with no precomputed row, resuming after
+# any failure (circulating-supply/src/main.rs:59-104 check-and-collect
+# per day; database/src/adapters/aggregated/circulating_supply.rs
+# get_precomputed_circulating_supply_for_timestamp gating each
+# insert).  The lake equivalent: anti-join the full snapshot dim
+# against the PUBLISHED aggregate, run A37's kernel on exactly the
+# missing days, and WAP-publish the union as a new immutable version —
+# crash at any point leaves either the old version fully readable or
+# the new one fully live, and a re-run after success is a no-op.
+# Scale shape: the missing-day dim is months (tiny, broadcast); the
+# incremental pass scans the fact table once however many days are
+# missing — the reference's one-RPC-walk-per-day collapses into one
+# broadcast-dim aggregate.
+# ---------------------------------------------------------------------------
+def supply_missing_days(
+    spark: SparkSession, sf_dir: str, out_dir: str, upto=None
+) -> tuple[DataFrame, DataFrame | None]:
+    """(missing, published): the snapshot days with no row in the
+    published aggregate under ``out_dir`` (anti-join of the full dim
+    against the newest WAP version; the whole dim when nothing has
+    ever published), plus the published frame itself (None if
+    absent).  The catch-up's restart decision, exposed so the replay
+    twin can hard-signal-gate it."""
+    from near_indexer_for_explorer_spark.sources.sinks import read_published
+
+    orders = load_table(spark, sf_dir, "orders")
+    snapshots = _supply_snapshots(orders)
+    if upto is not None:
+        snapshots = snapshots.where(F.col("snap_date") <= F.lit(upto))
+    try:
+        published = read_published(spark, out_dir)
+    except FileNotFoundError:
+        return snapshots, None
+    missing = snapshots.join(
+        published.select("snap_date"), "snap_date", "left_anti"
+    )
+    return missing, published
+
+
+def supply_catchup(
+    spark: SparkSession, sf_dir: str, out_dir: str, upto=None
+) -> str | None:
+    """Compute ONLY the snapshot days missing from the published
+    aggregate under ``out_dir`` and publish old∪new as a new WAP
+    version.  Returns the published version path, or None when
+    nothing is missing (idempotent restart no-op).  ``upto`` bounds
+    the snapshot dim (dates <= upto) — the nightly job's "don't
+    compute today before the day is final" guard, and the hook the
+    replay twin uses to simulate a partial historical backfill."""
+    from near_indexer_for_explorer_spark.sources.sinks import publish_atomic
+
+    orders = load_table(spark, sf_dir, "orders")
+    missing, published = supply_missing_days(spark, sf_dir, out_dir, upto)
+    # months-grain dim: the count is a metadata-sized action, the
+    # reference's per-day existence check batched into one anti-join
+    if not missing.limit(1).count():
+        return None
+    fresh = _supply_kernel(orders, missing)
+    union = fresh if published is None else published.unionByName(fresh)
+    # detach the union from the CURRENT published files: publish_atomic
+    # stages via Spark write while the old version stays live, and the
+    # checkpoint keeps the staged plan from re-reading a directory the
+    # next catch-up would supersede
+    return publish_atomic(union.localCheckpoint(eager=True), out_dir)
 
 
 # ---------------------------------------------------------------------------

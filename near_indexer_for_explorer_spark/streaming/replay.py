@@ -68,6 +68,11 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "weighted_sample_stream_replay",
         "orphan_redrive_stream_replay",
         "stratified_sample_stream_replay",
+        # batch (not streaming) replays, same eager-at-construction
+        # contract: each drives the A124 WAP catch-up cycle in a temp
+        # dir at DataFrame-construction time
+        "supply_catchup_replay",
+        "supply_catchup_days",
     }
 )
 
@@ -1148,3 +1153,90 @@ def _stratified_replay_oracle() -> str:
 
 
 ORACLES["stratified_sample_stream_replay"] = _stratified_replay_oracle()
+
+
+def supply_catchup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(snap_date, total_supply, total_locked, foundation_amount,
+    circulating_supply): the published aggregate after driving the
+    A124 catch-up protocol through a full restart cycle — leg 1
+    backfills history up to a pivot date (the job having run in the
+    past), leg 2 restarts and computes EXACTLY the missing days, leg 3
+    re-runs and must be a no-op (the reference's resume-after-success
+    idempotence, circulating-supply/src/main.rs:59-104).  The oracle
+    is A37 `circulating_supply_daily`'s SQL verbatim: the
+    incrementally-published union must equal the one-shot series
+    row-for-row."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        supply_catchup,
+    )
+    from near_indexer_for_explorer_spark.sources.sinks import read_published
+
+    base = tempfile.mkdtemp(prefix="supply_catchup_")
+    try:
+        out = os.path.join(base, "agg")
+        pivot = datetime.date(1995, 6, 30)
+        v1 = supply_catchup(spark, sf_dir, out, upto=pivot)
+        if v1 is None:
+            raise RuntimeError("catch-up leg 1 published nothing")
+        v2 = supply_catchup(spark, sf_dir, out)
+        if v2 is None:
+            raise RuntimeError("catch-up leg 2 found no missing days")
+        if supply_catchup(spark, sf_dir, out) is not None:
+            raise RuntimeError("catch-up re-run was not a no-op")
+        return read_published(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["supply_catchup_replay"] = supply_catchup_replay
+
+
+def _supply_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.plans.relational import (
+        ORACLES as _REL_ORACLES,
+    )
+
+    return _REL_ORACLES["circulating_supply_daily"]
+
+
+ORACLES["supply_catchup_replay"] = _supply_replay_oracle()
+
+
+def supply_catchup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(snap_date): the missing-day dim the catch-up's restart
+    decision computes MID-BACKFILL — after leg 1 publishes history up
+    to the pivot, `supply_missing_days` must return exactly the
+    months after it (the reference's per-day existence check,
+    database/src/adapters/aggregated/circulating_supply.rs, batched
+    into one anti-join).  Hard-signal twin of the decision leg; the
+    series itself is gated by `supply_catchup_replay`."""
+    import datetime
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        supply_catchup,
+        supply_missing_days,
+    )
+
+    base = tempfile.mkdtemp(prefix="supply_days_")
+    try:
+        out = os.path.join(base, "agg")
+        pivot = datetime.date(1995, 6, 30)
+        if supply_catchup(spark, sf_dir, out, upto=pivot) is None:
+            raise RuntimeError("catch-up leg 1 published nothing")
+        missing, published = supply_missing_days(spark, sf_dir, out)
+        if published is None:
+            raise RuntimeError("published aggregate not visible")
+        return missing.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["supply_catchup_days"] = supply_catchup_days
+
+ORACLES["supply_catchup_days"] = """
+    SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS snap_date
+    FROM orders
+    WHERE CAST(date_trunc('month', o_orderdate) AS DATE) > DATE '1995-06-30'
+"""

@@ -5084,6 +5084,80 @@ def test_publish_atomic_persistent_rename_error_preserves_staging(
     assert sinks.read_published(spark, out2).count() == 7
 
 
+def test_supply_catchup_protocol_and_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
+    """A124: the catch-up computes exactly the missing days, is
+    idempotent under restart, survives a crash mid-publish with the
+    old version still served, and after recovery the published series
+    equals the one-shot A37 aggregate row-for-row — the reference's
+    per-day check-and-collect resume protocol
+    (circulating-supply/src/main.rs:59-104) on the lake."""
+    import datetime
+    import errno
+    import os
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        circulating_supply_daily,
+        supply_catchup,
+        supply_missing_days,
+    )
+    from near_indexer_for_explorer_spark.sources import sinks
+
+    out = str(tmp_path / "supply_agg")
+    pivot = datetime.date(1995, 6, 30)
+
+    # leg 1: partial history backfill
+    v1 = supply_catchup(spark, sf_dir, out, upto=pivot)
+    assert v1 is not None
+    pub1 = {r["snap_date"] for r in sinks.read_published(spark, out).collect()}
+    assert pub1 and all(d <= pivot for d in pub1)
+
+    # the restart decision sees exactly the complement
+    missing, published = supply_missing_days(spark, sf_dir, out)
+    assert published is not None
+    missing_days = {r["snap_date"] for r in missing.collect()}
+    assert missing_days and all(d > pivot for d in missing_days)
+
+    # crash mid-leg-2: rename fails persistently -> the publish
+    # surfaces the error, the OLD version stays served, staging is
+    # preserved (and invisible)
+    def deny(src, dst):
+        raise OSError(errno.EACCES, "permission denied", dst)
+
+    monkeypatch.setattr(sinks.os, "rename", deny)
+    with pytest.raises(OSError):
+        supply_catchup(spark, sf_dir, out)
+    monkeypatch.undo()
+    assert {
+        r["snap_date"] for r in sinks.read_published(spark, out).collect()
+    } == pub1
+
+    # recovery: the re-run completes despite the leftover staging dir
+    v2 = supply_catchup(spark, sf_dir, out)
+    assert v2 is not None
+
+    # idempotence: nothing missing -> no new version
+    n_versions = len(
+        [p for p in os.listdir(out) if p.startswith("v=")]
+    )
+    assert supply_catchup(spark, sf_dir, out) is None
+    assert (
+        len([p for p in os.listdir(out) if p.startswith("v=")]) == n_versions
+    )
+
+    # the incrementally-published union equals the one-shot series
+    got = sorted(
+        (tuple(r) for r in sinks.read_published(spark, out).collect()),
+        key=repr,
+    )
+    want = sorted(
+        (tuple(r) for r in circulating_supply_daily(spark, sf_dir).collect()),
+        key=repr,
+    )
+    assert got == want
+
+
 def test_media_router_sniffs_all_branches(spark):
     """B136: the router sniffs magic bytes and decodes each branch
     with the REAL codec — hand-built payloads of all four kinds in one
