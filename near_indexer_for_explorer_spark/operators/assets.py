@@ -676,3 +676,300 @@ ORACLES["args_base64_extract"] = f"""
            END AS gas
     FROM classified
 """
+
+
+# ---------------------------------------------------------------------------
+# A125 typed per-action-kind args projection — the reference
+# serializes each of the NINE action variants into kind-specific JSON
+# args (database/src/models/serializers.rs:64-129: DeployContract's
+# code hash, FunctionCall's method/gas/deposit/args_base64, Stake's
+# stake+key, AddKey's NESTED AccessKeyView with permission_kind /
+# permission_details {allowance, receiver_id, method_names} —
+# serializers.rs:10-62 — DeleteAccount's beneficiary, empty objects
+# for CreateAccount/Delegate) under the closed ActionKind vocabulary
+# (database/src/models/enums.rs:21-35).  A8/A30/A36 parse the
+# generic/event/delegate shapes; this operator types the WHOLE action
+# surface: one union from_json schema across all nine variants
+# (absent fields parse NULL — the Spark analog of the tagged serde
+# enum), a closed-vocabulary kind check (A60 discipline: unknown
+# kinds quarantine as bad_kind, never silently pass), PERMISSIVE
+# corrupt-record quarantine for unparseable args (bad_json), and a
+# per-kind projection so each emitted field is defined exactly for
+# the kinds the reference defines it on.  The flattened AddKey
+# permission columns are what the access_keys SCD consumes
+# (database/src/adapters/access_keys.rs).
+#
+# Scale notes: map-only — one narrow scan, all JSON work in JVM
+# codegen (to_json/from_json), zero shuffles; at 100 TB this is the
+# same single pass the reference's per-row serializer performs.
+# ---------------------------------------------------------------------------
+ACTION_KINDS = (
+    "CREATE_ACCOUNT",
+    "DEPLOY_CONTRACT",
+    "FUNCTION_CALL",
+    "TRANSFER",
+    "STAKE",
+    "ADD_KEY",
+    "DELETE_KEY",
+    "DELETE_ACCOUNT",
+    "DELEGATE_ACTION",
+)
+
+ACTION_ARGS_SCHEMA = T.StructType(
+    [
+        T.StructField("code_sha256", T.StringType()),
+        T.StructField("method_name", T.StringType()),
+        T.StructField("args_base64", T.StringType()),
+        T.StructField("gas", T.LongType()),
+        T.StructField("deposit", T.StringType()),
+        T.StructField("stake", T.StringType()),
+        T.StructField("public_key", T.StringType()),
+        T.StructField("beneficiary_id", T.StringType()),
+        T.StructField(
+            "access_key",
+            T.StructType(
+                [
+                    T.StructField("nonce", T.LongType()),
+                    T.StructField(
+                        "permission",
+                        T.StructType(
+                            [
+                                T.StructField("permission_kind", T.StringType()),
+                                T.StructField(
+                                    "permission_details",
+                                    T.StructType(
+                                        [
+                                            T.StructField("allowance", T.StringType()),
+                                            T.StructField("receiver_id", T.StringType()),
+                                            T.StructField(
+                                                "method_names",
+                                                T.ArrayType(T.StringType()),
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+def synthesize_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (event_id, action_kind, args): a deterministic
+    action corpus covering every serializer branch — all nine kinds'
+    kind-specific JSON (built with to_json, field names matching
+    serializers.rs exactly), both AddKey permission variants, one
+    corrupt-args branch and one unknown-kind branch (b = event_id %
+    12 selects: 0-9 the nine kinds with 5/6 the two AddKey variants,
+    10 truncated JSON, 11 an off-vocabulary kind)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    b = F.col("event_id") % 12
+    dep = _s(F.round(F.col("value") * 100).cast("long"))
+    cparty = F.concat(F.lit("acct_"), _s((F.col("user_id") * 7 + 3) % 1000))
+    pk = F.concat(F.lit("ed25519:PK_"), _s(F.col("event_id") % 500))
+    code_h = F.md5(F.concat(F.lit("code_"), _s(F.col("event_id"))))
+    m1 = F.concat(F.lit("m_"), _s(F.col("event_id") % 97))
+    m2 = F.concat(F.lit("m_"), _s((F.col("event_id") + 1) % 97))
+    gas = (F.col("user_id") + 1) * 1000
+    nonce = F.col("event_id") % 1000000
+    fc_b64 = F.base64(
+        F.concat(F.lit("fc_args_"), _s(F.col("event_id"))).cast("binary")
+    )
+    kind = (
+        F.when(b == 0, "CREATE_ACCOUNT")
+        .when(b == 1, "DEPLOY_CONTRACT")
+        .when((b == 2) | (b == 10), "FUNCTION_CALL")
+        .when(b == 3, "TRANSFER")
+        .when(b == 4, "STAKE")
+        .when((b == 5) | (b == 6), "ADD_KEY")
+        .when(b == 7, "DELETE_KEY")
+        .when(b == 8, "DELETE_ACCOUNT")
+        .when(b == 9, "DELEGATE_ACTION")
+        .otherwise("RUN_CONTRACT")  # off the closed vocabulary
+    )
+    ak_full = F.struct(
+        pk.alias("public_key"),
+        F.struct(
+            nonce.alias("nonce"),
+            F.struct(F.lit("FULL_ACCESS").alias("permission_kind")).alias(
+                "permission"
+            ),
+        ).alias("access_key"),
+    )
+    ak_fc = F.struct(
+        pk.alias("public_key"),
+        F.struct(
+            nonce.alias("nonce"),
+            F.struct(
+                F.lit("FUNCTION_CALL").alias("permission_kind"),
+                F.struct(
+                    dep.alias("allowance"),
+                    cparty.alias("receiver_id"),
+                    F.array(m1, m2).alias("method_names"),
+                ).alias("permission_details"),
+            ).alias("permission"),
+        ).alias("access_key"),
+    )
+    args = (
+        F.when(b == 0, F.lit("{}"))
+        .when(b == 1, F.to_json(F.struct(code_h.alias("code_sha256"))))
+        .when(
+            b == 2,
+            F.to_json(
+                F.struct(
+                    m1.alias("method_name"),
+                    fc_b64.alias("args_base64"),
+                    gas.alias("gas"),
+                    dep.alias("deposit"),
+                )
+            ),
+        )
+        .when(b == 3, F.to_json(F.struct(dep.alias("deposit"))))
+        .when(
+            b == 4,
+            F.to_json(
+                F.struct(
+                    F.concat(dep, F.lit("0")).alias("stake"),
+                    pk.alias("public_key"),
+                )
+            ),
+        )
+        .when(b == 5, F.to_json(ak_full))
+        .when(b == 6, F.to_json(ak_fc))
+        .when(b == 7, F.to_json(F.struct(pk.alias("public_key"))))
+        .when(b == 8, F.to_json(F.struct(cparty.alias("beneficiary_id"))))
+        .when(b == 9, F.lit("{}"))
+        .when(b == 10, F.concat(F.lit('{"method_name": "m", "gas": '), _s(gas)))
+        .otherwise(F.lit("{}"))
+    )
+    # the b=10 branch above is VALID-kind + truncated JSON (bad_json);
+    # b=11 is parseable JSON + off-vocabulary kind (bad_kind)
+    return ev.select("event_id", kind.alias("action_kind"), args.alias("args"))
+
+
+def parse_typed_actions(actions: DataFrame) -> DataFrame:
+    """(event_id, action_kind, args JSON) -> the typed per-kind
+    projection with quarantine classes: 'bad_kind' (kind off the
+    closed vocabulary — never silently passed), 'bad_json' (args
+    failed the PERMISSIVE parse), else 'typed' with each field
+    emitted exactly for the kinds the reference defines it on."""
+    parsed = actions.select(
+        "event_id",
+        "action_kind",
+        F.from_json(
+            F.col("args"),
+            ACTION_ARGS_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("a"),
+    )
+    kind_ok = F.col("action_kind").isin(*ACTION_KINDS)
+    json_ok = F.col("a._corrupt").isNull()
+    klass = (
+        F.when(~kind_ok, "bad_kind")
+        .when(~json_ok, "bad_json")
+        .otherwise("typed")
+    )
+    typed = kind_ok & json_ok
+    k = F.col("action_kind")
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+
+    def only(kinds, col, null=ns):
+        return F.when(typed & k.isin(*kinds), col).otherwise(null)
+
+    ak = F.col("a.access_key")
+    perm = ak.getField("permission")
+    det = perm.getField("permission_details")
+    return parsed.select(
+        "event_id",
+        "action_kind",
+        klass.alias("args_class"),
+        only(["DEPLOY_CONTRACT"], F.col("a.code_sha256")).alias("code_sha256"),
+        only(["FUNCTION_CALL"], F.col("a.method_name")).alias("method_name"),
+        only(["FUNCTION_CALL"], F.col("a.args_base64")).alias("args_base64"),
+        only(["FUNCTION_CALL"], F.col("a.gas"), nl).alias("gas"),
+        only(["FUNCTION_CALL", "TRANSFER"], F.col("a.deposit")).alias("deposit"),
+        only(["STAKE"], F.col("a.stake")).alias("stake"),
+        only(
+            ["STAKE", "ADD_KEY", "DELETE_KEY"], F.col("a.public_key")
+        ).alias("public_key"),
+        only(["DELETE_ACCOUNT"], F.col("a.beneficiary_id")).alias(
+            "beneficiary_id"
+        ),
+        only(["ADD_KEY"], ak.getField("nonce"), nl).alias("ak_nonce"),
+        only(["ADD_KEY"], perm.getField("permission_kind")).alias(
+            "ak_permission_kind"
+        ),
+        only(["ADD_KEY"], det.getField("allowance")).alias("ak_allowance"),
+        only(["ADD_KEY"], det.getField("receiver_id")).alias("ak_receiver_id"),
+        only(
+            ["ADD_KEY"], F.array_join(det.getField("method_names"), ",")
+        ).alias("ak_method_names_csv"),
+    )
+
+
+def actions_typed_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered A125 query: typed projection over the synthetic
+    nine-kind action corpus (same localCheckpoint barrier rationale as
+    A30/args_base64_extract — the corpus is the modeled INPUT)."""
+    return parse_typed_actions(
+        synthesize_actions(spark, sf_dir).localCheckpoint(eager=False)
+    )
+
+
+QUERIES["actions_typed_args"] = actions_typed_args
+
+# The oracle derives every typed column straight from the construction
+# spec (no JSON round trip), so parity proves the Spark to_json ->
+# from_json -> closed-vocabulary -> per-kind projection path is
+# exactly lossless — the A30 discipline applied to the action surface.
+ORACLES["actions_typed_args"] = """
+    WITH base AS (
+      SELECT event_id, user_id, event_id % 12 AS b,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS dep,
+             'acct_' || CAST((user_id * 7 + 3) % 1000 AS VARCHAR) AS cparty,
+             'ed25519:PK_' || CAST(event_id % 500 AS VARCHAR) AS pk,
+             md5('code_' || CAST(event_id AS VARCHAR)) AS code_h,
+             'm_' || CAST(event_id % 97 AS VARCHAR) AS m1,
+             'm_' || CAST((event_id + 1) % 97 AS VARCHAR) AS m2,
+             (user_id + 1) * 1000 AS gas,
+             event_id % 1000000 AS nonce
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN b = 0 THEN 'CREATE_ACCOUNT'
+                WHEN b = 1 THEN 'DEPLOY_CONTRACT'
+                WHEN b = 2 OR b = 10 THEN 'FUNCTION_CALL'
+                WHEN b = 3 THEN 'TRANSFER'
+                WHEN b = 4 THEN 'STAKE'
+                WHEN b = 5 OR b = 6 THEN 'ADD_KEY'
+                WHEN b = 7 THEN 'DELETE_KEY'
+                WHEN b = 8 THEN 'DELETE_ACCOUNT'
+                WHEN b = 9 THEN 'DELEGATE_ACTION'
+                ELSE 'RUN_CONTRACT' END AS action_kind,
+           CASE WHEN b = 10 THEN 'bad_json'
+                WHEN b = 11 THEN 'bad_kind'
+                ELSE 'typed' END AS args_class,
+           CASE WHEN b = 1 THEN code_h END AS code_sha256,
+           CASE WHEN b = 2 THEN m1 END AS method_name,
+           CASE WHEN b = 2
+                THEN to_base64(encode('fc_args_' || CAST(event_id AS VARCHAR)))
+           END AS args_base64,
+           CASE WHEN b = 2 THEN CAST(gas AS BIGINT) END AS gas,
+           CASE WHEN b IN (2, 3) THEN dep END AS deposit,
+           CASE WHEN b = 4 THEN dep || '0' END AS stake,
+           CASE WHEN b IN (4, 5, 6, 7) THEN pk END AS public_key,
+           CASE WHEN b = 8 THEN cparty END AS beneficiary_id,
+           CASE WHEN b IN (5, 6) THEN CAST(nonce AS BIGINT) END AS ak_nonce,
+           CASE WHEN b = 5 THEN 'FULL_ACCESS'
+                WHEN b = 6 THEN 'FUNCTION_CALL' END AS ak_permission_kind,
+           CASE WHEN b = 6 THEN dep END AS ak_allowance,
+           CASE WHEN b = 6 THEN cparty END AS ak_receiver_id,
+           CASE WHEN b = 6 THEN m1 || ',' || m2 END AS ak_method_names_csv
+    FROM base
+"""

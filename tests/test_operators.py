@@ -5084,6 +5084,96 @@ def test_publish_atomic_persistent_rename_error_preserves_staging(
     assert sinks.read_published(spark, out2).count() == 7
 
 
+def test_actions_typed_args_per_kind_with_corrupt_rows(spark):
+    """A125: every one of the nine action kinds projects exactly its
+    serializer fields (serializers.rs:64-129), the AddKey nested
+    permission flattens with allowance/receiver/method_names, a
+    corrupt-args row of EVERY kind quarantines as bad_json with no
+    typed field leaking through, and an off-vocabulary kind
+    quarantines as bad_kind even with parseable args."""
+    import json
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        ACTION_KINDS,
+        parse_typed_actions,
+    )
+
+    valid = {
+        "CREATE_ACCOUNT": {},
+        "DEPLOY_CONTRACT": {"code_sha256": "ab" * 16},
+        "FUNCTION_CALL": {
+            "method_name": "ft_transfer",
+            "args_base64": "eyJ4IjoxfQ==",
+            "gas": 30000000000000,
+            "deposit": "1",
+        },
+        "TRANSFER": {"deposit": "42"},
+        "STAKE": {"stake": "990000", "public_key": "ed25519:PK_1"},
+        "ADD_KEY": {
+            "public_key": "ed25519:PK_2",
+            "access_key": {
+                "nonce": 7,
+                "permission": {
+                    "permission_kind": "FUNCTION_CALL",
+                    "permission_details": {
+                        "allowance": "250000",
+                        "receiver_id": "acct_9",
+                        "method_names": ["claim", "withdraw"],
+                    },
+                },
+            },
+        },
+        "DELETE_KEY": {"public_key": "ed25519:PK_3"},
+        "DELETE_ACCOUNT": {"beneficiary_id": "acct_5"},
+        "DELEGATE_ACTION": {},
+    }
+    rows = []
+    i = 0
+    for kind in ACTION_KINDS:
+        rows.append((i, kind, json.dumps(valid[kind])))
+        i += 1
+        rows.append((i, kind, '{"truncated": '))  # corrupt args per kind
+        i += 1
+    rows.append((i, "RUN_CONTRACT", "{}"))  # off the closed vocabulary
+    df = spark.createDataFrame(
+        rows, "event_id long, action_kind string, args string"
+    )
+    got = {r["event_id"]: r for r in parse_typed_actions(df).collect()}
+
+    typed_cols = [
+        "code_sha256", "method_name", "args_base64", "gas", "deposit",
+        "stake", "public_key", "beneficiary_id", "ak_nonce",
+        "ak_permission_kind", "ak_allowance", "ak_receiver_id",
+        "ak_method_names_csv",
+    ]
+    for j, kind in enumerate(ACTION_KINDS):
+        ok, bad = got[2 * j], got[2 * j + 1]
+        assert ok["args_class"] == "typed", kind
+        assert bad["args_class"] == "bad_json", kind
+        assert all(bad[c] is None for c in typed_cols), kind
+
+    fc = got[4]
+    assert fc["method_name"] == "ft_transfer"
+    assert fc["gas"] == 30000000000000 and fc["deposit"] == "1"
+    assert got[0] and got[0]["args_class"] == "typed"  # CREATE_ACCOUNT {}
+    assert got[2]["code_sha256"] == "ab" * 16
+    assert got[6]["deposit"] == "42"
+    assert got[8]["stake"] == "990000" and got[8]["public_key"] == "ed25519:PK_1"
+    ak = got[10]
+    assert ak["public_key"] == "ed25519:PK_2" and ak["ak_nonce"] == 7
+    assert ak["ak_permission_kind"] == "FUNCTION_CALL"
+    assert ak["ak_allowance"] == "250000"
+    assert ak["ak_receiver_id"] == "acct_9"
+    assert ak["ak_method_names_csv"] == "claim,withdraw"
+    assert got[12]["public_key"] == "ed25519:PK_3"
+    assert got[14]["beneficiary_id"] == "acct_5"
+    # DEPLOY_CONTRACT must not leak FUNCTION_CALL fields and vice versa
+    assert got[2]["method_name"] is None and got[4]["code_sha256"] is None
+    unk = got[2 * len(ACTION_KINDS)]
+    assert unk["args_class"] == "bad_kind"
+    assert all(unk[c] is None for c in typed_cols)
+
+
 def test_supply_catchup_protocol_and_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     """A124: the catch-up computes exactly the missing days, is
     idempotent under restart, survives a crash mid-publish with the
