@@ -264,6 +264,9 @@ EXTRA = [
     "events_bootstrap_ci",
     "events_mann_whitney",
     "lineitem_discount_elasticity",
+    # round 12 additions (replay-contract twins stay excluded:
+    # harness cost, not plan cost)
+    "actions_typed_args",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
@@ -310,8 +313,10 @@ def main() -> None:
         # totals measured 1.3-1.5x the canonical under concurrent load
         # (BENCH_r07 analysis), inflating scan-only rows uniformly.
         # Update when a new canonical table is recorded.
-        "canonical_subtotal_ref": {"sec": 139.8449, "n_queries": 161,
-                                   "sf": 0.1, "round": "r8"},
+        "canonical_subtotal_ref": {"sec": 184.07, "n_queries": 206,
+                                   "sf": 0.1,
+                                   "round": "r11-definitive (BENCH_BASELINE"
+                                            " r12 consolidation)"},
     }
     # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
     # workflow read this).  NOT the driver's line — see below.

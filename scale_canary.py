@@ -130,6 +130,14 @@ def synthesize(spark, out_dir: str) -> None:
     od.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
     ld.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
+    # r12: orders_basket_rules keeps l_partkey VERBATIM across replicas
+    # (disjoint orderkeys -> per-order pairs grow linearly; the part
+    # catalog is the fixed dimension), and reads the part footer for
+    # its broadcast size gate — ship the dim unchanged.
+    spark.read.parquet(os.path.join(SF_DIR, "part.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "part.parquet"))
+
 
 def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.dedup import (
@@ -244,6 +252,16 @@ def measure(spark, sf_dir: str) -> dict:
         # full-relation worst case)
         ("event_type_user_overlap", _etuo),
         ("dedup_boundary_stitch", _stitch),
+        # r12 additions (r11 verdict #7): the statistical legs — the
+        # per-order co-purchase pair join (disjoint replica orderkeys,
+        # pairs ~10x, part-pair output grain grows with pair counts
+        # crossing the min-support gate), the value-grain rank path
+        # (one aggregate + one cumulative window per type; output =
+        # type grain ~1x), and the 18-sum wide bootstrap aggregate
+        # (output = type grain ~1x, time ~linear in the scan)
+        ("orders_basket_rules", _REL_QUERIES["orders_basket_rules"]),
+        ("events_mann_whitney", _REL_QUERIES["events_mann_whitney"]),
+        ("events_bootstrap_ci", _REL_QUERIES["events_bootstrap_ci"]),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()

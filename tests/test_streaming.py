@@ -2981,3 +2981,78 @@ def test_stratified_sample_stream_equals_batch_and_replays(
         tuple(r) for r in read_stream_stratified_sample(spark, out).collect()
     )
     assert got2 == want
+
+
+def test_stratified_candidate_log_stays_bounded_under_long_replay(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict #6 soak: 56 micro-batches through the C45 sink with
+    the compaction cadence tightened to 8 — the rank-cut fold must
+    keep the candidate log O(sources x budget) (never more than
+    cadence uncovered deltas, each bounded per source, plus one folded
+    base), and the read path after the soak must equal the batch
+    kernel on the full corpus."""
+    import glob
+    import os
+
+    from pyspark.sql import Window as W
+
+    from near_indexer_for_explorer_spark.operators.corpus import (
+        _STRAT_BUDGET,
+        stratified_allocations,
+        stratified_cut,
+        stratified_skey,
+    )
+    from near_indexer_for_explorer_spark.streaming import pipelines as P
+
+    monkeypatch.setattr(P, "_AUTO_COMPACT_EVERY", 8)
+
+    out = str(tmp_path / "strat_soak")
+    sink = P.foreach_batch_stratified(out)
+    n_batches, per_batch, n_sources = 56, 150, 3
+    full = None
+    for i in range(n_batches):
+        batch = (
+            spark.range(i * per_batch, (i + 1) * per_batch)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("src_"), (F.col("id") % n_sources).cast("string")).alias(
+                    "source"
+                ),
+            )
+        )
+        sink(batch, i)
+        full = batch if full is None else full.unionByName(batch)
+
+    # bounded log: < cadence uncovered deltas, each <= sources*budget
+    # rows, plus ONE folded base <= sources*budget — O(sources*budget)
+    cand_deltas = glob.glob(os.path.join(out, "cands", "deltas", "batch=*"))
+    bases = glob.glob(os.path.join(out, "cands", "base", "upto=*"))
+    assert len(cand_deltas) < 8
+    assert len(bases) == 1  # superseded bases are removed
+    bound = n_sources * _STRAT_BUDGET
+    for d in cand_deltas + bases:
+        assert spark.read.parquet(d).count() <= bound, d
+    total = spark.read.parquet(*(cand_deltas + bases)).count()
+    assert total <= (len(cand_deltas) + 1) * bound
+
+    # stream read == batch kernel over the full 8400-doc corpus
+    counts = full.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        full.withColumn("skey", stratified_skey(F.col("doc_id")))
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "stratum_rank")
+    )
+    want = sorted(
+        tuple(r)
+        for r in stratified_cut(ranked, stratified_allocations(counts)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in P.read_stream_stratified_sample(spark, out).collect()
+    )
+    assert got == want
