@@ -267,6 +267,7 @@ EXTRA = [
     # round 12 additions (replay-contract twins stay excluded:
     # harness cost, not plan cost)
     "actions_typed_args",
+    "access_keys_state",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

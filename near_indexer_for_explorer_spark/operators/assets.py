@@ -973,3 +973,126 @@ ORACLES["actions_typed_args"] = """
            CASE WHEN b = 6 THEN m1 || ',' || m2 END AS ak_method_names_csv
     FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# A126 access-keys state — the CONSUMER the A125 AddKey flattening
+# exists for: the reference maintains a current-state access_keys
+# table keyed (public_key, account_id) with created_by / deleted_by
+# receipts, permission_kind and a last-update guard
+# (database/src/adapters/access_keys.rs:12-120: AccessKeyUpdate
+# upserts an active row, AccessKeyDeletion marks deleted_by on the
+# existing row or inserts a deleted PLACEHOLDER with the documented
+# FULL_ACCESS workaround, and every write is guarded by
+# last_update_block_height so replays/out-of-order batches cannot
+# regress state).  Spark-first: last-writer-wins over an ordered
+# action log is ONE aggregate — max add-event, max delete-event, and
+# the arg-max permission per key — no per-row upsert loop; event_id
+# stands in for block height (monotone, unique).
+# Scale shape: one filter + one map-combined groupBy on the key pair;
+# at 100 TB this is the same single shuffle a daily state rebuild
+# costs, and the incremental variant is C19's SCD machinery.
+# ---------------------------------------------------------------------------
+def access_keys_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, public_key, permission_kind, created_by_event_id,
+    deleted_by_event_id, last_update_event_id, is_active): the
+    reference's access_keys current-state table folded from the typed
+    action log (account modeled as owner_<event_id%7> — the action's
+    signer in this synthetic corpus)."""
+    typed = actions_typed_args(spark, sf_dir)
+    keys = typed.where(
+        F.col("action_kind").isin("ADD_KEY", "DELETE_KEY")
+        & (F.col("args_class") == "typed")
+    )
+    owner = F.concat(F.lit("owner_"), _s(F.col("event_id") % 7))
+    k = keys.select(
+        owner.alias("account_id"),
+        "public_key",
+        "event_id",
+        (F.col("action_kind") == "ADD_KEY").alias("is_add"),
+        "ak_permission_kind",
+    )
+    return fold_access_keys(k)
+
+
+def fold_access_keys(k: DataFrame) -> DataFrame:
+    """The last-writer-wins fold over (account_id, public_key,
+    event_id, is_add, ak_permission_kind) rows — one map-combined
+    aggregate standing in for the reference's guarded upsert loop."""
+    agg = k.groupBy("account_id", "public_key").agg(
+        F.max(F.when(F.col("is_add"), F.col("event_id")))
+        .cast("long")
+        .alias("last_add"),
+        F.max(F.when(~F.col("is_add"), F.col("event_id")))
+        .cast("long")
+        .alias("last_del"),
+        # struct-max = arg-max by event_id (unique, so engine-stable):
+        # the permission of the LATEST add is the row's permission —
+        # the reference never changes permission_kind on delete
+        F.max(
+            F.when(
+                F.col("is_add"),
+                F.struct(F.col("event_id"), F.col("ak_permission_kind")),
+            )
+        ).alias("addrec"),
+    )
+    deleted = F.col("last_del").isNotNull() & (
+        F.col("last_add").isNull() | (F.col("last_del") > F.col("last_add"))
+    )
+    return agg.select(
+        "account_id",
+        "public_key",
+        # delete-only keys carry the reference's FULL_ACCESS
+        # placeholder (access_keys.rs:55-64)
+        F.when(
+            F.col("last_add").isNotNull(),
+            F.col("addrec").getField("ak_permission_kind"),
+        )
+        .otherwise("FULL_ACCESS")
+        .alias("permission_kind"),
+        F.col("last_add").alias("created_by_event_id"),
+        F.when(deleted, F.col("last_del"))
+        .cast("long")
+        .alias("deleted_by_event_id"),
+        F.greatest(
+            F.coalesce(F.col("last_add"), F.lit(-1)),
+            F.coalesce(F.col("last_del"), F.lit(-1)),
+        )
+        .cast("long")
+        .alias("last_update_event_id"),
+        (~deleted).alias("is_active"),
+    )
+
+
+QUERIES["access_keys_state"] = access_keys_state
+
+ORACLES["access_keys_state"] = """
+    WITH base AS (
+      SELECT event_id, event_id % 12 AS b,
+             'owner_' || CAST(event_id % 7 AS VARCHAR) AS account_id,
+             'ed25519:PK_' || CAST(event_id % 500 AS VARCHAR) AS public_key
+      FROM events
+      WHERE event_id % 12 IN (5, 6, 7)
+    ),
+    agg AS (
+      SELECT account_id, public_key,
+             max(CASE WHEN b IN (5, 6) THEN event_id END) AS last_add,
+             max(CASE WHEN b = 7 THEN event_id END) AS last_del,
+             arg_max(CASE WHEN b = 5 THEN 'FULL_ACCESS'
+                          ELSE 'FUNCTION_CALL' END, event_id)
+               FILTER (WHERE b IN (5, 6)) AS add_perm
+      FROM base GROUP BY account_id, public_key
+    )
+    SELECT account_id, public_key,
+           CASE WHEN last_add IS NOT NULL THEN add_perm
+                ELSE 'FULL_ACCESS' END AS permission_kind,
+           CAST(last_add AS BIGINT) AS created_by_event_id,
+           CAST(CASE WHEN last_del IS NOT NULL
+                      AND (last_add IS NULL OR last_del > last_add)
+                     THEN last_del END AS BIGINT) AS deleted_by_event_id,
+           CAST(greatest(COALESCE(last_add, -1), COALESCE(last_del, -1))
+                AS BIGINT) AS last_update_event_id,
+           NOT (last_del IS NOT NULL
+                AND (last_add IS NULL OR last_del > last_add)) AS is_active
+    FROM agg
+"""

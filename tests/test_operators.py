@@ -5174,6 +5174,61 @@ def test_actions_typed_args_per_kind_with_corrupt_rows(spark):
     assert all(unk[c] is None for c in typed_cols)
 
 
+def test_access_keys_fold_interactions(spark):
+    """A126: the last-writer-wins fold reproduces the reference's
+    guarded-upsert semantics — add->delete closes the row keeping the
+    add's permission, delete->re-add reactivates with the NEW add's
+    permission, a delete with no prior add inserts the FULL_ACCESS
+    placeholder (access_keys.rs:55-64), and out-of-order input
+    (higher event_id folded regardless of row order) cannot regress
+    state."""
+    from near_indexer_for_explorer_spark.operators.assets import (
+        fold_access_keys,
+    )
+
+    rows = [
+        # (account, pk, event_id, is_add, perm)
+        ("a1", "k1", 10, True, "FULL_ACCESS"),     # add -> delete: closed
+        ("a1", "k1", 20, False, None),
+        ("a1", "k2", 35, True, "FUNCTION_CALL"),   # out-of-order re-add
+        ("a1", "k2", 30, False, None),             #   (delete is OLDER)
+        ("a1", "k2", 25, True, "FULL_ACCESS"),
+        ("a2", "k1", 40, False, None),             # delete-only placeholder
+        ("a2", "k3", 50, True, "FUNCTION_CALL"),   # plain active add
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "account_id string, public_key string, event_id long, "
+        "is_add boolean, ak_permission_kind string",
+    )
+    got = {
+        (r["account_id"], r["public_key"]): r
+        for r in fold_access_keys(df).collect()
+    }
+    closed = got[("a1", "k1")]
+    assert not closed["is_active"]
+    assert closed["created_by_event_id"] == 10
+    assert closed["deleted_by_event_id"] == 20
+    assert closed["permission_kind"] == "FULL_ACCESS"  # add's, unchanged
+    assert closed["last_update_event_id"] == 20
+
+    readd = got[("a1", "k2")]
+    assert readd["is_active"]
+    assert readd["created_by_event_id"] == 35
+    assert readd["deleted_by_event_id"] is None
+    assert readd["permission_kind"] == "FUNCTION_CALL"  # LATEST add wins
+    assert readd["last_update_event_id"] == 35
+
+    placeholder = got[("a2", "k1")]
+    assert not placeholder["is_active"]
+    assert placeholder["created_by_event_id"] is None
+    assert placeholder["deleted_by_event_id"] == 40
+    assert placeholder["permission_kind"] == "FULL_ACCESS"
+
+    active = got[("a2", "k3")]
+    assert active["is_active"] and active["deleted_by_event_id"] is None
+
+
 def test_supply_catchup_protocol_and_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     """A124: the catch-up computes exactly the missing days, is
     idempotent under restart, survives a crash mid-publish with the
