@@ -79,6 +79,7 @@ _GATE_PRIORITY: list[str] = [
     "supply_catchup_replay",
     "actions_typed_args",
     "access_keys_state",
+    "accounts_state",
     # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
     "orders_zorder_layout",
     "dedup_minhash_lsh",

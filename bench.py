@@ -268,6 +268,7 @@ EXTRA = [
     # harness cost, not plan cost)
     "actions_typed_args",
     "access_keys_state",
+    "accounts_state",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

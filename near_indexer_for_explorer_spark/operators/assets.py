@@ -1096,3 +1096,82 @@ ORACLES["access_keys_state"] = """
                 AND (last_add IS NULL OR last_del > last_add)) AS is_active
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# A127 accounts state — the account sibling of A126: the reference
+# maintains the accounts current-state table with the SAME guarded
+# last-writer-wins protocol (database/src/adapters/accounts.rs:15-160:
+# CreateAccount upserts an active row, DeleteAccount marks deleted_by
+# or inserts a deleted placeholder at :69-76, every write guarded by
+# last_update_block_height).  Folded from the typed action log's
+# CREATE_ACCOUNT / DELETE_ACCOUNT rows with the identical one-
+# aggregate fold (no permission column at the account grain).
+# ---------------------------------------------------------------------------
+def accounts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, created_by_event_id, deleted_by_event_id,
+    last_update_event_id, is_active): the reference's accounts
+    current-state table folded from the typed action log."""
+    typed = actions_typed_args(spark, sf_dir)
+    acts = typed.where(
+        F.col("action_kind").isin("CREATE_ACCOUNT", "DELETE_ACCOUNT")
+        & (F.col("args_class") == "typed")
+    )
+    owner = F.concat(F.lit("owner_"), _s(F.col("event_id") % 7))
+    agg = acts.select(
+        owner.alias("account_id"),
+        "event_id",
+        (F.col("action_kind") == "CREATE_ACCOUNT").alias("is_add"),
+    ).groupBy("account_id").agg(
+        F.max(F.when(F.col("is_add"), F.col("event_id")))
+        .cast("long")
+        .alias("last_add"),
+        F.max(F.when(~F.col("is_add"), F.col("event_id")))
+        .cast("long")
+        .alias("last_del"),
+    )
+    deleted = F.col("last_del").isNotNull() & (
+        F.col("last_add").isNull() | (F.col("last_del") > F.col("last_add"))
+    )
+    return agg.select(
+        "account_id",
+        F.col("last_add").alias("created_by_event_id"),
+        F.when(deleted, F.col("last_del"))
+        .cast("long")
+        .alias("deleted_by_event_id"),
+        F.greatest(
+            F.coalesce(F.col("last_add"), F.lit(-1)),
+            F.coalesce(F.col("last_del"), F.lit(-1)),
+        )
+        .cast("long")
+        .alias("last_update_event_id"),
+        (~deleted).alias("is_active"),
+    )
+
+
+QUERIES["accounts_state"] = accounts_state
+
+ORACLES["accounts_state"] = """
+    WITH base AS (
+      SELECT event_id, event_id % 12 AS b,
+             'owner_' || CAST(event_id % 7 AS VARCHAR) AS account_id
+      FROM events
+      WHERE event_id % 12 IN (0, 8)
+    ),
+    agg AS (
+      SELECT account_id,
+             max(CASE WHEN b = 0 THEN event_id END) AS last_add,
+             max(CASE WHEN b = 8 THEN event_id END) AS last_del
+      FROM base GROUP BY account_id
+    )
+    SELECT account_id,
+           CAST(last_add AS BIGINT) AS created_by_event_id,
+           CAST(CASE WHEN last_del IS NOT NULL
+                      AND (last_add IS NULL OR last_del > last_add)
+                     THEN last_del END AS BIGINT) AS deleted_by_event_id,
+           CAST(greatest(COALESCE(last_add, -1), COALESCE(last_del, -1))
+                AS BIGINT) AS last_update_event_id,
+           NOT (last_del IS NOT NULL
+                AND (last_add IS NULL OR last_del > last_add)) AS is_active
+    FROM agg
+"""
