@@ -80,6 +80,7 @@ _GATE_PRIORITY: list[str] = [
     "actions_typed_args",
     "access_keys_state",
     "accounts_state",
+    "access_keys_stream_replay",
     # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
     "orders_zorder_layout",
     "dedup_minhash_lsh",

@@ -767,7 +767,15 @@ def synthesize_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt-args branch and one unknown-kind branch (b = event_id %
     12 selects: 0-9 the nine kinds with 5/6 the two AddKey variants,
     10 truncated JSON, 11 an off-vocabulary kind)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return synthesize_actions_from(
+        load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    )
+
+
+def synthesize_actions_from(ev: DataFrame) -> DataFrame:
+    """The construction spec applied to an arbitrary (event_id,
+    user_id, value) frame — shared by the batch query and the C46
+    micro-batch sink."""
     b = F.col("event_id") % 12
     dep = _s(F.round(F.col("value") * 100).cast("long"))
     cparty = F.concat(F.lit("acct_"), _s((F.col("user_id") * 7 + 3) % 1000))
@@ -1000,26 +1008,33 @@ def access_keys_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     action log (account modeled as owner_<event_id%7> — the action's
     signer in this synthetic corpus)."""
     typed = actions_typed_args(spark, sf_dir)
+    return fold_access_keys(access_keys_rows(typed))
+
+
+def access_keys_rows(typed: DataFrame) -> DataFrame:
+    """Typed action rows -> the fold's key-event grain (account_id,
+    public_key, event_id, is_add, ak_permission_kind) — shared by the
+    batch fold and the C46 micro-batch sink."""
     keys = typed.where(
         F.col("action_kind").isin("ADD_KEY", "DELETE_KEY")
         & (F.col("args_class") == "typed")
     )
     owner = F.concat(F.lit("owner_"), _s(F.col("event_id") % 7))
-    k = keys.select(
+    return keys.select(
         owner.alias("account_id"),
         "public_key",
         "event_id",
         (F.col("action_kind") == "ADD_KEY").alias("is_add"),
         "ak_permission_kind",
     )
-    return fold_access_keys(k)
 
 
-def fold_access_keys(k: DataFrame) -> DataFrame:
-    """The last-writer-wins fold over (account_id, public_key,
-    event_id, is_add, ak_permission_kind) rows — one map-combined
-    aggregate standing in for the reference's guarded upsert loop."""
-    agg = k.groupBy("account_id", "public_key").agg(
+def access_keys_partial(k: DataFrame) -> DataFrame:
+    """Per-key PARTIAL of the last-writer-wins fold — a MAX
+    semilattice (commutative, idempotent, associative), which is what
+    lets C46 maintain the state table on a batch-id-keyed delta log:
+    partials of partials merge with the same max expressions."""
+    return k.groupBy("account_id", "public_key").agg(
         F.max(F.when(F.col("is_add"), F.col("event_id")))
         .cast("long")
         .alias("last_add"),
@@ -1036,6 +1051,31 @@ def fold_access_keys(k: DataFrame) -> DataFrame:
             )
         ).alias("addrec"),
     )
+
+
+def access_keys_merge(partials: DataFrame) -> DataFrame:
+    """Merge partial rows (possibly many per key, one per delta) into
+    one partial per key — max is its own combiner; the NULL-guard on
+    addrec keeps delete-only partials (null struct fields) out of the
+    arg-max."""
+    return partials.groupBy("account_id", "public_key").agg(
+        F.max("last_add").cast("long").alias("last_add"),
+        F.max("last_del").cast("long").alias("last_del"),
+        F.max(
+            F.when(F.col("last_add").isNotNull(), F.col("addrec"))
+        ).alias("addrec"),
+    )
+
+
+def fold_access_keys(k: DataFrame) -> DataFrame:
+    """The last-writer-wins fold over (account_id, public_key,
+    event_id, is_add, ak_permission_kind) rows — one map-combined
+    aggregate standing in for the reference's guarded upsert loop."""
+    return access_keys_finalize(access_keys_partial(k))
+
+
+def access_keys_finalize(agg: DataFrame) -> DataFrame:
+    """Partial rows -> the published state-table columns."""
     deleted = F.col("last_del").isNotNull() & (
         F.col("last_add").isNull() | (F.col("last_del") > F.col("last_add"))
     )

@@ -3567,3 +3567,85 @@ def read_stream_stratified_sample(
         .select("doc_id", "source", "stratum_rank")
     )
     return stratified_cut(ranked, stratified_allocations(counts))
+
+
+# ---------------------------------------------------------------------------
+# C46: streaming access-keys state maintenance — A126 kept LIVE as the
+# action log streams in, which is exactly what the reference's adapter
+# IS: a per-block guarded upsert into the access_keys current-state
+# table (database/src/adapters/access_keys.rs — AccessKeyUpdate
+# upserts, AccessKeyDeletion marks deleted_by, last_update_block_height
+# guards every write so out-of-order/replayed work cannot regress
+# state).  The state algebra here is the cleanest of the delta-log
+# families: the last-writer-wins fold is a per-key MAX SEMILATTICE
+# (max add event, max delete event, struct-argmax permission) —
+# commutative, idempotent, associative — so each micro-batch writes
+# its per-key PARTIAL to a batch-id-keyed delta and the read path (and
+# the C32 fold-and-replace compaction with agg_fn="max") merges
+# partials with the SAME max expressions.  Idempotence means replay
+# ghosts merge away even before the prune; out-of-order batches (a
+# later file carrying EARLIER event_ids) are absorbed by the max fold
+# — the streaming form of the reference's block-height guard.
+# ---------------------------------------------------------------------------
+ACCESS_KEYS_DELTA_SCHEMA = (
+    "account_id string, public_key string, last_add long, last_del long, "
+    "addrec struct<event_id: long, ak_permission_kind: string>"
+)
+_ACCESS_KEYS_COLS = {
+    "last_add": "long",
+    "last_del": "long",
+    "addrec": "struct<event_id: long, ak_permission_kind: string>",
+}
+
+
+def foreach_batch_access_keys(out_dir: str) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.operators.assets import (
+            access_keys_partial,
+            access_keys_rows,
+            parse_typed_actions,
+            synthesize_actions_from,
+        )
+
+        spark = batch_df.sparkSession
+        typed = parse_typed_actions(
+            synthesize_actions_from(
+                batch_df.select("event_id", "user_id", "value")
+            )
+        )
+        access_keys_partial(access_keys_rows(typed)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            spark, out_dir, ["account_id", "public_key"],
+            _ACCESS_KEYS_COLS, agg_fn="max",
+        )
+
+    return sink
+
+
+def access_keys_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C46 driver: event shards -> typed action log -> per-key
+    max-partial deltas."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_access_keys(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_access_keys(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C46 read path: merge the per-batch partials with the same
+    max fold, then finalize through the IDENTICAL projection as A126
+    — stream == batch is a kernel invariant."""
+    from near_indexer_for_explorer_spark.operators.assets import (
+        access_keys_finalize,
+        access_keys_merge,
+    )
+
+    partials = _read_delta_log(spark, out_dir, ACCESS_KEYS_DELTA_SCHEMA)
+    return access_keys_finalize(access_keys_merge(partials))

@@ -73,6 +73,7 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         # dir at DataFrame-construction time
         "supply_catchup_replay",
         "supply_catchup_days",
+        "access_keys_stream_replay",
     }
 )
 
@@ -1240,3 +1241,59 @@ ORACLES["supply_catchup_days"] = """
     FROM orders
     WHERE CAST(date_trunc('month', o_orderdate) AS DATE) > DATE '1995-06-30'
 """
+
+
+def access_keys_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, public_key, permission_kind, created_by_event_id,
+    deleted_by_event_id, last_update_event_id, is_active): the C46
+    incrementally-maintained access-keys state after replaying the
+    events table as three id-sliced micro-batches — id-slicing means
+    LATER batches carry EARLIER event_ids, so the max-semilattice fold
+    must absorb out-of-order work exactly as the reference's
+    last_update_block_height guard does; oracle = A126
+    `access_keys_state`'s SQL verbatim."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        access_keys_stream,
+        read_stream_access_keys,
+    )
+
+    base = tempfile.mkdtemp(prefix="ak_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = access_keys_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("access-keys replay stream did not finish")
+        return read_stream_access_keys(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["access_keys_stream_replay"] = access_keys_stream_replay
+
+
+def _access_keys_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.operators.assets import (
+        ORACLES as _ASSET_ORACLES,
+    )
+
+    return _ASSET_ORACLES["access_keys_state"]
+
+
+ORACLES["access_keys_stream_replay"] = _access_keys_replay_oracle()

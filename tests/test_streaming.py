@@ -3056,3 +3056,54 @@ def test_stratified_candidate_log_stays_bounded_under_long_replay(
         tuple(r) for r in P.read_stream_stratified_sample(spark, out).collect()
     )
     assert got == want
+
+
+def test_access_keys_stream_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """C46 == A126: after streaming the action log in out-of-order
+    shards the read path's state table equals the batch fold
+    row-for-row (kernel-shared finalize), and a checkpoint-wipe full
+    replay leaves it unchanged (the max-semilattice fold is
+    idempotent — replay ghosts merge away)."""
+    import shutil
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        access_keys_state,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        access_keys_stream,
+        read_stream_access_keys,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "ak_shards")
+    out = str(tmp_path / "ak_out")
+    ck = str(tmp_path / "ak_ck")
+    # id-sliced shards: later files carry EARLIER event_ids, so the
+    # fold must absorb out-of-order work (the block-height guard)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = access_keys_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    want = sorted(
+        tuple(r) for r in access_keys_state(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_stream_access_keys(spark, out).collect()
+    )
+    assert got == want
+
+    shutil.rmtree(ck)
+    q = access_keys_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    got2 = sorted(
+        tuple(r) for r in read_stream_access_keys(spark, out).collect()
+    )
+    assert got2 == want
