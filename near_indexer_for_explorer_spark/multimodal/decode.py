@@ -1898,6 +1898,11 @@ def numpy_gif_decoders() -> tuple[Callable[[bytes], list], Callable[[bytes], lis
                 raise ValueError(f"gif backend: unknown block 0x{block:02x}")
             _, _, w, h, ipacked = struct.unpack("<HHHHB", gif[pos : pos + 9])
             pos += 9
+            if ipacked & 0x40:
+                # match the stdlib prover's loud failure — decoding an
+                # interlaced stream in storage order would silently
+                # return spatially-wrong pixels
+                raise ValueError("gif backend: interlaced GIFs unsupported")
             if ipacked & 0x80:
                 n = 2 ** ((ipacked & 0x07) + 1)
                 pal = gif[pos : pos + 3 * n]

@@ -1055,15 +1055,13 @@ def access_keys_partial(k: DataFrame) -> DataFrame:
 
 def access_keys_merge(partials: DataFrame) -> DataFrame:
     """Merge partial rows (possibly many per key, one per delta) into
-    one partial per key — max is its own combiner; the NULL-guard on
-    addrec keeps delete-only partials (null struct fields) out of the
-    arg-max."""
+    one partial per key — max is its own combiner (a delete-only
+    partial carries a NULL addrec, which max skips), identical to the
+    bare-max fold the C46 compaction applies to the same log."""
     return partials.groupBy("account_id", "public_key").agg(
         F.max("last_add").cast("long").alias("last_add"),
         F.max("last_del").cast("long").alias("last_del"),
-        F.max(
-            F.when(F.col("last_add").isNotNull(), F.col("addrec"))
-        ).alias("addrec"),
+        F.max("addrec").alias("addrec"),
     )
 
 
@@ -1074,22 +1072,17 @@ def fold_access_keys(k: DataFrame) -> DataFrame:
     return access_keys_finalize(access_keys_partial(k))
 
 
-def access_keys_finalize(agg: DataFrame) -> DataFrame:
-    """Partial rows -> the published state-table columns."""
+def _state_finalize(agg: DataFrame, key_cols: list[str], extra) -> DataFrame:
+    """Partial rows -> the published state-table columns.  ONE home
+    for the guarded last-writer-wins semantics (the deleted rule,
+    deleted_by/last_update projection, is_active) shared by A126 keys
+    and A127 accounts — a future rule change lands in both."""
     deleted = F.col("last_del").isNotNull() & (
         F.col("last_add").isNull() | (F.col("last_del") > F.col("last_add"))
     )
     return agg.select(
-        "account_id",
-        "public_key",
-        # delete-only keys carry the reference's FULL_ACCESS
-        # placeholder (access_keys.rs:55-64)
-        F.when(
-            F.col("last_add").isNotNull(),
-            F.col("addrec").getField("ak_permission_kind"),
-        )
-        .otherwise("FULL_ACCESS")
-        .alias("permission_kind"),
+        *key_cols,
+        *extra,
         F.col("last_add").alias("created_by_event_id"),
         F.when(deleted, F.col("last_del"))
         .cast("long")
@@ -1102,6 +1095,21 @@ def access_keys_finalize(agg: DataFrame) -> DataFrame:
         .alias("last_update_event_id"),
         (~deleted).alias("is_active"),
     )
+
+
+def access_keys_finalize(agg: DataFrame) -> DataFrame:
+    """A126 finalize: the shared projection plus the permission of
+    the latest add; delete-only keys carry the reference's
+    FULL_ACCESS placeholder (access_keys.rs:55-64)."""
+    perm = (
+        F.when(
+            F.col("last_add").isNotNull(),
+            F.col("addrec").getField("ak_permission_kind"),
+        )
+        .otherwise("FULL_ACCESS")
+        .alias("permission_kind")
+    )
+    return _state_finalize(agg, ["account_id", "public_key"], [perm])
 
 
 QUERIES["access_keys_state"] = access_keys_state
@@ -1170,23 +1178,7 @@ def accounts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_del"),
     )
-    deleted = F.col("last_del").isNotNull() & (
-        F.col("last_add").isNull() | (F.col("last_del") > F.col("last_add"))
-    )
-    return agg.select(
-        "account_id",
-        F.col("last_add").alias("created_by_event_id"),
-        F.when(deleted, F.col("last_del"))
-        .cast("long")
-        .alias("deleted_by_event_id"),
-        F.greatest(
-            F.coalesce(F.col("last_add"), F.lit(-1)),
-            F.coalesce(F.col("last_del"), F.lit(-1)),
-        )
-        .cast("long")
-        .alias("last_update_event_id"),
-        (~deleted).alias("is_active"),
-    )
+    return _state_finalize(agg, ["account_id"], [])
 
 
 QUERIES["accounts_state"] = accounts_state

@@ -8869,21 +8869,20 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(SUM(n1_v) AS BIGINT) AS n1,
              CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_vals,
              CAST(SUM(n1_v * (2 * cum_less + cnt + 1)) AS BIGINT) AS r2,
-             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties_t
+             SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties_t
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
-           CASE WHEN n < 2 OR n1 = 0 OR n1 = n
-                     OR ties_t = n * n * n - n THEN NULL
+           CASE WHEN n < 2 OR n1 = 0 OR n1 = n OR n_vals = 1 THEN NULL
                 ELSE ROUND(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
                      / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
                         * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))),
                      6)
            END AS z,
-           CASE WHEN n < 2 OR n1 = 0 OR n1 = n
-                     OR ties_t = n * n * n - n THEN NULL
+           CASE WHEN n < 2 OR n1 = 0 OR n1 = n OR n_vals = 1 THEN NULL
                 ELSE abs(CAST(r2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
                      / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
                         * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1.0))))))
@@ -8916,12 +8915,19 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("event_type").agg(
         F.sum("n1_v").cast("long").alias("n1"),
         F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
         F.sum(
             F.col("n1_v") * (2 * F.col("cum_less") + F.col("cnt") + 1)
         ).cast("long").alias("r2"),
+        # cnt^3 in DECIMAL(38,0): a single cents value with >2^21
+        # duplicate rows overflows int64 — Spark would wrap silently
+        # while DuckDB's HUGEINT sum keeps going (cross-engine
+        # divergence); decimal matches DuckDB's exact wide sum, and
+        # the only consumer is the IEEE variance term.
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).cast("long").alias("ties_t"),
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties_t"),
     )
     n1, n = F.col("n1"), F.col("n")
     n2 = n - n1
@@ -8933,15 +8939,13 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = u2_centered / (F.lit(2.0) * F.sqrt(var))
     # Degenerate-group guard (mirrors the oracle CASE exactly): n<2
     # makes the ties term 0/0, a single-arm group (n1=0 or n1=n) or a
-    # fully-tied group (ties_t = n^3-n) makes var=0 — Spark NULL vs
-    # DuckDB NaN/Inf would diverge on the arms_differ comparison, the
-    # same cross-engine x/0 class as the r10 dedup_growth_curve fix.
-    degenerate = (
-        (n < 2)
-        | (n1 == 0)
-        | (n1 == n)
-        | (F.col("ties_t") == n * n * n - n)
-    )
+    # fully-tied group makes var=0 — Spark NULL vs DuckDB NaN/Inf
+    # would diverge on the arms_differ comparison, the same
+    # cross-engine x/0 class as the r10 dedup_growth_curve fix.
+    # Fully-tied is detected as ONE value-grain row (n_vals = 1), not
+    # by comparing ties_t to n^3-n: the cube of the GROUP size
+    # overflows int64 past ~2.1M rows/group, well inside real scales.
+    degenerate = (n < 2) | (n1 == 0) | (n1 == n) | (F.col("n_vals") == 1)
     return agg.select(
         "event_type",
         "n1",

@@ -5892,6 +5892,20 @@ def test_numpy_gif_decoders_match_stdlib():
     assert decode_one(gif2)[2] == [65, 66]  # stdlib handles it
     assert fast_units(gif2) == [65, 66]     # fast path fell back
 
+    # interlaced flag: both paths must fail LOUDLY and identically —
+    # decoding an interlaced stream in storage order would silently
+    # return spatially-wrong pixels
+    import pytest
+
+    inter = bytearray(encode_one(b"interlaced", 32))
+    # image descriptor packed byte sits 9 bytes into the 0x2C block
+    idesc = inter.index(0x2C, 13 + 3 * 256)
+    inter[idesc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_one(bytes(inter))
+    with pytest.raises(ValueError, match="interlaced"):
+        fast_units(bytes(inter))
+
 
 def test_ann_filtered_topk_semantics(spark, sf_dir):
     """B140/B141: filtered search returns ONLY same-label neighbors,

@@ -53,13 +53,21 @@ def main() -> None:
     assert D.NATIVE_DECODERS == {}, "registry must start empty"
     stdlib = _time_rows(spark, qs)
 
-    def _checksum() -> int:
+    def _checksum() -> tuple:
+        """One scalar per benchmarked query, so a wrong 'gif' AND a
+        wrong 'gif_frames' registration both trip the guard."""
         from pyspark.sql import functions as F
 
         return (
             qs["multimodal_gif_roundtrip"](spark, SF_DIR)
             .agg(F.sum("px_sum"))
-            .collect()[0][0]
+            .collect()[0][0],
+            qs["multimodal_gif_frame_sample"](spark, SF_DIR)
+            .agg(F.sum("frame_sum"), F.sum("frames_total_sum"))
+            .collect()[0][0:2],
+            qs["multimodal_scene_cuts"](spark, SF_DIR)
+            .agg(F.sum("max_delta"), F.sum("n_cuts"))
+            .collect()[0][0:2],
         )
 
     ref_sum = _checksum()
