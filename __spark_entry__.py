@@ -81,6 +81,7 @@ _GATE_PRIORITY: list[str] = [
     "access_keys_state",
     "accounts_state",
     "access_keys_stream_replay",
+    "access_keys_with_genesis",
     # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
     "orders_zorder_layout",
     "dedup_minhash_lsh",

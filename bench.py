@@ -269,6 +269,7 @@ EXTRA = [
     "actions_typed_args",
     "access_keys_state",
     "accounts_state",
+    "access_keys_with_genesis",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1207,3 +1207,129 @@ ORACLES["accounts_state"] = """
                 AND (last_add IS NULL OR last_del > last_add)) AS is_active
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# A128 genesis-seeded access keys — the reference does not start its
+# state tables empty: adapters/genesis.rs:43-118 streams the genesis
+# records into accounts/access_keys with created_by_receipt_id NULL
+# and last_update = the genesis height (models/access_keys.rs:35-49),
+# and LATER actions update those rows in place (a delete closes a
+# genesis row keeping created_by NULL and its GENESIS permission; a
+# re-add sets created_by to the adding receipt).  Composition, not a
+# new fold: the action fold (A126) FULL-OUTER-joins the genesis dim
+# on the key pair —
+#   created_by  = the fold's last add (NULL if only genesis wrote),
+#   permission  = the latest add's if one exists, else the GENESIS
+#                 permission (NOT the delete-placeholder), else the
+#                 non-genesis placeholder,
+#   last_update = the fold's, else 0 (the genesis height),
+#   is_active   = the fold's, else TRUE.
+# Scale shape: the genesis dim is a fixed chain-birth snapshot
+# (broadcastable; at mainnet scale it is millions of rows — still a
+# dim against the action log); one extra equi-join over A126's single
+# aggregate.
+# ---------------------------------------------------------------------------
+_GENESIS_KEYS = 50
+
+
+def genesis_access_keys(spark: SparkSession) -> DataFrame:
+    """The deterministic genesis snapshot: key k -> owner k%7, pk
+    PK_<k> (so genesis keys COLLIDE with action-space keys and the
+    update-in-place interactions are exercised), alternating
+    permission kinds (hash-visible against the FULL_ACCESS
+    delete-placeholder)."""
+    g = spark.range(_GENESIS_KEYS).select(
+        F.concat(F.lit("owner_"), _s(F.col("id") % 7)).alias("account_id"),
+        F.concat(F.lit("ed25519:PK_"), _s(F.col("id"))).alias("public_key"),
+        F.when(F.col("id") % 2 == 0, "FULL_ACCESS")
+        .otherwise("FUNCTION_CALL")
+        .alias("g_perm"),
+    )
+    return g
+
+
+def access_keys_with_genesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, public_key, permission_kind, created_by_event_id,
+    deleted_by_event_id, last_update_event_id, is_active): A126's
+    state table seeded with the genesis records."""
+    folded = access_keys_state(spark, sf_dir).alias("f")
+    # full-outer joins cannot broadcast either side in Spark — this is
+    # one SortMergeJoin on the key pair, against the already-aggregated
+    # (key-grain) fold, so both sides are state-sized, not log-sized
+    g = genesis_access_keys(spark).alias("g")
+    j = folded.join(g, ["account_id", "public_key"], "full_outer")
+    has_fold = F.col("f.last_update_event_id").isNotNull()
+    return j.select(
+        "account_id",
+        "public_key",
+        F.when(
+            F.col("f.created_by_event_id").isNotNull(),
+            F.col("f.permission_kind"),  # re-added: the add's permission
+        )
+        .when(F.col("g.g_perm").isNotNull(), F.col("g.g_perm"))
+        .otherwise(F.col("f.permission_kind"))  # non-genesis placeholder
+        .alias("permission_kind"),
+        F.col("f.created_by_event_id").alias("created_by_event_id"),
+        F.col("f.deleted_by_event_id").alias("deleted_by_event_id"),
+        F.when(has_fold, F.col("f.last_update_event_id"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_update_event_id"),
+        F.coalesce(F.col("f.is_active"), F.lit(True)).alias("is_active"),
+    )
+
+
+QUERIES["access_keys_with_genesis"] = access_keys_with_genesis
+
+ORACLES["access_keys_with_genesis"] = f"""
+    WITH base AS (
+      SELECT event_id, event_id % 12 AS b,
+             'owner_' || CAST(event_id % 7 AS VARCHAR) AS account_id,
+             'ed25519:PK_' || CAST(event_id % 500 AS VARCHAR) AS public_key
+      FROM events
+      WHERE event_id % 12 IN (5, 6, 7)
+    ),
+    agg AS (
+      SELECT account_id, public_key,
+             max(CASE WHEN b IN (5, 6) THEN event_id END) AS last_add,
+             max(CASE WHEN b = 7 THEN event_id END) AS last_del,
+             arg_max(CASE WHEN b = 5 THEN 'FULL_ACCESS'
+                          ELSE 'FUNCTION_CALL' END, event_id)
+               FILTER (WHERE b IN (5, 6)) AS add_perm
+      FROM base GROUP BY account_id, public_key
+    ),
+    folded AS (
+      SELECT account_id, public_key,
+             CASE WHEN last_add IS NOT NULL THEN add_perm
+                  ELSE 'FULL_ACCESS' END AS permission_kind,
+             CAST(last_add AS BIGINT) AS created_by_event_id,
+             CAST(CASE WHEN last_del IS NOT NULL
+                        AND (last_add IS NULL OR last_del > last_add)
+                       THEN last_del END AS BIGINT) AS deleted_by_event_id,
+             CAST(greatest(COALESCE(last_add, -1), COALESCE(last_del, -1))
+                  AS BIGINT) AS last_update_event_id,
+             NOT (last_del IS NOT NULL
+                  AND (last_add IS NULL OR last_del > last_add)) AS is_active
+      FROM agg
+    ),
+    genesis AS (
+      SELECT 'owner_' || CAST(k % 7 AS VARCHAR) AS account_id,
+             'ed25519:PK_' || CAST(k AS VARCHAR) AS public_key,
+             CASE WHEN k % 2 = 0 THEN 'FULL_ACCESS'
+                  ELSE 'FUNCTION_CALL' END AS g_perm
+      FROM range(0, {_GENESIS_KEYS}) t(k)
+    )
+    SELECT COALESCE(f.account_id, g.account_id) AS account_id,
+           COALESCE(f.public_key, g.public_key) AS public_key,
+           CASE WHEN f.created_by_event_id IS NOT NULL THEN f.permission_kind
+                WHEN g.g_perm IS NOT NULL THEN g.g_perm
+                ELSE f.permission_kind END AS permission_kind,
+           f.created_by_event_id,
+           f.deleted_by_event_id,
+           CAST(COALESCE(f.last_update_event_id, 0) AS BIGINT)
+             AS last_update_event_id,
+           COALESCE(f.is_active, TRUE) AS is_active
+    FROM folded f FULL OUTER JOIN genesis g
+      ON f.account_id = g.account_id AND f.public_key = g.public_key
+"""
