@@ -82,6 +82,7 @@ _GATE_PRIORITY: list[str] = [
     "accounts_state",
     "access_keys_stream_replay",
     "access_keys_with_genesis",
+    "accounts_with_genesis",
     # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
     "orders_zorder_layout",
     "dedup_minhash_lsh",

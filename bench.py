@@ -270,6 +270,7 @@ EXTRA = [
     "access_keys_state",
     "accounts_state",
     "access_keys_with_genesis",
+    "accounts_with_genesis",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

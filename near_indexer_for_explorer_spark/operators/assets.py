@@ -1333,3 +1333,81 @@ ORACLES["access_keys_with_genesis"] = f"""
     FROM folded f FULL OUTER JOIN genesis g
       ON f.account_id = g.account_id AND f.public_key = g.public_key
 """
+
+
+# ---------------------------------------------------------------------------
+# A129 genesis-seeded accounts — A128's composition at the account
+# grain (adapters/genesis.rs:43-118 seeds accounts exactly like
+# access keys: created_by NULL, last_update = genesis height,
+# models/accounts.rs:29-39; a later DeleteAccount closes the genesis
+# row in place, a later CreateAccount takes over created_by).
+# ---------------------------------------------------------------------------
+_GENESIS_ACCOUNTS = 7  # every owner_<0..6> exists at genesis
+
+
+def accounts_with_genesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, created_by_event_id, deleted_by_event_id,
+    last_update_event_id, is_active): A127's state table seeded with
+    the genesis accounts."""
+    folded = accounts_state(spark, sf_dir).alias("f")
+    g = (
+        spark.range(_GENESIS_ACCOUNTS)
+        .select(
+            F.concat(F.lit("owner_"), _s(F.col("id"))).alias("account_id"),
+            F.lit(True).alias("g_exists"),
+        )
+        .alias("g")
+    )
+    j = folded.join(g, ["account_id"], "full_outer")
+    has_fold = F.col("f.last_update_event_id").isNotNull()
+    return j.select(
+        "account_id",
+        F.col("f.created_by_event_id").alias("created_by_event_id"),
+        F.col("f.deleted_by_event_id").alias("deleted_by_event_id"),
+        F.when(has_fold, F.col("f.last_update_event_id"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_update_event_id"),
+        F.coalesce(F.col("f.is_active"), F.lit(True)).alias("is_active"),
+    )
+
+
+QUERIES["accounts_with_genesis"] = accounts_with_genesis
+
+ORACLES["accounts_with_genesis"] = f"""
+    WITH base AS (
+      SELECT event_id, event_id % 12 AS b,
+             'owner_' || CAST(event_id % 7 AS VARCHAR) AS account_id
+      FROM events
+      WHERE event_id % 12 IN (0, 8)
+    ),
+    agg AS (
+      SELECT account_id,
+             max(CASE WHEN b = 0 THEN event_id END) AS last_add,
+             max(CASE WHEN b = 8 THEN event_id END) AS last_del
+      FROM base GROUP BY account_id
+    ),
+    folded AS (
+      SELECT account_id,
+             CAST(last_add AS BIGINT) AS created_by_event_id,
+             CAST(CASE WHEN last_del IS NOT NULL
+                        AND (last_add IS NULL OR last_del > last_add)
+                       THEN last_del END AS BIGINT) AS deleted_by_event_id,
+             CAST(greatest(COALESCE(last_add, -1), COALESCE(last_del, -1))
+                  AS BIGINT) AS last_update_event_id,
+             NOT (last_del IS NOT NULL
+                  AND (last_add IS NULL OR last_del > last_add)) AS is_active
+      FROM agg
+    ),
+    genesis AS (
+      SELECT 'owner_' || CAST(k AS VARCHAR) AS account_id
+      FROM range(0, {_GENESIS_ACCOUNTS}) t(k)
+    )
+    SELECT COALESCE(f.account_id, g.account_id) AS account_id,
+           f.created_by_event_id,
+           f.deleted_by_event_id,
+           CAST(COALESCE(f.last_update_event_id, 0) AS BIGINT)
+             AS last_update_event_id,
+           COALESCE(f.is_active, TRUE) AS is_active
+    FROM folded f FULL OUTER JOIN genesis g ON f.account_id = g.account_id
+"""
