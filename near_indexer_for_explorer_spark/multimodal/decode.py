@@ -1658,8 +1658,10 @@ def make_gif_roundtrip_kernel(width: int = _GIF_W) -> Callable[[Iterator], Itera
     build so the closure ships a stable reference to executors) — the
     same swap seam the router uses; a registered native codec reports
     ``decode_backend='native:gif'`` so the A/B is observable per row.
-    The registry is empty by default, so gated runs always take (and
-    hash-match) the stdlib path."""
+    Since r13 the registry ships the numpy fast path by default when
+    numpy imports (``register_default_native_decoders``), so default
+    runs report 'native:gif'; the gated oracle string is flipped in
+    lockstep at registration time."""
     encode_gray_gif, decode_gif_pixels = _gif_codec()
     native = NATIVE_DECODERS.get("gif")
 
@@ -1670,6 +1672,14 @@ def make_gif_roundtrip_kernel(width: int = _GIF_W) -> Callable[[Iterator], Itera
             gif = encode_gray_gif(payload, width)
             if native is not None:
                 px = list(native(gif))
+                # a native decoder returning a non-row-multiple pixel
+                # list would otherwise yield a silently inconsistent
+                # row (n_px undercounting while px_sum sums all)
+                if len(px) % width:
+                    raise ValueError(
+                        "gif backend: native decoder returned "
+                        f"{len(px)} pixels, not a multiple of width {width}"
+                    )
                 w, h = width, len(px) // width
                 backend = "native:gif"
             else:
@@ -2878,3 +2888,42 @@ ORACLES["multimodal_audio_windows"] = f"""
              AS mean_window_energy
     FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# Default native-decoder registration (r12 verdict "What's wrong" #1:
+# the numpy GIF fast path was proven checksum-identical at 2.2-2.9x by
+# tools/ab_gif_native.py but shipped unregistered, so every
+# default-config deployment paid the interpreter-LZW constant).  Policy:
+# when numpy imports, register the numpy pair under 'gif'/'gif_frames'
+# at module import — stdlib fallback otherwise — and flip the ONE
+# oracle string that names the backend tag in lockstep so gated runs
+# keep hash-matching.  Opt out (e.g. to measure the stdlib leg) with
+# SPARK_GRAFT_NO_NATIVE_DECODERS=1 or by clearing NATIVE_DECODERS
+# before kernels are built (registrations are snapshotted per kernel).
+# ---------------------------------------------------------------------------
+def register_default_native_decoders() -> bool:
+    """Register the numpy GIF decoders as the default native codecs;
+    returns True when registered.  setdefault semantics: an explicit
+    user registration (a real Pillow/libgif binding) is never
+    displaced, and re-invocation is a no-op."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_NATIVE_DECODERS"):
+        return False
+    try:
+        gif_units, gif_frames = numpy_gif_decoders()
+    except ImportError:
+        return False
+    NATIVE_DECODERS.setdefault("gif", gif_units)
+    NATIVE_DECODERS.setdefault("gif_frames", gif_frames)
+    # the only gated output that NAMES the backend; px stats are
+    # checksum-identical by construction (test_numpy_gif_decoders_
+    # match_stdlib + the recorded A/B)
+    ORACLES["multimodal_gif_roundtrip"] = ORACLES[
+        "multimodal_gif_roundtrip"
+    ].replace("'gif' AS decode_backend", "'native:gif' AS decode_backend")
+    return True
+
+
+NATIVE_DECODERS_DEFAULTED = register_default_native_decoders()

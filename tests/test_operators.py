@@ -4721,16 +4721,33 @@ def test_gif_lzw_decoder_on_streams_it_did_not_write(spark):
     assert (w, h) == (32, 90)
     assert bytes(px) == data
 
-    # (c) the registered kernel through Spark: real GIF both ways
+    # (c) the registered kernel through Spark: real GIF both ways.
+    # Default config ships the numpy fast path (r13), so the kernel
+    # reports 'native:gif'; clearing the registry restores the stdlib
+    # prover with IDENTICAL pixel stats.
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
     df = spark.createDataFrame(
         [(1, bytes([7, 9, 11]))], "doc_id long, payload binary"
     )
     (r,) = df.mapInPandas(
         make_gif_roundtrip_kernel(), schema=GIF_ROUNDTRIP_SCHEMA
     ).collect()
-    assert r["decode_backend"] == "gif"
+    expect = "native:gif" if "gif" in D.NATIVE_DECODERS else "gif"
+    assert r["decode_backend"] == expect
     assert (r["width"], r["height"], r["n_px"]) == (32, 1, 32)
     assert r["px_sum"] == 7 + 9 + 11
+
+    saved = dict(D.NATIVE_DECODERS)
+    D.NATIVE_DECODERS.clear()
+    try:
+        (r2,) = df.mapInPandas(
+            make_gif_roundtrip_kernel(), schema=GIF_ROUNDTRIP_SCHEMA
+        ).collect()
+    finally:
+        D.NATIVE_DECODERS.update(saved)
+    assert r2["decode_backend"] == "gif"
+    assert (r2["px_sum"], r2["n_px"]) == (r["px_sum"], r["n_px"])
 
 
 def test_changepoint_binseg_planted_shift(spark, tmp_path):
@@ -5752,8 +5769,9 @@ def test_media_router_bmp_branch_and_native_swap(spark):
     assert out[2]["mime"] == "over_budget"
 
     # native swap: a registered decoder takes the branch over the
-    # stdlib prover (registry empty by default)
-    assert D.NATIVE_DECODERS == {}
+    # stdlib prover (no 'bmp' entry is registered by default — only
+    # the numpy GIF pair ships, r13)
+    assert "bmp" not in D.NATIVE_DECODERS
     D.NATIVE_DECODERS["bmp"] = lambda p: [7, 7, 7]
     try:
         swapped = (
@@ -5777,7 +5795,10 @@ def test_gif_seam_reaches_every_decode_path():
     from near_indexer_for_explorer_spark.multimodal import decode as D
 
     encode_one, decode_one = D._gif_codec()
-    assert D.NATIVE_DECODERS == {}
+    # start from an empty registry (the numpy pair ships by default
+    # since r13); restored at the end
+    _default = dict(D.NATIVE_DECODERS)
+    D.NATIVE_DECODERS.clear()
 
     # Reference outputs through the pure-stdlib path
     _, stdlib_frames = D._gif_frames_codec()
@@ -5834,7 +5855,7 @@ def test_gif_seam_reaches_every_decode_path():
     finally:
         del D.NATIVE_DECODERS["gif_frames"]
         del D.NATIVE_DECODERS["gif"]
-    assert D.NATIVE_DECODERS == {}
+        D.NATIVE_DECODERS.update(_default)
 
 
 def test_numpy_gif_decoders_match_stdlib():
@@ -5905,6 +5926,66 @@ def test_numpy_gif_decoders_match_stdlib():
         decode_one(bytes(inter))
     with pytest.raises(ValueError, match="interlaced"):
         fast_units(bytes(inter))
+
+
+def test_native_decoders_registered_by_default():
+    """r13: the numpy GIF pair is registered at import when numpy is
+    importable (NATIVE_DECODERS_DEFAULTED), the gif-roundtrip oracle's
+    backend tag flips in lockstep, re-registration is a setdefault
+    no-op, and the env opt-out yields the stdlib default (checked in a
+    fresh interpreter because registration runs at import time)."""
+    import subprocess
+    import sys
+
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
+    # numpy is baked into this container, so the default MUST be on
+    assert D.NATIVE_DECODERS_DEFAULTED
+    assert set(D.NATIVE_DECODERS) >= {"gif", "gif_frames"}
+    assert "'native:gif' AS decode_backend" in D.ORACLES[
+        "multimodal_gif_roundtrip"
+    ]
+    before = dict(D.NATIVE_DECODERS)
+    assert D.register_default_native_decoders()  # idempotent
+    assert D.NATIVE_DECODERS == before
+    # the oracle flip must also be idempotent (no double-replace)
+    assert D.ORACLES["multimodal_gif_roundtrip"].count("AS decode_backend") == 1
+
+    # native divisibility guard (ADVICE r12): a native decoder
+    # returning a non-row-multiple pixel list raises, never emits an
+    # inconsistent row
+    import pandas as pd
+
+    D.NATIVE_DECODERS["gif"] = lambda p: [1, 2, 3]  # 3 % 32 != 0
+    try:
+        kern = D.make_gif_roundtrip_kernel(32)
+        import pytest
+
+        with pytest.raises(ValueError, match="not a multiple"):
+            list(kern(iter([pd.DataFrame({"doc_id": [1], "payload": [b"xy"]})])))
+    finally:
+        D.NATIVE_DECODERS.update(before)
+
+    # env opt-out: a fresh interpreter with the flag set keeps the
+    # stdlib default and the stdlib oracle tag
+    code = (
+        "import os; os.environ['SPARK_GRAFT_NO_NATIVE_DECODERS']='1';"
+        "from near_indexer_for_explorer_spark.multimodal import decode as D;"
+        "assert D.NATIVE_DECODERS == {}, D.NATIVE_DECODERS;"
+        "assert not D.NATIVE_DECODERS_DEFAULTED;"
+        "assert \"'gif' AS decode_backend\" in "
+        "D.ORACLES['multimodal_gif_roundtrip'];"
+        "print('optout-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "optout-ok" in out.stdout
 
 
 def test_ann_filtered_topk_semantics(spark, sf_dir):

@@ -50,7 +50,9 @@ def main() -> None:
     qs = e.queries()
     qs[ROWS[0]](spark, SF_DIR).count()  # warm JVM + footers
 
-    assert D.NATIVE_DECODERS == {}, "registry must start empty"
+    # the numpy pair ships by default since r13 — clear it for the
+    # stdlib leg (restored by the native leg's explicit registration)
+    D.NATIVE_DECODERS.clear()
     stdlib = _time_rows(spark, qs)
 
     def _checksum() -> tuple:
@@ -80,6 +82,7 @@ def main() -> None:
         assert _checksum() == ref_sum, "native decode diverged from stdlib"
     finally:
         D.NATIVE_DECODERS.clear()
+        D.register_default_native_decoders()
 
     print(
         json.dumps(
