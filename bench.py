@@ -271,6 +271,13 @@ EXTRA = [
     "accounts_state",
     "access_keys_with_genesis",
     "accounts_with_genesis",
+    # round 13 additions.  supply_catchup_incremental measures ONE
+    # incremental WAP catch-up cycle under its own name (r12 verdict
+    # nit #3: the kernel was previously benched only through its
+    # replay twins, which stay excluded as harness cost); the frozen
+    # base publish is paid by the first run, so the min-of-3 is the
+    # steady-state cycle.
+    "supply_catchup_incremental",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -12,6 +12,7 @@ DuckDB runs over the same parquet; column names/aliases match exactly.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1320,8 +1321,14 @@ def supply_catchup(
 
     orders = load_table(spark, sf_dir, "orders")
     missing, published = supply_missing_days(spark, sf_dir, out_dir, upto)
-    # months-grain dim: the count is a metadata-sized action, the
-    # reference's per-day existence check batched into one anti-join
+    # months-grain dim, so materialize it ONCE: without the checkpoint
+    # the published read + anti-join would execute twice per catch-up
+    # cycle — once for the emptiness probe and again inside the kernel
+    # pass (r12 advice)
+    missing = missing.localCheckpoint(eager=True)
+    # the count is now a metadata-sized action over the materialized
+    # dim — the reference's per-day existence check batched into one
+    # anti-join
     if not missing.limit(1).count():
         return None
     fresh = _supply_kernel(orders, missing)
@@ -1331,6 +1338,75 @@ def supply_catchup(
     # checkpoint keeps the staged plan from re-reading a directory the
     # next catch-up would supersede
     return publish_atomic(union.localCheckpoint(eager=True), out_dir)
+
+
+# ---------------------------------------------------------------------------
+# A130 the catch-up cycle as a REGISTERED query (r12 verdict #8: the
+# kernel's plan was only measured through its 3-leg replay twins,
+# whose timing is dominated by replay-harness I/O).  One INCREMENTAL
+# cycle under its own name: a session-frozen base publish covers
+# history up to the pivot (the nightly job having run yesterday);
+# each call clones that base dir (months-grain parquet, milliseconds)
+# and runs exactly one catch-up — published read + months-grain
+# anti-join + A37 kernel on the missing tail + WAP publish of the
+# union — returning the published series.  Oracle = A37 verbatim: the
+# incrementally-published union equals the one-shot series.
+# ---------------------------------------------------------------------------
+_SUPPLY_PIVOT = "1995-06-30"
+_CATCHUP_BASE: dict[tuple[str, str], str] = {}
+
+
+def _supply_catchup_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) a WAP dir whose newest published
+    version covers snapshot days <= the pivot — the 'job ran
+    yesterday' starting state every incremental cycle begins from."""
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _CATCHUP_BASE if k[0] != app_id]:
+        del _CATCHUP_BASE[k]
+    key = (app_id, sf_dir)
+    base = _CATCHUP_BASE.get(key)
+    if base is None or not os.path.isdir(base):
+        import datetime
+
+        base = tempfile.mkdtemp(prefix="nifes_supply_base_")
+        pivot = datetime.date.fromisoformat(_SUPPLY_PIVOT)
+        if supply_catchup(spark, sf_dir, base, upto=pivot) is None:
+            raise RuntimeError("supply catch-up base publish was empty")
+        _CATCHUP_BASE[key] = base
+    return base
+
+
+def supply_catchup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(snap_date, total_supply, total_locked, foundation_amount,
+    circulating_supply): the published circulating-supply series after
+    ONE incremental catch-up cycle over a base publish pinned at the
+    pivot date (circulating-supply/src/main.rs:59-104's restart,
+    measured as a single cycle rather than the replay twin's 3-leg
+    harness)."""
+    import shutil
+    import tempfile
+
+    from near_indexer_for_explorer_spark.sources.sinks import read_published
+
+    base = _supply_catchup_base(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="nifes_supply_incr_")
+    try:
+        shutil.rmtree(work)
+        shutil.copytree(base, work)
+        if supply_catchup(spark, sf_dir, work) is None:
+            raise RuntimeError("incremental catch-up found no missing days")
+        # detach from the temp dir before it is removed
+        return read_published(spark, work).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["supply_catchup_incremental"] = supply_catchup_incremental
+
+# the published union must equal the one-shot A37 series row-for-row
+ORACLES["supply_catchup_incremental"] = ORACLES["circulating_supply_daily"]
 
 
 # ---------------------------------------------------------------------------

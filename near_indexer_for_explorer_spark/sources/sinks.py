@@ -324,13 +324,21 @@ def publish_atomic(
             break
         except OSError as exc:
             # Retry ONLY version-number collisions (a concurrent peer
-            # claimed our v=<n> first).  Any other OSError (EACCES,
-            # EXDEV, read-only fs, ...) is persistent: retrying is
-            # futile and the rmtree below would destroy a fully
-            # staged, audited snapshot — surface it instead and leave
-            # the staging dir in place for recovery (it stays
-            # invisible to readers and is age-swept eventually).
-            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR):
+            # claimed our v=<n> first).  EBUSY is included because
+            # networked filesystems (NFS) surface a busy/locked target
+            # dir that way — transient, same remedy as EEXIST (r12
+            # advice).  Any other OSError (EACCES, EXDEV, read-only
+            # fs, ...) is persistent: retrying is futile and the
+            # rmtree below would destroy a fully staged, audited
+            # snapshot — surface it instead and leave the staging dir
+            # in place for recovery (it stays invisible to readers
+            # and is age-swept eventually).
+            if exc.errno not in (
+                errno.EEXIST,
+                errno.ENOTEMPTY,
+                errno.EISDIR,
+                errno.EBUSY,
+            ):
                 raise
             continue
     else:

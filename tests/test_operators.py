@@ -5246,6 +5246,31 @@ def test_access_keys_fold_interactions(spark):
     assert active["is_active"] and active["deleted_by_event_id"] is None
 
 
+def test_supply_catchup_incremental_frozen_base(spark, sf_dir):
+    """A130: the registered incremental cycle reuses the session-frozen
+    base publish (one base build per session+sf_dir), never mutates it,
+    and each call returns the full A37-equal series."""
+    import os
+
+    from near_indexer_for_explorer_spark.plans import relational as R
+
+    first = R.supply_catchup_incremental(spark, sf_dir)
+    base = R._supply_catchup_base(spark, sf_dir)
+    before = sorted(os.listdir(base))
+    second = R.supply_catchup_incremental(spark, sf_dir)
+    # frozen base: same dir, untouched version set (each cycle clones)
+    assert R._supply_catchup_base(spark, sf_dir) == base
+    assert sorted(os.listdir(base)) == before
+    a = sorted(first.collect(), key=lambda r: r["snap_date"])
+    b = sorted(second.collect(), key=lambda r: r["snap_date"])
+    assert a == b and len(a) > 0
+    oneshot = sorted(
+        R.circulating_supply_daily(spark, sf_dir).collect(),
+        key=lambda r: r["snap_date"],
+    )
+    assert a == oneshot
+
+
 def test_supply_catchup_protocol_and_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     """A124: the catch-up computes exactly the missing days, is
     idempotent under restart, survives a crash mid-publish with the
