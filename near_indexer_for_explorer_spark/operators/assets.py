@@ -695,8 +695,11 @@ ORACLES["args_base64_extract"] = f"""
 # kinds quarantine as bad_kind, never silently pass), PERMISSIVE
 # corrupt-record quarantine for unparseable args (bad_json), and a
 # per-kind projection so each emitted field is defined exactly for
-# the kinds the reference defines it on.  The flattened AddKey
-# permission columns are what the access_keys SCD consumes
+# the kinds the reference defines it on.  FunctionCall rows also
+# carry the reference's args_json denormalization (serializers.rs
+# issue-87 branch): the decoded args_base64 bytes re-serialized as
+# JSON when they genuinely parse, NULL otherwise.  The flattened
+# AddKey permission columns are what the access_keys SCD consumes
 # (database/src/adapters/access_keys.rs).
 #
 # Scale notes: map-only — one narrow scan, all JSON work in JVM
@@ -785,9 +788,15 @@ def synthesize_actions_from(ev: DataFrame) -> DataFrame:
     m2 = F.concat(F.lit("m_"), _s((F.col("event_id") + 1) % 97))
     gas = (F.col("user_id") + 1) * 1000
     nonce = F.col("event_id") % 1000000
-    fc_b64 = F.base64(
-        F.concat(F.lit("fc_args_"), _s(F.col("event_id"))).cast("binary")
-    )
+    # every third FunctionCall carries PARSEABLE JSON args (the
+    # reference's issue-87 case: contract calls whose args are JSON),
+    # the rest an opaque binary blob — so the args_json denormalization
+    # below has both branches to prove
+    fc_payload = F.when(
+        F.col("event_id") % 3 == 0,
+        F.to_json(F.struct((F.col("event_id") % 100).cast("long").alias("k"))),
+    ).otherwise(F.concat(F.lit("fc_args_"), _s(F.col("event_id"))))
+    fc_b64 = F.base64(fc_payload.cast("binary"))
     kind = (
         F.when(b == 0, "CREATE_ACCOUNT")
         .when(b == 1, "DEPLOY_CONTRACT")
@@ -900,6 +909,17 @@ def parse_typed_actions(actions: DataFrame) -> DataFrame:
         only(["DEPLOY_CONTRACT"], F.col("a.code_sha256")).alias("code_sha256"),
         only(["FUNCTION_CALL"], F.col("a.method_name")).alias("method_name"),
         only(["FUNCTION_CALL"], F.col("a.args_base64")).alias("args_base64"),
+        # the reference's FunctionCall serializer ALSO denormalizes
+        # args_base64 into args_json WHEN the decoded bytes parse as
+        # JSON (serializers.rs issue-87 branch) — a genuine parse
+        # (try_parse_json), not a branch on the construction spec;
+        # unparseable blobs stay NULL
+        only(
+            ["FUNCTION_CALL"],
+            F.to_json(
+                F.try_parse_json(F.unbase64(F.col("a.args_base64")).cast("string"))
+            ),
+        ).alias("args_json"),
         only(["FUNCTION_CALL"], F.col("a.gas"), nl).alias("gas"),
         only(["FUNCTION_CALL", "TRANSFER"], F.col("a.deposit")).alias("deposit"),
         only(["STAKE"], F.col("a.stake")).alias("stake"),
@@ -966,8 +986,13 @@ ORACLES["actions_typed_args"] = """
            CASE WHEN b = 1 THEN code_h END AS code_sha256,
            CASE WHEN b = 2 THEN m1 END AS method_name,
            CASE WHEN b = 2
-                THEN to_base64(encode('fc_args_' || CAST(event_id AS VARCHAR)))
+                THEN to_base64(encode(CASE WHEN event_id % 3 = 0
+                     THEN '{"k":' || CAST(event_id % 100 AS VARCHAR) || '}'
+                     ELSE 'fc_args_' || CAST(event_id AS VARCHAR) END))
            END AS args_base64,
+           CASE WHEN b = 2 AND event_id % 3 = 0
+                THEN '{"k":' || CAST(event_id % 100 AS VARCHAR) || '}'
+           END AS args_json,
            CASE WHEN b = 2 THEN CAST(gas AS BIGINT) END AS gas,
            CASE WHEN b IN (2, 3) THEN dep END AS deposit,
            CASE WHEN b = 4 THEN dep || '0' END AS stake,
