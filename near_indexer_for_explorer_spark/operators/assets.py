@@ -1436,3 +1436,359 @@ ORACLES["accounts_with_genesis"] = f"""
            COALESCE(f.is_active, TRUE) AS is_active
     FROM folded f FULL OUTER JOIN genesis g ON f.account_id = g.account_id
 """
+
+
+# ---------------------------------------------------------------------------
+# A131 account_changes VALUE-side typed normalization — the last
+# reference table whose value payload was not yet typed (r12 verdict
+# "What's missing" #1).  The reference extracts per state change the
+# affected account's nonstaked/staked balances and storage usage
+# (database/src/models/account_changes.rs:9-21), substitutes a ZERO
+# placeholder for all three on AccountDeletion (the value variant with
+# no AccountView, account_changes.rs:63-79), and projects the CAUSE
+# onto nullable FK columns: caused_by_transaction_hash ONLY for
+# TransactionProcessing, caused_by_receipt_id for the four receipt
+# causes, both NULL for the validator/migration/resharding family
+# (models/account_changes.rs:47-60, adapters/account_changes.rs:33-60).
+# A111 covers the reason vocabulary; this is the full typed row the
+# A132 balances fold consumes.  The update_reason derivation is A111's
+# shared kernel (state_change_reason_kind), so the two cannot drift.
+#
+# Scale shape: map-only — one narrow scan, zero shuffles; the same
+# single pass the reference's From<StateChangeWithCauseView> performs
+# per row.
+# ---------------------------------------------------------------------------
+_RECEIPT_CAUSES = (
+    "ACTION_RECEIPT_PROCESSING_STARTED",
+    "ACTION_RECEIPT_GAS_REWARD",
+    "RECEIPT_PROCESSING",
+    "POSTPONED_RECEIPT",
+)
+_DELETION_MOD = 37  # every 37th change is an AccountDeletion
+
+
+def account_changes_rows(ev: DataFrame) -> DataFrame:
+    """(event_id, affected_account_id, changed_in_block_timestamp,
+    update_reason, caused_by_transaction_hash, caused_by_receipt_id,
+    is_deletion, affected_account_nonstaked_balance,
+    affected_account_staked_balance, affected_account_storage_usage,
+    index_in_block): the typed projection over an arbitrary raw events
+    frame — shared by the A131 batch query and the C47 micro-batch
+    sink.  Unmapped causes are excluded the way the reference's From<>
+    returns None for them."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        state_change_reason_kind,
+    )
+
+    tagged = ev.withColumn("update_reason", state_change_reason_kind()).where(
+        F.col("update_reason").isNotNull()
+    )
+    deletion = F.col("event_id") % _DELETION_MOD == 0
+    amount = F.round(F.col("value") * 100).cast("long")
+    nonstaked = (
+        F.when(deletion, F.lit(0)).otherwise(amount).cast("decimal(38,0)")
+    )
+    staked = (
+        F.when(deletion, F.lit(0))
+        .otherwise(F.expr("cast(round(value * 100) as bigint) div 4"))
+        .cast("decimal(38,0)")
+    )
+    storage = (
+        F.when(deletion, F.lit(0))
+        .otherwise(100 + F.col("event_id") % 900)
+        .cast("long")
+    )
+    tx = F.when(
+        F.col("update_reason") == "TRANSACTION_PROCESSING",
+        F.md5(F.concat(F.lit("tx_"), _s(F.col("event_id")))),
+    )
+    rc = F.when(
+        F.col("update_reason").isin(*_RECEIPT_CAUSES),
+        F.md5(F.concat(F.lit("rc_"), _s(F.col("event_id")))),
+    )
+    return tagged.select(
+        "event_id",
+        F.concat(F.lit("acct_"), _s(F.col("user_id"))).alias(
+            "affected_account_id"
+        ),
+        F.col("ts").alias("changed_in_block_timestamp"),
+        "update_reason",
+        tx.alias("caused_by_transaction_hash"),
+        rc.alias("caused_by_receipt_id"),
+        deletion.alias("is_deletion"),
+        nonstaked.alias("affected_account_nonstaked_balance"),
+        staked.alias("affected_account_staked_balance"),
+        storage.alias("affected_account_storage_usage"),
+        (F.col("event_id") % 1000).cast("int").alias("index_in_block"),
+    )
+
+
+def account_changes_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered A131 query: the reference's account_changes
+    table with its value payload fully typed."""
+    return account_changes_rows(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["account_changes_typed"] = account_changes_typed
+
+# Shared CTE body: the oracle derives the typed columns straight from
+# the construction spec over the SAME reason kernel SQL A111 uses
+# ({_REASON_KIND_SQL} is substituted at module bottom), so the A131,
+# A132 and A133 oracles cannot drift from each other.
+_ACCT_CH_SQL = """
+      SELECT event_id,
+             'acct_' || CAST(user_id AS VARCHAR) AS affected_account_id,
+             ts AS changed_in_block_timestamp,
+             {_REASON_KIND_SQL} AS update_reason,
+             event_id % 37 = 0 AS is_deletion,
+             CAST(CASE WHEN event_id % 37 = 0 THEN 0
+                       ELSE CAST(round(value * 100, 0) AS BIGINT)
+                  END AS DECIMAL(38,0)) AS affected_account_nonstaked_balance,
+             CAST(CASE WHEN event_id % 37 = 0 THEN 0
+                       ELSE CAST(round(value * 100, 0) AS BIGINT) // 4
+                  END AS DECIMAL(38,0)) AS affected_account_staked_balance,
+             CAST(CASE WHEN event_id % 37 = 0 THEN 0
+                       ELSE 100 + event_id % 900
+                  END AS BIGINT) AS affected_account_storage_usage,
+             CAST(event_id % 1000 AS INTEGER) AS index_in_block
+      FROM events
+"""
+
+ORACLES["account_changes_typed"] = """
+    WITH ch AS ({_ACCT_CH_SQL})
+    SELECT event_id, affected_account_id, changed_in_block_timestamp,
+           update_reason,
+           CASE WHEN update_reason = 'TRANSACTION_PROCESSING'
+                THEN md5('tx_' || CAST(event_id AS VARCHAR))
+           END AS caused_by_transaction_hash,
+           CASE WHEN update_reason IN ('ACTION_RECEIPT_PROCESSING_STARTED',
+                                       'ACTION_RECEIPT_GAS_REWARD',
+                                       'RECEIPT_PROCESSING',
+                                       'POSTPONED_RECEIPT')
+                THEN md5('rc_' || CAST(event_id AS VARCHAR))
+           END AS caused_by_receipt_id,
+           is_deletion,
+           affected_account_nonstaked_balance,
+           affected_account_staked_balance,
+           affected_account_storage_usage,
+           index_in_block
+    FROM ch WHERE update_reason IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# A132 account balances current state — the account_changes sibling of
+# A126/A127: the balances-at-height fold every explorer account page
+# serves ("what is this account's balance NOW").  The reference gets
+# it by replaying account_changes in (block, index) order; Spark-first
+# that replay is ONE aggregate — the arg-max-by-event_id struct
+# (event_id is the monotone stand-in for (block_timestamp,
+# index_in_block)), a pure MAX SEMILATTICE like A126's fold:
+# commutative, idempotent, associative — which is what lets C47
+# maintain the same table on a batch-id-keyed delta log with the
+# identical max merge (out-of-order batches absorbed exactly as the
+# reference's last_update_block_height guard absorbs them).
+# Scale shape: one map-combined groupBy on account_id; the deletion
+# placeholder rows carry zero balances so the latest row IS the
+# published state, no special-casing at read time.
+# ---------------------------------------------------------------------------
+def account_balances_partial(ch: DataFrame) -> DataFrame:
+    """Per-account PARTIAL of the balances fold: the max (event_id,
+    balances, deletion flag) struct — max is its own combiner, so C47
+    partials-of-partials merge with the same expression."""
+    return ch.groupBy(
+        F.col("affected_account_id").alias("account_id")
+    ).agg(
+        F.max(
+            F.struct(
+                F.col("event_id"),
+                F.col("affected_account_nonstaked_balance").alias("nonstaked"),
+                F.col("affected_account_staked_balance").alias("staked"),
+                F.col("affected_account_storage_usage").alias("storage_usage"),
+                F.col("is_deletion"),
+            )
+        ).alias("latest")
+    )
+
+
+def account_balances_merge(partials: DataFrame) -> DataFrame:
+    """Merge partial rows (one per delta per account) into one —
+    identical to the bare-max fold the C47 compaction applies."""
+    return partials.groupBy("account_id").agg(F.max("latest").alias("latest"))
+
+
+def account_balances_finalize(agg: DataFrame) -> DataFrame:
+    """Partial rows -> the published balances-state columns."""
+    latest = F.col("latest")
+    return agg.select(
+        "account_id",
+        latest.getField("nonstaked").alias("nonstaked_balance"),
+        latest.getField("staked").alias("staked_balance"),
+        latest.getField("storage_usage").alias("storage_usage"),
+        latest.getField("is_deletion").alias("is_deleted"),
+        latest.getField("event_id").cast("long").alias("last_update_event_id"),
+    )
+
+
+def fold_account_balances(ch: DataFrame) -> DataFrame:
+    """The last-writer-wins balances fold over typed change rows."""
+    return account_balances_finalize(account_balances_partial(ch))
+
+
+def account_balances_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, nonstaked_balance, staked_balance, storage_usage,
+    is_deleted, last_update_event_id): every account's CURRENT
+    balances — the latest typed account_change per account, deletion
+    placeholder included."""
+    return fold_account_balances(
+        account_changes_rows(load_table(spark, sf_dir, "events"))
+    )
+
+
+QUERIES["account_balances_state"] = account_balances_state
+
+ORACLES["account_balances_state"] = """
+    WITH ch AS ({_ACCT_CH_SQL}),
+    typed AS (SELECT * FROM ch WHERE update_reason IS NOT NULL)
+    SELECT affected_account_id AS account_id,
+           arg_max(affected_account_nonstaked_balance, event_id)
+             AS nonstaked_balance,
+           arg_max(affected_account_staked_balance, event_id)
+             AS staked_balance,
+           arg_max(affected_account_storage_usage, event_id)
+             AS storage_usage,
+           arg_max(is_deletion, event_id) AS is_deleted,
+           CAST(max(event_id) AS BIGINT) AS last_update_event_id
+    FROM typed GROUP BY affected_account_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A133 genesis-seeded account balances — the A128/A129 composition at
+# the balances grain: adapters/genesis.rs:43-118 streams the genesis
+# records' AccountView balances into the state table at the genesis
+# height BEFORE any change row exists, and later changes update those
+# rows in place.  The genesis dim carries 50 accounts COLLIDING with
+# the action space (acct_<0..49>) plus 10 genesis-only accounts no
+# change ever touches (gen_only_<k>), so both interactions are
+# hash-gated: updated-in-place (fold wins) and untouched-since-genesis
+# (genesis balances, last_update 0, active).
+# Scale shape: one full-outer SMJ against the fixed chain-birth
+# snapshot (millions of rows at mainnet scale — still a dim against
+# the change log); Spark cannot broadcast either side of a FULL OUTER
+# join, so the SMJ is the intended plan.
+# ---------------------------------------------------------------------------
+_GENESIS_BALANCE_ACCOUNTS = 50
+_GENESIS_ONLY_ACCOUNTS = 10
+
+
+def genesis_account_balances(spark: SparkSession) -> DataFrame:
+    """The deterministic genesis balances snapshot: 50 colliding
+    acct_<k> rows + 10 gen_only_<k> rows, balances a fixed affine
+    function of k (hash-visible against the fold's value-derived
+    balances)."""
+    n = _GENESIS_BALANCE_ACCOUNTS + _GENESIS_ONLY_ACCOUNTS
+    k = F.col("id")
+    return spark.range(n).select(
+        F.when(
+            k < _GENESIS_BALANCE_ACCOUNTS,
+            F.concat(F.lit("acct_"), _s(k)),
+        )
+        .otherwise(
+            F.concat(F.lit("gen_only_"), _s(k - _GENESIS_BALANCE_ACCOUNTS))
+        )
+        .alias("account_id"),
+        (1000 + 17 * k).cast("decimal(38,0)").alias("g_nonstaked"),
+        (500 + 3 * k).cast("decimal(38,0)").alias("g_staked"),
+        F.lit(100).cast("long").alias("g_storage"),
+    )
+
+
+def account_balances_with_genesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, nonstaked_balance, staked_balance, storage_usage,
+    is_deleted, last_update_event_id, genesis_account): A132 seeded
+    with the genesis balances — fold wins where a change row exists,
+    genesis balances otherwise (last_update 0 = the genesis height,
+    active)."""
+    folded = account_balances_state(spark, sf_dir).alias("f")
+    g = genesis_account_balances(spark).alias("g")
+    j = folded.join(g, ["account_id"], "full_outer")
+    has_fold = F.col("f.last_update_event_id").isNotNull()
+    return j.select(
+        "account_id",
+        F.coalesce(F.col("f.nonstaked_balance"), F.col("g.g_nonstaked")).alias(
+            "nonstaked_balance"
+        ),
+        F.coalesce(F.col("f.staked_balance"), F.col("g.g_staked")).alias(
+            "staked_balance"
+        ),
+        F.coalesce(F.col("f.storage_usage"), F.col("g.g_storage")).alias(
+            "storage_usage"
+        ),
+        F.coalesce(F.col("f.is_deleted"), F.lit(False)).alias("is_deleted"),
+        F.when(has_fold, F.col("f.last_update_event_id"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_update_event_id"),
+        F.col("g.g_nonstaked").isNotNull().alias("genesis_account"),
+    )
+
+
+QUERIES["account_balances_with_genesis"] = account_balances_with_genesis
+
+ORACLES["account_balances_with_genesis"] = f"""
+    WITH ch AS ({{_ACCT_CH_SQL}}),
+    typed AS (SELECT * FROM ch WHERE update_reason IS NOT NULL),
+    folded AS (
+      SELECT affected_account_id AS account_id,
+             arg_max(affected_account_nonstaked_balance, event_id)
+               AS nonstaked_balance,
+             arg_max(affected_account_staked_balance, event_id)
+               AS staked_balance,
+             arg_max(affected_account_storage_usage, event_id)
+               AS storage_usage,
+             arg_max(is_deletion, event_id) AS is_deleted,
+             CAST(max(event_id) AS BIGINT) AS last_update_event_id
+      FROM typed GROUP BY affected_account_id
+    ),
+    genesis AS (
+      SELECT CASE WHEN k < {_GENESIS_BALANCE_ACCOUNTS}
+                  THEN 'acct_' || CAST(k AS VARCHAR)
+                  ELSE 'gen_only_'
+                       || CAST(k - {_GENESIS_BALANCE_ACCOUNTS} AS VARCHAR)
+             END AS account_id,
+             CAST(1000 + 17 * k AS DECIMAL(38,0)) AS g_nonstaked,
+             CAST(500 + 3 * k AS DECIMAL(38,0)) AS g_staked,
+             CAST(100 AS BIGINT) AS g_storage
+      FROM range(0, {_GENESIS_BALANCE_ACCOUNTS + _GENESIS_ONLY_ACCOUNTS}) t(k)
+    )
+    SELECT COALESCE(f.account_id, g.account_id) AS account_id,
+           COALESCE(f.nonstaked_balance, g.g_nonstaked) AS nonstaked_balance,
+           COALESCE(f.staked_balance, g.g_staked) AS staked_balance,
+           COALESCE(f.storage_usage, g.g_storage) AS storage_usage,
+           COALESCE(f.is_deleted, FALSE) AS is_deleted,
+           CAST(COALESCE(f.last_update_event_id, 0) AS BIGINT)
+             AS last_update_event_id,
+           g.g_nonstaked IS NOT NULL AS genesis_account
+    FROM folded f FULL OUTER JOIN genesis g ON f.account_id = g.account_id
+"""
+
+
+def _substitute_acct_ch_sql() -> None:
+    """Render the shared account-changes CTE (and A111's reason kernel
+    inside it) into the three oracles — one source of truth, applied
+    once at import."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _REASON_KIND_SQL,
+    )
+
+    body = _ACCT_CH_SQL.replace("{_REASON_KIND_SQL}", _REASON_KIND_SQL)
+    for name in (
+        "account_changes_typed",
+        "account_balances_state",
+        "account_balances_with_genesis",
+    ):
+        ORACLES[name] = ORACLES[name].replace("{_ACCT_CH_SQL}", body)
+
+
+_substitute_acct_ch_sql()

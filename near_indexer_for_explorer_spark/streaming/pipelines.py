@@ -3649,3 +3649,76 @@ def read_stream_access_keys(spark: SparkSession, out_dir: str) -> DataFrame:
 
     partials = _read_delta_log(spark, out_dir, ACCESS_KEYS_DELTA_SCHEMA)
     return access_keys_finalize(access_keys_merge(partials))
+
+
+# ---------------------------------------------------------------------------
+# C47: streaming account-balances state maintenance — A132 kept LIVE
+# as account changes stream in (the reference's adapter shape: a
+# per-block guarded upsert into the accounts state, with
+# last_update_block_height absorbing out-of-order work,
+# database/src/adapters/accounts.rs).  Same delta-log algebra as C46:
+# the balances fold is a per-account MAX SEMILATTICE (the arg-max
+# struct leads with event_id, so struct-max IS last-writer-wins) —
+# each micro-batch writes its per-account partial to a batch-id-keyed
+# delta; the read path and the C32 fold-and-replace compaction
+# (agg_fn="max") merge partials with the same max expression.
+# Idempotent + commutative: replay ghosts merge away, id-sliced
+# out-of-order batches are absorbed.
+# ---------------------------------------------------------------------------
+_BALANCES_LATEST_TYPE = (
+    "struct<event_id: bigint, nonstaked: decimal(38,0), "
+    "staked: decimal(38,0), storage_usage: bigint, is_deletion: boolean>"
+)
+ACCOUNT_BALANCES_DELTA_SCHEMA = (
+    f"account_id string, latest {_BALANCES_LATEST_TYPE}"
+)
+_ACCOUNT_BALANCES_COLS = {"latest": _BALANCES_LATEST_TYPE}
+
+
+def foreach_batch_account_balances(
+    out_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from near_indexer_for_explorer_spark.operators.assets import (
+            account_balances_partial,
+            account_changes_rows,
+        )
+
+        spark = batch_df.sparkSession
+        ch = account_changes_rows(batch_df)
+        account_balances_partial(ch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "deltas", f"batch={batch_id}"))
+        _maybe_auto_compact(
+            spark, out_dir, ["account_id"], _ACCOUNT_BALANCES_COLS,
+            agg_fn="max",
+        )
+
+    return sink
+
+
+def account_balances_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """C47 driver: event shards -> typed account changes -> per-account
+    max-partial deltas."""
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    return (
+        stream.writeStream.foreachBatch(foreach_batch_account_balances(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_account_balances(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The C47 read path: merge the per-batch partials with the same
+    max fold, then finalize through the IDENTICAL projection as A132
+    — stream == batch is a kernel invariant."""
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_finalize,
+        account_balances_merge,
+    )
+
+    partials = _read_delta_log(spark, out_dir, ACCOUNT_BALANCES_DELTA_SCHEMA)
+    return account_balances_finalize(account_balances_merge(partials))

@@ -74,6 +74,12 @@ REPLAY_QUERIES: frozenset[str] = frozenset(
         "supply_catchup_replay",
         "supply_catchup_days",
         "access_keys_stream_replay",
+        "account_balances_stream_replay",
+        # registered in plans/relational.py but same eager contract:
+        # one incremental catch-up cycle runs at construction time (its
+        # harness share is a months-grain dir copy, so it IS benched —
+        # the one deliberate exception to the twins' bench exclusion)
+        "supply_catchup_incremental",
     }
 )
 
@@ -1297,3 +1303,60 @@ def _access_keys_replay_oracle() -> str:
 
 
 ORACLES["access_keys_stream_replay"] = _access_keys_replay_oracle()
+
+
+def account_balances_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(account_id, nonstaked_balance, staked_balance, storage_usage,
+    is_deleted, last_update_event_id): the C47 incrementally-maintained
+    balances state after replaying the events table as three id-sliced
+    micro-batches — later batches carry EARLIER event_ids, so the
+    max-semilattice fold must absorb out-of-order work exactly as the
+    reference's last_update_block_height guard does; oracle = A132
+    `account_balances_state`'s SQL verbatim."""
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        account_balances_stream,
+        read_stream_account_balances,
+    )
+
+    base = tempfile.mkdtemp(prefix="bal_replay_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(_N_BATCHES):
+            stage = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % _N_BATCHES == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            shutil.copy(part, dst)
+            mt = time.time() - 10 + i
+            os.utime(dst, (mt, mt))
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = account_balances_stream(spark, src, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("account-balances replay stream did not finish")
+        return read_stream_account_balances(spark, out).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES["account_balances_stream_replay"] = account_balances_stream_replay
+
+
+def _account_balances_replay_oracle() -> str:
+    from near_indexer_for_explorer_spark.operators.assets import (
+        ORACLES as _ASSET_ORACLES,
+    )
+
+    return _ASSET_ORACLES["account_balances_state"]
+
+
+ORACLES["account_balances_stream_replay"] = _account_balances_replay_oracle()

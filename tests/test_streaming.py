@@ -3107,3 +3107,171 @@ def test_access_keys_stream_equals_batch_and_replays(spark, sf_dir, tmp_path):
         tuple(r) for r in read_stream_access_keys(spark, out).collect()
     )
     assert got2 == want
+
+
+def test_account_balances_stream_equals_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """C47 == A132: after streaming the events in out-of-order shards
+    the read path's balances state equals the batch fold row-for-row
+    (kernel-shared finalize), and a checkpoint-wipe full replay leaves
+    it unchanged (the max-semilattice fold is idempotent)."""
+    import shutil
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_state,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        account_balances_stream,
+        read_stream_account_balances,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "bal_shards")
+    out = str(tmp_path / "bal_out")
+    ck = str(tmp_path / "bal_ck")
+    # id-sliced shards: later files carry EARLIER event_ids, so the
+    # fold must absorb out-of-order work (the block-height guard)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = account_balances_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    want = sorted(
+        tuple(r) for r in account_balances_state(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_stream_account_balances(spark, out).collect()
+    )
+    assert got == want and len(want) > 0
+
+    shutil.rmtree(ck)
+    q = account_balances_stream(spark, src, out, ck)
+    _await(q, timeout=180)
+    got2 = sorted(
+        tuple(r) for r in read_stream_account_balances(spark, out).collect()
+    )
+    assert got2 == want
+
+
+def test_account_balances_fold_out_of_order_planted(spark):
+    """A132 planted-case semantics: a deletion arriving BEFORE an
+    earlier-id update in ingestion order must still win (higher
+    event_id), a later re-creation overrides the deletion, and
+    partial->merge->finalize equals the one-shot fold on any shard
+    split (the semilattice laws on a hand-built log)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_merge,
+        account_balances_partial,
+        account_balances_finalize,
+        account_changes_rows,
+        fold_account_balances,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # event_ids chosen so acct A sees update(2), deletion(37*2=74),
+    # re-update(112: purchase); acct B sees only a deletion (148=37*4)
+    rows = [
+        (2, t0, 7, "purchase", 10.0, "{}"),       # A update
+        (74, t0, 7, "purchase", 20.0, "{}"),      # A deletion (74%37==0)
+        (112, t0, 7, "purchase", 30.0, "{}"),     # A re-update
+        (148, t0, 8, "purchase", 40.0, "{}"),     # B deletion only
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    ch = account_changes_rows(ev)
+    state = {
+        r["account_id"]: r for r in fold_account_balances(ch).collect()
+    }
+    a, b = state["acct_7"], state["acct_8"]
+    assert a["last_update_event_id"] == 112 and not a["is_deleted"]
+    assert a["nonstaked_balance"] == Decimal(3000)  # 30.0 * 100
+    assert b["is_deleted"] and b["nonstaked_balance"] == Decimal(0)
+    assert b["storage_usage"] == 0  # deletion placeholder zeroes all
+
+    # shard the log adversarially (deletion first, update later) and
+    # prove partials-of-partials merge to the same state
+    s1 = account_balances_partial(ch.where(F.col("event_id").isin(74, 148)))
+    s2 = account_balances_partial(ch.where(F.col("event_id").isin(2, 112)))
+    merged = account_balances_finalize(
+        account_balances_merge(s1.unionByName(s2))
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in fold_account_balances(ch).collect())
+    assert got == want
+
+
+def test_access_keys_stream_soak_bounded_delta_log(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """C46 soak (r12 verdict task #7): 50+ micro-batches at a
+    tightened compaction cadence keep the delta log BOUNDED — one
+    surviving base, fewer uncovered deltas than the cadence — and the
+    final state still equals the batch fold restricted to the ingested
+    slice."""
+    from near_indexer_for_explorer_spark.operators.assets import (
+        access_keys_rows,
+        fold_access_keys,
+        parse_typed_actions,
+        synthesize_actions_from,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming import pipelines as P
+
+    monkeypatch.setattr(P, "_AUTO_COMPACT_EVERY", 8)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    n_batches = 52
+    src = str(tmp_path / "soak_shards")
+    out = str(tmp_path / "soak_out")
+    ck = str(tmp_path / "soak_ck")
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    os.makedirs(src)
+    for i in range(n_batches):
+        stage = str(tmp_path / f"stage_{i}")
+        ev.where(F.col("event_id") % n_batches == i).coalesce(1).write.parquet(
+            stage
+        )
+        part = g.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"b_{i:03d}.parquet")
+        shutil.copy(part, dst)
+        mt = time.time() - 120 + i
+        os.utime(dst, (mt, mt))
+
+    q = P.access_keys_stream(spark, src, out, ck)
+    _await(q, timeout=420)
+
+    bases = g.glob(os.path.join(out, "base", "upto=*"))
+    deltas = g.glob(os.path.join(out, "deltas", "batch=*"))
+    assert len(bases) == 1, bases  # exactly one surviving base
+    assert len(deltas) < 8, f"{len(deltas)} uncovered deltas >= cadence"
+
+    want = sorted(
+        tuple(r)
+        for r in fold_access_keys(
+            access_keys_rows(parse_typed_actions(synthesize_actions_from(ev)))
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in P.read_stream_access_keys(spark, out).collect()
+    )
+    assert got == want
