@@ -278,6 +278,9 @@ EXTRA = [
     # base publish is paid by the first run, so the min-of-3 is the
     # steady-state cycle.
     "supply_catchup_incremental",
+    # keyset pagination: pushed composite residual + TakeOrdered —
+    # the lake analog of the reference's index walk
+    "events_page_after",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -9137,3 +9137,56 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2"),
         (num > 0).alias("discount_lifts_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A134 keyset-pagination page shape — the explorer's ACTUAL read
+# pattern, the one the 2021-08-02 `transactions_sorting_idx` and
+# 2022-09-23 `(block_timestamp, index_in_chunk)` index migrations
+# exist for: "next page after cursor" = every row whose composite key
+# strictly follows the client's cursor in the (timestamp, index)
+# total order, first k of them in that order.  OFFSET pagination
+# rescans everything before the page; keyset pagination is a residual
+# predicate + top-k, which is why the reference indexes the composite.
+#
+# Spark-first: the composite residual is a pushable OR-of-ANDs (it
+# reaches the parquet scan as PushedFilters, so row groups entirely
+# before the cursor are skipped via ts min/max stats — the lake analog
+# of the B-tree seek), and ORDER BY ... LIMIT k plans as
+# TakeOrderedAndProject: a per-partition top-k + driver merge with
+# ZERO full sorts and ZERO exchanges (plan-pinned in
+# tests/test_plans.py).  At 100 TB this is a metadata-pruned scan of
+# the trailing row groups + a k-row heap per partition — the same
+# cost profile as the reference's index walk.
+# ---------------------------------------------------------------------------
+_PAGE_CURSOR_TS = "2024-01-15 00:00:00"
+_PAGE_CURSOR_ID = 0
+_PAGE_SIZE = 25
+
+
+@_register(
+    "events_page_after",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '{_PAGE_CURSOR_TS}'
+       OR (ts = TIMESTAMP '{_PAGE_CURSOR_TS}' AND event_id > {_PAGE_CURSOR_ID})
+    ORDER BY ts, event_id
+    LIMIT {_PAGE_SIZE}
+    """,
+)
+def events_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, ts, user_id, event_type, value): the page of
+    {k} events strictly after the cursor in the (ts, event_id) total
+    order — deterministic because event_id breaks every tie."""
+    ev = load_table(spark, sf_dir, "events")
+    c_ts = F.lit(_PAGE_CURSOR_TS).cast("timestamp_ntz")
+    after_cursor = (F.col("ts") > c_ts) | (
+        (F.col("ts") == c_ts) & (F.col("event_id") > F.lit(_PAGE_CURSOR_ID))
+    )
+    return (
+        ev.where(after_cursor)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .limit(_PAGE_SIZE)
+    )

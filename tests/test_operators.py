@@ -6428,3 +6428,42 @@ def test_discount_elasticity_ols_identity(spark, sf_dir):
         assert abs(got[brand]["slope_per_bp"] - want) < 1e-9
         assert got[brand]["discount_lifts_volume"] == (n * sxy - sx * sy > 0)
         assert 0 <= got[brand]["r2"] <= 1
+
+
+def test_events_page_after_tie_break_planted(spark, tmp_path):
+    """A134 semantics on a planted corpus: the cursor row itself is
+    excluded, a SAME-timestamp row with a larger event_id is included
+    (the composite tie-break — absent from the synthetic corpus, whose
+    timestamps are unique), rows before the cursor never appear, and
+    the page is the first k of the (ts, event_id) total order."""
+    import datetime as dt
+
+    from near_indexer_for_explorer_spark.plans.relational import (
+        _PAGE_CURSOR_TS,
+        _PAGE_SIZE,
+        events_page_after,
+    )
+
+    cur = dt.datetime.fromisoformat(_PAGE_CURSOR_TS)
+    rows = [
+        (0, cur, 1, "view", 1.0, "{}"),                      # cursor row: out
+        (7, cur, 1, "view", 1.0, "{}"),                      # tie-break: in
+        (3, cur - dt.timedelta(seconds=1), 1, "view", 1.0, "{}"),  # before: out
+    ]
+    # 30 rows after the cursor -> the page cuts at _PAGE_SIZE
+    rows += [
+        (100 + i, cur + dt.timedelta(seconds=i + 1), 1, "view", 1.0, "{}")
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    page = events_page_after(spark, str(tmp_path)).collect()
+    ids = [r["event_id"] for r in page]
+    assert len(ids) == _PAGE_SIZE
+    assert ids[0] == 7  # the tie-break row leads the page
+    assert ids[1:] == [100 + i for i in range(_PAGE_SIZE - 1)]
+    assert 0 not in ids and 3 not in ids

@@ -612,3 +612,20 @@ def test_vocab_dim_broadcast_gate_both_branches(spark, sf_dir, monkeypatch):
             assert rows == small_rows[fn.__name__], fn.__name__
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_events_page_after_zero_sort_pushdown(spark, sf_dir):
+    """A134 keyset pagination must plan as a pushed composite residual
+    + TakeOrderedAndProject: the OR-of-ANDs cursor predicate reaches
+    the parquet scan (row groups before the cursor pruned by ts
+    min/max stats) and ORDER BY..LIMIT k costs a per-partition top-k —
+    ZERO full sorts, ZERO exchanges."""
+    from near_indexer_for_explorer_spark.plans.relational import (
+        events_page_after,
+    )
+
+    plan = _formatted_plan(spark, events_page_after(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [Or(GreaterThan(ts" in plan
+    assert ") Sort" not in plan, plan
+    assert "Exchange" not in plan, plan

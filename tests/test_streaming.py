@@ -3275,3 +3275,58 @@ def test_access_keys_stream_soak_bounded_delta_log(
         tuple(r) for r in P.read_stream_access_keys(spark, out).collect()
     )
     assert got == want
+
+
+def test_pipeline_health_relation(spark, sf_dir, event_batches):
+    """The queryable pipeline-health relation (metrics.rs analog): one
+    row per (query, source) with batch/row totals, the latest ingested
+    event ts vs watermark lag pair, and liveness — registered as a SQL
+    view an operator can SELECT from."""
+    import time as _t
+
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.monitor import (
+        MetricsListener,
+        health_relation,
+        register_health_view,
+    )
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        dedup_event_stream,
+    )
+
+    listener = MetricsListener()
+    # empty listener -> empty relation with the declared schema
+    assert health_relation(spark, listener).count() == 0
+
+    spark.streams.addListener(listener)
+    try:
+        q = dedup_event_stream(spark, event_batches, "health_dedup")
+        qid = q.id
+        _await(q)
+        want_rows = load_table(spark, sf_dir, "events").count()
+        deadline = _t.time() + 30
+        while _t.time() < deadline and (
+            listener.rows_total < want_rows
+            or str(qid) not in {str(i) for i in listener.terminated}
+        ):
+            _t.sleep(0.5)  # listener callbacks are async
+
+        register_health_view(spark, listener, "pipeline_health")
+        rows = spark.sql(
+            "SELECT * FROM pipeline_health WHERE query_id = '{}'".format(qid)
+        ).collect()
+        assert len(rows) == 1  # one source for this query
+        r = rows[0]
+        assert r["source"].startswith("FileStreamSource")
+        assert r["rows_total"] == want_rows
+        assert r["n_batches"] >= 2  # maxFilesPerTrigger=1, two shards
+        assert r["latest_batch_id"] == r["n_batches"] - 1
+        # the lag pair: event time leads the (1-hour-delayed) watermark
+        assert r["latest_event_ts"] != "" and r["latest_watermark"] != ""
+        assert r["latest_event_ts"] > r["latest_watermark"]
+        assert r["watermark_lag_batches"] in (0, 1)
+        assert r["avg_batch_duration_ms"] > 0
+        assert r["state_rows_dropped_total"] >= 0
+        assert r["is_active"] is False  # terminated queries report dead
+    finally:
+        spark.streams.removeListener(listener)
