@@ -45,21 +45,87 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-12 rotation policy (r11 verdict task #1): the 14 late-r11
-# queries that landed after the r11 window was dress-rehearsed are the
-# only oracle queries with NO driver row ever — they lead.  Three of
-# them (events_bootstrap_ci, events_mann_whitney,
-# lineitem_discount_elasticity) additionally changed oracle TEXT in
-# r12 (degenerate-group zero guards), so their rows double as fresh
-# hard signals on the new text.  Any query ADDED in r12 slots in right
-# after them (first exposure beats re-gating).  The remaining slots
-# re-gate the stalest greens: the r5-green block minus user_state_scd2
-# (judge hostile-verified r11), then the r6-green block minus
-# events_sliding_1h_value (likewise judge-verified r11), in ledger
-# order.  The priority list intentionally exceeds 50 names — the
-# driver cuts at 50, and the overflow just sits mid-dict.
+# Round-13 rotation policy (r12 verdict task #2): the six r13
+# additions have no driver row ever — they lead.  Two queries changed
+# oracle TEXT in r13 and must be re-proven on the new text:
+# actions_typed_args (args_json denormalization) and
+# multimodal_gif_roundtrip (backend tag flipped to 'native:gif' by the
+# default numpy-decoder registration).  Then the full r5/r6-stale
+# block — the 22 queries whose most recent driver row predates r7
+# (VERDICT r12 "What's wrong" #2) — and the first 20 of the r7-green
+# block in ledger order fill the window to exactly 50, leaving zero
+# queries whose last driver row predates r7 once this round records.
 _GATE_PRIORITY: list[str] = [
-    # --- never driver-gated (late-r11 additions): first exposure ---
+    # --- new in r13: first driver exposure ---
+    "account_changes_typed",
+    "account_balances_state",
+    "account_balances_with_genesis",
+    "account_balances_stream_replay",
+    "supply_catchup_incremental",
+    "events_page_after",
+    # --- oracle text changed in r13: fresh hard signal on new text ---
+    "actions_typed_args",
+    "multimodal_gif_roundtrip",
+    # --- the complete r5/r6-stale block (22) ---
+    "multimodal_resize_cells",
+    "user_state_scd2",
+    "cohort_stream_replay",
+    "corpus_chunk_windows",
+    "corpus_weighted_sample",
+    "dedup_containment",
+    "dedup_edit_banded",
+    "doc_fingerprint",
+    "embedding_lang_centroids",
+    "embedding_quantize_int8",
+    "events_sliding_1h_value",
+    "events_value_robust_anomalies",
+    "orders_cube",
+    "quality_filter_c4",
+    "scd2_stream_replay",
+    "semdedup_embeddings",
+    "text_scrub",
+    "text_token_count",
+    "tfidf_top_terms",
+    "token_bigram_pmi",
+    "unigram_xent",
+    "vocab_coverage",
+    # --- head of the r7-green block (20), ledger order ---
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "q14_brand_revenue",
+    "events_sessionize",
+    "order_line_bundle",
+    "q18_large_orders",
+    "monthly_unlocked_supply",
+    "lockup_locked_supply",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "meta_tx_unroll",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+]
+
+# r10 window head (registered after the r9 window filled): the
+# perceptual image-dedup pair over real decoded pixels —
+# multimodal_image_dhash + multimodal_image_dhash_pairs — plus
+# whatever r10 adds; both are in-repo parity-green and hostile-swept
+# at sf0.01 meanwhile.
+
+# Deferred to the dict tail: the 49 queries the driver just re-proved
+# in the r12 window (freshest greens -- least information in a repeat
+# row; actions_typed_args is EXCLUDED because its oracle text changed
+# in r13), then the rows-only-by-design entries (no value-hash oracle)
+# so driver slots never go to a query without one.  Everything not
+# listed here or above sits in the middle in registry order.
+_GATE_DEFER: list[str] = [
+    # --- r12 driver window (all green r12) ---
     "orders_basket_rules",
     "events_power_analysis",
     "events_bootstrap_ci",
@@ -74,16 +140,13 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_audio_windows",
     "corpus_stratified_sample",
     "stratified_sample_stream_replay",
-    # --- new in r12: first driver exposure ---
     "supply_catchup_days",
     "supply_catchup_replay",
-    "actions_typed_args",
     "access_keys_state",
     "accounts_state",
     "access_keys_stream_replay",
     "access_keys_with_genesis",
     "accounts_with_genesis",
-    # --- r12 re-gate slate: stalest greens (r5 block, then r6) ---
     "orders_zorder_layout",
     "dedup_minhash_lsh",
     "bpe_train_merges",
@@ -112,91 +175,6 @@ _GATE_PRIORITY: list[str] = [
     "receipt_descendants",
     "events_value_percentiles",
     "ts_user_similarity_topk",
-    "orders_cube",
-    "events_value_robust_anomalies",
-    "text_token_count",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "text_scrub",
-    "semdedup_embeddings",
-    "quality_filter_c4",
-    "vocab_coverage",
-    "token_bigram_pmi",
-    "embedding_quantize_int8",
-    "embedding_lang_centroids",
-    "unigram_xent",
-    "corpus_weighted_sample",
-    "corpus_chunk_windows",
-    "dedup_containment",
-    "dedup_edit_banded",
-    "scd2_stream_replay",
-    "cohort_stream_replay",
-]
-
-# r10 window head (registered after the r9 window filled): the
-# perceptual image-dedup pair over real decoded pixels —
-# multimodal_image_dhash + multimodal_image_dhash_pairs — plus
-# whatever r10 adds; both are in-repo parity-green and hostile-swept
-# at sf0.01 meanwhile.
-
-# Deferred to the dict tail: the 50 queries the driver just re-proved
-# in the r8 window (freshest greens -- least information in a repeat
-# row), then the rows-only-by-design entries (no value-hash oracle) so
-# driver slots never go to a query without one.  Everything not listed
-# here or above sits in the middle in registry order (including the
-# r7-window block, whose greens are one round staler than r8's).
-_GATE_DEFER: list[str] = [
-    # --- r8 driver window (all green r8) ---
-    "part_copurchase_triangles",
-    "events_dow_seasonality",
-    "attribution_models",
-    "engagement_dau_wau_mau",
-    "orders_benford_digits",
-    "supplier_market_hhi",
-    "orders_monthly_gapfill",
-    "parts_abc_pareto",
-    "events_daily_trend",
-    "events_top_paths",
-    "cohort_ltv_curves",
-    "user_event_entropy",
-    "order_ship_latency",
-    "dau_new_vs_returning",
-    "events_hourly_profile",
-    "customer_survival_curve",
-    "order_backlog_daily",
-    "user_interarrival_stats",
-    "trending_users_decayed",
-    "events_weekly_mix_drift",
-    "orders_duplicate_payments",
-    "events_daily_decomposition",
-    "weekly_top_movers",
-    "retention_curve_fit",
-    "weekly_amount_drift",
-    "nation_trade_reciprocity",
-    "session_duration_stats",
-    "dedup_winnowing",
-    "dedup_keep_best",
-    "dedup_savings_report",
-    "dedup_method_agreement",
-    "dedup_pair_features",
-    "dedup_cluster_sizes",
-    "dedup_incremental_cohort",
-    "simhash_hamming_curve",
-    "dedup_chain_gap_report",
-    "shingle_df_cap_curve",
-    "keep_best_quality_lift",
-    "winnowing_window_curve",
-    "embedding_isotropy",
-    "centroid_assign_confusion",
-    "ann_rerank_int8",
-    "matryoshka_ann_topk",
-    "embedding_anisotropy_whiten",
-    "embedding_norm_outliers",
-    "ann_rerank_curve",
-    "ann_hubness_report",
-    "lsh_probe_budget_curve",
-    "ivf_list_balance",
-    "matryoshka_dim_curve",
     # --- rows-only by design (no oracle_sql entry) ---
     "multimodal_resize",
     "events_daily_approx_distinct",
