@@ -281,6 +281,11 @@ EXTRA = [
     # keyset pagination: pushed composite residual + TakeOrdered —
     # the lake analog of the reference's index walk
     "events_page_after",
+    # the typed account-changes surface: map-only projection, the
+    # account-grain arg-max fold, and the full-outer genesis SMJ
+    "account_changes_typed",
+    "account_balances_state",
+    "account_balances_with_genesis",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

@@ -1211,6 +1211,17 @@ def _supply_kernel(orders: DataFrame, snapshots: DataFrame) -> DataFrame:
     as one broadcast-dim pass here."""
     lock_d = dec_money("o_totalprice").cast("double")
     d = F.datediff(F.col("snap_date"), F.to_date("o_orderdate")).cast("double")
+    # The broadcast band join fans each order out to every later
+    # snapshot month (~80x), so the EXPRESSION work is ~80x the scan.
+    # A small parquet lake (one file under maxPartitionBytes) scans as
+    # ONE partition and would evaluate the whole fan-out on one core —
+    # repartition to the session's parallelism ONLY in that case.  At
+    # production scale the scan already carries >= parallelism
+    # partitions and no shuffle is added (the gate is metadata-only).
+    spark = orders.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     base = (
         orders.crossJoin(F.broadcast(snapshots))
         .where(F.datediff(F.col("snap_date"), F.to_date("o_orderdate")) >= 0)

@@ -191,6 +191,27 @@ def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.dedup import (
         dedup_boundary_stitch as _stitch,
     )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        access_keys_state as _ak_state,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        access_keys_with_genesis as _ak_genesis,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_state as _bal_state,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_with_genesis as _bal_genesis,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_changes_typed as _ch_typed,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        accounts_state as _acct_state,
+    )
+    from near_indexer_for_explorer_spark.operators.assets import (
+        actions_typed_args as _actions_typed,
+    )
     from pyspark.sql import functions as F
 
     _etuo = _REL_QUERIES["event_type_user_overlap"]
@@ -262,6 +283,20 @@ def measure(spark, sf_dir: str) -> dict:
         ("orders_basket_rules", _REL_QUERIES["orders_basket_rules"]),
         ("events_mann_whitney", _REL_QUERIES["events_mann_whitney"]),
         ("events_bootstrap_ci", _REL_QUERIES["events_bootstrap_ci"]),
+        # r13 additions (r12 verdict #6): the state folds.  Typed
+        # projections are map-only (rows ~10x, time ~linear in scan);
+        # access_keys/accounts fold to a FIXED synthetic key grain
+        # (owner_<0..6> x PK_<0..499>) so rows land ~1x while the scan
+        # grows; the balances fold is account-grain (disjoint replica
+        # users -> rows ~10x); the genesis compositions add one
+        # full-outer SMJ against a fixed dim (rows track their folds)
+        ("actions_typed_args", _actions_typed),
+        ("access_keys_state", _ak_state),
+        ("accounts_state", _acct_state),
+        ("access_keys_with_genesis", _ak_genesis),
+        ("account_changes_typed", _ch_typed),
+        ("account_balances_state", _bal_state),
+        ("account_balances_with_genesis", _bal_genesis),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
