@@ -63,6 +63,7 @@ _GATE_PRIORITY: list[str] = [
     "account_balances_stream_replay",
     "supply_catchup_incremental",
     "events_page_after",
+    "account_changes_page_after",
     # --- oracle text changed in r13: fresh hard signal on new text ---
     "actions_typed_args",
     "multimodal_gif_roundtrip",
@@ -109,7 +110,8 @@ _GATE_PRIORITY: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_shipmode_priority",
+    # (q12_shipmode_priority displaced to mid-dict by A135's
+    # first-exposure slot — the window holds exactly 50)
 ]
 
 # r10 window head (registered after the r9 window filled): the

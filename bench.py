@@ -286,6 +286,8 @@ EXTRA = [
     "account_changes_typed",
     "account_balances_state",
     "account_balances_with_genesis",
+    # the per-account newest-first page (DESC TakeOrdered)
+    "account_changes_page_after",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage

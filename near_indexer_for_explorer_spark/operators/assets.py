@@ -1787,8 +1787,93 @@ def _substitute_acct_ch_sql() -> None:
         "account_changes_typed",
         "account_balances_state",
         "account_balances_with_genesis",
+        "account_changes_page_after",
     ):
-        ORACLES[name] = ORACLES[name].replace("{_ACCT_CH_SQL}", body)
+        if name in ORACLES:  # A135 registers below this point
+            ORACLES[name] = ORACLES[name].replace("{_ACCT_CH_SQL}", body)
+
+
+# ---------------------------------------------------------------------------
+# A135 per-account account-changes page — the explorer's account page
+# itself: "this account's latest changes, newest first, next page
+# before the cursor" (the read the reference's account_changes
+# (affected_account_id, changed_in_block_timestamp) index serves).
+# The A134 keyset discipline in DESCENDING order over the A131 typed
+# table: rows strictly BEFORE the composite cursor, first k of the
+# (ts, event_id) DESC total order — TakeOrderedAndProject again, zero
+# full sorts (plan-pinned).
+# Scale note: here the account predicate binds on the DERIVED
+# affected_account_id (the typed projection is computed on the fly,
+# so it cannot reach the parquet scan); a deployment would read the
+# MATERIALIZED account_changes table laid out by account bucket
+# (sources/layout.py's z-order is the tool), turning the same plan
+# into a pruned scan.  The page shape — residual + per-partition
+# top-k — is identical either way.
+# ---------------------------------------------------------------------------
+_ACCT_PAGE_ACCOUNT = "acct_42"
+_ACCT_PAGE_CURSOR_TS = "2024-01-20 00:00:00"
+_ACCT_PAGE_CURSOR_ID = 1 << 60  # above any event_id: cursor at "start of ts"
+_ACCT_PAGE_SIZE = 20
+
+
+def account_changes_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, changed_in_block_timestamp, update_reason,
+    caused_by_transaction_hash, caused_by_receipt_id, is_deletion,
+    affected_account_nonstaked_balance): the newest-first page of one
+    account's changes strictly before the cursor — deterministic
+    because event_id breaks every tie."""
+    ch = account_changes_rows(load_table(spark, sf_dir, "events"))
+    c_ts = F.lit(_ACCT_PAGE_CURSOR_TS).cast("timestamp_ntz")
+    ts = F.col("changed_in_block_timestamp")
+    before_cursor = (ts < c_ts) | (
+        (ts == c_ts) & (F.col("event_id") < F.lit(_ACCT_PAGE_CURSOR_ID))
+    )
+    return (
+        ch.where(
+            (F.col("affected_account_id") == _ACCT_PAGE_ACCOUNT)
+            & before_cursor
+        )
+        .select(
+            "event_id",
+            "changed_in_block_timestamp",
+            "update_reason",
+            "caused_by_transaction_hash",
+            "caused_by_receipt_id",
+            "is_deletion",
+            "affected_account_nonstaked_balance",
+        )
+        .orderBy(ts.desc(), F.col("event_id").desc())
+        .limit(_ACCT_PAGE_SIZE)
+    )
+
+
+QUERIES["account_changes_page_after"] = account_changes_page_after
+
+ORACLES["account_changes_page_after"] = f"""
+    WITH ch AS ({{_ACCT_CH_SQL}})
+    SELECT event_id, changed_in_block_timestamp, update_reason,
+           CASE WHEN update_reason = 'TRANSACTION_PROCESSING'
+                THEN md5('tx_' || CAST(event_id AS VARCHAR))
+           END AS caused_by_transaction_hash,
+           CASE WHEN update_reason IN ('ACTION_RECEIPT_PROCESSING_STARTED',
+                                       'ACTION_RECEIPT_GAS_REWARD',
+                                       'RECEIPT_PROCESSING',
+                                       'POSTPONED_RECEIPT')
+                THEN md5('rc_' || CAST(event_id AS VARCHAR))
+           END AS caused_by_receipt_id,
+           is_deletion,
+           affected_account_nonstaked_balance
+    FROM ch
+    WHERE update_reason IS NOT NULL
+      AND affected_account_id = '{_ACCT_PAGE_ACCOUNT}'
+      AND (changed_in_block_timestamp
+             < TIMESTAMP '{_ACCT_PAGE_CURSOR_TS}'
+           OR (changed_in_block_timestamp
+                 = TIMESTAMP '{_ACCT_PAGE_CURSOR_TS}'
+               AND event_id < {_ACCT_PAGE_CURSOR_ID}))
+    ORDER BY changed_in_block_timestamp DESC, event_id DESC
+    LIMIT {_ACCT_PAGE_SIZE}
+"""
 
 
 _substitute_acct_ch_sql()

@@ -629,3 +629,18 @@ def test_events_page_after_zero_sort_pushdown(spark, sf_dir):
     assert "PushedFilters: [Or(GreaterThan(ts" in plan
     assert ") Sort" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_account_changes_page_after_zero_sort(spark, sf_dir):
+    """A135: the per-account newest-first page plans as a residual
+    filter + DESC TakeOrderedAndProject — zero full sorts, zero
+    exchanges, same as the A134 ascending page."""
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_changes_page_after,
+    )
+
+    plan = _formatted_plan(spark, account_changes_page_after(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "DESC" in plan
+    assert ") Sort" not in plan, plan
+    assert "Exchange" not in plan, plan

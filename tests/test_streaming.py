@@ -3330,3 +3330,66 @@ def test_pipeline_health_relation(spark, sf_dir, event_batches):
         assert r["is_active"] is False  # terminated queries report dead
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_account_balances_compaction_crash_safe(spark, sf_dir, tmp_path):
+    """C47 compaction contract on the balances log: the struct-max
+    fold-and-replace leaves the published state identical, an injected
+    crash between base write and prune changes nothing a reader sees,
+    and the recovery compaction sweeps the leftovers to one base."""
+    import glob as g
+    import os
+
+    import pytest
+
+    from near_indexer_for_explorer_spark.operators.assets import (
+        account_balances_partial,
+        account_changes_rows,
+    )
+    from near_indexer_for_explorer_spark.sources.tables import load_table
+    from near_indexer_for_explorer_spark.streaming.pipelines import (
+        _ACCOUNT_BALANCES_COLS,
+        compact_cell_deltas,
+        read_stream_account_balances,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = str(tmp_path / "bal_log")
+    ch = account_changes_rows(ev)
+    for i in range(3):
+        account_balances_partial(
+            ch.where(F.col("event_id") % 3 == i)
+        ).coalesce(1).write.parquet(
+            os.path.join(out, "deltas", f"batch={i}")
+        )
+
+    def snap():
+        return sorted(
+            tuple(r)
+            for r in read_stream_account_balances(spark, out).collect()
+        )
+
+    want = snap()
+    assert want
+
+    # injected crash between base write and prune: reads unchanged
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_cell_deltas(
+            spark, out, ["account_id"], _ACCOUNT_BALANCES_COLS,
+            agg_fn="max", _fail_before_prune=True,
+        )
+    assert snap() == want, "half-compacted state must fold identically"
+
+    # recovery compaction: one base survives, covered deltas pruned
+    n_folded, n_after = compact_cell_deltas(
+        spark, out, ["account_id"], _ACCOUNT_BALANCES_COLS, agg_fn="max"
+    )
+    assert snap() == want
+    assert len(g.glob(os.path.join(out, "base", "upto=*"))) == 1
+    assert not g.glob(os.path.join(out, "deltas", "batch=*"))
+    # compacting again folds nothing
+    assert compact_cell_deltas(
+        spark, out, ["account_id"], _ACCOUNT_BALANCES_COLS, agg_fn="max"
+    )[0] == 0
