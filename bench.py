@@ -334,10 +334,10 @@ def main() -> None:
         # totals measured 1.3-1.5x the canonical under concurrent load
         # (BENCH_r07 analysis), inflating scan-only rows uniformly.
         # Update when a new canonical table is recorded.
-        "canonical_subtotal_ref": {"sec": 190.64, "n_queries": 216,
+        "canonical_subtotal_ref": {"sec": 191.14, "n_queries": 217,
                                    "sf": 0.1,
-                                   "round": "r13 canonical (BENCH_BASELINE"
-                                            " r13 section)"},
+                                   "round": "r13 definitive (canonical 216 +"
+                                            " the A135 addendum row)"},
     }
     # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
     # workflow read this).  NOT the driver's line — see below.
