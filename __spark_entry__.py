@@ -64,6 +64,8 @@ _GATE_PRIORITY: list[str] = [
     "supply_catchup_incremental",
     "events_page_after",
     "account_changes_page_after",
+    "text_code_detect",
+    "multimodal_png_meta_scrub",
     # --- oracle text changed in r13: fresh hard signal on new text ---
     "actions_typed_args",
     "multimodal_gif_roundtrip",
@@ -108,10 +110,10 @@ _GATE_PRIORITY: list[str] = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    # (q12_shipmode_priority displaced to mid-dict by A135's
-    # first-exposure slot — the window holds exactly 50)
+    # (q10_returned_items / q11_important_stock / q12_shipmode_priority
+    # displaced to mid-dict by the A135/B148/B149 first-exposure slots
+    # — the window holds exactly 50; the displaced trio heads the r14
+    # re-gate rotation with the rest of the r7 block)
 ]
 
 # r10 window head (registered after the r9 window filled): the

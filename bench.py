@@ -288,6 +288,10 @@ EXTRA = [
     "account_balances_with_genesis",
     # the per-account newest-first page (DESC TakeOrdered)
     "account_changes_page_after",
+    # code-vs-prose routing (map-only codegen features) and the PNG
+    # ancillary-chunk privacy scrub (map-only Arrow kernel)
+    "text_code_detect",
+    "multimodal_png_meta_scrub",
 ]
 
 # best-of-N: single-shot timings at sf0.1 are dominated by whole-stage
@@ -334,10 +338,9 @@ def main() -> None:
         # totals measured 1.3-1.5x the canonical under concurrent load
         # (BENCH_r07 analysis), inflating scan-only rows uniformly.
         # Update when a new canonical table is recorded.
-        "canonical_subtotal_ref": {"sec": 191.14, "n_queries": 217,
+        "canonical_subtotal_ref": {"sec": 192.76, "n_queries": 219,
                                    "sf": 0.1,
-                                   "round": "r13 definitive (canonical 216 +"
-                                            " the A135 addendum row)"},
+                                   "round": "r13 definitive (canonical 216 + 3 addendum rows)"},
     }
     # Archival line: full roster at 4dp (local runs / BENCH_BASELINE.md
     # workflow read this).  NOT the driver's line — see below.

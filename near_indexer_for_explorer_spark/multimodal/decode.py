@@ -2927,3 +2927,154 @@ def register_default_native_decoders() -> bool:
 
 
 NATIVE_DECODERS_DEFAULTED = register_default_native_decoders()
+
+
+# ---------------------------------------------------------------------------
+# B149 PNG metadata scrub — the MEDIA side of the PII discipline
+# (B15/B113/B126 scrub text; crawl images carry author/GPS/software
+# metadata in ancillary PNG chunks that must be stripped before
+# training).  Real chunk surgery on the real codec: deterministic
+# tEXt chunks (keyword\0value per the PNG 1.2 spec) are injected
+# after IHDR, then the scrubber walks the chunk stream and drops
+# every ANCILLARY chunk — bit 5 of the type's first byte, i.e. a
+# lowercase first letter, per the spec's ancillary-bit rule — keeping
+# the critical IHDR/IDAT/IEND stream byte-identical.  The gate proves
+# the scrub surgical: bytes removed == exactly the injected chunk
+# bytes (measured, not assumed), and the scrubbed image decodes to
+# IDENTICAL pixels through the full inflate/unfilter path.
+# Scale shape: map-only Arrow kernel, one pass, zero shuffles —
+# linear like every codec leg.
+# ---------------------------------------------------------------------------
+PNG_META_SCRUB_SCHEMA = (
+    "doc_id long, n_chunks_removed long, meta_bytes_removed long, "
+    "px_sum long, pixels_identical boolean"
+)
+
+
+def png_text_chunk(keyword: bytes, value: bytes) -> bytes:
+    """One spec-conformant tEXt chunk (len + type + keyword\\0value +
+    CRC32 over type+data)."""
+    import struct
+    import zlib
+
+    data = keyword + b"\x00" + value
+    return (
+        struct.pack(">I", len(data))
+        + b"tEXt"
+        + data
+        + struct.pack(">I", zlib.crc32(b"tEXt" + data) & 0xFFFFFFFF)
+    )
+
+
+def png_insert_after_ihdr(png: bytes, chunks: bytes) -> bytes:
+    """Splice raw chunk bytes between IHDR and the next chunk."""
+    import struct
+
+    (ihdr_len,) = struct.unpack(">I", png[8:12])
+    cut = 8 + 12 + ihdr_len  # signature + IHDR chunk
+    return png[:cut] + chunks + png[cut:]
+
+
+def png_scrub_ancillary(png: bytes) -> tuple[bytes, int, int]:
+    """(scrubbed_png, n_chunks_removed, bytes_removed): drop every
+    ancillary chunk (lowercase first type letter — bit 5 set), keep
+    the critical stream byte-identical."""
+    import struct
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    out = bytearray(png[:8])
+    pos, removed, removed_bytes = 8, 0, 0
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        whole = png[pos : pos + 12 + ln]
+        pos += 12 + ln
+        if tag[0] & 0x20:  # ancillary bit: safe to drop
+            removed += 1
+            removed_bytes += len(whole)
+        else:
+            out += whole
+    return bytes(out), removed, removed_bytes
+
+
+def make_png_meta_scrub_kernel(
+    width: int = _PNG_W,
+) -> Callable[[Iterator], Iterator]:
+    encode_gray, decode_pixels = _png_codec()
+
+    def scrub_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def row(doc_id: int, payload: bytes) -> dict:
+            clean = encode_gray(payload, width)
+            meta = png_text_chunk(
+                b"Author", b"user_%d" % (doc_id % 97)
+            ) + png_text_chunk(
+                b"GPS", b"%d,%d" % (doc_id * 13 % 1000, doc_id * 7 % 1000)
+            )
+            tagged = png_insert_after_ihdr(clean, meta)
+            scrubbed, n_removed, bytes_removed = png_scrub_ancillary(tagged)
+            w0, h0, px0 = decode_pixels(tagged)
+            w1, h1, px1 = decode_pixels(scrubbed)
+            return {
+                "doc_id": doc_id,
+                "n_chunks_removed": n_removed,
+                "meta_bytes_removed": bytes_removed,
+                "px_sum": sum(px1),
+                "pixels_identical": (w0, h0, px0) == (w1, h1, px1),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(d), p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=[
+                    "doc_id",
+                    "n_chunks_removed",
+                    "meta_bytes_removed",
+                    "px_sum",
+                    "pixels_identical",
+                ],
+            )
+
+    return scrub_batches
+
+
+def multimodal_png_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chunks_removed, meta_bytes_removed, px_sum,
+    pixels_identical): strip ancillary metadata chunks from real PNGs
+    and prove the scrub surgical — exactly the injected bytes removed,
+    pixels bit-identical through the full decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        make_png_meta_scrub_kernel(), schema=PNG_META_SCRUB_SCHEMA
+    )
+
+
+QUERIES["multimodal_png_meta_scrub"] = multimodal_png_meta_scrub
+
+# Byte accounting from the construction spec: each tEXt chunk costs
+# 12 (len+type+crc) + keyword + 1 + value bytes; value lengths are
+# digit counts of the deterministic doc_id functions.  px_sum rides
+# the ASCII-corpus identity (precondition block above).
+ORACLES["multimodal_png_meta_scrub"] = f"""
+    WITH g AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             length(CAST(doc_id % 97 AS VARCHAR)) AS a_len,
+             length(CAST(doc_id * 13 % 1000 AS VARCHAR)
+                    || ',' || CAST(doc_id * 7 % 1000 AS VARCHAR)) AS gps_len,
+             COALESCE(list_sum(list_transform(range(1,
+                        octet_length(encode(text)) + 1),
+                      i -> unicode(substr(text, CAST(i AS INTEGER), 1)))), 0)
+               AS bsum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_chunks_removed,
+           CAST((12 + 6 + 1 + 5 + a_len) + (12 + 3 + 1 + gps_len)
+                AS BIGINT) AS meta_bytes_removed,
+           CAST(bsum AS BIGINT) AS px_sum,
+           TRUE AS pixels_identical
+    FROM g
+"""

@@ -2468,3 +2468,100 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_readability"] = text_readability
+
+
+# ---------------------------------------------------------------------------
+# B148 code-vs-prose routing — the classifier every mixed crawl
+# pipeline runs BEFORE tokenization/quality (code routes to a code
+# tokenizer and different quality gates; prose to B25/B111; CodeParrot
+# / StarCoder-style pipelines).  The shipped corpus is prose-only, so
+# a deterministic mixed corpus is synthesized (the A30/A118 modeled-
+# input discipline): every 4th document is rewritten into a pseudo-
+# code form (def header, 4-space-indented bracketed assignments,
+# semicolon line ends) with plain `replace`, so BOTH engines construct
+# byte-identical inputs.  The DETECTOR never branches on the
+# construction spec: it measures symbol density ([]();= chars),
+# semicolon density, and indented-line density on whatever text it is
+# given, and thresholds one IEEE score — the features any real code
+# router starts from.  Map-only codegen; zero Python.
+# ---------------------------------------------------------------------------
+_CODE_SYMBOL_RE = r"[\[\]();=]"
+_CODE_SCORE_THRESHOLD = 0.05
+
+
+def synthesize_mixed_corpus(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, source, t): every 4th doc rewritten into
+    the deterministic pseudo-code form, the rest verbatim prose."""
+    code_form = F.concat(
+        F.lit("def fn_"),
+        F.col("doc_id").cast("string"),
+        F.lit("():\n    x = ["),
+        F.replace(F.col("text"), F.lit(" "), F.lit("];\n    x = [")),
+        F.lit("];\n    return x;"),
+    )
+    t = F.when(F.col("doc_id") % 4 == 0, code_form).otherwise(F.col("text"))
+    return docs.select("doc_id", "source", t.alias("t"))
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_chars, symbol_count, semi_count,
+    indent_lines, code_score, is_code): the routing verdict per
+    document over the synthesized mixed corpus — symbol/semicolon/
+    indent densities folded into one thresholded score."""
+    mixed = synthesize_mixed_corpus(load_table(spark, sf_dir, "documents"))
+    n = F.length("t")
+    symbol_count = n - F.length(F.regexp_replace("t", _CODE_SYMBOL_RE, ""))
+    semi_count = n - F.length(F.replace(F.col("t"), F.lit(";"), F.lit("")))
+    indent_lines = (
+        n - F.length(F.replace(F.col("t"), F.lit("\n    "), F.lit("\n")))
+    ) / 4
+    score = (symbol_count * 3.0 + semi_count * 2.0 + indent_lines * 4.0) / n
+    return mixed.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_chars"),
+        symbol_count.cast("long").alias("symbol_count"),
+        semi_count.cast("long").alias("semi_count"),
+        indent_lines.cast("long").alias("indent_lines"),
+        F.round(score, 6).alias("code_score"),
+        (score > _CODE_SCORE_THRESHOLD).alias("is_code"),
+    )
+
+
+QUERIES["text_code_detect"] = text_code_detect
+
+# the boolean compares the UNROUNDED ratio on both engines (identical
+# integer operands -> identical IEEE double -> identical compare);
+# only the emitted score is rounded
+ORACLES["text_code_detect"] = f"""
+    WITH mixed AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'def fn_' || CAST(doc_id AS VARCHAR)
+                       || '():' || chr(10) || '    x = ['
+                       || replace(text, ' ',
+                                  '];' || chr(10) || '    x = [')
+                       || '];' || chr(10) || '    return x;'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, length(t) AS n,
+             length(t) - length(regexp_replace(t, '{_CODE_SYMBOL_RE}', '', 'g'))
+               AS symbol_count,
+             length(t) - length(replace(t, ';', '')) AS semi_count,
+             (length(t) - length(replace(t, chr(10) || '    ', chr(10)))) // 4
+               AS indent_lines
+      FROM mixed
+    )
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(symbol_count AS BIGINT) AS symbol_count,
+           CAST(semi_count AS BIGINT) AS semi_count,
+           CAST(indent_lines AS BIGINT) AS indent_lines,
+           ROUND((symbol_count * 3.0 + semi_count * 2.0 + indent_lines * 4.0)
+                 / n, 6) AS code_score,
+           (symbol_count * 3.0 + semi_count * 2.0 + indent_lines * 4.0) / n
+             > {_CODE_SCORE_THRESHOLD} AS is_code
+    FROM feats
+"""

@@ -6467,3 +6467,65 @@ def test_events_page_after_tie_break_planted(spark, tmp_path):
     assert ids[0] == 7  # the tie-break row leads the page
     assert ids[1:] == [100 + i for i in range(_PAGE_SIZE - 1)]
     assert 0 not in ids and 3 not in ids
+
+
+def test_png_meta_scrub_surgical(spark):
+    """B149 semantics on hand-built payloads: the injected tEXt chunks
+    (and ONLY they) are removed byte-for-byte, pixels survive the
+    scrub bit-identically, critical chunks are never touched, and a
+    non-PNG payload fails loudly."""
+    import pytest
+
+    from near_indexer_for_explorer_spark.multimodal import decode as D
+
+    encode_gray, decode_pixels = D._png_codec()
+    clean = encode_gray(b"scrub me", 32)
+    meta = D.png_text_chunk(b"Author", b"user_1") + D.png_text_chunk(
+        b"GPS", b"13,7"
+    )
+    tagged = D.png_insert_after_ihdr(clean, meta)
+    scrubbed, n, removed = D.png_scrub_ancillary(tagged)
+    assert (n, removed) == (2, len(meta))
+    assert scrubbed == clean  # byte-identical to the pre-injection PNG
+    assert decode_pixels(scrubbed) == decode_pixels(tagged)
+    # scrubbing a clean PNG is a no-op
+    assert D.png_scrub_ancillary(clean) == (clean, 0, 0)
+    with pytest.raises(ValueError, match="not a PNG"):
+        D.png_scrub_ancillary(b"GIF87a junk")
+
+    # through Spark: the kernel reports the exact injected byte count
+    df = spark.createDataFrame([(5, b"abc")], "doc_id long, payload binary")
+    (r,) = df.mapInPandas(
+        D.make_png_meta_scrub_kernel(), schema=D.PNG_META_SCRUB_SCHEMA
+    ).collect()
+    want_meta = len(
+        D.png_text_chunk(b"Author", b"user_5") + D.png_text_chunk(b"GPS", b"65,35")
+    )
+    assert r["meta_bytes_removed"] == want_meta
+    assert r["pixels_identical"] and r["px_sum"] == sum(b"abc")
+
+
+def test_text_code_detect_routes_planted_corpus(spark, tmp_path):
+    """B148 semantics: the pseudo-code form scores above the
+    threshold, plain prose scores ~0, and the detector measures the
+    TEXT (a hand-planted code-looking prose doc is routed as code even
+    though doc_id % 4 != 0 — no construction-spec branch)."""
+    rows = [
+        (0, "plain words here", "en", "s0", 16),       # -> code form
+        (1, "just some prose words", "en", "s0", 21),  # prose
+        (2, "x = [1]; y = (2);\n    z = [];", "en", "s0", 29),  # code-y text
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from near_indexer_for_explorer_spark.operators.textops import (
+        text_code_detect,
+    )
+
+    got = {
+        r["doc_id"]: r for r in text_code_detect(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["is_code"] and got[0]["indent_lines"] >= 2
+    assert not got[1]["is_code"] and got[1]["symbol_count"] == 0
+    assert got[2]["is_code"]  # routed by MEASUREMENT, not by doc_id
