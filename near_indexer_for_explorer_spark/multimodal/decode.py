@@ -28,6 +28,22 @@ from near_indexer_for_explorer_spark.sources.tables import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+
+def parallelize_small_scan(df: "DataFrame") -> "DataFrame":
+    """Repartition to session parallelism when the scan carries fewer
+    partitions (the supply-kernel lesson generalized to the Arrow
+    family, BENCH_BASELINE r13): a small lake scans as one file = ONE
+    partition, which would run the whole Python kernel on one core.
+    Metadata-only gate — a production-scale scan already exceeds
+    parallelism and no shuffle is added; the kernels are row-
+    independent, so the round-robin redistribution cannot change any
+    output."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
 # NOTE on the column name `fake_mean_byte` (r9 advice): the column is
 # the decode's pixel/sample mean whatever the backend — the name dates
 # from when only the stub byte-math kernel existed.  With the real
@@ -144,14 +160,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check (the kernel is not SQL-expressible);
     determinism is asserted in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.col("n_chars").alias("width"),
-            F.lit(1).alias("channels"),
-            F.lit("text/plain").alias("mime"),
-        ).alias("meta"),
+    payloads = parallelize_small_scan(
+        docs.select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("payload"),
+            F.struct(
+                F.col("n_chars").alias("width"),
+                F.lit(1).alias("channels"),
+                F.lit("text/plain").alias("mime"),
+            ).alias("meta"),
+        )
     )
     # backend pinned to the stub so the byte-math oracle stays valid in
     # every environment; real-decode coverage rides the env-gated test
@@ -270,7 +288,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload (pure ASCII in the test corpus, so unicode(substr()) is
     the byte)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(make_frame_sample_kernel(), schema=FRAME_SCHEMA)
 
 
@@ -363,7 +383,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: fixed-size pixel-grid array per document.
     Rows-only driver check; determinism + grid invariants tested."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(make_resize_kernel(), schema=RESIZE_SCHEMA)
 
 
@@ -443,7 +465,9 @@ def multimodal_resize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf-8 payload (test corpus is pure ASCII; tests assert the cells
     agree with B23's array output value-for-value)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(make_resize_cells_kernel(), schema=RESIZE_CELLS_SCHEMA)
 
 
@@ -531,8 +555,8 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-quarter means are POOLED (total byte sum / total byte count) —
     exact integer aggregation, one final division."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", "lang", F.encode("text", "utf-8").alias("payload")
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", "lang", F.encode("text", "utf-8").alias("payload"))
     )
     feats = payloads.mapInPandas(make_feature_kernel(), schema=FEATURE_SCHEMA)
     aggs = [
@@ -778,7 +802,9 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plumbing; this proves a genuine binary media codec runs inside
     the same mapInPandas shape at scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_png_roundtrip_kernel(), schema=PNG_ROUNDTRIP_SCHEMA
     )
@@ -955,7 +981,9 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow kernel per partition (the PNG roundtrip's discipline on
     the second media family)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_wav_roundtrip_kernel(), schema=WAV_ROUNDTRIP_SCHEMA
     )
@@ -1051,7 +1079,9 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, dhash, bits_set): the 56-bit perceptual fingerprint of
     each document's real-PNG-roundtripped image.  Map-only plan."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_image_dhash_kernel(), schema=IMAGE_DHASH_SCHEMA
     )
@@ -1238,7 +1268,9 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV roundtrip -> per-quarter exact signal energy + zero-crossing
     count.  Map-only plan, linear at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_audio_energy_kernel(), schema=AUDIO_ENERGY_SCHEMA
     )
@@ -1340,7 +1372,9 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL decoded pixels, 16 rows per image, exact integer counts plus
     one IEEE division each."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_image_histogram_kernel(), schema=IMAGE_HIST_SCHEMA
     )
@@ -1440,7 +1474,9 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     2:1 downsample of the REAL decoded 16-bit samples by exact pairwise
     averaging — integer sums/energy/peak plus one IEEE division."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_audio_downsample_kernel(), schema=AUDIO_DOWNSAMPLE_SCHEMA
     )
@@ -1718,7 +1754,9 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes -> full variable-width LZW decode -> exact pixel stats, one
     Arrow-batched kernel per partition."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_gif_roundtrip_kernel(), schema=GIF_ROUNDTRIP_SCHEMA
     )
@@ -2091,8 +2129,8 @@ def _mixed_media_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
         docs = load_table(spark, sf_dir, "documents")
-        raw = docs.select(
-            "doc_id", F.encode("text", "utf-8").alias("payload")
+        raw = parallelize_small_scan(
+            docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
         )
         return (
             raw.mapInPandas(
@@ -2287,7 +2325,9 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded bottom-up BMP bytes -> full palette decode -> exact pixel
     stats, one Arrow-batched kernel per partition."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_bmp_roundtrip_kernel(), schema=BMP_ROUNDTRIP_SCHEMA
     )
@@ -2386,7 +2426,9 @@ def multimodal_image_downsample2x(spark: SparkSession, sf_dir: str) -> DataFrame
     """(doc_id, w_out, h_out, n_cells, cells_sum, cells_max,
     cell_mean): 2x2 box downsample over REAL decoded PNG pixels."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_image_downsample2x_kernel(), schema=DOWNSAMPLE2X_SCHEMA
     )
@@ -2588,7 +2630,9 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_mean, frames_total_sum): deterministic frame sampling over a
     REAL multi-image GIF built from stride-decimated payload frames."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_gif_frame_sample_kernel(), schema=GIF_FRAME_SAMPLE_SCHEMA
     )
@@ -2700,7 +2744,9 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_frames, n_cuts, max_delta, mean_abs_delta):
     shot-boundary detection over real decoded multi-frame GIFs."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_scene_cut_kernel(), schema=SCENE_CUT_SCHEMA
     )
@@ -2838,7 +2884,9 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_window_energy): fixed-window energy segmentation over real
     decoded PCM."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_audio_windows_kernel(), schema=AUDIO_WINDOWS_SCHEMA
     )
@@ -3046,7 +3094,9 @@ def multimodal_png_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and prove the scrub surgical — exactly the injected bytes removed,
     pixels bit-identical through the full decode."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = parallelize_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(
         make_png_meta_scrub_kernel(), schema=PNG_META_SCRUB_SCHEMA
     )

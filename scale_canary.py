@@ -212,6 +212,12 @@ def measure(spark, sf_dir: str) -> dict:
     from near_indexer_for_explorer_spark.operators.assets import (
         actions_typed_args as _actions_typed,
     )
+    from near_indexer_for_explorer_spark.multimodal.decode import (
+        multimodal_png_meta_scrub as _png_scrub,
+    )
+    from near_indexer_for_explorer_spark.operators.textops import (
+        text_code_detect as _code_detect,
+    )
     from pyspark.sql import functions as F
 
     _etuo = _REL_QUERIES["event_type_user_overlap"]
@@ -297,6 +303,10 @@ def measure(spark, sf_dir: str) -> dict:
         ("account_changes_typed", _ch_typed),
         ("account_balances_state", _bal_state),
         ("account_balances_with_genesis", _bal_genesis),
+        # r13 wave 2: both map-only over documents (rows 10x, time
+        # ~linear in bytes; B149 is the two-decode codec shape)
+        ("text_code_detect", _code_detect),
+        ("multimodal_png_meta_scrub", _png_scrub),
     ):
         t0 = time.perf_counter()
         out[f"{name}_rows"] = fn(spark, sf_dir).count()
