@@ -23,26 +23,13 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from near_indexer_for_explorer_spark.sources.tables import load_table
+from near_indexer_for_explorer_spark.sources.tables import (
+    load_table,
+    parallelize_small_scan,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-
-
-def parallelize_small_scan(df: "DataFrame") -> "DataFrame":
-    """Repartition to session parallelism when the scan carries fewer
-    partitions (the supply-kernel lesson generalized to the Arrow
-    family, BENCH_BASELINE r13): a small lake scans as one file = ONE
-    partition, which would run the whole Python kernel on one core.
-    Metadata-only gate — a production-scale scan already exceeds
-    parallelism and no shuffle is added; the kernels are row-
-    independent, so the round-robin redistribution cannot change any
-    output."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
 
 # NOTE on the column name `fake_mean_byte` (r9 advice): the column is
 # the decode's pixel/sample mean whatever the backend — the name dates

@@ -49,6 +49,16 @@ def is_query_vec(col: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's base relation: (vec_id, emb double[], nrm).
+    Deliberately UNGATED (r13 negative result, BENCH_BASELINE
+    addendum 3): parallelize_small_scan helps the one-shot Arrow
+    kernels but was measured a net LOSS here — the iterative builds
+    (OPQ's 16 codebook trainings) re-derive this frame dozens of
+    times and pay the extra exchange per iteration (+1.5-2s on OPQ vs
+    -0.5s on IVFPQ/k-means), and freezing the parallelized frame was
+    slower still (the ExistingRDD scan loses the parquet+codegen
+    pipeline).  The single-partition map stage is a small-SF artifact
+    only; a production embeddings lake scans with many partitions."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double_array("embedding").alias("emb"))
     return e.withColumn("nrm", l2_norm(F.col("emb")))

@@ -48,3 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def parallelize_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition to session parallelism when the scan carries fewer
+    partitions (BENCH_BASELINE r13: a small lake scans as one file =
+    ONE partition, which runs the first — often the heaviest — stage
+    on one core; partition COUNT is invisible in `explain`, so this is
+    a profiling finding, not a plan-census one).  Metadata-only gate:
+    a production-scale scan already exceeds parallelism and no shuffle
+    is added.  Callers must be row-independent up to their first
+    shuffle (true of every Arrow kernel and per-row projection here);
+    the round-robin redistribution then cannot change any output."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
