@@ -338,7 +338,7 @@ def main() -> None:
         # totals measured 1.3-1.5x the canonical under concurrent load
         # (BENCH_r07 analysis), inflating scan-only rows uniformly.
         # Update when a new canonical table is recorded.
-        "canonical_subtotal_ref": {"sec": 192.76, "n_queries": 219,
+        "canonical_subtotal_ref": {"sec": 186.83, "n_queries": 219,
                                    "sf": 0.1,
                                    "round": "r13 definitive (canonical 216 + 3 addendum rows)"},
     }
