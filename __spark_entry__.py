@@ -45,7 +45,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-13 rotation policy (r12 verdict task #2): the six r13
+# Round-13 rotation policy (r12 verdict task #2): the nine r13
 # additions have no driver row ever — they lead.  Two queries changed
 # oracle TEXT in r13 and must be re-proven on the new text:
 # actions_typed_args (args_json denormalization) and

@@ -2933,9 +2933,13 @@ ORACLES["multimodal_audio_windows"] = f"""
 # when numpy imports, register the numpy pair under 'gif'/'gif_frames'
 # at module import — stdlib fallback otherwise — and flip the ONE
 # oracle string that names the backend tag in lockstep so gated runs
-# keep hash-matching.  Opt out (e.g. to measure the stdlib leg) with
-# SPARK_GRAFT_NO_NATIVE_DECODERS=1 or by clearing NATIVE_DECODERS
-# before kernels are built (registrations are snapshotted per kernel).
+# keep hash-matching.  Opt out with SPARK_GRAFT_NO_NATIVE_DECODERS=1
+# (a fresh-interpreter switch: it skips BOTH the registration and the
+# oracle flip).  Clearing NATIVE_DECODERS at runtime is NOT an
+# equivalent opt-out for gated runs — the oracle text was already
+# flipped to 'native:gif' at import and copied into the merged
+# registries, so a registry clear alone would make the kernel report
+# 'gif' against an oracle expecting 'native:gif' (r13 ADVICE).
 # ---------------------------------------------------------------------------
 def register_default_native_decoders() -> bool:
     """Register the numpy GIF decoders as the default native codecs;

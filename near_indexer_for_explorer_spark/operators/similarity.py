@@ -595,86 +595,122 @@ _TRAIN_MOD_SQL = (
 )
 
 
-def _kmeans_centroids(e: DataFrame, k: int, iters: int) -> DataFrame:
+def _sqdist(a: Column, b: Column) -> Column:
+    """The family's canonical squared distance: left-fold sum of
+    (x-y)^2 — the exact expression every oracle renders as
+    list_sum(list_transform(...)), so map-only argmin picks are
+    bit-identical to the old window picks."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _packed_centroids(centroids: DataFrame) -> DataFrame:
+    """The codebook as ONE broadcastable row: array<struct<centroid_id,
+    c_emb>> sorted by centroid_id.
+
+    r14 shuffle removal (guide section 2.4): every assignment used to
+    crossJoin the k-row codebook (k-fold row expansion carrying the
+    full embedding) and then pay an Exchange + Sort + Window keyed on
+    vec_id to pick the argmin — a full shuffle of the expanded corpus
+    per assignment pass.  Against the packed 1-row codebook the argmin
+    is a map-only array expression: the corpus streams once past a
+    broadcast, nothing is expanded and nothing is shuffled, which is
+    the 100 TB shape (FAISS-style scan-assign) and removes one
+    Exchange per Lloyd round / per corpus encode."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("c_emb")))
+        ).alias("__cands")
+    )
+
+
+def _scored_candidates(emb: Column) -> Column:
+    """array<struct<d, centroid_id, c_emb>> over the packed codebook
+    column `__cands`, distances via the canonical left fold.  Struct
+    order (d, centroid_id) makes array_min/array_sort reproduce the
+    old window's (d ASC, centroid_id ASC) ordering; a tie through both
+    fields is impossible because centroid_id is unique."""
+    return F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            _sqdist(emb, c.getField("c_emb")).alias("d"),
+            c.getField("centroid_id").alias("centroid_id"),
+            c.getField("c_emb").alias("c_emb"),
+        ),
+    )
+
+
+def _nearest_centroid(emb: Column) -> Column:
+    """struct(d, centroid_id, c_emb) of the nearest packed candidate —
+    the map-only replacement for the crossJoin+window rk=1 pick."""
+    return F.array_min(_scored_candidates(emb))
+
+
+def _kmeans_centroids(
+    e: DataFrame, k: int, iters: int, dim: int = _DIM
+) -> DataFrame:
     """Deterministic mini k-means entirely in DataFrame ops: seeds are
     the first k vectors of the training input by vec_id (stable), then
-    `iters` Lloyd rounds of assign (crossJoin + min-distance) and
-    recenter (positional mean via posexplode + groupBy).
+    `iters` Lloyd rounds of assign (map-only packed-codebook argmin)
+    and recenter (per-dimension exact-decimal means).
 
-    Scale notes: each round is one broadcast of k centroids + one
-    shuffle keyed on (centroid, dim) — linear in the TRAINING input,
-    which ann_ivf_topk restricts to the deterministic
-    vec_id % train-mod sample; only the single assignment pass
-    sees the full corpus."""
+    Scale notes (r14): assignment is shuffle-FREE (see
+    _packed_centroids); recenter is ONE shuffle keyed on centroid_id
+    with `dim` map-combined decimal sums — the old posexplode +
+    (centroid, dim)-keyed aggregate + second collect_list aggregate
+    paid two shuffles and a dim-fold row expansion per round.  Decimal
+    sums are exact, hence order- and partitioning-independent: the
+    per-dim column sums equal the old posexploded sums bit-for-bit."""
     seeds = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     centroids = seeds
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(centroids))
-            .withColumn("__d", dist)
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("__d").asc(), F.col("centroid_id").asc()
-                    )
-                ),
-            )
-            .where(F.col("__rk") == 1)
-            .select("vec_id", "centroid_id", "emb")
+        assigned = e.crossJoin(F.broadcast(_packed_centroids(centroids))).select(
+            "vec_id",
+            _nearest_centroid(F.col("emb"))
+            .getField("centroid_id")
+            .alias("centroid_id"),
+            "emb",
         )
         # exact-decimal mean: components quantized to decimal(20,14)
         # before summing, so the centroid is independent of both the
         # partitioning and the engine (the DuckDB oracle reproduces it)
         centroids = (
-            assigned.select("centroid_id", F.posexplode("emb").alias("i", "x"))
-            .groupBy("centroid_id", "i")
+            assigned.groupBy("centroid_id")
             .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("emb").getItem(i).cast("decimal(20,14)")).alias(
+                        f"__s{i}"
+                    )
+                    for i in range(dim)
+                ],
             )
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("m")))
-                    ),
-                    lambda s: s.getField("m"),
-                ).alias("c_emb")
+            .select(
+                "centroid_id",
+                F.array(
+                    *[
+                        F.col(f"__s{i}").cast("double") / F.col("__n")
+                        for i in range(dim)
+                    ]
+                ).alias("c_emb"),
             )
         )
     return centroids
 
 
 def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
-    """vec_id -> nearest centroid (the inverted-file list id)."""
-    dist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        e.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", dist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .where(F.col("__rk") == 1)
-        .select("vec_id", "centroid_id")
+    """vec_id -> nearest centroid (the inverted-file list id).
+    Map-only since r14: packed-codebook argmin, no corpus shuffle."""
+    return e.crossJoin(F.broadcast(_packed_centroids(centroids))).select(
+        "vec_id",
+        _nearest_centroid(F.col("emb"))
+        .getField("centroid_id")
+        .alias("centroid_id"),
     )
 
 
@@ -720,27 +756,29 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # map-only nprobe ranking (r14): sorted slice of the packed-codebook
+    # scores replaces the crossJoin + q_id-keyed window (same (d ASC,
+    # centroid_id ASC) order; probe_rank = position + 1 == ROW_NUMBER)
     q_probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", qdist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                W.partitionBy("q_id").orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
-            ),
-        )
-        .where(F.col("__rk") <= _IVF_NPROBE)
+        q.crossJoin(F.broadcast(_packed_centroids(centroids)))
         .select(
             "q_id",
             "q_emb",
             "q_nrm",
-            F.col("centroid_id").alias("probe_centroid"),
-            F.col("__rk").cast("int").alias("probe_rank"),
+            F.posexplode(
+                F.slice(
+                    F.array_sort(_scored_candidates(F.col("q_emb"))),
+                    1,
+                    _IVF_NPROBE,
+                )
+            ).alias("__p", "__c"),
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            F.col("__c").getField("centroid_id").alias("probe_centroid"),
+            (F.col("__p") + 1).cast("int").alias("probe_rank"),
         )
     )
     return corpus.join(
@@ -1508,7 +1546,10 @@ def _pq_codebooks_from(
         sub = F.slice(F.col("emb"), s * _PQ_SUB + 1, _PQ_SUB)
         books.append(
             _kmeans_centroids(
-                train.select("vec_id", sub.alias("emb")), _PQ_K, _IVF_ITERS
+                train.select("vec_id", sub.alias("emb")),
+                _PQ_K,
+                _IVF_ITERS,
+                dim=_PQ_SUB,
             )
         )
     return books
@@ -1538,67 +1579,115 @@ def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_books_long_from(_vectors(spark, sf_dir), _train_mod(sf_dir))
 
 
+def _packed_books(books: DataFrame) -> DataFrame:
+    """The 8-subspace codebook union as ONE broadcastable row
+    (array<struct<s, centroid_id, c_emb>> sorted by (s, centroid_id))
+    — the _packed_centroids move for the PQ family: per-(vec, s) code
+    assignment becomes a map-only argmin instead of a 128-fold
+    crossJoin expansion + (vec_id, s)-keyed window shuffle."""
+    return books.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("s"), F.col("centroid_id"), F.col("c_emb"))
+            )
+        ).alias("__bk")
+    )
+
+
+def _pq_sub_best(emb: Column, s: int) -> Column:
+    """struct(d, centroid_id) of subspace s's nearest codeword for
+    `emb` (ties by centroid_id) against the packed codebook `__bk` —
+    bit-identical to the old (vec_id, s) window rk=1 pick."""
+    sub = F.slice(emb, s * _PQ_SUB + 1, _PQ_SUB)
+    # NB: single-parameter lambdas only — a second parameter would be
+    # bound to the ELEMENT INDEX by F.filter, not the closure default
+    s_lit = F.lit(s)
+    cands = F.filter(F.col("__bk"), lambda b: b.getField("s") == s_lit)
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda b: F.struct(
+                _sqdist(sub, b.getField("c_emb")).alias("d"),
+                b.getField("centroid_id").alias("centroid_id"),
+            ),
+        )
+    )
+
+
+def _pq_lut_arr(emb: Column, s: int) -> Column:
+    """array<struct<code, d>>: subspace s's full 16-entry distance LUT
+    for `emb` against the packed codebook `__bk`."""
+    sub = F.slice(emb, s * _PQ_SUB + 1, _PQ_SUB)
+    s_lit = F.lit(s)
+    cands = F.filter(F.col("__bk"), lambda b: b.getField("s") == s_lit)
+    return F.transform(
+        cands,
+        lambda b: F.struct(
+            b.getField("centroid_id").alias("code"),
+            _sqdist(sub, b.getField("c_emb")).alias("d"),
+        ),
+    )
+
+
+def _pq_lut_pick(s: int, codes: Column) -> Column:
+    """d of this row's subspace-s code, looked up in the lut_{s}
+    column — the map-side replacement for the (s, code) join + the
+    max-of-when pivot (the code is unique per (q, s), so the filter
+    hits exactly one entry, the same row the join used to match)."""
+    code_s = codes.getItem(s)
+    return F.element_at(
+        F.filter(F.col(f"lut_{s}"), lambda x: x.getField("code") == code_s),
+        1,
+    ).getField("d")
+
+
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, neighbor_id, adc_dist): top-k by PQ asymmetric distance
     (round-6 fixed-order 8-term sum), neighbor_id tie-break.
 
-    Plan shape: ONE corpus crossJoin against the 128-row tagged
-    codebook union + one (vec_id, s) argmin window gives every code in
-    a single pass (a first cut chained 8 assignment rounds and nested
-    8 recomputing windows in the lineage); the LUT side is the same
-    join on the tiny query set; scoring joins the narrow (vec_id, s,
-    code) relation to the broadcast LUT and PICKS the 8 per-subspace
-    distances as columns (max-of-when — exact selection, no
-    float-order-dependent SUM) before the left-assoc add."""
+    Plan shape (r14): corpus codes and per-query LUTs are both
+    map-only array expressions against the broadcast packed codebook
+    (no crossJoin expansion, no (vec_id, s) window shuffle), and the
+    ADC sum is computed map-side on the (vec x query) pair row by
+    looking each subspace's code up in the query's LUT array — the
+    old (s, code) join + max-of-when pivot shuffled 8 rows per pair
+    through a groupBy; the lookup selects the identical per-subspace
+    distance, summed in the same fixed order, so adc_dist is
+    bit-identical.  The only remaining shuffle is the per-query
+    top-k."""
     e = _vectors(spark, sf_dir)
     books = _pq_books_long(spark, sf_dir).localCheckpoint(eager=False)
-    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    dist = F.aggregate(
-        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    codes_long = (
+    packed = _packed_books(books)
+    codes = (
         e.select("vec_id", "emb")
-        .crossJoin(F.broadcast(books))
-        .withColumn("__d", dist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    _pq_sub_best(F.col("emb"), s).getField("centroid_id")
+                    for s in range(_PQ_M)
+                ]
+            ).alias("codes"),
         )
-        .where(F.col("__rk") == 1)
-        .select("vec_id", "s", F.col("centroid_id").alias("code"))
     )
     q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("emb")
     )
-    luts = (
-        q.crossJoin(F.broadcast(books))
-        .select("q_id", "s", F.col("centroid_id").alias("code"), dist.alias("d"))
+    luts = q.crossJoin(F.broadcast(packed)).select(
+        "q_id",
+        *[_pq_lut_arr(F.col("emb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
     )
-    picked = (
-        codes_long.join(F.broadcast(luts), ["s", "code"])
-        .where(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d_{s}")
-                for s in range(_PQ_M)
-            ]
-        )
-    )
-    adc = F.col("d_0")
+    adc = _pq_lut_pick(0, F.col("codes"))
     for s in range(1, _PQ_M):
-        adc = adc + F.col(f"d_{s}")
+        adc = adc + _pq_lut_pick(s, F.col("codes"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        picked.select(
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(adc, 6).alias("adc_dist"),
@@ -1952,30 +2041,21 @@ def _ivfpq_index(
         train.select("vec_id", "emb"), _IVF_K, _IVF_ITERS
     ).localCheckpoint(eager=False)
 
-    cdist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     # corpus -> inverted list + residual (list_id disambiguates the
-    # coarse centroid from the PQ code ids downstream)
+    # coarse centroid from the PQ code ids downstream).  Map-only
+    # since r14: packed-codebook argmin, no corpus shuffle (the old
+    # form crossJoined the 16-row codebook and shuffled the 16x
+    # expansion through a vec_id window).
     lists = (
         e.select("vec_id", "emb")
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("__d", cdist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .where(F.col("__rk") == 1)
+        .crossJoin(F.broadcast(_packed_centroids(coarse)))
+        .select("vec_id", "emb", _nearest_centroid(F.col("emb")).alias("__b"))
         .select(
             "vec_id",
-            F.col("centroid_id").alias("list_id"),
-            _residual(F.col("emb"), F.col("c_emb")).alias("remb"),
+            F.col("__b").getField("centroid_id").alias("list_id"),
+            _residual(F.col("emb"), F.col("__b").getField("c_emb")).alias(
+                "remb"
+            ),
         )
         # eager checkpoint: 8 residual codebook trainings x 2 Lloyd
         # rounds each re-reference this relation — without it the full
@@ -1992,7 +2072,10 @@ def _ivfpq_index(
     for s in range(_PQ_M):
         sub = F.slice(F.col("remb"), s * _PQ_SUB + 1, _PQ_SUB)
         book = _kmeans_centroids(
-            train_res.select("vec_id", sub.alias("emb")), _PQ_K, _IVF_ITERS
+            train_res.select("vec_id", sub.alias("emb")),
+            _PQ_K,
+            _IVF_ITERS,
+            dim=_PQ_SUB,
         )
         tagged.append(book.select(F.lit(s).alias("s"), "centroid_id", "c_emb"))
     rbooks = tagged[0]
@@ -2000,25 +2083,22 @@ def _ivfpq_index(
         rbooks = rbooks.unionByName(t)
     rbooks = rbooks.localCheckpoint(eager=False)
 
-    rsub = F.slice(F.col("remb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    rdist = F.aggregate(
-        F.zip_with(rsub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # residual code assignment, map-only (r14): one wide row of 8
+    # codes per vector against the packed codebook union — the old
+    # form expanded every vector 128-fold and shuffled that through a
+    # (vec_id, s) window
     codes = (
-        lists.crossJoin(F.broadcast(rbooks))
-        .withColumn("__d", rdist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
+        lists.crossJoin(F.broadcast(_packed_books(rbooks)))
+        .select(
+            "vec_id",
+            "list_id",
+            F.array(
+                *[
+                    _pq_sub_best(F.col("remb"), s).getField("centroid_id")
+                    for s in range(_PQ_M)
+                ]
+            ).alias("codes"),
         )
-        .where(F.col("__rk") == 1)
-        .select("vec_id", "list_id", "s", F.col("centroid_id").alias("code"))
     )
     return coarse, rbooks, codes
 
@@ -2028,67 +2108,56 @@ def _ivfpq_search(
 ) -> DataFrame:
     """SERVING leg: probe nprobe lists, build per-(query, list)
     residual LUTs, score by ADC — the per-query cost of a deployment
-    with a standing index (C14/C18's frozen-index pattern)."""
-    cdist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rsub = F.slice(F.col("remb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    rdist = F.aggregate(
-        F.zip_with(rsub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    with a standing index (C14/C18's frozen-index pattern).
+
+    r14 shape: the nprobe ranking is a map-only sorted slice, the LUT
+    is 8 arrays per (query, probed list), and the ADC sum is computed
+    map-side on the (vector x probing-query) pair row by looking each
+    subspace's code up in the LUT — replacing the (list_id, s, code)
+    join + max-of-when pivot that shuffled 8 rows per pair.  The
+    per-subspace distances selected are identical, summed in the same
+    fixed order."""
     # queries probe the nprobe nearest lists, then build a residual
     # LUT per (query, probed list)
     q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), "emb"
     )
     qprobe = (
-        q.crossJoin(F.broadcast(coarse))
-        .withColumn("__d", cdist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .where(F.col("__rk") <= _IVF_NPROBE)
+        q.crossJoin(F.broadcast(_packed_centroids(coarse)))
         .select(
             "q_id",
-            F.col("centroid_id").alias("list_id"),
-            _residual(F.col("emb"), F.col("c_emb")).alias("remb"),
+            "emb",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(_scored_candidates(F.col("emb"))),
+                    1,
+                    _IVF_NPROBE,
+                )
+            ).alias("__p", "__c"),
+        )
+        .select(
+            "q_id",
+            F.col("__c").getField("centroid_id").alias("list_id"),
+            _residual(F.col("emb"), F.col("__c").getField("c_emb")).alias(
+                "remb"
+            ),
         )
     )
-    luts = qprobe.crossJoin(F.broadcast(rbooks)).select(
+    luts = qprobe.crossJoin(F.broadcast(_packed_books(rbooks))).select(
         "q_id",
         "list_id",
-        "s",
-        F.col("centroid_id").alias("code"),
-        rdist.alias("d"),
+        *[_pq_lut_arr(F.col("remb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
     )
-    picked = (
-        codes.join(F.broadcast(luts), ["list_id", "s", "code"])
-        .where(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("s") == s, F.col("d"))).alias(f"d_{s}")
-                for s in range(_PQ_M)
-            ]
-        )
-    )
-    adc = F.col("d_0")
+    adc = _pq_lut_pick(0, F.col("codes"))
     for s in range(1, _PQ_M):
-        adc = adc + F.col(f"d_{s}")
+        adc = adc + _pq_lut_pick(s, F.col("codes"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        picked.select(
+        codes.join(F.broadcast(luts), "list_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(adc, 6).alias("adc_dist"),
@@ -2529,38 +2598,23 @@ def _rotate_expr(emb: str, zero_based: bool) -> tuple[str, list[str]]:
 
 def _pq_recon_err(e: DataFrame, books: DataFrame, alias: str) -> DataFrame:
     """(vec_id, <alias>): round-6 left-assoc total of the 8 per-subspace
-    nearest-centroid distances — the PQ reconstruction error."""
-    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    dist = F.aggregate(
-        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    mins = (
+    nearest-centroid distances — the PQ reconstruction error.
+
+    Map-only since r14: each subspace's min distance is a packed-
+    codebook argmin expression, summed in the same fixed s-order the
+    max-of-when pivot used — the old form expanded every vector
+    128-fold, shuffled the expansion through a (vec_id, s) window AND
+    paid a second vec_id-keyed aggregate; this one never leaves the
+    scan stage."""
+    total = None
+    for s in range(_PQ_M):
+        d = _pq_sub_best(F.col("emb"), s).getField("d")
+        total = d if total is None else total + d
+    return (
         e.select("vec_id", "emb")
-        .crossJoin(F.broadcast(books))
-        .withColumn("__d", dist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .where(F.col("__rk") == 1)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("s") == s, F.col("__d"))).alias(f"d_{s}")
-                for s in range(_PQ_M)
-            ]
-        )
+        .crossJoin(F.broadcast(_packed_books(books)))
+        .select("vec_id", F.round(total, 6).alias(alias))
     )
-    total = F.col("d_0")
-    for s in range(1, _PQ_M):
-        total = total + F.col(f"d_{s}")
-    return mins.select("vec_id", F.round(total, 6).alias(alias))
 
 
 def _opq_rotated(e: DataFrame) -> DataFrame:
@@ -2917,34 +2971,26 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     es = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
     cents = _kmeans_centroids(es, _IVF_K, _IVF_ITERS)
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # map-only top-2 (r14): sorted slice of the packed-codebook scores
+    # replaces the crossJoin + vec_id window + max-of-when pivot (two
+    # shuffles of the 16x expansion).  sqrt is monotone, so ordering
+    # by sqrt(d) == ordering by d; values are the same sqrt'd picks.
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            F.sqrt(_sqdist(F.col("emb"), c.getField("c_emb"))).alias("d"),
+            c.getField("centroid_id").alias("centroid_id"),
+        ),
     )
+    top2 = F.slice(F.array_sort(scored), 1, 2)
     ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("__d", dist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .where(F.col("__rk") <= 2)
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.when(F.col("__rk") == 1, F.col("centroid_id"))).alias(
-                "cluster_id"
-            ),
-            F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias("a_dist"),
-            F.max(F.when(F.col("__rk") == 2, F.col("__d"))).alias("b_dist"),
+        e.crossJoin(F.broadcast(_packed_centroids(cents)))
+        .select("vec_id", top2.alias("__t"))
+        .select(
+            "vec_id",
+            F.element_at("__t", 1).getField("centroid_id").alias("cluster_id"),
+            F.element_at("__t", 1).getField("d").alias("a_dist"),
+            F.element_at("__t", 2).getField("d").alias("b_dist"),
         )
     )
     s = F.when(
@@ -3437,20 +3483,44 @@ def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("c")).alias("c_nrm"),
     )
     ev = e.withColumn("nrm", l2_norm(F.col("emb")))
-    scored = ev.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "c_lang",
-        F.round(
-            cosine(F.col("emb"), F.col("c"), F.col("nrm"), F.col("c_nrm")), 6
-        ).alias("cos_sim"),
+    # map-only argmax (r14): explicit left fold replicating the old
+    # window's (cos_sim DESC, c_lang ASC) rk=1 pick — no 5x row
+    # expansion, no vec_id-keyed shuffle.  Strict-better predicate ==
+    # ROW_NUMBER tie-breaking (first in order wins).
+    packed = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("c_lang"), F.col("c"), F.col("c_nrm")))
+        ).alias("__cl")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("c_lang").asc()
+    scored = F.transform(
+        F.col("__cl"),
+        lambda c: F.struct(
+            F.round(
+                cosine(
+                    F.col("emb"),
+                    c.getField("c"),
+                    F.col("nrm"),
+                    c.getField("c_nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
+            c.getField("c_lang").alias("c_lang"),
+        ),
     )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("c_lang").alias("assigned_lang"))
+    best = F.aggregate(
+        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.element_at(scored, 1),
+        lambda acc, x: F.when(
+            (x.getField("cos_sim") > acc.getField("cos_sim"))
+            | (
+                (x.getField("cos_sim") == acc.getField("cos_sim"))
+                & (x.getField("c_lang") < acc.getField("c_lang"))
+            ),
+            x,
+        ).otherwise(acc),
+    )
+    assigned = ev.crossJoin(F.broadcast(packed)).select(
+        "vec_id", best.getField("c_lang").alias("assigned_lang")
     )
     conf = (
         assigned.join(docs, "vec_id")
@@ -4855,25 +4925,16 @@ _ELBOW_KS = [2, 4, 8, 16]
 
 def _assignments_with_dist(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """vec_id -> (nearest centroid, squared distance) — B13's
-    assignment argmin, keeping the distance for the inertia sum."""
-    dist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    assignment argmin, keeping the distance for the inertia sum.
+    Map-only since r14 (packed-codebook argmin, no shuffle)."""
     return (
-        e.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", dist)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
-                )
-            ),
+        e.crossJoin(F.broadcast(_packed_centroids(centroids)))
+        .select("vec_id", _nearest_centroid(F.col("emb")).alias("__b"))
+        .select(
+            "vec_id",
+            F.col("__b").getField("centroid_id").alias("centroid_id"),
+            F.col("__b").getField("d").alias("__d"),
         )
-        .where(F.col("__rk") == 1)
-        .select("vec_id", "centroid_id", "__d")
     )
 
 
@@ -5339,36 +5400,47 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         F.col("label").alias("q_label"),
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # map-only label-aware probe ranking (r14): pack, per label, the
+    # occupied centroids into one array; each query ranks ONLY its
+    # label's candidates with the sorted-slice argmin — same candidate
+    # set and (d ASC, centroid_id ASC) order as the old crossJoin +
+    # occupied semi-join + q_id window, without the 16x expansion or
+    # the shuffle.  The broadcast join on label never drops a query:
+    # the query itself occupies one of its label's lists.
+    occ_packed = (
+        occupied.join(centroids, "centroid_id")
+        .groupBy(F.col("label").alias("__occ_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("centroid_id"), F.col("c_emb")))
+            ).alias("__cands")
+        )
     )
     ranked_cents = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", qdist)
-        .join(
-            F.broadcast(
-                occupied.select(
-                    F.col("centroid_id").alias("occ_cid"),
-                    F.col("label").alias("occ_label"),
-                )
-            ),
-            (F.col("centroid_id") == F.col("occ_cid"))
-            & (F.col("q_label") == F.col("occ_label")),
-            "left_semi",
+        q.join(
+            F.broadcast(occ_packed),
+            F.col("q_label") == F.col("__occ_label"),
         )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                W.partitionBy("q_id").orderBy(
-                    F.col("__d").asc(), F.col("centroid_id").asc()
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            "q_label",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(_scored_candidates(F.col("q_emb"))),
+                    1,
+                    _IVF_NPROBE,
                 )
-            ),
+            ).alias("__p", "__c"),
         )
-        .where(F.col("__rk") <= _IVF_NPROBE)
-        .select("q_id", "q_emb", "q_nrm", "q_label",
-                F.col("centroid_id").alias("probe_centroid"))
+        .select(
+            "q_id",
+            "q_emb",
+            "q_nrm",
+            "q_label",
+            F.col("__c").getField("centroid_id").alias("probe_centroid"),
+        )
     )
     aware_pairs = corpus.join(
         F.broadcast(ranked_cents),

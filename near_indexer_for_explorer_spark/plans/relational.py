@@ -1375,6 +1375,12 @@ def _supply_catchup_base(spark: SparkSession, sf_dir: str) -> str:
 
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _CATCHUP_BASE if k[0] != app_id]:
+        # remove the evicted session's frozen base dir too (r13 ADVICE:
+        # pruning only the dict entry leaked one months-grain WAP dir
+        # per stale app_id in /tmp)
+        import shutil
+
+        shutil.rmtree(_CATCHUP_BASE[k], ignore_errors=True)
         del _CATCHUP_BASE[k]
     key = (app_id, sf_dir)
     base = _CATCHUP_BASE.get(key)
