@@ -627,26 +627,55 @@ def _packed_centroids(centroids: DataFrame) -> DataFrame:
     )
 
 
+def _cand_dists(emb: Column) -> Column:
+    """array<double>: distance from `emb` to every packed candidate in
+    `__cands`, in centroid_id order.  Kept as a bare double array (no
+    per-candidate structs, no c_emb copies — measured to matter: a
+    struct-per-candidate variant that embedded c_emb allocated
+    k x dim doubles per row and was 2x slower than the old window)."""
+    return F.transform(F.col("__cands"), lambda c: _sqdist(emb, c.getField("c_emb")))
+
+
+def _argmin_pos(darr: Column) -> Column:
+    """1-based position of the first minimum of a distance array.
+    Candidates are sorted by centroid_id, so the FIRST min is the
+    lowest-centroid_id min — exactly the old window's (d ASC,
+    centroid_id ASC) rk=1 pick.  (No NaNs: distances are sums of
+    squares of finite doubles.)"""
+    return F.array_position(darr, F.array_min(darr)).cast("int")
+
+
 def _scored_candidates(emb: Column) -> Column:
-    """array<struct<d, centroid_id, c_emb>> over the packed codebook
-    column `__cands`, distances via the canonical left fold.  Struct
-    order (d, centroid_id) makes array_min/array_sort reproduce the
-    old window's (d ASC, centroid_id ASC) ordering; a tie through both
-    fields is impossible because centroid_id is unique."""
+    """array<struct<d, centroid_id>> over the packed codebook column
+    `__cands` (centroid_id order), for top-n probe rankings that need
+    the sorted prefix rather than just the argmin.  Struct order
+    (d, centroid_id) makes array_sort reproduce the old window's
+    (d ASC, centroid_id ASC) ordering; a tie through both fields is
+    impossible because centroid_id is unique."""
     return F.transform(
         F.col("__cands"),
         lambda c: F.struct(
             _sqdist(emb, c.getField("c_emb")).alias("d"),
             c.getField("centroid_id").alias("centroid_id"),
-            c.getField("c_emb").alias("c_emb"),
         ),
     )
 
 
-def _nearest_centroid(emb: Column) -> Column:
-    """struct(d, centroid_id, c_emb) of the nearest packed candidate —
-    the map-only replacement for the crossJoin+window rk=1 pick."""
-    return F.array_min(_scored_candidates(emb))
+def _scored_candidates_idx(emb: Column) -> Column:
+    """Like _scored_candidates plus the candidate's 0-based position
+    in `__cands`, for probe rankings that must fetch the winner's
+    c_emb afterwards (element_at(__cands, idx + 1)) without copying
+    every candidate's embedding into the sort.  idx never decides the
+    order: (d, centroid_id) are compared first and centroid_id is
+    unique."""
+    return F.transform(
+        F.col("__cands"),
+        lambda c, i: F.struct(
+            _sqdist(emb, c.getField("c_emb")).alias("d"),
+            c.getField("centroid_id").alias("centroid_id"),
+            i.alias("idx"),
+        ),
+    )
 
 
 def _kmeans_centroids(
@@ -654,50 +683,54 @@ def _kmeans_centroids(
 ) -> DataFrame:
     """Deterministic mini k-means entirely in DataFrame ops: seeds are
     the first k vectors of the training input by vec_id (stable), then
-    `iters` Lloyd rounds of assign (map-only packed-codebook argmin)
-    and recenter (per-dimension exact-decimal means).
+    `iters` Lloyd rounds of assign (map-only packed-codebook argmin —
+    shuffle-free, see _packed_centroids) and recenter (positional mean
+    via posexplode + groupBy).
 
-    Scale notes (r14): assignment is shuffle-FREE (see
-    _packed_centroids); recenter is ONE shuffle keyed on centroid_id
-    with `dim` map-combined decimal sums — the old posexplode +
-    (centroid, dim)-keyed aggregate + second collect_list aggregate
-    paid two shuffles and a dim-fold row expansion per round.  Decimal
-    sums are exact, hence order- and partitioning-independent: the
-    per-dim column sums equal the old posexploded sums bit-for-bit."""
+    Scale notes (r14): the assignment pass is shuffle-free at ANY
+    input size; the posexplode recenter keeps its (centroid, dim)
+    shuffle but only ever runs on the footer-capped training sample
+    (~100k rows), so it is scale-bounded.  A 64-wide per-dim decimal
+    aggregate variant that halved the recenter's shuffles was measured
+    3-5x SLOWER per round at sf0.1 (single-session A/B: 0.7-1.6 s
+    posexplode vs 3.2-7.1 s wide-agg) and rejected; `dim` is kept in
+    the signature for that experiment's record but unused."""
     seeds = e.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     centroids = seeds
     for _ in range(iters):
-        assigned = e.crossJoin(F.broadcast(_packed_centroids(centroids))).select(
-            "vec_id",
-            _nearest_centroid(F.col("emb"))
-            .getField("centroid_id")
-            .alias("centroid_id"),
-            "emb",
+        assigned = (
+            e.crossJoin(F.broadcast(_packed_centroids(centroids)))
+            .withColumn("__da", _cand_dists(F.col("emb")))
+            .select(
+                "vec_id",
+                F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+                .getField("centroid_id")
+                .alias("centroid_id"),
+                "emb",
+            )
         )
         # exact-decimal mean: components quantized to decimal(20,14)
         # before summing, so the centroid is independent of both the
         # partitioning and the engine (the DuckDB oracle reproduces it)
         centroids = (
-            assigned.groupBy("centroid_id")
+            assigned.select("centroid_id", F.posexplode("emb").alias("i", "x"))
+            .groupBy("centroid_id", "i")
             .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("emb").getItem(i).cast("decimal(20,14)")).alias(
-                        f"__s{i}"
-                    )
-                    for i in range(dim)
-                ],
+                (
+                    F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
             )
-            .select(
-                "centroid_id",
-                F.array(
-                    *[
-                        F.col(f"__s{i}").cast("double") / F.col("__n")
-                        for i in range(dim)
-                    ]
-                ).alias("c_emb"),
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("c_emb")
             )
         )
     return centroids
@@ -706,11 +739,15 @@ def _kmeans_centroids(
 def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """vec_id -> nearest centroid (the inverted-file list id).
     Map-only since r14: packed-codebook argmin, no corpus shuffle."""
-    return e.crossJoin(F.broadcast(_packed_centroids(centroids))).select(
-        "vec_id",
-        _nearest_centroid(F.col("emb"))
-        .getField("centroid_id")
-        .alias("centroid_id"),
+    return (
+        e.crossJoin(F.broadcast(_packed_centroids(centroids)))
+        .withColumn("__da", _cand_dists(F.col("emb")))
+        .select(
+            "vec_id",
+            F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+            .getField("centroid_id")
+            .alias("centroid_id"),
+        )
     )
 
 
@@ -1580,12 +1617,15 @@ def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _packed_books(books: DataFrame) -> DataFrame:
-    """The 8-subspace codebook union as ONE broadcastable row
-    (array<struct<s, centroid_id, c_emb>> sorted by (s, centroid_id))
-    — the _packed_centroids move for the PQ family: per-(vec, s) code
-    assignment becomes a map-only argmin instead of a 128-fold
-    crossJoin expansion + (vec_id, s)-keyed window shuffle."""
-    return books.agg(
+    """The 8-subspace codebook union packed and PRE-SPLIT into ONE
+    broadcastable row with one array column per subspace (__bk0..7,
+    each array<struct<centroid_id, c_emb>> in centroid_id order).
+    The split runs once on the 1-row relation, so per-corpus-row
+    expressions index their subspace's 16 codewords directly instead
+    of filtering the 128-entry union per row — the _packed_centroids
+    move for the PQ family (no 128-fold crossJoin expansion, no
+    (vec_id, s)-keyed window shuffle)."""
+    packed = books.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("s"), F.col("centroid_id"), F.col("c_emb"))
@@ -1593,52 +1633,45 @@ def _packed_books(books: DataFrame) -> DataFrame:
         ).alias("__bk")
     )
 
+    def _keep(s_lit: Column):
+        # NB: single-parameter lambdas only — a second parameter would
+        # be bound to the ELEMENT INDEX by F.filter
+        return lambda b: b.getField("s") == s_lit
 
-def _pq_sub_best(emb: Column, s: int) -> Column:
-    """struct(d, centroid_id) of subspace s's nearest codeword for
-    `emb` (ties by centroid_id) against the packed codebook `__bk` —
-    bit-identical to the old (vec_id, s) window rk=1 pick."""
-    sub = F.slice(emb, s * _PQ_SUB + 1, _PQ_SUB)
-    # NB: single-parameter lambdas only — a second parameter would be
-    # bound to the ELEMENT INDEX by F.filter, not the closure default
-    s_lit = F.lit(s)
-    cands = F.filter(F.col("__bk"), lambda b: b.getField("s") == s_lit)
-    return F.array_min(
-        F.transform(
-            cands,
-            lambda b: F.struct(
-                _sqdist(sub, b.getField("c_emb")).alias("d"),
-                b.getField("centroid_id").alias("centroid_id"),
-            ),
-        )
+    return packed.select(
+        *[
+            F.transform(
+                F.filter(F.col("__bk"), _keep(F.lit(s))),
+                lambda b: F.struct(
+                    b.getField("centroid_id").alias("centroid_id"),
+                    b.getField("c_emb").alias("c_emb"),
+                ),
+            ).alias(f"__bk{s}")
+            for s in range(_PQ_M)
+        ]
     )
 
 
-def _pq_lut_arr(emb: Column, s: int) -> Column:
-    """array<struct<code, d>>: subspace s's full 16-entry distance LUT
-    for `emb` against the packed codebook `__bk`."""
+def _pq_sub_dists(emb: Column, s: int) -> Column:
+    """array<double>: distance of `emb`'s subspace-s slice to each of
+    __bk{s}'s 16 codewords, in centroid_id order — both the per-vector
+    argmin input (codes = _argmin_pos of this) and, on the query side,
+    the ADC lookup table itself (position p holds codeword p's
+    distance, so scoring is one O(1) element_at per subspace)."""
     sub = F.slice(emb, s * _PQ_SUB + 1, _PQ_SUB)
-    s_lit = F.lit(s)
-    cands = F.filter(F.col("__bk"), lambda b: b.getField("s") == s_lit)
     return F.transform(
-        cands,
-        lambda b: F.struct(
-            b.getField("centroid_id").alias("code"),
-            _sqdist(sub, b.getField("c_emb")).alias("d"),
-        ),
+        F.col(f"__bk{s}"), lambda b: _sqdist(sub, b.getField("c_emb"))
     )
 
 
 def _pq_lut_pick(s: int, codes: Column) -> Column:
-    """d of this row's subspace-s code, looked up in the lut_{s}
-    column — the map-side replacement for the (s, code) join + the
-    max-of-when pivot (the code is unique per (q, s), so the filter
-    hits exactly one entry, the same row the join used to match)."""
-    code_s = codes.getItem(s)
-    return F.element_at(
-        F.filter(F.col(f"lut_{s}"), lambda x: x.getField("code") == code_s),
-        1,
-    ).getField("d")
+    """d of this row's subspace-s code: the code IS the 1-based
+    position of the chosen codeword in centroid_id order, so the
+    lookup indexes the query's lut_{s} distance array directly — the
+    map-side replacement for the old (s, code) join + max-of-when
+    pivot (same codeword, same distance value, no 8-rows-per-pair
+    shuffle)."""
+    return F.element_at(F.col(f"lut_{s}"), codes.getItem(s))
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,11 +1696,15 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(packed))
         .select(
             "vec_id",
+            *[
+                _pq_sub_dists(F.col("emb"), s).alias(f"__da{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+        .select(
+            "vec_id",
             F.array(
-                *[
-                    _pq_sub_best(F.col("emb"), s).getField("centroid_id")
-                    for s in range(_PQ_M)
-                ]
+                *[_argmin_pos(F.col(f"__da{s}")) for s in range(_PQ_M)]
             ).alias("codes"),
         )
     )
@@ -1676,7 +1713,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     luts = q.crossJoin(F.broadcast(packed)).select(
         "q_id",
-        *[_pq_lut_arr(F.col("emb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
+        *[_pq_sub_dists(F.col("emb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
     )
     adc = _pq_lut_pick(0, F.col("codes"))
     for s in range(1, _PQ_M):
@@ -2049,7 +2086,10 @@ def _ivfpq_index(
     lists = (
         e.select("vec_id", "emb")
         .crossJoin(F.broadcast(_packed_centroids(coarse)))
-        .select("vec_id", "emb", _nearest_centroid(F.col("emb")).alias("__b"))
+        .withColumn("__da", _cand_dists(F.col("emb")))
+        .withColumn(
+            "__b", F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+        )
         .select(
             "vec_id",
             F.col("__b").getField("centroid_id").alias("list_id"),
@@ -2084,19 +2124,24 @@ def _ivfpq_index(
     rbooks = rbooks.localCheckpoint(eager=False)
 
     # residual code assignment, map-only (r14): one wide row of 8
-    # codes per vector against the packed codebook union — the old
-    # form expanded every vector 128-fold and shuffled that through a
-    # (vec_id, s) window
+    # codes (1-based codeword positions) per vector against the packed
+    # codebook union — the old form expanded every vector 128-fold and
+    # shuffled that through a (vec_id, s) window
     codes = (
         lists.crossJoin(F.broadcast(_packed_books(rbooks)))
         .select(
             "vec_id",
             "list_id",
+            *[
+                _pq_sub_dists(F.col("remb"), s).alias(f"__da{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+        .select(
+            "vec_id",
+            "list_id",
             F.array(
-                *[
-                    _pq_sub_best(F.col("remb"), s).getField("centroid_id")
-                    for s in range(_PQ_M)
-                ]
+                *[_argmin_pos(F.col(f"__da{s}")) for s in range(_PQ_M)]
             ).alias("codes"),
         )
     )
@@ -2127,9 +2172,10 @@ def _ivfpq_search(
         .select(
             "q_id",
             "emb",
+            "__cands",
             F.posexplode(
                 F.slice(
-                    F.array_sort(_scored_candidates(F.col("emb"))),
+                    F.array_sort(_scored_candidates_idx(F.col("emb"))),
                     1,
                     _IVF_NPROBE,
                 )
@@ -2138,15 +2184,21 @@ def _ivfpq_search(
         .select(
             "q_id",
             F.col("__c").getField("centroid_id").alias("list_id"),
-            _residual(F.col("emb"), F.col("__c").getField("c_emb")).alias(
-                "remb"
-            ),
+            _residual(
+                F.col("emb"),
+                F.element_at(
+                    F.col("__cands"), F.col("__c").getField("idx") + 1
+                ).getField("c_emb"),
+            ).alias("remb"),
         )
     )
     luts = qprobe.crossJoin(F.broadcast(_packed_books(rbooks))).select(
         "q_id",
         "list_id",
-        *[_pq_lut_arr(F.col("remb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
+        *[
+            _pq_sub_dists(F.col("remb"), s).alias(f"lut_{s}")
+            for s in range(_PQ_M)
+        ],
     )
     adc = _pq_lut_pick(0, F.col("codes"))
     for s in range(1, _PQ_M):
@@ -2608,7 +2660,7 @@ def _pq_recon_err(e: DataFrame, books: DataFrame, alias: str) -> DataFrame:
     scan stage."""
     total = None
     for s in range(_PQ_M):
-        d = _pq_sub_best(F.col("emb"), s).getField("d")
+        d = F.array_min(_pq_sub_dists(F.col("emb"), s))
         total = d if total is None else total + d
     return (
         e.select("vec_id", "emb")
@@ -4929,11 +4981,13 @@ def _assignments_with_dist(e: DataFrame, centroids: DataFrame) -> DataFrame:
     Map-only since r14 (packed-codebook argmin, no shuffle)."""
     return (
         e.crossJoin(F.broadcast(_packed_centroids(centroids)))
-        .select("vec_id", _nearest_centroid(F.col("emb")).alias("__b"))
+        .withColumn("__da", _cand_dists(F.col("emb")))
         .select(
             "vec_id",
-            F.col("__b").getField("centroid_id").alias("centroid_id"),
-            F.col("__b").getField("d").alias("__d"),
+            F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+            .getField("centroid_id")
+            .alias("centroid_id"),
+            F.array_min(F.col("__da")).alias("__d"),
         )
     )
 
