@@ -115,7 +115,12 @@ def _two_phase_rank(df: DataFrame, bucket, order_cols: list) -> DataFrame:
     bb = df.withColumn("bucket", bucket)
     w_in = Window.partitionBy("bucket").orderBy(*order_cols)
     ranked = bb.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
-    counts = bb.groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
+    # r14: per-bucket counts come from the RANKED relation (count ==
+    # max(rk_in) since row_number is dense from 1), so the counts
+    # branch rides the window's bucket-keyed exchange (ReusedExchange)
+    # instead of re-scanning the fact and re-computing the z-value —
+    # one fewer scan + interleave evaluation per rank, same numbers.
+    counts = ranked.groupBy("bucket").agg(F.max("rk_in").alias("nb"))
     w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "bucket",
