@@ -1916,6 +1916,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = _hash_bucket(F.col("doc_id"), "split:", _SPLIT_MOD)
     split = F.when(sb < 32, "train").when(sb < 36, "val").otherwise("test")
     base = docs.select("doc_id", split.alias("split"), tokens("text").alias("t"))
+    # r14: the hashed feature stream feeds BOTH the bucket LM counts
+    # and the final per-doc weight join — checkpoint it so the corpus
+    # tokenize/explode/md5-bucket pass runs once per query, not twice
+    # (the dedup family's posting-list move); bt (1024 rows) likewise
+    # feeds totals and the ratio table
     feats = base.select(
         "doc_id",
         "split",
@@ -1926,11 +1931,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "split",
         _hash_bucket(F.col("g"), "dsir:", _DSIR_BUCKETS).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     bt = feats.groupBy("b").agg(
         F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
     totals = bt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     # identical association order as the oracle: (ct+1)/(nt+B) and
     # (cr+1)/(nr+B) each one IEEE division, then one quotient, ln,

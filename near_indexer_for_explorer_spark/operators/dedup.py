@@ -2348,7 +2348,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches >= 6 tokens.  The df prune (boilerplate fingerprints in
     > max(4, 10% of docs) documents) is semantic and mirrored in the
     oracle."""
-    fps = _winnow_fingerprints(spark, sf_dir)
+    # r14: fps feeds the df counts AND the kept join; kept feeds sizes
+    # and both pair-join sides — checkpoint both so the explode +
+    # doc-keyed window fingerprint pass runs once per query (the
+    # _df_pruned_shingles move)
+    fps = _winnow_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -2363,7 +2367,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= cap)
         .select("fp_h")
     )
-    kept = fps.join(kepth, "fp_h")
+    kept = fps.join(kepth, "fp_h").localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     common = (

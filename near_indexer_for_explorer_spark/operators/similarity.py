@@ -1056,7 +1056,9 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{TOP_K} recall and candidate volume per probe depth."""
     from pyspark.sql import Window as W
 
-    pairs = _ivf_probe_pairs(spark, sf_dir)
+    # r14: the probe-pair relation feeds both the candidate counts and
+    # the per-nprobe top-k — checkpoint so the probe join runs once
+    pairs = _ivf_probe_pairs(spark, sf_dir).localCheckpoint(eager=False)
     ex = pairs.select(
         "q_id",
         "vec_id",
@@ -1074,7 +1076,14 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("nprobe", "q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # r14: checkpoint the exact top-k (|Q| x k rows) — it feeds both
+    # the hits join and the expected count, each otherwise re-running
+    # the full brute-force cosine pass
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     hits = approx.join(exact, ["q_id", "neighbor_id"]).groupBy("nprobe").agg(
         F.count(F.lit(1)).alias("n_hit")
@@ -1954,7 +1963,14 @@ ORACLES["rp_project_embeddings"] = _rp_oracle_sql()
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_expected, n_returned, n_hit, recall): recall@k of
     every approximate ANN path against the exact baseline."""
-    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # r14: checkpoint the exact top-k — it feeds the expected count
+    # and all four per-method hit joins (five references, each
+    # otherwise re-running the brute-force pass)
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     legs = {
         "lsh": ann_lsh_topk(spark, sf_dir).select("q_id", "neighbor_id"),
         "ivf": ann_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id"),
@@ -4200,8 +4216,12 @@ _RERANK_GRID = [10, 25, 50]
 def ann_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rerank_m, n_queries, mean_recall): recall@TOP_K of the B81
     two-stage retrieval for each candidate depth in _RERANK_GRID."""
-    exact = ann_cosine_topk(spark, sf_dir).select(
-        "q_id", "neighbor_id"
+    # r14: checkpoint the exact top-k — it feeds the hits join and the
+    # query/truth counts (two references, two brute-force passes before)
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     coarse = _int8_coarse_ranked(spark, sf_dir).select(
         "q_id", F.col("vec_id").alias("neighbor_id"), "crn"
@@ -4312,7 +4332,13 @@ def ann_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest vec_id among the most-referenced vectors (one global
     value repeated per row for a flat, joinable shape)."""
     topk = ann_cosine_topk(spark, sf_dir).select("neighbor_id")
-    deg = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    # r14: deg feeds both the histogram and the hub pick — checkpoint
+    # so the exact top-k pass underneath runs once
+    deg = (
+        topk.groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+        .localCheckpoint(eager=False)
+    )
     hist = deg.groupBy("in_degree").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
@@ -4380,6 +4406,8 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
         ).alias("probe_bucket"),
     )
+    # r14: pairs feeds the candidate-count aggregate AND the hits join
+    # — checkpoint so the probe join runs once per query build
     pairs = e.join(
         F.broadcast(probes),
         (F.col("probe_bucket") == F.col("bucket"))
@@ -4390,7 +4418,7 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("q_bucket").bitwiseXOR(F.col("bucket")))
         .cast("long")
         .alias("radius_needed"),
-    )
+    ).localCheckpoint(eager=False)
     cand = pairs.agg(
         *[
             F.sum(F.when(F.col("radius_needed") <= r, 1).otherwise(0))
@@ -4399,7 +4427,11 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in _LSH_CURVE_RADII
         ]
     )
-    exact = ann_cosine_topk(spark, sf_dir).alias("x")
+    # r14: the exact baseline used to be built TWICE (hits join +
+    # query count) — one checkpointed top-k relation (|Q| x k rows)
+    # now serves both, halving the brute-force cosine passes
+    exact_top = ann_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
+    exact = exact_top.alias("x")
     pr = pairs.alias("pr")
     hits = exact.join(
         pr,
@@ -4414,7 +4446,7 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in _LSH_CURVE_RADII
         ]
     )
-    nq = ann_cosine_topk(spark, sf_dir).agg(
+    nq = exact_top.agg(
         F.countDistinct("q_id").cast("long").alias("n_queries")
     )
     one = cand.crossJoin(hits).crossJoin(F.broadcast(nq))
@@ -4649,7 +4681,10 @@ def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = ranked.select(
         "q_id", "vec_id", *[f"rn{d}" for d in _MRL_CURVE_DIMS]
     ).alias("rk")
-    exact = ann_cosine_topk(spark, sf_dir).alias("x")
+    # r14: one checkpointed exact top-k serves the hits join and the
+    # query count (was two brute-force passes)
+    exact_top = ann_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
+    exact = exact_top.alias("x")
     hits = exact.join(
         rk,
         (F.col("x.q_id") == F.col("rk.q_id"))
@@ -4662,7 +4697,7 @@ def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in _MRL_CURVE_DIMS
         ]
     )
-    nq = ann_cosine_topk(spark, sf_dir).agg(
+    nq = exact_top.agg(
         F.countDistinct("q_id").cast("long").alias("n_queries")
     )
     ex = hits.crossJoin(F.broadcast(nq)).select(
@@ -5320,13 +5355,19 @@ def ann_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_label") == F.col("q_label"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    # r14: both top-k relations feed a hits join AND a count aggregate
+    # — checkpoint them (|Q| x k rows each) so the probe-pair window
+    # and the filtered brute-force pass run once each, not twice
     ivf_top = (
         ivf_pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
         .select("q_id", "q_label", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=False)
     )
-    exact_top = ann_filtered_topk(spark, sf_dir).select(
-        "q_id", F.col("neighbor_id").alias("x_neighbor")
+    exact_top = (
+        ann_filtered_topk(spark, sf_dir)
+        .select("q_id", F.col("neighbor_id").alias("x_neighbor"))
+        .localCheckpoint(eager=False)
     )
     hits = exact_top.join(
         ivf_top.select("q_id", F.col("neighbor_id").alias("x_neighbor")),
@@ -5510,10 +5551,14 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    # r14: aware_top feeds the hits join and the q_label dim;
+    # exact_top below feeds two hits joins and the expected count —
+    # checkpoint both (|Q| x k rows) so each pipeline runs once
     aware_top = (
         aware_pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
         .select("q_id", "q_label", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=False)
     )
     # post-filter set: B141's candidates
     post_pairs = (
@@ -5535,7 +5580,11 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    exact_top = ann_filtered_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact_top = (
+        ann_filtered_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
 
     def hits(top: DataFrame, name: str) -> DataFrame:
         return (
