@@ -45,37 +45,104 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-13 rotation policy (r12 verdict task #2): the nine r13
-# additions have no driver row ever — they lead.  Two queries changed
-# oracle TEXT in r13 and must be re-proven on the new text:
-# actions_typed_args (args_json denormalization) and
-# multimodal_gif_roundtrip (backend tag flipped to 'native:gif' by the
-# default numpy-decoder registration).  Then the full r5/r6-stale
-# block — the 22 queries whose most recent driver row predates r7
-# (VERDICT r12 "What's wrong" #2) — and the first 20 of the r7-green
-# block in ledger order fill the window to exactly 50, leaving zero
-# queries whose last driver row predates r7 once this round records.
+# Round-14 rotation policy (OPTIMIZATION round): r14 changed the
+# physical plans (never the results) of the ANN/k-means family
+# (map-only packed-codebook argmin), the dedup/shingle family
+# (materialized posting lists + derived set sizes), the evaluation-
+# curve queries (exact baseline computed once), the z-order rank
+# (exchange reuse) and DSIR/BM25 — so the driver's 50-row hard signal
+# this round re-proves exactly the queries whose implementations
+# changed, with the remaining slots going to the r7-stale trio the
+# r13 window displaced plus the next of the r7 block.  Every other
+# query keeps in-repo parity coverage.
 _GATE_PRIORITY: list[str] = [
-    # --- new in r13: first driver exposure ---
+    # --- r14 plan changes: ANN / k-means family ---
+    "ann_ivf_topk",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "ivfpq_ann_serve",
+    "opq_rotate_quantize",
+    "opq_quantize_serve",
+    "cluster_silhouette",
+    "kmeans_elbow_curve",
+    "centroid_assign_confusion",
+    "topic_cluster_terms",
+    "topic_terms_serve",
+    "ivf_list_balance",
+    "semdedup_embeddings",
+    "ann_hard_negatives",
+    "ivf_nprobe_recall_curve",
+    "ann_recall_matrix",
+    "ann_hubness_report",
+    "matryoshka_dim_curve",
+    "ann_rerank_curve",
+    "ann_filtered_ivf_recall",
+    "ann_label_probe_recall",
+    "lsh_probe_budget_curve",
+    # --- r14 plan changes: dedup / shingle family ---
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "minhash_jaccard_estimate",
+    "dedup_threshold_curve",
+    "minhash_bbit_estimate",
+    "minhash_width_curve",
+    "dedup_pair_features",
+    "dedup_incremental_cohort",
+    "dedup_chain_gap_report",
+    "dedup_winnowing",
+    "lsh_s_curve",
+    "dedup_components",
+    # --- downstream of the changed chains (frozen b20 labels) ---
+    "dedup_keep_best",
+    "dedup_cluster_sizes",
+    "dedup_savings_report",
+    "keep_best_quality_lift",
+    "dedup_growth_curve",
+    # --- other r14 plan changes ---
+    "orders_zorder_layout",
+    "dsir_importance_weights",
+    "bm25_search",
+    "supply_catchup_incremental",
+    # --- re-gate rotation: the r7-green trio the r13 window displaced,
+    #     then the next of the r7 block (VERDICT r12 ledger order) ---
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+]
+
+# r10 window head (registered after the r9 window filled): the
+# perceptual image-dedup pair over real decoded pixels —
+# multimodal_image_dhash + multimodal_image_dhash_pairs — plus
+# whatever r10 adds; both are in-repo parity-green and hostile-swept
+# at sf0.01 meanwhile.
+
+# Deferred to the dict tail: the queries the driver re-proved in the
+# r13 and r12 windows (freshest greens -- least information in a
+# repeat row; names now in the r14 priority block are excluded), then
+# the rows-only-by-design entries (no value-hash oracle) so driver
+# slots never go to a query without one.  Everything not listed here
+# or above sits in the middle in registry order.
+_GATE_DEFER: list[str] = [
+    # --- r13 driver window (all green r13) ---
     "account_changes_typed",
     "account_balances_state",
     "account_balances_with_genesis",
     "account_balances_stream_replay",
-    "supply_catchup_incremental",
     "events_page_after",
     "account_changes_page_after",
     "text_code_detect",
     "multimodal_png_meta_scrub",
-    # --- oracle text changed in r13: fresh hard signal on new text ---
     "actions_typed_args",
     "multimodal_gif_roundtrip",
-    # --- the complete r5/r6-stale block (22) ---
     "multimodal_resize_cells",
     "user_state_scd2",
     "cohort_stream_replay",
     "corpus_chunk_windows",
     "corpus_weighted_sample",
-    "dedup_containment",
     "dedup_edit_banded",
     "doc_fingerprint",
     "embedding_lang_centroids",
@@ -85,14 +152,12 @@ _GATE_PRIORITY: list[str] = [
     "orders_cube",
     "quality_filter_c4",
     "scd2_stream_replay",
-    "semdedup_embeddings",
     "text_scrub",
     "text_token_count",
     "tfidf_top_terms",
     "token_bigram_pmi",
     "unigram_xent",
     "vocab_coverage",
-    # --- head of the r7-green block (20), ledger order ---
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_volume",
@@ -110,25 +175,6 @@ _GATE_PRIORITY: list[str] = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    # (q10_returned_items / q11_important_stock / q12_shipmode_priority
-    # displaced to mid-dict by the A135/B148/B149 first-exposure slots
-    # — the window holds exactly 50; the displaced trio heads the r14
-    # re-gate rotation with the rest of the r7 block)
-]
-
-# r10 window head (registered after the r9 window filled): the
-# perceptual image-dedup pair over real decoded pixels —
-# multimodal_image_dhash + multimodal_image_dhash_pairs — plus
-# whatever r10 adds; both are in-repo parity-green and hostile-swept
-# at sf0.01 meanwhile.
-
-# Deferred to the dict tail: the 49 queries the driver just re-proved
-# in the r12 window (freshest greens -- least information in a repeat
-# row; actions_typed_args is EXCLUDED because its oracle text changed
-# in r13), then the rows-only-by-design entries (no value-hash oracle)
-# so driver slots never go to a query without one.  Everything not
-# listed here or above sits in the middle in registry order.
-_GATE_DEFER: list[str] = [
     # --- r12 driver window (all green r12) ---
     "orders_basket_rules",
     "events_power_analysis",
@@ -136,8 +182,6 @@ _GATE_DEFER: list[str] = [
     "events_mann_whitney",
     "lineitem_discount_elasticity",
     "ann_filtered_topk",
-    "ann_filtered_ivf_recall",
-    "ann_label_probe_recall",
     "multimodal_image_downsample2x",
     "multimodal_gif_frame_sample",
     "multimodal_scene_cuts",
@@ -151,8 +195,6 @@ _GATE_DEFER: list[str] = [
     "access_keys_stream_replay",
     "access_keys_with_genesis",
     "accounts_with_genesis",
-    "orders_zorder_layout",
-    "dedup_minhash_lsh",
     "bpe_train_merges",
     "source_overlap_matrix",
     "orders_daily_rollup",

@@ -692,13 +692,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    df_counts = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    # r14: filter the token stream to query terms ONCE and checkpoint
+    # it — df and tf both consume it, each otherwise re-tokenizing and
+    # re-exploding the corpus (the dedup posting-list move; the
+    # filtered stream is tiny: query-term postings only)
+    qtok = tok.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
+    df_counts = qtok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
     )
     tf = (
-        tok.join(F.broadcast(qterms), "term")
+        qtok.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
