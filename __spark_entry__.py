@@ -104,14 +104,15 @@ _GATE_PRIORITY: list[str] = [
     "dsir_importance_weights",
     "bm25_search",
     "supply_catchup_incremental",
-    # --- re-gate rotation: the r7-green trio the r13 window displaced,
-    #     then the next of the r7 block (VERDICT r12 ledger order) ---
+    "embedding_top_component",
+    "embedding_anisotropy_whiten",
+    "orders_basket_rules",
+    "parts_abc_pareto",
+    # --- re-gate rotation: head of the r7-green block the r13 window
+    #     displaced (the rest of the trio + r7 block head the r15
+    #     rotation) ---
     "q10_returned_items",
     "q11_important_stock",
-    "q12_shipmode_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
 ]
 
 # r10 window head (registered after the r9 window filled): the
@@ -176,7 +177,6 @@ _GATE_DEFER: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     # --- r12 driver window (all green r12) ---
-    "orders_basket_rules",
     "events_power_analysis",
     "events_bootstrap_ci",
     "events_mann_whitney",

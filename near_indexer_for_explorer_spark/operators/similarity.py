@@ -3305,9 +3305,14 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mu")
     )
+    # r14: xc feeds y and z in every power iteration plus the total-
+    # variance aggregate (7 references over 3 iterations), and z feeds
+    # both its norm and the next direction — checkpoint xc once and z
+    # per round so the matvec chain evaluates linearly instead of
+    # doubling per unrolled iteration
     xc = x.join(F.broadcast(mu), "j").select(
         "vec_id", "j", (F.col("x") - F.col("mu")).alias("xc")
-    )
+    ).localCheckpoint(eager=False)
     vf = spark.range(1).select(
         F.posexplode(F.array(*[F.lit(c) for c in _pc_v0()])).alias("j", "v")
     )
@@ -3330,7 +3335,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("z")
             )
-        )
+        ).localCheckpoint(eager=False)
         nrm = z.agg(
             F.sqrt(
                 F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(30,6)"))
@@ -3984,7 +3989,12 @@ def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = _mean_pairwise(raw_units, "raw")
 
-    cells = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    # r14: cells feeds the per-dim stats AND the whitening join, and z
+    # feeds the norm AND the unit projection — checkpoint both so the
+    # matrix explode evaluates once instead of ~4x
+    cells = e.select(
+        "vec_id", F.posexplode("emb").alias("i", "x")
+    ).localCheckpoint(eager=False)
     stats = cells.groupBy("i").agg(
         F.sum(F.col("x").cast("decimal(20,14)")).alias("s1"),
         F.sum((F.col("x") * F.col("x")).cast("decimal(22,14)")).alias("s2"),
@@ -4010,7 +4020,7 @@ def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("z"),
         )
-    )
+    ).localCheckpoint(eager=False)
     znrm = z.groupBy("vec_id").agg(
         F.sqrt(
             F.sum(

@@ -5813,9 +5813,11 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reproducible to the cent."""
     li = load_table(spark, sf_dir, "lineitem")
     disc = dec_money("l_extendedprice") * _one_minus("l_discount")
+    # r14: rev feeds the scaling aggregate and the bucketed relation —
+    # checkpoint so the fact scan + per-part revenue aggregate runs once
     rev = li.groupBy("l_partkey").agg(
         F.sum(disc).cast("decimal(38,6)").alias("x")
-    )
+    ).localCheckpoint(eager=False)
     cents = F.expr("CAST(x * 100 AS BIGINT)")
     scal = rev.agg(
         F.max(cents).alias("maxc"),
@@ -5832,7 +5834,13 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_in = b.withColumn(
         "cum_in", F.sum("x").over(w_in).cast("decimal(38,6)")
     )
-    bsums = b.groupBy("bucket").agg(F.sum("x").cast("decimal(38,6)").alias("bx"))
+    # r14: per-bucket totals come from the RANKED relation (the bucket
+    # total == max(cum_in): x > 0, exact decimals) so the bsums branch
+    # rides the window's bucket exchange instead of re-deriving rev —
+    # the orders_zorder_layout move
+    bsums = cum_in.groupBy("bucket").agg(
+        F.max("cum_in").cast("decimal(38,6)").alias("bx")
+    )
     w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bsums.select(
         "bucket",
@@ -8600,7 +8608,12 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_a, part_b, n_pairs, n_a, n_b, support, confidence_a_b,
     lift): association rules over qualifying co-purchased part pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # r14: the distinct basket relation feeds the per-part counts and
+    # both sides of the pair self-join (three references on different
+    # shuffle keys) — checkpoint so the fact scan + distinct runs once
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    )
     n_orders = li.agg(
         F.count_distinct("l_orderkey").cast("long").alias("n_orders")
     )
