@@ -736,6 +736,152 @@ def _kmeans_centroids(
     return centroids
 
 
+def _packed_tagged(books: DataFrame, m: int) -> DataFrame:
+    """A tagged (s, centroid_id, c_emb) codebook set as ONE
+    broadcastable row `__tc`: an m-element array (indexed by s + 1)
+    of array<struct<centroid_id, c_emb>>, each inner array in
+    centroid_id order — `_packed_centroids` generalized over the tag,
+    built the `_packed_books` way (array_sort by (s, centroid_id),
+    then per-tag filter on the 1-row relation)."""
+    packed = books.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("s"), F.col("centroid_id"), F.col("c_emb"))
+            )
+        ).alias("__bk")
+    )
+
+    def _keep(s_lit: Column):
+        # NB: single-parameter lambdas only (the _packed_books gotcha)
+        return lambda b: b.getField("s") == s_lit
+
+    return packed.select(
+        F.array(
+            *[
+                F.transform(
+                    F.filter(F.col("__bk"), _keep(F.lit(s))),
+                    lambda b: F.struct(
+                        b.getField("centroid_id").alias("centroid_id"),
+                        b.getField("c_emb").alias("c_emb"),
+                    ),
+                )
+                for s in range(m)
+            ]
+        ).alias("__tc")
+    )
+
+
+def _kmeans_books_fused(
+    train: DataFrame, k: int, iters: int, subs: list[Column]
+) -> DataFrame:
+    """len(subs) independent `_kmeans_centroids` trainings fused into
+    ONE Lloyd chain over a tagged long relation — (s, centroid_id,
+    c_emb), row-for-row the unionByName of per-subspace runs.
+
+    `train` is the (vec_id, emb) training sample; subs[s] is subspace
+    s's slice expression over `emb`.  Bit-identity with the unfused
+    form, piece by piece: seeds are the first k vec_ids of `train`
+    (orderBy + limit on the pre-projection frame picks the same rows
+    as the per-subspace projected frames); each row's assignment runs
+    the same `_sqdist` left-fold against the same centroid_id-ordered
+    candidate list (per-tag slice of `_packed_tagged`, exactly
+    `_packed_centroids`' ordering) with the same first-min argmin; the
+    recenter is the same exact-decimal positional mean, grouped by
+    (s, centroid_id, i) — per-s groups are disjoint, so every group
+    computes the per-subspace value.  The oracles replicating the
+    unfused chain therefore stay bit-identical.
+
+    Why fuse (r14, guide section 5 — the driver is a resource too):
+    the per-subspace loop built 8-16 SEPARATE Lloyd towers per query,
+    and each `localCheckpoint` forces physical planning at build time,
+    so opq_rotate_quantize spent ~11 s of its 13.7 s steady-state run
+    in DRIVER-SIDE plan construction (measured with the noop sink:
+    execute-after-plan was 1.5 s).  One fused chain plans once per
+    Lloyd round: ~8x fewer plan nodes, same executed work, and one
+    broadcast + one recenter shuffle per round instead of 8."""
+    m = len(subs)
+    tagged = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("s"), sub.alias("semb"))
+                for s, sub in enumerate(subs)
+            ]
+        )
+    ).alias("sc")
+    e_long = train.select("vec_id", tagged).select(
+        F.col("sc.s").alias("s"), "vec_id", F.col("sc.semb").alias("emb")
+    )
+    centroids = (
+        train.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("centroid_id"), tagged)
+        .select(
+            F.col("sc.s").alias("s"),
+            "centroid_id",
+            F.col("sc.semb").alias("c_emb"),
+        )
+    )
+    return _lloyd_rounds_fused(e_long, centroids, m, iters)
+
+
+def _tagged_cand_dists() -> tuple[Column, Column]:
+    """(cands, darr) over a row joined with `_packed_tagged`'s `__tc`:
+    the tag's centroid_id-ordered candidate array and the `_cand_dists`
+    distance array against it."""
+    cands = F.element_at(F.col("__tc"), F.col("s") + F.lit(1))
+    darr = F.transform(
+        cands, lambda c: _sqdist(F.col("emb"), c.getField("c_emb"))
+    )
+    return cands, darr
+
+
+def _lloyd_rounds_fused(
+    e_long: DataFrame, centroids: DataFrame, m: int, iters: int
+) -> DataFrame:
+    """`iters` Lloyd rounds over a tagged (s, vec_id, emb) long
+    relation starting from tagged seed centroids — the fused-chain
+    round body shared by `_kmeans_books_fused` (uniform k per tag) and
+    `kmeans_elbow_curve` (per-tag k): per-s groups are disjoint, so
+    each tag runs exactly `_kmeans_centroids`' assignment + recenter
+    arithmetic."""
+    for _ in range(iters):
+        cands, darr = _tagged_cand_dists()
+        assigned = (
+            e_long.crossJoin(F.broadcast(_packed_tagged(centroids, m)))
+            .withColumn("__da", darr)
+            .select(
+                "s",
+                "vec_id",
+                F.element_at(cands, _argmin_pos(F.col("__da")))
+                .getField("centroid_id")
+                .alias("centroid_id"),
+                "emb",
+            )
+        )
+        centroids = (
+            assigned.select(
+                "s", "centroid_id", F.posexplode("emb").alias("i", "x")
+            )
+            .groupBy("s", "centroid_id", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("s", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("m")))
+                    ),
+                    lambda st: st.getField("m"),
+                ).alias("c_emb")
+            )
+        )
+    return centroids
+
+
 def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """vec_id -> nearest centroid (the inverted-file list id).
     Map-only since r14: packed-codebook argmin, no corpus shuffle."""
@@ -1608,17 +1754,17 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 def _pq_books_long_from(
     e: DataFrame, train_mod: int = _IVF_TRAIN_MOD_MIN
 ) -> DataFrame:
-    """All 8 codebooks unioned into one broadcastable (s, centroid_id,
-    c_emb) relation — one crossJoin serves every subspace at once."""
-    books = _pq_codebooks_from(e, train_mod)
-    tagged = [
-        b.select(F.lit(s).alias("s"), "centroid_id", "c_emb")
-        for s, b in enumerate(books)
+    """All 8 codebooks as one broadcastable (s, centroid_id, c_emb)
+    relation — one crossJoin serves every subspace at once.  Since r14
+    the 8 trainings run as ONE fused Lloyd chain (`_kmeans_books_fused`
+    — same rows as the old per-subspace unionByName, ~8x less
+    driver-side planning); `_pq_codebooks_from` keeps the unfused
+    reference form."""
+    train = e.where(F.col("vec_id") % train_mod == 0).select("vec_id", "emb")
+    subs = [
+        F.slice(F.col("emb"), s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)
     ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
-    return out
+    return _kmeans_books_fused(train, _PQ_K, _IVF_ITERS, subs)
 
 
 def _pq_books_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2122,22 +2268,18 @@ def _ivfpq_index(
         .localCheckpoint(eager=True)
     )
     # residual codebooks: B35's per-subspace k-means on the TRAINING
-    # sample's residuals
+    # sample's residuals — ONE fused Lloyd chain since r14 (same rows
+    # as the old 8-tower loop, ~8x less driver-side planning)
     train_res = lists.where(F.col("vec_id") % _train_mod(sf_dir) == 0)
-    tagged = []
-    for s in range(_PQ_M):
-        sub = F.slice(F.col("remb"), s * _PQ_SUB + 1, _PQ_SUB)
-        book = _kmeans_centroids(
-            train_res.select("vec_id", sub.alias("emb")),
-            _PQ_K,
-            _IVF_ITERS,
-            dim=_PQ_SUB,
-        )
-        tagged.append(book.select(F.lit(s).alias("s"), "centroid_id", "c_emb"))
-    rbooks = tagged[0]
-    for t in tagged[1:]:
-        rbooks = rbooks.unionByName(t)
-    rbooks = rbooks.localCheckpoint(eager=False)
+    rbooks = _kmeans_books_fused(
+        train_res.select("vec_id", F.col("remb").alias("emb")),
+        _PQ_K,
+        _IVF_ITERS,
+        [
+            F.slice(F.col("emb"), s * _PQ_SUB + 1, _PQ_SUB)
+            for s in range(_PQ_M)
+        ],
+    ).localCheckpoint(eager=False)
 
     # residual code assignment, map-only (r14): one wide row of 8
     # codes (1-based codeword positions) per vector against the packed
@@ -2704,10 +2846,28 @@ def _opq_books_from(
 ) -> tuple[DataFrame, DataFrame]:
     """Index-BUILD leg: the two PQ codebook sets (original space,
     rotated space) — 16 k-means trainings over an already-rotated
-    (vec_id, emb, rot_emb) frame."""
-    books_o = _pq_books_long_from(rotated.select("vec_id", "emb"), train_mod)
-    books_r = _pq_books_long_from(
-        rotated.select("vec_id", F.col("rot_emb").alias("emb")), train_mod
+    (vec_id, emb, rot_emb) frame, run as ONE fused 16-tag Lloyd chain
+    (tags 0-7 slice emb, 8-15 slice rot_emb) checkpointed once; the
+    per-space books are tag-range filters over the checkpoint.  Each
+    tag's training is bit-identical to its per-space unfused run
+    (disjoint tag groups, same seeds/assignment/recenter arithmetic —
+    see _kmeans_books_fused), so both returned books match the old
+    two-chain build row for row."""
+    train = rotated.where(F.col("vec_id") % train_mod == 0).select(
+        "vec_id", "emb", "rot_emb"
+    )
+    subs = [
+        F.slice(F.col("emb"), s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)
+    ] + [
+        F.slice(F.col("rot_emb"), s * _PQ_SUB + 1, _PQ_SUB)
+        for s in range(_PQ_M)
+    ]
+    fused = _kmeans_books_fused(
+        train, _PQ_K, _IVF_ITERS, subs
+    ).localCheckpoint(eager=False)
+    books_o = fused.where(F.col("s") < _PQ_M)
+    books_r = fused.where(F.col("s") >= _PQ_M).select(
+        (F.col("s") - _PQ_M).alias("s"), "centroid_id", "c_emb"
     )
     return books_o, books_r
 
@@ -5045,38 +5205,78 @@ def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = e.where(F.col("vec_id") % _train_mod(sf_dir) == 0).select(
         "vec_id", "emb"
     )
-    legs = []
-    for k in _ELBOW_KS:
-        cents = _kmeans_centroids(train, k, _IVF_ITERS)
-        assigned = _assignments_with_dist(train, cents)
-        sizes = assigned.groupBy("centroid_id").agg(
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-            F.sum(F.round(F.col("__d"), 6).cast("decimal(24,6)")).alias(
-                "d_sum"
+    # r14: the four candidate-k trainings + assignment legs run as ONE
+    # fused Lloyd chain over a k-tagged long relation (the
+    # _kmeans_books_fused move with per-tag k: seeds are each tag's
+    # first-k vec_ids, rounds/assignment/inertia aggregate per tag in
+    # disjoint s-groups with the unfused arithmetic) — the old form
+    # built one plan tower per k and spent more driver time planning
+    # than executing.  Values per k are bit-identical; oracle
+    # unchanged.
+    m = len(_ELBOW_KS)
+    e_long = train.select(
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s"),
+        "vec_id",
+        "emb",
+    )
+    seed_frames = [
+        train.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.lit(s).alias("s"),
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        for s, k in enumerate(_ELBOW_KS)
+    ]
+    seeds = seed_frames[0]
+    for sf in seed_frames[1:]:
+        seeds = seeds.unionByName(sf)
+    cents = _lloyd_rounds_fused(e_long, seeds, m, _IVF_ITERS)
+    cands, darr = _tagged_cand_dists()
+    assigned = (
+        e_long.crossJoin(F.broadcast(_packed_tagged(cents, m)))
+        .withColumn("__da", darr)
+        .select(
+            "s",
+            F.element_at(cands, _argmin_pos(F.col("__da")))
+            .getField("centroid_id")
+            .alias("centroid_id"),
+            F.array_min(F.col("__da")).alias("__d"),
+        )
+    )
+    sizes = assigned.groupBy("s", "centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.round(F.col("__d"), 6).cast("decimal(24,6)")).alias("d_sum"),
+    )
+    return (
+        sizes.groupBy("s")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("n_lists_used"),
+            F.round(F.sum("d_sum").cast("string").cast("double"), 6).alias(
+                "inertia"
+            ),
+            F.round(
+                F.sum("d_sum").cast("string").cast("double") / F.sum("cnt"),
+                6,
+            ).alias("mean_sq_dist"),
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "max_share"
             ),
         )
-        legs.append(
-            sizes.agg(
-                F.lit(k).cast("long").alias("k"),
-                F.sum("cnt").cast("long").alias("n_vectors"),
-                F.count(F.lit(1)).cast("long").alias("n_lists_used"),
-                F.round(
-                    F.sum("d_sum").cast("string").cast("double"), 6
-                ).alias("inertia"),
-                F.round(
-                    F.sum("d_sum").cast("string").cast("double")
-                    / F.sum("cnt"),
-                    6,
-                ).alias("mean_sq_dist"),
-                F.round(
-                    F.max("cnt").cast("double") / F.sum("cnt"), 6
-                ).alias("max_share"),
-            )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(k).cast("long") for k in _ELBOW_KS]),
+                F.col("s") + F.lit(1),
+            ).alias("k"),
+            "n_vectors",
+            "n_lists_used",
+            "inertia",
+            "mean_sq_dist",
+            "max_share",
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 QUERIES["kmeans_elbow_curve"] = kmeans_elbow_curve

@@ -6529,3 +6529,48 @@ def test_text_code_detect_routes_planted_corpus(spark, tmp_path):
     assert got[0]["is_code"] and got[0]["indent_lines"] >= 2
     assert not got[1]["is_code"] and got[1]["symbol_count"] == 0
     assert got[2]["is_code"]  # routed by MEASUREMENT, not by doc_id
+
+
+def test_kmeans_books_fused_matches_per_subspace_chains(spark, sf_dir):
+    """r14: the fused multi-tag Lloyd chain must reproduce the
+    per-subspace `_kmeans_centroids` trainings row for row — seeds,
+    packed-argmin assignment and exact-decimal recenter are the same
+    arithmetic, only the plan is fused (one tower instead of one per
+    subspace).  Checked on the real sf corpus for the PQ slicing AND
+    for a two-column (emb, rot_emb) mixed-source tag set (the OPQ
+    16-tag shape)."""
+    import pyspark.sql.functions as F
+
+    import near_indexer_for_explorer_spark.operators.similarity as sim
+
+    e = sim._vectors(spark, sf_dir)
+    mod = sim._train_mod(sf_dir)
+
+    # PQ shape: 8 tags slicing one column
+    fused = sim._pq_books_long_from(e, mod)
+    expected = []
+    for s, book in enumerate(sim._pq_codebooks_from(e, mod)):
+        expected += [
+            (s, r["centroid_id"], tuple(r["c_emb"])) for r in book.collect()
+        ]
+    got = [
+        (r["s"], r["centroid_id"], tuple(r["c_emb"])) for r in fused.collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+    # OPQ shape: 16 tags over two source columns, split back per space
+    rotated = sim._opq_rotated(e)
+    books_o, books_r = sim._opq_books_from(rotated, mod)
+    for got_df, space_col in ((books_o, "emb"), (books_r, "rot_emb")):
+        ref_e = rotated.select("vec_id", F.col(space_col).alias("emb"))
+        expected = []
+        for s, book in enumerate(sim._pq_codebooks_from(ref_e, mod)):
+            expected += [
+                (s, r["centroid_id"], tuple(r["c_emb"]))
+                for r in book.collect()
+            ]
+        got = [
+            (r["s"], r["centroid_id"], tuple(r["c_emb"]))
+            for r in got_df.collect()
+        ]
+        assert sorted(got) == sorted(expected)
