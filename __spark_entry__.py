@@ -45,17 +45,23 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # deferred ones keep their oracle entries and in-repo parity coverage.
 # ---------------------------------------------------------------------------
 
-# Round-14 rotation policy (OPTIMIZATION round): r14 changed the
-# physical plans (never the results) of the ANN/k-means family
-# (map-only packed-codebook argmin), the dedup/shingle family
-# (materialized posting lists + derived set sizes), the evaluation-
-# curve queries (exact baseline computed once), the z-order rank
-# (exchange reuse) and DSIR/BM25 — so the driver's 50-row hard signal
-# this round re-proves exactly the queries whose implementations
-# changed, with the remaining slots going to the r7-stale trio the
-# r13 window displaced plus the next of the r7 block.  Every other
-# query keeps in-repo parity coverage.
+# Round-15 rotation policy (OPTIMIZATION round 2): the window head is
+# the five CORRECTNESS_r13 hash-RED queries (rows+schema green, value
+# hash red — root cause: they were the registry's ONLY decimal-typed
+# outputs, and the driver's value-hash renders Spark Decimal vs DuckDB
+# DECIMAL differently; fixed this round by emitting the balance
+# columns as BIGINT on both sides, values unchanged).  They MUST be
+# re-gated before anything else.  The rest of the window re-proves the
+# queries whose physical plans r15 touches, then rotation continues
+# with the r7-stale block head.
 _GATE_PRIORITY: list[str] = [
+    # --- the five r13 hash-red fixes (CORRECTNESS_r13 hash_match
+    #     false; r14 wrongly rotated them out) ---
+    "account_changes_typed",
+    "account_balances_state",
+    "account_balances_with_genesis",
+    "account_balances_stream_replay",
+    "account_changes_page_after",
     # --- r14 plan changes: ANN / k-means family ---
     "ann_ivf_topk",
     "pq_ann_topk",
@@ -128,13 +134,15 @@ _GATE_PRIORITY: list[str] = [
 # slots never go to a query without one.  Everything not listed here
 # or above sits in the middle in registry order.
 _GATE_DEFER: list[str] = [
-    # --- r13 driver window (all green r13) ---
-    "account_changes_typed",
-    "account_balances_state",
-    "account_balances_with_genesis",
-    "account_balances_stream_replay",
+    # --- r13 driver window.  Last driver status per CORRECTNESS_r13:
+    #     every name below was GREEN in r13 EXCEPT the five hash-red
+    #     account_changes/balances queries, which r15 moved to the
+    #     HEAD of _GATE_PRIORITY above (they are excluded from this
+    #     list by the front-takes-precedence rule in _gate_ordered).
+    #     The r14 comment here claimed "all green r13" — that was
+    #     false; CORRECTNESS_r13 records hash_match=false for those
+    #     five. ---
     "events_page_after",
-    "account_changes_page_after",
     "text_code_detect",
     "multimodal_png_meta_scrub",
     "actions_typed_args",

@@ -3666,8 +3666,8 @@ def read_stream_access_keys(spark: SparkSession, out_dir: str) -> DataFrame:
 # out-of-order batches are absorbed.
 # ---------------------------------------------------------------------------
 _BALANCES_LATEST_TYPE = (
-    "struct<event_id: bigint, nonstaked: decimal(38,0), "
-    "staked: decimal(38,0), storage_usage: bigint, is_deletion: boolean>"
+    "struct<event_id: bigint, nonstaked: bigint, "
+    "staked: bigint, storage_usage: bigint, is_deletion: boolean>"
 )
 ACCOUNT_BALANCES_DELTA_SCHEMA = (
     f"account_id string, latest {_BALANCES_LATEST_TYPE}"

@@ -74,11 +74,18 @@ def test_oracle_dtype_contract(spark, duck, sf_dir, name, fn, sql):
             if d_t.upper() not in {"FLOAT", "REAL"}:
                 problems.append(f"{col}: spark float vs duck {d_t}")
         elif s_t.startswith("decimal("):
-            s_scale = _decimal_scale(s_t)
-            d_scale = _decimal_scale(d_t)
-            if d_scale != s_scale:
-                problems.append(
-                    f"{col}: decimal scale spark={s_t} duck={d_t} "
-                    f"(trailing-zero stringification differs)"
-                )
+            # A decimal OUTPUT column is hazardous even when both
+            # sides agree on precision and scale: DuckDB's pandas
+            # fetch renders DECIMAL as float64 ("26750.0") while
+            # Spark's toPandas yields decimal.Decimal objects
+            # ("26750"), so value-equal results hash differently.
+            # This exact pairing made the five account_changes/
+            # balances queries hash-red in CORRECTNESS_r13 — the only
+            # decimal-typed outputs in the registry.  Aggregate in
+            # DECIMAL, output as BIGINT (exact integers) or DOUBLE.
+            problems.append(
+                f"{col}: decimal output spark={s_t} duck={d_t} "
+                f"(pandas fetch renders Decimal vs float64 -> "
+                f"hash-diverges; cast the output to BIGINT or DOUBLE)"
+            )
     assert not problems, f"{name}: dtype hazards: {problems}"

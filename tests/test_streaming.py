@@ -3168,7 +3168,6 @@ def test_account_balances_fold_out_of_order_planted(spark):
     partial->merge->finalize equals the one-shot fold on any shard
     split (the semilattice laws on a hand-built log)."""
     import datetime as dt
-    from decimal import Decimal
 
     from near_indexer_for_explorer_spark.operators.assets import (
         account_balances_merge,
@@ -3198,8 +3197,8 @@ def test_account_balances_fold_out_of_order_planted(spark):
     }
     a, b = state["acct_7"], state["acct_8"]
     assert a["last_update_event_id"] == 112 and not a["is_deleted"]
-    assert a["nonstaked_balance"] == Decimal(3000)  # 30.0 * 100
-    assert b["is_deleted"] and b["nonstaked_balance"] == Decimal(0)
+    assert a["nonstaked_balance"] == 3000  # 30.0 * 100
+    assert b["is_deleted"] and b["nonstaked_balance"] == 0
     assert b["storage_usage"] == 0  # deletion placeholder zeroes all
 
     # shard the log adversarially (deletion first, update later) and
