@@ -752,8 +752,32 @@ def _components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates the lineage (so round N's plan doesn't nest N copies)
     # and is exactly what the 100 TB loop needs per-round anyway.
     edges = edges.localCheckpoint(eager=False)
+    # r15 (guide section 2.3 — shuffle fewer bytes): propagate over the
+    # EDGE-ENDPOINT domain only, then left-join the corpus back once.
+    # Exact equivalence: a node with no incident edge never receives an
+    # nmin row in any round, so its label stays doc_id forever (and its
+    # census row is trivially label == label_prev); endpoint nodes only
+    # ever read endpoint labels (the endpoint set is closed under
+    # adjacency).  Every propagation round's join + aggregate now runs
+    # over the duplicate-pair endpoints (tiny against the corpus at any
+    # scale) instead of every document, and the corpus-sized relation
+    # is touched exactly once, at the final join.
+    #
+    # The r14 verdict's doubling sketch (2 rounds over 2-hop edges) was
+    # examined and REJECTED on exactness: the census would become
+    # bool_and(ball_4 == ball_2), which diverges from the declared
+    # bool_and(ball_4 == ball_3) whenever some node sits at min-label
+    # distance 3 (e.g. a 4-node path reports converged=TRUE today,
+    # FALSE under doubling) — and recovering ball_3 costs the join the
+    # doubling saved, plus the edge-squaring join itself.
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = propagate_components(endpoints, edges, _CC_ROUNDS)
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
-    return propagate_components(nodes, edges, _CC_ROUNDS)
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("label"),
+        F.coalesce(F.col("label_prev"), F.col("doc_id")).alias("label_prev"),
+    )
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1347,8 +1347,15 @@ def supply_catchup(
     # detach the union from the CURRENT published files: publish_atomic
     # stages via Spark write while the old version stays live, and the
     # checkpoint keeps the staged plan from re-reading a directory the
-    # next catch-up would supersede
-    return publish_atomic(union.localCheckpoint(eager=True), out_dir)
+    # next catch-up would supersede.  coalesce(1) first (guide
+    # section 6, bounded file count): the series is months-grain — one
+    # row per snapshot day at ANY corpus scale — and without it the
+    # union inherits the aggregate's shuffle partitioning, publishing
+    # ~(shuffle partitions) near-empty parquet files per version that
+    # every later cycle re-opens and re-lists.
+    return publish_atomic(
+        union.coalesce(1).localCheckpoint(eager=True), out_dir
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -299,7 +299,10 @@ def publish_atomic(
     if os.path.isdir(out_dir):
         _sweep_stale_publish_dirs(out_dir, stale_age_s)
     staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(staging)
+    # zstd (guide section 6): smaller than snappy at similar read
+    # speed; published versions are read back by every later catch-up
+    # cycle, so the write pays once and every reader wins.
+    df.write.mode("overwrite").option("compression", "zstd").parquet(staging)
     try:
         if audit is not None and not audit(spark.read.parquet(staging)):
             raise ValueError("publish_atomic: audit rejected the snapshot")
