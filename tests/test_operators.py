@@ -235,6 +235,41 @@ def test_embedding_dedup_blocked_subset_and_recall(spark, tmp_path):
     assert recall >= 0.9, f"blocked recall {recall:.2f} below floor"
 
 
+def test_dup_band_rows_arrow_matches_fold(spark, sf_dir, tmp_path):
+    """The r15 vectorized Arrow bucketing must be BIT-IDENTICAL to the
+    declared fold expression (the oracle's form) on real data — both on
+    the driver corpus and on the planted near-dup corpus, whose
+    correlated vectors exercise small-magnitude projections where a
+    different IEEE addition order would first show."""
+    from pyspark.sql import functions as F
+
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        _dup_band_rows_arrow,
+        _vectors,
+        dup_band_buckets,
+    )
+
+    for data_dir in (sf_dir, _planted_neardup_dir(tmp_path)):
+        e = _vectors(spark, data_dir)
+        fold = (
+            e.select("vec_id", F.explode(dup_band_buckets("emb")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.band_id").alias("band_id"),
+                F.col("b.bucket").alias("bucket"),
+            )
+        )
+        arrow = _dup_band_rows_arrow(e)
+        # names and types must match exactly; nullability may differ
+        # (mapInArrow output is declared nullable, literals are not)
+        assert [(f.name, f.dataType) for f in arrow.schema] == [
+            (f.name, f.dataType) for f in fold.schema
+        ]
+        a = sorted(tuple(r) for r in arrow.collect())
+        f = sorted(tuple(r) for r in fold.collect())
+        assert a == f
+
+
 def test_embedding_dedup_empty_on_quasirandom(spark, sf_dir):
     """On the driver's quasi-random corpus there are no pairs at the
     near-dup threshold — the operator (and its oracle) must return
