@@ -3534,10 +3534,22 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variance aggregate (7 references over 3 iterations), and z feeds
     # both its norm and the next direction — checkpoint xc once and z
     # per round so the matvec chain evaluates linearly instead of
-    # doubling per unrolled iteration
-    xc = x.join(F.broadcast(mu), "j").select(
-        "vec_id", "j", (F.col("x") - F.col("mu")).alias("xc")
-    ).localCheckpoint(eager=False)
+    # doubling per unrolled iteration.
+    # r15: SIZE-GATED (functions/materialize.py): at small source
+    # sizes the linearized recompute beats the materialization
+    # round-trip (interleaved A/B 4.628 -> 4.276 s at sf0.1); at scale
+    # the checkpoint is the only sane shape.
+    from near_indexer_for_explorer_spark.functions.materialize import (
+        gated_lazy_ckpt,
+    )
+
+    xc = gated_lazy_ckpt(
+        x.join(F.broadcast(mu), "j").select(
+            "vec_id", "j", (F.col("x") - F.col("mu")).alias("xc")
+        ),
+        sf_dir,
+        "embeddings",
+    )
     vf = spark.range(1).select(
         F.posexplode(F.array(*[F.lit(c) for c in _pc_v0()])).alias("j", "v")
     )
@@ -3552,15 +3564,17 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("y")
             )
         )
-        z = (
+        z = gated_lazy_ckpt(
             xc.join(y, "vec_id")
             .groupBy("j")
             .agg(
                 F.sum(F.round(F.col("xc") * F.col("y"), 6).cast("decimal(24,6)"))
                 .cast("double")
                 .alias("z")
-            )
-        ).localCheckpoint(eager=False)
+            ),
+            sf_dir,
+            "embeddings",
+        )
         nrm = z.agg(
             F.sqrt(
                 F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(30,6)"))

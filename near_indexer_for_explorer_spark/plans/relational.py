@@ -5821,10 +5821,21 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc = dec_money("l_extendedprice") * _one_minus("l_discount")
     # r14: rev feeds the scaling aggregate and the bucketed relation —
-    # checkpoint so the fact scan + per-part revenue aggregate runs once
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(disc).cast("decimal(38,6)").alias("x")
-    ).localCheckpoint(eager=False)
+    # checkpoint so the fact scan + per-part revenue aggregate runs
+    # once.  r15: SIZE-GATED (functions/materialize.py): below the
+    # bound the double fact scan beats the materialization round-trip
+    # (interleaved A/B 2.698 -> 2.512 s at sf0.1).
+    from near_indexer_for_explorer_spark.functions.materialize import (
+        gated_lazy_ckpt,
+    )
+
+    rev = gated_lazy_ckpt(
+        li.groupBy("l_partkey").agg(
+            F.sum(disc).cast("decimal(38,6)").alias("x")
+        ),
+        sf_dir,
+        "lineitem",
+    )
     cents = F.expr("CAST(x * 100 AS BIGINT)")
     scal = rev.agg(
         F.max(cents).alias("maxc"),
@@ -8617,9 +8628,16 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # r14: the distinct basket relation feeds the per-part counts and
     # both sides of the pair self-join (three references on different
-    # shuffle keys) — checkpoint so the fact scan + distinct runs once
-    items = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    # shuffle keys) — checkpoint so the fact scan + distinct runs once.
+    # r15: SIZE-GATED (functions/materialize.py): below the bound the
+    # re-derivation beats the materialization round-trip (interleaved
+    # A/B 3.010 -> 2.713 s at sf0.1).
+    from near_indexer_for_explorer_spark.functions.materialize import (
+        gated_lazy_ckpt,
+    )
+
+    items = gated_lazy_ckpt(
+        li.select("l_orderkey", "l_partkey").distinct(), sf_dir, "lineitem"
     )
     n_orders = li.agg(
         F.count_distinct("l_orderkey").cast("long").alias("n_orders")

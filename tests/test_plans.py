@@ -644,3 +644,40 @@ def test_account_changes_page_after_zero_sort(spark, sf_dir):
     assert "DESC" in plan
     assert ") Sort" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_materialize_gate_both_branches(spark, sf_dir):
+    """r15 size gate (functions/materialize.py): below the bound the
+    multi-referenced relations are recomputed (plan reads parquet, no
+    ExistingRDD leaf); with the bound forced to 0 the lazy checkpoint
+    is planted (ExistingRDD leaves appear) — and the VALUES are
+    identical on both branches for all three gated queries."""
+    from near_indexer_for_explorer_spark.functions import materialize
+    from near_indexer_for_explorer_spark.operators.similarity import (
+        embedding_top_component,
+    )
+    from near_indexer_for_explorer_spark.plans.relational import (
+        orders_basket_rules,
+        parts_abc_pareto,
+    )
+
+    queries = [parts_abc_pareto, orders_basket_rules, embedding_top_component]
+    old = materialize.MATERIALIZE_MIN_ROWS
+    try:
+        results = {}
+        for forced, expect_rdd in ((old, False), (0, True)):
+            materialize.MATERIALIZE_MIN_ROWS = forced
+            for fn in queries:
+                df = fn(spark, sf_dir)
+                plan = _formatted_plan(spark, df)
+                has_rdd = "ExistingRDD" in plan
+                assert has_rdd == expect_rdd, (
+                    f"{fn.__name__} forced={forced}: ExistingRDD "
+                    f"{'missing' if expect_rdd else 'present'}"
+                )
+                rows = sorted(map(tuple, df.collect()), key=repr)
+                if fn.__name__ in results:
+                    assert rows == results[fn.__name__], fn.__name__
+                results[fn.__name__] = rows
+    finally:
+        materialize.MATERIALIZE_MIN_ROWS = old
