@@ -1349,10 +1349,14 @@ def supply_catchup(
     # checkpoint keeps the staged plan from re-reading a directory the
     # next catch-up would supersede.  coalesce(1) first (guide
     # section 6, bounded file count): the series is months-grain — one
-    # row per snapshot day at ANY corpus scale — and without it the
-    # union inherits the aggregate's shuffle partitioning, publishing
-    # ~(shuffle partitions) near-empty parquet files per version that
-    # every later cycle re-opens and re-lists.
+    # row per snapshot day at ANY corpus scale — so one file per
+    # version is the right layout.  Measured honestly (tools/
+    # ab_supply.py): AQE's coalescing already kept the old shape at ~2
+    # files/version (published leg + fresh leg), so the cycle time is
+    # FLAT at sf0.1 (old 4.55 s vs new 4.86 s medians, overlapping
+    # runs, identical 3.96 s minima) — this is layout hygiene, not a
+    # bench win; the r14-verdict hypothesis that the publish path had
+    # a file-count problem did not reproduce.
     return publish_atomic(
         union.coalesce(1).localCheckpoint(eager=True), out_dir
     )
