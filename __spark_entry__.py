@@ -56,69 +56,71 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # with the r7-stale block head.
 _GATE_PRIORITY: list[str] = [
     # --- the five r13 hash-red fixes (CORRECTNESS_r13 hash_match
-    #     false; r14 wrongly rotated them out) ---
+    #     false; r14 wrongly rotated them out).  Fixed in r15 (BIGINT
+    #     balances) and gated FIRST. ---
     "account_changes_typed",
     "account_balances_state",
     "account_balances_with_genesis",
     "account_balances_stream_replay",
     "account_changes_page_after",
-    # --- r14 plan changes: ANN / k-means family ---
-    "ann_ivf_topk",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "ivfpq_ann_serve",
-    "opq_rotate_quantize",
-    "opq_quantize_serve",
-    "cluster_silhouette",
-    "kmeans_elbow_curve",
-    "centroid_assign_confusion",
-    "topic_cluster_terms",
-    "topic_terms_serve",
-    "ivf_list_balance",
-    "semdedup_embeddings",
-    "ann_hard_negatives",
-    "ivf_nprobe_recall_curve",
-    "ann_recall_matrix",
-    "ann_hubness_report",
-    "matryoshka_dim_curve",
-    "ann_rerank_curve",
-    "ann_filtered_ivf_recall",
-    "ann_label_probe_recall",
-    "lsh_probe_budget_curve",
-    # --- r14 plan changes: dedup / shingle family ---
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "minhash_jaccard_estimate",
-    "dedup_threshold_curve",
-    "minhash_bbit_estimate",
-    "minhash_width_curve",
-    "dedup_pair_features",
-    "dedup_incremental_cohort",
-    "dedup_chain_gap_report",
-    "dedup_winnowing",
-    "lsh_s_curve",
+    # --- r15 plan changes: endpoint-domain label propagation (B20)
+    #     and its frozen-label consumers ---
     "dedup_components",
-    # --- downstream of the changed chains (frozen b20 labels) ---
     "dedup_keep_best",
     "dedup_cluster_sizes",
     "dedup_savings_report",
     "keep_best_quality_lift",
-    "dedup_growth_curve",
-    # --- other r14 plan changes ---
-    "orders_zorder_layout",
-    "dsir_importance_weights",
-    "bm25_search",
-    "supply_catchup_incremental",
-    "embedding_top_component",
-    "embedding_anisotropy_whiten",
-    "orders_basket_rules",
+    # --- r15 plan changes: Arrow hyperplane bucketing + its frozen
+    #     consumer ---
+    "embedding_dedup_cosine",
+    "dedup_modality_agreement",
+    # --- r15 plan changes: size-gated lazy checkpoints (recompute
+    #     branch at bench SFs) ---
     "parts_abc_pareto",
-    # --- re-gate rotation: head of the r7-green block the r13 window
-    #     displaced (the rest of the trio + r7 block head the r15
-    #     rotation) ---
-    "q10_returned_items",
-    "q11_important_stock",
+    "orders_basket_rules",
+    "embedding_top_component",
+    # --- r15 plan changes: WAP publish layout (coalesce(1) + zstd)
+    #     and its replay twins ---
+    "supply_catchup_incremental",
+    "supply_catchup_replay",
+    "supply_catchup_days",
+    # --- re-gate rotation: the r7-stale block (last driver row r7,
+    #     all GREEN then; statuses verified against CORRECTNESS_r07
+    #     .. _r14 by script, not memory) ---
+    "q12_shipmode_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    "dedup_exact_docs",
+    "corpus_source_mix",
+    "kneser_ney_bigram_xent",
+    "events_value_cusum",
+    "multimodal_decode",
+    "bloom_seen_filter",
+    "lsh_candidates_serve",
+    "approx_distinct_contract",
+    "approx_percentiles_contract",
+    "heavy_hitters_contract",
+    "data_quality_report",
+    "dedup_pair_alignment",
+    "bigram_backoff_xent",
+    "dedup_longest_substring",
+    # --- re-gate rotation: head of the r8-stale block (last driver
+    #     row r8, all GREEN then) ---
+    "part_copurchase_triangles",
+    "events_dow_seasonality",
+    "attribution_models",
+    "engagement_dau_wau_mau",
+    "orders_benford_digits",
+    "supplier_market_hhi",
+    "orders_monthly_gapfill",
+    "events_daily_trend",
+    "events_top_paths",
+    "cohort_ltv_curves",
+    "user_event_entropy",
+    "order_ship_latency",
+    "dau_new_vs_returning",
 ]
 
 # r10 window head (registered after the r9 window filled): the
@@ -184,7 +186,10 @@ _GATE_DEFER: list[str] = [
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    # --- r12 driver window (all green r12) ---
+    # --- r12 driver window.  Every name below verified GREEN in
+    #     CORRECTNESS_r12 (rows+schema+hash, no err) by script this
+    #     round; supply_catchup_replay / supply_catchup_days moved to
+    #     the r15 priority block (their publish layout changed). ---
     "events_power_analysis",
     "events_bootstrap_ci",
     "events_mann_whitney",
@@ -196,8 +201,6 @@ _GATE_DEFER: list[str] = [
     "multimodal_audio_windows",
     "corpus_stratified_sample",
     "stratified_sample_stream_replay",
-    "supply_catchup_days",
-    "supply_catchup_replay",
     "access_keys_state",
     "accounts_state",
     "access_keys_stream_replay",

@@ -39,11 +39,19 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _FROZEN: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
+
+# Serializes memo reads-with-build: concurrent driver threads (guide
+# section 2.6 job overlap — the parity suite runs queries through a
+# thread pool) must not race the eviction scan or double-build one
+# artifact.  Builds are one-time per session, so holding the lock
+# across a build costs nothing steady-state.
+_FROZEN_LOCK = threading.Lock()
 
 _MANIFEST = "manifest.json"
 
@@ -57,12 +65,15 @@ def frozen(
     """Return the memoized eagerly-checkpointed artifact tuple for
     (name, sf_dir) in the active session, building it on first use."""
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _FROZEN if k[2] != app_id]:
-        del _FROZEN[k]
-    key = (name, sf_dir, app_id)
-    if key not in _FROZEN:
-        _FROZEN[key] = tuple(df.localCheckpoint(eager=True) for df in build())
-    return _FROZEN[key]
+    with _FROZEN_LOCK:
+        for k in [k for k in _FROZEN if k[2] != app_id]:
+            del _FROZEN[k]
+        key = (name, sf_dir, app_id)
+        if key not in _FROZEN:
+            _FROZEN[key] = tuple(
+                df.localCheckpoint(eager=True) for df in build()
+            )
+        return _FROZEN[key]
 
 
 def persist_artifacts(

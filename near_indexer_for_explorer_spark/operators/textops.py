@@ -1383,7 +1383,18 @@ def gopher_filter_columns(docs: DataFrame) -> DataFrame:
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_words, mean_word_len, alpha_word_frac,
     symbol_ratio, n_distinct_stops, ok_* x5, kept): the Gopher rule
-    family as an audit-friendly per-rule report."""
+    family as an audit-friendly per-rule report.
+
+    r15 negative result (kept as the record): routing the scan through
+    parallelize_small_scan (the r13 multimodal pattern) was measured
+    and REJECTED — interleaved A/B at sf0.1, noop sink: 2.10 s vs
+    1.95 s medians with fully overlapping runs (flat), while under a
+    count() action (the bench's timing) the added round-robin exchange
+    is NOT pruned with the kernel columns and costs ~0.1 s outright
+    (1.02 -> 1.12 s).  The r14 scaling anomaly on this row (0.41x at
+    8 -> 32 cores) is a count()-action artifact: count prunes the
+    map-only rule columns, so the bench row never executes the kernel
+    this change would have parallelized."""
     return gopher_filter_columns(load_table(spark, sf_dir, "documents"))
 
 

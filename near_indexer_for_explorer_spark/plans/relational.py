@@ -1376,6 +1376,10 @@ def supply_catchup(
 # ---------------------------------------------------------------------------
 _SUPPLY_PIVOT = "1995-06-30"
 _CATCHUP_BASE: dict[tuple[str, str], str] = {}
+# Serializes the base-publish build + stale-dir eviction against
+# concurrent driver threads (the parity suite overlaps queries; the
+# three supply twins would otherwise race the one-per-session build).
+_CATCHUP_BASE_LOCK = __import__("threading").Lock()
 
 
 def _supply_catchup_base(spark: SparkSession, sf_dir: str) -> str:
@@ -1385,25 +1389,26 @@ def _supply_catchup_base(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _CATCHUP_BASE if k[0] != app_id]:
-        # remove the evicted session's frozen base dir too (r13 ADVICE:
-        # pruning only the dict entry leaked one months-grain WAP dir
-        # per stale app_id in /tmp)
-        import shutil
+    with _CATCHUP_BASE_LOCK:
+        for k in [k for k in _CATCHUP_BASE if k[0] != app_id]:
+            # remove the evicted session's frozen base dir too (r13
+            # ADVICE: pruning only the dict entry leaked one
+            # months-grain WAP dir per stale app_id in /tmp)
+            import shutil
 
-        shutil.rmtree(_CATCHUP_BASE[k], ignore_errors=True)
-        del _CATCHUP_BASE[k]
-    key = (app_id, sf_dir)
-    base = _CATCHUP_BASE.get(key)
-    if base is None or not os.path.isdir(base):
-        import datetime
+            shutil.rmtree(_CATCHUP_BASE[k], ignore_errors=True)
+            del _CATCHUP_BASE[k]
+        key = (app_id, sf_dir)
+        base = _CATCHUP_BASE.get(key)
+        if base is None or not os.path.isdir(base):
+            import datetime
 
-        base = tempfile.mkdtemp(prefix="nifes_supply_base_")
-        pivot = datetime.date.fromisoformat(_SUPPLY_PIVOT)
-        if supply_catchup(spark, sf_dir, base, upto=pivot) is None:
-            raise RuntimeError("supply catch-up base publish was empty")
-        _CATCHUP_BASE[key] = base
-    return base
+            base = tempfile.mkdtemp(prefix="nifes_supply_base_")
+            pivot = datetime.date.fromisoformat(_SUPPLY_PIVOT)
+            if supply_catchup(spark, sf_dir, base, upto=pivot) is None:
+                raise RuntimeError("supply catch-up base publish was empty")
+            _CATCHUP_BASE[key] = base
+        return base
 
 
 def supply_catchup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,21 +103,94 @@ def _query_items():
     return [(name, qs[name], oracles[name]) for name in sorted(oracles)]
 
 
+@pytest.fixture(scope="session")
+def parity_results(spark, sf_dir):
+    """Build + collect EVERY oracled query's Spark result AND evaluate
+    its DuckDB oracle through a small driver thread pool (guide
+    section 2.6 — Spark happily runs several jobs at once inside one
+    application, and the suite's queries are independent, so the next
+    query's work back-fills capacity freed by the current one's tail;
+    DuckDB releases the GIL during execution, so the oracle
+    evaluations overlap too — the heaviest single oracle, B20's
+    4-round label propagation SQL, runs 150+ s alone).  Sequentially
+    these 300+ (collect + oracle) pairs dominated the suite's wall
+    time; per-test assertions (and failure attribution) stay per-query
+    below.  Exceptions are captured per-name and re-raised in the
+    owning test.  Each worker gets its OWN DuckDB connection (they are
+    not thread-safe) capped at 8 threads so six workers do not
+    oversubscribe the box."""
+    import queue as _queue
+    from concurrent.futures import ThreadPoolExecutor
+
+    import duckdb
+
+    items = _query_items()
+    results: dict[str, tuple] = {}
+    n_workers = 6
+
+    def make_con():
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.execute("SET threads=8")
+        for name in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {name} AS "
+                f"SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        return con
+
+    cons: _queue.SimpleQueue = _queue.SimpleQueue()
+    for _ in range(n_workers):
+        cons.put(make_con())
+
+    def run(item):
+        name, fn, sql = item
+        try:
+            df = fn(spark, sf_dir)
+            s_types = {
+                f.name: f.dataType.simpleString() for f in df.schema
+            }
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            con = cons.get()
+            try:
+                d_types = _duck_types(con, sql)
+                cur = con.execute(sql)
+                d_cols = [d[0] for d in cur.description]
+                d_rows = cur.fetchall()
+            finally:
+                cons.put(con)
+            results[name] = (
+                None, s_types, s_cols, s_rows, d_types, d_cols, d_rows
+            )
+        except BaseException as exc:  # re-raised in the owning test
+            results[name] = (exc, None, None, None, None, None, None)
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        list(pool.map(run, items))
+    while not cons.empty():
+        cons.get().close()
+    return results
+
+
 @pytest.mark.parametrize(
     "name,fn,sql", _query_items(), ids=[n for n, _, _ in _query_items()]
 )
-def test_oracle_parity(spark, duck, sf_dir, name, fn, sql):
-    df = fn(spark, sf_dir)
-    s_types = {f.name: f.dataType.simpleString() for f in df.schema}
-    d_types = _duck_types(duck, sql)
+def test_oracle_parity(spark, sf_dir, parity_results, name, fn, sql):
+    exc, s_types, s_cols, s_rows, d_types, d_cols, d_rows = parity_results[
+        name
+    ]
+    if exc is not None:
+        raise exc
     assert set(s_types) == set(d_types), (
         f"{name}: column sets differ spark={sorted(s_types)} "
         f"duck={sorted(d_types)}"
     )
     hazards = _dtype_hazards(s_types, d_types)
     assert not hazards, f"{name}: dtype hazards: {hazards}"
-    s_cols, s_rows = df.columns, [tuple(r) for r in df.collect()]
-    d_cols, d_rows = _duck_result(duck, sql)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )

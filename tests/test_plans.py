@@ -155,25 +155,42 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
     )
 
     # queries outside the multimodal_ namespace that legitimately
-    # compose the sanctioned Arrow kernels (their Python stage IS the
-    # multimodal family's, not a smuggled row-at-a-time UDF)
-    arrow_composers = {"dedup_modality_agreement"}  # B125: composes B123
+    # compose the sanctioned Arrow kernels (their Python stage IS a
+    # documented vectorized kernel, not a smuggled row-at-a-time UDF)
+    arrow_composers = {
+        "dedup_modality_agreement",  # B125: composes B123
+        # r15: the hyperplane bucketing runs as one vectorized
+        # mapInArrow kernel (similarity._dup_band_rows_arrow),
+        # bit-identity with the declared fold pinned by
+        # test_dup_band_rows_arrow_matches_fold
+        "embedding_dedup_cosine",
+    }
 
-    for name, fn in e.queries().items():
+    def check(item):
+        name, fn = item
         if name.startswith("multimodal_") or name in arrow_composers:
-            continue  # the sanctioned Arrow-UDF family
+            return  # the sanctioned Arrow-kernel family
         if name in REPLAY_QUERIES:
             # eager-contract entries (streaming/replay.py): fn() RUNS a
             # whole streaming pipeline and returns a checkpoint scan —
             # nothing to census, and EXPLAINing them costs minutes
-            continue
+            return
         plan = _formatted_plan(spark, fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+        assert "MapInArrow" not in plan, name
         if name not in _BNLJ_EXEMPT:
             assert "BroadcastNestedLoopJoin" not in plan, name
             assert "CartesianProduct" not in plan, name
+
+    # plan construction is driver/py4j-bound and py4j releases the GIL
+    # on socket calls, so a small pool overlaps the ~290 builds (this
+    # sweep was the suite's single slowest test at 240+ s sequential)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(check, list(e.queries().items())))
 
 
 def test_ts_user_similarity_exemption_shape(spark, sf_dir):
