@@ -1393,7 +1393,11 @@ def _supply_catchup_base(spark: SparkSession, sf_dir: str) -> str:
         for k in [k for k in _CATCHUP_BASE if k[0] != app_id]:
             # remove the evicted session's frozen base dir too (r13
             # ADVICE: pruning only the dict entry leaked one
-            # months-grain WAP dir per stale app_id in /tmp)
+            # months-grain WAP dir per stale app_id in /tmp).  Safe to
+            # rmtree (r14 ADVICE concern): Spark allows ONE active
+            # SparkContext per process, so a key with a DIFFERENT
+            # app_id can only belong to a stopped context — two live
+            # sessions in one process share one context and one app_id.
             import shutil
 
             shutil.rmtree(_CATCHUP_BASE[k], ignore_errors=True)

@@ -34,6 +34,9 @@ def main() -> None:
     missing = [n for n in args if n not in qs]
     if missing:
         print(f"# unknown queries skipped: {missing}", file=sys.stderr)
+    if not names:
+        print("measure_subset: no known query names given", file=sys.stderr)
+        sys.exit(2)
 
     # warm the JVM + parquet footer cache (same as bench.py)
     qs[names[0]](spark, SF_DIR).count()
