@@ -27,23 +27,32 @@ def tokens(text: Column | str = "text") -> Column:
     return F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE)
 
 
-def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Array of word n-grams; empty array when fewer than n tokens.
+def word_shingles_sql(tok: str, n: int = 3) -> str:
+    """Array of word n-grams as SQL text; empty array when fewer than n
+    tokens.  `tok` is a SQL fragment (usually a column name).
 
     Built with transform-over-sequence so it stays inside codegen — the
     reference's analog is byte-level arg parsing, but shingling is the
-    LLM-dedup workhorse (MinHash/Jaccard input).
+    LLM-dedup workhorse (MinHash/Jaccard input).  SQL text rather than
+    a Python-lambda transform: the lambda costs ~56-70 ms of py4j
+    round-trips per call at plan-construction time (r15, guide
+    section 5); the parsed text is the identical expression.
     """
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok, i + k) for k in range(n)]
-    )
-    return F.when(F.size(tok) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
+    gram = ", ".join(f"element_at({tok}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({tok}) >= {n} THEN "
+        f"transform(sequence(1, size({tok}) - {n - 1}), "
+        f"i -> concat_ws(' ', {gram})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 
-def stopword_hits(tok: Column, words: list[str]) -> Column:
+def word_shingles(tok: str, n: int = 3) -> Column:
+    return F.expr(word_shingles_sql(tok, n))
+
+
+def stopword_hits(tok: str, words: list[str]) -> Column:
     """Count of tokens found in a fixed word list (order of the list is
     irrelevant; counts are exact integers)."""
-    return F.size(F.filter(tok, lambda x: x.isin(*words)))
+    lst = ", ".join("'" + w + "'" for w in words)
+    return F.expr(f"size(filter({tok}, x -> x IN ({lst})))")

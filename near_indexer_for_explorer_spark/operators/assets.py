@@ -362,19 +362,19 @@ def ft_affected_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = events_typed_extract(spark, sf_dir).where(
         F.col("standard") == "nep141"
     )
-    amt = F.col("amount").cast("long")
-    legs = F.array(
-        F.when(
-            F.col("event_kind").isin("ft_mint", "ft_transfer"),
-            F.struct(F.col("new_owner").alias("account_id"), amt.alias("delta")),
-        ),
-        F.when(
-            F.col("event_kind").isin("ft_burn", "ft_transfer"),
-            F.struct(F.col("old_owner").alias("account_id"), (-amt).alias("delta")),
-        ),
+    legs = (
+        "array("
+        "CASE WHEN event_kind IN ('ft_mint', 'ft_transfer') THEN "
+        "struct(new_owner AS account_id, "
+        "CAST(amount AS BIGINT) AS delta) END, "
+        "CASE WHEN event_kind IN ('ft_burn', 'ft_transfer') THEN "
+        "struct(old_owner AS account_id, "
+        "(- CAST(amount AS BIGINT)) AS delta) END)"
     )
     exploded = typed.select(
-        F.explode(F.filter(legs, lambda x: x.isNotNull())).alias("leg")
+        F.explode(
+            F.expr(f"filter({legs}, x -> x IS NOT NULL)")
+        ).alias("leg")
     ).select("leg.account_id", "leg.delta")
     return exploded.groupBy("account_id").agg(
         F.count(F.lit(1)).alias("n_legs"),

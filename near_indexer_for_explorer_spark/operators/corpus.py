@@ -134,7 +134,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = split.select(
         "doc_id",
         "is_train",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), _DECON_N))).alias("sh"),
+        F.explode(F.array_distinct(word_shingles("t", _DECON_N))).alias("sh"),
     )
     train_grams = grams.where("is_train").select("sh").distinct()
     eval_grams = grams.where(~F.col("is_train")).select("doc_id", "sh")
@@ -145,7 +145,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_docs = split.where(~F.col("is_train")).select(
         "doc_id",
-        F.size(F.array_distinct(word_shingles(F.col("t"), _DECON_N)))
+        F.size(F.array_distinct(word_shingles("t", _DECON_N)))
         .cast("long")
         .alias("n_grams"),
     )
@@ -227,8 +227,8 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     arr = docs.select(
         "doc_id",
-        word_shingles(F.col("t"), 2).alias("g2"),
-        word_shingles(F.col("t"), 3).alias("g3"),
+        word_shingles("t", 2).alias("g2"),
+        word_shingles("t", 3).alias("g3"),
     )
     rep = (
         arr.select("doc_id", F.explode("g3").alias("sh"))
@@ -411,7 +411,7 @@ def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf DESC, gram ASC) total order makes the boundary deterministic in
     both engines."""
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
-    grams = docs.select("doc_id", F.explode(word_shingles(F.col("t"), 3)).alias("sh"))
+    grams = docs.select("doc_id", F.explode(word_shingles("t", 3)).alias("sh"))
     per_doc = grams.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     stats = per_doc.groupBy("sh").agg(
         F.sum("c").cast("long").alias("tf"), F.count(F.lit(1)).cast("long").alias("df")
@@ -527,7 +527,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     big = (
-        docs.select(F.explode(word_shingles(F.col("t"), 2)).alias("sh"))
+        docs.select(F.explode(word_shingles("t", 2)).alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
@@ -770,7 +770,7 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t"), _SPAN_N))).alias("g"),
+        F.explode(F.array_distinct(word_shingles("t", _SPAN_N))).alias("g"),
     )
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     joined = grams.join(df_counts, "g")
@@ -861,7 +861,7 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.select(
         "doc_id",
-        F.posexplode(word_shingles(F.col("t"), _SPAN_N)).alias("pos", "g"),
+        F.posexplode(word_shingles("t", _SPAN_N)).alias("pos", "g"),
     )
     shared_grams = (
         grams.select("doc_id", "g")
@@ -1186,7 +1186,7 @@ def dedup_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already an eager checkpoint, so no extra lazy checkpoint needed
     cand = frozen_lsh_candidates(spark, sf_dir)
     grams = docs.select(
-        "doc_id", F.posexplode(word_shingles(F.col("t"), 8)).alias("pos", "g")
+        "doc_id", F.posexplode(word_shingles("t", 8)).alias("pos", "g")
     ).localCheckpoint(eager=False)  # feeds BOTH sides of the match join
     g1 = grams.select(
         F.col("doc_id").alias("doc_id_1"),
@@ -1925,7 +1925,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "split",
         F.explode(
-            F.concat(F.col("t"), word_shingles(F.col("t"), 2))
+            F.concat(F.col("t"), word_shingles("t", 2))
         ).alias("g"),
     ).select(
         "doc_id",
@@ -2491,7 +2491,7 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     tok = docs.select(
         _hash_bucket(F.col("doc_id"), "heaps:", _HEAPS_QUARTERS).alias("q"),
-        F.explode(word_shingles(F.col("t"))).alias("term"),
+        F.explode(word_shingles("t")).alias("term"),
     )
     tokens_per_q = tok.groupBy("q").agg(F.count(F.lit(1)).alias("nt"))
     first_q = tok.groupBy("term").agg(F.min("q").alias("q"))
@@ -2615,7 +2615,7 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("sh"),
+        F.explode(F.array_distinct(word_shingles("t"))).alias("sh"),
     )
     first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     scored = sh.join(first, "sh").groupBy("doc_id").agg(
@@ -2975,7 +2975,7 @@ def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams = split.select(
             "doc_id",
             "is_train",
-            F.explode(F.array_distinct(word_shingles(F.col("t"), n))).alias("sh"),
+            F.explode(F.array_distinct(word_shingles("t", n))).alias("sh"),
         )
         train_grams = grams.where("is_train").select("sh").distinct()
         eval_grams = grams.where(~F.col("is_train")).select("doc_id", "sh")
@@ -2986,7 +2986,7 @@ def contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         eval_docs = split.where(~F.col("is_train")).select(
             "doc_id",
-            F.size(F.array_distinct(word_shingles(F.col("t"), n)))
+            F.size(F.array_distinct(word_shingles("t", n)))
             .cast("long")
             .alias("n_grams"),
         )

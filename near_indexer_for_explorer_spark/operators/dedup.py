@@ -62,7 +62,7 @@ def shingles_of(docs: DataFrame) -> DataFrame:
     tok = docs.withColumn("t", tokens("text"))
     return tok.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("sh"),
+        F.explode(F.array_distinct(word_shingles("t"))).alias("sh"),
     )
 
 
@@ -83,7 +83,7 @@ def _shingle_set_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select(
         "doc_id",
         F.coalesce(
-            F.size(F.array_distinct(word_shingles(F.col("t")))), F.lit(0)
+            F.size(F.array_distinct(word_shingles("t"))), F.lit(0)
         ).alias("n"),
     )
 
@@ -288,9 +288,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     # materialize the base hash once per shingle row so the 64
     # permutation expressions share it instead of re-hashing
     hashed = sh.withColumn("x", base % F.lit(_MERSENNE))
-    x = F.col("x")
+    # F.expr text, not Column arithmetic (r15): the 64-permutation
+    # Column chain cost ~0.9 s of py4j round-trips per build; the
+    # parsed text is the identical (a * x + b) % p min-aggregate.
     aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{s}")
+        F.expr(f"min(({a} * x + {b}) % {_MERSENNE})").alias(f"mh_{s}")
         for s, (a, b) in enumerate(_perm_coeffs())
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -299,22 +301,20 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 def banded_minhash(sig: DataFrame) -> DataFrame:
     """(doc_id, band_id, bucket): the signature banded 16x4 — the LSH
     index relation (also what the streaming dedup index persists)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{band * _LSH_ROWS + r}").cast("string")
-                            for r in range(_LSH_ROWS)
-                        ],
-                    )
-                ).alias("bucket"),
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            "struct({band} AS band_id, md5(concat_ws(',', {cols})) "
+            "AS bucket)".format(
+                band=band,
+                cols=", ".join(
+                    f"CAST(mh_{band * _LSH_ROWS + r} AS STRING)"
+                    for r in range(_LSH_ROWS)
+                ),
             )
             for band in range(_LSH_BANDS)
-        ]
+        )
+        + ")"
     )
     return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
@@ -460,17 +460,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     tok = tok.withColumn("h", h)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            f"THEN w ELSE -w END)"
         ).alias(f"s_{b}")
         for b in range(_SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(_SIMHASH_BITS)
+        )
+    )
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
@@ -912,9 +914,12 @@ def _jaccard_estimate_core(
         F.col("doc_id").alias("doc_id_2"),
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
     )
-    agree = sum(
-        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
-        for s in range(_MINHASH_PERMS)
+    agree = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN a_{s} = b_{s} THEN 1 ELSE 0 END)"
+            for s in range(_MINHASH_PERMS)
+        )
     )
     est = (
         cand.join(s1, "doc_id_1")
@@ -1173,10 +1178,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     hashed = ssh.withColumn("x", base % F.lit(_MERSENNE))
-    x = F.col("x")
     sig = hashed.groupBy("source").agg(
         *[
-            F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{s}")
+            F.expr(f"min(({a} * x + {b}) % {_MERSENNE})").alias(f"mh_{s}")
             for s, (a, b) in enumerate(_perm_coeffs())
         ]
     )
@@ -1188,9 +1192,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_2"),
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(_MINHASH_PERMS)],
     )
-    agree = sum(
-        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
-        for s in range(_MINHASH_PERMS)
+    agree = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN a_{s} = b_{s} THEN 1 ELSE 0 END)"
+            for s in range(_MINHASH_PERMS)
+        )
     )
     est = (
         a.join(F.broadcast(b), F.col("source_1") < F.col("source_2"))
@@ -1899,15 +1906,20 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         flag_cols = []
         for bands, rows in _SCURVE_CONFIGS:
-            caught = F.lit(False)
-            for i in range(bands):
-                band = F.lit(True)
-                for k in range(rows):
-                    band = band & (
-                        F.col(f"a_{i * rows + k}") == F.col(f"b_{i * rows + k}")
-                    )
-                caught = caught | band
-            flag_cols.append(caught.alias(f"caught_{bands}_{rows}"))
+            band_terms = " OR ".join(
+                "(true AND "
+                + " AND ".join(
+                    f"(a_{i * rows + k} = b_{i * rows + k})"
+                    for k in range(rows)
+                )
+                + ")"
+                for i in range(bands)
+            )
+            flag_cols.append(
+                F.expr(f"false OR {band_terms}").alias(
+                    f"caught_{bands}_{rows}"
+                )
+            )
         return (
             pairs.join(s1, "doc_id_1")
             .join(s2, "doc_id_2")
@@ -2341,7 +2353,7 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit kernel."""
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     grams = docs.select(
-        "doc_id", F.posexplode(word_shingles(F.col("t"))).alias("p0", "sh")
+        "doc_id", F.posexplode(word_shingles("t")).alias("p0", "sh")
     )
     h32 = _hash_bucket(F.col("sh"), "wfp", 1 << 32)
     pos = F.col("p0") + 1
@@ -3725,7 +3737,7 @@ def winnowing_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     grams = docs.select(
-        "doc_id", F.posexplode(word_shingles(F.col("t"))).alias("p0", "sh")
+        "doc_id", F.posexplode(word_shingles("t")).alias("p0", "sh")
     )
     h32 = _hash_bucket(F.col("sh"), "wfp", 1 << 32)
     pos = F.col("p0") + 1

@@ -18,8 +18,12 @@ from pyspark.sql import functions as F
 
 from near_indexer_for_explorer_spark.functions.vectors import (
     as_double_array,
+    as_double_array_sql,
     cosine,
+    cosine_sql,
+    dot_sql,
     l2_norm,
+    l2_norm_sql,
 )
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
@@ -61,7 +65,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; a production embeddings lake scans with many partitions."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double_array("embedding").alias("emb"))
-    return e.withColumn("nrm", l2_norm(F.col("emb")))
+    return e.withColumn("nrm", l2_norm("emb"))
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +118,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             F.round(
-                cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+                cosine("q_emb", "emb", "q_nrm", "nrm"), 6
             ).alias("cos_sim"),
         )
     )
@@ -153,18 +157,24 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(emb_col: F.Column) -> F.Column:
-    """Random-hyperplane sign bucket: 6 planes -> 64 buckets."""
-    bucket = F.lit(0)
+def lsh_bucket_sql(emb: str) -> str:
+    """Random-hyperplane sign bucket as SQL text: 6 planes -> 64
+    buckets.  The plane components enter as literal arrays (the
+    _rotation_apply_exprs move: the matrix is data, not code)."""
+    terms = ["0"]
     for p, comp in enumerate(_hyperplanes()):
-        w = F.array(*[F.lit(c) for c in comp])
-        proj = F.aggregate(
-            F.zip_with(emb_col, w, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        w = "array(" + ", ".join(f"{c!r}D" for c in comp) + ")"
+        proj = (
+            f"aggregate(zip_with({emb}, {w}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def lsh_bucket(emb: str) -> F.Column:
+    """Random-hyperplane sign bucket: 6 planes -> 64 buckets."""
+    return F.expr(lsh_bucket_sql(emb))
 
 
 def _probe_masks(radius: int = 2) -> list[int]:
@@ -191,20 +201,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; tests/test_operators.py asserts recall against the
     brute-force baseline instead.  The probe radius is the
     recall/throughput dial at 100 TB (radius 0 -> n/64 candidates)."""
-    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket("emb"))
     q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
-    masks = F.array(*[F.lit(m) for m in _probe_masks()])
     q = q.select(
         "q_id",
         "q_emb",
         "q_nrm",
         F.explode(
-            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+            F.expr(
+                "transform(array("
+                + ", ".join(str(m) for m in _probe_masks())
+                + "), m -> q_bucket ^ m)"
+            )
         ).alias("probe_bucket"),
     )
     pairs = e.join(
@@ -214,7 +227,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "vec_id",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+            cosine("q_emb", "emb", "q_nrm", "nrm"), 6
         ).alias("cos_sim"),
     )
     from pyspark.sql import Window
@@ -508,12 +521,15 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides of the self-join reach every bucket pair within XOR
     # distance 2 — the same candidate set as one-sided radius-2 —
     # while shuffling 17 rows/(vector, band) per side instead of 137.
-    masks_r1 = F.array(*[F.lit(m) for m in _DUP_PROBE_MASKS_R1])
     probes = banded.select(
         "vec_id",
         "band_id",
         F.explode(
-            F.transform(masks_r1, lambda m: F.col("bucket").bitwiseXOR(m))
+            F.expr(
+                "transform(array("
+                + ", ".join(str(m) for m in _DUP_PROBE_MASKS_R1)
+                + "), m -> bucket ^ m)"
+            )
         ).alias("probe_bucket"),
     )
     # NOTE on dedup placement: with 65536 buckets/band a random
@@ -593,7 +609,7 @@ def embedding_dedup_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("nrm").alias("nrm_2"),
     )
     cos = F.round(
-        cosine(F.col("emb_1"), F.col("emb_2"), F.col("nrm_1"), F.col("nrm_2")), 6
+        cosine("emb_1", "emb_2", "nrm_1", "nrm_2"), 6
     )
     return (
         a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
@@ -660,15 +676,25 @@ _TRAIN_MOD_SQL = (
 )
 
 
-def _sqdist(a: Column, b: Column) -> Column:
-    """The family's canonical squared distance: left-fold sum of
-    (x-y)^2 — the exact expression every oracle renders as
+def _sqdist_sql(a: str, b: str) -> str:
+    """The family's canonical squared distance as SQL text: left-fold
+    sum of (x-y)^2 — the exact expression every oracle renders as
     list_sum(list_transform(...)), so map-only argmin picks are
-    bit-identical to the old window picks."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    bit-identical to the old window picks.
+
+    SQL text, not Python-lambda HOFs (r15, guide section 5 — the
+    driver is a resource): every F.transform/F.zip_with/F.aggregate
+    call with a Python lambda costs ~56-70 ms of py4j round-trips
+    building the unresolved lambda, and this fragment is composed in
+    per-subspace / per-Lloyd-round loops, so plan CONSTRUCTION (not
+    execution) dominated the family's bench rows.  One F.expr over
+    the composed text parses JVM-side in ~0.5 ms into the IDENTICAL
+    analyzed expression — same zip_with/aggregate tree, same 0.0D
+    double zero, same left-to-right fold — pinned by
+    tests/test_operators.py::test_sql_text_exprs_match_lambda_hofs."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -692,54 +718,57 @@ def _packed_centroids(centroids: DataFrame) -> DataFrame:
     )
 
 
-def _cand_dists(emb: Column) -> Column:
-    """array<double>: distance from `emb` to every packed candidate in
-    `__cands`, in centroid_id order.  Kept as a bare double array (no
-    per-candidate structs, no c_emb copies — measured to matter: a
-    struct-per-candidate variant that embedded c_emb allocated
-    k x dim doubles per row and was 2x slower than the old window)."""
-    return F.transform(F.col("__cands"), lambda c: _sqdist(emb, c.getField("c_emb")))
+def _cand_dists(emb: str) -> Column:
+    """array<double>: distance from `emb` (a SQL fragment) to every
+    packed candidate in `__cands`, in centroid_id order.  Kept as a
+    bare double array (no per-candidate structs, no c_emb copies —
+    measured to matter: a struct-per-candidate variant that embedded
+    c_emb allocated k x dim doubles per row and was 2x slower than
+    the old window)."""
+    return F.expr(
+        f"transform(__cands, c -> {_sqdist_sql(emb, 'c.c_emb')})"
+    )
 
 
-def _argmin_pos(darr: Column) -> Column:
+def _argmin_pos_sql(darr: str) -> str:
     """1-based position of the first minimum of a distance array.
     Candidates are sorted by centroid_id, so the FIRST min is the
     lowest-centroid_id min — exactly the old window's (d ASC,
     centroid_id ASC) rk=1 pick.  (No NaNs: distances are sums of
     squares of finite doubles.)"""
-    return F.array_position(darr, F.array_min(darr)).cast("int")
+    return f"CAST(array_position({darr}, array_min({darr})) AS INT)"
 
 
-def _scored_candidates(emb: Column) -> Column:
+def _argmin_pos(darr: str) -> Column:
+    return F.expr(_argmin_pos_sql(darr))
+
+
+def _scored_candidates(emb: str) -> Column:
     """array<struct<d, centroid_id>> over the packed codebook column
     `__cands` (centroid_id order), for top-n probe rankings that need
     the sorted prefix rather than just the argmin.  Struct order
     (d, centroid_id) makes array_sort reproduce the old window's
     (d ASC, centroid_id ASC) ordering; a tie through both fields is
     impossible because centroid_id is unique."""
-    return F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(
-            _sqdist(emb, c.getField("c_emb")).alias("d"),
-            c.getField("centroid_id").alias("centroid_id"),
-        ),
+    return F.expr(
+        f"transform(__cands, c -> struct("
+        f"{_sqdist_sql(emb, 'c.c_emb')} AS d, "
+        f"c.centroid_id AS centroid_id))"
     )
 
 
-def _scored_candidates_idx(emb: Column) -> Column:
+def _scored_candidates_idx(emb: str) -> Column:
     """Like _scored_candidates plus the candidate's 0-based position
     in `__cands`, for probe rankings that must fetch the winner's
     c_emb afterwards (element_at(__cands, idx + 1)) without copying
     every candidate's embedding into the sort.  idx never decides the
     order: (d, centroid_id) are compared first and centroid_id is
     unique."""
-    return F.transform(
-        F.col("__cands"),
-        lambda c, i: F.struct(
-            _sqdist(emb, c.getField("c_emb")).alias("d"),
-            c.getField("centroid_id").alias("centroid_id"),
-            i.alias("idx"),
-        ),
+    return F.expr(
+        f"transform(__cands, (c, i) -> struct("
+        f"{_sqdist_sql(emb, 'c.c_emb')} AS d, "
+        f"c.centroid_id AS centroid_id, "
+        f"i AS idx))"
     )
 
 
@@ -767,12 +796,13 @@ def _kmeans_centroids(
     for _ in range(iters):
         assigned = (
             e.crossJoin(F.broadcast(_packed_centroids(centroids)))
-            .withColumn("__da", _cand_dists(F.col("emb")))
+            .withColumn("__da", _cand_dists("emb"))
             .select(
                 "vec_id",
-                F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
-                .getField("centroid_id")
-                .alias("centroid_id"),
+                F.expr(
+                    f"element_at(__cands, {_argmin_pos_sql('__da')})"
+                    ".centroid_id"
+                ).alias("centroid_id"),
                 "emb",
             )
         )
@@ -790,11 +820,9 @@ def _kmeans_centroids(
             )
             .groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("m")))
-                    ),
-                    lambda s: s.getField("m"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), "
+                    "st -> st.m)"
                 ).alias("c_emb")
             )
         )
@@ -816,24 +844,14 @@ def _packed_tagged(books: DataFrame, m: int) -> DataFrame:
         ).alias("__bk")
     )
 
-    def _keep(s_lit: Column):
-        # NB: single-parameter lambdas only (the _packed_books gotcha)
-        return lambda b: b.getField("s") == s_lit
-
-    return packed.select(
-        F.array(
-            *[
-                F.transform(
-                    F.filter(F.col("__bk"), _keep(F.lit(s))),
-                    lambda b: F.struct(
-                        b.getField("centroid_id").alias("centroid_id"),
-                        b.getField("c_emb").alias("c_emb"),
-                    ),
-                )
-                for s in range(m)
-            ]
-        ).alias("__tc")
+    # NB: single-parameter filter lambdas only (the _packed_books
+    # gotcha: a second parameter would be bound to the ELEMENT INDEX)
+    per_tag = ", ".join(
+        f"transform(filter(__bk, b -> b.s = {s}), "
+        f"b -> struct(b.centroid_id AS centroid_id, b.c_emb AS c_emb))"
+        for s in range(m)
     )
+    return packed.select(F.expr(f"array({per_tag})").alias("__tc"))
 
 
 def _kmeans_books_fused(
@@ -889,13 +907,17 @@ def _kmeans_books_fused(
     return _lloyd_rounds_fused(e_long, centroids, m, iters)
 
 
+_TAGGED_CANDS_SQL = "element_at(__tc, s + 1)"
+
+
 def _tagged_cand_dists() -> tuple[Column, Column]:
     """(cands, darr) over a row joined with `_packed_tagged`'s `__tc`:
     the tag's centroid_id-ordered candidate array and the `_cand_dists`
     distance array against it."""
-    cands = F.element_at(F.col("__tc"), F.col("s") + F.lit(1))
-    darr = F.transform(
-        cands, lambda c: _sqdist(F.col("emb"), c.getField("c_emb"))
+    cands = F.expr(_TAGGED_CANDS_SQL)
+    darr = F.expr(
+        f"transform({_TAGGED_CANDS_SQL}, "
+        f"c -> {_sqdist_sql('emb', 'c.c_emb')})"
     )
     return cands, darr
 
@@ -910,16 +932,17 @@ def _lloyd_rounds_fused(
     each tag runs exactly `_kmeans_centroids`' assignment + recenter
     arithmetic."""
     for _ in range(iters):
-        cands, darr = _tagged_cand_dists()
+        _, darr = _tagged_cand_dists()
         assigned = (
             e_long.crossJoin(F.broadcast(_packed_tagged(centroids, m)))
             .withColumn("__da", darr)
             .select(
                 "s",
                 "vec_id",
-                F.element_at(cands, _argmin_pos(F.col("__da")))
-                .getField("centroid_id")
-                .alias("centroid_id"),
+                F.expr(
+                    f"element_at({_TAGGED_CANDS_SQL}, "
+                    f"{_argmin_pos_sql('__da')}).centroid_id"
+                ).alias("centroid_id"),
                 "emb",
             )
         )
@@ -936,11 +959,9 @@ def _lloyd_rounds_fused(
             )
             .groupBy("s", "centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("m")))
-                    ),
-                    lambda st: st.getField("m"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), "
+                    "st -> st.m)"
                 ).alias("c_emb")
             )
         )
@@ -952,12 +973,12 @@ def ivf_assignments(e: DataFrame, centroids: DataFrame) -> DataFrame:
     Map-only since r14: packed-codebook argmin, no corpus shuffle."""
     return (
         e.crossJoin(F.broadcast(_packed_centroids(centroids)))
-        .withColumn("__da", _cand_dists(F.col("emb")))
+        .withColumn("__da", _cand_dists("emb"))
         .select(
             "vec_id",
-            F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
-            .getField("centroid_id")
-            .alias("centroid_id"),
+            F.expr(
+                f"element_at(__cands, {_argmin_pos_sql('__da')}).centroid_id"
+            ).alias("centroid_id"),
         )
     )
 
@@ -1015,7 +1036,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_nrm",
             F.posexplode(
                 F.slice(
-                    F.array_sort(_scored_candidates(F.col("q_emb"))),
+                    F.array_sort(_scored_candidates("q_emb")),
                     1,
                     _IVF_NPROBE,
                 )
@@ -1037,7 +1058,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "vec_id",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+            cosine("q_emb", "emb", "q_nrm", "nrm"), 6
         ).alias("cos_sim"),
         "probe_rank",
     )
@@ -1396,7 +1417,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     cos = F.round(
-        cosine(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")), 6
+        cosine("emb_a", "emb_b", "nrm_a", "nrm_b"), 6
     )
     mx = (
         a.join(b, ["centroid_id"])
@@ -1496,22 +1517,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
+    absmax = F.expr("array_max(transform(emb, x -> abs(x)))")
     scale = absmax / F.lit(127.0)
-    q = F.transform(
-        F.col("emb"),
-        lambda x: F.greatest(
-            F.lit(-127), F.least(F.lit(127), F.round(x / F.col("scale")))
-        ).cast("long"),
+    q = F.expr(
+        "transform(emb, x -> CAST(GREATEST(-127, "
+        "LEAST(127, round(x / scale))) AS BIGINT))"
     )
-    err2 = F.aggregate(
-        F.zip_with(
-            F.col("q"),
-            F.col("emb"),
-            lambda qi, x: (qi * F.col("scale") - x) * (qi * F.col("scale") - x),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    err2 = F.expr(
+        "aggregate(zip_with(q, emb, "
+        "(qi, x) -> (qi * scale - x) * (qi * scale - x)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     return (
         e.withColumn("scale", scale)
@@ -1597,23 +1612,25 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = comp.groupBy("lang").agg(
         F.max("n").cast("long").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m6")))),
-            lambda s: s.getField("m6"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, m6))), "
+            "st -> st.m6)"
         ).alias("c"),
     )
-    c_d = F.transform(F.col("c"), lambda x: x.cast("double"))
     nrm = F.round(
         F.sqrt(
-            F.aggregate(c_d, F.lit(0.0), lambda acc, x: acc + x * x)
+            F.expr(
+                "aggregate(transform(c, x -> CAST(x AS DOUBLE)), 0.0D, "
+                "(acc, x) -> acc + x * x)"
+            )
         ),
         6,
     )
     return cent.select(
         "lang",
         "n_vecs",
-        F.array_join(
-            F.transform(F.col("c"), lambda x: x.cast("string")), ","
+        F.expr(
+            "array_join(transform(c, x -> CAST(x AS STRING)), ',')"
         ).alias("centroid_csv"),
         nrm.alias("centroid_norm"),
     )
@@ -1686,9 +1703,9 @@ def _ts_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(1, _TS_DAYS + 1)
     ]
     prof = ev.groupBy("user_id").agg(*aggs)
-    vec = F.array(*[F.col(f"d{d}") for d in range(1, _TS_DAYS + 1)])
+    vec_sql = "array(" + ", ".join(f"d{d}" for d in range(1, _TS_DAYS + 1)) + ")"
     return prof.select(
-        "user_id", vec.alias("v"), l2_norm(vec).alias("nrm")
+        "user_id", F.expr(vec_sql).alias("v"), l2_norm(vec_sql).alias("nrm")
     )
 
 
@@ -1713,7 +1730,7 @@ def ts_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        cosine("va", "vb", "na", "nb"), 6
     )
     pairs = a.join(
         F.broadcast(b), F.col("user_id") != F.col("peer_id")
@@ -1853,45 +1870,46 @@ def _packed_books(books: DataFrame) -> DataFrame:
         ).alias("__bk")
     )
 
-    def _keep(s_lit: Column):
-        # NB: single-parameter lambdas only — a second parameter would
-        # be bound to the ELEMENT INDEX by F.filter
-        return lambda b: b.getField("s") == s_lit
-
+    # NB: single-parameter filter lambdas only — a second parameter
+    # would be bound to the ELEMENT INDEX by filter()
     return packed.select(
         *[
-            F.transform(
-                F.filter(F.col("__bk"), _keep(F.lit(s))),
-                lambda b: F.struct(
-                    b.getField("centroid_id").alias("centroid_id"),
-                    b.getField("c_emb").alias("c_emb"),
-                ),
+            F.expr(
+                f"transform(filter(__bk, b -> b.s = {s}), "
+                f"b -> struct(b.centroid_id AS centroid_id, "
+                f"b.c_emb AS c_emb))"
             ).alias(f"__bk{s}")
             for s in range(_PQ_M)
         ]
     )
 
 
-def _pq_sub_dists(emb: Column, s: int) -> Column:
+def _pq_sub_dists(emb: str, s: int) -> Column:
     """array<double>: distance of `emb`'s subspace-s slice to each of
     __bk{s}'s 16 codewords, in centroid_id order — both the per-vector
     argmin input (codes = _argmin_pos of this) and, on the query side,
     the ADC lookup table itself (position p holds codeword p's
     distance, so scoring is one O(1) element_at per subspace)."""
-    sub = F.slice(emb, s * _PQ_SUB + 1, _PQ_SUB)
-    return F.transform(
-        F.col(f"__bk{s}"), lambda b: _sqdist(sub, b.getField("c_emb"))
+    sub = f"slice({emb}, {s * _PQ_SUB + 1}, {_PQ_SUB})"
+    return F.expr(
+        f"transform(__bk{s}, b -> {_sqdist_sql(sub, 'b.c_emb')})"
     )
 
 
-def _pq_lut_pick(s: int, codes: Column) -> Column:
-    """d of this row's subspace-s code: the code IS the 1-based
-    position of the chosen codeword in centroid_id order, so the
-    lookup indexes the query's lut_{s} distance array directly — the
-    map-side replacement for the old (s, code) join + max-of-when
-    pivot (same codeword, same distance value, no 8-rows-per-pair
-    shuffle)."""
-    return F.element_at(F.col(f"lut_{s}"), codes.getItem(s))
+def _pq_adc_sum(codes: str) -> Column:
+    """The fixed-order 8-term ADC sum: d of this row's subspace-s code
+    for s = 0..7, where each code IS the 1-based position of the
+    chosen codeword in centroid_id order, so the lookup indexes the
+    query's lut_{s} distance array directly — the map-side replacement
+    for the old (s, code) join + max-of-when pivot (same codeword,
+    same distance value, no 8-rows-per-pair shuffle).  One SQL text
+    for the whole sum: the old per-term element_at chain cost 2 py4j
+    round-trips per term at build time."""
+    return F.expr(
+        " + ".join(
+            f"element_at(lut_{s}, {codes}[{s}])" for s in range(_PQ_M)
+        )
+    )
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,14 +1935,14 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             *[
-                _pq_sub_dists(F.col("emb"), s).alias(f"__da{s}")
+                _pq_sub_dists("emb", s).alias(f"__da{s}")
                 for s in range(_PQ_M)
             ],
         )
         .select(
             "vec_id",
             F.array(
-                *[_argmin_pos(F.col(f"__da{s}")) for s in range(_PQ_M)]
+                *[_argmin_pos(f"__da{s}") for s in range(_PQ_M)]
             ).alias("codes"),
         )
     )
@@ -1933,11 +1951,9 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     luts = q.crossJoin(F.broadcast(packed)).select(
         "q_id",
-        *[_pq_sub_dists(F.col("emb"), s).alias(f"lut_{s}") for s in range(_PQ_M)],
+        *[_pq_sub_dists("emb", s).alias(f"lut_{s}") for s in range(_PQ_M)],
     )
-    adc = _pq_lut_pick(0, F.col("codes"))
-    for s in range(1, _PQ_M):
-        adc = adc + _pq_lut_pick(s, F.col("codes"))
+    adc = _pq_adc_sum("codes")
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -2289,8 +2305,12 @@ ORACLES["ann_recall_matrix"] = _ann_recall_oracle_sql()
 # (queries x nprobe x 128) rows — broadcast-sized at any corpus size.
 
 
-def _residual(col_emb, col_c):
-    return F.zip_with(col_emb, col_c, lambda x, y: x - y)
+def _residual_sql(emb: str, c: str) -> str:
+    return f"zip_with({emb}, {c}, (x, y) -> x - y)"
+
+
+def _residual(emb: str, c: str) -> Column:
+    return F.expr(_residual_sql(emb, c))
 
 
 def _ivfpq_index(
@@ -2313,16 +2333,14 @@ def _ivfpq_index(
     lists = (
         e.select("vec_id", "emb")
         .crossJoin(F.broadcast(_packed_centroids(coarse)))
-        .withColumn("__da", _cand_dists(F.col("emb")))
+        .withColumn("__da", _cand_dists("emb"))
         .withColumn(
-            "__b", F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+            "__b", F.element_at(F.col("__cands"), _argmin_pos("__da"))
         )
         .select(
             "vec_id",
             F.col("__b").getField("centroid_id").alias("list_id"),
-            _residual(F.col("emb"), F.col("__b").getField("c_emb")).alias(
-                "remb"
-            ),
+            _residual("emb", "__b.c_emb").alias("remb"),
         )
         # eager checkpoint: 8 residual codebook trainings x 2 Lloyd
         # rounds each re-reference this relation — without it the full
@@ -2356,7 +2374,7 @@ def _ivfpq_index(
             "vec_id",
             "list_id",
             *[
-                _pq_sub_dists(F.col("remb"), s).alias(f"__da{s}")
+                _pq_sub_dists("remb", s).alias(f"__da{s}")
                 for s in range(_PQ_M)
             ],
         )
@@ -2364,7 +2382,7 @@ def _ivfpq_index(
             "vec_id",
             "list_id",
             F.array(
-                *[_argmin_pos(F.col(f"__da{s}")) for s in range(_PQ_M)]
+                *[_argmin_pos(f"__da{s}") for s in range(_PQ_M)]
             ).alias("codes"),
         )
     )
@@ -2398,7 +2416,7 @@ def _ivfpq_search(
             "__cands",
             F.posexplode(
                 F.slice(
-                    F.array_sort(_scored_candidates_idx(F.col("emb"))),
+                    F.array_sort(_scored_candidates_idx("emb")),
                     1,
                     _IVF_NPROBE,
                 )
@@ -2408,10 +2426,7 @@ def _ivfpq_search(
             "q_id",
             F.col("__c").getField("centroid_id").alias("list_id"),
             _residual(
-                F.col("emb"),
-                F.element_at(
-                    F.col("__cands"), F.col("__c").getField("idx") + 1
-                ).getField("c_emb"),
+                "emb", "element_at(__cands, __c.idx + 1).c_emb"
             ).alias("remb"),
         )
     )
@@ -2419,13 +2434,11 @@ def _ivfpq_search(
         "q_id",
         "list_id",
         *[
-            _pq_sub_dists(F.col("remb"), s).alias(f"lut_{s}")
+            _pq_sub_dists("remb", s).alias(f"lut_{s}")
             for s in range(_PQ_M)
         ],
     )
-    adc = _pq_lut_pick(0, F.col("codes"))
-    for s in range(1, _PQ_M):
-        adc = adc + _pq_lut_pick(s, F.col("codes"))
+    adc = _pq_adc_sum("codes")
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -2883,7 +2896,7 @@ def _pq_recon_err(e: DataFrame, books: DataFrame, alias: str) -> DataFrame:
     scan stage."""
     total = None
     for s in range(_PQ_M):
-        d = F.array_min(_pq_sub_dists(F.col("emb"), s))
+        d = F.array_min(_pq_sub_dists("emb", s))
         total = d if total is None else total + d
     return (
         e.select("vec_id", "emb")
@@ -2942,12 +2955,15 @@ def _opq_quantize(
 ) -> DataFrame:
     """SERVING leg: encode an already-rotated corpus under the given
     codebooks, emitting isometry + both reconstruction errors."""
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
+    def sq(c: str) -> str:
+        return (
+            f"aggregate(transform({c}, x -> x * x), 0.0D, "
+            f"(a, x) -> a + x)"
+        )
+
     norms = rotated.select(
         "vec_id",
-        (F.sqrt(sq(F.col("rot_emb"))) / F.sqrt(sq(F.col("emb")))).alias(
+        (F.sqrt(F.expr(sq("rot_emb"))) / F.sqrt(F.expr(sq("emb")))).alias(
             "norm_ratio"
         ),
     )
@@ -3048,11 +3064,8 @@ def _pq_reconstruction(
     each vector under freshly-trained PQ codebooks in e's space, with
     the squared reconstruction error."""
     books = _pq_books_long_from(e, train_mod).localCheckpoint(eager=False)
-    sub = F.slice(F.col("emb"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    dist = F.aggregate(
-        F.zip_with(sub, F.col("c_emb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dist = F.expr(
+        _sqdist_sql(f"slice(emb, s * {_PQ_SUB} + 1, {_PQ_SUB})", "c_emb")
     )
     assigned = (
         e.select("vec_id", "emb")
@@ -3070,18 +3083,12 @@ def _pq_reconstruction(
         .select("vec_id", "s", "c_emb")
     )
     recon = assigned.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("c_emb")))),
-                lambda st: st.getField("c_emb"),
-            )
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(s, c_emb))), "
+            "st -> st.c_emb))"
         ).alias("recon")
     )
-    err = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("recon"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    err = F.expr(_sqdist_sql("emb", "recon"))
     return (
         e.select("vec_id", "emb")
         .join(recon, "vec_id")
@@ -3268,12 +3275,10 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces the crossJoin + vec_id window + max-of-when pivot (two
     # shuffles of the 16x expansion).  sqrt is monotone, so ordering
     # by sqrt(d) == ordering by d; values are the same sqrt'd picks.
-    scored = F.transform(
-        F.col("__cands"),
-        lambda c: F.struct(
-            F.sqrt(_sqdist(F.col("emb"), c.getField("c_emb"))).alias("d"),
-            c.getField("centroid_id").alias("centroid_id"),
-        ),
+    scored = F.expr(
+        f"transform(__cands, c -> struct("
+        f"SQRT({_sqdist_sql('emb', 'c.c_emb')}) AS d, "
+        f"c.centroid_id AS centroid_id))"
     )
     top2 = F.slice(F.array_sort(scored), 1, 2)
     ranked = (
@@ -3391,31 +3396,36 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
-                lambda s: s.getField("m"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), "
+                "st -> st.m)"
             ).alias("c_emb")
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dot = F.expr(
+        "aggregate(zip_with(emb, c_emb, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
+
+    def sq(c: str) -> str:
+        return (
+            f"aggregate(transform({c}, x -> x * x), 0.0D, "
+            f"(a, x) -> a + x)"
+        )
+
     scored = (
         e.crossJoin(F.broadcast(centroid))
         .select(
             F.when(F.col("vec_id") % _train_mod(sf_dir) == 0, "train")
             .otherwise("rest")
             .alias("split"),
-            F.round(F.sqrt(sq(F.col("emb"))), 6)
+            F.round(F.sqrt(F.expr(sq("emb"))), 6)
             .cast("decimal(18,6)")
             .alias("nrm"),
             F.round(
-                dot / (F.sqrt(sq(F.col("emb"))) * F.sqrt(sq(F.col("c_emb")))), 6
+                dot
+                / (F.sqrt(F.expr(sq("emb"))) * F.sqrt(F.expr(sq("c_emb")))),
+                6,
             )
             .cast("decimal(18,6)")
             .alias("cosg"),
@@ -3784,17 +3794,17 @@ def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent = comp.groupBy("lang").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m6")))),
-            lambda s: s.getField("m6").cast("double"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, m6))), "
+            "st -> CAST(st.m6 AS DOUBLE))"
         ).alias("c")
     )
     cent = cent.select(
         F.col("lang").alias("c_lang"),
         "c",
-        l2_norm(F.col("c")).alias("c_nrm"),
+        l2_norm("c").alias("c_nrm"),
     )
-    ev = e.withColumn("nrm", l2_norm(F.col("emb")))
+    ev = e.withColumn("nrm", l2_norm("emb"))
     # map-only argmax (r14): explicit left fold replicating the old
     # window's (cos_sim DESC, c_lang ASC) rk=1 pick — no 5x row
     # expansion, no vec_id-keyed shuffle.  Strict-better predicate ==
@@ -3804,32 +3814,18 @@ def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("c_lang"), F.col("c"), F.col("c_nrm")))
         ).alias("__cl")
     )
-    scored = F.transform(
-        F.col("__cl"),
-        lambda c: F.struct(
-            F.round(
-                cosine(
-                    F.col("emb"),
-                    c.getField("c"),
-                    F.col("nrm"),
-                    c.getField("c_nrm"),
-                ),
-                6,
-            ).alias("cos_sim"),
-            c.getField("c_lang").alias("c_lang"),
-        ),
+    scored = (
+        f"transform(__cl, c -> struct("
+        f"round({cosine_sql('emb', 'c.c', 'nrm', 'c.c_nrm')}, 6) "
+        f"AS cos_sim, c.c_lang AS c_lang))"
     )
-    best = F.aggregate(
-        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
-        F.element_at(scored, 1),
-        lambda acc, x: F.when(
-            (x.getField("cos_sim") > acc.getField("cos_sim"))
-            | (
-                (x.getField("cos_sim") == acc.getField("cos_sim"))
-                & (x.getField("c_lang") < acc.getField("c_lang"))
-            ),
-            x,
-        ).otherwise(acc),
+    best = F.expr(
+        f"aggregate("
+        f"slice({scored}, 2, GREATEST(size({scored}) - 1, 0)), "
+        f"element_at({scored}, 1), "
+        f"(acc, x) -> CASE WHEN (x.cos_sim > acc.cos_sim) "
+        f"OR ((x.cos_sim = acc.cos_sim) AND (x.c_lang < acc.c_lang)) "
+        f"THEN x ELSE acc END)"
     )
     assigned = ev.crossJoin(F.broadcast(packed)).select(
         "vec_id", best.getField("c_lang").alias("assigned_lang")
@@ -3931,17 +3927,15 @@ def _int8_coarse_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
-    qv = F.transform(
-        F.col("emb"),
-        lambda x: F.greatest(
-            F.lit(-127), F.least(F.lit(127), F.round(x / F.col("scale")))
-        ).cast("long"),
+    absmax = F.expr("array_max(transform(emb, x -> abs(x)))")
+    qv = F.expr(
+        "transform(emb, x -> CAST(GREATEST(-127, "
+        "LEAST(127, round(x / scale))) AS BIGINT))"
     )
     quant = (
         e.withColumn("scale", absmax / F.lit(127.0))
         .withColumn("qv", qv)
-        .withColumn("nrm", l2_norm(F.col("emb")))
+        .withColumn("nrm", l2_norm("emb"))
     )
     q = quant.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
@@ -3950,10 +3944,9 @@ def _int8_coarse_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    idot = F.expr(
+        "aggregate(zip_with(q_qv, qv, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     coarse = (
         quant.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
@@ -3986,7 +3979,7 @@ def ann_rerank_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "coarse_score",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+            cosine("q_emb", "emb", "q_nrm", "nrm"),
             6,
         ).alias("cos_sim"),
     )
@@ -4074,8 +4067,8 @@ def matryoshka_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = F.slice(F.col("emb"), 1, _MRL_DIM)
     base = (
         e.withColumn("pre", pre)
-        .withColumn("pnrm", l2_norm(F.col("pre")))
-        .withColumn("nrm", l2_norm(F.col("emb")))
+        .withColumn("pnrm", l2_norm("pre"))
+        .withColumn("nrm", l2_norm("emb"))
     )
     q = base.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
@@ -4092,7 +4085,7 @@ def matryoshka_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_emb",
         "q_nrm",
         F.round(
-            cosine(F.col("q_pre"), F.col("pre"), F.col("q_pnrm"), F.col("pnrm")),
+            cosine("q_pre", "pre", "q_pnrm", "pnrm"),
             6,
         ).alias("coarse_score"),
     )
@@ -4107,7 +4100,7 @@ def matryoshka_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "coarse_score",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+            cosine("q_emb", "emb", "q_nrm", "nrm"),
             6,
         ).alias("cos_sim"),
     )
@@ -4222,7 +4215,7 @@ def embedding_anisotropy_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     raw_units = (
-        e.withColumn("nrm", l2_norm(F.col("emb")))
+        e.withColumn("nrm", l2_norm("emb"))
         .select("vec_id", F.posexplode("emb").alias("i", "x"), "nrm")
         .select("vec_id", "i", (F.col("x") / F.col("nrm")).alias("u"))
     )
@@ -4370,7 +4363,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "label",
         "vec_id",
-        F.round(l2_norm(as_double_array("embedding")), 6).alias("nrm"),
+        F.round(l2_norm(as_double_array_sql("embedding")), 6).alias("nrm"),
     )
     med = e.groupBy("label").agg(
         F.round(F.percentile("nrm", F.lit(0.5)), 6).alias("med")
@@ -4643,16 +4636,19 @@ def lsh_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(radius, n_candidates, n_hits, n_queries, recall_at_k): per
     multi-probe radius, how many candidate pairs the probe budget
     admits and what fraction of the exact top-k it recovers."""
-    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket("emb"))
     q = e.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
     )
-    masks = F.array(*[F.lit(m) for m in _probe_masks()])
     probes = q.select(
         "q_id",
         "q_bucket",
         F.explode(
-            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+            F.expr(
+                "transform(array("
+                + ", ".join(str(m) for m in _probe_masks())
+                + "), m -> q_bucket ^ m)"
+            )
         ).alias("probe_bucket"),
     )
     # r14: pairs feeds the candidate-count aggregate AND the hits join
@@ -4896,9 +4892,8 @@ def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = e
     for d in _MRL_CURVE_DIMS:
-        pre = F.slice(F.col("emb"), 1, d)
-        base = base.withColumn(f"pre{d}", pre).withColumn(
-            f"pnrm{d}", l2_norm(pre)
+        base = base.withColumn(f"pre{d}", F.expr(f"slice(emb, 1, {d})")).withColumn(
+            f"pnrm{d}", l2_norm(f"slice(emb, 1, {d})")
         )
     q = base.where(is_query_vec(F.col("vec_id"))).select(
         F.col("vec_id").alias("q_id"),
@@ -4910,13 +4905,7 @@ def matryoshka_dim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[
             F.round(
-                cosine(
-                    F.col(f"q_pre{d}"),
-                    F.col(f"pre{d}"),
-                    F.col(f"q_pnrm{d}"),
-                    F.col(f"pnrm{d}"),
-                ),
-                6,
+                cosine(f"q_pre{d}", f"pre{d}", f"q_pnrm{d}", f"pnrm{d}"), 6
             ).alias(f"cos{d}")
             for d in _MRL_CURVE_DIMS
         ],
@@ -5053,7 +5042,7 @@ def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign bucket, its corpus share and deviation from perfect
     balance."""
     n_buckets = 1 << _N_PLANES
-    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    e = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket("emb"))
     total = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sizes = e.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("bucket_size")
@@ -5129,27 +5118,23 @@ def embedding_bitwidth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    absmax = F.array_max(F.transform(F.col("emb"), F.abs))
-    nrm = l2_norm(F.col("emb"))
+    absmax = F.expr("array_max(transform(emb, x -> abs(x)))")
+    nrm = l2_norm("emb")
     base = e.withColumn("absmax", absmax).withColumn("nrm", nrm)
-    def _quant(scale, lv):
-        return lambda x: F.greatest(
-            F.lit(-lv), F.least(F.lit(lv), F.round(x / scale))
-        ).cast("long")
-
-    def _sqerr(scale):
-        return lambda qi, x: (qi * scale - x) * (qi * scale - x)
-
     for b in _BITWIDTHS:
         lv = (1 << (b - 1)) - 1
-        scale = F.col("absmax") / F.lit(float(lv))
+        scale = f"(absmax / {float(lv)!r}D)"
         base = base.withColumn(
-            f"q{b}", F.transform(F.col("emb"), _quant(scale, lv))
+            f"q{b}",
+            F.expr(
+                f"transform(emb, x -> CAST(GREATEST(-{lv}, "
+                f"LEAST({lv}, round(x / {scale}))) AS BIGINT))"
+            ),
         )
-        err2 = F.aggregate(
-            F.zip_with(F.col(f"q{b}"), F.col("emb"), _sqerr(scale)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        err2 = F.expr(
+            f"aggregate(zip_with(q{b}, emb, "
+            f"(qi, x) -> (qi * {scale} - x) * (qi * {scale} - x)), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
         base = base.withColumn(
             f"rel{b}",
@@ -5265,10 +5250,10 @@ def _assignments_with_dist(e: DataFrame, centroids: DataFrame) -> DataFrame:
     Map-only since r14 (packed-codebook argmin, no shuffle)."""
     return (
         e.crossJoin(F.broadcast(_packed_centroids(centroids)))
-        .withColumn("__da", _cand_dists(F.col("emb")))
+        .withColumn("__da", _cand_dists("emb"))
         .select(
             "vec_id",
-            F.element_at(F.col("__cands"), _argmin_pos(F.col("__da")))
+            F.element_at(F.col("__cands"), _argmin_pos("__da"))
             .getField("centroid_id")
             .alias("centroid_id"),
             F.array_min(F.col("__da")).alias("__d"),
@@ -5318,7 +5303,7 @@ def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__da", darr)
         .select(
             "s",
-            F.element_at(cands, _argmin_pos(F.col("__da")))
+            F.element_at(cands, _argmin_pos("__da"))
             .getField("centroid_id")
             .alias("centroid_id"),
             F.array_min(F.col("__da")).alias("__d"),
@@ -5578,7 +5563,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label",
         "vec_id",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+            cosine("q_emb", "emb", "q_nrm", "nrm"), 6
         ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
@@ -5812,7 +5797,7 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             F.posexplode(
                 F.slice(
-                    F.array_sort(_scored_candidates(F.col("q_emb"))),
+                    F.array_sort(_scored_candidates("q_emb")),
                     1,
                     _IVF_NPROBE,
                 )
@@ -5836,7 +5821,7 @@ def ann_label_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label",
         "vec_id",
         F.round(
-            cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+            cosine("q_emb", "emb", "q_nrm", "nrm"), 6
         ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())

@@ -23,6 +23,7 @@ from near_indexer_for_explorer_spark.functions.text import (
     stopword_hits,
     tokens,
     word_shingles,
+    word_shingles_sql,
 )
 from near_indexer_for_explorer_spark.sources.tables import load_table
 
@@ -68,7 +69,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(tok)
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
-    n_stop = stopword_hits(tok, STOPWORDS_EN)
+    n_stop = stopword_hits("t", STOPWORDS_EN)
     alpha_ratio = n_alpha.cast("double") / n_chars
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
@@ -123,10 +124,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.col("t")
     scored = docs.select(
         "doc_id",
-        stopword_hits(tok, STOPWORDS_EN).cast("long").alias("s_en"),
-        stopword_hits(tok, STOPWORDS_DE).cast("long").alias("s_de"),
-        stopword_hits(tok, STOPWORDS_FR).cast("long").alias("s_fr"),
-        stopword_hits(tok, STOPWORDS_ES).cast("long").alias("s_es"),
+        stopword_hits("t", STOPWORDS_EN).cast("long").alias("s_en"),
+        stopword_hits("t", STOPWORDS_DE).cast("long").alias("s_de"),
+        stopword_hits("t", STOPWORDS_FR).cast("long").alias("s_fr"),
+        stopword_hits("t", STOPWORDS_ES).cast("long").alias("s_es"),
     )
     en, de, fr, es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
     lang = (
@@ -199,7 +200,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash (a 1-element MinHash — the winnowing primitive)."""
     docs = load_table(spark, sf_dir, "documents").withColumn("t", tokens("text"))
     tok = F.col("t")
-    shingle_hashes = F.transform(word_shingles(tok), F.md5)
+    shingle_hashes = F.expr(
+        f"transform({word_shingles_sql('t')}, x -> md5(x))"
+    )
     return docs.select(
         "doc_id",
         F.md5("text").alias("fp_full"),
@@ -411,8 +414,9 @@ def quality_filter_columns(docs: DataFrame) -> DataFrame:
     tok = F.col("t")
     n_words = F.size(tok)
     mean_wlen = (
-        F.aggregate(
-            F.transform(tok, F.length), F.lit(0), lambda acc, x: acc + x
+        F.expr(
+            "aggregate(transform(t, x -> length(x)), 0, "
+            "(acc, x) -> acc + x)"
         ).cast("double")
         / n_words
     )
@@ -420,9 +424,9 @@ def quality_filter_columns(docs: DataFrame) -> DataFrame:
     for code, words in _QF_LANG_LISTS.items():
         stop_frac = F.when(
             F.col("lang") == code,
-            stopword_hits(tok, words).cast("double") / n_words,
+            stopword_hits("t", words).cast("double") / n_words,
         ).otherwise(stop_frac)
-    g2 = word_shingles(tok, 2)
+    g2 = word_shingles("t", 2)
     dup2 = F.when(n_words < 2, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(g2)).cast("double") / (n_words - 1)
     )
@@ -1320,20 +1324,21 @@ def gopher_filter_columns(docs: DataFrame) -> DataFrame:
     toked = docs.withColumn("t", tokens("text"))
     tok = F.col("t")
     n_words = F.size(tok).cast("long")
-    sum_len = F.aggregate(
-        F.transform(tok, F.length), F.lit(0), lambda acc, x: acc + x
+    sum_len = F.expr(
+        "aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)"
     ).cast("long")
-    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_alpha = F.expr("size(filter(t, x -> x RLIKE '[a-z]'))").cast("long")
     n_sym = (
         F.regexp_count(F.col("text"), F.lit("#"))
         + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
     ).cast("long")
     n_stops = F.lit(None).cast("long")
     for code, words in _QF_LANG_LISTS.items():
+        lst = ", ".join("'" + w + "'" for w in words)
         n_stops = F.when(
             F.col("lang") == code,
-            F.size(
-                F.array_distinct(F.filter(tok, lambda x: x.isin(*words)))
+            F.expr(
+                f"size(array_distinct(filter(t, x -> x IN ({lst}))))"
             ).cast("long"),
         ).otherwise(n_stops)
     m = toked.select(
@@ -2144,30 +2149,22 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     way a pre-tokenization quality gate does."""
     docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
-    chs = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring("text", i, 1)
+    chs = "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    pc = (
+        f"(CAST(size(filter({chs}, x -> x = c)) AS DOUBLE) / length(text))"
     )
     per = docs.where(n > 0).select(
         "doc_id",
         n.cast("long").alias("n_chars"),
-        F.size(F.array_distinct(chs)).cast("long").alias("n_distinct_chars"),
-        F.aggregate(
-            F.transform(
-                F.array_distinct(chs),
-                lambda c: F.round(
-                    -(
-                        F.size(F.filter(chs, lambda x: x == c)).cast("double")
-                        / n
-                    )
-                    * F.log(
-                        F.size(F.filter(chs, lambda x: x == c)).cast("double")
-                        / n
-                    ),
-                    8,
-                ).cast("decimal(20,8)"),
-            ),
-            F.lit(0).cast("decimal(24,8)"),
-            lambda acc, x: (acc + x).cast("decimal(24,8)"),
+        F.expr(f"size(array_distinct({chs}))")
+        .cast("long")
+        .alias("n_distinct_chars"),
+        F.expr(
+            f"aggregate("
+            f"transform(array_distinct({chs}), c -> "
+            f"CAST(round((-{pc}) * ln({pc}), 8) AS DECIMAL(20,8))), "
+            f"CAST(0 AS DECIMAL(24,8)), "
+            f"(acc, x) -> CAST(acc + x AS DECIMAL(24,8)))"
         ).alias("h8"),
     )
     h_d = F.col("h8").cast("string").cast("double")
@@ -2238,10 +2235,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.col("t")
     scored = docs.select(
         F.col("lang").alias("lang_true"),
-        stopword_hits(tok, STOPWORDS_EN).cast("long").alias("s_en"),
-        stopword_hits(tok, STOPWORDS_DE).cast("long").alias("s_de"),
-        stopword_hits(tok, STOPWORDS_FR).cast("long").alias("s_fr"),
-        stopword_hits(tok, STOPWORDS_ES).cast("long").alias("s_es"),
+        stopword_hits("t", STOPWORDS_EN).cast("long").alias("s_en"),
+        stopword_hits("t", STOPWORDS_DE).cast("long").alias("s_de"),
+        stopword_hits("t", STOPWORDS_FR).cast("long").alias("s_fr"),
+        stopword_hits("t", STOPWORDS_ES).cast("long").alias("s_es"),
     )
     en, de, fr, es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
     pred = (
@@ -2340,7 +2337,7 @@ def quality_signal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_tokens = F.size(tok)
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    n_stop = stopword_hits(tok, STOPWORDS_EN)
+    n_stop = stopword_hits("t", STOPWORDS_EN)
     q = F.round(
         F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.5
         + (n_alpha.cast("double") / n_chars) * 0.3
@@ -2449,15 +2446,9 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sents = F.greatest(
         F.lit(1), F.regexp_count("text", F.lit(_SENTENCE_RE))
     )
-    n_syll = F.aggregate(
-        F.transform(
-            tk,
-            lambda w: F.greatest(
-                F.lit(1), F.regexp_count(w, F.lit(_SYLLABLE_RE))
-            ),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    n_syll = F.expr(
+        f"aggregate(transform(tk, w -> GREATEST(1, "
+        f"regexp_count(w, '{_SYLLABLE_RE}'))), 0, (acc, x) -> acc + x)"
     )
     per = docs.where(n_words > 0).select(
         "doc_id",

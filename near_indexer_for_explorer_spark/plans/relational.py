@@ -767,12 +767,9 @@ def order_line_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("l_linenumber")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+        F.expr(
+            "array_join(transform(sort_array(collect_list(l_linenumber)), "
+            "x -> CAST(x AS STRING)), ',')"
         ).alias("linenumbers"),
         dsum(dec_money("l_quantity"), "total_qty"),
     )
@@ -6104,15 +6101,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     seqs = numbered.groupBy("user_id", "session_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("ts"), F.col("event_id"), F.col("event_type")
-                    )
-                )
-            ),
-            lambda s: s.getField("event_type"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, "
+            "event_type))), st -> st.event_type)"
         ).alias("seq")
     )
     paths = (
@@ -7798,30 +7789,26 @@ def receipt_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    k = F.col("o_orderkey")
-
-    def upto(n):  # [1..n], EMPTY when n == 0 (sequence(1,0) descends!)
-        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
+    def upto(m):  # [1..k%m], EMPTY when k%m == 0 (sequence(1,0) descends!)
+        n = f"CAST(o_orderkey % {m} AS INT)"
+        return (
+            f"CASE WHEN {n} >= 1 THEN sequence(1, {n}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END"
         )
 
-    out_edges = F.transform(
-        upto((k % 3).cast("int")),
-        lambda j: F.struct(
-            F.lit("output").alias("kind"),
-            (k * 8 + j).cast("long").alias("data_id"),
-            k.cast("long").alias("receipt_id"),
-            F.col("o_custkey").cast("long").alias("receiver_id"),
-        ),
+    out_edges = F.expr(
+        f"transform({upto(3)}, j -> struct("
+        f"'output' AS kind, "
+        f"CAST(o_orderkey * 8 + j AS BIGINT) AS data_id, "
+        f"CAST(o_orderkey AS BIGINT) AS receipt_id, "
+        f"CAST(o_custkey AS BIGINT) AS receiver_id))"
     )
-    in_edges = F.transform(
-        upto((k % 4).cast("int")),
-        lambda j: F.struct(
-            F.lit("input").alias("kind"),
-            ((k + j) * 8 + 1).cast("long").alias("data_id"),
-            k.cast("long").alias("receipt_id"),
-            F.lit(None).cast("long").alias("receiver_id"),
-        ),
+    in_edges = F.expr(
+        f"transform({upto(4)}, j -> struct("
+        f"'input' AS kind, "
+        f"CAST((o_orderkey + j) * 8 + 1 AS BIGINT) AS data_id, "
+        f"CAST(o_orderkey AS BIGINT) AS receipt_id, "
+        f"CAST(NULL AS BIGINT) AS receiver_id))"
     )
     return orders.select(
         F.explode(F.concat(out_edges, in_edges)).alias("e")
@@ -7833,19 +7820,16 @@ def receipt_input_edges(orders: DataFrame) -> DataFrame:
     edges of each action receipt (the A109 derivation, input side).
     MODULE-LEVEL so the C38 streaming sink derives the IDENTICAL
     edges per micro-batch — stream and batch cannot drift."""
-    k = F.col("o_orderkey")
-    n = (k % 4).cast("int")
     return orders.select(
-        k.cast("long").alias("receipt_id"),
+        F.col("o_orderkey").cast("long").alias("receipt_id"),
         "o_orderpriority",
         F.explode(
-            F.when(
-                n >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda j: ((k + j) * 8 + 1).cast("long"),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
+            F.expr(
+                "CASE WHEN CAST(o_orderkey % 4 AS INT) >= 1 THEN "
+                "transform(sequence(1, CAST(o_orderkey % 4 AS INT)), "
+                "j -> CAST((o_orderkey + j) * 8 + 1 AS BIGINT)) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
         ).alias("data_id"),
     )
 
@@ -7853,17 +7837,14 @@ def receipt_input_edges(orders: DataFrame) -> DataFrame:
 def receipt_produced_ids(orders: DataFrame) -> DataFrame:
     """(data_id): every data id produced by the batch's receipts (the
     A109 derivation, output side) — unique by construction."""
-    k = F.col("o_orderkey")
-    n = (k % 3).cast("int")
     return orders.select(
         F.explode(
-            F.when(
-                n >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda j: (k * 8 + j).cast("long"),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
+            F.expr(
+                "CASE WHEN CAST(o_orderkey % 3 AS INT) >= 1 THEN "
+                "transform(sequence(1, CAST(o_orderkey % 3 AS INT)), "
+                "j -> CAST(o_orderkey * 8 + j AS BIGINT)) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
         ).alias("data_id")
     )
 
@@ -8928,25 +8909,24 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(w).cast("long").alias(f"wn{b}"))
     m = ev.groupBy("event_type").agg(*aggs)
     mean_b = [
-        F.when(F.col(f"wn{b}") == 0, F.lit(None).cast("double")).otherwise(
-            F.col(f"ws{b}").cast("double") / F.col(f"wn{b}") / 100
-        )
+        f"CASE WHEN wn{b} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST(ws{b} AS DOUBLE) / wn{b} / 100 END"
         for b in range(_BOOT_B)
     ]
-    dec_means = F.array(
-        *[F.round(x, 8).cast("decimal(20,8)") for x in mean_b]
+    dec_means = (
+        "array("
+        + ", ".join(f"CAST(round({x}, 8) AS DECIMAL(20,8))" for x in mean_b)
+        + ")"
     )
-    dsum = F.aggregate(
-        dec_means,
-        F.lit(0).cast("decimal(22,10)"),
-        lambda acc, x: (acc + x.cast("decimal(22,10)")).cast("decimal(22,10)"),
+    dsum = F.expr(
+        f"aggregate({dec_means}, CAST(0 AS DECIMAL(22,10)), "
+        f"(acc, x) -> CAST(acc + CAST(x AS DECIMAL(22,10)) "
+        f"AS DECIMAL(22,10)))"
     )
-    dsq = F.aggregate(
-        dec_means,
-        F.lit(0).cast("decimal(30,16)"),
-        lambda acc, x: (
-            acc + (x.cast("decimal(22,10)") * x).cast("decimal(30,16)")
-        ).cast("decimal(30,16)"),
+    dsq = F.expr(
+        f"aggregate({dec_means}, CAST(0 AS DECIMAL(30,16)), "
+        f"(acc, x) -> CAST(acc + CAST(CAST(x AS DECIMAL(22,10)) * x "
+        f"AS DECIMAL(30,16)) AS DECIMAL(30,16)))"
     )
     dsum_d = dsum.cast("string").cast("double")
     dsq_d = dsq.cast("string").cast("double")

@@ -778,6 +778,23 @@ def shard_pack_stream(
 EMBEDDING_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
+def _ivf_cand_structs_sql(centroids: list) -> str:
+    """array<struct<d, c>> of (distance, centroid_id) against literal
+    centroids, as ONE SQL text (r15: the per-centroid Python-lambda
+    loop cost ~3 HOF round-trips x k centroids of py4j latency per
+    micro-batch plan; the parsed text is the identical expression)."""
+    emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    cands = []
+    for cid, comp in centroids:
+        w = "array(" + ", ".join(f"{float(c)!r}D" for c in comp) + ")"
+        dist = (
+            f"aggregate(zip_with({emb}, {w}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
+        cands.append(f"struct({dist} AS d, {int(cid)} AS c)")
+    return "array(" + ", ".join(cands) + ")"
+
+
 def make_ivf_assign_expr(centroids: list) -> F.Column:
     """Stream-safe nearest-centroid assignment: the trained centroids
     are inlined as literals, so the argmin is a pure column expression
@@ -787,19 +804,7 @@ def make_ivf_assign_expr(centroids: list) -> F.Column:
 
     `centroids` is [(centroid_id, [comp, ...]), ...] as collected from
     operators/similarity.py::_kmeans_centroids."""
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cands = []
-    for cid, comp in centroids:
-        w = F.array(*[F.lit(float(c)) for c in comp])
-        dist = F.aggregate(
-            F.zip_with(emb, w, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cands.append(
-            F.struct(dist.alias("d"), F.lit(int(cid)).alias("c"))
-        )
-    return F.array_min(F.array(*cands)).getField("c")
+    return F.expr(f"array_min({_ivf_cand_structs_sql(centroids)}).c")
 
 
 def ivf_ingest_stream(
@@ -1018,19 +1023,9 @@ def make_ivf_probe_expr(centroids: list, nprobe: int = _MONITOR_NPROBE) -> F.Col
     """Top-`nprobe` nearest centroid ids as an array — the query-side
     probe set under the same frozen-quantizer-as-literals discipline as
     make_ivf_assign_expr (struct ordering = dist-then-id tie-break)."""
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cands = []
-    for cid, comp in centroids:
-        w = F.array(*[F.lit(float(c)) for c in comp])
-        dist = F.aggregate(
-            F.zip_with(emb, w, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).alias("c")))
-    return F.transform(
-        F.slice(F.array_sort(F.array(*cands)), 1, nprobe),
-        lambda s: s.getField("c"),
+    return F.expr(
+        f"transform(slice(array_sort({_ivf_cand_structs_sql(centroids)}), "
+        f"1, {nprobe}), st -> st.c)"
     )
 
 
@@ -1051,25 +1046,30 @@ def recall_against_index(
     k = _MONITOR_TOP_K
     qn = queries.select(
         F.col("vec_id").alias("q_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
             "q_emb"
         ),
         make_ivf_probe_expr(centroids).alias("probes"),
     )
     cn = index.select(
         "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         "centroid_id",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dot = (
+        "aggregate(zip_with(q_emb, emb, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+
+    def nrm(c: str) -> str:
+        return (
+            f"SQRT(aggregate(transform({c}, x -> x * x), 0.0D, "
+            f"(a, x) -> a + x))"
+        )
+
+    cos = F.round(
+        F.expr(f"{dot} / ({nrm('q_emb')} * {nrm('emb')})"), 6
     )
-    cos = F.round(dot / (nrm(F.col("q_emb")) * nrm(F.col("emb"))), 6)
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )

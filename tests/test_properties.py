@@ -100,7 +100,7 @@ def test_word_shingles_match_python(spark, texts):
     got = {
         r["i"]: r["sh"]
         for r in df.withColumn("t", tokens("text"))
-        .select("i", word_shingles(F.col("t")).alias("sh"))
+        .select("i", word_shingles("t").alias("sh"))
         .collect()
     }
     for i, t in enumerate(texts):
